@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator inventory (SURVEY.md §2.11 Q1–Q12 + window /
+  * semi / anti extensions). Each query is a declarative DataFrame plan —
+  * Catalyst handles pushdown, pruning and join selection; we add
+  * `broadcast` hints where the dimension side is known-small relative
+  * to the fact table so the plan stays a BroadcastHashJoin at any
+  * scale factor (at 100 TB the fact side never shuffles for these).
+  *
+  * Every aggregate/computed column is aliased identically to the
+  * oracle SQL (driver compares columns by name).
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables(s, d, "orders")
+  private def cust(s: SparkSession, d: String) = Tables(s, d, "customer")
+
+  /** Q1 — scan + filter + project; predicate and projection both push
+    * into the parquet scan (PushedFilters / ReadSchema). */
+  def q1FilterProject(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_quantity") > 25)
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+
+  /** Q2 — inner equi-join orders ⋈ customer (dimension broadcast). */
+  def q2Join(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name", "o_totalprice")
+
+  /** Q3 — left outer join with null-producing side: orders per
+    * customer including zero. count(o_orderkey) skips nulls exactly
+    * like SQL COUNT(col). */
+  def q3LeftJoinCount(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+
+  /** Q4 — star join: fact ⋈ two broadcast dims, grouped agg. */
+  def q4StarJoin(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(broadcast(Tables(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand", "s_name")
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+           count(lit(1)).as("line_cnt"))
+
+  /** Q5 — TPC-H Q1 shape: multi-aggregate group-by (partial agg
+    * map-side, final agg after a 2-key shuffle). */
+  def q5PricingSummary(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Q6 — exact count-distinct per group (Catalyst Expand + 2-phase agg). */
+  def q6CountDistinct(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("distinct_custs"))
+
+  /** Q7 — global aggregate to a single row. */
+  def q7GlobalAgg(s: SparkSession, d: String): DataFrame =
+    ord(s, d).agg(
+      round(sum(col("o_totalprice")), 2).as("total_price"),
+      count(lit(1)).as("order_cnt"))
+
+  /** Q8 — per-row derived arithmetic + round, re-aggregated per key.
+    * Rounded to integer cents before the sum: the aggregate is then
+    * exact in Long (no float-association drift at any data order or
+    * parallelism — matters when partial aggs combine in arbitrary
+    * order across 1000 executors). */
+  def q8DerivedRound(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0).cast("long"))
+      .groupBy("l_orderkey")
+      .agg((sum(col("cents")) / 100.0).as("revenue"))
+
+  /** Q9 — date bucketing: orders per calendar day. */
+  def q9DateBucket(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("order_day"))
+      .agg(count(lit(1)).as("order_cnt"),
+           round(sum(col("o_totalprice")), 2).as("day_sales"))
+
+  /** Q10 — union-all accumulation: per-partition aggregates of Q5
+    * unioned back together must equal Q5 (U1 semantics). */
+  def q10Union(s: SparkSession, d: String): DataFrame = {
+    def branch(pred: org.apache.spark.sql.Column): DataFrame =
+      li(s, d).filter(pred)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             count(lit(1)).as("count_order"))
+    branch(col("l_linestatus") === "F").unionByName(branch(col("l_linestatus") =!= "F"))
+  }
+
+  /** Q11 — full multi-column sort (range-partitioned exchange). */
+  def q11Sort(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q12 — explode parity: tokenize documents and count tokens
+    * (built-in Generator; no UDTF). */
+  def q12Explode(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q13 — JSON field extraction from the events props column. */
+  def q13Json(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "events")
+      .select(col("event_id"),
+              get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+
+  /** Q14 — running total per customer (window, no row collapse). */
+  def q14WindowRunning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ord(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+  }
+
+  /** Q15 — top-3 orders per customer by price (rank keeps ties → the
+    * qualifying row set is deterministic). */
+  def q15WindowRank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord(s, d)
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+  }
+
+  /** Q16 — left-semi: customers that have at least one order. */
+  def q16Semi(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+
+  /** Q17 — left-anti: customers with no orders. */
+  def q17Anti(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Q18 — rollup with grand total (grouping-set capability). */
+  def q18Rollup(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("cnt"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_filter_project" -> q1FilterProject _,
+    "q2_join" -> q2Join _,
+    "q3_left_join_count" -> q3LeftJoinCount _,
+    "q4_star_join" -> q4StarJoin _,
+    "q5_pricing_summary" -> q5PricingSummary _,
+    "q6_count_distinct" -> q6CountDistinct _,
+    "q7_global_agg" -> q7GlobalAgg _,
+    "q8_derived_round" -> q8DerivedRound _,
+    "q9_date_bucket" -> q9DateBucket _,
+    "q10_union" -> q10Union _,
+    "q11_sort" -> q11Sort _,
+    "q12_explode" -> q12Explode _,
+    "q13_json" -> q13Json _,
+    "q14_window_running" -> q14WindowRunning _,
+    "q15_window_rank" -> q15WindowRank _,
+    "q16_semi" -> q16Semi _,
+    "q17_anti" -> q17Anti _,
+    "q18_rollup" -> q18Rollup _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_filter_project" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+         FROM lineitem WHERE l_quantity > 25""",
+    "q2_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey""",
+    "q3_left_join_count" ->
+      """SELECT c_custkey, count(o_orderkey) AS order_cnt
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey""",
+    "q4_star_join" ->
+      """SELECT p_brand, s_name, round(sum(l_extendedprice), 2) AS sum_price,
+                count(*) AS line_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY p_brand, s_name""",
+    "q5_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(avg(l_discount), 6) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q6_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS distinct_custs
+         FROM orders GROUP BY o_orderpriority""",
+    "q7_global_agg" ->
+      """SELECT round(sum(o_totalprice), 2) AS total_price, count(*) AS order_cnt
+         FROM orders""",
+    "q8_derived_round" ->
+      """SELECT l_orderkey,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0
+                  AS revenue
+         FROM lineitem GROUP BY l_orderkey""",
+    "q9_date_bucket" ->
+      """SELECT CAST(o_orderdate AS DATE) AS order_day, count(*) AS order_cnt,
+                round(sum(o_totalprice), 2) AS day_sales
+         FROM orders GROUP BY CAST(o_orderdate AS DATE)""",
+    "q10_union" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS count_order
+         FROM lineitem WHERE l_linestatus = 'F'
+         GROUP BY l_returnflag, l_linestatus
+         UNION ALL
+         SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS count_order
+         FROM lineitem WHERE l_linestatus <> 'F'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q11_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q12_explode" ->
+      """SELECT t.token, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+         GROUP BY t.token""",
+    "q13_json" ->
+      """SELECT event_id, CAST(props->>'k' AS BIGINT) AS k_val FROM events""",
+    "q14_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+                AS running_spend
+         FROM orders""",
+    "q15_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  rank() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3""",
+    "q16_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q17_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q18_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+}
