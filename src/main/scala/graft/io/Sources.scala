@@ -1,0 +1,65 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Pluggable sources/sinks (SURVEY §2.1 S1–S7). The reference talks
+  * JDBC/MySQL and per-day Mongo collections; in the zero-egress
+  * harness every source is file-backed behind the same trait, so a
+  * JDBC implementation is a drop-in
+  * (`spark.read.format("jdbc")…` with partitioned reads on the key
+  * column — the reference's single-partition JDBC scan,
+  * src/data_processor.py:179-193, is the anti-pattern we avoid).
+  */
+trait TableSource {
+  def load(spark: SparkSession): DataFrame
+}
+
+/** S1/S3-equivalent: header CSV with a declared schema (no inference
+  * pass over the data — at 100 TB schema inference is a full extra
+  * scan). */
+final case class CsvSource(path: String, schema: StructType) extends TableSource {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+}
+
+/** S2/S4-equivalent: (multiline) JSON documents with a declared
+  * schema. `paths` may be a glob — the reference's per-day collection
+  * fan-out (src/data_processor.py:195-222) becomes one multi-file
+  * scan; day identity survives in the data itself. */
+final case class JsonSource(paths: Seq[String], schema: StructType, multiLine: Boolean = true)
+    extends TableSource {
+  def load(spark: SparkSession): DataFrame =
+    spark.read.option("multiLine", multiLine.toString).schema(schema).json(paths: _*)
+}
+
+final case class ParquetSource(path: String) extends TableSource {
+  def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
+}
+
+object Sinks {
+
+  /** S5 — single-file CSV sink with exact header and row order:
+    * coalesce(1) + write to a temp dir + rename the part file
+    * (reference: src/data_processor.py:61-90). Only for small final
+    * reports — large outputs keep their parallelism and go to
+    * parquet/partitioned CSV instead. */
+  def singleFileCsv(df: DataFrame, outputPath: String, fileName: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = s"$outputPath/_tmp_${fileName.stripSuffix(".csv")}"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(new java.net.URI(tmp), conf)
+    val part = fs.globStatus(new Path(s"$tmp/part-*.csv"))(0).getPath
+    val dest = new Path(s"$outputPath/$fileName")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(new Path(tmp), true)
+  }
+
+  /** S7 — parquet checkpoint between pipeline stages (the Airflow
+    * DAG's inter-task handoff, src/candy_store_dag.py:102-113). */
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+}
