@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{cosine, tokenHash}
+
+/** Deduplication family for a training-data pipeline: exact,
+  * n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine. Everything
+  * is declarative DataFrame algebra — at 100 TB the only shuffles are
+  * the group-bys/joins on content keys, all of which partial-aggregate
+  * map-side first; candidate generation is always blocked (shingle,
+  * LSH band, label) so no operator ever goes O(N²) on the corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the content. Emits one row per
+    * distinct text with the keeper id (min) and the duplicate count.
+    * At scale: group on md5(text) instead of raw text to cut shuffle
+    * width — both provided. */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(md5(text.cast("binary")).as("content_md5"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct word n-gram shingles per document (the blocking unit
+    * for Jaccard and the hash input for MinHash). */
+  def shingles(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
+    val toks = split(text, " ")
+    val cnt = size(toks) - (n - 1)
+    df.select(
+        id.as("doc_id"),
+        explode(when(cnt >= 1,
+          transform(sequence(lit(1), cnt),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array())).as("shingle"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard near-dup pairs: shingle-blocked self-join →
+    * common-shingle counts per pair → |A∩B| / (|A|+|B|−|A∩B|).
+    * Pairs only materialize for documents sharing ≥1 shingle. */
+  def jaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
+                   threshold: Double): DataFrame = {
+    val sh = shingles(df, text, id, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+                 .withColumnRenamed("n_shingles", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("n_shingles", "size_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        round(col("common").cast("double")
+          / (col("size_a") + col("size_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
+  // ---- MinHash + LSH -------------------------------------------------
+
+  val minhashP = 2147483647L // 2^31 − 1
+  /** k=16 fixed permutations (a·h+b mod p); 4 bands × 4 rows. */
+  val minhashAB: Seq[(Long, Long)] =
+    (1 to 16).map { i =>
+      (((i * 2654435761L) % minhashP) | 1L, (i * 40503L * 65537L) % minhashP)
+    }
+
+  /** Per-document MinHash signature columns m0..m15 (one scan +
+    * one partial-aggregating groupBy over shingles). */
+  def minhashSignatures(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
+    val sh = shingles(df, text, id, n)
+      .withColumn("h", pmod(tokenHash(col("shingle")), lit(minhashP)))
+    val aggs = minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(minhashP))).as(s"m$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: md5 over each 4-row band → (band, bucket) keys.
+    * Documents sharing any bucket are near-dup candidates; the
+    * bucket join replaces the O(N²) signature comparison. */
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val nBands = minhashAB.size / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(":", cols: _*).cast("binary")).as("bucket"))
+    }
+    signatures
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from LSH buckets (distinct across bands). */
+  def minhashCandidatePairs(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
+    val bk = lshBuckets(minhashSignatures(df, text, id, n))
+    bk.as("a")
+      .join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** 32-bit SimHash over token hashes: per bit, sign of Σ(±1); one
+    * groupBy with 32 conditional sums (single aggregation pass). */
+  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"),
+      explode(split(text, " ")).as("token"))
+      .withColumn("h", tokenHash(col("token")))
+    val bitSums = (0 until 32).map { r =>
+      sum(when(shiftright(col("h"), r).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$r")
+    }
+    val fp = (0 until 32).map { r =>
+      when(col(s"s$r") > 0, lit(1L) * (1L << r)).otherwise(0L)
+    }.reduce(_ + _)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Embedding near-dups: cosine ≥ threshold within a blocking key
+    * (here the label column; at scale an LSH/IVF coarse quantizer
+    * provides the blocks — see Similarity.lshAnn). */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame =
+    emb.as("a")
+      .join(emb.as("b"), col("a.label") === col("b.label")
+        && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.cosine
+
+/** Approximate-nearest-neighbor search over an `array<float>`
+  * embedding column.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set against the corpus; one scan, no corpus shuffle, then a
+  * per-query top-k window. Exact, and the right answer whenever
+  * |queries| ≪ |corpus|.
+  *
+  * Scale path: random-hyperplane LSH — 16 sign bits per vector form
+  * a bucket key; queries probe only their own bucket (multi-probe =
+  * flipping bits, not implemented here). The corpus side is a single
+  * projection + exchange on the bucket key; at 100 TB the bucket
+  * partitioning IS the index.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector (cosine, ties broken
+    * by vec_id for determinism). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = queries.as("q")
+      .join(corpus.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos", round(cosine(col("q.embedding"), col("c.embedding")), 6))
+    val w = Window.partitionBy(col("q.vec_id"))
+      .orderBy(col("cos").desc, col("c.vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("cos"), col("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight =
+    * a fixed integer hash mapped to [-1, 1). Reproducible across
+    * engines and runs — no RNG state. */
+  private def planeWeight(p: Int, d: Int): Double = {
+    val h = (p * 1000003L + d * 7919L + 12345L) * 2654435761L % 1000000007L
+    (math.abs(h).toDouble / 1000000007.0) * 2.0 - 1.0
+  }
+
+  /** 16-bit random-hyperplane signature as a bucket key. */
+  def lshBucket(emb: DataFrame, nPlanes: Int = 16): DataFrame = {
+    val dims = 64 // corpus embedding dimensionality (embeddings.parquet)
+    val bucket = (0 until nPlanes).map { p =>
+      val proj = (0 until dims).map { d =>
+        element_at(col("embedding"), d + 1).cast("double") * planeWeight(p, d)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L) * (1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  /** ANN via LSH buckets: exact rerank inside each bucket. Recall is
+    * approximate by construction; candidates never leave their
+    * bucket partition. */
+  def lshAnn(emb: DataFrame, k: Int, nPlanes: Int = 16): DataFrame = {
+    val b = lshBucket(emb, nPlanes).select("vec_id", "embedding", "bucket")
+    val scored = b.as("q")
+      .join(b.as("c"), col("q.bucket") === col("c.bucket")
+        && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos", round(cosine(col("q.embedding"), col("c.embedding")), 6))
+    val w = Window.partitionBy(col("q.vec_id"))
+      .orderBy(col("cos").desc, col("c.vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("cos"), col("rk"))
+  }
+
+  /** IVF-style coarse index: assign each vector to its nearest of
+    * `centroids` (a tiny broadcast table of (centroid_id, embedding));
+    * queries search only their own cell. Centroids would come from a
+    * sampled k-means at scale; any deterministic seed set works. */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("v.vec_id")).orderBy(col("d").asc, col("cent.centroid_id"))
+    emb.as("v")
+      .crossJoin(broadcast(centroids.as("cent")))
+      .withColumn("d", lit(1.0) - cosine(col("v.embedding"), col("cent.embedding")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
+        col("cent.centroid_id").as("centroid_id"))
+  }
+}

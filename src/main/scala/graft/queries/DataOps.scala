@@ -1,0 +1,270 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators as driver-checkable queries over
+  * the `documents` / `embeddings` tables, with DuckDB oracle SQL
+  * generated from the same constants (hash seeds, profiles, band
+  * layout) so both engines compute the identical function.
+  */
+object DataOps {
+
+  private def docs(s: SparkSession, d: String) = Tables(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = Tables(s, d, "embeddings")
+
+  val jaccardThreshold = 0.3
+  val cosineThreshold = 0.3
+  val annK = 5
+  val annQueries = 10 // query set = vec_id < 10
+
+  // ---- Spark sides ---------------------------------------------------
+
+  def ddExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d), col("text"), col("doc_id"))
+
+  def ddJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, d), col("text"), col("doc_id"), 3, jaccardThreshold)
+
+  def ddMinhashSig(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"), 3)
+
+  def ddLshPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidatePairs(docs(s, d), col("text"), col("doc_id"), 3)
+
+  def ddSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(docs(s, d), col("text"), col("doc_id"))
+
+  def ddEmbedNearDups(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDups(emb(s, d), cosineThreshold)
+
+  def simTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < annQueries), annK)
+  }
+
+  def simLshAnn(s: SparkSession, d: String): DataFrame =
+    Similarity.lshAnn(emb(s, d), annK)
+
+  def simIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val centroids = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    Similarity.ivfAssign(e, centroids)
+      .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
+  }
+
+  def txTokens(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, d), col("text"), col("doc_id"))
+
+  def txQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, d), col("text"), col("doc_id"))
+
+  def txLangid(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      TextAnalysis.languageId(col("text")).as("lang_pred"))
+
+  def txFingerprint(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
+      TextAnalysis.positionalFingerprint(col("text")).as("positional_fp"))
+
+  def mmDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.decode(Multimodal.documentsAsMedia(docs(s, d))).toDF()
+  }
+
+  def mmFrames(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.documentsAsMedia(docs(s, d)), Multimodal.batchSize)
+
+  def allocGreedy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.{Allocate, Model}
+    val demand = Tables(s, d, "lineitem")
+      .join(broadcast(Tables(s, d, "part").select(col("p_partkey"),
+        (col("p_size").cast("long") * 100L).as("opening_stock"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_suppkey").as("customer_id"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss").as("order_datetime"),
+        col("l_partkey").as("product_id"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") / col("l_quantity"), 2)
+          .cast("decimal(38,18)").as("unit_price"),
+        col("opening_stock"),
+        date_format(col("l_shipdate"), "yyyyMMdd").cast("int").as("day"),
+        col("l_orderkey").as("seq"),
+        col("l_linenumber").as("pos"))
+      .as[Model.DemandLine]
+    Allocate(demand)
+      .groupBy("product_id")
+      .agg(sum(col("quantity")).as("filled_qty"),
+        sum(when(col("quantity") === 0, 1L).otherwise(0L)).as("cancelled_lines"),
+        count(lit(1)).as("total_lines"))
+  }
+
+  // ---- Oracle SQL ----------------------------------------------------
+
+  /** Shared CTE: distinct 3-gram shingles with a portable 32-bit hash
+    * (mirrors Dedup.shingles + VectorFunctions.tokenHash). */
+  private val shingleCte =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       s0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 1)),
+                i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM d),
+       s AS (SELECT DISTINCT doc_id, shingle FROM s0)"""
+
+  private val minhashSigCte = {
+    val p = Dedup.minhashP
+    val mins = Dedup.minhashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * $a + $b) % $p) AS m$i"
+    }.mkString(", ")
+    s"""$shingleCte,
+        hh AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % $p AS h
+               FROM s),
+        sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)"""
+  }
+
+  private val langHitsSql: Seq[(String, String)] =
+    TextAnalysis.langProfiles.map { case (lang, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter(toks, x -> list_contains($lst, x)))"
+    }
+
+  val oracleSql: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_cnt
+         FROM documents GROUP BY md5(text)""",
+    "dd_jaccard" ->
+      s"""WITH $shingleCte,
+          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+          SELECT id_a, id_b, common,
+                 round(common * 1.0 / (x.n + y.n - common), 6) AS jaccard
+          FROM c JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+          WHERE round(common * 1.0 / (x.n + y.n - common), 6) >= $jaccardThreshold""",
+    "dd_minhash_sig" -> s"WITH $minhashSigCte SELECT * FROM sig",
+    "dd_lsh_pairs" -> {
+      val bandSelects = (0 until 4).map { band =>
+        val cols = (band * 4 until band * 4 + 4)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
+        s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $minhashSigCte, bands AS ($bandSelects)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+    },
+    "dd_simhash" -> {
+      val bitSums = (0 until 32)
+        .map(r => s"sum(CASE WHEN (h >> $r) & 1 = 1 THEN 1 ELSE -1 END) AS s$r")
+        .mkString(", ")
+      val fp = (0 until 32)
+        .map(r => s"(CASE WHEN s$r > 0 THEN ${1L << r} ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          hh AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM t),
+          bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id)
+          SELECT doc_id, $fp AS simhash FROM bits"""
+    },
+    "dd_embed_neardups" ->
+      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                            a.embedding AS ea, b.embedding AS eb
+                     FROM embeddings a JOIN embeddings b
+                       ON a.label = b.label AND a.vec_id < b.vec_id),
+          u AS (SELECT id_a, id_b, CAST(unnest(ea) AS DOUBLE) AS x,
+                       CAST(unnest(eb) AS DOUBLE) AS y FROM p),
+          sums AS (SELECT id_a, id_b, sum(x*y) AS dp, sum(x*x) AS na, sum(y*y) AS nb
+                   FROM u GROUP BY id_a, id_b)
+          SELECT id_a, id_b, round(dp / sqrt(na * nb), 6) AS cos
+          FROM sums WHERE round(dp / sqrt(na * nb), 6) >= $cosineThreshold""",
+    "sim_topk" ->
+      s"""WITH p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                            q.embedding AS ea, c.embedding AS eb
+                     FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                     WHERE q.vec_id < $annQueries),
+          u AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                       CAST(unnest(eb) AS DOUBLE) AS y FROM p),
+          sums AS (SELECT query_id, neighbor_id, sum(x*y) AS dp, sum(x*x) AS na,
+                          sum(y*y) AS nb FROM u GROUP BY query_id, neighbor_id),
+          scored AS (SELECT query_id, neighbor_id, round(dp / sqrt(na * nb), 6) AS cos
+                     FROM sums),
+          ranked AS (SELECT query_id, neighbor_id, cos,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rk
+                     FROM scored)
+          SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= $annK""",
+    "tx_tokens" ->
+      s"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+                 len(regexp_extract_all(text, '${TextAnalysis.bpeTokenRegex}')) AS bpe_tokens
+         FROM documents""",
+    "tx_quality" -> {
+      val sw = TextAnalysis.langProfiles.flatMap(_._2).distinct
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+          SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                   / len(toks) AS avg_token_len,
+                 CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE)
+                   / len(toks) AS stopword_ratio,
+                 CAST(len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE)
+                   / len(toks) AS alpha_ratio,
+                 len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct_chars
+          FROM d"""
+    },
+    "tx_langid" -> {
+      val hits = langHitsSql.map { case (l, e) => s"$e AS h_$l" }.mkString(", ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          h AS (SELECT doc_id, $hits FROM d),
+          b AS (SELECT doc_id, *, $best AS best FROM h)
+          SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
+    },
+    "tx_fingerprint" -> {
+      val p = TextAnalysis.fpPrime
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          pos AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                    i -> (CAST(('0x' || substr(md5(toks[i]), 1, 8)) AS BIGINT) * i) % $p))
+                    AS v FROM d),
+          pfp AS (SELECT doc_id, sum(v) % $p AS positional_fp FROM pos GROUP BY doc_id)
+          SELECT d.doc_id,
+                 md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS content_fp,
+                 pfp.positional_fp
+          FROM d JOIN pfp ON d.doc_id = pfp.doc_id"""
+    },
+    "mm_decode" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+                CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+                3 AS channels, 'fake' AS format
+         FROM documents""",
+    "mm_frames" ->
+      s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+          SELECT doc_id AS media_id,
+                 unnest(range(0, n, ${Multimodal.batchSize})) AS frame_offset,
+                 CAST(n AS BIGINT) AS n_bytes
+          FROM d""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ddExact _,
+    "dd_jaccard" -> ddJaccard _,
+    "dd_minhash_sig" -> ddMinhashSig _,
+    "dd_lsh_pairs" -> ddLshPairs _,
+    "dd_simhash" -> ddSimhash _,
+    "dd_embed_neardups" -> ddEmbedNearDups _,
+    "sim_topk" -> simTopK _,
+    "sim_lsh_ann" -> simLshAnn _, // approximate → rows-only check
+    "sim_ivf" -> simIvf _,        // float-argmin ranking → rows-only check
+    "tx_tokens" -> txTokens _,
+    "tx_quality" -> txQuality _,
+    "tx_langid" -> txLangid _,
+    "tx_fingerprint" -> txFingerprint _,
+    "mm_decode" -> mmDecode _,
+    "mm_frames" -> mmFrames _,
+    "p_alloc_greedy" -> allocGreedy _) // sequential-state op → rows-only check
+}

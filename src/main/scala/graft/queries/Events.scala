@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time analytics over the `events` table (nanosecond
+  * timestamps read as Long — see Verify's nanosAsLong config) plus
+  * the forecasting query. The same window logic runs unchanged under
+  * Structured Streaming (`readStream` + watermark) — see
+  * graft.streaming.EventStream; these batch forms are the
+  * driver-checkable equivalents.
+  */
+object Events {
+
+  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+
+  /** Nanos → micros (integer division — ns epochs exceed 2^53, so
+    * double math would drop microseconds). */
+  private def tsUs = expr("ts div 1000")
+  private def tsMicros = timestamp_micros(tsUs)
+
+  /** Tumbling 5-minute windows per event type: the canonical
+    * streaming aggregation, batch form. */
+  def evWindowAgg(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(
+        window(tsMicros, "5 minutes").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+
+  val sessionGapUs: Long = 30L * 60 * 1000000L // 30 min (microseconds —
+  // DuckDB reads the nanos parquet at microsecond precision, so both
+  // engines sessionize on the same µs values)
+
+  /** Gap-based sessionization per user (lag + cumulative-sum window —
+    * all-integer nanosecond math, exact in any engine). */
+  def evSessions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    ev(s, d)
+      .withColumn("tsu", tsUs)
+      .withColumn("new_sess",
+        when(col("tsu") - lag(col("tsu"), 1).over(byUser) > sessionGapUs
+          || lag(col("tsu"), 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           min(col("tsu")).as("start_us"),
+           max(col("tsu")).as("end_us"))
+  }
+
+  /** F2-shaped forecast as a pure aggregate: OLS linear trend over
+    * daily sales, one-step-ahead prediction. Exactly the engine's
+    * LinearTrendForecaster math, expressed relationally so the DuckDB
+    * regr_* oracle can check it. */
+  def fcLinearSales(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("y"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("double"))
+    daily.agg(
+        covar_pop(col("x"), col("y")).as("cxy"),
+        var_pop(col("x")).as("vx"),
+        avg(col("x")).as("ax"), avg(col("y")).as("ay"),
+        max(col("x")).as("mx"), max(col("day")).as("last_day"))
+      .select(
+        date_add(col("last_day"), 1).as("forecast_date"),
+        round(
+          (col("ay") - (col("cxy") / col("vx")) * col("ax"))
+            + (col("cxy") / col("vx")) * (col("mx") + 1), 2).as("forecasted_sales"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_window_agg" -> evWindowAgg _,
+    "ev_sessions" -> evSessions _,
+    "fc_linear_sales" -> fcLinearSales _)
+
+  val oracleSql: Map[String, String] = Map(
+    "ev_window_agg" ->
+      """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS window_start,
+                event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "ev_sessions" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+          flagged AS (SELECT user_id, event_id, tsu,
+                 CASE WHEN tsu - lag(tsu) OVER w > ${sessionGapUs}
+                        OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+          sess AS (SELECT user_id, tsu,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+                 FROM flagged)
+          SELECT user_id, session_id, count(*) AS n_events,
+                 min(tsu) AS start_us, max(tsu) AS end_us
+          FROM sess GROUP BY user_id, session_id""",
+    "fc_linear_sales" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+                        FROM orders GROUP BY 1),
+          d2 AS (SELECT CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE) AS x, y, day
+                 FROM daily),
+          f AS (SELECT regr_slope(y, x) AS slope, regr_intercept(y, x) AS ic,
+                       max(x) AS mx, max(day) AS last_day FROM d2)
+          SELECT CAST(last_day + INTERVAL 1 DAY AS DATE) AS forecast_date,
+                 round(ic + slope * (mx + 1), 2) AS forecasted_sales
+          FROM f""")
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.DataOps
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the training-data operators that the DuckDB
+  * oracle can't express (approximate/stateful paths) plus
+  * cross-operator consistency: LSH candidates must cover the true
+  * high-Jaccard pairs, SimHash must agree on exact duplicates, the
+  * stub decoder must batch correctly.
+  */
+class DataOpsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("LSH candidate pairs cover every true Jaccard>=0.5 pair (recall at banding point)") {
+    val truePairs = Dedup.jaccardPairs(
+        spark.read.parquet(s"$sf/documents.parquet"), col("text"), col("doc_id"), 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candidates = DataOps.ddLshPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty, "expected planted near-dups in the corpus")
+    val missed = truePairs -- candidates
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("identical texts collide on every fingerprint (minhash, simhash, content)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(df, col("text"), col("doc_id"), 3).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L) && sig(1L) != sig(3L))
+    val sh = Dedup.simhash(df, col("text"), col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L) && sh(1L) != sh(3L))
+    val fp = df.select(col("doc_id"), TextAnalysis.contentFingerprint(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("positional fingerprint is order-sensitive where content fingerprint is not") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextAnalysis.contentFingerprint(col("text")).as("cfp"),
+      TextAnalysis.positionalFingerprint(col("text")).as("pfp")).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r(1L)._1 == r(2L)._1, "content fp must ignore order")
+    assert(r(1L)._2 != r(2L)._2, "positional fp must see order")
+  }
+
+  test("brute-force top-k is a superset-ranking of LSH ANN results (same bucket ⇒ same cos)") {
+    val exact = DataOps.simTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = DataOps.simLshAnn(spark, sf)
+      .filter(col("query_id") < DataOps.annQueries).collect()
+    // every ANN hit that exact search also scored must carry the identical cosine
+    ann.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      exact.get(k).foreach(c => assert(c == r.getDouble(2)))
+    }
+  }
+
+  test("stub media decode preserves every record and derives metadata from bytes") {
+    import spark.implicits._
+    val media = Multimodal.documentsAsMedia(spark.read.parquet(s"$sf/documents.parquet"))
+    val out = Multimodal.decode(media).collect()
+    assert(out.length == 500)
+    out.foreach { m =>
+      assert(m.width == (m.n_bytes % 640).toInt && m.format == "fake")
+    }
+    // batching: a partition with 130 rows → batches of 64/64/2, all rows kept
+    val one = media.repartition(1)
+    assert(Multimodal.decode(one).count() == 500)
+  }
+
+  test("greedy allocation on lineitem never over-fills opening stock") {
+    val agg = DataOps.allocGreedy(spark, sf)
+      .join(spark.read.parquet(s"$sf/part.parquet")
+        .select(col("p_partkey").as("product_id"),
+          (col("p_size").cast("long") * 100L).as("opening")),
+        Seq("product_id"))
+      .filter(col("filled_qty") > col("opening"))
+    assert(agg.isEmpty, "filled more than opening stock")
+  }
+}
