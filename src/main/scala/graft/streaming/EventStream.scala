@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.9: the reference is batch-
+  * only, but its per-day fold is exactly a daily-tumbling-window
+  * stream; this module is the capability-growth path).
+  *
+  * Batch/stream parity: `windowedAgg` is the streaming twin of
+  * queries.Events.evWindowAgg — same window/agg expressions, plus a
+  * watermark for state eviction. At scale the watermark bounds state:
+  * without it a 100 TB/day stream accumulates windows forever.
+  */
+object EventStream {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Tumbling 5-minute counts/sums per event type with a watermark;
+    * works on both `readStream` and batch frames (same plan). */
+  def windowedAgg(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class SessionState(
+      sessionId: Long, startUs: Long, lastUs: Long, nEvents: Long)
+  final case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  /** Gap-based sessionization with explicit state
+    * (`flatMapGroupsWithState`): closes a session when the gap
+    * between consecutive events for a user exceeds `gapUs`, or when
+    * the event-time timeout fires (watermark passed the gap horizon —
+    * bounded state at scale). Emits closed sessions only (Append). */
+  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000000L,
+                 watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, it: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[SessionOut]
+
+      if (sorted.isEmpty) {
+        // timeout fired: flush the open session
+        val out = state.getOption.map(s =>
+          SessionOut(userId, s.sessionId, s.nEvents, s.startUs, s.lastUs))
+        state.remove()
+        return out.iterator
+      }
+
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val us = e.ts.getTime * 1000L
+        cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = math.max(s.lastUs, us), nEvents = s.nEvents + 1))
+          case Some(s) =>
+            closed ::= SessionOut(userId, s.sessionId, s.nEvents, s.startUs, s.lastUs)
+            cur = Some(SessionState(s.sessionId + 1, us, us, 1))
+          case None =>
+            cur = Some(SessionState(1, us, us, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastUs / 1000L + gapUs / 1000L)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

