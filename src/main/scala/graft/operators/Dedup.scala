@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.{cosine, tokenHash}
+import graft.functions.VectorFunctions.tokenHash
 
 /** Deduplication family for a training-data pipeline: exact,
   * n-gram-Jaccard, MinHash+LSH, SimHash, embedding-cosine. Everything
@@ -40,7 +40,10 @@ object Dedup {
     * Pairs only materialize for documents sharing ≥1 shingle. */
   def jaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
                    threshold: Double): DataFrame = {
-    val sh = shingles(df, text, id, n).cache()
+    val sh = shingles(df, text, id, n)
+    // one row per document → always the broadcast side (the pair
+    // table is the N²-shaped one; shuffling it against a per-doc
+    // dimension would dominate the whole operator).
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle")
@@ -48,10 +51,10 @@ object Dedup {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     common
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-                 .withColumnRenamed("n_shingles", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-                 .withColumnRenamed("n_shingles", "size_b"), Seq("id_b"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
+                 .withColumnRenamed("n_shingles", "size_a")), Seq("id_a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("n_shingles", "size_b")), Seq("id_b"))
       .withColumn("jaccard",
         round(col("common").cast("double")
           / (col("size_a") + col("size_b") - col("common")), 6))
@@ -125,12 +128,19 @@ object Dedup {
 
   /** Embedding near-dups: cosine ≥ threshold within a blocking key
     * (here the label column; at scale an LSH/IVF coarse quantizer
-    * provides the blocks — see Similarity.lshAnn). */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame =
-    emb.as("a")
-      .join(emb.as("b"), col("a.label") === col("b.label")
+    * provides the blocks — see Similarity.lshAnn). Norms are computed
+    * once per vector BEFORE the pair join — at N² pair counts that
+    * removes two-thirds of the floating-point work. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val e = emb.withColumn("nrm", sqrt(graft.functions.VectorFunctions.fastNormSq(col("embedding"))))
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label")
         && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosine(col("a.embedding"), col("b.embedding")), 6))
+      .withColumn("cos", round(
+        graft.functions.VectorFunctions.fastDot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
 }

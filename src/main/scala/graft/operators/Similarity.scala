@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.cosine
+import graft.functions.VectorFunctions.{fastCosine, fastDot, fastNormSq}
+import graft.plans.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an `array<float>`
   * embedding column.
@@ -22,11 +23,17 @@ import graft.functions.VectorFunctions.cosine
 object Similarity {
 
   /** Exact top-k neighbors for each query vector (cosine, ties broken
-    * by vec_id for determinism). */
+    * by vec_id for determinism). Norms are precomputed per side, so
+    * each of the |Q|·|C| pairs costs one dot product. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = queries.as("q")
-      .join(corpus.as("c"), col("q.vec_id") =!= col("c.vec_id"))
-      .withColumn("cos", round(cosine(col("q.embedding"), col("c.embedding")), 6))
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val c = corpus.withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    val q = queries.withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    val scored = q.as("q")
+      .join(c.as("c"), col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos", round(
+        fastDot(col("q.embedding"), col("c.embedding"))
+          / (col("q.nrm") * col("c.nrm")), 6))
     val w = Window.partitionBy(col("q.vec_id"))
       .orderBy(col("cos").desc, col("c.vec_id"))
     scored
@@ -44,14 +51,15 @@ object Similarity {
     (math.abs(h).toDouble / 1000000007.0) * 2.0 - 1.0
   }
 
-  /** 16-bit random-hyperplane signature as a bucket key. */
+  /** 16-bit random-hyperplane signature as a bucket key: 16 native
+    * dot products against literal plane vectors (one tight codegen
+    * loop each — not a 16×64-term expression tree). */
   def lshBucket(emb: DataFrame, nPlanes: Int = 16): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
     val dims = 64 // corpus embedding dimensionality (embeddings.parquet)
     val bucket = (0 until nPlanes).map { p =>
-      val proj = (0 until dims).map { d =>
-        element_at(col("embedding"), d + 1).cast("double") * planeWeight(p, d)
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L) * (1L << p)).otherwise(0L)
+      val plane = lit((0 until dims).map(d => planeWeight(p, d).toFloat).toArray)
+      when(fastDot(col("embedding"), plane) >= 0, lit(1L) * (1L << p)).otherwise(0L)
     }.reduce(_ + _)
     emb.withColumn("bucket", bucket)
   }
@@ -60,11 +68,15 @@ object Similarity {
     * approximate by construction; candidates never leave their
     * bucket partition. */
   def lshAnn(emb: DataFrame, k: Int, nPlanes: Int = 16): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
     val b = lshBucket(emb, nPlanes).select("vec_id", "embedding", "bucket")
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
     val scored = b.as("q")
       .join(b.as("c"), col("q.bucket") === col("c.bucket")
         && col("q.vec_id") =!= col("c.vec_id"))
-      .withColumn("cos", round(cosine(col("q.embedding"), col("c.embedding")), 6))
+      .withColumn("cos", round(
+        fastDot(col("q.embedding"), col("c.embedding"))
+          / (col("q.nrm") * col("c.nrm")), 6))
     val w = Window.partitionBy(col("q.vec_id"))
       .orderBy(col("cos").desc, col("c.vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -78,10 +90,11 @@ object Similarity {
     * queries search only their own cell. Centroids would come from a
     * sampled k-means at scale; any deterministic seed set works. */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
     val w = Window.partitionBy(col("v.vec_id")).orderBy(col("d").asc, col("cent.centroid_id"))
     emb.as("v")
       .crossJoin(broadcast(centroids.as("cent")))
-      .withColumn("d", lit(1.0) - cosine(col("v.embedding"), col("cent.embedding")))
+      .withColumn("d", lit(1.0) - fastCosine(col("v.embedding"), col("cent.embedding")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),

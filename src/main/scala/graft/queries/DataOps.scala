@@ -171,27 +171,35 @@ object DataOps {
           SELECT doc_id, $fp AS simhash FROM bits"""
     },
     "dd_embed_neardups" ->
-      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                            a.embedding AS ea, b.embedding AS eb
-                     FROM embeddings a JOIN embeddings b
-                       ON a.label = b.label AND a.vec_id < b.vec_id),
+      s"""WITH nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+                 (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+               GROUP BY vec_id),
+          p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       a.embedding AS ea, b.embedding AS eb
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id),
           u AS (SELECT id_a, id_b, CAST(unnest(ea) AS DOUBLE) AS x,
                        CAST(unnest(eb) AS DOUBLE) AS y FROM p),
-          sums AS (SELECT id_a, id_b, sum(x*y) AS dp, sum(x*x) AS na, sum(y*y) AS nb
-                   FROM u GROUP BY id_a, id_b)
-          SELECT id_a, id_b, round(dp / sqrt(na * nb), 6) AS cos
-          FROM sums WHERE round(dp / sqrt(na * nb), 6) >= $cosineThreshold""",
+          d AS (SELECT id_a, id_b, sum(x*y) AS dp FROM u GROUP BY id_a, id_b)
+          SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cos
+          FROM d JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id
+          WHERE round(dp / (na.nrm * nb.nrm), 6) >= $cosineThreshold""",
     "sim_topk" ->
-      s"""WITH p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                            q.embedding AS ea, c.embedding AS eb
-                     FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-                     WHERE q.vec_id < $annQueries),
+      s"""WITH nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+                 (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+               GROUP BY vec_id),
+          p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       q.embedding AS ea, c.embedding AS eb
+                FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < $annQueries),
           u AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
                        CAST(unnest(eb) AS DOUBLE) AS y FROM p),
-          sums AS (SELECT query_id, neighbor_id, sum(x*y) AS dp, sum(x*x) AS na,
-                          sum(y*y) AS nb FROM u GROUP BY query_id, neighbor_id),
-          scored AS (SELECT query_id, neighbor_id, round(dp / sqrt(na * nb), 6) AS cos
-                     FROM sums),
+          d AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM u
+                GROUP BY query_id, neighbor_id),
+          scored AS (SELECT query_id, neighbor_id,
+                            round(dp / (na.nrm * nb.nrm), 6) AS cos
+                     FROM d JOIN nrm na ON query_id = na.vec_id
+                            JOIN nrm nb ON neighbor_id = nb.vec_id),
           ranked AS (SELECT query_id, neighbor_id, cos,
                             row_number() OVER (PARTITION BY query_id
                               ORDER BY cos DESC, neighbor_id) AS rk
