@@ -20,7 +20,8 @@ object CandyPipeline {
       orders: DataFrame,
       orderLineItems: DataFrame,
       dailySummary: DataFrame,
-      productsUpdated: DataFrame)
+      productsUpdated: DataFrame,
+      customers: DataFrame)
 
   /** Normalize raw transactions: explode the items array (inner — a
     * transaction with an empty array vanishes), project nested
@@ -58,6 +59,10 @@ object CandyPipeline {
           reloadDaily: Boolean = false, forecastHorizon: Int = 1): Result = {
     import spark.implicits._
 
+    // S1/S3 parity: the customers table is loaded but feeds no
+    // computation in the reference either (SURVEY §1.1) — it is part
+    // of the ingest surface, exposed on the Result.
+    val customers = CsvSource(s"$dataDir/customers.csv", Model.customerSchema).load(spark)
     val products = CsvSource(s"$dataDir/products.csv", Model.productSchema).load(spark)
     val transactions = JsonSource(
       Seq(s"$dataDir/transactions_*.json"), Model.transactionSchema).load(spark)
@@ -120,6 +125,6 @@ object CandyPipeline {
         .foreach(f => Sinks.singleFileCsv(f, out, "sales_profit_forecast.csv"))
     }
 
-    Result(orders, orderLineItems, dailySummary, productsUpdated)
+    Result(orders, orderLineItems, dailySummary, productsUpdated, customers)
   }
 }

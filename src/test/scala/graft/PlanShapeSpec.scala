@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.{DataOps, Relational}
+
+/** Physical-plan shape assertions: the optimizations the engine
+  * depends on at 100 TB must be visible in the executed plan, not
+  * assumed — filter/projection pushdown into the parquet scan,
+  * broadcast joins on dimension tables, bounded shuffle counts for
+  * the allocator, and whole-stage codegen coverage.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def countOccurrences(s: String, sub: String): Int =
+    s.sliding(sub.length).count(_ == sub)
+
+  test("q1: predicate and projection push into the parquet scan") {
+    val p = plan(Relational.q1FilterProject(spark, sf))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      "projection not pruned to the 4 selected columns")
+  }
+
+  test("q2/q4: dimension joins are broadcast, not shuffled") {
+    assert(plan(Relational.q2Join(spark, sf)).contains("BroadcastHashJoin"))
+    val p4 = plan(Relational.q4StarJoin(spark, sf))
+    assert(countOccurrences(p4, "BroadcastHashJoin") == 2,
+      s"expected both part and supplier joins broadcast:\n$p4")
+  }
+
+  test("q5: aggregation is partial (map-side) then final — exactly one shuffle") {
+    val p = plan(Relational.q5PricingSummary(spark, sf))
+    assert(p.contains("HashAggregate"))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, s"plan:\n$p")
+  }
+
+  test("allocator: exactly one hash-partition shuffle, catalog broadcast") {
+    import spark.implicits._
+    import graft.pipeline.{Allocate, Model}
+    val demand = Seq(
+      Model.DemandLine(1L, 1L, "2024-02-01T08:00:00.000001", 10L, 1L,
+        BigDecimal("1.00"), 5L, 20240201, 0L, 0))
+      .toDS()
+    val p = plan(Allocate(demand).toDF())
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1,
+      s"allocator must shuffle exactly once (by product):\n$p")
+  }
+
+  /** AQE only materializes codegen stages once executed — run the
+    * query, then read the final adaptive plan string (whole-stage
+    * codegen spans print as `*(n)` node prefixes). */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q5 and the vector kernels run inside whole-stage codegen") {
+    assert(finalPlan(Relational.q5PricingSummary(spark, sf)).contains("*("))
+    val p = finalPlan(DataOps.ddEmbedNearDups(spark, sf))
+    assert(p.contains("*("), s"vector pipeline fell out of codegen:\n$p")
+    assert(p.toLowerCase.contains("floatvectordot") || p.contains("graft_fvdot"),
+      s"native dot expression not in plan:\n$p")
+  }
+
+  test("exact dedup groups on the md5 key with partial aggregation") {
+    val p = plan(DataOps.ddExact(spark, sf))
+    assert(p.contains("HashAggregate") &&
+      countOccurrences(p, "Exchange hashpartitioning") == 1, s"plan:\n$p")
+  }
+}
