@@ -9,16 +9,20 @@ import graft.pipeline.CandyPipeline
   * because Spark's lazy plans make the Parquet handoffs unnecessary
   * on one cluster).
   *
-  * Usage: graft.CandyMain <dataDir> <outputDir> [--reload-daily] [--horizon N]
+  * Usage: graft.CandyMain <dataDir> <outputDir>
+  *          [--reload-daily] [--horizon N] [--model linear|seasonal|mllib]
   */
 object CandyMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: CandyMain <dataDir> <outputDir> [--reload-daily] [--horizon N]")
+    require(args.length >= 2,
+      "usage: CandyMain <dataDir> <outputDir> [--reload-daily] [--horizon N] [--model linear|seasonal|mllib]")
     val dataDir = args(0)
     val outDir = args(1)
     val reloadDaily = args.contains("--reload-daily")
     val horizon = args.sliding(2).collectFirst {
       case Array("--horizon", n) => n.toInt }.getOrElse(1)
+    val modelName = args.sliding(2).collectFirst {
+      case Array("--model", m) => m }.getOrElse("linear")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -30,7 +34,12 @@ object CandyMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val r = CandyPipeline.run(spark, dataDir, Some(outDir), reloadDaily, horizon)
+    val model: () => graft.forecast.Forecaster = modelName match {
+      case "seasonal" => () => new graft.forecast.SeasonalNaiveForecaster()
+      case "mllib" => () => new graft.forecast.MllibForecaster(spark)
+      case _ => () => new graft.forecast.LinearTrendForecaster()
+    }
+    val r = CandyPipeline.run(spark, dataDir, Some(outDir), reloadDaily, horizon, model)
     println(s"orders=${r.orders.count()} lines=${r.orderLineItems.count()} " +
       s"days=${r.dailySummary.count()} products=${r.productsUpdated.count()}")
     spark.stop()

@@ -56,7 +56,9 @@ object CandyPipeline {
       Seq("product_id"), "inner")
 
   def run(spark: SparkSession, dataDir: String, outputDir: Option[String] = None,
-          reloadDaily: Boolean = false, forecastHorizon: Int = 1): Result = {
+          reloadDaily: Boolean = false, forecastHorizon: Int = 1,
+          forecastModel: () => graft.forecast.Forecaster =
+            () => new graft.forecast.LinearTrendForecaster()): Result = {
     import spark.implicits._
 
     // S1/S3 parity: the customers table is loaded but feeds no
@@ -121,7 +123,7 @@ object CandyPipeline {
       Sinks.singleFileCsv(orders, out, "orders.csv")
       Sinks.singleFileCsv(orderLineItems, out, "order_line_items.csv")
       Sinks.singleFileCsv(productsUpdated, out, "products_updated.csv")
-      graft.forecast.ForecastReport.forecast(dailySummary, forecastHorizon)
+      graft.forecast.ForecastReport.forecast(dailySummary, forecastHorizon, forecastModel)
         .foreach(f => Sinks.singleFileCsv(f, out, "sales_profit_forecast.csv"))
     }
 
