@@ -39,9 +39,22 @@ object CandyMain {
       case "mllib" => () => new graft.forecast.MllibForecaster(spark)
       case _ => () => new graft.forecast.LinearTrendForecaster()
     }
-    val r = CandyPipeline.run(spark, dataDir, Some(outDir), reloadDaily, horizon, model)
-    println(s"orders=${r.orders.count()} lines=${r.orderLineItems.count()} " +
-      s"days=${r.dailySummary.count()} products=${r.productsUpdated.count()}")
+    val stage = args.sliding(2).collectFirst {
+      case Array("--stage", st) => st }.getOrElse("all")
+    val ckpt = s"$outDir/_stages"
+    stage match {
+      case "ingest" => graft.pipeline.CandyStages.ingest(spark, dataDir, ckpt)
+      case "process" => graft.pipeline.CandyStages.process(spark, ckpt, reloadDaily)
+      case "report" => graft.pipeline.CandyStages.report(spark, ckpt, outDir, horizon, model)
+      case "staged" => // all three stages, checkpointed (DAG contract)
+        graft.pipeline.CandyStages.ingest(spark, dataDir, ckpt)
+        graft.pipeline.CandyStages.process(spark, ckpt, reloadDaily)
+        graft.pipeline.CandyStages.report(spark, ckpt, outDir, horizon, model)
+      case _ =>
+        val r = CandyPipeline.run(spark, dataDir, Some(outDir), reloadDaily, horizon, model)
+        println(s"orders=${r.orders.count()} lines=${r.orderLineItems.count()} " +
+          s"days=${r.dailySummary.count()} products=${r.productsUpdated.count()}")
+    }
     spark.stop()
   }
 }

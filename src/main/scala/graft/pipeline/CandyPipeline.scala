@@ -55,21 +55,10 @@ object CandyPipeline {
         col("sales_price"), col("stock"))),
       Seq("product_id"), "inner")
 
-  def run(spark: SparkSession, dataDir: String, outputDir: Option[String] = None,
-          reloadDaily: Boolean = false, forecastHorizon: Int = 1,
-          forecastModel: () => graft.forecast.Forecaster =
-            () => new graft.forecast.LinearTrendForecaster()): Result = {
-    import spark.implicits._
-
-    // S1/S3 parity: the customers table is loaded but feeds no
-    // computation in the reference either (SURVEY §1.1) — it is part
-    // of the ingest surface, exposed on the Result.
-    val customers = CsvSource(s"$dataDir/customers.csv", Model.customerSchema).load(spark)
-    val products = CsvSource(s"$dataDir/products.csv", Model.productSchema).load(spark)
-    val transactions = JsonSource(
-      Seq(s"$dataDir/transactions_*.json"), Model.transactionSchema).load(spark)
-
-    val demand = enrich(normalize(transactions), products)
+  /** Enriched items → typed demand → allocated lines (A1/B1). */
+  def allocateLines(enriched: DataFrame, reloadDaily: Boolean): DataFrame = {
+    import enriched.sparkSession.implicits._
+    val demand = enriched
       .select(
         col("transaction_id").as("order_id"),
         col("customer_id"),
@@ -80,9 +69,12 @@ object CandyPipeline {
         col("stock").as("opening_stock"),
         col("day"), col("seq"), col("pos"))
       .as[DemandLine]
+    Allocate(demand, reloadDaily).toDF()
+  }
 
-    val lines = Allocate(demand, reloadDaily).toDF().cache()
-
+  /** Allocated lines → the four report frames (G1–G3, J2/J3, O2). */
+  def buildReports(lines: DataFrame, products: DataFrame,
+                   reloadDaily: Boolean): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val orderLineItems = lines
       .select("order_id", "product_id", "quantity", "unit_price", "line_total")
       .orderBy("order_id", "product_id")
@@ -118,13 +110,41 @@ object CandyPipeline {
         (col("stock") - coalesce(col("filled_qty"), lit(0L))).as("current_stock"))
       .orderBy("product_id")
 
+    (orders, orderLineItems, dailySummary, productsUpdated)
+  }
+
+  /** Write the four report CSVs + the forecast (S5/S6). */
+  def writeReports(orders: DataFrame, orderLineItems: DataFrame,
+                   dailySummary: DataFrame, productsUpdated: DataFrame,
+                   out: String, forecastHorizon: Int,
+                   forecastModel: () => graft.forecast.Forecaster): Unit = {
+    Sinks.singleFileCsv(dailySummary, out, "daily_summary.csv")
+    Sinks.singleFileCsv(orders, out, "orders.csv")
+    Sinks.singleFileCsv(orderLineItems, out, "order_line_items.csv")
+    Sinks.singleFileCsv(productsUpdated, out, "products_updated.csv")
+    graft.forecast.ForecastReport.forecast(dailySummary, forecastHorizon, forecastModel)
+      .foreach(f => Sinks.singleFileCsv(f, out, "sales_profit_forecast.csv"))
+  }
+
+  def run(spark: SparkSession, dataDir: String, outputDir: Option[String] = None,
+          reloadDaily: Boolean = false, forecastHorizon: Int = 1,
+          forecastModel: () => graft.forecast.Forecaster =
+            () => new graft.forecast.LinearTrendForecaster()): Result = {
+    // S1/S3 parity: the customers table is loaded but feeds no
+    // computation in the reference either (SURVEY §1.1) — it is part
+    // of the ingest surface, exposed on the Result.
+    val customers = CsvSource(s"$dataDir/customers.csv", Model.customerSchema).load(spark)
+    val products = CsvSource(s"$dataDir/products.csv", Model.productSchema).load(spark)
+    val transactions = JsonSource(
+      Seq(s"$dataDir/transactions_*.json"), Model.transactionSchema).load(spark)
+
+    val lines = allocateLines(enrich(normalize(transactions), products), reloadDaily).cache()
+    val (orders, orderLineItems, dailySummary, productsUpdated) =
+      buildReports(lines, products, reloadDaily)
+
     outputDir.foreach { out =>
-      Sinks.singleFileCsv(dailySummary, out, "daily_summary.csv")
-      Sinks.singleFileCsv(orders, out, "orders.csv")
-      Sinks.singleFileCsv(orderLineItems, out, "order_line_items.csv")
-      Sinks.singleFileCsv(productsUpdated, out, "products_updated.csv")
-      graft.forecast.ForecastReport.forecast(dailySummary, forecastHorizon, forecastModel)
-        .foreach(f => Sinks.singleFileCsv(f, out, "sales_profit_forecast.csv"))
+      writeReports(orders, orderLineItems, dailySummary, productsUpdated,
+        out, forecastHorizon, forecastModel)
     }
 
     Result(orders, orderLineItems, dailySummary, productsUpdated, customers)

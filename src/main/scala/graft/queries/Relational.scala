@@ -163,7 +163,27 @@ object Relational {
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
            count(lit(1)).as("cnt"))
 
+  /** Q19 — salted skew join: same result set as the plain join (the
+    * oracle IS the plain join), shuffle re-shaped for hot keys. */
+  def q19SaltedJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.SkewedJoin
+      .saltedInner(li(s, d), ord(s, d).withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_orderpriority"), "l_orderkey", 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+           round(sum(col("l_extendedprice")), 2).as("sum_price"))
+
+  /** Q20 — sketch-based distinct (HLL++): scale path for G2-style
+    * distinct counts when exactness is waived; rows-only check (the
+    * estimate is engine-specific) + accuracy-bounded in tests. */
+  def q20ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_salted_join" -> q19SaltedJoin _,
+    "q20_approx_distinct" -> q20ApproxDistinct _,
     "q1_filter_project" -> q1FilterProject _,
     "q2_join" -> q2Join _,
     "q3_left_join_count" -> q3LeftJoinCount _,
@@ -184,6 +204,11 @@ object Relational {
     "q18_rollup" -> q18Rollup _)
 
   val oracleSql: Map[String, String] = Map(
+    "q19_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS line_cnt,
+                round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "q1_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem WHERE l_quantity > 25""",
