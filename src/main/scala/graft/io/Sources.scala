@@ -62,4 +62,12 @@ object Sinks {
     * DAG's inter-task handoff, src/candy_store_dag.py:102-113). */
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Hive-style partitioned parquet: the 100 TB layout. A reader
+    * filtering on the partition columns prunes whole directories at
+    * planning time (`PartitionFilters` in the scan) — the per-day
+    * loop of the reference (src/data_processor.py:195-222) becomes a
+    * `date=YYYYMMDD/` layout Catalyst prunes natively. */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }

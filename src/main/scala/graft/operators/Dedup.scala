@@ -62,6 +62,21 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
+  /** End-to-end dedup: the surviving corpus after dropping (a) exact
+    * duplicates (keep the min id per content) and (b) the higher id
+    * of every near-dup pair above the Jaccard threshold. Pairwise
+    * suppression is a deliberate single-pass policy — transitive
+    * clustering (connected components) is an iterative refinement a
+    * curation pipeline can layer on top. */
+  def dedupedCorpus(df: DataFrame, text: Column, id: Column, n: Int,
+                    threshold: Double): DataFrame = {
+    val keepers = exact(df, text, id).select(col("keep_id").as("doc_id"))
+    val nearDupLosers = jaccardPairs(df, text, id, n, threshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    df.join(keepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
   // ---- MinHash + LSH -------------------------------------------------
 
   val minhashP = 2147483647L // 2^31 − 1

@@ -40,6 +40,10 @@ object DataOps {
   def ddEmbedNearDups(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDups(emb(s, d), cosineThreshold)
 
+  def ddCorpus(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupedCorpus(docs(s, d), col("text"), col("doc_id"), 3, jaccardThreshold)
+      .select("doc_id", "lang", "source", "n_chars")
+
   def simTopK(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < annQueries), annK)
@@ -148,6 +152,19 @@ object DataOps {
           FROM c JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
           WHERE round(common * 1.0 / (x.n + y.n - common), 6) >= $jaccardThreshold""",
     "dd_minhash_sig" -> s"WITH $minhashSigCte SELECT * FROM sig",
+    "dd_corpus" ->
+      s"""WITH $shingleCte,
+          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          losers AS (SELECT DISTINCT id_b AS doc_id
+                     FROM c JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+                     WHERE round(common * 1.0 / (x.n + y.n - common), 6) >= $jaccardThreshold),
+          keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM keepers)
+            AND doc_id NOT IN (SELECT doc_id FROM losers)""",
     "dd_lsh_pairs" -> {
       val bandSelects = (0 until 4).map { band =>
         val cols = (band * 4 until band * 4 + 4)
@@ -265,6 +282,7 @@ object DataOps {
     "dd_lsh_pairs" -> ddLshPairs _,
     "dd_simhash" -> ddSimhash _,
     "dd_embed_neardups" -> ddEmbedNearDups _,
+    "dd_corpus" -> ddCorpus _,
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // approximate → rows-only check
     "sim_ivf" -> simIvf _,        // float-argmin ranking → rows-only check

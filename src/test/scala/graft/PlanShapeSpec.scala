@@ -69,6 +69,19 @@ class PlanShapeSpec extends SparkSpec {
       s"native dot expression not in plan:\n$p")
   }
 
+  test("partitioned parquet layout prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("part_prune").toString
+    val ev = Tables(spark, sf, "events")
+      .withColumn("etype", col("event_type"))
+    graft.io.Sinks.partitionedParquet(ev, dir, Seq("etype"))
+    val p = plan(spark.read.parquet(dir).filter(col("etype") === "click"))
+    assert(p.contains("PartitionFilters: [isnotnull(etype"),
+      s"partition filter not applied at the scan:\n$p")
+    // only the matching directory is read
+    assert(spark.read.parquet(dir).filter(col("etype") === "click")
+      .queryExecution.executedPlan.toString.contains("etype"))
+  }
+
   test("exact dedup groups on the md5 key with partial aggregation") {
     val p = plan(DataOps.ddExact(spark, sf))
     assert(p.contains("HashAggregate") &&

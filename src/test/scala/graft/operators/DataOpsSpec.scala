@@ -76,6 +76,26 @@ class DataOpsSpec extends SparkSpec {
     assert(Multimodal.decode(one).count() == 500)
   }
 
+  test("approx distinct lands within the configured 2% rsd of exact") {
+    val exact = graft.queries.Relational.q6CountDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.queries.Relational.q20ApproxDistinct(spark, sf).collect().foreach { r =>
+      val est = r.getLong(1).toDouble
+      val act = exact(r.getString(0)).toDouble
+      assert(math.abs(est - act) / act < 0.05, s"${r.getString(0)}: est=$est exact=$act")
+    }
+  }
+
+  test("deduped corpus drops exact dups and the higher id of near-dup pairs") {
+    val kept = DataOps.ddCorpus(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val losers = DataOps.ddJaccard(spark, sf).select("id_b").collect()
+      .map(_.getLong(0)).toSet
+    assert(losers.nonEmpty && losers.forall(!kept.contains(_)))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(kept.size == total - losers.size, "only near-dup losers removed (no exact dups here)")
+  }
+
   test("greedy allocation on lineitem never over-fills opening stock") {
     val agg = DataOps.allocGreedy(spark, sf)
       .join(spark.read.parquet(s"$sf/part.parquet")
