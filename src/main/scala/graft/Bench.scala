@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Local-scale profile: the bench tables are ~0.3–11 MB single
+      // parquet files, so the default 128 MB split gives every scan
+      // exactly one task and the whole pre-shuffle map side runs on
+      // one core. 4 MB splits restore scan parallelism here; on a
+      // real cluster with TB-scale tables the default is correct.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,9 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as Long nanos
       // (queries derive micros explicitly — see queries.Events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // single-digit-MB test files → small splits restore scan
+      // parallelism (see Bench for rationale)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
