@@ -65,8 +65,10 @@ case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExp
   * idempotent runtime registrar for sessions built without the
   * config. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.fvdotDescriptor)
+    ext.injectOptimizerRule(_ => RewriteVectorDot)
+  }
 }
 
 object GraftFunctions {
@@ -75,7 +77,12 @@ object GraftFunctions {
     new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_fvdot"),
     (children: Seq[Expression]) => FloatVectorDot(children(0), children(1)))
 
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fvdot", children => FloatVectorDot(children(0), children(1)), "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteVectorDot
+    }
+  }
 }

@@ -39,6 +39,27 @@ class EventStreamSpec extends SparkSpec {
     assert(rows.contains(("2024-01-01 10:05:00.0", "view", 1L, 5.0)))
   }
 
+  test("parquet file-source stream reproduces the batch windowed aggregation") {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("ev_stream").toString
+    src.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val q = EventStream.windowedAgg(stream).writeStream.format("memory")
+      .queryName("file_win").outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    val streamed = spark.table("file_win").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+
+    val batch = EventStream.windowedAgg(src).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch, s"stream/batch divergence: ${streamed.size} vs ${batch.size}")
+  }
+
   test("sessionize closes a session on gap and keeps one open across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
