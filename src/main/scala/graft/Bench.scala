@@ -14,21 +14,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      // Local-scale profile: the bench tables are ~0.3–11 MB single
-      // parquet files, so the default 128 MB split gives every scan
-      // exactly one task and the whole pre-shuffle map side runs on
-      // one core. 4 MB splits restore scan parallelism here; on a
-      // real cluster with TB-scale tables the default is correct.
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create("graft-bench")
 
     // Warmup: file listing + parquet footers + codegen/JIT paths.
     Tables.names.foreach { t =>

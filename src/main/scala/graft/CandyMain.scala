@@ -24,15 +24,7 @@ object CandyMain {
     val modelName = args.sliding(2).collectFirst {
       case Array("--model", m) => m }.getOrElse("linear")
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("candy-pipeline")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create("candy-pipeline")
 
     val model: () => graft.forecast.Forecaster = modelName match {
       case "seasonal" => () => new graft.forecast.SeasonalNaiveForecaster()

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine session factory: one place for the configuration the
+  * engine's correctness and scale posture depend on — UTC session
+  * time, shuffle parallelism = local cores (32 on the harness, set
+  * `spark.sql.shuffle.partitions` to cluster-appropriate values in a
+  * real deployment), nanosecond-parquet handling, small-file split
+  * tuning for the MB-scale local test data, and the graft function +
+  * optimizer-rule registration (FloatVectorDot / RewriteVectorDot).
+  */
+object GraftSession {
+
+  def create(appName: String,
+             cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+             maxPartitionBytes: String = "4m"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    spark
+  }
+}

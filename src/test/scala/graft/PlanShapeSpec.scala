@@ -82,6 +82,32 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("etype"))
   }
 
+  test("bucketed tables join without any shuffle (co-located join)") {
+    val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = Tables(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_bkt")
+    ord.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("ord_bkt")
+    // force the shuffled-join path (the tiny test table would
+    // otherwise broadcast and hide the bucketing behavior)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_bkt")
+        .join(spark.table("ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum(col("l_quantity")).as("q"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString()
+      // both sides arrive pre-partitioned by the bucket key, so the
+      // only exchange in the whole plan is the aggregation's own
+      assert(p.contains("SortMergeJoin"), s"plan:\n$p")
+      assert(countOccurrences(p, "Exchange hashpartitioning(l_orderkey") == 0
+        && countOccurrences(p, "Exchange hashpartitioning(o_orderkey") == 0,
+        s"bucketed join still shuffles its inputs:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("exact dedup groups on the md5 key with partial aggregation") {
     val p = plan(DataOps.ddExact(spark, sf))
     assert(p.contains("HashAggregate") &&
