@@ -75,6 +75,20 @@ object DataOps {
       TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
       TextAnalysis.positionalFingerprint(col("text")).as("positional_fp"))
 
+  /** Edit distance over the near-dup candidate pairs (exact integer
+    * Levenshtein — the fine-grained confirmation pass after Jaccard
+    * blocking; never run pairwise on the full corpus). */
+  def txLevenshtein(s: SparkSession, d: String): DataFrame = {
+    val texts = docs(s, d).select(col("doc_id"), col("text"))
+    ddJaccard(s, d)
+      .join(texts.withColumnRenamed("doc_id", "id_a")
+                 .withColumnRenamed("text", "text_a"), Seq("id_a"))
+      .join(texts.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("text", "text_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("text_a"), col("text_b")).as("edit_dist"))
+  }
+
   def mmDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Multimodal.decode(Multimodal.documentsAsMedia(docs(s, d))).toDF()
@@ -262,6 +276,18 @@ object DataOps {
                  pfp.positional_fp
           FROM d JOIN pfp ON d.doc_id = pfp.doc_id"""
     },
+    "tx_levenshtein" ->
+      s"""WITH $shingleCte,
+          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+          pairs AS (SELECT id_a, id_b
+                    FROM c JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+                    WHERE round(common * 1.0 / (x.n + y.n - common), 6) >= $jaccardThreshold)
+          SELECT id_a, id_b, levenshtein(ta.text, tb.text) AS edit_dist
+          FROM pairs JOIN documents ta ON id_a = ta.doc_id
+                     JOIN documents tb ON id_b = tb.doc_id""",
     "mm_decode" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 CAST(octet_length(encode(text)) % 640 AS INT) AS width,
@@ -287,6 +313,7 @@ object DataOps {
     "sim_lsh_ann" -> simLshAnn _, // approximate → rows-only check
     "sim_ivf" -> simIvf _,        // float-argmin ranking → rows-only check
     "tx_tokens" -> txTokens _,
+    "tx_levenshtein" -> txLevenshtein _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,

@@ -181,9 +181,53 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
 
+  /** Q21 — statistical aggregates (population forms are closed-form
+    * and engine-portable; rounded for float-path stability). */
+  def q21Stats(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_pop(col("l_quantity")), 6).as("sd_qty"),
+        round(var_pop(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+
+  /** Q22 — lead/lag navigation: per-customer gap in days between
+    * consecutive orders (pure integer arithmetic — exact). */
+  def q22LeadLag(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ord(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("days_since_prev"),
+      lead(col("o_orderkey"), 1).over(w).as("next_orderkey"))
+  }
+
+  /** Q23 — range-frame window: trailing-7-day spend per customer
+    * (RANGE on an integer day index). */
+  def q23RangeFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("day_idx"))
+      .rangeBetween(-6, Window.currentRow)
+    ord(s, d)
+      .withColumn("day_idx", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_idx"),
+        round(sum(col("o_totalprice")).over(w), 2).as("trailing_7d_spend"))
+  }
+
+  /** Q24 — cube: all grouping-set combinations with grand totals. */
+  def q24Cube(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_salted_join" -> q19SaltedJoin _,
     "q20_approx_distinct" -> q20ApproxDistinct _,
+    "q21_stats" -> q21Stats _,
+    "q22_lead_lag" -> q22LeadLag _,
+    "q23_range_frame" -> q23RangeFrame _,
+    "q24_cube" -> q24Cube _,
     "q1_filter_project" -> q1FilterProject _,
     "q2_join" -> q2Join _,
     "q3_left_join_count" -> q3LeftJoinCount _,
@@ -209,6 +253,30 @@ object Relational {
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    "q21_stats" ->
+      """SELECT l_returnflag, round(stddev_pop(l_quantity), 6) AS sd_qty,
+                round(var_pop(l_discount), 6) AS var_disc,
+                round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+         FROM lineitem GROUP BY l_returnflag""",
+    "q22_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+                date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+                          CAST(o_orderdate AS DATE)) AS days_since_prev,
+                lead(o_orderkey) OVER w AS next_orderkey
+         FROM orders WINDOW w AS (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)""",
+    "q23_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+                date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+                round(sum(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS trailing_7d_spend
+         FROM orders""",
+    "q24_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q1_filter_project" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
          FROM lineitem WHERE l_quantity > 25""",
