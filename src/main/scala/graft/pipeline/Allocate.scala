@@ -28,6 +28,19 @@ import Model.{AllocatedLine, DemandLine}
   */
 object Allocate {
 
+  /** The engine-integrated form: plans A1 through the custom Catalyst
+    * operator (plans.GreedyAllocationNode / GreedyAllocationExec),
+    * letting Catalyst insert and co-plan the exchange + sort from the
+    * operator's declared requirements. Semantics identical to
+    * `apply`; demand must carry the DemandLine column shape. */
+  def viaPlan(demand: org.apache.spark.sql.DataFrame, reloadDaily: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = demand.sparkSession
+    graft.plans.GreedyAllocationPlan.ensureRegistered(spark)
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      graft.plans.GreedyAllocationNode(reloadDaily, demand.queryExecution.analyzed))
+  }
+
   /** `reloadDaily` — B2 config: start every calendar day from the
     * product's original opening stock instead of carrying depletion
     * over (the reference parses the flag at src/main.py:84-86; in the

@@ -124,6 +124,34 @@ object DataOps {
         count(lit(1)).as("total_lines"))
   }
 
+  /** Same allocation through the custom Catalyst operator
+    * (plans.GreedyAllocationNode) — must produce identical rows to
+    * p_alloc_greedy (asserted in DataOpsSpec). */
+  def allocGreedyPlan(s: SparkSession, d: String): DataFrame = {
+    import graft.pipeline.Allocate
+    val demand = Tables(s, d, "lineitem")
+      .join(broadcast(Tables(s, d, "part").select(col("p_partkey"),
+        (col("p_size").cast("long") * 100L).as("opening_stock"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_suppkey").as("customer_id"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss").as("order_datetime"),
+        col("l_partkey").as("product_id"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") / col("l_quantity"), 2)
+          .cast("decimal(38,18)").as("unit_price"),
+        col("opening_stock"),
+        date_format(col("l_shipdate"), "yyyyMMdd").cast("int").as("day"),
+        col("l_orderkey").as("seq"),
+        col("l_linenumber").as("pos"))
+    Allocate.viaPlan(demand)
+      .groupBy("product_id")
+      .agg(sum(col("quantity")).as("filled_qty"),
+        sum(when(col("quantity") === 0, 1L).otherwise(0L)).as("cancelled_lines"),
+        count(lit(1)).as("total_lines"))
+  }
+
   // ---- Oracle SQL ----------------------------------------------------
 
   /** Shared CTE: distinct 3-gram shingles with a portable 32-bit hash
@@ -319,5 +347,6 @@ object DataOps {
     "tx_fingerprint" -> txFingerprint _,
     "mm_decode" -> mmDecode _,
     "mm_frames" -> mmFrames _,
-    "p_alloc_greedy" -> allocGreedy _) // sequential-state op → rows-only check
+    "p_alloc_greedy" -> allocGreedy _,     // sequential-state op → rows-only check
+    "p_alloc_plan" -> allocGreedyPlan _)   // custom Catalyst operator form
 }

@@ -96,6 +96,14 @@ class DataOpsSpec extends SparkSpec {
     assert(kept.size == total - losers.size, "only near-dup losers removed (no exact dups here)")
   }
 
+  test("Dataset allocator and custom-plan allocator agree on lineitem") {
+    val a = DataOps.allocGreedy(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val b = DataOps.allocGreedyPlan(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a == b)
+  }
+
   test("greedy allocation on lineitem never over-fills opening stock") {
     val agg = DataOps.allocGreedy(spark, sf)
       .join(spark.read.parquet(s"$sf/part.parquet")
