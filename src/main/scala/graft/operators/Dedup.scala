@@ -35,9 +35,13 @@ object Dedup {
       .distinct()
   }
 
-  /** N-gram Jaccard near-dup pairs: shingle-blocked self-join →
-    * common-shingle counts per pair → |A∩B| / (|A|+|B|−|A∩B|).
-    * Pairs only materialize for documents sharing ≥1 shingle. */
+  /** N-gram Jaccard near-dup pairs: group by shingle, expand each
+    * posting list into its ordered pairs, count shared shingles per
+    * pair → |A∩B| / (|A|+|B|−|A∩B|). One shuffle on the shingle key
+    * (vs a self-join's two + join); pairs only materialize for
+    * documents sharing ≥1 shingle, and a posting list of length d
+    * costs d·(d−1)/2 — bounded by hot-shingle frequency, which is
+    * what a stop-shingle cutoff would cap at corpus scale. */
   def jaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
                    threshold: Double): DataFrame = {
     val sh = shingles(df, text, id, n)
@@ -45,10 +49,15 @@ object Dedup {
     // table is the N²-shaped one; shuffling it against a per-doc
     // dimension would dominate the whole operator).
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val postings = sh.groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val pairs = postings.select(explode(flatten(transform(col("docs"),
+      (x, i) => transform(
+        slice(col("docs"), i + 2, size(col("docs"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    val common = pairs
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
