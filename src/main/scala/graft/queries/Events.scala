@@ -73,9 +73,22 @@ object Events {
             + (col("cxy") / col("vx")) * (col("mx") + 1), 2).as("forecasted_sales"))
   }
 
+  /** As-of join: enrich every event with the user's most recent
+    * error event at-or-before it (operators.AsOfJoin — union + merge
+    * window, one shuffle; DuckDB's native ASOF JOIN is the oracle). */
+  def evAsof(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).withColumn("tsu", tsUs)
+    val left = e.select(col("event_id"), col("user_id"), col("tsu"))
+    val right = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("tsu").as("err_ts"))
+    graft.operators.AsOfJoin.leftAsOf(
+      left, right, "user_id", "tsu", "err_ts", "err_ts", "last_err_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window_agg" -> evWindowAgg _,
     "ev_sessions" -> evSessions _,
+    "ev_asof" -> evAsof _,
     "fc_linear_sales" -> fcLinearSales _)
 
   val oracleSql: Map[String, String] = Map(
@@ -96,6 +109,12 @@ object Events {
           SELECT user_id, session_id, count(*) AS n_events,
                  min(tsu) AS start_us, max(tsu) AS end_us
           FROM sess GROUP BY user_id, session_id""",
+    "ev_asof" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS tsu,
+                epoch_us(r.ts) AS last_err_ts
+         FROM events l ASOF LEFT JOIN
+              (SELECT user_id, ts FROM events WHERE event_type = 'error') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "fc_linear_sales" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
                         FROM orders GROUP BY 1),
