@@ -85,13 +85,49 @@ object Events {
       left, right, "user_id", "tsu", "err_ts", "err_ts", "last_err_ts")
   }
 
+  /** Range join: assign every event to the session interval that
+    * contains it (binned equi-join + exact refine; the sessions come
+    * from evSessions, so this also exercises operator composition). */
+  def evRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val points = ev(s, d).withColumn("tsu", tsUs)
+      .select(col("event_id"), col("user_id"), col("tsu"))
+    val intervals = evSessions(s, d)
+      .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+    graft.operators.RangeJoin
+      .binned(points, intervals, "user_id", "tsu", "start_us", "end_us",
+        binWidth = 3600L * 1000000L)
+      .select("event_id", "user_id", "session_id", "tsu")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window_agg" -> evWindowAgg _,
     "ev_sessions" -> evSessions _,
     "ev_asof" -> evAsof _,
+    "ev_range_join" -> evRangeJoin _,
     "fc_linear_sales" -> fcLinearSales _)
 
+  /** Shared CTE: the gap-sessionization in SQL (µs precision). */
+  private val sessionsCte: String =
+    s"""e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        flagged AS (SELECT user_id, event_id, tsu,
+               CASE WHEN tsu - lag(tsu) OVER w > ${sessionGapUs}
+                      OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        sess AS (SELECT user_id, tsu,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM flagged),
+        sessions AS (SELECT user_id, session_id, count(*) AS n_events,
+                            min(tsu) AS start_us, max(tsu) AS end_us
+                     FROM sess GROUP BY user_id, session_id)"""
+
   val oracleSql: Map[String, String] = Map(
+    "ev_range_join" ->
+      s"""WITH $sessionsCte
+          SELECT p.event_id, p.user_id, s.session_id, epoch_us(p.ts) AS tsu
+          FROM events p JOIN sessions s
+            ON p.user_id = s.user_id
+           AND epoch_us(p.ts) BETWEEN s.start_us AND s.end_us""",
     "ev_window_agg" ->
       """SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS window_start,
                 event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -221,9 +221,18 @@ object Relational {
       .cube("l_returnflag", "l_linestatus")
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("cnt"))
 
+  /** Q25 — exact interpolated percentiles per group. */
+  def q25Percentile(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50_price"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_salted_join" -> q19SaltedJoin _,
     "q20_approx_distinct" -> q20ApproxDistinct _,
+    "q25_percentile" -> q25Percentile _,
     "q21_stats" -> q21Stats _,
     "q22_lead_lag" -> q22LeadLag _,
     "q23_range_frame" -> q23RangeFrame _,
@@ -253,6 +262,13 @@ object Relational {
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    "q25_percentile" ->
+      """SELECT o_orderpriority,
+                round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+                  AS p50_price,
+                round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4)
+                  AS p90_price
+         FROM orders GROUP BY o_orderpriority""",
     "q21_stats" ->
       """SELECT l_returnflag, round(stddev_pop(l_quantity), 6) AS sd_qty,
                 round(var_pop(l_discount), 6) AS var_disc,
