@@ -70,6 +70,24 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
 
+  val hashVecDims = 16
+
+  /** Hashing-trick term-frequency vectorization: token → hash → one
+    * of `hashVecDims` buckets; per-document counts per bucket. The
+    * classic pre-embedding featurizer (feature hashing / HashingTF),
+    * as one explode + one grouped aggregation with conditional
+    * counts — no vocabulary build, no second pass, trivially
+    * parallel at corpus scale. Emitted as separate columns c0..c15
+    * (engine-portable; assemble into an array/vector as needed). */
+  def hashedTermFrequency(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val tok = df.select(id.as("doc_id"), explode(tokens(text)).as("token"))
+      .withColumn("bucket", pmod(tokenHash(col("token")), lit(hashVecDims.toLong)))
+    val counts = (0 until hashVecDims).map { j =>
+      sum(when(col("bucket") === j, 1L).otherwise(0L)).as(s"c$j")
+    }
+    tok.groupBy("doc_id").agg(counts.head, counts.tail: _*)
+  }
+
   val fpPrime = 2147483647L // 2^31 − 1
 
   /** Order-SENSITIVE positional fingerprint: Σ position-weighted

@@ -70,6 +70,9 @@ object DataOps {
     docs(s, d).select(col("doc_id"),
       TextAnalysis.languageId(col("text")).as("lang_pred"))
 
+  def txHashVec(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashedTermFrequency(docs(s, d), col("text"), col("doc_id"))
+
   def txFingerprint(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
@@ -282,6 +285,14 @@ object DataOps {
                  len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS punct_chars
           FROM d"""
     },
+    "tx_hashvec" -> {
+      val cols = (0 until TextAnalysis.hashVecDims)
+        .map(j => s"sum(CASE WHEN (h % ${TextAnalysis.hashVecDims}) = $j THEN 1 ELSE 0 END) AS c$j")
+        .mkString(", ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+          hh AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM t)
+          SELECT doc_id, $cols FROM hh GROUP BY doc_id"""
+    },
     "tx_langid" -> {
       val hits = langHitsSql.map { case (l, e) => s"$e AS h_$l" }.mkString(", ")
       val langs = TextAnalysis.langProfiles.map(_._1)
@@ -342,6 +353,7 @@ object DataOps {
     "sim_ivf" -> simIvf _,        // float-argmin ranking → rows-only check
     "tx_tokens" -> txTokens _,
     "tx_levenshtein" -> txLevenshtein _,
+    "tx_hashvec" -> txHashVec _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
