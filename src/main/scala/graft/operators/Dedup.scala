@@ -44,7 +44,10 @@ object Dedup {
     * what a stop-shingle cutoff would cap at corpus scale. */
   def jaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
                    threshold: Double): DataFrame = {
+    // shuffle 8-byte hashed keys instead of shingle strings (the
+    // grouping key is internal; outputs are doc-id pairs + counts)
     val sh = shingles(df, text, id, n)
+      .withColumn("shingle", xxhash64(col("shingle")))
     // one row per document → always the broadcast side (the pair
     // table is the N²-shaped one; shuffling it against a per-doc
     // dimension would dominate the whole operator).

@@ -60,6 +60,25 @@ object DataOps {
       .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** Recall@k of the LSH ANN against exact brute force over the
+    * query set — the quality metric an approximate index must ship
+    * with (rows-only: the value measures the index, not an oracle).
+    * On THIS corpus the expected value is ~0: the embeddings are
+    * unclustered (max pairwise cosine ≈ 0.47), and sign-LSH only
+    * collides vectors at small angles — recall on planted
+    * near-duplicates (cos ≈ 1) is the operative guarantee, asserted
+    * in DataOpsSpec. */
+  def simAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = simTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val ann = simLshAnn(s, d)
+      .filter(col("query_id") < annQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      .agg(round(sum(col("hits")) / (lit(annK) * annQueries), 4).as("recall_at_k"),
+           count(lit(1)).as("queries_with_hits"))
+  }
+
   def txTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCounts(docs(s, d), col("text"), col("doc_id"))
 
@@ -351,6 +370,7 @@ object DataOps {
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // approximate → rows-only check
     "sim_ivf" -> simIvf _,        // float-argmin ranking → rows-only check
+    "sim_ann_recall" -> simAnnRecall _, // self-metric of the ANN index → rows-only
     "tx_tokens" -> txTokens _,
     "tx_levenshtein" -> txLevenshtein _,
     "tx_hashvec" -> txHashVec _,

@@ -63,6 +63,23 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("LSH ANN catches planted near-duplicate vectors (cos≈1) in-bucket") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    // near-copies of vectors 0..4: tiny perturbation, cosine > 0.999
+    val planted = (0 until 5).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val ann = Similarity.lshAnn(df, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 5).count(i => ann.contains((i.toLong, 1000L + i)))
+    assert(found >= 3, s"only $found/5 planted near-dups surfaced: expected sign-LSH " +
+      "to bucket near-identical vectors together")
+  }
+
   test("stub media decode preserves every record and derives metadata from bytes") {
     import spark.implicits._
     val media = Multimodal.documentsAsMedia(spark.read.parquet(s"$sf/documents.parquet"))
