@@ -85,6 +85,32 @@ object Similarity {
         col("cos"), col("rk"))
   }
 
+  /** Multi-probe LSH ANN: the query side also probes every bucket at
+    * Hamming distance 1 (flip each of the nPlanes sign bits), trading
+    * nPlanes× more candidate lookups for substantially higher recall —
+    * the standard knob when single-probe buckets are too precise.
+    * Candidates stay bucket-partitioned; only the probe list grows. */
+  def lshAnnMultiProbe(emb: DataFrame, k: Int, nPlanes: Int = 16): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val b = lshBucket(emb, nPlanes).select("vec_id", "embedding", "bucket")
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    val probes = b.withColumn("probe",
+      explode(array((col("bucket") +: (0 until nPlanes).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j)))): _*)))
+    val scored = probes.as("q")
+      .join(b.as("c"), col("q.probe") === col("c.bucket")
+        && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos", round(
+        fastDot(col("q.embedding"), col("c.embedding"))
+          / (col("q.nrm") * col("c.nrm")), 6))
+    val w = Window.partitionBy(col("q.vec_id"))
+      .orderBy(col("cos").desc, col("c.vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("cos"), col("rk"))
+  }
+
   /** IVF-style coarse index: assign each vector to its nearest of
     * `centroids` (a tiny broadcast table of (centroid_id, embedding));
     * queries search only their own cell. Centroids would come from a

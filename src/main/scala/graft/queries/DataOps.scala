@@ -52,6 +52,9 @@ object DataOps {
   def simLshAnn(s: SparkSession, d: String): DataFrame =
     Similarity.lshAnn(emb(s, d), annK)
 
+  def simLshMultiProbe(s: SparkSession, d: String): DataFrame =
+    Similarity.lshAnnMultiProbe(emb(s, d), annK)
+
   def simIvf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val centroids = e.filter(col("vec_id") < 4)
@@ -369,6 +372,7 @@ object DataOps {
     "dd_corpus" -> ddCorpus _,
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // approximate → rows-only check
+    "sim_lsh_multiprobe" -> simLshMultiProbe _, // approximate → rows-only check
     "sim_ivf" -> simIvf _,        // float-argmin ranking → rows-only check
     "sim_ann_recall" -> simAnnRecall _, // self-metric of the ANN index → rows-only
     "tx_tokens" -> txTokens _,
