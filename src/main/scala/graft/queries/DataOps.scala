@@ -204,7 +204,52 @@ object DataOps {
       lang -> s"len(list_filter(toks, x -> list_contains($lst, x)))"
     }
 
+  /** Greedy allocation as a DuckDB RECURSIVE CTE: one recursion step
+    * per in-product sequence position (bulk across products), exactly
+    * the operator's sequential semantics — recursion depth = the
+    * longest per-product demand sequence. */
+  private val allocOracle: String =
+    """WITH RECURSIVE demand AS (
+         SELECT l_partkey AS product_id, CAST(l_quantity AS BIGINT) AS qty,
+                p_size * 100 AS opening,
+                row_number() OVER (PARTITION BY l_partkey
+                  ORDER BY CAST(strftime(l_shipdate, '%Y%m%d') AS INT),
+                           l_orderkey, l_linenumber) AS rn
+         FROM lineitem JOIN part ON l_partkey = p_partkey),
+       rec AS (
+         SELECT product_id, rn,
+                CASE WHEN opening >= qty THEN qty ELSE 0 END AS filled,
+                opening - CASE WHEN opening >= qty THEN qty ELSE 0 END AS remaining
+         FROM demand WHERE rn = 1
+         UNION ALL
+         SELECT b.product_id, b.rn,
+                CASE WHEN r.remaining >= b.qty THEN b.qty ELSE 0 END,
+                r.remaining - CASE WHEN r.remaining >= b.qty THEN b.qty ELSE 0 END
+         FROM rec r JOIN demand b
+           ON b.product_id = r.product_id AND b.rn = r.rn + 1)
+       SELECT product_id, sum(filled) AS filled_qty,
+              sum(CASE WHEN filled = 0 THEN 1 ELSE 0 END) AS cancelled_lines,
+              count(*) AS total_lines
+       FROM rec GROUP BY product_id"""
+
   val oracleSql: Map[String, String] = Map(
+    "p_alloc_greedy" -> allocOracle,
+    "p_alloc_plan" -> allocOracle,
+    "sim_ivf" ->
+      """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce
+                        FROM embeddings WHERE vec_id < 4),
+          p AS (SELECT v.vec_id, c.centroid_id, v.embedding AS ve, c.ce
+                FROM embeddings v, cents c),
+          u AS (SELECT vec_id, centroid_id, CAST(unnest(ve) AS DOUBLE) AS x,
+                       CAST(unnest(ce) AS DOUBLE) AS y FROM p),
+          s AS (SELECT vec_id, centroid_id, sum(x*y) AS dp, sum(x*x) AS na,
+                       sum(y*y) AS nb FROM u GROUP BY vec_id, centroid_id),
+          d AS (SELECT vec_id, centroid_id, 1.0 - dp/sqrt(na*nb) AS dist FROM s),
+          r AS (SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dist ASC, centroid_id) AS rk FROM d)
+          SELECT centroid_id, count(*) AS n_vectors
+          FROM r WHERE rk = 1 GROUP BY centroid_id""",
     "dd_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS dup_cnt
          FROM documents GROUP BY md5(text)""",
