@@ -135,6 +135,25 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: fraction
+    * of equal signature components — the cheap similarity check that
+    * replaces exact shingle-set comparison at scale (the estimator's
+    * expectation is the true Jaccard). */
+  def minhashEstimates(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
+    val sig = minhashSignatures(df, text, id, n)
+    val pairs = minhashCandidatePairs(df, text, id, n)
+    val a = minhashAB.indices.map(i => col(s"a.m$i")).toArray
+    val b = minhashAB.indices.map(i => col(s"b.m$i")).toArray
+    val equal = minhashAB.indices
+      .map(i => when(a(i) === b(i), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        round(equal.cast("double") / minhashAB.size, 6).as("est_jaccard"))
+  }
+
   // ---- SimHash -------------------------------------------------------
 
   /** 32-bit SimHash over token hashes: per bit, sign of Σ(±1); one

@@ -92,7 +92,8 @@ case class GreedyAllocationExec(reloadDaily: Boolean, output: Seq[Attribute], ch
       var remaining = 0L
       var opening = 0L
       var curDay = Int.MinValue
-      val buf = new Array[Any](7)
+      // one reused row per partition; UnsafeProjection copies out
+      val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
       it.map { row =>
         val p = row.getLong(iPid)
         val day = row.getInt(iDay)
@@ -107,14 +108,15 @@ case class GreedyAllocationExec(reloadDaily: Boolean, output: Seq[Attribute], ch
         val qty = row.getLong(iQty)
         val filled = if (remaining >= qty) { remaining -= qty; qty } else 0L
         val price = row.getDecimal(iPrice, 38, 18)
-        buf(0) = row.getLong(iOrd)
-        buf(1) = row.getLong(iCust)
-        buf(2) = row.getUTF8String(iDt).asInstanceOf[UTF8String].clone()
-        buf(3) = p
-        buf(4) = filled
-        buf(5) = price
-        buf(6) = Decimal(price.toJavaBigDecimal.multiply(java.math.BigDecimal.valueOf(filled)))
-        proj(InternalRow.fromSeq(buf.toIndexedSeq))
+        out.update(0, row.getLong(iOrd))
+        out.update(1, row.getLong(iCust))
+        out.update(2, row.getUTF8String(iDt).asInstanceOf[UTF8String].clone())
+        out.update(3, p)
+        out.update(4, filled)
+        out.update(5, price)
+        out.update(6,
+          Decimal(price.toJavaBigDecimal.multiply(java.math.BigDecimal.valueOf(filled))))
+        proj(out)
       }
     }
   }

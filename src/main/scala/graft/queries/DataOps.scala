@@ -34,6 +34,9 @@ object DataOps {
   def ddLshPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashCandidatePairs(docs(s, d), col("text"), col("doc_id"), 3)
 
+  def ddMinhashEst(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashEstimates(docs(s, d), col("text"), col("doc_id"), 3)
+
   def ddSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d), col("text"), col("doc_id"))
 
@@ -288,6 +291,23 @@ object DataOps {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
     },
+    "dd_minhash_est" -> {
+      val bandSelects = (0 until 4).map { band =>
+        val cols = (band * 4 until band * 4 + 4)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
+        s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      val eq = Dedup.minhashAB.indices
+        .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $minhashSigCte, bands AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b,
+                 round(CAST($eq AS DOUBLE) / ${Dedup.minhashAB.size}, 6) AS est_jaccard
+          FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id"""
+    },
     "dd_simhash" -> {
       val bitSums = (0 until 32)
         .map(r => s"sum(CASE WHEN (h >> $r) & 1 = 1 THEN 1 ELSE -1 END) AS s$r")
@@ -412,6 +432,7 @@ object DataOps {
     "dd_jaccard" -> ddJaccard _,
     "dd_minhash_sig" -> ddMinhashSig _,
     "dd_lsh_pairs" -> ddLshPairs _,
+    "dd_minhash_est" -> ddMinhashEst _,
     "dd_simhash" -> ddSimhash _,
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_corpus" -> ddCorpus _,
