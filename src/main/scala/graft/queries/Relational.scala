@@ -229,7 +229,40 @@ object Relational {
         round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50_price"),
         round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90_price"))
 
+  /** Q26 — TPC-H Q3 shape (shipping priority): segment filter on the
+    * customer dim, date split across orders/lineitem, revenue agg in
+    * exact cents, tie-broken top-10. */
+  def q26ShippingPriority(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_shipdate") > lit("1996-06-30"))
+      .join(ord(s, d).filter(col("o_orderdate") < lit("1996-07-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0).cast("long"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg((sum(col("cents")) / 100.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Q27 — TPC-H Q10 shape (returned-item reporting): revenue lost to
+    * returns per customer, top-20. */
+  def q27ReturnedItems(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0).cast("long"))
+      .groupBy("c_custkey", "c_name", "c_mktsegment")
+      .agg((sum(col("cents")) / 100.0).as("revenue"), count(lit(1)).as("return_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_shipping_priority" -> q26ShippingPriority _,
+    "q27_returned_items" -> q27ReturnedItems _,
     "q19_salted_join" -> q19SaltedJoin _,
     "q20_approx_distinct" -> q20ApproxDistinct _,
     "q25_percentile" -> q25Percentile _,
@@ -257,6 +290,29 @@ object Relational {
     "q18_rollup" -> q18Rollup _)
 
   val oracleSql: Map[String, String] = Map(
+    "q26_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0
+                  AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+           AND c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q27_returned_items" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0
+                  AS revenue,
+                count(*) AS return_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_mktsegment
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q19_salted_join" ->
       """SELECT o_orderpriority, count(*) AS line_cnt,
                 round(sum(l_extendedprice), 2) AS sum_price
