@@ -26,17 +26,22 @@ object StreamDemo {
     val sess = EventStream.sessionize(in.toDS(), gapUs = 10L * 60 * 1000000L)
       .writeStream.format("memory")
       .queryName("sess").outputMode(OutputMode.Append()).start()
+    val dedup = EventStream.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory")
+      .queryName("dedup").outputMode(OutputMode.Append()).start()
 
     in.addData(
       Event(1, Timestamp.valueOf("2024-01-01 10:00:10"), 1, "click", 1.5),
+      Event(1, Timestamp.valueOf("2024-01-01 10:00:11"), 1, "click", 1.5), // redelivery
       Event(2, Timestamp.valueOf("2024-01-01 10:02:00"), 1, "click", 2.5),
       Event(3, Timestamp.valueOf("2024-01-01 10:06:00"), 2, "view", 4.0))
-    win.processAllAvailable(); sess.processAllAvailable()
+    Seq(win, sess, dedup).foreach(_.processAllAvailable())
     in.addData(Event(4, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "click", 1.0))
-    win.processAllAvailable(); sess.processAllAvailable()
+    Seq(win, sess, dedup).foreach(_.processAllAvailable())
 
     println("WINDOWS: " + spark.table("win").collect().sortBy(_.toString).mkString(" | "))
     println("SESSIONS: " + spark.table("sess").collect().sortBy(_.toString).mkString(" | "))
-    win.stop(); sess.stop(); spark.stop()
+    println("DEDUP: " + spark.table("dedup").collect().map(_.getLong(0)).sorted.mkString(","))
+    win.stop(); sess.stop(); dedup.stop(); spark.stop()
   }
 }

@@ -85,6 +85,10 @@ object DataOps {
            count(lit(1)).as("queries_with_hits"))
   }
 
+  def dqProfile(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.numeric(Tables(s, d, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
+
   def txTokens(s: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenCounts(docs(s, d), col("text"), col("doc_id"))
 
@@ -414,6 +418,16 @@ object DataOps {
           SELECT id_a, id_b, levenshtein(ta.text, tb.text) AS edit_dist
           FROM pairs JOIN documents ta ON id_a = ta.doc_id
                      JOIN documents tb ON id_b = tb.doc_id""",
+    "dq_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count($c) AS nonnull_cnt,
+                   round(CAST(min($c) AS DOUBLE), 6) AS min_val,
+                   round(CAST(max($c) AS DOUBLE), 6) AS max_val,
+                   count(DISTINCT $c) AS distinct_cnt
+            FROM lineitem"""
+      }.mkString(" UNION ALL ")
+    },
     "mm_decode" ->
       """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                 CAST(octet_length(encode(text)) % 640 AS INT) AS width,
@@ -442,6 +456,7 @@ object DataOps {
     "sim_ivf" -> simIvf _,        // float-argmin ranking → rows-only check
     "sim_ann_recall" -> simAnnRecall _, // self-metric of the ANN index → rows-only
     "tx_tokens" -> txTokens _,
+    "dq_profile" -> dqProfile _,
     "tx_levenshtein" -> txLevenshtein _,
     "tx_hashvec" -> txHashVec _,
     "tx_quality" -> txQuality _,

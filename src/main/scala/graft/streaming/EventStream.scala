@@ -30,6 +30,15 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same event id
+    * arriving within the watermark horizon (the streaming twin of
+    * operators.Dedup.exact — state is bounded by the watermark, the
+    * non-negotiable ingredient for at-least-once sources at scale). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class SessionState(
       sessionId: Long, startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(

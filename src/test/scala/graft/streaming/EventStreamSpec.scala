@@ -60,6 +60,22 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch, s"stream/batch divergence: ${streamed.size} vs ${batch.size}")
   }
 
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupWithinWatermark(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(1), 1, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(1, ts(2), 1, "click", 1.0), Event(2, ts(3), 1, "view", 2.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").collect().map(_.getLong(0)).toSeq.sorted
+    q.stop()
+    assert(ids == Seq(1L, 2L), s"expected one row per event id, got $ids")
+  }
+
   test("sessionize closes a session on gap and keeps one open across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
