@@ -121,6 +121,18 @@ class DataOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("profiler counts nulls and distincts correctly") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Long)](
+      (1.0, 1L), (2.0, 1L), (null, 2L), (2.0, null))
+      .toDF("a", "b")
+    val p = Profile.numeric(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    assert(p("a") == ((3L, 1.0, 2.0, 2L)), s"got ${p("a")}")
+    assert(p("b") == ((3L, 1.0, 2.0, 2L)), s"got ${p("b")}")
+  }
+
   test("greedy allocation on lineitem never over-fills opening stock") {
     val agg = DataOps.allocGreedy(spark, sf)
       .join(spark.read.parquet(s"$sf/part.parquet")
