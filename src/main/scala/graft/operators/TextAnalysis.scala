@@ -70,6 +70,23 @@ object TextAnalysis {
   def contentFingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))).cast("binary"))
 
+  /** Cleaning pass: lowercase, strip non-alphanumerics (keep spaces),
+    * collapse whitespace runs, trim — the canonical normalization
+    * before tokenization/dedup. Pure codegen'd projection. */
+  def cleaned(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "),
+      "\\s+", " "))
+
+  /** Deterministic train/val/test assignment from a portable content
+    * hash of the id — stable across engines, runs, and cluster sizes
+    * (never use RNG for split assignment: reshuffling changes the
+    * split). 80/10/10. */
+  def splitAssign(id: Column): Column = {
+    val bucket = pmod(tokenHash(id.cast("string")), lit(100L))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise(lit("test"))
+  }
+
   val hashVecDims = 16
 
   /** Hashing-trick term-frequency vectorization: token → hash → one

@@ -85,6 +85,15 @@ object DataOps {
            count(lit(1)).as("queries_with_hits"))
   }
 
+  def txClean(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      TextAnalysis.cleaned(col("text")).as("clean_text"))
+
+  def dsSplit(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), TextAnalysis.splitAssign(col("doc_id")).as("split"))
+      .groupBy("split").agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+
   def dqProfile(s: SparkSession, d: String): DataFrame =
     graft.operators.Profile.numeric(Tables(s, d, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
@@ -418,6 +427,20 @@ object DataOps {
           SELECT id_a, id_b, levenshtein(ta.text, tb.text) AS edit_dist
           FROM pairs JOIN documents ta ON id_a = ta.doc_id
                      JOIN documents tb ON id_b = tb.doc_id""",
+    "tx_clean" ->
+      """SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                     '\s+', ' ', 'g')) AS clean_text
+         FROM documents""",
+    "ds_split" ->
+      """WITH s AS (SELECT doc_id,
+                 CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 100 < 80 THEN 'train'
+                      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents)
+          SELECT split, count(*) AS n_docs, min(doc_id) AS min_id FROM s GROUP BY split""",
     "dq_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
       cols.map { c =>
@@ -457,6 +480,8 @@ object DataOps {
     "sim_ann_recall" -> simAnnRecall _, // self-metric of the ANN index → rows-only
     "tx_tokens" -> txTokens _,
     "dq_profile" -> dqProfile _,
+    "tx_clean" -> txClean _,
+    "ds_split" -> dsSplit _,
     "tx_levenshtein" -> txLevenshtein _,
     "tx_hashvec" -> txHashVec _,
     "tx_quality" -> txQuality _,
