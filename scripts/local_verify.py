@@ -44,6 +44,42 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
+def type_class(t):
+    """Bucket an arrow type the way the driver's hash canonicalization
+    distinguishes values. DuckDB HUGEINT arrives as decimal128(38,0) and
+    hashes differently from Spark's int64 even when values are equal —
+    that must be flagged, not silently value-normalized away."""
+    import pyarrow as pa
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bin"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    return str(t)
+
+
+def type_mismatches(s_tbl, o_tbl):
+    """Column-name → (spark, oracle) type-class pairs that differ."""
+    s_types = {f.name: type_class(f.type) for f in s_tbl.schema}
+    o_types = {f.name: type_class(f.type) for f in o_tbl.schema}
+    return {c: (s_types[c], o_types[c])
+            for c in set(s_types) & set(o_types)
+            if s_types[c] != o_types[c]}
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -68,14 +104,21 @@ def main(sf_dir, out_dir):
             continue
         try:
             rel = con.sql(oracle[name])
-            o_cols, o_rows_raw = rel.columns, rel.fetchall()
+            o_tbl = rel.arrow()
+            o_cols, o_rows_raw = rel.columns, o_tbl.to_pylist()
+            o_rows_raw = [tuple(r[c] for c in o_cols) for r in o_rows_raw]
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
             continue
         sc, sr = canon(s_cols, s_rows)
         oc, orr = canon(o_cols, o_rows_raw)
+        bad_types = type_mismatches(tbl, o_tbl)
         if sc != oc:
             results[name] = f"SCHEMA_MISMATCH spark={sc} oracle={oc}"
+        elif bad_types:
+            # values may still be equal, but the driver's type-sensitive
+            # hash gate will record hash_match=false — treat as failure
+            results[name] = f"TYPE_MISMATCH {bad_types}"
         elif len(sr) != len(orr):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(sr)} oracle={len(orr)}"
         elif sr != orr:

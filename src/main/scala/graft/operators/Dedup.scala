@@ -48,9 +48,11 @@ object Dedup {
     // grouping key is internal; outputs are doc-id pairs + counts)
     val sh = shingles(df, text, id, n)
       .withColumn("shingle", xxhash64(col("shingle")))
-    // one row per document → always the broadcast side (the pair
-    // table is the N²-shaped one; shuffling it against a per-doc
-    // dimension would dominate the whole operator).
+    // One row per document — but at corpus scale that's O(N-documents),
+    // far past any safe broadcast ceiling, so no broadcast hint: AQE
+    // broadcasts when the measured size allows and falls back to a
+    // shuffled join on id_a/id_b otherwise (both sides are already
+    // keyed by doc id, so the shuffle is one exchange per side).
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val postings = sh.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
@@ -63,10 +65,10 @@ object Dedup {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("common"))
     common
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_a")
-                 .withColumnRenamed("n_shingles", "size_a")), Seq("id_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "id_b")
-                 .withColumnRenamed("n_shingles", "size_b")), Seq("id_b"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+                 .withColumnRenamed("n_shingles", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("n_shingles", "size_b"), Seq("id_b"))
       .withColumn("jaccard",
         round(col("common").cast("double")
           / (col("size_a") + col("size_b") - col("common")), 6))

@@ -55,16 +55,20 @@ object Allocate {
         var first = true
         var remaining = 0L
         var opening = 0L
-        var curDay = ""
+        var curDay = Int.MinValue
         it.map { d =>
-          val day = d.order_datetime.take(10)
+          // Reset key is d.day — the same sequence-key day the sort above and
+          // GreedyAllocationExec use. Using the timestamp's date here would
+          // diverge from the exec when a transaction's datetime-date differs
+          // from its source-file day (cross-midnight rows), and datetime-day
+          // groups aren't even contiguous under the (day, seq, pos) sort.
           if (first || d.product_id != pid) {
             pid = d.product_id; first = false
-            remaining = d.opening_stock; opening = d.opening_stock; curDay = day
-          } else if (reloadDaily && day != curDay) {
-            remaining = opening; curDay = day
+            remaining = d.opening_stock; opening = d.opening_stock; curDay = d.day
+          } else if (reloadDaily && d.day != curDay) {
+            remaining = opening; curDay = d.day
           } else {
-            curDay = day
+            curDay = d.day
           }
           val filled = if (remaining >= d.qty) { remaining -= d.qty; d.qty } else 0L
           AllocatedLine(

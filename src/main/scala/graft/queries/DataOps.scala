@@ -243,8 +243,8 @@ object DataOps {
                 r.remaining - CASE WHEN r.remaining >= b.qty THEN b.qty ELSE 0 END
          FROM rec r JOIN demand b
            ON b.product_id = r.product_id AND b.rn = r.rn + 1)
-       SELECT product_id, sum(filled) AS filled_qty,
-              sum(CASE WHEN filled = 0 THEN 1 ELSE 0 END) AS cancelled_lines,
+       SELECT product_id, CAST(sum(filled) AS BIGINT) AS filled_qty,
+              CAST(sum(CASE WHEN filled = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cancelled_lines,
               count(*) AS total_lines
        FROM rec GROUP BY product_id"""
 
@@ -387,7 +387,7 @@ object DataOps {
     },
     "tx_hashvec" -> {
       val cols = (0 until TextAnalysis.hashVecDims)
-        .map(j => s"sum(CASE WHEN (h % ${TextAnalysis.hashVecDims}) = $j THEN 1 ELSE 0 END) AS c$j")
+        .map(j => s"CAST(sum(CASE WHEN (h % ${TextAnalysis.hashVecDims}) = $j THEN 1 ELSE 0 END) AS BIGINT) AS c$j")
         .mkString(", ")
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
           hh AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM t)
@@ -409,7 +409,7 @@ object DataOps {
           pos AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
                     i -> (CAST(('0x' || substr(md5(toks[i]), 1, 8)) AS BIGINT) * i) % $p))
                     AS v FROM d),
-          pfp AS (SELECT doc_id, sum(v) % $p AS positional_fp FROM pos GROUP BY doc_id)
+          pfp AS (SELECT doc_id, CAST(sum(v) % $p AS BIGINT) AS positional_fp FROM pos GROUP BY doc_id)
           SELECT d.doc_id,
                  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS content_fp,
                  pfp.positional_fp

@@ -114,8 +114,8 @@ object Events {
                       OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
         sess AS (SELECT user_id, tsu,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                FROM flagged),
         sessions AS (SELECT user_id, session_id, count(*) AS n_events,
                             min(tsu) AS start_us, max(tsu) AS end_us
@@ -139,8 +139,8 @@ object Events {
                         OR lag(tsu) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
           sess AS (SELECT user_id, tsu,
-                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                  FROM flagged)
           SELECT user_id, session_id, count(*) AS n_events,
                  min(tsu) AS start_us, max(tsu) AS end_us

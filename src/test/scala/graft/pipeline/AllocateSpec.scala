@@ -64,6 +64,26 @@ class AllocateSpec extends SparkSpec {
     assert(daily == Map(1L -> 4L, 2L -> 4L, 3L -> 0L))
   }
 
+  test("cross-midnight timestamp in a day file: reset follows the file day, both paths agree") {
+    import spark.implicits._
+    // Row 2's datetime is past midnight (Feb 2) but it belongs to the
+    // Feb 1 day file — the sequence-key day, not the timestamp's date,
+    // drives the reloadDaily reset (and the sort), exactly as in
+    // GreedyAllocationExec. A datetime-date key would reset here.
+    val ds = Seq(
+      DemandLine(1L, 1L, "2024-02-01T23:00:00.000001", 10L, 4L, BigDecimal("2.50"), 5L, 20240201, 0L, 0),
+      DemandLine(2L, 1L, "2024-02-02T00:30:00.000001", 10L, 4L, BigDecimal("2.50"), 5L, 20240201, 1L, 0),
+      DemandLine(3L, 1L, "2024-02-02T08:00:00.000001", 10L, 4L, BigDecimal("2.50"), 5L, 20240202, 2L, 0)
+    ).toDS()
+    val typed = Allocate(ds, reloadDaily = true).collect()
+      .map(l => l.order_id -> l.quantity).toMap
+    // same day-file → no reset between rows 1 and 2; reset before row 3
+    assert(typed == Map(1L -> 4L, 2L -> 0L, 3L -> 4L))
+    val planned = Allocate.viaPlan(ds.toDF(), reloadDaily = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(planned == typed)
+  }
+
   private def randomRows(rng: scala.util.Random): Seq[(Long, Long, String, Long, Long, Long)] = {
     val stocks = Array.fill(4)(rng.nextLong(31))
     (0 until (1 + rng.nextInt(60))).map { i =>
