@@ -105,6 +105,20 @@ object TextAnalysis {
     tok.groupBy("doc_id").agg(counts.head, counts.tail: _*)
   }
 
+  /** PII-masking regexes — kept RE2-compatible (no backrefs or
+    * lookaround) so Java (Spark) and RE2-based engines match the
+    * identical spans. */
+  val emailRegex = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phoneRegex = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: mask emails then phone-shaped digit groups. A
+    * pure regexp projection (codegen'd, no shuffle) — the standard
+    * pre-release scrub over a training corpus. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRegex, "[EMAIL]"),
+      phoneRegex, "[PHONE]")
+
   val fpPrime = 2147483647L // 2^31 − 1
 
   /** Order-SENSITIVE positional fingerprint: Σ position-weighted

@@ -116,6 +116,82 @@ object DataOps {
       TextAnalysis.contentFingerprint(col("text")).as("content_fp"),
       TextAnalysis.positionalFingerprint(col("text")).as("positional_fp"))
 
+  /** Transitive dedup clusters: connected components over the LSH
+    * candidate-pair graph (operators.Graph, min-label propagation).
+    * Docs in no pair are their own singleton component. */
+  def ddCc(s: SparkSession, d: String): DataFrame = {
+    val comp = graft.operators.Graph
+      .connectedComponents(ddLshPairs(s, d), "id_a", "id_b")
+      .withColumnRenamed("node", "doc_id")
+    docs(s, d).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
+  /** Stratified deterministic sampling: per-source keep rate decided
+    * by the stratum (50% for src0..src9, 20% for the rest), membership
+    * by the portable content hash — reshuffle/cluster-size invariant,
+    * like splitAssign. */
+  def dsSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(graft.functions.VectorFunctions.tokenHash(
+      col("doc_id").cast("string")), lit(100L))
+    val rate = when(substring(col("source"), 4, 10).cast("int") < 10, 50).otherwise(20)
+    docs(s, d).filter(bucket < rate)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
+  /** Corpus-wide inverse document frequency: df per token over the
+    * distinct (doc, token) set, idf = ln((N+1)/(df+1)) + 1 (the
+    * smoothed sklearn form). One explode + one grouped count; the
+    * scalar corpus size joins in by broadcast. */
+  def txIdf(s: SparkSession, d: String): DataFrame = {
+    val dcs = docs(s, d)
+    val total = dcs.agg(count(lit(1)).as("n_docs"))
+    dcs.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("df"),
+        round(log((col("n_docs") + lit(1)).cast("double")
+          / (col("df") + lit(1))) + 1.0, 6).as("idf"))
+  }
+
+  /** PII scrub over text carrying a synthetic contact line (the
+    * corpus itself is PII-free, so the query plants one deterministic
+    * email + phone per doc and masks them — the oracle checks the
+    * full redacted string). */
+  def txRedact(s: SparkSession, d: String): DataFrame = {
+    val contact = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com tel: +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+    docs(s, d).select(col("doc_id"),
+      TextAnalysis.redactPii(contact).as("redacted"))
+  }
+
+  /** Symmetric int8 quantization of the embedding column (the storage
+    * shrink before ANN serving): per-vector scale = 127/max|x|,
+    * qᵢ = round(xᵢ·scale). Emitted as summary stats (sum/min/max of
+    * the quantized codes) so the oracle hash pins every element
+    * without shipping arrays. */
+  def simQuantize(s: SparkSession, d: String): DataFrame = {
+    val amax = aggregate(
+      transform(col("embedding"), v => abs(v.cast("double"))),
+      lit(0.0), (a, v) => greatest(a, v))
+    val q = transform(col("embedding"),
+      v => round(v.cast("double") * lit(127.0) / col("amax")).cast("long"))
+    emb(s, d)
+      .select(col("vec_id"), col("embedding"), amax.as("amax"))
+      .select(col("vec_id"),
+        round(lit(127.0) / col("amax"), 6).as("scale"),
+        aggregate(q, lit(0L), (a, v) => a + v).as("qsum"),
+        aggregate(q, lit(Long.MaxValue), (a, v) => least(a, v)).as("qmin"),
+        aggregate(q, lit(Long.MinValue), (a, v) => greatest(a, v)).as("qmax"))
+  }
+
   /** Edit distance over the near-dup candidate pairs (exact integer
     * Levenshtein — the fine-grained confirmation pass after Jaccard
     * blocking; never run pairwise on the full corpus). */
@@ -304,6 +380,61 @@ object DataOps {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
     },
+    "dd_cc" -> {
+      val bandSelects = (0 until 4).map { band =>
+        val cols = (band * 4 until band * 4 + 4)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
+        s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      // transitive closure of the LSH pair graph: reachability pairs by
+      // a recursive CTE, component = min reachable id, singletons kept
+      s"""WITH RECURSIVE $minhashSigCte, bands AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id),
+          sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+          reach(node, r) AS (
+            SELECT DISTINCT u, u FROM sym
+            UNION
+            SELECT reach.node, s.v FROM reach JOIN sym s ON reach.r = s.u),
+          comp AS (SELECT node AS doc_id, min(r) AS component
+                   FROM reach GROUP BY node)
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""
+    },
+    "ds_sample" ->
+      """WITH s AS (SELECT * FROM documents
+           WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+               < CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 50 ELSE 20 END)
+         SELECT source, count(*) AS n_sampled, min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM s GROUP BY source""",
+    "tx_idf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         t AS (SELECT DISTINCT doc_id, unnest(toks) AS token FROM d),
+         f AS (SELECT token, count(*) AS df FROM t GROUP BY token),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT token, df, round(ln((n_docs + 1.0) / (df + 1.0)) + 1.0, 6) AS idf
+         FROM f, n""",
+    "tx_redact" ->
+      s"""SELECT doc_id,
+                 regexp_replace(regexp_replace(
+                   text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com tel: +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                   '${TextAnalysis.emailRegex}', '[EMAIL]', 'g'),
+                   '${TextAnalysis.phoneRegex}', '[PHONE]', 'g') AS redacted
+          FROM documents""",
+    "sim_quantize" ->
+      """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+         a AS (SELECT vec_id, max(abs(x)) AS amax FROM u GROUP BY vec_id),
+         q AS (SELECT u.vec_id, CAST(round(x * 127.0 / amax) AS BIGINT) AS q
+               FROM u JOIN a ON u.vec_id = a.vec_id)
+         SELECT q.vec_id, round(127.0 / a.amax, 6) AS scale,
+                CAST(sum(q.q) AS BIGINT) AS qsum, min(q.q) AS qmin, max(q.q) AS qmax
+         FROM q JOIN a ON q.vec_id = a.vec_id
+         GROUP BY q.vec_id, a.amax""",
     "dd_minhash_est" -> {
       val bandSelects = (0 until 4).map { band =>
         val cols = (band * 4 until band * 4 + 4)
@@ -487,6 +618,11 @@ object DataOps {
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
+    "dd_cc" -> ddCc _,
+    "ds_sample" -> dsSample _,
+    "tx_idf" -> txIdf _,
+    "tx_redact" -> txRedact _,
+    "sim_quantize" -> simQuantize _,
     "mm_decode" -> mmDecode _,
     "mm_frames" -> mmFrames _,
     "p_alloc_greedy" -> allocGreedy _,     // sequential-state op → rows-only check

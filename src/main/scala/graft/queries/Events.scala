@@ -99,11 +99,50 @@ object Events {
       .select("event_id", "user_id", "session_id", "tsu")
   }
 
+  val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Ordered funnel view→click→purchase: stage N counts users whose
+    * first qualifying event strictly follows their stage-(N−1) time.
+    * Each stage is one aggregation + one equi-join on user_id — all
+    * three stages hash-partition on the same key, so at scale the
+    * exchanges line up and AQE reuses the partitioning. */
+  def evFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).withColumn("tsu", tsUs)
+      .select(col("user_id"), col("event_type"), col("tsu"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("tsu")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("tsu") > col("t_view"))
+      .groupBy("user_id").agg(min(col("tsu")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tsu") > col("t_click"))
+      .groupBy("user_id").agg(min(col("tsu")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_users"))
+      .select(lit("1_view").as("stage"), col("n_users"))
+      .union(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("2_click").as("stage"), col("n_users")))
+      .union(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("3_purchase").as("stage"), col("n_users")))
+  }
+
+  /** Day × event-type pivot (the relational PIVOT operator with an
+    * explicit value list — no extra distinct-scan to discover
+    * columns, which matters when the fact table is the 100 TB side). */
+  def evPivot(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("day", to_date(tsMicros))
+      .groupBy("day")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, eventTypes)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window_agg" -> evWindowAgg _,
     "ev_sessions" -> evSessions _,
     "ev_asof" -> evAsof _,
     "ev_range_join" -> evRangeJoin _,
+    "ev_funnel" -> evFunnel _,
+    "ev_pivot" -> evPivot _,
     "fc_linear_sales" -> fcLinearSales _)
 
   /** Shared CTE: the gap-sessionization in SQL (µs precision). */
@@ -145,6 +184,24 @@ object Events {
           SELECT user_id, session_id, count(*) AS n_events,
                  min(tsu) AS start_us, max(tsu) AS end_us
           FROM sess GROUP BY user_id, session_id""",
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+          v AS (SELECT user_id, min(tsu) AS t_view FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+          c AS (SELECT e.user_id, min(tsu) AS t_click FROM e JOIN v USING (user_id)
+                WHERE event_type = 'click' AND tsu > t_view GROUP BY e.user_id),
+          p AS (SELECT e.user_id, min(tsu) AS t_purchase FROM e JOIN c USING (user_id)
+                WHERE event_type = 'purchase' AND tsu > t_click GROUP BY e.user_id)
+          SELECT '1_view' AS stage, count(*) AS n_users FROM v
+          UNION ALL SELECT '2_click', count(*) FROM c
+          UNION ALL SELECT '3_purchase', count(*) FROM p""",
+    "ev_pivot" -> {
+      val cols = eventTypes.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(", ")
+      s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, $cols
+          FROM events GROUP BY 1"""
+    },
     "ev_asof" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS tsu,
                 epoch_us(r.ts) AS last_err_ts
