@@ -67,11 +67,21 @@ object Similarity {
   /** ANN via LSH buckets: exact rerank inside each bucket. Recall is
     * approximate by construction; candidates never leave their
     * bucket partition. */
-  def lshAnn(emb: DataFrame, k: Int, nPlanes: Int = 16): DataFrame = {
-    GraftFunctions.ensureRegistered(emb.sparkSession)
-    val b = lshBucket(emb, nPlanes).select("vec_id", "embedding", "bucket")
+  def lshAnn(emb: DataFrame, k: Int, nPlanes: Int = 16): DataFrame =
+    lshAnnFor(emb, emb, k, nPlanes)
+
+  /** Same index, explicit query set: when |queries| ≪ |corpus| the
+    * bucket signatures, join and per-query rerank window are computed
+    * only for the probing vectors — never pay the all-pairs self-join
+    * to answer a handful of lookups. */
+  def lshAnnFor(corpus: DataFrame, queries: DataFrame, k: Int,
+                nPlanes: Int = 16): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val b = lshBucket(corpus, nPlanes).select("vec_id", "embedding", "bucket")
       .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
-    val scored = b.as("q")
+    val qb = lshBucket(queries, nPlanes).select("vec_id", "embedding", "bucket")
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    val scored = qb.as("q")
       .join(b.as("c"), col("q.bucket") === col("c.bucket")
         && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cos", round(
@@ -117,13 +127,19 @@ object Similarity {
     * sampled k-means at scale; any deterministic seed set works. */
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    val w = Window.partitionBy(col("v.vec_id")).orderBy(col("d").asc, col("cent.centroid_id"))
+    // argmin as min(struct(dist, id)) — lexicographic struct ordering
+    // reproduces (dist ASC, centroid_id ASC) tie-breaking, but unlike a
+    // row_number window it's a partial-aggregatable hash agg: map-side
+    // combine collapses each vector's |centroids| rows before any
+    // exchange, and nothing is globally sorted. The embedding rides
+    // along inside the min-struct so no second join is needed.
     emb.as("v")
       .crossJoin(broadcast(centroids.as("cent")))
       .withColumn("d", lit(1.0) - fastCosine(col("v.embedding"), col("cent.embedding")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("v.vec_id").as("vec_id"), col("v.embedding").as("embedding"),
-        col("cent.centroid_id").as("centroid_id"))
+      .groupBy(col("v.vec_id").as("vec_id"))
+      .agg(min(struct(col("d"), col("cent.centroid_id").as("centroid_id"),
+        col("v.embedding").as("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.centroid_id").as("centroid_id"))
   }
 }

@@ -76,8 +76,10 @@ object DataOps {
     * in DataOpsSpec. */
   def simAnnRecall(s: SparkSession, d: String): DataFrame = {
     val exact = simTopK(s, d).select(col("query_id"), col("neighbor_id"))
-    val ann = simLshAnn(s, d)
-      .filter(col("query_id") < annQueries)
+    val e = emb(s, d)
+    // probe with ONLY the query set (lshAnnFor) — the index answer for
+    // 10 queries must not cost the all-pairs self-join sim_lsh_ann runs
+    val ann = Similarity.lshAnnFor(e, e.filter(col("vec_id") < annQueries), annK)
       .select(col("query_id"), col("neighbor_id"))
     exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))

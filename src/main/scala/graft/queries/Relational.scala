@@ -164,11 +164,14 @@ object Relational {
            count(lit(1)).as("cnt"))
 
   /** Q19 — salted skew join: same result set as the plain join (the
-    * oracle IS the plain join), shuffle re-shaped for hot keys. */
+    * oracle IS the plain join), shuffle re-shaped for hot keys only —
+    * cold keys (all of them, in this unskewed data) pay zero
+    * replication, so the query costs a plain join plus the detection
+    * pass. */
   def q19SaltedJoin(s: SparkSession, d: String): DataFrame =
     graft.operators.SkewedJoin
-      .saltedInner(li(s, d), ord(s, d).withColumnRenamed("o_orderkey", "l_orderkey")
-        .select("l_orderkey", "o_orderpriority"), "l_orderkey", 8)
+      .saltedInnerHot(li(s, d), ord(s, d).withColumnRenamed("o_orderkey", "l_orderkey")
+        .select("l_orderkey", "o_orderpriority"), "l_orderkey", 8, hotThreshold = 1000L)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("line_cnt"),
            round(sum(col("l_extendedprice")), 2).as("sum_price"))

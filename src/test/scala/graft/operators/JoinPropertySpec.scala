@@ -37,6 +37,28 @@ class JoinPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: salted joins (full and hot-key-only) equal the plain join on skewed data") {
+    import spark.implicits._
+    for (_ <- 1 to 5) {
+      // one pathological key (0) carrying ~80% of the fact rows
+      val fact = (0 until 200).map { i =>
+        val k = if (rng.nextInt(5) < 4) 0L else 1L + rng.nextInt(10)
+        (k, i.toLong)
+      }
+      val build = (0L to 10L).map(k => (k, s"p$k"))
+      val ff = fact.toDF("k", "row_id")
+      val bf = build.toDF("k", "payload")
+      val plain = ff.join(bf, Seq("k")).select("k", "row_id", "payload")
+        .collect().map(_.toSeq).toSet
+      val full = SkewedJoin.saltedInner(ff, bf, "k", 4)
+        .select("k", "row_id", "payload").collect().map(_.toSeq).toSet
+      val hotOnly = SkewedJoin.saltedInnerHot(ff, bf, "k", 4, hotThreshold = 50L)
+        .select("k", "row_id", "payload").collect().map(_.toSeq).toSet
+      assert(full == plain)
+      assert(hotOnly == plain)
+    }
+  }
+
   test("property: binned range join equals the brute-force containment join") {
     import spark.implicits._
     for (_ <- 1 to 10) {
