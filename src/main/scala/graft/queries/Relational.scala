@@ -176,6 +176,33 @@ object Relational {
       .agg(count(lit(1)).as("line_cnt"),
            round(sum(col("l_extendedprice")), 2).as("sum_price"))
 
+  /** Q28 — GROUPING SETS beyond rollup/cube: an explicit lattice of
+    * aggregation levels in one pass over the fact table (Spark plans
+    * a single Expand + aggregate, not |sets| scans). */
+  def q28GroupingSets(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  /** Q29 — typed UDAF (functions.Aggregators.WeightedMeanCents):
+    * quantity-weighted mean price per return flag. The aggregator's
+    * exact-integer buffer makes the result independent of partial-
+    * aggregation order — the property any custom aggregate needs
+    * before it's safe on a cluster. */
+  def q29WeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val wm = udaf(graft.functions.Aggregators.WeightedMeanCents)
+    li(s, d)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy("l_returnflag")
+      .agg(round(wm(col("cents"), col("w")), 6).as("w_avg_price"))
+  }
+
   /** Q20 — sketch-based distinct (HLL++): scale path for G2-style
     * distinct counts when exactness is waived; rows-only check (the
     * estimate is engine-specific) + accuracy-bounded in tests. */
@@ -290,7 +317,9 @@ object Relational {
     "q15_window_rank" -> q15WindowRank _,
     "q16_semi" -> q16Semi _,
     "q17_anti" -> q17Anti _,
-    "q18_rollup" -> q18Rollup _)
+    "q18_rollup" -> q18Rollup _,
+    "q28_grouping_sets" -> q28GroupingSets _,
+    "q29_weighted_avg" -> q29WeightedAvg _)
 
   val oracleSql: Map[String, String] = Map(
     "q26_shipping_priority" ->
@@ -431,5 +460,17 @@ object Relational {
     "q18_rollup" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
                 count(*) AS cnt
-         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q28_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+                count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), (l_linestatus))""",
+    "q29_weighted_avg" ->
+      """SELECT l_returnflag,
+                round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                          * CAST(l_quantity AS BIGINT))
+                      / (100.0 * sum(CAST(l_quantity AS BIGINT))), 6) AS w_avg_price
+         FROM lineitem GROUP BY l_returnflag""")
 }

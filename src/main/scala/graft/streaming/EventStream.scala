@@ -30,6 +30,15 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join: every micro-batch joins against
+    * the (re-read) static dimension — broadcast, so the stream side
+    * never shuffles and the join adds no state. The streaming twin of
+    * the pipeline's catalog joins; at scale the dim table re-resolves
+    * per batch, which is exactly how slowly-changing dimensions pick
+    * up updates without restarting the query. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming exact dedup: drop re-deliveries of the same event id
     * arriving within the watermark horizon (the streaming twin of
     * operators.Dedup.exact — state is bounded by the watermark, the

@@ -76,6 +76,24 @@ class EventStreamSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L), s"expected one row per event id, got $ids")
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = EventStream.enrichWithDim(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0),
+      Event(3, ts(2), 9, "view", 3.0)) // user 9 absent from dim → null tier
+    q.processAllAvailable()
+    val got = spark.table("enrich_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+    q.stop()
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
+  }
+
   test("sessionize closes a session on gap and keeps one open across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
