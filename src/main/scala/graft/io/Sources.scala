@@ -38,6 +38,14 @@ final case class ParquetSource(path: String) extends TableSource {
   def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** ORC — the other columnar interchange format Spark ships natively;
+  * same pushdown/pruning contract as parquet (PushedFilters +
+  * ReadSchema reach the scan), so pipelines landing ORC from Hive
+  * ecosystems plug straight in. */
+final case class OrcSource(path: String) extends TableSource {
+  def load(spark: SparkSession): DataFrame = spark.read.orc(path)
+}
+
 object Sinks {
 
   /** S5 — single-file CSV sink with exact header and row order:
@@ -62,6 +70,9 @@ object Sinks {
     * DAG's inter-task handoff, src/candy_store_dag.py:102-113). */
   def parquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 
   /** Hive-style partitioned parquet: the 100 TB layout. A reader
     * filtering on the partition columns prunes whole directories at

@@ -136,6 +136,35 @@ object Events {
       .agg(count(lit(1)))
       .na.fill(0L, eventTypes)
 
+  val resampleBucketUs: Long = 3600L * 1000000L // 1 hour
+
+  /** Time-series resample + forward fill: a dense per-user hourly
+    * grid from first to last event, carrying the most recent observed
+    * `value` across empty buckets. The classic gap-filling prep before
+    * sequence models. Three shuffle-light steps: last-observation per
+    * (user, bucket) via a map-side-combinable max(struct(...)), a
+    * per-user spine exploded from min/max (no calendar table), and one
+    * ordered window for the fill — all partitioned on user_id, so the
+    * exchanges align. */
+  def evResample(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).withColumn("tsu", tsUs)
+      .select(col("user_id"), col("event_id"), col("tsu"), col("value"))
+      .withColumn("bucket", expr(s"tsu div $resampleBucketUs"))
+    val lastObs = e.groupBy("user_id", "bucket")
+      .agg(max(struct(col("tsu"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("bucket"), col("m.value").as("obs"))
+    val spine = e.groupBy("user_id")
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(lastObs, Seq("user_id", "bucket"), "left")
+      .withColumn("value_ffill", last(col("obs"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        (col("bucket") * resampleBucketUs).as("bucket_start_us"),
+        col("value_ffill"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window_agg" -> evWindowAgg _,
     "ev_sessions" -> evSessions _,
@@ -143,6 +172,7 @@ object Events {
     "ev_range_join" -> evRangeJoin _,
     "ev_funnel" -> evFunnel _,
     "ev_pivot" -> evPivot _,
+    "ev_resample" -> evResample _,
     "fc_linear_sales" -> fcLinearSales _)
 
   /** Shared CTE: the gap-sessionization in SQL (µs precision). */
@@ -202,6 +232,23 @@ object Events {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, $cols
           FROM events GROUP BY 1"""
     },
+    "ev_resample" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
+                 epoch_us(ts) // $resampleBucketUs AS bucket FROM events),
+          lastobs AS (SELECT user_id, bucket, value AS obs FROM (
+              SELECT user_id, bucket, value,
+                     row_number() OVER (PARTITION BY user_id, bucket
+                       ORDER BY tsu DESC, event_id DESC) AS rn
+              FROM e) WHERE rn = 1),
+          bounds AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+                     FROM e GROUP BY user_id),
+          spine AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM bounds)
+          SELECT s.user_id, CAST(s.bucket * $resampleBucketUs AS BIGINT) AS bucket_start_us,
+                 last_value(l.obs IGNORE NULLS) OVER (PARTITION BY s.user_id
+                   ORDER BY s.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS value_ffill
+          FROM spine s LEFT JOIN lastobs l
+            ON s.user_id = l.user_id AND s.bucket = l.bucket""",
     "ev_asof" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS tsu,
                 epoch_us(r.ts) AS last_err_ts

@@ -39,6 +39,28 @@ object EventStream {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: clicks attributed to the view they
+    * followed within `within`, per user. BOTH sides carry watermarks
+    * and the join condition bounds click_ts relative to view_ts, so
+    * the state store evicts rows once the watermark passes the
+    * interval — the two requirements without which a stream-stream
+    * join grows state forever. Inner joins emit eagerly as matches
+    * arrive (no watermark wait). */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+                    within: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", within)
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", within)
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    v.join(c,
+      col("user_id") === col("c_user")
+        && col("click_ts") >= col("view_ts")
+        && col("click_ts") <= col("view_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same event id
     * arriving within the watermark horizon (the streaming twin of
     * operators.Dedup.exact — state is bounded by the watermark, the

@@ -82,6 +82,20 @@ class PlanShapeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString.contains("etype"))
   }
 
+  test("orc roundtrip preserves data and pushes filters into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    val li = Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    graft.io.Sinks.orc(li, dir)
+    val back = graft.io.OrcSource(dir).load(spark)
+    assert(back.count() == li.count())
+    val p = plan(back.filter(col("l_quantity") > 25).select("l_orderkey", "l_quantity"))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"),
+      s"filter not pushed to the ORC scan:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"),
+      s"unused column not pruned from the ORC scan:\n$p")
+  }
+
   test("bucketed tables join without any shuffle (co-located join)") {
     val li = Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
     val ord = Tables(spark, sf, "orders").select("o_orderkey", "o_orderpriority")

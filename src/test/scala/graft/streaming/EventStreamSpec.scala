@@ -94,6 +94,26 @@ class EventStreamSpec extends SparkSpec {
     assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
   }
 
+  test("stream-stream interval join attributes clicks to preceding views per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.viewClickJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("vc_out")
+      .outputMode(OutputMode.Append()).start()
+    views.addData(Event(10, ts(0), 1, "view", 0.0), Event(11, ts(0), 2, "view", 0.0))
+    clicks.addData(
+      Event(20, ts(3), 1, "click", 0.0),   // 3 min after user 1's view → match
+      Event(21, ts(25), 2, "click", 0.0))  // 25 min after user 2's view → outside window
+    q.processAllAvailable()
+    val got = spark.table("vc_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+      .toSet
+    q.stop()
+    assert(got == Set((1L, 10L, 20L)))
+  }
+
   test("sessionize closes a session on gap and keeps one open across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
