@@ -44,10 +44,20 @@ object Dedup {
     * what a stop-shingle cutoff would cap at corpus scale. */
   def jaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
                    threshold: Double): DataFrame = {
-    // shuffle 8-byte hashed keys instead of shingle strings (the
-    // grouping key is internal; outputs are doc-id pairs + counts)
-    val sh = shingles(df, text, id, n)
-      .withColumn("shingle", xxhash64(col("shingle")))
+    // Hash each shingle to 8 bytes AT THE EXPLODE, before the distinct —
+    // the dedup shuffle then moves longs, not ~n-word strings (the
+    // grouping key is internal; outputs are doc-id pairs + counts).
+    // Identical semantics to hashing after: every downstream step
+    // already keys on the hash.
+    val toks = split(text, " ")
+    val cnt = size(toks) - (n - 1)
+    val sh = df.select(
+        id.as("doc_id"),
+        explode(when(cnt >= 1,
+          transform(sequence(lit(1), cnt),
+            i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+          .otherwise(array())).as("shingle"))
+      .distinct()
     // One row per document — but at corpus scale that's O(N-documents),
     // far past any safe broadcast ceiling, so no broadcast hint: AQE
     // broadcasts when the measured size allows and falls back to a
