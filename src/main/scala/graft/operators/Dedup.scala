@@ -184,6 +184,34 @@ object Dedup {
       .select(col("doc_id"), fp.as("simhash"))
   }
 
+  val simhashMaxHamming = 3
+
+  /** SimHash near-dup candidates: pairs within `simhashMaxHamming`
+    * bits of each other, blocked on 8-bit fingerprint bands. With 4
+    * bands over 32 bits, any pair ≤ 3 bits apart shares at least one
+    * intact band (pigeonhole) — the banding is lossless for the
+    * distance cutoff, so this IS the exact Hamming-ball join, but the
+    * join key is a band byte instead of an all-pairs cross. One
+    * codegen'd `bit_count(xor)` per candidate; the fingerprint table
+    * shuffles 4× (once per band), never N². */
+  def simhashPairs(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val sim = simhash(df, text, id)
+    val bands = sim.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey"))): _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band")
+        && col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= simhashMaxHamming)
+  }
+
   /** Embedding near-dups: cosine ≥ threshold within a blocking key
     * (here the label column; at scale an LSH/IVF coarse quantizer
     * provides the blocks — see Similarity.lshAnn). Norms are computed

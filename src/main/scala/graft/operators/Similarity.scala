@@ -125,6 +125,24 @@ object Similarity {
     * `centroids` (a tiny broadcast table of (centroid_id, embedding));
     * queries search only their own cell. Centroids would come from a
     * sampled k-means at scale; any deterministic seed set works. */
+  /** Train IVF centroids with MLlib k-means (seeded → deterministic).
+    * At scale this runs on a sample — centroid quality needs only a
+    * sketch of the distribution, not the full corpus. Returns the
+    * same (centroid_id, embedding) shape ivfAssign consumes. */
+  def trainCentroids(emb: DataFrame, k: Int, seed: Long = 42L,
+                     maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val feats = emb.select(
+      array_to_vector(col("embedding").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).fit(feats)
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+      .toDF("centroid_id", "embedding")
+  }
+
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
     // argmin as min(struct(dist, id)) — lexicographic struct ordering

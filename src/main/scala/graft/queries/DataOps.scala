@@ -40,6 +40,9 @@ object DataOps {
   def ddSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhash(docs(s, d), col("text"), col("doc_id"))
 
+  def ddSimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docs(s, d), col("text"), col("doc_id"))
+
   def ddEmbedNearDups(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDups(emb(s, d), cosineThreshold)
 
@@ -57,6 +60,13 @@ object DataOps {
 
   def simLshMultiProbe(s: SparkSession, d: String): DataFrame =
     Similarity.lshAnnMultiProbe(emb(s, d), annK)
+
+  /** IVF with k-means-TRAINED centroids (vs sim_ivf's fixed seed
+    * vectors) — rows-only: the oracle can't replay MLlib's Lloyd
+    * iterations, but cluster quality is asserted in SimilaritySpec. */
+  def simIvfKmeans(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfAssign(emb(s, d), Similarity.trainCentroids(emb(s, d), 4))
+      .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
 
   def simIvf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
@@ -292,6 +302,19 @@ object DataOps {
         sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)"""
   }
 
+  /** Shared CTE: 32-bit SimHash per document (mirrors Dedup.simhash). */
+  private val simhashCte = {
+    val bitSums = (0 until 32)
+      .map(r => s"sum(CASE WHEN (h >> $r) & 1 = 1 THEN 1 ELSE -1 END) AS s$r")
+      .mkString(", ")
+    val fp = (0 until 32)
+      .map(r => s"(CASE WHEN s$r > 0 THEN ${1L << r} ELSE 0 END)").mkString(" + ")
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        hh AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM t),
+        bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id),
+        sim AS (SELECT doc_id, $fp AS simhash FROM bits)"""
+  }
+
   private val langHitsSql: Seq[(String, String)] =
     TextAnalysis.langProfiles.map { case (lang, ws) =>
       val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -454,16 +477,19 @@ object DataOps {
                  round(CAST($eq AS DOUBLE) / ${Dedup.minhashAB.size}, 6) AS est_jaccard
           FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id"""
     },
-    "dd_simhash" -> {
-      val bitSums = (0 until 32)
-        .map(r => s"sum(CASE WHEN (h >> $r) & 1 = 1 THEN 1 ELSE -1 END) AS s$r")
-        .mkString(", ")
-      val fp = (0 until 32)
-        .map(r => s"(CASE WHEN s$r > 0 THEN ${1L << r} ELSE 0 END)").mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-          hh AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM t),
-          bits AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id)
-          SELECT doc_id, $fp AS simhash FROM bits"""
+    "dd_simhash" -> s"WITH $simhashCte SELECT doc_id, simhash FROM sim",
+    "dd_simhash_pairs" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS bkey FROM sim"
+      }.mkString(" UNION ALL ")
+      s"""WITH $simhashCte, bands AS ($bandSelects),
+          cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.simhash AS sa, b.simhash AS sb
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.bkey = b.bkey
+                    AND a.doc_id < b.doc_id)
+          SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+          FROM cand WHERE bit_count(xor(sa, sb)) <= ${Dedup.simhashMaxHamming}"""
     },
     "dd_embed_neardups" ->
       s"""WITH nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
@@ -604,6 +630,8 @@ object DataOps {
     "dd_lsh_pairs" -> ddLshPairs _,
     "dd_minhash_est" -> ddMinhashEst _,
     "dd_simhash" -> ddSimhash _,
+    "dd_simhash_pairs" -> ddSimhashPairs _,
+    "sim_ivf_kmeans" -> simIvfKmeans _, // MLlib-trained centroids → rows-only
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_corpus" -> ddCorpus _,
     "sim_topk" -> simTopK _,

@@ -203,6 +203,21 @@ object Relational {
       .agg(round(wm(col("cents"), col("w")), 6).as("w_avg_price"))
   }
 
+  /** Q30 — the SQL surface itself: a correlated-EXISTS query (TPC-H
+    * Q4 shape) submitted as SQL text over registered views. Catalyst
+    * rewrites the EXISTS into a left-semi join — same plan class the
+    * DataFrame API's q16_semi produces. */
+  def q30Exists(s: SparkSession, d: String): DataFrame = {
+    li(s, d).createOrReplaceTempView("lineitem")
+    ord(s, d).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""")
+  }
+
   /** Q20 — sketch-based distinct (HLL++): scale path for G2-style
     * distinct counts when exactness is waived; rows-only check (the
     * estimate is engine-specific) + accuracy-bounded in tests. */
@@ -319,7 +334,8 @@ object Relational {
     "q17_anti" -> q17Anti _,
     "q18_rollup" -> q18Rollup _,
     "q28_grouping_sets" -> q28GroupingSets _,
-    "q29_weighted_avg" -> q29WeightedAvg _)
+    "q29_weighted_avg" -> q29WeightedAvg _,
+    "q30_exists" -> q30Exists _)
 
   val oracleSql: Map[String, String] = Map(
     "q26_shipping_priority" ->
@@ -472,5 +488,11 @@ object Relational {
                 round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
                           * CAST(l_quantity AS BIGINT))
                       / (100.0 * sum(CAST(l_quantity AS BIGINT))), 6) AS w_avg_price
-         FROM lineitem GROUP BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag""",
+    "q30_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority""")
 }
