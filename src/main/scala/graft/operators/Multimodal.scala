@@ -50,6 +50,20 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Batched feature extraction: payload bytes → fixed-dim histogram
+    * (byte % 8 bucket counts). The STUB stands where an image/audio
+    * feature model would run; the batch shape is the part that
+    * matters — a real encoder amortizes weights-loading per batch of
+    * `batchSize` records, exactly like a vectorized Python UDF. */
+  def extractFeatures(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      val h = new Array[Long](8)
+      r.payload.foreach(b => h((b & 0xff) % 8) += 1)
+      (r.media_id, h(0), h(1), h(2), h(3), h(4), h(5), h(6), h(7))
+    })).toDF("media_id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+  }
+
   /** Frame sampling plumbing: explode a payload into every `stride`-th
     * byte-offset "frame" (stand-in for video frame extraction; shows
     * the row-multiplying decode shape + metadata propagation). */

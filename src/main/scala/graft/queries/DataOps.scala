@@ -226,6 +226,26 @@ object DataOps {
   def mmFrames(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.documentsAsMedia(docs(s, d)), Multimodal.batchSize)
 
+  def mmFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.documentsAsMedia(docs(s, d)))
+
+  /** Global bigram frequency table, top 20 (count desc, bigram asc —
+    * a total order, so the cut is deterministic). The corpus-statistics
+    * staple: one explode + one partial-agg count + a k-row ordered
+    * take; nothing but the 20 survivors ever reaches the driver. */
+  def txTopBigrams(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val cnt = size(toks) - 1
+    docs(s, d).select(
+        explode(when(cnt >= 1,
+          transform(sequence(lit(1), cnt),
+            i => concat_ws(" ", slice(toks, i, lit(2)))))
+          .otherwise(array())).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+  }
+
   def allocGreedy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.{Allocate, Model}
@@ -621,7 +641,22 @@ object DataOps {
           SELECT doc_id AS media_id,
                  unnest(range(0, n, ${Multimodal.batchSize})) AS frame_offset,
                  CAST(n AS BIGINT) AS n_bytes
-          FROM d""")
+          FROM d""",
+    "mm_features" -> {
+      // corpus text is pure ASCII, so UTF-8 byte values == char codes
+      val cols = (0 until 8)
+        .map(j => s"CAST(sum(CASE WHEN b = $j THEN 1 ELSE 0 END) AS BIGINT) AS c$j")
+        .mkString(", ")
+      s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+          h AS (SELECT doc_id, ord(c) % 8 AS b FROM ch)
+          SELECT doc_id AS media_id, $cols FROM h GROUP BY doc_id"""
+    },
+    "tx_top_bigrams" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM d),
+         c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
+         SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 20""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact _,
@@ -655,6 +690,8 @@ object DataOps {
     "sim_quantize" -> simQuantize _,
     "mm_decode" -> mmDecode _,
     "mm_frames" -> mmFrames _,
+    "mm_features" -> mmFeatures _,
+    "tx_top_bigrams" -> txTopBigrams _,
     "p_alloc_greedy" -> allocGreedy _,     // sequential-state op → rows-only check
     "p_alloc_plan" -> allocGreedyPlan _)   // custom Catalyst operator form
 }
