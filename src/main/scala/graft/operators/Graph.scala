@@ -61,9 +61,15 @@ object Graph {
           labels.withColumnRenamed("component", "prev"), Seq("node"))
         .filter(col("component") =!= col("prev"))
         .isEmpty
+      // `next` is checkpointed, so it no longer depends on the previous
+      // round's blocks — free them now. Leaked checkpoint blocks squat
+      // in the block manager for the session lifetime and evict/starve
+      // every later job's shuffle and cache blocks.
+      labels.unpersist()
       labels = next
       i += 1
     }
+    sym.unpersist()
     labels
   }
 }
