@@ -18,10 +18,15 @@ trait TableSource {
 
 /** S1/S3-equivalent: header CSV with a declared schema (no inference
   * pass over the data — at 100 TB schema inference is a full extra
-  * scan). */
-final case class CsvSource(path: String, schema: StructType) extends TableSource {
+  * scan). `options` passes through reader behavior — notably the
+  * malformed-row policy: PERMISSIVE (default; bad rows null out, and
+  * are captured whole when the schema declares a
+  * `_corrupt_record` string column), DROPMALFORMED, or FAILFAST.
+  * At ingest scale quarantine-and-continue beats dying 90 TB in. */
+final case class CsvSource(path: String, schema: StructType,
+                           options: Map[String, String] = Map.empty) extends TableSource {
   def load(spark: SparkSession): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(path)
+    spark.read.option("header", "true").options(options).schema(schema).csv(path)
 }
 
 /** S2/S4-equivalent: (multiline) JSON documents with a declared

@@ -218,6 +218,27 @@ object Relational {
          GROUP BY o_orderpriority""")
   }
 
+  /** Q31 — FULL OUTER join: customers vs per-customer order counts,
+    * null-completing both sides (the join type q3's left join doesn't
+    * cover). */
+  def q31FullOuter(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables(s, d, "customer").select(col("c_custkey"), col("c_name"))
+    val og = ord(s, d).groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    cust.join(og, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"))
+  }
+
+  /** Q32 — INTERSECT / EXCEPT set semantics (dedup'd, null-safe),
+    * labeled into one result so a single oracle pins both. */
+  def q32SetOps(s: SparkSession, d: String): DataFrame = {
+    val a = li(s, d).filter(col("l_returnflag") === "A").select(col("l_partkey"))
+    val r = li(s, d).filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    a.intersect(r).withColumn("op", lit("intersect"))
+      .union(a.except(r).withColumn("op", lit("except")))
+      .select(col("op"), col("l_partkey"))
+  }
+
   /** Q20 — sketch-based distinct (HLL++): scale path for G2-style
     * distinct counts when exactness is waived; rows-only check (the
     * estimate is engine-specific) + accuracy-bounded in tests. */
@@ -335,7 +356,9 @@ object Relational {
     "q18_rollup" -> q18Rollup _,
     "q28_grouping_sets" -> q28GroupingSets _,
     "q29_weighted_avg" -> q29WeightedAvg _,
-    "q30_exists" -> q30Exists _)
+    "q30_exists" -> q30Exists _,
+    "q31_full_outer" -> q31FullOuter _,
+    "q32_setops" -> q32SetOps _)
 
   val oracleSql: Map[String, String] = Map(
     "q26_shipping_priority" ->
@@ -494,5 +517,20 @@ object Relational {
          FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem
                        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
-         GROUP BY o_orderpriority""")
+         GROUP BY o_orderpriority""",
+    "q31_full_outer" ->
+      """SELECT coalesce(c.c_custkey, og.o_custkey) AS custkey, c.c_name, og.n_orders
+         FROM customer c FULL OUTER JOIN
+              (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) og
+           ON c.c_custkey = og.o_custkey""",
+    "q32_setops" ->
+      """SELECT 'intersect' AS op, l_partkey FROM
+           (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+            INTERSECT
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+         UNION ALL
+         SELECT 'except', l_partkey FROM
+           (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+            EXCEPT
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')""")
 }
