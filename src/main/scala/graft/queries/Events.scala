@@ -165,8 +165,23 @@ object Events {
         col("value_ffill"))
   }
 
+  /** Latest record per key — the CDC/SCD compaction step ("keep the
+    * newest version of each entity"). As max(struct(...)) it partial-
+    * aggregates map-side: each input partition contributes one
+    * candidate per key before the exchange, so the shuffle carries
+    * |keys|·|partitions| rows, not |events| — the difference between
+    * compaction and a full re-sort at 100 TB. */
+  def evLatest(s: SparkSession, d: String): DataFrame =
+    ev(s, d).withColumn("tsu", tsUs)
+      .groupBy("user_id")
+      .agg(max(struct(col("tsu"), col("event_id"), col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.tsu").as("last_tsu"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"), col("m.value").as("last_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_window_agg" -> evWindowAgg _,
+    "ev_latest" -> evLatest _,
     "ev_sessions" -> evSessions _,
     "ev_asof" -> evAsof _,
     "ev_range_join" -> evRangeJoin _,
@@ -232,6 +247,13 @@ object Events {
       s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day, $cols
           FROM events GROUP BY 1"""
     },
+    "ev_latest" ->
+      """SELECT user_id, tsu AS last_tsu, event_id AS last_event_id,
+                event_type AS last_type, value AS last_value
+         FROM (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type, value,
+                      row_number() OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1""",
     "ev_resample" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, value,
                  epoch_us(ts) // $resampleBucketUs AS bucket FROM events),

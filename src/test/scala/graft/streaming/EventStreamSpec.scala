@@ -94,6 +94,27 @@ class EventStreamSpec extends SparkSpec {
     assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 3L -> None))
   }
 
+  test("foreachBatch sink lands deduped micro-batches as parquet") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("fb_sink").toString
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupWithinWatermark(input.toDF())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.io.Sinks.parquet(batch.toDF(), s"$dir/batch_$id")
+      }
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(1), 1, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(Event(2, ts(2), 2, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(s"$dir/batch_*").collect()
+      .map(_.getAs[Long]("event_id")).toSeq.sorted
+    assert(ids == Seq(1L, 2L), s"expected deduped ids in the sink, got $ids")
+  }
+
   test("stream-stream interval join attributes clicks to preceding views per user") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
