@@ -40,10 +40,21 @@ object Dedup {
     * pair → |A∩B| / (|A|+|B|−|A∩B|). One shuffle on the shingle key
     * (vs a self-join's two + join); pairs only materialize for
     * documents sharing ≥1 shingle, and a posting list of length d
-    * costs d·(d−1)/2 — bounded by hot-shingle frequency, which is
-    * what a stop-shingle cutoff would cap at corpus scale. */
+    * costs d·(d−1)/2.
+    *
+    * SCALE WARNING (measured, 10× rehearsal): when posting lists
+    * densify — small vocabulary, boilerplate shingles — pair volume
+    * squares; 10× docs cost ~19× here vs ~4× for the MinHash-LSH
+    * generator. The exact join is the right tool for candidate
+    * CONFIRMATION and modest corpora; at 100 TB generate candidates
+    * with `minhashCandidatePairs` (then estimate/confirm), or pass
+    * `maxPostingLen` to drop stop-shingles — a shingle shared by
+    * thousands of documents carries no blocking information, only
+    * quadratic cost. Capping changes semantics (it can only drop
+    * pairs, never invent them), so the default keeps the exact join.
+    */
   def jaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
-                   threshold: Double): DataFrame = {
+                   threshold: Double, maxPostingLen: Int = Int.MaxValue): DataFrame = {
     // Hash each shingle to 8 bytes AT THE EXPLODE, before the distinct —
     // the dedup shuffle then moves longs, not ~n-word strings (the
     // grouping key is internal; outputs are doc-id pairs + counts).
@@ -66,7 +77,7 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val postings = sh.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) > 1)
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxPostingLen)
     val pairs = postings.select(explode(flatten(transform(col("docs"),
       (x, i) => transform(
         slice(col("docs"), i + 2, size(col("docs"))),

@@ -204,12 +204,16 @@ object DataOps {
         aggregate(q, lit(Long.MinValue), (a, v) => greatest(a, v)).as("qmax"))
   }
 
-  /** Edit distance over the near-dup candidate pairs (exact integer
-    * Levenshtein — the fine-grained confirmation pass after Jaccard
-    * blocking; never run pairwise on the full corpus). */
+  /** Edit distance over the LSH candidate pairs (exact integer
+    * Levenshtein — the fine-grained confirmation pass AFTER blocking;
+    * never run pairwise on the full corpus). Candidates come from
+    * MinHash LSH, not the exact-Jaccard join: the 10× scale rehearsal
+    * measured LSH candidates growing ~4× for 10× docs while the exact
+    * shingle join grew ~19× (dense posting lists square) — the confirm
+    * pass must ride the sub-linear generator. */
   def txLevenshtein(s: SparkSession, d: String): DataFrame = {
     val texts = docs(s, d).select(col("doc_id"), col("text"))
-    ddJaccard(s, d)
+    ddLshPairs(s, d)
       .join(texts.withColumnRenamed("doc_id", "id_a")
                  .withColumnRenamed("text", "text_a"), Seq("id_a"))
       .join(texts.withColumnRenamed("doc_id", "id_b")
@@ -594,18 +598,21 @@ object DataOps {
                  pfp.positional_fp
           FROM d JOIN pfp ON d.doc_id = pfp.doc_id"""
     },
-    "tx_levenshtein" ->
-      s"""WITH $shingleCte,
-          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-          c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-                FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
-          pairs AS (SELECT id_a, id_b
-                    FROM c JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-                    WHERE round(common * 1.0 / (x.n + y.n - common), 6) >= $jaccardThreshold)
+    "tx_levenshtein" -> {
+      val bandSelects = (0 until 4).map { band =>
+        val cols = (band * 4 until band * 4 + 4)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
+        s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $minhashSigCte, bands AS ($bandSelects),
+          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM bands a JOIN bands b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id)
           SELECT id_a, id_b, levenshtein(ta.text, tb.text) AS edit_dist
           FROM pairs JOIN documents ta ON id_a = ta.doc_id
-                     JOIN documents tb ON id_b = tb.doc_id""",
+                     JOIN documents tb ON id_b = tb.doc_id"""
+    },
     "tx_clean" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
