@@ -97,16 +97,44 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
+  /** EXACT Jaccard restricted to the LSH candidate set — the
+    * production dedup shape: the sub-linear generator proposes, the
+    * exact measure verifies, and the quadratic shingle join never
+    * runs. Per candidate pair the intersection is computed on the
+    * per-document hashed shingle arrays (array_intersect, codegen'd);
+    * the candidate table joins the per-doc array table on each id —
+    * shuffles keyed on doc id, sized by candidates not by corpus². */
+  def lshVerifiedPairs(df: DataFrame, text: Column, id: Column, n: Int,
+                       threshold: Double): DataFrame = {
+    val sets = shingles(df, text, id, n)
+      .withColumn("h", xxhash64(col("shingle")))
+      .groupBy("doc_id").agg(collect_list(col("h")).as("sh"))
+    minhashCandidatePairs(df, text, id, n)
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("common").cast("double")
+          / (size(col("sha")) + size(col("shb")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
   /** End-to-end dedup: the surviving corpus after dropping (a) exact
     * duplicates (keep the min id per content) and (b) the higher id
-    * of every near-dup pair above the Jaccard threshold. Pairwise
-    * suppression is a deliberate single-pass policy — transitive
-    * clustering (connected components) is an iterative refinement a
-    * curation pipeline can layer on top. */
+    * of every LSH-verified near-dup pair above the Jaccard threshold.
+    * Near-dup suppression rides `lshVerifiedPairs` — candidates from
+    * the sub-linear LSH generator, verified with the exact measure —
+    * so corpus dedup scales like LSH, not like the quadratic shingle
+    * join (a pair both LSH bands miss is, by design, accepted noise;
+    * recall is tunable via bands × rows). Pairwise suppression is a
+    * deliberate single-pass policy — transitive clustering
+    * (Graph.connectedComponents) is the iterative refinement a
+    * curation pipeline layers on top. */
   def dedupedCorpus(df: DataFrame, text: Column, id: Column, n: Int,
                     threshold: Double): DataFrame = {
     val keepers = exact(df, text, id).select(col("keep_id").as("doc_id"))
-    val nearDupLosers = jaccardPairs(df, text, id, n, threshold)
+    val nearDupLosers = lshVerifiedPairs(df, text, id, n, threshold)
       .select(col("id_b").as("doc_id")).distinct()
     df.join(keepers, Seq("doc_id"), "left_semi")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -326,6 +326,21 @@ object DataOps {
         sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)"""
   }
 
+  /** Shared CTE chain: MinHash-LSH candidate pairs (mirrors
+    * Dedup.minhashCandidatePairs) — `pairs(id_a, id_b)`. */
+  private val lshPairsCte = {
+    val bandSelects = (0 until 4).map { band =>
+      val cols = (band * 4 until band * 4 + 4)
+        .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$minhashSigCte, bands AS ($bandSelects),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id)"""
+  }
+
   /** Shared CTE: 32-bit SimHash per document (mirrors Dedup.simhash). */
   private val simhashCte = {
     val bitSums = (0 until 32)
@@ -406,11 +421,15 @@ object DataOps {
           WHERE round(common * 1.0 / (x.n + y.n - common), 6) >= $jaccardThreshold""",
     "dd_minhash_sig" -> s"WITH $minhashSigCte SELECT * FROM sig",
     "dd_corpus" ->
-      s"""WITH $shingleCte,
+      // LSH candidates verified with the exact Jaccard — mirrors
+      // Dedup.lshVerifiedPairs (the scale-safe corpus-dedup policy)
+      s"""WITH $lshPairsCte,
           sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-          c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-                FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
+          c AS (SELECT p.id_a, p.id_b, count(*) AS common
+                FROM pairs p JOIN s sa ON sa.doc_id = p.id_a
+                             JOIN s sb ON sb.doc_id = p.id_b
+                              AND sb.shingle = sa.shingle
+                GROUP BY p.id_a, p.id_b),
           losers AS (SELECT DISTINCT id_b AS doc_id
                      FROM c JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
                      WHERE round(common * 1.0 / (x.n + y.n - common), 6) >= $jaccardThreshold),
@@ -418,30 +437,11 @@ object DataOps {
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id IN (SELECT doc_id FROM keepers)
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
-    "dd_lsh_pairs" -> {
-      val bandSelects = (0 until 4).map { band =>
-        val cols = (band * 4 until band * 4 + 4)
-          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
-        s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH $minhashSigCte, bands AS ($bandSelects)
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
-    },
-    "dd_cc" -> {
-      val bandSelects = (0 until 4).map { band =>
-        val cols = (band * 4 until band * 4 + 4)
-          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
-        s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
-      }.mkString(" UNION ALL ")
+    "dd_lsh_pairs" -> s"WITH $lshPairsCte SELECT id_a, id_b FROM pairs",
+    "dd_cc" ->
       // transitive closure of the LSH pair graph: reachability pairs by
       // a recursive CTE, component = min reachable id, singletons kept
-      s"""WITH RECURSIVE $minhashSigCte, bands AS ($bandSelects),
-          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bucket = b.bucket
-                     AND a.doc_id < b.doc_id),
+      s"""WITH RECURSIVE $lshPairsCte,
           sym AS (SELECT id_a AS u, id_b AS v FROM pairs
                   UNION SELECT id_b, id_a FROM pairs),
           reach(node, r) AS (
@@ -451,8 +451,7 @@ object DataOps {
           comp AS (SELECT node AS doc_id, min(r) AS component
                    FROM reach GROUP BY node)
           SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id"""
-    },
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
     "ds_sample" ->
       """WITH s AS (SELECT * FROM documents
            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
@@ -485,18 +484,9 @@ object DataOps {
          FROM q JOIN a ON q.vec_id = a.vec_id
          GROUP BY q.vec_id, a.amax""",
     "dd_minhash_est" -> {
-      val bandSelects = (0 until 4).map { band =>
-        val cols = (band * 4 until band * 4 + 4)
-          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
-        s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
-      }.mkString(" UNION ALL ")
       val eq = Dedup.minhashAB.indices
         .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH $minhashSigCte, bands AS ($bandSelects),
-          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bucket = b.bucket
-                     AND a.doc_id < b.doc_id)
+      s"""WITH $lshPairsCte
           SELECT id_a, id_b,
                  round(CAST($eq AS DOUBLE) / ${Dedup.minhashAB.size}, 6) AS est_jaccard
           FROM pairs JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id"""
@@ -598,21 +588,11 @@ object DataOps {
                  pfp.positional_fp
           FROM d JOIN pfp ON d.doc_id = pfp.doc_id"""
     },
-    "tx_levenshtein" -> {
-      val bandSelects = (0 until 4).map { band =>
-        val cols = (band * 4 until band * 4 + 4)
-          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
-        s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH $minhashSigCte, bands AS ($bandSelects),
-          pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                    FROM bands a JOIN bands b
-                      ON a.band = b.band AND a.bucket = b.bucket
-                     AND a.doc_id < b.doc_id)
+    "tx_levenshtein" ->
+      s"""WITH $lshPairsCte
           SELECT id_a, id_b, levenshtein(ta.text, tb.text) AS edit_dist
           FROM pairs JOIN documents ta ON id_a = ta.doc_id
-                     JOIN documents tb ON id_b = tb.doc_id"""
-    },
+                     JOIN documents tb ON id_b = tb.doc_id""",
     "tx_clean" ->
       """SELECT doc_id,
                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
