@@ -193,12 +193,18 @@ object DataOps {
     val amax = aggregate(
       transform(col("embedding"), v => abs(v.cast("double"))),
       lit(0.0), (a, v) => greatest(a, v))
+    // zero vector → scale 0 and all-zero codes (guard against the
+    // 127/0 = Inf → round(0·Inf) = NaN path; can't occur in this
+    // corpus but an operator must not emit NaN on degenerate input)
     val q = transform(col("embedding"),
-      v => round(v.cast("double") * lit(127.0) / col("amax")).cast("long"))
+      v => when(col("amax") > 0,
+        round(v.cast("double") * lit(127.0) / col("amax")).cast("long"))
+        .otherwise(lit(0L)))
     emb(s, d)
       .select(col("vec_id"), col("embedding"), amax.as("amax"))
       .select(col("vec_id"),
-        round(lit(127.0) / col("amax"), 6).as("scale"),
+        when(col("amax") > 0, round(lit(127.0) / col("amax"), 6))
+          .otherwise(lit(0.0)).as("scale"),
         aggregate(q, lit(0L), (a, v) => a + v).as("qsum"),
         aggregate(q, lit(Long.MaxValue), (a, v) => least(a, v)).as("qmin"),
         aggregate(q, lit(Long.MinValue), (a, v) => greatest(a, v)).as("qmax"))
