@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def create(appName: String,
-             cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
+             cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+               Runtime.getRuntime.availableProcessors().toString),
              maxPartitionBytes: String = "4m"): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
