@@ -79,6 +79,24 @@ object Sinks {
   def orc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileBytes`. Long-running ingest (especially
+    * streaming foreachBatch) accretes files far smaller than an HDFS
+    * block/row-group sweet spot; scans then pay per-file open cost and
+    * lose row-group locality. Sizing comes from the actual on-disk
+    * bytes, not a guess, and the rewrite is one job. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val fs = FileSystem.get(new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.globStatus(new Path(s"$inDir/*.parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    spark.read.parquet(inDir)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
+
   /** Hive-style partitioned parquet: the 100 TB layout. A reader
     * filtering on the partition columns prunes whole directories at
     * planning time (`PartitionFilters` in the scan) — the per-day

@@ -239,6 +239,22 @@ object Relational {
       .select(col("op"), col("l_partkey"))
   }
 
+  /** Q33 — the remaining ranking-window family in one pass: ntile
+    * buckets, cumulative distribution, percent rank (all share one
+    * sort per partition — Catalyst collapses same-window functions
+    * into a single Window operator). */
+  def q33WindowFamily(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    li(s, d)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"),
+        col("l_linenumber"))
+      .withColumn("nt", ntile(4).over(w).cast("long"))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+  }
+
   /** Q20 — sketch-based distinct (HLL++): scale path for G2-style
     * distinct counts when exactness is waived; rows-only check (the
     * estimate is engine-specific) + accuracy-bounded in tests. */
@@ -358,7 +374,8 @@ object Relational {
     "q29_weighted_avg" -> q29WeightedAvg _,
     "q30_exists" -> q30Exists _,
     "q31_full_outer" -> q31FullOuter _,
-    "q32_setops" -> q32SetOps _)
+    "q32_setops" -> q32SetOps _,
+    "q33_window_family" -> q33WindowFamily _)
 
   val oracleSql: Map[String, String] = Map(
     "q26_shipping_priority" ->
@@ -532,5 +549,13 @@ object Relational {
          SELECT 'except', l_partkey FROM
            (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
             EXCEPT
-            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')""")
+            SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')""",
+    "q33_window_family" ->
+      """SELECT l_returnflag, l_orderkey, l_partkey, l_linenumber,
+                CAST(ntile(4) OVER w AS BIGINT) AS nt,
+                round(cume_dist() OVER w, 6) AS cd,
+                round(percent_rank() OVER w, 6) AS pr
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY l_orderkey, l_partkey, l_linenumber)""")
 }

@@ -38,6 +38,21 @@ class SourcesSpec extends SparkSpec {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("compaction rewrites many small parquet files into few sized ones") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("cmp_in").toString
+    val out = java.nio.file.Files.createTempDirectory("cmp_out").toString
+    (1L to 2000L).toDF("id").repartition(40).write.mode("overwrite").parquet(in)
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts(in) == 40)
+    Sinks.compactParquet(spark, in, out, targetFileBytes = 1L * 1024 * 1024)
+    assert(parts(out) < 5, s"expected few compacted files, got ${parts(out)}")
+    assert(spark.read.parquet(out).count() == 2000)
+    assert(spark.read.parquet(out).agg(org.apache.spark.sql.functions.sum("id"))
+      .collect()(0).getLong(0) == 2001000L)
+  }
+
   test("FAILFAST surfaces the malformed row as an error") {
     val dir = writeFixture()
     val df = CsvSource(dir, base, Map("mode" -> "FAILFAST")).load(spark)
