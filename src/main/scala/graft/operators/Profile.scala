@@ -24,4 +24,18 @@ object Profile {
     wide.selectExpr(
       s"stack(${cols.size}, $stack) as (col_name, nonnull_cnt, min_val, max_val, distinct_cnt)")
   }
+
+  /** ZERO-COST observability: attach row/null counters to a frame via
+    * the Observation API — the metrics ride the frame's own action
+    * (accumulator-style, no second scan, no extra shuffle), exactly
+    * what a 100 TB pipeline stage wants instead of a `.count()` audit
+    * pass that doubles the read. Returns the frame plus the handle;
+    * call `observation.get` after any action on the frame. */
+  def observed(df: DataFrame, cols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val metrics = count(lit(1)).as("n_rows") +:
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

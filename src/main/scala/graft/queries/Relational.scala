@@ -255,6 +255,17 @@ object Relational {
       .withColumn("pr", round(percent_rank().over(w), 6))
   }
 
+  /** Q34 — quantile sketch (percentile_approx / KLL-style summaries):
+    * the scale path when q25's exact interpolation is too expensive;
+    * rows-only (sketch internals are engine-specific), accuracy
+    * bounded in ProfileSpec against the exact percentiles. */
+  def q34ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
+
   /** Q20 — sketch-based distinct (HLL++): scale path for G2-style
     * distinct counts when exactness is waived; rows-only check (the
     * estimate is engine-specific) + accuracy-bounded in tests. */
@@ -375,7 +386,8 @@ object Relational {
     "q30_exists" -> q30Exists _,
     "q31_full_outer" -> q31FullOuter _,
     "q32_setops" -> q32SetOps _,
-    "q33_window_family" -> q33WindowFamily _)
+    "q33_window_family" -> q33WindowFamily _,
+    "q34_approx_percentile" -> q34ApproxPercentile _) // sketch → rows-only
 
   val oracleSql: Map[String, String] = Map(
     "q26_shipping_priority" ->
