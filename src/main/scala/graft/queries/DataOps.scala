@@ -141,6 +141,19 @@ object DataOps {
         coalesce(col("component"), col("doc_id")).as("component"))
   }
 
+  /** Cluster-based corpus dedup: ONE representative (min doc_id) per
+    * transitive near-dup component — the policy large corpora apply
+    * when pairwise suppression isn't aggressive enough (exact dups
+    * have identical signatures, so they're already edges of the LSH
+    * graph; singletons represent themselves). */
+  def ddCorpusCc(s: SparkSession, d: String): DataFrame = {
+    val reps = ddCc(s, d)
+      .groupBy("component").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs(s, d).join(reps, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Stratified deterministic sampling: per-source keep rate decided
     * by the stratum (50% for src0..src9, 20% for the rest), membership
     * by the portable content hash — reshuffle/cluster-size invariant,
@@ -458,6 +471,21 @@ object DataOps {
                    FROM reach GROUP BY node)
           SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+    "dd_corpus_cc" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+          sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+          reach(node, r) AS (
+            SELECT DISTINCT u, u FROM sym
+            UNION
+            SELECT reach.node, s2.v FROM reach JOIN sym s2 ON reach.r = s2.u),
+          comp AS (SELECT node AS doc_id, min(r) AS component
+                   FROM reach GROUP BY node),
+          allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          reps AS (SELECT min(doc_id) AS doc_id FROM allc GROUP BY component)
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM reps)""",
     "ds_sample" ->
       """WITH s AS (SELECT * FROM documents
            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
@@ -677,6 +705,7 @@ object DataOps {
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
     "dd_cc" -> ddCc _,
+    "dd_corpus_cc" -> ddCorpusCc _,
     "ds_sample" -> dsSample _,
     "tx_idf" -> txIdf _,
     "tx_redact" -> txRedact _,

@@ -266,6 +266,16 @@ object Relational {
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
 
+  /** Q35 — unpivot/melt (the inverse reshape of ev_pivot): wide
+    * per-flag aggregates to long (flag, metric, value) form. */
+  def q35Unpivot(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+
   /** Q20 — sketch-based distinct (HLL++): scale path for G2-style
     * distinct counts when exactness is waived; rows-only check (the
     * estimate is engine-specific) + accuracy-bounded in tests. */
@@ -387,7 +397,8 @@ object Relational {
     "q31_full_outer" -> q31FullOuter _,
     "q32_setops" -> q32SetOps _,
     "q33_window_family" -> q33WindowFamily _,
-    "q34_approx_percentile" -> q34ApproxPercentile _) // sketch → rows-only
+    "q34_approx_percentile" -> q34ApproxPercentile _, // sketch → rows-only
+    "q35_unpivot" -> q35Unpivot _)
 
   val oracleSql: Map[String, String] = Map(
     "q26_shipping_priority" ->
@@ -569,5 +580,12 @@ object Relational {
                 round(percent_rank() OVER w, 6) AS pr
          FROM lineitem
          WINDOW w AS (PARTITION BY l_returnflag
-                      ORDER BY l_orderkey, l_partkey, l_linenumber)""")
+                      ORDER BY l_orderkey, l_partkey, l_linenumber)""",
+    "q35_unpivot" ->
+      """WITH w AS (SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                           round(sum(l_extendedprice), 2) AS sum_price
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+         UNION ALL
+         SELECT l_returnflag, 'sum_price', sum_price FROM w""")
 }
