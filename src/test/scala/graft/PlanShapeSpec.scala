@@ -122,6 +122,32 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** AdaptiveSparkPlan.toString appends the pre-AQE initial plan —
+    * slice to the final section before counting operators. */
+  private def finalSection(p: String): String = {
+    val i = p.indexOf("== Initial Plan ==")
+    if (i >= 0) p.substring(0, i) else p
+  }
+
+  test("latest-per-key compacts with one exchange and map-side partial agg") {
+    val p = finalSection(finalPlan(graft.queries.Events.evLatest(spark, sf)))
+    assert(countOccurrences(p, "Exchange hashpartitioning") == 1, s"plan:\n$p")
+    // struct-max plans as SortAggregate; the property that matters is
+    // the partial (map-side) combine BEFORE the exchange — the shuffle
+    // carries one candidate per key per partition, not every event
+    assert(p.contains("partial_max(struct"),
+      s"latest-per-key lost its map-side combine:\n$p")
+  }
+
+  test("IVF assignment aggregates with map-side combine, not a window") {
+    val e = Tables(spark, sf, "embeddings")
+    val centroids = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val p = finalSection(finalPlan(graft.operators.Similarity.ivfAssign(e, centroids)))
+    assert(!p.contains("Window"), s"argmin regressed to a window:\n$p")
+    assert(p.contains("partial_min(struct"), s"plan:\n$p")
+  }
+
   test("exact dedup groups on the md5 key with partial aggregation") {
     val p = plan(DataOps.ddExact(spark, sf))
     assert(p.contains("HashAggregate") &&
