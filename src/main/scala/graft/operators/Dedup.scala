@@ -22,12 +22,23 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Distinct word n-gram shingles per document (the blocking unit
-    * for Jaccard and the hash input for MinHash). */
+    * for Jaccard and the hash input for MinHash).
+    *
+    * The tokenization is BOUND TO A COLUMN before the n-gram lambda:
+    * Spark does no subexpression elimination across higher-order-
+    * function boundaries, so a `split()` written inline inside the
+    * `transform` body re-executes once per produced n-gram —
+    * O(tokens²) work per document. Materializing the token array in a
+    * projection first makes every lambda iteration an O(n)-total
+    * `slice` over an already-computed array. This is the inner loop
+    * of corpus dedup; the quadratic form is the difference between a
+    * scan-bound and a CPU-bound 100 TB dedup pass. */
   def shingles(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
-    val toks = split(text, " ")
+    val toks = col("__toks")
     val cnt = size(toks) - (n - 1)
-    df.select(
-        id.as("doc_id"),
+    df.select(id.as("doc_id"), split(text, " ").as("__toks"))
+      .select(
+        col("doc_id"),
         explode(when(cnt >= 1,
           transform(sequence(lit(1), cnt),
             i => concat_ws(" ", slice(toks, i, lit(n)))))
@@ -59,11 +70,14 @@ object Dedup {
     // the dedup shuffle then moves longs, not ~n-word strings (the
     // grouping key is internal; outputs are doc-id pairs + counts).
     // Identical semantics to hashing after: every downstream step
-    // already keys on the hash.
-    val toks = split(text, " ")
+    // already keys on the hash. Tokenization is bound to a column
+    // BEFORE the lambda (see `shingles` — an inline split re-executes
+    // per n-gram, O(tokens²) per document).
+    val toks = col("__toks")
     val cnt = size(toks) - (n - 1)
-    val sh = df.select(
-        id.as("doc_id"),
+    val sh = df.select(id.as("doc_id"), split(text, " ").as("__toks"))
+      .select(
+        col("doc_id"),
         explode(when(cnt >= 1,
           transform(sequence(lit(1), cnt),
             i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))

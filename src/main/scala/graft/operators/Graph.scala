@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components over an undirected edge list —
@@ -22,9 +22,27 @@ import org.apache.spark.sql.functions._
   *
   * Per round the lineage is truncated with localCheckpoint —
   * iterative DataFrame loops otherwise re-plan the whole history and
-  * the optimizer time grows quadratically.
+  * the optimizer time grows quadratically. Intermediate rounds are
+  * unpersisted as the loop advances, and the FINAL labels are handed
+  * back as a reliable (disk) checkpoint, not a block-manager-resident
+  * one: a returned localCheckpoint can never be safely unpersisted by
+  * this function (the caller's action hasn't run yet) and leaking it
+  * degrades every later job in the session — block-manager residency
+  * evicts shuffle/cache blocks. The disk copy is tiny (two longs per
+  * node), survives any number of downstream actions, and costs one
+  * extra write+read of the label table.
   */
 object Graph {
+
+  /** Reliable checkpoints need a checkpoint dir. Local/default: a
+    * driver temp dir. Cluster deployments should point
+    * `sparkContext.setCheckpointDir` at shared storage (HDFS/object
+    * store) BEFORE calling — this fallback only fires when unset. */
+  private def ensureCheckpointDir(spark: SparkSession): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    }
 
   /** Components over `edges(srcCol, dstCol)`. Returns (node,
     * component) where component = the minimum node id reachable.
@@ -70,6 +88,14 @@ object Graph {
       i += 1
     }
     sym.unpersist()
-    labels
+    // Dematerialize before returning: copy the converged labels to a
+    // reliable checkpoint (disk-backed, zero block-manager residency)
+    // and free the last round's localCheckpoint blocks. Callers get a
+    // frame they can re-run any number of actions against without this
+    // function having leaked session-lifetime storage blocks.
+    ensureCheckpointDir(labels.sparkSession)
+    val out = labels.checkpoint()
+    labels.unpersist()
+    out
   }
 }

@@ -257,9 +257,12 @@ object DataOps {
     * staple: one explode + one partial-agg count + a k-row ordered
     * take; nothing but the 20 survivors ever reaches the driver. */
   def txTopBigrams(s: SparkSession, d: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
+    // tokens bound to a column BEFORE the bigram lambda — an inline
+    // split inside `transform` re-executes per element (O(tokens²)/doc)
+    val toks = col("__toks")
     val cnt = size(toks) - 1
-    docs(s, d).select(
+    docs(s, d).select(TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(
         explode(when(cnt >= 1,
           transform(sequence(lit(1), cnt),
             i => concat_ws(" ", slice(toks, i, lit(2)))))
