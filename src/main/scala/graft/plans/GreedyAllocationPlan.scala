@@ -3,12 +3,12 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** A1 as a first-class Catalyst operator (the (c) extension tier:
   * LogicalPlan + SparkStrategy + SparkPlan): `GreedyAllocationNode`
@@ -84,16 +84,23 @@ case class GreedyAllocationExec(reloadDaily: Boolean, output: Seq[Attribute], ch
     val (iOrd, iCust, iDt, iPid, iQty, iPrice, iStock, iDay) =
       (idx("order_id"), idx("customer_id"), idx("order_datetime"), idx("product_id"),
         idx("qty"), idx("unit_price"), idx("opening_stock"), idx("day"))
-    val outSchema = output
     child.execute().mapPartitions { it =>
-      val proj = UnsafeProjection.create(outSchema.map(_.dataType).toArray)
+      // Rows are assembled straight into an UnsafeRowWriter buffer —
+      // the boxed GenericInternalRow + UnsafeProjection detour cost
+      // one java.lang.Long per long column per row plus a second full
+      // copy, and the UTF8String clone is unnecessary because the
+      // writer copies the bytes into its own buffer immediately. The
+      // buffer (and its UnsafeRow view) is reused across rows — the
+      // standard operator contract; buffering consumers copy.
+      val writer = new UnsafeRowWriter(7)
+      // cancelled lines (the common path under stock-out) skip the
+      // BigDecimal multiply entirely
+      val zero18 = Decimal(java.math.BigDecimal.valueOf(0L, 18))
       var pid = Long.MinValue
       var first = true
       var remaining = 0L
       var opening = 0L
       var curDay = Int.MinValue
-      // one reused row per partition; UnsafeProjection copies out
-      val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
       it.map { row =>
         val p = row.getLong(iPid)
         val day = row.getInt(iDay)
@@ -107,16 +114,25 @@ case class GreedyAllocationExec(reloadDaily: Boolean, output: Seq[Attribute], ch
         }
         val qty = row.getLong(iQty)
         val filled = if (remaining >= qty) { remaining -= qty; qty } else 0L
+        writer.reset()
+        writer.zeroOutNullBytes()
+        writer.write(0, row.getLong(iOrd))
+        writer.write(1, row.getLong(iCust))
+        writer.write(2, row.getUTF8String(iDt))
+        writer.write(3, p)
+        writer.write(4, filled)
         val price = row.getDecimal(iPrice, 38, 18)
-        out.update(0, row.getLong(iOrd))
-        out.update(1, row.getLong(iCust))
-        out.update(2, row.getUTF8String(iDt).asInstanceOf[UTF8String].clone())
-        out.update(3, p)
-        out.update(4, filled)
-        out.update(5, price)
-        out.update(6,
-          Decimal(price.toJavaBigDecimal.multiply(java.math.BigDecimal.valueOf(filled))))
-        proj(out)
+        if (price == null) {
+          writer.write(5, null: Decimal, 38, 18)
+          writer.write(6, null: Decimal, 38, 18)
+        } else {
+          writer.write(5, price, 38, 18)
+          val total =
+            if (filled == 0L) zero18
+            else Decimal(price.toJavaBigDecimal.multiply(java.math.BigDecimal.valueOf(filled)))
+          writer.write(6, total, 38, 18)
+        }
+        writer.getRow
       }
     }
   }
