@@ -102,23 +102,42 @@ class DayFileScan(path: String, fullSchema: StructType, readSchema: StructType,
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"DayFileScan(prunedTo=${planInputPartitions().length} files)"
+    s"DayFileScan(prunedTo=${survivors.length} files)"
 
-  private def keep(day: Int): Boolean = dayFilters.forall {
-    case EqualTo("day", v) => day == v.asInstanceOf[Number].intValue()
-    case In("day", vs) => vs.exists(v => day == v.asInstanceOf[Number].intValue())
-    case GreaterThan("day", v) => day > v.asInstanceOf[Number].intValue()
-    case GreaterThanOrEqual("day", v) => day >= v.asInstanceOf[Number].intValue()
-    case LessThan("day", v) => day < v.asInstanceOf[Number].intValue()
-    case LessThanOrEqual("day", v) => day <= v.asInstanceOf[Number].intValue()
+  /** Null/odd-typed filter values, handled the way the claim of
+    * "fully pushed" requires (Spark will NOT re-check these rows):
+    * a comparison with NULL is never true → prune everything; an
+    * unexpected value type → conservatively keep the file (extra rows
+    * are only possible for types Spark never pushes for an int
+    * column, and keeping is the safe direction). */
+  private def cmp(v: Any)(f: Int => Boolean): Boolean = v match {
+    case null => false
+    case n: Number => f(n.intValue())
     case _ => true
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  private def keep(day: Int): Boolean = dayFilters.forall {
+    case EqualTo("day", v) => cmp(v)(day == _)
+    // nulls inside an IN list can never equal a day — skip them
+    case In("day", vs) => vs != null && vs.exists(v => v != null && cmp(v)(day == _))
+    case GreaterThan("day", v) => cmp(v)(day > _)
+    case GreaterThanOrEqual("day", v) => cmp(v)(day >= _)
+    case LessThan("day", v) => cmp(v)(day < _)
+    case LessThanOrEqual("day", v) => cmp(v)(day <= _)
+    case _ => true
+  }
+
+  /** Computed once: the surviving-file list backs BOTH the planned
+    * partitions and description(), so plan renders don't re-list the
+    * directory and the displayed count can't drift from the partitions
+    * actually planned. */
+  private lazy val survivors: Array[InputPartition] =
     DayFileSource.dayFiles(path)
       .filter { case (day, _) => keep(day) }
       .map { case (day, p) => DayFilePartition(day, p): InputPartition }
       .toArray
+
+  override def planInputPartitions(): Array[InputPartition] = survivors
 
   override def createReaderFactory(): PartitionReaderFactory =
     new DayFileReaderFactory(fullSchema, readSchema)
@@ -131,7 +150,11 @@ class DayFileReaderFactory(fullSchema: StructType, readSchema: StructType)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[DayFilePartition]
     new PartitionReader[InternalRow] {
-      private val lines = scala.io.Source.fromFile(p.path).getLines()
+      // held in a field so close() can release the file descriptor —
+      // a getLines()-only reference leaks the fd until GC, and a
+      // long-lived executor runs one reader per task
+      private val source = scala.io.Source.fromFile(p.path)
+      private val lines = source.getLines()
       private var current: InternalRow = _
 
       // column order in the file = fullSchema minus `day`
@@ -158,7 +181,7 @@ class DayFileReaderFactory(fullSchema: StructType, readSchema: StructType)
         true
       }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = source.close()
     }
   }
 }

@@ -88,8 +88,11 @@ object Sinks {
   def compactParquet(spark: SparkSession, inDir: String, outDir: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val fs = FileSystem.get(new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.globStatus(new Path(s"$inDir/*.parquet"))
-      .map(_.getLen).sum
+    // globStatus returns null for a nonexistent dir; an existing-but-
+    // empty dir would otherwise proceed into a schema-less parquet read
+    val statuses = Option(fs.globStatus(new Path(s"$inDir/*.parquet"))).toSeq.flatten
+    require(statuses.nonEmpty, s"compactParquet: no parquet files match $inDir/*.parquet")
+    val bytes = statuses.map(_.getLen).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
     spark.read.parquet(inDir)
       .repartition(nFiles.toInt)

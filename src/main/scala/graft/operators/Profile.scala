@@ -4,20 +4,55 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling: per-column null counts, min/max, and
-  * exact distinct cardinality in a single aggregation pass (one scan
-  * of the table regardless of how many columns are profiled — the
-  * shape that matters when the table is 100 TB). Output is one row
-  * per profiled column, unpivoted for stable schemas. */
+  * distinct cardinality in a single scan of the table regardless of
+  * how many columns are profiled — the shape that matters when the
+  * table is 100 TB. Output is one row per profiled column, unpivoted
+  * for stable schemas.
+  *
+  * Neither path plans an Expand. Multiple `countDistinct` aggregates
+  * in one `agg` make Catalyst Expand the scan output once per
+  * distinct column — a ×|cols| row amplification between the scan and
+  * the first aggregate. The DEFAULT path uses HLL sketches
+  * (`approx_count_distinct`), which partial-aggregate map-side like
+  * any ordinary aggregate: the shuffle carries one sketch per column
+  * per partition, the cardinalities are ±rsd. The EXACT path unpivots
+  * to (col_name, value) pairs first, so there is exactly ONE distinct
+  * aggregate — Catalyst plans it as a two-phase aggregation on the
+  * pair key, again Expand-free, at the cost of shuffling the distinct
+  * value set. Exact profiling of a 100 TB table is a real decision,
+  * not a default. */
 object Profile {
 
-  def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Approximate profile (default at scale): one ordinary aggregation
+    * pass, HLL distinct estimates with relative error `rsd`. */
+  def numeric(df: DataFrame, cols: Seq[String], rsd: Double = 0.05): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__nonnull"),
         round(min(col(c)).cast("double"), 6).as(s"${c}__min"),
         round(max(col(c)).cast("double"), 6).as(s"${c}__max"),
-        countDistinct(col(c)).as(s"${c}__distinct"))
+        approx_count_distinct(col(c), rsd).as(s"${c}__distinct"))
     }
+    unpivot(df, cols, aggs)
+  }
+
+  /** Exact profile (opt-in): unpivot-first so the single `value`
+    * distinct aggregate plans without Expand. Distinctness is counted
+    * on the double-cast value — injective for numeric columns of ≤ 15
+    * significant digits. */
+  def numericExact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val stacked = df.selectExpr(
+      s"stack(${cols.size}, ${cols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")})" +
+        " as (col_name, value)")
+    stacked.groupBy("col_name").agg(
+      count(col("value")).as("nonnull_cnt"),
+      round(min(col("value")), 6).as("min_val"),
+      round(max(col("value")), 6).as("max_val"),
+      countDistinct(col("value")).as("distinct_cnt"))
+  }
+
+  private def unpivot(df: DataFrame, cols: Seq[String],
+                      aggs: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stack = cols.map(c =>
       s"'$c', ${c}__nonnull, ${c}__min, ${c}__max, ${c}__distinct").mkString(", ")

@@ -106,8 +106,11 @@ object DataOps {
       .select(col("doc_id"), TextAnalysis.splitAssign(col("doc_id")).as("split"))
       .groupBy("split").agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
 
+  /** Exact profile (oracle-checkable); the library default
+    * `Profile.numeric` is the HLL-approximate path — see Profile's
+    * scaladoc and the Expand-free plan assertions in ProfileSpec. */
   def dqProfile(s: SparkSession, d: String): DataFrame =
-    graft.operators.Profile.numeric(Tables(s, d, "lineitem"),
+    graft.operators.Profile.numericExact(Tables(s, d, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
 
   def txTokens(s: SparkSession, d: String): DataFrame =
@@ -490,9 +493,12 @@ object DataOps {
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id IN (SELECT doc_id FROM reps)""",
     "ds_sample" ->
+      // TRY_CAST: the Spark side's substring().cast("int") yields null
+      // (→ the 20% bucket) for non-numeric source suffixes; a plain
+      // CAST would error instead of matching that null-safe fall-through
       """WITH s AS (SELECT * FROM documents
            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
-               < CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 50 ELSE 20 END)
+               < CASE WHEN TRY_CAST(substr(source, 4) AS INT) < 10 THEN 50 ELSE 20 END)
          SELECT source, count(*) AS n_sampled, min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM s GROUP BY source""",
     "tx_idf" ->

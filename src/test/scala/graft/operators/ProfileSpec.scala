@@ -16,6 +16,33 @@ class ProfileSpec extends SparkSpec {
     assert(m("n_rows") == 4L && m("v_nulls") == 2L, s"metrics: $m")
   }
 
+  test("neither profile path plans an Expand; approx distinct is within rsd") {
+    val sf = "/root/testdata/sf0.01"
+    val li = Tables(spark, sf, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+    val approx = Profile.numeric(li, cols)
+    val exact = Profile.numericExact(li, cols)
+    // multi-countDistinct in one agg would Expand the scan ×|cols|;
+    // both the HLL default and the unpivot-first exact path avoid it
+    Seq("approx" -> approx, "exact" -> exact).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Expand"), s"$name path planned an Expand:\n$plan")
+    }
+    val e = exact.collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    approx.collect().foreach { r =>
+      val (c, est) = (r.getString(0), r.getLong(4))
+      val truth = e(c)
+      assert(math.abs(est - truth).toDouble / truth < 0.15,
+        s"$c: approx=$est exact=$truth")
+    }
+    // non-distinct stats are identical across paths
+    val ex = exact.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    approx.collect().foreach { r =>
+      assert(ex(r.getString(0)) == ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    }
+  }
+
   test("approx percentile lands within the sketch's rank-error bound") {
     val sf = "/root/testdata/sf0.01"
     val approx = graft.queries.Relational
