@@ -45,18 +45,23 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: plane p, dim d weight =
     * a fixed integer hash mapped to [-1, 1). Reproducible across
-    * engines and runs — no RNG state. */
-  private def planeWeight(p: Int, d: Int): Double = {
+    * engines and runs — no RNG state; exposed (package-wide) so the
+    * DuckDB oracle SQL can embed the identical weights as literals. */
+  private[graft] def planeWeight(p: Int, d: Int): Double = {
     val h = (p * 1000003L + d * 7919L + 12345L) * 2654435761L % 1000000007L
     (math.abs(h).toDouble / 1000000007.0) * 2.0 - 1.0
   }
 
+  /** Corpus embedding dimensionality (embeddings.parquet). */
+  val lshDims = 64
+  val lshPlanes = 16
+
   /** 16-bit random-hyperplane signature as a bucket key: 16 native
     * dot products against literal plane vectors (one tight codegen
     * loop each — not a 16×64-term expression tree). */
-  def lshBucket(emb: DataFrame, nPlanes: Int = 16): DataFrame = {
+  def lshBucket(emb: DataFrame, nPlanes: Int = lshPlanes): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    val dims = 64 // corpus embedding dimensionality (embeddings.parquet)
+    val dims = lshDims
     val bucket = (0 until nPlanes).map { p =>
       val plane = lit((0 until dims).map(d => planeWeight(p, d).toFloat).toArray)
       when(fastDot(col("embedding"), plane) >= 0, lit(1L) * (1L << p)).otherwise(0L)

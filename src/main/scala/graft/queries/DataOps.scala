@@ -78,7 +78,8 @@ object DataOps {
 
   /** Recall@k of the LSH ANN against exact brute force over the
     * query set — the quality metric an approximate index must ship
-    * with (rows-only: the value measures the index, not an oracle).
+    * with (oracle-exact: the hyperplanes are deterministic closed
+    * form, so DuckDB replays the whole index + rerank + metric).
     * On THIS corpus the expected value is ~0: the embeddings are
     * unclustered (max pairwise cosine ≈ 0.47), and sign-LSH only
     * collides vectors at small angles — recall on planted
@@ -379,6 +380,52 @@ object DataOps {
         sim AS (SELECT doc_id, $fp AS simhash FROM bits)"""
   }
 
+  /** Shared CTE chain for the sign-LSH ANN family: per-vector bucket
+    * from the SAME closed-form hyperplane weights the Spark side uses
+    * (Similarity.planeWeight, embedded as double literals of the
+    * float-rounded weights — the hash is deterministic, so both
+    * engines dot against identical planes), plus the norm table.
+    * Yields `bk(vec_id, bucket)` and `nrm(vec_id, nrm)`. */
+  private val lshBucketCte = {
+    import graft.operators.Similarity.{lshDims, lshPlanes, planeWeight}
+    val planeRows = (0 until lshPlanes).map { p =>
+      val wl = (0 until lshDims)
+        .map(d => planeWeight(p, d).toFloat.toDouble.toString)
+        .mkString("[", ", ", "]")
+      s"($p, ${1L << p}, $wl)"
+    }.mkString(", ")
+    s"""planes(p, pw, wl) AS (VALUES $planeRows),
+        pdots AS (SELECT e.vec_id, pl.pw,
+                   list_sum(list_transform(range(1, ${lshDims + 1}),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * pl.wl[i])) AS dp
+                 FROM embeddings e CROSS JOIN planes pl),
+        bk AS (SELECT vec_id,
+                      CAST(sum(CASE WHEN dp >= 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+               FROM pdots GROUP BY vec_id),
+        nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+                  (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+                GROUP BY vec_id)"""
+  }
+
+  /** Bucket-candidate → exact-cosine rerank (mirrors the shared tail
+    * of Similarity.lshAnn / lshAnnMultiProbe). `candCte` must define
+    * `cand(query_id, neighbor_id, ea, eb)`. */
+  private def lshRerankSql(candCte: String): String =
+    s"""WITH $lshBucketCte,
+        $candCte,
+        u AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                     CAST(unnest(eb) AS DOUBLE) AS y FROM cand),
+        d AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM u
+              GROUP BY query_id, neighbor_id),
+        scored AS (SELECT query_id, neighbor_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
+                   FROM d JOIN nrm na ON query_id = na.vec_id
+                          JOIN nrm nb ON neighbor_id = nb.vec_id),
+        ranked AS (SELECT query_id, neighbor_id, cos,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rk
+                   FROM scored)
+        SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= $annK"""
+
   private val langHitsSql: Seq[(String, String)] =
     TextAnalysis.langProfiles.map { case (lang, ws) =>
       val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -416,6 +463,69 @@ object DataOps {
   val oracleSql: Map[String, String] = Map(
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
+    "sim_lsh_ann" -> lshRerankSql(
+      """cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         qe.embedding AS ea, ce.embedding AS eb
+                  FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                  JOIN embeddings qe ON qe.vec_id = q.vec_id
+                  JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
+    "sim_lsh_multiprobe" -> lshRerankSql(
+      // every bucket at Hamming distance 1 (plus the home bucket) —
+      // probe values are pairwise distinct, so no candidate dedup is
+      // needed (a corpus vector's single bucket matches at most one)
+      s"""probes AS (SELECT vec_id,
+                            unnest([bucket] || list_transform(range(0, ${graft.operators.Similarity.lshPlanes}),
+                              j -> xor(bucket, CAST(1 AS BIGINT) << j))) AS probe
+                     FROM bk),
+          cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          qe.embedding AS ea, ce.embedding AS eb
+                   FROM probes q JOIN bk c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+                   JOIN embeddings qe ON qe.vec_id = q.vec_id
+                   JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
+    "sim_ann_recall" ->
+      s"""WITH $lshBucketCte,
+          ep AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        q.embedding AS ea, c.embedding AS eb
+                 FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+                 WHERE q.vec_id < $annQueries),
+          eu AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                        CAST(unnest(eb) AS DOUBLE) AS y FROM ep),
+          ed AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM eu
+                 GROUP BY query_id, neighbor_id),
+          es AS (SELECT query_id, neighbor_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
+                 FROM ed JOIN nrm na ON query_id = na.vec_id
+                         JOIN nrm nb ON neighbor_id = nb.vec_id),
+          exact_rk AS (SELECT query_id, neighbor_id FROM
+                         (SELECT query_id, neighbor_id,
+                                 row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rk FROM es)
+                       WHERE rk <= $annK),
+          ap AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                        qe.embedding AS ea, ce.embedding AS eb
+                 FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                 JOIN embeddings qe ON qe.vec_id = q.vec_id
+                 JOIN embeddings ce ON ce.vec_id = c.vec_id
+                 WHERE q.vec_id < $annQueries),
+          au AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                        CAST(unnest(eb) AS DOUBLE) AS y FROM ap),
+          ad AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM au
+                 GROUP BY query_id, neighbor_id),
+          asq AS (SELECT query_id, neighbor_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
+                  FROM ad JOIN nrm na ON query_id = na.vec_id
+                          JOIN nrm nb ON neighbor_id = nb.vec_id),
+          ann_rk AS (SELECT query_id, neighbor_id FROM
+                       (SELECT query_id, neighbor_id,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rk FROM asq)
+                     WHERE rk <= $annK),
+          hits AS (SELECT e.query_id, count(*) AS hits FROM exact_rk e
+                   WHERE EXISTS (SELECT 1 FROM ann_rk a
+                                 WHERE a.query_id = e.query_id
+                                   AND a.neighbor_id = e.neighbor_id)
+                   GROUP BY e.query_id)
+          SELECT round(CAST(sum(hits) AS BIGINT) / ${annK * annQueries}.0, 4) AS recall_at_k,
+                 count(*) AS queries_with_hits
+          FROM hits""",
     "sim_ivf" ->
       """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce
                         FROM embeddings WHERE vec_id < 4),
@@ -700,10 +810,10 @@ object DataOps {
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_corpus" -> ddCorpus _,
     "sim_topk" -> simTopK _,
-    "sim_lsh_ann" -> simLshAnn _, // approximate → rows-only check
-    "sim_lsh_multiprobe" -> simLshMultiProbe _, // approximate → rows-only check
-    "sim_ivf" -> simIvf _,        // float-argmin ranking → rows-only check
-    "sim_ann_recall" -> simAnnRecall _, // self-metric of the ANN index → rows-only
+    "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly
+    "sim_lsh_multiprobe" -> simLshMultiProbe _,
+    "sim_ivf" -> simIvf _,
+    "sim_ann_recall" -> simAnnRecall _,
     "tx_tokens" -> txTokens _,
     "dq_profile" -> dqProfile _,
     "tx_clean" -> txClean _,
