@@ -43,6 +43,49 @@ final case class ParquetSource(path: String) extends TableSource {
   def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** S1/S3 live form — a JDBC table scan. The reference reads its MySQL
+  * tables through a single connection (src/data_processor.py:179-193),
+  * which serializes a 100 TB-adjacent ingest through one task; this
+  * source takes a numeric `partitionColumn` + bounds and plans
+  * `numPartitions` parallel range scans instead (Spark's stride
+  * partitioning keeps the first/last ranges unbounded, so rows outside
+  * the declared bounds are still read — bounds shape parallelism,
+  * never correctness). Bounds come from warehouse metadata when you
+  * have it; `JdbcSource.derivedBounds` probes MIN/MAX with a 1-row
+  * query when you don't. */
+final case class JdbcSource(url: String, table: String,
+                            partitionColumn: Option[String] = None,
+                            lowerBound: Long = 0L, upperBound: Long = 1L,
+                            numPartitions: Int = 8,
+                            options: Map[String, String] = Map.empty) extends TableSource {
+  def load(spark: SparkSession): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).options(options)
+    partitionColumn.fold(base) { c =>
+      base.option("partitionColumn", c)
+        .option("lowerBound", lowerBound.toString)
+        .option("upperBound", upperBound.toString)
+        .option("numPartitions", numPartitions.toString)
+    }.load()
+  }
+}
+
+object JdbcSource {
+  /** (min, max) of a numeric column, via a single-row aggregate pushed
+    * to the database — the probe a caller runs once before planning a
+    * partitioned scan when bounds aren't already known. */
+  def derivedBounds(spark: SparkSession, url: String, table: String,
+                    column: String, options: Map[String, String] = Map.empty): (Long, Long) = {
+    // positional access: databases differ on unquoted-identifier case
+    // (Derby/Oracle uppercase, Postgres lowercases)
+    val row = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s"(SELECT MIN($column) AS mn, MAX($column) AS mx FROM $table) b")
+      .options(options).load().collect()(0)
+    (row.get(0).asInstanceOf[Number].longValue(), row.get(1).asInstanceOf[Number].longValue())
+  }
+}
+
 /** ORC — the other columnar interchange format Spark ships natively;
   * same pushdown/pruning contract as parquet (PushedFilters +
   * ReadSchema reach the scan), so pipelines landing ORC from Hive
