@@ -10,12 +10,13 @@ import graft.pipeline.CandyPipeline
   * on one cluster).
   *
   * Usage: graft.CandyMain <dataDir> <outputDir>
-  *          [--reload-daily] [--horizon N] [--model linear|seasonal|mllib]
+  *          [--reload-daily] [--horizon N]
+  *          [--model linear|seasonal|mllib|prophet]
   */
 object CandyMain {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CandyMain <dataDir> <outputDir> [--reload-daily] [--horizon N] [--model linear|seasonal|mllib]")
+      "usage: CandyMain <dataDir> <outputDir> [--reload-daily] [--horizon N] [--model linear|seasonal|mllib|prophet]")
     val dataDir = args(0)
     val outDir = args(1)
     val reloadDaily = args.contains("--reload-daily")
@@ -29,6 +30,7 @@ object CandyMain {
     val model: () => graft.forecast.Forecaster = modelName match {
       case "seasonal" => () => new graft.forecast.SeasonalNaiveForecaster()
       case "mllib" => () => new graft.forecast.MllibForecaster(spark)
+      case "prophet" => () => new graft.forecast.ProphetLikeForecaster(spark)
       case _ => () => new graft.forecast.LinearTrendForecaster()
     }
     val stage = args.sliding(2).collectFirst {

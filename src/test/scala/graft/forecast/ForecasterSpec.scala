@@ -36,4 +36,41 @@ class ForecasterSpec extends SparkSpec {
     val (mae, _) = m.metrics(linear)
     assert(mae < 1e-6)
   }
+
+  test("prophet-like model captures a trend break + weekly season the line can't") {
+    // slope 3 for 4 weeks, then slope -1, plus a strong weekly cycle
+    val y = Array.tabulate(56) { t =>
+      val trend = if (t < 28) 100.0 + 3.0 * t else 100.0 + 3.0 * 28 - 1.0 * (t - 28)
+      trend + 12.0 * math.sin(2 * math.Pi * t / 7.0) + 5.0 * math.cos(4 * math.Pi * t / 7.0)
+    }
+    val prophet = new ProphetLikeForecaster(spark)
+    prophet.fit(y)
+    val line = new LinearTrendForecaster().fit(y)
+    val (pMae, _) = prophet.metrics(y)
+    val (lMae, _) = line.metrics(y)
+    assert(pMae < lMae / 2, s"prophet-like MAE $pMae vs linear $lMae")
+
+    // extrapolation follows the POST-break slope, not the global fit
+    val next = prophet.predict(7)
+    val trueNext = Array.tabulate(7) { k =>
+      val t = 56 + k
+      100.0 + 3.0 * 28 - 1.0 * (t - 28) +
+        12.0 * math.sin(2 * math.Pi * t / 7.0) + 5.0 * math.cos(4 * math.Pi * t / 7.0)
+    }
+    val fMae = next.zip(trueNext).map { case (a, b) => math.abs(a - b) }.sum / 7
+    assert(fMae < 6.0, s"7-day-ahead MAE $fMae")
+
+    // uncertainty triple brackets the point forecast symmetrically
+    prophet.predictInterval(3).zip(prophet.predict(3)).foreach { case ((lo, p, hi), p2) =>
+      assert(p == p2 && lo < p && p < hi)
+      assert(math.abs((hi - p) - (p - lo)) < 1e-9)
+    }
+  }
+
+  test("prophet-like model degrades gracefully on short series") {
+    val short = Array(5.0, 7.0, 9.0)
+    val m = new ProphetLikeForecaster(spark).fit(short)
+    val p = m.predict(2)
+    assert(p.length == 2 && p.forall(v => !v.isNaN && !v.isInfinite))
+  }
 }
