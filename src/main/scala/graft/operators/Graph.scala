@@ -64,8 +64,17 @@ object Graph {
       val propagated = sym
         .join(labels.withColumnRenamed("node", "u"), Seq("u"))
         .select(col("v").as("node"), col("component"))
-      val hop = labels.select("node", "component").union(propagated)
-        .groupBy("node").agg(min("component").as("component"))
+      // Each node's PREVIOUS label rides through the aggregation
+      // (exactly one union row per node carries it — `labels` has one
+      // row per node — so max() recovers it past the nulls). The
+      // convergence test below then filters the already-checkpointed
+      // result instead of re-joining `labels`: one fewer shuffle join
+      // per round, and the test's job only scans checkpoint blocks.
+      val hop = labels
+        .select(col("node"), col("component"), col("component").as("prev"))
+        .union(propagated
+          .select(col("node"), col("component"), lit(null).cast("long").as("prev")))
+        .groupBy("node").agg(min("component").as("component"), max("prev").as("prev"))
       // pointer jump: follow the label chain one level (component is
       // always itself a node id, so the self-join resolves its label)
       val next = hop
@@ -73,12 +82,10 @@ object Graph {
           col("component") === col("cnode"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("cc"), col("component")))
-            .as("component"))
+            .as("component"),
+          col("prev"))
         .localCheckpoint()
-      converged = next.join(
-          labels.withColumnRenamed("component", "prev"), Seq("node"))
-        .filter(col("component") =!= col("prev"))
-        .isEmpty
+      converged = next.filter(col("component") =!= col("prev")).isEmpty
       // `next` is checkpointed, so it no longer depends on the previous
       // round's blocks — free them now. Leaked checkpoint blocks squat
       // in the block manager for the session lifetime and evict/starve
@@ -94,7 +101,7 @@ object Graph {
     // frame they can re-run any number of actions against without this
     // function having leaked session-lifetime storage blocks.
     ensureCheckpointDir(labels.sparkSession)
-    val out = labels.checkpoint()
+    val out = labels.select("node", "component").checkpoint()
     labels.unpersist()
     out
   }
