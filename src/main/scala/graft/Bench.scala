@@ -25,15 +25,23 @@ object Bench {
 
     // optional comma-separated filter for focused A/B timing
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Runs per query: the reported number is the MIN across runs, so a
+    // background-load spike on one run (this box carries ~2 cores of
+    // ambient noise) doesn't masquerade as a regression. Min, not mean:
+    // the minimum is the best estimate of the plan's intrinsic cost.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(2).max(1)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
-      // A failed query is recorded as -1.0 so crashes are visibly distinct
-      // from fast successes in the JSON line.
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
+        // A failed query is recorded as -1.0 so crashes are visibly distinct
+        // from fast successes in the JSON line.
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

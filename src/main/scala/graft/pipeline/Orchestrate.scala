@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
+import scala.util.control.NonFatal
+
 /** Stage orchestration semantics of the reference's Airflow DAG
   * (src/candy_store_dag.py:14-22: `retries: 3` + `retry_delay` in
   * default_args; a failed task re-executes its WHOLE body), made
@@ -57,7 +59,11 @@ object Orchestrate {
         f.create(marker(ckpt, name), true).close()
         return StageResult(name, used, skipped = false)
       } catch {
-        case t: Throwable =>
+        // Only retry recoverable failures. Fatal JVM errors (OOM,
+        // StackOverflow, linkage) propagate immediately — retrying them
+        // inside the same damaged process is what a real scheduler never
+        // does; it lets the task die and restarts the worker instead.
+        case NonFatal(t) =>
           lastFailure = t
           if (used < attempts && backoffMs > 0) Thread.sleep(backoffMs)
       }

@@ -46,6 +46,18 @@ class OrchestrateSpec extends SparkSpec {
     assert(calls == 3 && !r.skipped)
   }
 
+  test("a fatal JVM error propagates immediately — no retry in a damaged process") {
+    val ckpt = freshCkpt()
+    var calls = 0
+    val e = intercept[OutOfMemoryError] {
+      Orchestrate.runStage(spark, ckpt, "fatal", attempts = 3) {
+        calls += 1; throw new OutOfMemoryError("simulated heap exhaustion")
+      }
+    }
+    assert(calls == 1 && e.getMessage == "simulated heap exhaustion")
+    assert(!Orchestrate.isComplete(spark, ckpt, "fatal"))
+  }
+
   test("staged pipeline resumes after a failed stage without redoing earlier ones") {
     val ckpt = freshCkpt()
     var ingests = 0
