@@ -105,13 +105,24 @@ object Similarity {
     * nPlanes× more candidate lookups for substantially higher recall —
     * the standard knob when single-probe buckets are too precise.
     * Candidates stay bucket-partitioned; only the probe list grows. */
-  def lshAnnMultiProbe(emb: DataFrame, k: Int, nPlanes: Int = 16): DataFrame = {
-    GraftFunctions.ensureRegistered(emb.sparkSession)
-    val b = lshBucket(emb, nPlanes).select("vec_id", "embedding", "bucket")
+  def lshAnnMultiProbe(emb: DataFrame, k: Int, nPlanes: Int = 16): DataFrame =
+    lshAnnMultiProbeFor(emb, emb, k, nPlanes)
+
+  /** Multi-probe with an explicit query set — the same asymmetry as
+    * lshAnnFor: only the probing vectors explode into their
+    * (nPlanes + 1)-bucket probe lists, so answering |Q| lookups costs
+    * |Q|·(nPlanes+1) bucket probes instead of |corpus|·(nPlanes+1).
+    * The corpus side stays a single bucket-keyed projection. */
+  def lshAnnMultiProbeFor(corpus: DataFrame, queries: DataFrame, k: Int,
+                          nPlanes: Int = 16): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val b = lshBucket(corpus, nPlanes).select("vec_id", "embedding", "bucket")
       .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
-    val probes = b.withColumn("probe",
-      explode(array((col("bucket") +: (0 until nPlanes).map(j =>
-        col("bucket").bitwiseXOR(lit(1L << j)))): _*)))
+    val probes = lshBucket(queries, nPlanes).select("vec_id", "embedding", "bucket")
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+      .withColumn("probe",
+        explode(array((col("bucket") +: (0 until nPlanes).map(j =>
+          col("bucket").bitwiseXOR(lit(1L << j)))): _*)))
     val scored = probes.as("q")
       .join(b.as("c"), col("q.probe") === col("c.bucket")
         && col("q.vec_id") =!= col("c.vec_id"))
@@ -146,6 +157,66 @@ object Similarity {
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
       .toDF("centroid_id", "embedding")
+  }
+
+  /** Oracle-replayable Lloyd training. Deterministic by construction:
+    * init = the k lowest-vec_id vectors, cosine distance rounded to
+    * 6dp (ties → lower centroid_id), per-dimension means rounded to
+    * 6dp. The rounding pins every iteration to values both engines
+    * reproduce despite different float summation orders — the same
+    * cross-engine parity trick as the pinned LSH planes above.
+    * Centroid state (k × dims doubles) lives on the driver between
+    * passes — the model-state shape MLlib itself keeps — so each
+    * iteration is exactly one broadcast assignment pass over the
+    * corpus plus a k×dims-row mean. At 100 TB: train on a sample,
+    * assign on the full corpus (same posture as trainCentroids). */
+  def lloydTrain(emb: DataFrame, k: Int, iters: Int = 4): Seq[(Long, Seq[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Long, Seq[Double])] =
+      emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i.toLong, r.getSeq[Float](1).map(_.toDouble)) }.toSeq
+    (1 to iters).foreach { _ =>
+      val assigned = lloydAssign(emb, cents.toDF("centroid_id", "cent"))
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("v"))
+        .collect()
+      val byCid = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      // a cluster that lost all members keeps its previous centroid
+      cents = cents.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** 6dp-rounded cosine distance between a float-array vector column
+    * and a double-array centroid column — the pinned metric every
+    * lloydTrain iteration (and its DuckDB replay) agrees on. */
+  def lloydDist(v: org.apache.spark.sql.Column,
+                cent: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val vd = v.cast("array<double>")
+    val dp = aggregate(zip_with(vd, cent, (x, y) => x * y), lit(0.0), _ + _)
+    val nv = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), _ + _))
+    val nc = sqrt(aggregate(transform(cent, y => y * y), lit(0.0), _ + _))
+    round(lit(1.0) - dp / (nv * nc), 6)
+  }
+
+  /** One assignment pass against double-precision centroids with the
+    * 6dp-rounded cosine distance lloydTrain fixes (ties → lower
+    * centroid_id). Same partial-aggregatable min(struct) argmin as
+    * ivfAssign. */
+  def lloydAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    emb.as("v").crossJoin(broadcast(centroids.as("cent")))
+      .withColumn("dist", lloydDist(col("v.embedding"), col("cent.cent")))
+      .groupBy(col("v.vec_id").as("vec_id"))
+      .agg(min(struct(col("dist"), col("cent.centroid_id").as("centroid_id"),
+        col("v.embedding").as("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        col("m.embedding").as("embedding"))
   }
 
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {

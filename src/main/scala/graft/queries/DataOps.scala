@@ -61,12 +61,32 @@ object DataOps {
   def simLshMultiProbe(s: SparkSession, d: String): DataFrame =
     Similarity.lshAnnMultiProbe(emb(s, d), annK)
 
+  /** Multi-probe bound to the query SET — a 10-lookup probe costs
+    * 10·17 bucket probes, not |corpus|·17 (the same asymmetry that
+    * took sim_ann_recall from 9.9s to 0.9s in r3). */
+  def simLshMultiProbeFor(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.lshAnnMultiProbeFor(e, e.filter(col("vec_id") < annQueries), annK)
+  }
+
   /** IVF with k-means-TRAINED centroids (vs sim_ivf's fixed seed
-    * vectors) — rows-only: the oracle can't replay MLlib's Lloyd
-    * iterations, but cluster quality is asserted in SimilaritySpec. */
-  def simIvfKmeans(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfAssign(emb(s, d), Similarity.trainCentroids(emb(s, d), 4))
+    * vectors). Training is the deterministic Lloyd loop
+    * (Similarity.lloydTrain: closed-form init + 6dp-pinned
+    * iterations), so the FULL train-then-assign pipeline replays in
+    * the DuckDB oracle — MLlib k-means|| (trainCentroids) stays as
+    * the sampled-init alternative, quality-asserted in
+    * SimilaritySpec. */
+  def simIvfKmeans(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = emb(s, d)
+    val cents = Similarity.lloydTrain(e, lloydK, lloydIters)
+    Similarity.lloydAssign(e, cents.toDF("centroid_id", "cent"))
       .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
+  }
+
+  val lloydK = 4
+  val lloydIters = 4
 
   def simIvf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
@@ -460,7 +480,47 @@ object DataOps {
               count(*) AS total_lines
        FROM rec GROUP BY product_id"""
 
+  /** sim_ivf_kmeans replayed end-to-end: Lloyd's loop UNROLLED as one
+    * CTE block per iteration (assign → recenter), mirroring
+    * Similarity.lloydTrain exactly — same init (k lowest vec_ids),
+    * same 6dp-rounded cosine distance and tie-break, same 6dp-rounded
+    * per-dimension means, same empty-cluster carry-forward — then a
+    * final assignment with the trained centroids. */
+  private val lloydOracle: String = {
+    import graft.operators.Similarity.lshDims
+    val k = lloydK
+    def assign(cents: String, out: String): String =
+      s"""d_$out AS (SELECT en.vec_id, c.cid,
+                round(1.0 - list_sum(list_transform(range(1, ${lshDims + 1}),
+                        i -> en.v[i] * c.cent[i]))
+                      / (en.nrm * sqrt(list_sum(list_transform(c.cent, x -> x*x)))), 6) AS dist
+              FROM en CROSS JOIN $cents c),
+          a_$out AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist, cid) AS rk FROM d_$out) WHERE rk = 1)"""
+    def recenter(prev: String, assigned: String, out: String): String =
+      s"""m_$out AS (SELECT a.cid, t.i, round(avg(en.v[t.i]), 6) AS val
+              FROM $assigned a JOIN en ON en.vec_id = a.vec_id
+              CROSS JOIN range(1, ${lshDims + 1}) t(i)
+              GROUP BY a.cid, t.i),
+          g_$out AS (SELECT cid, list(val ORDER BY i) AS cent FROM m_$out GROUP BY cid),
+          $out AS (SELECT p.cid, coalesce(n.cent, p.cent) AS cent
+                   FROM $prev p LEFT JOIN g_$out n ON n.cid = p.cid)"""
+    val iterBlocks = (1 to lloydIters).map { it =>
+      assign(s"c${it - 1}", s"$it") + ",\n" + recenter(s"c${it - 1}", s"a_$it", s"c$it")
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        en AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cent
+               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+        $iterBlocks,
+        ${assign(s"c$lloydIters", "f")}
+        SELECT cid AS centroid_id, count(*) AS n_vectors FROM a_f GROUP BY cid"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sim_ivf_kmeans" -> lloydOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
     "sim_lsh_ann" -> lshRerankSql(
@@ -477,6 +537,18 @@ object DataOps {
                             unnest([bucket] || list_transform(range(0, ${graft.operators.Similarity.lshPlanes}),
                               j -> xor(bucket, CAST(1 AS BIGINT) << j))) AS probe
                      FROM bk),
+          cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          qe.embedding AS ea, ce.embedding AS eb
+                   FROM probes q JOIN bk c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+                   JOIN embeddings qe ON qe.vec_id = q.vec_id
+                   JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
+    "sim_lsh_multiprobe_for" -> lshRerankSql(
+      // same probe expansion, restricted to the query set — only the
+      // probing vectors fan out into their 17-bucket probe lists
+      s"""probes AS (SELECT vec_id,
+                            unnest([bucket] || list_transform(range(0, ${graft.operators.Similarity.lshPlanes}),
+                              j -> xor(bucket, CAST(1 AS BIGINT) << j))) AS probe
+                     FROM bk WHERE vec_id < $annQueries),
           cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                           qe.embedding AS ea, ce.embedding AS eb
                    FROM probes q JOIN bk c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
@@ -812,6 +884,7 @@ object DataOps {
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly
     "sim_lsh_multiprobe" -> simLshMultiProbe _,
+    "sim_lsh_multiprobe_for" -> simLshMultiProbeFor _,
     "sim_ivf" -> simIvf _,
     "sim_ann_recall" -> simAnnRecall _,
     "tx_tokens" -> txTokens _,

@@ -42,4 +42,37 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.trainCentroids(e, 3).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("lloydTrain improves on its own init and assigns every vector") {
+    import spark.implicits._
+    val e = Tables(spark, sf, "embeddings")
+    val init = Similarity.lloydTrain(e, 4, iters = 0)
+    val trained = Similarity.lloydTrain(e, 4, iters = 4)
+    assert(trained.size == 4 && trained.map(_._1) == init.map(_._1))
+
+    def meanDist(cents: Seq[(Long, Seq[Double])]): Double =
+      Similarity.lloydAssign(e, cents.toDF("centroid_id", "cent"))
+        .join(broadcast(cents.toDF("centroid_id", "cent")), Seq("centroid_id"))
+        .select(Similarity.lloydDist(col("embedding"), col("cent")).as("d"))
+        .agg(avg(col("d"))).collect()(0).getDouble(0)
+
+    val assigned = Similarity.lloydAssign(e, trained.toDF("centroid_id", "cent"))
+    assert(assigned.count() == e.count(), "every vector must land in a cell")
+    // Lloyd's algorithm monotonically decreases within-cluster distance
+    assert(meanDist(trained) < meanDist(init),
+      "trained centroids must partition tighter than the raw init")
+    // deterministic: two trainings agree exactly
+    assert(Similarity.lloydTrain(e, 4, iters = 4) == trained)
+  }
+
+  test("query-bound multi-probe agrees with the self-join form on the query set") {
+    val e = Tables(spark, sf, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+    val bound = Similarity.lshAnnMultiProbeFor(e, queries, 5)
+      .collect().map(_.toSeq).toSet
+    val self = Similarity.lshAnnMultiProbe(e, 5)
+      .filter(col("query_id") < 10).collect().map(_.toSeq).toSet
+    assert(bound == self, "restricting the probe side must not change answers")
+    assert(bound.nonEmpty)
+  }
 }
