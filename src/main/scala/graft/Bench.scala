@@ -10,8 +10,23 @@ import org.apache.spark.sql.SparkSession
   * so codegen/JIT startup isn't charged to whichever query happens to
   * run first; queries then execute in name order for run-to-run
   * comparability.
+  *
+  * Artifacts: the stdout line keeps timings to 3 decimals so the whole
+  * sweep fits in the driver's bounded capture buffer (r4/r5 lost the
+  * leading dd_* entries to truncation); the FULL record — per-run
+  * times, not just the min, plus per-query session-state diagnostics
+  * (heap, cumulative GC, loaded classes, persisted RDDs) — goes to its
+  * own file (SPARK_GRAFT_BENCH_OUT, default BENCH_FULL.json in the
+  * repo). The run1/run2 spread and the diagnostics trajectory are the
+  * signal for the mid-sweep inflation investigation (VERDICT r5 #2).
   */
 object Bench {
+  private def gcMillis: Long = {
+    import scala.collection.JavaConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ > 0).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.create("graft-bench")
@@ -30,6 +45,8 @@ object Bench {
     // ambient noise) doesn't masquerade as a regression. Min, not mean:
     // the minimum is the best estimate of the plan's intrinsic cost.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(2).max(1)
+    val classMx = java.lang.management.ManagementFactory.getClassLoadingMXBean
+    val rt = Runtime.getRuntime
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
@@ -41,14 +58,31 @@ object Bench {
         // from fast successes in the JSON line.
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      // Session-state snapshot AFTER this query: what accumulates
+      // across the sweep shows up as a trend in these columns.
+      val diag = Map(
+        "heap_mb" -> (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024),
+        "gc_ms" -> gcMillis,
+        "classes" -> classMx.getLoadedClassCount.toLong,
+        "rdds" -> spark.sparkContext.getPersistentRDDs.size.toLong)
+      (name, if (times.exists(_ < 0)) -1.0 else times.min, times, diag)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val errs = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+
+    val fullRows = results.map { case (k, v, ts, diag) =>
+      val d = diag.toSeq.sortBy(_._1).map { case (dk, dv) => s""""$dk":$dv""" }.mkString(",")
+      s""""$k":{"min":$v,"runs":[${ts.mkString(",")}],$d}"""
+    }.mkString("{", ",", "}")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries":$fullRows,"errors":$errs}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"BENCH_OUT write failed: $e") }
     spark.stop()
   }
 }

@@ -75,6 +75,45 @@ object Similarity {
   def lshAnn(emb: DataFrame, k: Int, nPlanes: Int = 16): DataFrame =
     lshAnnFor(emb, emb, k, nPlanes)
 
+  /** Bucketed + normed projection every LSH entry point shares: one
+    * pass computing the nPlanes sign bits and the vector norm. */
+  private def bucketedNormed(df: DataFrame, nPlanes: Int): DataFrame =
+    lshBucket(df, nPlanes).select("vec_id", "embedding", "bucket")
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+
+  /** XOR masks for every probe bucket within Hamming `radius` of the
+    * home bucket: mask 0 (home) first, then all weight-1 flips, then
+    * weight-2, … — a deterministic enumeration the DuckDB oracle
+    * reproduces literally (DataOps embeds this list). Distinct masks
+    * yield pairwise-distinct probe values, so a corpus vector's single
+    * bucket matches at most one probe and candidates never need
+    * deduplication. Probe count grows as C(nPlanes, ≤radius); radius
+    * is the standard recall-vs-cost knob. */
+  private[graft] def probeMasks(nPlanes: Int, radius: Int): Seq[Long] =
+    (0 to radius).flatMap(w =>
+      (0 until nPlanes).combinations(w).map(_.map(b => 1L << b).sum).toSeq)
+
+  private def withProbes(bucketed: DataFrame, masks: Seq[Long]): DataFrame =
+    bucketed.withColumn("probe",
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+
+  /** Shared candidate-join + exact-cosine rerank: probes carry a
+    * `probe` bucket key; corpus rows stay in their single bucket. */
+  private def rerankByBucket(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = probes.as("q")
+      .join(corpus.as("c"), col("q.probe") === col("c.bucket")
+        && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cos", round(
+        fastDot(col("q.embedding"), col("c.embedding"))
+          / (col("q.nrm") * col("c.nrm")), 6))
+    val w = Window.partitionBy(col("q.vec_id"))
+      .orderBy(col("cos").desc, col("c.vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+        col("cos"), col("rk"))
+  }
+
   /** Same index, explicit query set: when |queries| ≪ |corpus| the
     * bucket signatures, join and per-query rerank window are computed
     * only for the probing vectors — never pay the all-pairs self-join
@@ -82,60 +121,45 @@ object Similarity {
   def lshAnnFor(corpus: DataFrame, queries: DataFrame, k: Int,
                 nPlanes: Int = 16): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val b = lshBucket(corpus, nPlanes).select("vec_id", "embedding", "bucket")
-      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
-    val qb = lshBucket(queries, nPlanes).select("vec_id", "embedding", "bucket")
-      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
-    val scored = qb.as("q")
-      .join(b.as("c"), col("q.bucket") === col("c.bucket")
-        && col("q.vec_id") =!= col("c.vec_id"))
-      .withColumn("cos", round(
-        fastDot(col("q.embedding"), col("c.embedding"))
-          / (col("q.nrm") * col("c.nrm")), 6))
-    val w = Window.partitionBy(col("q.vec_id"))
-      .orderBy(col("cos").desc, col("c.vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        col("cos"), col("rk"))
+    val b = bucketedNormed(corpus, nPlanes)
+    val qb = bucketedNormed(queries, nPlanes).withColumn("probe", col("bucket"))
+    rerankByBucket(qb, b, k)
   }
 
-  /** Multi-probe LSH ANN: the query side also probes every bucket at
-    * Hamming distance 1 (flip each of the nPlanes sign bits), trading
-    * nPlanes× more candidate lookups for substantially higher recall —
-    * the standard knob when single-probe buckets are too precise.
-    * Candidates stay bucket-partitioned; only the probe list grows. */
-  def lshAnnMultiProbe(emb: DataFrame, k: Int, nPlanes: Int = 16): DataFrame =
-    lshAnnMultiProbeFor(emb, emb, k, nPlanes)
+  /** Multi-probe LSH ANN: the query side also probes every bucket
+    * within Hamming distance `probeRadius` (default 1: flip each of
+    * the nPlanes sign bits), trading more candidate lookups for
+    * substantially higher recall — the standard knob when single-probe
+    * buckets are too precise. Candidates stay bucket-partitioned; only
+    * the probe list grows. The self-join builds the bucketed+normed
+    * projection ONCE and derives the probe side from it — both join
+    * inputs share the subtree, so the 16 hyperplane dot products per
+    * vector are paid once, not twice (the r5 delegation to the
+    * two-sided form doubled them; BENCH r5 showed 1.77s → 3.56s). */
+  def lshAnnMultiProbe(emb: DataFrame, k: Int, nPlanes: Int = 16,
+                       probeRadius: Int = 1): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val b = bucketedNormed(emb, nPlanes)
+    rerankByBucket(withProbes(b, probeMasks(nPlanes, probeRadius)), b, k)
+  }
 
   /** Multi-probe with an explicit query set — the same asymmetry as
-    * lshAnnFor: only the probing vectors explode into their
-    * (nPlanes + 1)-bucket probe lists, so answering |Q| lookups costs
-    * |Q|·(nPlanes+1) bucket probes instead of |corpus|·(nPlanes+1).
-    * The corpus side stays a single bucket-keyed projection. */
+    * lshAnnFor: only the probing vectors explode into their probe
+    * lists, so answering |Q| lookups costs |Q|·C(nPlanes, ≤radius)
+    * bucket probes instead of |corpus|·C(nPlanes, ≤radius). The
+    * corpus side stays a single bucket-keyed projection. Passing the
+    * corpus itself as the query frame falls back to the shared-subtree
+    * self-join form above. */
   def lshAnnMultiProbeFor(corpus: DataFrame, queries: DataFrame, k: Int,
-                          nPlanes: Int = 16): DataFrame = {
-    GraftFunctions.ensureRegistered(corpus.sparkSession)
-    val b = lshBucket(corpus, nPlanes).select("vec_id", "embedding", "bucket")
-      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
-    val probes = lshBucket(queries, nPlanes).select("vec_id", "embedding", "bucket")
-      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
-      .withColumn("probe",
-        explode(array((col("bucket") +: (0 until nPlanes).map(j =>
-          col("bucket").bitwiseXOR(lit(1L << j)))): _*)))
-    val scored = probes.as("q")
-      .join(b.as("c"), col("q.probe") === col("c.bucket")
-        && col("q.vec_id") =!= col("c.vec_id"))
-      .withColumn("cos", round(
-        fastDot(col("q.embedding"), col("c.embedding"))
-          / (col("q.nrm") * col("c.nrm")), 6))
-    val w = Window.partitionBy(col("q.vec_id"))
-      .orderBy(col("cos").desc, col("c.vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
-        col("cos"), col("rk"))
-  }
+                          nPlanes: Int = 16, probeRadius: Int = 1): DataFrame =
+    if (corpus eq queries) lshAnnMultiProbe(corpus, k, nPlanes, probeRadius)
+    else {
+      GraftFunctions.ensureRegistered(corpus.sparkSession)
+      val b = bucketedNormed(corpus, nPlanes)
+      val probes = withProbes(bucketedNormed(queries, nPlanes),
+        probeMasks(nPlanes, probeRadius))
+      rerankByBucket(probes, b, k)
+    }
 
   /** IVF-style coarse index: assign each vector to its nearest of
     * `centroids` (a tiny broadcast table of (centroid_id, embedding));
@@ -173,24 +197,30 @@ object Similarity {
   def lloydTrain(emb: DataFrame, k: Int, iters: Int = 4): Seq[(Long, Seq[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
-    var cents: Seq[(Long, Seq[Double])] =
-      emb.select("vec_id", "embedding").orderBy("vec_id").limit(k).collect()
-        .zipWithIndex.map { case (r, i) =>
-          (i.toLong, r.getSeq[Float](1).map(_.toDouble)) }.toSeq
-    (1 to iters).foreach { _ =>
-      val assigned = lloydAssign(emb, cents.toDF("centroid_id", "cent"))
-      val means = assigned
-        .select(col("centroid_id"), posexplode(col("embedding")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(round(avg(col("col").cast("double")), 6).as("v"))
-        .collect()
-      val byCid = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
-        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+    // The loop drives iters+1 jobs over the same vectors; pin them in
+    // memory for the duration instead of re-scanning the source (and
+    // re-deriving the projection) every assignment pass.
+    val src = emb.select("vec_id", "embedding").persist()
+    try {
+      var cents: Seq[(Long, Seq[Double])] =
+        src.orderBy("vec_id").limit(k).collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i.toLong, r.getSeq[Float](1).map(_.toDouble)) }.toSeq
+      (1 to iters).foreach { _ =>
+        val assigned = lloydAssign(src, cents.toDF("centroid_id", "cent"))
+        val means = assigned
+          .select(col("centroid_id"), posexplode(col("embedding")))
+          .groupBy(col("centroid_id"), col("pos"))
+          .agg(round(avg(col("col").cast("double")), 6).as("v"))
+          .collect()
+        val byCid = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        // a cluster that lost all members keeps its previous centroid
+        cents = cents.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
       }
-      // a cluster that lost all members keeps its previous centroid
-      cents = cents.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
-    }
-    cents
+      cents
+    } finally src.unpersist(blocking = false)
   }
 
   /** 6dp-rounded cosine distance between a float-array vector column

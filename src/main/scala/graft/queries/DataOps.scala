@@ -19,6 +19,10 @@ object DataOps {
   val cosineThreshold = 0.3
   val annK = 5
   val annQueries = 10 // query set = vec_id < 10
+  /** Hamming-≤1 probe masks, shared verbatim with the Spark plan so
+    * the oracle's probe set is identical by construction. */
+  private val multiProbeMaskList: String =
+    Similarity.probeMasks(Similarity.lshPlanes, 1).mkString(", ")
 
   // ---- Spark sides ---------------------------------------------------
 
@@ -530,12 +534,14 @@ object DataOps {
                   JOIN embeddings qe ON qe.vec_id = q.vec_id
                   JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
     "sim_lsh_multiprobe" -> lshRerankSql(
-      // every bucket at Hamming distance 1 (plus the home bucket) —
-      // probe values are pairwise distinct, so no candidate dedup is
-      // needed (a corpus vector's single bucket matches at most one)
+      // probe buckets from the SAME mask enumeration the Spark side
+      // uses (Similarity.probeMasks — home bucket + every flip within
+      // the probe radius); masks are pairwise distinct, so probe
+      // values are too and no candidate dedup is needed (a corpus
+      // vector's single bucket matches at most one)
       s"""probes AS (SELECT vec_id,
-                            unnest([bucket] || list_transform(range(0, ${graft.operators.Similarity.lshPlanes}),
-                              j -> xor(bucket, CAST(1 AS BIGINT) << j))) AS probe
+                            unnest(list_transform([$multiProbeMaskList],
+                              m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
                      FROM bk),
           cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                           qe.embedding AS ea, ce.embedding AS eb
@@ -544,10 +550,10 @@ object DataOps {
                    JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
     "sim_lsh_multiprobe_for" -> lshRerankSql(
       // same probe expansion, restricted to the query set — only the
-      // probing vectors fan out into their 17-bucket probe lists
+      // probing vectors fan out into their probe lists
       s"""probes AS (SELECT vec_id,
-                            unnest([bucket] || list_transform(range(0, ${graft.operators.Similarity.lshPlanes}),
-                              j -> xor(bucket, CAST(1 AS BIGINT) << j))) AS probe
+                            unnest(list_transform([$multiProbeMaskList],
+                              m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
                      FROM bk WHERE vec_id < $annQueries),
           cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                           qe.embedding AS ea, ce.embedding AS eb
