@@ -41,31 +41,46 @@ object Bench {
     // optional comma-separated filter for focused A/B timing
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // Runs per query: the reported number is the MIN across runs, so a
-    // background-load spike on one run (this box carries ~2 cores of
-    // ambient noise) doesn't masquerade as a regression. Min, not mean:
-    // the minimum is the best estimate of the plan's intrinsic cost.
+    // background-load spike doesn't masquerade as a regression. Min,
+    // not mean: the minimum is the best estimate of the plan's
+    // intrinsic cost. The runs are full PASSES over the whole query
+    // list, not back-to-back repeats of each query: a multi-minute
+    // ambient spike (this box carries ~2 cores of bursty background
+    // load) inflates BOTH back-to-back repetitions of a contiguous
+    // alphabetical band — the r4/r5 "mid-sweep inflation", which the
+    // r6 diagnostics traced to exactly such spikes (heap/GC/class
+    // counts stay flat across the sweep; see BASELINE.md) — but lands
+    // on different queries in different passes, so min-across-passes
+    // removes it.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").flatMap(_.toIntOption).getOrElse(2).max(1)
     val classMx = java.lang.management.ManagementFactory.getClassLoadingMXBean
     val rt = Runtime.getRuntime
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    val names = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+      .toSeq.sortBy(_._1)
+    val runTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val diags = scala.collection.mutable.Map.empty[String, Map[String, Long]]
+    (1 to runs).foreach { _ =>
+      names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case e: Throwable =>
                    System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
         // A failed query is recorded as -1.0 so crashes are visibly distinct
         // from fast successes in the JSON line.
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        runTimes(name) = runTimes.getOrElse(name, Vector.empty) :+ t
+        // Session-state snapshot AFTER this query: what accumulates
+        // across the sweep shows up as a trend in these columns.
+        diags(name) = Map(
+          "heap_mb" -> (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024),
+          "gc_ms" -> gcMillis,
+          "classes" -> classMx.getLoadedClassCount.toLong,
+          "rdds" -> spark.sparkContext.getPersistentRDDs.size.toLong)
       }
-      // Session-state snapshot AFTER this query: what accumulates
-      // across the sweep shows up as a trend in these columns.
-      val diag = Map(
-        "heap_mb" -> (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024),
-        "gc_ms" -> gcMillis,
-        "classes" -> classMx.getLoadedClassCount.toLong,
-        "rdds" -> spark.sparkContext.getPersistentRDDs.size.toLong)
-      (name, if (times.exists(_ < 0)) -1.0 else times.min, times, diag)
+    }
+    val results = names.map { case (name, _) =>
+      val times = runTimes(name)
+      (name, if (times.exists(_ < 0)) -1.0 else times.min, times, diags(name))
     }
     val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")

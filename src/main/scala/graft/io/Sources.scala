@@ -114,6 +114,32 @@ object Sinks {
     fs.delete(new Path(tmp), true)
   }
 
+  /** S1 write-back — the warehouse bulk load closing the JDBC
+    * round-trip (reference: src/data_processor.py:98-139, TRUNCATE +
+    * executemany into MySQL). `overwrite` keeps the reference's
+    * truncate-then-load semantics: with `truncate=true` Spark issues
+    * TRUNCATE TABLE and keeps the existing table (schema, grants,
+    * indexes) instead of drop/recreate; `append` accumulates.
+    * `batchSize` is the executemany batch (Spark default 1000 — far
+    * too chatty for a bulk load); `maxConnections` caps write
+    * parallelism by coalescing before the write, because at cluster
+    * scale "one connection per task" means thousands of simultaneous
+    * sessions against one warehouse — the cap, not the cluster size,
+    * must decide. */
+  def jdbc(df: DataFrame, url: String, table: String,
+           mode: String = "overwrite", batchSize: Int = 10000,
+           truncate: Boolean = true,
+           maxConnections: Option[Int] = None,
+           options: Map[String, String] = Map.empty): Unit = {
+    val base = df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize.toString)
+      .option("truncate", truncate.toString)
+      .options(options)
+    maxConnections.fold(base)(n =>
+      base.option("numPartitions", n.toString)).mode(mode).save()
+  }
+
   /** S7 — parquet checkpoint between pipeline stages (the Airflow
     * DAG's inter-task handoff, src/candy_store_dag.py:102-113). */
   def parquet(df: DataFrame, path: String): Unit =
