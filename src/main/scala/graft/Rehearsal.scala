@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Graph}
+import graft.pipeline.Allocate
+
+/** Scale rehearsal main: replicate the sf tables ×MULT in-plan and
+  * time the operators whose cost curves matter most at 100 TB —
+  * allocation, corpus dedup, connected components, the window family,
+  * and the SimHash Hamming join (both band widths). Run with
+  * SPARK_GRAFT_MULT at 1 / 10 / 100 and compare wall-clocks: a
+  * healthy operator grows ≲ linearly per decade on fixed cores
+  * (results table in BASELINE.md).
+  *
+  * Replication is salted so the bigger corpus is realistic, not
+  * degenerate:
+  *  - documents: every token gets a per-replica suffix, so replicas
+  *    occupy disjoint shingle/token vocabularies — the corpus keeps
+  *    its planted near-dup rate per replica instead of every doc
+  *    acquiring MULT exact twins (which would measure the input's
+  *    quadratic duplicate structure, not the operator).
+  *  - lineitem/orders: keys that define sequences/partitions
+  *    (l_orderkey, o_orderkey) are salted unique; grouping keys
+  *    (l_partkey, o_custkey) are kept, so per-product demand
+  *    sequences and per-customer windows genuinely grow ×MULT — the
+  *    stress is on partition depth, the hard axis for sort-based
+  *    operators.
+  */
+object Rehearsal {
+
+  private def timed[T](label: String)(f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** df × range(mult) with per-replica rewrites. */
+  private def replicate(df: DataFrame, mult: Int)(rewrite: DataFrame => DataFrame): DataFrame =
+    rewrite(df.crossJoin(df.sparkSession.range(mult).select(col("id").as("__rep"))))
+
+  /** Raw band-join candidate count for a simhash band layout — the
+    * pre-distinct volume that drives the Hamming join's cost. */
+  private def simhashCandidates(docs: DataFrame, bits: Int, bandBits: Int): Long = {
+    val nBands = bits / bandBits
+    val mask = (1L << bandBits) - 1
+    val sim = Dedup.simhash(docs, col("text"), col("doc_id"), bits)
+    val bands = sim.select(col("doc_id"),
+        explode(array((0 until nBands).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bkey"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band")
+        && col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.get("SPARK_GRAFT_MULT").flatMap(_.toIntOption).getOrElse(10)
+    val only = sys.env.get("SPARK_GRAFT_REHEARSE").map(_.split(",").map(_.trim).toSet)
+    val spark = GraftSession.create("graft-rehearsal")
+
+    val m = lit(mult.toLong)
+    val docsR = replicate(Tables(spark, sfDir, "documents"), mult) { d =>
+      d.select((col("doc_id") * m + col("__rep")).as("doc_id"),
+        // suffix EVERY token with the replica id → replica vocabularies
+        // are pairwise disjoint; within a replica the text (and its
+        // near-dup structure) is isomorphic to the original
+        regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1_"), col("__rep"))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    val lineR = replicate(Tables(spark, sfDir, "lineitem"), mult) { d =>
+      d.withColumn("l_orderkey", col("l_orderkey") * m + col("__rep")).drop("__rep")
+    }
+    val ordR = replicate(Tables(spark, sfDir, "orders"), mult) { d =>
+      d.withColumn("o_orderkey", col("o_orderkey") * m + col("__rep")).drop("__rep")
+    }
+    val part = Tables(spark, sfDir, "part")
+
+    val cases: Seq[(String, () => Long)] = Seq(
+      "alloc_plan" -> { () =>
+        val demand = lineR
+          .join(broadcast(part.select(col("p_partkey"),
+            (col("p_size").cast("long") * 100L).as("opening_stock"))),
+            col("l_partkey") === col("p_partkey"))
+          .select(
+            col("l_orderkey").as("order_id"),
+            col("l_suppkey").as("customer_id"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd'T'HH:mm:ss").as("order_datetime"),
+            col("l_partkey").as("product_id"),
+            col("l_quantity").cast("long").as("qty"),
+            round(col("l_extendedprice") / col("l_quantity"), 2)
+              .cast("decimal(38,18)").as("unit_price"),
+            col("opening_stock"),
+            date_format(col("l_shipdate"), "yyyyMMdd").cast("int").as("day"),
+            col("l_orderkey").as("seq"),
+            col("l_linenumber").as("pos"))
+        Allocate.viaPlan(demand)
+          .groupBy("product_id").agg(sum(col("quantity")).as("filled_qty"))
+          .count()
+      },
+      "dd_corpus" -> { () =>
+        Dedup.dedupedCorpus(docsR, col("text"), col("doc_id"), 3, 0.3).count()
+      },
+      "dd_cc" -> { () =>
+        Graph.connectedComponents(
+          Dedup.minhashCandidatePairs(docsR, col("text"), col("doc_id"), 3),
+          "id_a", "id_b").count()
+      },
+      "window_running" -> { () =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        // consume the windowed column: a bare count() lets Catalyst
+        // prune the unreferenced Window node away entirely
+        ordR.select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("running_spend"))
+          .agg(count(col("running_spend"))).collect()(0).getLong(0)
+      },
+      "window_rank" -> { () =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ordR.withColumn("rk", rank().over(w)).filter(col("rk") <= 3).count()
+      },
+      "simhash_32_8" -> { () =>
+        Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
+      },
+      "simhash_64_16" -> { () =>
+        Dedup.simhashPairs(docsR, col("text"), col("doc_id"), bits = 64, bandBits = 16).count()
+      },
+      // decomposition probes: fingerprint aggregation alone, per width
+      "simhash_fp_32" -> { () =>
+        Dedup.simhash(docsR, col("text"), col("doc_id"), 32).count()
+      },
+      "simhash_fp_64" -> { () =>
+        Dedup.simhash(docsR, col("text"), col("doc_id"), 64).count()
+      },
+      // raw band-join candidate volume (pre-distinct, pre-filter)
+      "simhash_cand_32_8" -> { () => simhashCandidates(docsR, 32, 8) },
+      "simhash_cand_64_16" -> { () => simhashCandidates(docsR, 64, 16) })
+
+    val selected = cases.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, run) =>
+      val (rows, sec) = timed(name)(run())
+      System.err.println(f"REHEARSAL $name mult=$mult rows=$rows sec=$sec%.2f")
+      s""""$name":{"rows":$rows,"sec":$sec}"""
+    }
+    println(s"""{"metric":"rehearsal","mult":$mult,"sf":"$sfDir","cases":${results.mkString("{", ",", "}")}}""")
+    spark.stop()
+  }
+}

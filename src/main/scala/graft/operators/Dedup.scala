@@ -221,18 +221,31 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------
 
-  /** 32-bit SimHash over token hashes: per bit, sign of Σ(±1); one
-    * groupBy with 32 conditional sums (single aggregation pass). */
-  def simhash(df: DataFrame, text: Column, id: Column): DataFrame = {
+  /** SimHash over token hashes: per bit, sign of Σ(±1); one groupBy
+    * with `bits` conditional sums (single aggregation pass). 32 bits
+    * is the oracle-checked default; 64 bits is the scale variant —
+    * fingerprint width has to grow with the corpus or band buckets
+    * saturate (see simhashPairs). The fingerprint assembles via
+    * bitwise OR of distinct powers (identical value to the old sum
+    * for 32 bits, and safe for bit 63). */
+  def simhash(df: DataFrame, text: Column, id: Column, bits: Int = 32): DataFrame = {
+    // tokenHash is the 32-bit oracle-portable hash — its upper 32 bits
+    // are ZERO, so a >32-bit fingerprint built on it would have
+    // constant-0 high bits and every high band would degenerate into
+    // one full-cross bucket (measured: 2.5e9 candidates on 50k docs).
+    // Wider fingerprints therefore hash with xxhash64, which fills all
+    // 64 bits; the 32-bit default keeps tokenHash so dd_simhash stays
+    // DuckDB-replayable.
+    val hash = if (bits <= 32) tokenHash(col("token")) else xxhash64(col("token"))
     val tok = df.select(id.as("doc_id"),
       explode(split(text, " ")).as("token"))
-      .withColumn("h", tokenHash(col("token")))
-    val bitSums = (0 until 32).map { r =>
+      .withColumn("h", hash)
+    val bitSums = (0 until bits).map { r =>
       sum(when(shiftright(col("h"), r).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$r")
     }
-    val fp = (0 until 32).map { r =>
-      when(col(s"s$r") > 0, lit(1L) * (1L << r)).otherwise(0L)
-    }.reduce(_ + _)
+    val fp = (0 until bits).map { r =>
+      when(col(s"s$r") > 0, lit(1L << r)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
     tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
   }
@@ -240,19 +253,33 @@ object Dedup {
   val simhashMaxHamming = 3
 
   /** SimHash near-dup candidates: pairs within `simhashMaxHamming`
-    * bits of each other, blocked on 8-bit fingerprint bands. With 4
-    * bands over 32 bits, any pair ≤ 3 bits apart shares at least one
-    * intact band (pigeonhole) — the banding is lossless for the
-    * distance cutoff, so this IS the exact Hamming-ball join, but the
-    * join key is a band byte instead of an all-pairs cross. One
-    * codegen'd `bit_count(xor)` per candidate; the fingerprint table
-    * shuffles 4× (once per band), never N². */
-  def simhashPairs(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val sim = simhash(df, text, id)
+    * bits of each other, blocked on `bandBits`-wide fingerprint
+    * bands. Any pair ≤ maxHamming bits apart corrupts at most
+    * maxHamming bands, so with more than maxHamming bands at least
+    * one band survives intact (pigeonhole) — the banding is lossless
+    * for the distance cutoff, so this IS the exact Hamming-ball join,
+    * but the join key is a band slice instead of an all-pairs cross.
+    * One codegen'd `bit_count(xor)` per candidate; the fingerprint
+    * table shuffles nBands× (once per band), never N².
+    *
+    * SCALE: the per-band bucket space is 2^bandBits, so CHANCE
+    * collisions (unrelated docs landing in one bucket) grow as
+    * N²/2^bandBits — with the 32/8 default's 256 buckets the
+    * candidate set goes quadratic once N ≫ thousands (measured in the
+    * 100× rehearsal, BASELINE.md). At corpus scale use bits=64,
+    * bandBits=16: still 4 bands (lossless for ≤3 bits) but 65,536
+    * buckets per band — 256× fewer chance candidates. */
+  def simhashPairs(df: DataFrame, text: Column, id: Column,
+                   bits: Int = 32, bandBits: Int = 8): DataFrame = {
+    val nBands = bits / bandBits
+    require(bits % bandBits == 0 && nBands > simhashMaxHamming,
+      s"need more than $simhashMaxHamming bands for a lossless Hamming-$simhashMaxHamming join")
+    val mask = (1L << bandBits) - 1
+    val sim = simhash(df, text, id, bits)
     val bands = sim.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b => struct(
+        explode(array((0 until nBands).map(b => struct(
           lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey"))): _*)).as("bd"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bkey"))): _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
     bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band")
