@@ -84,8 +84,13 @@ object Graph {
           least(col("component"), coalesce(col("cc"), col("component")))
             .as("component"),
           col("prev"))
-        .localCheckpoint()
-      converged = next.filter(col("component") =!= col("prev")).isEmpty
+        .localCheckpoint(eager = false)
+      // One job does double duty: count() scans EVERY partition of the
+      // filtered view (unlike isEmpty's take-1 short circuit), which
+      // fully materializes the lazy checkpoint above AND answers the
+      // convergence test — halving the per-round job count, the
+      // dominant cost once components collapse to a few labels.
+      converged = next.filter(col("component") =!= col("prev")).count() == 0
       // `next` is checkpointed, so it no longer depends on the previous
       // round's blocks — free them now. Leaked checkpoint blocks squat
       // in the block manager for the session lifetime and evict/starve

@@ -276,6 +276,21 @@ object Relational {
       .unpivot(Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price")), "metric", "value")
 
+  /** Q36 — bloom-pruned big-big join: the dim side (high-value
+    * orders) is selective but, at 100 TB, too large to broadcast as a
+    * hash relation; a ~1 MB bloom of its keys prunes the fact scan
+    * BEFORE the shuffle. No false negatives → the oracle is the
+    * PLAIN join: the pruned plan must return identical rows. */
+  def q36BloomPrune(s: SparkSession, d: String): DataFrame = {
+    val dim = ord(s, d).filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_orderpriority")
+    graft.operators.BloomSemiJoin.prunedJoin(li(s, d), dim, "l_orderkey", "o_orderkey")
+      .withColumn("cents", round(col("l_extendedprice") * 100, 0).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("cents")) / 100.0).as("revenue"))
+  }
+
   /** Q20 — sketch-based distinct (HLL++): scale path for G2-style
     * distinct counts when exactness is waived; rows-only check (the
     * estimate is engine-specific) + accuracy-bounded in tests. */
@@ -398,7 +413,8 @@ object Relational {
     "q32_setops" -> q32SetOps _,
     "q33_window_family" -> q33WindowFamily _,
     "q34_approx_percentile" -> q34ApproxPercentile _, // sketch → rows-only
-    "q35_unpivot" -> q35Unpivot _)
+    "q35_unpivot" -> q35Unpivot _,
+    "q36_bloom_prune" -> q36BloomPrune _)
 
   val oracleSql: Map[String, String] = Map(
     "q26_shipping_priority" ->
@@ -587,5 +603,13 @@ object Relational {
                     FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
          UNION ALL
-         SELECT l_returnflag, 'sum_price', sum_price FROM w""")
+         SELECT l_returnflag, 'sum_price', sum_price FROM w""",
+    // the bloom prune is row-invisible (no false negatives; false
+    // positives die in the join) — the oracle is the plain join
+    "q36_bloom_prune" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+                sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 400000
+         GROUP BY o_orderpriority""")
 }
