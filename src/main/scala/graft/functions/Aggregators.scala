@@ -31,4 +31,35 @@ object Aggregators {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
+
+  /** Top-k per group as a PARTIAL-AGGREGATING bounded buffer — the
+    * scale alternative to `rank().over(window)` for per-key top-k:
+    * a window sorts EVERY row of every partition (full exchange +
+    * per-key sort of the whole key's data), while this aggregate
+    * carries at most k (value, id) pairs per key through map-side
+    * combine and merge — per-key state is O(k) no matter how deep the
+    * key's history is, and the pre-shuffle combine collapses each
+    * map task's rows to k before anything moves.
+    *
+    * Ordering: (value DESC, id ASC) — row_number semantics, exact and
+    * deterministic (ties broken by id), so the DuckDB oracle replays
+    * it with a row_number window. Values are exact integer (cents) —
+    * no float comparison ambiguity across merge orders. */
+  class TopKByValue(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    private def ord: Ordering[(Long, Long)] = Ordering.by(p => (-p._1, p._2))
+    override def zero: Seq[(Long, Long)] = Nil
+    override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] = {
+      // buffers stay sorted; k is small so the insert is O(k)
+      val merged = (a +: b).sorted(ord)
+      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+    }
+    override def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      (x ++ y).sorted(ord).take(k)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r.sorted(ord)
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
 }

@@ -291,6 +291,24 @@ object Relational {
         (sum(col("cents")) / 100.0).as("revenue"))
   }
 
+  /** Q37 — top-k per key via the bounded-buffer aggregate
+    * (Aggregators.TopKByValue): row_number-exact top-3 orders per
+    * customer WITHOUT a window's full per-key sort — per-key state is
+    * O(k) and map-side combine collapses each task's rows to k before
+    * the exchange. The scale twin of q15's window form. */
+  def q37TopKAgg(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.Aggregators.TopKByValue(3))
+    ord(s, d)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+        col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(topk(col("cents"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rk"),
+        (col("col._1") / 100.0).as("totalprice"), col("col._2").as("o_orderkey"))
+  }
+
   /** Q20 — sketch-based distinct (HLL++): scale path for G2-style
     * distinct counts when exactness is waived; rows-only check (the
     * estimate is engine-specific) + accuracy-bounded in tests. */
@@ -414,7 +432,8 @@ object Relational {
     "q33_window_family" -> q33WindowFamily _,
     "q34_approx_percentile" -> q34ApproxPercentile _, // sketch → rows-only
     "q35_unpivot" -> q35Unpivot _,
-    "q36_bloom_prune" -> q36BloomPrune _)
+    "q36_bloom_prune" -> q36BloomPrune _,
+    "q37_topk_agg" -> q37TopKAgg _)
 
   val oracleSql: Map[String, String] = Map(
     "q26_shipping_priority" ->
@@ -611,5 +630,16 @@ object Relational {
                 sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_totalprice > 400000
-         GROUP BY o_orderpriority""")
+         GROUP BY o_orderpriority""",
+    // the bounded-buffer aggregate is row_number-exact by construction
+    // ((cents DESC, o_orderkey ASC), deterministic ties)
+    "q37_topk_agg" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey,
+                           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+                           row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC,
+                                      o_orderkey) AS rk
+                    FROM orders)
+         SELECT o_custkey, rk, cents / 100.0 AS totalprice, o_orderkey
+         FROM r WHERE rk <= 3""")
 }
