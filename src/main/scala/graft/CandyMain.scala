@@ -48,6 +48,12 @@ object CandyMain {
         val r = CandyPipeline.run(spark, dataDir, Some(outDir), reloadDaily, horizon, model)
         println(s"orders=${r.orders.count()} lines=${r.orderLineItems.count()} " +
           s"days=${r.dailySummary.count()} products=${r.productsUpdated.count()}")
+        // operator-facing console blocks (reference's
+        // print_inventory_levels / dataset-info prints)
+        if (args.contains("--verbose")) {
+          graft.pipeline.Diagnostics.datasetInfo(r.dailySummary)
+          graft.pipeline.Diagnostics.inventoryLevels(r.productsUpdated)
+        }
     }
     spark.stop()
   }
