@@ -161,6 +161,30 @@ object Similarity {
       rerankByBucket(probes, b, k)
     }
 
+  /** Plane-index offset separating the random-projection matrix from
+    * the LSH hyperplane set (same deterministic planeWeight stream). */
+  val rpSeedOffset = 1000
+
+  /** Johnson–Lindenstrauss random projection: compress embeddings to
+    * `outDims` via a fixed pseudo-random matrix (planeWeight rows,
+    * scaled 1/√outDims so expected norms are preserved). The standard
+    * pre-ANN compression at corpus scale — a 4× narrower vector means
+    * 4× less shuffle and cache for every downstream join — with the
+    * JL guarantee that pairwise geometry survives in expectation.
+    * Deterministic closed form + 6dp rounding → the DuckDB oracle
+    * replays the projection exactly (same trick as the LSH planes).
+    * One codegen'd dot per output dim; no shuffle at all. */
+  def randomProject(emb: DataFrame, outDims: Int = 16): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val scale = 1.0 / math.sqrt(outDims)
+    val proj = array((0 until outDims).map { p =>
+      val plane = lit((0 until lshDims).map(d =>
+        planeWeight(rpSeedOffset + p, d).toFloat).toArray)
+      round(fastDot(col("embedding"), plane) * scale, 6)
+    }: _*)
+    emb.select(col("vec_id"), proj.as("rp"))
+  }
+
   /** IVF-style coarse index: assign each vector to its nearest of
     * `centroids` (a tiny broadcast table of (centroid_id, embedding));
     * queries search only their own cell. Centroids would come from a

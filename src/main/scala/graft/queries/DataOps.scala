@@ -92,6 +92,14 @@ object DataOps {
   val lloydK = 4
   val lloydIters = 4
 
+  /** JL random projection 64 → 16 dims (scale 1/√16 = 0.25 exactly,
+    * so the oracle's literal is representation-exact), flattened to
+    * (vec_id, dim, v) rows for the element-exact hash compare. */
+  def simRandomProject(s: SparkSession, d: String): DataFrame =
+    Similarity.randomProject(emb(s, d), 16)
+      .select(col("vec_id"), posexplode(col("rp")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"), col("col").as("v"))
+
   def simIvf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val centroids = e.filter(col("vec_id") < 4)
@@ -705,6 +713,22 @@ object DataOps {
                    '${TextAnalysis.emailRegex}', '[EMAIL]', 'g'),
                    '${TextAnalysis.phoneRegex}', '[PHONE]', 'g') AS redacted
           FROM documents""",
+    "sim_rp" -> {
+      // the RP plane matrix embedded literally — the same determinism
+      // contract as the LSH bucket replay (identical weights, 6dp pin)
+      import graft.operators.Similarity.{lshDims, planeWeight, rpSeedOffset}
+      val planeRows = (0 until 16).map { p =>
+        val wl = (0 until lshDims)
+          .map(d => planeWeight(rpSeedOffset + p, d).toFloat.toDouble.toString)
+          .mkString("[", ", ", "]")
+        s"($p, $wl)"
+      }.mkString(", ")
+      s"""WITH planes(p, wl) AS (VALUES $planeRows)
+          SELECT e.vec_id, CAST(pl.p AS BIGINT) AS dim,
+                 round(list_sum(list_transform(range(1, ${lshDims + 1}),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * pl.wl[i])) * 0.25, 6) AS v
+          FROM embeddings e CROSS JOIN planes pl"""
+    },
     "sim_quantize" ->
       """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
          a AS (SELECT vec_id, max(abs(x)) AS amax FROM u GROUP BY vec_id),
@@ -908,6 +932,7 @@ object DataOps {
     "tx_idf" -> txIdf _,
     "tx_redact" -> txRedact _,
     "sim_quantize" -> simQuantize _,
+    "sim_rp" -> simRandomProject _,
     "mm_decode" -> mmDecode _,
     "mm_frames" -> mmFrames _,
     "mm_features" -> mmFeatures _,
