@@ -23,6 +23,9 @@ object DataOps {
     * the oracle's probe set is identical by construction. */
   private val multiProbeMaskList: String =
     Similarity.probeMasks(Similarity.lshPlanes, 1).mkString(", ")
+  /** Hamming-≤2 masks (137 probes) — the recall knob's next stop. */
+  private val multiProbeMaskListR2: String =
+    Similarity.probeMasks(Similarity.lshPlanes, 2).mkString(", ")
 
   // ---- Spark sides ---------------------------------------------------
 
@@ -71,6 +74,15 @@ object DataOps {
   def simLshMultiProbeFor(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     Similarity.lshAnnMultiProbeFor(e, e.filter(col("vec_id") < annQueries), annK)
+  }
+
+  /** The probe-radius recall knob at its next stop: Hamming-≤2
+    * probing (137 buckets per query instead of 17) for the same
+    * query-bound asymmetry — still costs |Q|·probes, never |corpus|. */
+  def simLshMultiProbeR2(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.lshAnnMultiProbeFor(e, e.filter(col("vec_id") < annQueries), annK,
+      probeRadius = 2)
   }
 
   /** IVF with k-means-TRAINED centroids (vs sim_ivf's fixed seed
@@ -556,6 +568,17 @@ object DataOps {
                    FROM probes q JOIN bk c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
                    JOIN embeddings qe ON qe.vec_id = q.vec_id
                    JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
+    "sim_lsh_multiprobe_r2" -> lshRerankSql(
+      // radius-2 probe expansion over the same shared mask source
+      s"""probes AS (SELECT vec_id,
+                            unnest(list_transform([$multiProbeMaskListR2],
+                              m -> xor(bucket, CAST(m AS BIGINT)))) AS probe
+                     FROM bk WHERE vec_id < $annQueries),
+          cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          qe.embedding AS ea, ce.embedding AS eb
+                   FROM probes q JOIN bk c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+                   JOIN embeddings qe ON qe.vec_id = q.vec_id
+                   JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
     "sim_lsh_multiprobe_for" -> lshRerankSql(
       // same probe expansion, restricted to the query set — only the
       // probing vectors fan out into their probe lists
@@ -915,6 +938,7 @@ object DataOps {
     "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly
     "sim_lsh_multiprobe" -> simLshMultiProbe _,
     "sim_lsh_multiprobe_for" -> simLshMultiProbeFor _,
+    "sim_lsh_multiprobe_r2" -> simLshMultiProbeR2 _,
     "sim_ivf" -> simIvf _,
     "sim_ann_recall" -> simAnnRecall _,
     "tx_tokens" -> txTokens _,
