@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-checkable queries over
   * the `documents` / `embeddings` tables, with DuckDB oracle SQL
@@ -111,6 +111,17 @@ object DataOps {
     Similarity.randomProject(emb(s, d), 16)
       .select(col("vec_id"), posexplode(col("rp")))
       .select(col("vec_id"), col("pos").cast("long").as("dim"), col("col").as("v"))
+
+  /** Z-order layout key over (partkey, suppkey) buckets, summarized
+    * per Z block — the write-side clustering primitive, checked
+    * bit-exactly (the Morton interleave is pure integer math both
+    * engines replay term for term). */
+  def dsZorder(s: SparkSession, d: String): DataFrame = {
+    val z = Tables(s, d, "lineitem").select(
+      Layout.zOrderKey2(col("l_partkey") % 1024, col("l_suppkey") % 1024, 10).as("zkey"))
+    z.groupBy(shiftright(col("zkey"), 10).as("zblock"))
+      .agg(count(lit(1)).as("n"), min(col("zkey")).as("zmin"), max(col("zkey")).as("zmax"))
+  }
 
   def simIvf(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
@@ -752,6 +763,18 @@ object DataOps {
                    i -> CAST(e.embedding[i] AS DOUBLE) * pl.wl[i])) * 0.25, 6) AS v
           FROM embeddings e CROSS JOIN planes pl"""
     },
+    "ds_zorder" ->
+      // the Morton interleave replayed term for term (10 bits per
+      // dimension; x even positions, y odd)
+      """WITH z AS (SELECT
+           CAST(list_sum(list_transform(range(0, 10), i ->
+               (((l_partkey % 1024) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))
+             + (((l_suppkey % 1024) >> i) & 1) * (CAST(1 AS BIGINT) << (2*i+1))))
+             AS BIGINT) AS zkey
+         FROM lineitem)
+         SELECT zkey >> 10 AS zblock, count(*) AS n,
+                CAST(min(zkey) AS BIGINT) AS zmin, CAST(max(zkey) AS BIGINT) AS zmax
+         FROM z GROUP BY 1""",
     "sim_quantize" ->
       """WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
          a AS (SELECT vec_id, max(abs(x)) AS amax FROM u GROUP BY vec_id),
@@ -953,6 +976,7 @@ object DataOps {
     "dd_cc" -> ddCc _,
     "dd_corpus_cc" -> ddCorpusCc _,
     "ds_sample" -> dsSample _,
+    "ds_zorder" -> dsZorder _,
     "tx_idf" -> txIdf _,
     "tx_redact" -> txRedact _,
     "sim_quantize" -> simQuantize _,
