@@ -48,6 +48,29 @@ class BloomSemiJoinSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"expected might_contain in plan:\n$plan")
   }
 
+  test("the bloom filter sits BELOW any exchange — rows drop before they shuffle") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val li = Tables(spark, sf, "lineitem")
+    val dim = Tables(spark, sf, "orders")
+      .filter(col("o_totalprice") > 300000).select("o_orderkey")
+    val top = BloomSemiJoin.prunedJoin(li, dim, "l_orderkey", "o_orderkey")
+      .queryExecution.executedPlan
+    // AQE wraps the physical plan; collect() does not descend into it
+    val planned = top match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val bloomFilters = planned.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, s"no bloom FilterExec found in:\n$planned")
+    bloomFilters.foreach { f =>
+      assert(f.collect { case e: ShuffleExchangeLike => e }.isEmpty,
+        "the prune must run scan-side; an exchange below it means rows shuffled unpruned")
+    }
+  }
+
   test("empty dim side rejects everything without error") {
     val li = Tables(spark, sf, "lineitem")
     val dim = Tables(spark, sf, "orders")
