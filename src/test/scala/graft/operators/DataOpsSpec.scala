@@ -80,6 +80,31 @@ class DataOpsSpec extends SparkSpec {
       "to bucket near-identical vectors together")
   }
 
+  test("probe radius is a monotone recall knob: single ⊆ radius-1 ⊆ radius-2") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0 until 300).map(i => (i.toLong, vec()))
+    // moderate perturbation: cosine high but sign bits flip sometimes,
+    // which is exactly the regime multi-probe exists for
+    val planted = (0 until 20).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.25f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 20)
+    def hits(found: Set[(Long, Long)]): Int =
+      (0 until 20).count(i => found((i.toLong, 1000L + i)))
+    def pairs(ann: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      ann.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = hits(pairs(Similarity.lshAnnFor(df, queries, k = 3)))
+    val r1 = hits(pairs(Similarity.lshAnnMultiProbeFor(df, queries, k = 3)))
+    val r2 = hits(pairs(Similarity.lshAnnMultiProbeFor(df, queries, k = 3, probeRadius = 2)))
+    assert(single <= r1 && r1 <= r2,
+      s"recall must not decrease as probes widen (single=$single r1=$r1 r2=$r2)")
+    assert(r2 > single,
+      s"widening to radius 2 should recover bucket-boundary misses (single=$single r2=$r2)")
+  }
+
   test("stub media decode preserves every record and derives metadata from bytes") {
     import spark.implicits._
     val media = Multimodal.documentsAsMedia(spark.read.parquet(s"$sf/documents.parquet"))
