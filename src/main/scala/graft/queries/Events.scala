@@ -85,6 +85,24 @@ object Events {
       left, right, "user_id", "tsu", "err_ts", "err_ts", "last_err_ts")
   }
 
+  /** SCD2 dimension expansion (operators.Scd): the event stream as a
+    * per-user state-change log — every event opens a validity
+    * interval that the user's next event closes. Summarized per user
+    * (version count, current state and its start) so the check is
+    * compact while still covering the interval edges and the
+    * exactly-one-current invariant. All-integer µs, window tie-broken
+    * by event_id — exact in both engines. */
+  def evScd2(s: SparkSession, d: String): DataFrame = {
+    val log = ev(s, d).select(col("user_id"), tsUs.as("tsu"),
+      col("event_id"), col("event_type"))
+    graft.operators.Scd.type2(log, "user_id", "tsu", "event_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_versions"),
+        max(when(col("is_current"), col("event_type"))).as("current_state"),
+        min(col("valid_from")).as("first_seen_us"),
+        max(when(col("is_current"), col("valid_from"))).as("current_since_us"))
+  }
+
   /** Range join: assign every event to the session interval that
     * contains it (binned equi-join + exact refine; the sessions come
     * from evSessions, so this also exercises operator composition). */
@@ -188,6 +206,7 @@ object Events {
     "ev_funnel" -> evFunnel _,
     "ev_pivot" -> evPivot _,
     "ev_resample" -> evResample _,
+    "ev_scd2" -> evScd2 _,
     "fc_linear_sales" -> fcLinearSales _)
 
   /** Shared CTE: the gap-sessionization in SQL (µs precision). */
@@ -206,6 +225,18 @@ object Events {
                      FROM sess GROUP BY user_id, session_id)"""
 
   val oracleSql: Map[String, String] = Map(
+    "ev_scd2" ->
+      // lead() closes each interval; the current row is the one with
+      // no successor — same (tsu, event_id) tie order as the Spark side
+      """WITH log AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type FROM events),
+          d AS (SELECT user_id, tsu, event_id, event_type,
+                  lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS valid_to
+                FROM log)
+          SELECT user_id, count(*) AS n_versions,
+                 max(CASE WHEN valid_to IS NULL THEN event_type END) AS current_state,
+                 CAST(min(tsu) AS BIGINT) AS first_seen_us,
+                 CAST(max(CASE WHEN valid_to IS NULL THEN tsu END) AS BIGINT) AS current_since_us
+          FROM d GROUP BY user_id""",
     "ev_range_join" ->
       s"""WITH $sessionsCte
           SELECT p.event_id, p.user_id, s.session_id, epoch_us(p.ts) AS tsu
