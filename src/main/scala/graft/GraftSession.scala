@@ -23,6 +23,15 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      // ObjectHashAggregate silently degrades to SORT-BASED aggregation
+      // after 128 distinct keys per task (the default fallback
+      // threshold) — which re-imposes exactly the full per-partition
+      // sort that bounded-buffer aggregates like TopKByValue exist to
+      // avoid (measured: the 1000× rehearsal's topk_agg matched the
+      // window sort's cost instead of beating it). Our typed aggregates
+      // all carry O(k) buffers, so hash mode's memory is keys×k pairs —
+      // raise the threshold so they stay hash-based.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

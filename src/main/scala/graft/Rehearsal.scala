@@ -124,6 +124,18 @@ object Rehearsal {
           .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
         ordR.withColumn("rk", rank().over(w)).filter(col("rk") <= 3).count()
       },
+      // the same top-3-per-customer answer through the O(k)-state
+      // aggregate — the head-to-head for the window_rank sort
+      "topk_agg" -> { () =>
+        val topk = udaf(new graft.functions.Aggregators.TopKByValue(3))
+        ordR.select(col("o_custkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+            col("o_orderkey"))
+          .groupBy("o_custkey")
+          .agg(topk(col("cents"), col("o_orderkey")).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")))
+          .count()
+      },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
       },

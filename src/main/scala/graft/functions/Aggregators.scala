@@ -50,9 +50,20 @@ object Aggregators {
     private def ord: Ordering[(Long, Long)] = Ordering.by(p => (-p._1, p._2))
     override def zero: Seq[(Long, Long)] = Nil
     override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] = {
-      // buffers stay sorted; k is small so the insert is O(k)
-      val merged = (a +: b).sorted(ord)
-      if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+      // Buffers stay sorted, so a full buffer rejects a losing row by
+      // comparing against its worst element alone — the O(1) path
+      // almost every row takes once the buffer fills (expected inserts
+      // per key ≈ k·ln(n/k)). Only genuine top-k contenders pay the
+      // O(k) re-sort.
+      // primitive compare on the hot path — Ordering.by would box both
+      // longs and allocate a tuple per comparison, 15M+ times
+      val last = if (b.isEmpty) null else b.last
+      if (last != null && b.lengthCompare(k) >= 0 &&
+          (a._1 < last._1 || (a._1 == last._1 && a._2 >= last._2))) b
+      else {
+        val merged = (a +: b).sorted(ord)
+        if (merged.lengthCompare(k) > 0) merged.take(k) else merged
+      }
     }
     override def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
       (x ++ y).sorted(ord).take(k)
