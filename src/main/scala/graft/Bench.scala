@@ -11,14 +11,18 @@ import org.apache.spark.sql.SparkSession
   * run first; queries then execute in name order for run-to-run
   * comparability.
   *
-  * Artifacts: the stdout line keeps timings to 3 decimals so the whole
-  * sweep fits in the driver's bounded capture buffer (r4/r5 lost the
-  * leading dd_* entries to truncation); the FULL record — per-run
-  * times, not just the min, plus per-query session-state diagnostics
-  * (heap, cumulative GC, loaded classes, persisted RDDs) — goes to its
-  * own file (SPARK_GRAFT_BENCH_OUT, default BENCH_FULL.json in the
-  * repo). The run1/run2 spread and the diagnostics trajectory are the
-  * signal for the mid-sweep inflation investigation (VERDICT r5 #2).
+  * Artifacts: the stdout line must survive the driver's bounded
+  * 2000-char tail capture WITH sbt's ~76-char "[success]" trailer
+  * after it — six rounds of BENCH_r0N.json carried `parsed: null`
+  * because the 3dp/full-path line ran ~1940+ chars and lost its
+  * opening brace to the buffer edge. The line therefore keeps
+  * timings to 2 decimals, abbreviates the sf dir to its basename,
+  * omits the errors array when empty, and drops to 1 decimal if the
+  * query count ever pushes it past the budget. The FULL record —
+  * per-run times, not just the min, plus per-query session-state
+  * diagnostics (heap, cumulative GC, loaded classes, persisted
+  * RDDs) — goes to its own file (SPARK_GRAFT_BENCH_OUT, default
+  * BENCH_FULL.json in the repo).
   */
 object Bench {
   private def gcMillis: Long = {
@@ -26,6 +30,11 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).filter(_ > 0).sum
   }
+
+  /** Locale-pinned fixed-point render: the JVM default locale may use
+    * a comma decimal separator, which corrupts the JSON artifact. */
+  private def fp(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -82,12 +91,20 @@ object Bench {
       val times = runTimes(name)
       (name, if (times.exists(_ < 0)) -1.0 else times.min, times, diags(name))
     }
-    val qs = results.map { case (k, v, _, _) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val errList = results.collect { case (k, v, _, _) if v < 0 => "\"" + k + "\"" }
+    val errs = errList.mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // "errors" only when non-empty, sf as basename: every byte on this
+    // line competes with the tail-capture budget (see scaladoc).
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    def stdoutLine(decimals: Int): String = {
+      val qs = results.map { case (k, v, _, _) => s""""$k":${fp(v, decimals)}""" }
+        .mkString("{", ",", "}")
+      val errField = if (errList.isEmpty) "" else s""","errors":$errs"""
+      s"""{"metric":"total","value":${fp(total, 3)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
+    }
+    val line2 = stdoutLine(2)
+    println(if (line2.length <= 1900) line2 else stdoutLine(1))
 
     val fullRows = results.map { case (k, v, ts, diag) =>
       val d = diag.toSeq.sortBy(_._1).map { case (dk, dv) => s""""$dk":$dv""" }.mkString(",")
