@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout, NOT through
+// sbt's logger: the logger prefixes every line with "[info] ", which made
+// the driver's JSON scrape of Bench's one-line artifact fail for seven
+// rounds (BENCH_r0N.json `parsed: null` — the line was intact in the
+// captured tail but unparseable behind the prefix).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,8 +17,10 @@ import org.apache.spark.sql.SparkSession
   * because the 3dp/full-path line ran ~1940+ chars and lost its
   * opening brace to the buffer edge. The line therefore keeps
   * timings to 2 decimals, abbreviates the sf dir to its basename,
-  * omits the errors array when empty, and drops to 1 decimal if the
-  * query count ever pushes it past the budget. The FULL record —
+  * omits the errors array when empty, drops to 1 decimal if the query
+  * count pushes it past the budget, and as a last resort drops the
+  * per-query map (total + nqueries + errors still parse). The FULL
+  * record —
   * per-run times, not just the min, plus per-query session-state
   * diagnostics (heap, cumulative GC, loaded classes, persisted
   * RDDs) — goes to its own file (SPARK_GRAFT_BENCH_OUT, default
@@ -96,22 +98,35 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     // "errors" only when non-empty, sf as basename: every byte on this
     // line competes with the tail-capture budget (see scaladoc).
-    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
+    // getFileName is null for "/" or "" — fall back to the raw string.
+    val sfName = Option(java.nio.file.Paths.get(sfDir).getFileName)
+      .fold(sfDir)(_.toString)
+    // Total rendered at the same precision as the per-query values so a
+    // consumer cross-checking sum(queries) ≈ value sees only rounding of
+    // the individual entries, not a precision mismatch.
     def stdoutLine(decimals: Int): String = {
       val qs = results.map { case (k, v, _, _) => s""""$k":${fp(v, decimals)}""" }
         .mkString("{", ",", "}")
       val errField = if (errList.isEmpty) "" else s""","errors":$errs"""
-      s"""{"metric":"total","value":${fp(total, 3)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fp(total, decimals)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
     }
-    val line2 = stdoutLine(2)
-    println(if (line2.length <= 1900) line2 else stdoutLine(1))
+    // Degrade gracefully as the query count grows: 2dp → 1dp → drop the
+    // per-query map entirely (total + count + errors still parse) rather
+    // than silently reintroducing the truncated-line failure.
+    val line = Seq(stdoutLine(2), stdoutLine(1)).find(_.length <= 1900).getOrElse {
+      val errField = if (errList.isEmpty) "" else s""","errors":$errs"""
+      s"""{"metric":"total","value":${fp(total, 2)},"unit":"sec","nqueries":${results.size}$errField,"sf":"$sfName"}"""
+    }
+    println(line)
 
     val fullRows = results.map { case (k, v, ts, diag) =>
       val d = diag.toSeq.sortBy(_._1).map { case (dk, dv) => s""""$dk":$dv""" }.mkString(",")
       s""""$k":{"min":$v,"runs":[${ts.mkString(",")}],$d}"""
     }.mkString("{", ",", "}")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs_per_query":$runs,"queries":$fullRows,"errors":$errs}"""
+    // `sf` matches the stdout line's basename so the two artifacts join on
+    // it; the full path is preserved separately as `sf_dir`.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfName","sf_dir":"$sfDir","runs_per_query":$runs,"queries":$fullRows,"errors":$errs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"BENCH_OUT write failed: $e") }
