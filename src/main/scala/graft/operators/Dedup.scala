@@ -176,8 +176,13 @@ object Dedup {
 
   /** LSH banding: md5 over each 4-row band → (band, bucket) keys.
     * Documents sharing any bucket are near-dup candidates; the
-    * bucket join replaces the O(N²) signature comparison. */
-  def lshBuckets(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    * bucket join replaces the O(N²) signature comparison. `carry`
+    * names extra columns to ride through the explode — consumers
+    * that need per-document payload on the bucket rows (the
+    * signature array in minhashEstimates) carry it here instead of
+    * re-joining the signature frame downstream. */
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int = 4,
+                 carry: Seq[String] = Nil): DataFrame = {
     val nBands = minhashAB.size / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i"))
@@ -185,13 +190,19 @@ object Dedup {
         md5(concat_ws(":", cols: _*).cast("binary")).as("bucket"))
     }
     signatures
-      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id") +: carry.map(col) :+ explode(array(bands: _*)).as("bb"): _*)
+      .select(col("doc_id") +: carry.map(col)
+        :+ col("bb.band").as("band") :+ col("bb.bucket").as("bucket"): _*)
   }
 
-  /** Candidate pairs from LSH buckets (distinct across bands). */
-  def minhashCandidatePairs(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
-    val bk = lshBuckets(minhashSignatures(df, text, id, n))
+  /** Bucket self-join half of the candidate generator, factored over
+    * a precomputed signature frame so callers that already hold
+    * signatures don't pay the shingle→hash→16-min-agg pipeline (the
+    * most expensive dedup subtree) a second time. The two join inputs
+    * are the identical bucketed subtree, so the bucket exchange is
+    * written once and reused for both sides (ReuseExchange). */
+  def pairsFromSignatures(signatures: DataFrame): DataFrame = {
+    val bk = lshBuckets(signatures)
     bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
@@ -200,21 +211,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate pairs from LSH buckets (distinct across bands). */
+  def minhashCandidatePairs(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
+    pairsFromSignatures(minhashSignatures(df, text, id, n))
+
   /** MinHash Jaccard ESTIMATE for the LSH candidate pairs: fraction
     * of equal signature components — the cheap similarity check that
     * replaces exact shingle-set comparison at scale (the estimator's
-    * expectation is the true Jaccard). */
+    * expectation is the true Jaccard).
+    *
+    * The signature pipeline is computed ONCE: the 16-component array
+    * rides through the band explode (`carry`) and the bucket
+    * self-join, so the estimate reads both signatures off the joined
+    * row instead of re-joining a signature frame per side (which
+    * re-ran the whole pipeline from the scan). Cost: bucket-shuffle
+    * rows widen by k longs — O(k) per row vs a second signature
+    * aggregation plus two doc-id-keyed join shuffles. */
   def minhashEstimates(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
-    val sig = minhashSignatures(df, text, id, n)
-    val pairs = minhashCandidatePairs(df, text, id, n)
-    val a = minhashAB.indices.map(i => col(s"a.m$i")).toArray
-    val b = minhashAB.indices.map(i => col(s"b.m$i")).toArray
-    val equal = minhashAB.indices
-      .map(i => when(a(i) === b(i), 1).otherwise(0))
-      .reduce(_ + _)
-    pairs
-      .join(sig.as("a"), col("id_a") === col("a.doc_id"))
-      .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+    val sigArr = array(minhashAB.indices.map(i => col(s"m$i")): _*)
+    val bk = lshBuckets(
+      minhashSignatures(df, text, id, n).withColumn("sig", sigArr),
+      carry = Seq("sig"))
+    // sig_a/sig_b are functions of the ids, so the distinct over
+    // (id_a, id_b, sig_a, sig_b) is the same pair set as over the ids.
+    val equal = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+    bk.as("a")
+      .join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
       .select(col("id_a"), col("id_b"),
         round(equal.cast("double") / minhashAB.size, 6).as("est_jaccard"))
   }

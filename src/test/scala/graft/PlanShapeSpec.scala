@@ -148,6 +148,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("partial_min(struct"), s"plan:\n$p")
   }
 
+  test("minhash estimate computes the signature pipeline once, not per join side") {
+    val df = Tables(spark, sf, "documents")
+    val p = finalSection(finalPlan(graft.operators.Dedup.minhashEstimates(
+      df, col("text"), col("doc_id"), 3)))
+    // The bucket self-join's two inputs are the identical subtree: the
+    // second side must be a ReusedExchange, and the 16-component
+    // signature aggregation (one partial_min per permutation) must
+    // appear exactly once in the whole plan — 32 means the
+    // shingle→hash→min pipeline ran twice from the scan.
+    assert(p.contains("ReusedExchange"), s"bucket exchange not reused:\n$p")
+    assert(countOccurrences(p, "partial_min(pmod") == 16,
+      s"signature aggregation duplicated:\n$p")
+  }
+
   test("exact dedup groups on the md5 key with partial aggregation") {
     val p = plan(DataOps.ddExact(spark, sf))
     assert(p.contains("HashAggregate") &&
