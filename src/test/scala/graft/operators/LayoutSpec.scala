@@ -30,13 +30,18 @@ class LayoutSpec extends SparkSpec {
     assert(got.values.toSet.size == 4096 && got.values.max == 4095L)
   }
 
+  /** The full 128×128 plane, two rows per cell — uniform and genuinely
+    * 2-D. (An affine scatter like (49i mod 128, 55i mod 128) is a trap
+    * here: both coordinates are functions of i mod 128, so the points
+    * collapse onto a 1-D lattice and ANY layout prunes it well.) */
+  private def plane(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    (0 until (1 << 15)).map { i => ((i / 2) % 128, (i / 256) % 128) }.toDF("x", "y")
+  }
+
   test("z-sorted files bound the NON-leading dimension; a lex sort cannot") {
     import spark.implicits._
-    val n = 1 << 14
-    val rows = (0 until n).map { i =>
-      // deterministic scatter over a 128x128 plane
-      ((i * 2654435761L % 128).toInt, (i * 40503L % 128).toInt)
-    }.toDF("x", "y")
+    val rows = plane(spark)
 
     // per-"file" y-extent: what a min/max-stats reader can prune a
     // y-predicate with. On uniform data both layouts tile the plane
@@ -58,5 +63,61 @@ class LayoutSpec extends SparkSpec {
       col("x").cast("long") * 128 + col("y")))
     assert(zExt < lexExt / 2,
       f"z tiles must bound y where lex slabs sprawl it (z=$zExt%.0f lex=$lexExt%.0f)")
+  }
+
+  /** Per-file (min, max) of an int column, straight from the parquet
+    * footers the files were written with — exactly the statistics a
+    * data-skipping reader (Delta/Iceberg file pruning, parquet
+    * row-group pruning) consults. */
+  private def footerRanges(dir: String): Seq[Map[String, (Int, Int)]] = {
+    import scala.collection.JavaConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    new java.io.File(dir).listFiles
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .toSeq.map { f =>
+        val rd = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try {
+          val blocks = rd.getFooter.getBlocks.asScala.toSeq
+          Seq("x", "y").map { c =>
+            val stats = blocks.map(
+              _.getColumns.asScala.find(_.getPath.toDotString == c).get.getStatistics)
+            c -> (stats.map(_.genericGetMin.asInstanceOf[Integer].toInt).min,
+                  stats.map(_.genericGetMax.asInstanceOf[Integer].toInt).max)
+          }.toMap
+        } finally rd.close()
+      }
+  }
+
+  test("z-ordered files survive min/max pruning in fewer files than a lex sort") {
+    val rows = plane(spark)
+    val zDir = java.nio.file.Files.createTempDirectory("zorder_read").toString
+    val lexDir = java.nio.file.Files.createTempDirectory("lexorder_read").toString
+    Layout.zOrderedParquet(rows, zDir, col("x"), col("y"), nFiles = 64, bits = 7)
+    rows.repartitionByRange(64, col("x"), col("y"))
+      .sortWithinPartitions("x", "y")
+      .write.mode("overwrite").parquet(lexDir)
+
+    def hits(r: (Int, Int), lo: Int, hi: Int) = r._1 <= hi && r._2 >= lo
+    val (zR, lexR) = (footerRanges(zDir), footerRanges(lexDir))
+    assert(zR.size == 64 && lexR.size == 64)
+
+    // the operator's reason to exist: a 2-D box predicate prunes on
+    // BOTH dimensions under z (square tiles), only on the leading one
+    // under lex (full-height slabs)
+    val zBox = zR.count(r => hits(r("x"), 32, 47) && hits(r("y"), 32, 47))
+    val lexBox = lexR.count(r => hits(r("x"), 32, 47) && hits(r("y"), 32, 47))
+    assert(zBox < lexBox,
+      s"z box-pruning must beat lex ($zBox vs $lexBox files of 64)")
+
+    // predicate on the NON-leading dimension alone: lex slabs span all
+    // of y, so nothing prunes; z tiles bound y and shed most files
+    val zY = zR.count(r => hits(r("y"), 32, 47))
+    val lexY = lexR.count(r => hits(r("y"), 32, 47))
+    assert(lexY == 64, s"lex slabs should be un-prunable on y (got $lexY)")
+    assert(zY * 2 < lexY,
+      s"z must prune on the non-leading dimension ($zY vs $lexY files of 64)")
   }
 }
