@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * batches so a real decoder could amortize model/codec setup per
   * batch instead of per row).
   *
-  * The decode itself is a clearly-marked deterministic STUB — image /
-  * audio codecs aren't available in this environment. Everything
-  * around it (schema, batch shape, partition locality, metadata
-  * struct) is real and tested; swap `decodeBatch` for a JNI/codec
-  * call and nothing else changes.
+  * The decode is a REAL pure-JVM header parse: PNG IHDR and JPEG SOFn
+  * are fixed byte layouts, so width / height / bit depth / channels
+  * come off the actual container bytes — no codec library needed.
+  * Full pixel decode (the codec call proper) is the one thing this
+  * sandbox can't run; swap `decodeOne`'s tail for it and nothing
+  * else changes. Fixtures come from `documentsAsImages`, which wraps
+  * each document in a structurally valid container (PNG with correct
+  * per-chunk CRC32s, JPEG SOI/SOF0/EOI) so the parser is exercised
+  * against real header bytes, not a format it invented.
   */
 object Multimodal {
 
@@ -23,16 +27,108 @@ object Multimodal {
   final case class MediaRecord(media_id: Long, payload: Array[Byte])
   final case class MediaMeta(
       media_id: Long, n_bytes: Long, width: Int, height: Int,
-      channels: Int, format: String)
+      channels: Int, bit_depth: Int, format: String)
 
-  /** STUB decoder: derives metadata deterministically from the byte
-    * length (a real implementation would parse the container header /
-    * run the codec here — `???` territory, faked for testability). */
-  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
-    batch.map { r =>
-      val n = r.payload.length.toLong
-      MediaMeta(r.media_id, n, (n % 640).toInt, ((n * 7) % 480).toInt, 3, "fake")
+  // ---- container construction (deterministic test fixtures) ---------
+
+  private val pngSignature =
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+  /** length + tag + body + CRC32(tag ++ body) — the PNG chunk frame. */
+  private def pngChunk(tag: String, body: Array[Byte]): Array[Byte] = {
+    val tagBytes = tag.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+    bb.putInt(body.length).put(tagBytes).put(body)
+    val crc = new java.util.zip.CRC32
+    crc.update(tagBytes); crc.update(body)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Valid PNG structure: signature, IHDR (8-bit RGB), the payload in
+    * a tEXt chunk, IEND. 57 bytes of container around the payload. */
+  def pngContainer(w: Int, h: Int, data: Array[Byte]): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type 2 = truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    pngSignature ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("tEXt", data) ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Minimal JPEG: SOI, a complete SOF0 (baseline, 8-bit precision,
+    * 3 components), payload bytes, EOI. 23 bytes of container. */
+  def jpegContainer(w: Int, h: Int, data: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(23 + data.length)
+    bb.put(0xff.toByte).put(0xd8.toByte)  // SOI
+    bb.put(0xff.toByte).put(0xc0.toByte)  // SOF0
+    bb.putShort(17)                        // segment length (incl. itself)
+    bb.put(8.toByte)                       // sample precision
+    bb.putShort(h.toShort).putShort(w.toShort)
+    bb.put(3.toByte)                       // component count
+    (1 to 3).foreach { c =>
+      bb.put(c.toByte).put(0x11.toByte).put(0.toByte)
     }
+    bb.put(data).put(0xff.toByte).put(0xd9.toByte)  // EOI
+    bb.array()
+  }
+
+  // ---- header parsing (the decode) -----------------------------------
+
+  private def be32(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+
+  private def be16(p: Array[Byte], off: Int): Int =
+    ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+
+  /** PNG color type → sample count per pixel (PNG spec, 11.2.2). */
+  private def pngChannels(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // truecolor
+    case 3 => 1 // palette index
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // truecolor + alpha
+    case _ => 0
+  }
+
+  /** Pure byte-read header parse. PNG: the IHDR chunk is mandatory and
+    * first, at a fixed offset behind the 8-byte signature. JPEG: walk
+    * the marker segments from SOI to the first SOFn frame header
+    * (0xC0–0xCF minus the non-frame C4/C8/CC), which carries
+    * precision, dimensions, and component count at fixed offsets. */
+  private def decodeOne(r: MediaRecord): MediaMeta = {
+    val p = r.payload
+    val n = p.length.toLong
+    val isPng = p.length >= 33 &&
+      pngSignature.indices.forall(i => p(i) == pngSignature(i)) &&
+      new String(p, 12, 4, "US-ASCII") == "IHDR"
+    if (isPng)
+      MediaMeta(r.media_id, n, be32(p, 16), be32(p, 20),
+        pngChannels(p(25) & 0xff), p(24) & 0xff, "png")
+    else if (p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) {
+      var off = 2
+      var found: MediaMeta = null
+      while (found == null && off + 10 <= p.length && (p(off) & 0xff) == 0xff) {
+        val marker = p(off + 1) & 0xff
+        if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+          found = MediaMeta(r.media_id, n, be16(p, off + 7), be16(p, off + 5),
+            p(off + 9) & 0xff, p(off + 4) & 0xff, "jpeg")
+        else off += 2 + be16(p, off + 2)
+      }
+      if (found != null) found
+      else MediaMeta(r.media_id, n, 0, 0, 0, 0, "jpeg-no-sof")
+    } else MediaMeta(r.media_id, n, 0, 0, 0, 0, "unknown")
+  }
+
+  /** Batch decode: where a real codec would amortize its setup across
+    * the `batchSize` records (the vectorized-UDF contract). */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaMeta] =
+    batch.map(decodeOne)
 
   /** Batched partition-local decode: binary in, typed metadata out.
     * No shuffle — decode cost scales linearly with partitions. */
@@ -41,8 +137,8 @@ object Multimodal {
     media.mapPartitions(_.grouped(batchSize).flatMap(decodeBatch))
   }
 
-  /** Text → fake media frame: documents become binary payloads (the
-    * corpus has no real images; the binary-column path is identical). */
+  /** Text → raw binary payload: documents become opaque byte columns
+    * (the input shape for the frame/feature operators; no container). */
   def documentsAsMedia(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id").as("media_id"),
@@ -50,8 +146,26 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Text → real image containers: even ids wrap as PNG, odd as JPEG,
+    * with dimensions derived deterministically from the payload length
+    * (so the DuckDB oracle replays width/height/n_bytes exactly). */
+  def documentsAsImages(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+      .map { r =>
+        val w = r.payload.length % 640 + 1
+        val h = (r.payload.length.toLong * 7 % 480).toInt + 1
+        val wrapped =
+          if (r.media_id % 2 == 0) pngContainer(w, h, r.payload)
+          else jpegContainer(w, h, r.payload)
+        MediaRecord(r.media_id, wrapped)
+      }
+  }
+
   /** Batched feature extraction: payload bytes → fixed-dim histogram
-    * (byte % 8 bucket counts). The STUB stands where an image/audio
+    * (byte % 8 bucket counts). The histogram stands where an image
     * feature model would run; the batch shape is the part that
     * matters — a real encoder amortizes weights-loading per batch of
     * `batchSize` records, exactly like a vectorized Python UDF. */

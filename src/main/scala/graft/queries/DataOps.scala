@@ -302,7 +302,7 @@ object DataOps {
 
   def mmDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Multimodal.decode(Multimodal.documentsAsMedia(docs(s, d))).toDF()
+    Multimodal.decode(Multimodal.documentsAsImages(docs(s, d))).toDF()
   }
 
   def mmFrames(s: SparkSession, d: String): DataFrame =
@@ -918,12 +918,19 @@ object DataOps {
             FROM lineitem"""
       }.mkString(" UNION ALL ")
     },
+    // Replays the container-building arithmetic (documentsAsImages) and
+    // the header parse together: dims from payload length, n_bytes =
+    // payload + fixed container overhead (PNG 57 B, JPEG 23 B), 8-bit
+    // RGB in both formats.
     "mm_decode" ->
-      """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-                CAST(octet_length(encode(text)) % 640 AS INT) AS width,
-                CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height,
-                3 AS channels, 'fake' AS format
-         FROM documents""",
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
+         SELECT doc_id AS media_id,
+                CAST(len + CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 23 END AS BIGINT) AS n_bytes,
+                CAST(len % 640 + 1 AS INT) AS width,
+                CAST((len * 7) % 480 + 1 AS INT) AS height,
+                3 AS channels, 8 AS bit_depth,
+                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+         FROM d""",
     "mm_frames" ->
       s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
           SELECT doc_id AS media_id,

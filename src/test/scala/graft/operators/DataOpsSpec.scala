@@ -105,15 +105,38 @@ class DataOpsSpec extends SparkSpec {
       s"widening to radius 2 should recover bucket-boundary misses (single=$single r2=$r2)")
   }
 
-  test("stub media decode preserves every record and derives metadata from bytes") {
+  test("media decode parses real PNG/JPEG headers and preserves every record") {
     import spark.implicits._
-    val media = Multimodal.documentsAsMedia(spark.read.parquet(s"$sf/documents.parquet"))
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.documentsAsImages(docsDf)
     val out = Multimodal.decode(media).collect()
     assert(out.length == 500)
+    val lens = docsDf.select(col("doc_id"), length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     out.foreach { m =>
-      assert(m.width == (m.n_bytes % 640).toInt && m.format == "fake")
+      // dims round-trip through the actual container bytes: written by
+      // the builder from the payload length, read back by the parser
+      val len = lens(m.media_id)
+      assert(m.width == len % 640 + 1 && m.height == (len.toLong * 7 % 480).toInt + 1,
+        s"dims did not round-trip for ${m.media_id}")
+      assert(m.channels == 3 && m.bit_depth == 8)
+      if (m.media_id % 2 == 0)
+        assert(m.format == "png" && m.n_bytes == len + 57)
+      else
+        assert(m.format == "jpeg" && m.n_bytes == len + 23)
     }
-    // batching: a partition with 130 rows → batches of 64/64/2, all rows kept
+    // the JPEG walker skips leading non-frame segments (APP0/COM) to SOF0
+    val withApp0 = Multimodal.jpegContainer(21, 42, "payload".getBytes)
+    val app0 = Array(0xff, 0xe0, 0x00, 0x06, 0x4a, 0x46, 0x49, 0x46).map(_.toByte)
+    val shifted = withApp0.take(2) ++ app0 ++ withApp0.drop(2)
+    val parsed = Multimodal.decode(Seq(
+      Multimodal.MediaRecord(7L, shifted)).toDS()).collect().head
+    assert(parsed.width == 21 && parsed.height == 42 && parsed.format == "jpeg")
+    // a payload that is neither format degrades, not throws
+    val junk = Multimodal.decode(Seq(
+      Multimodal.MediaRecord(8L, Array[Byte](1, 2, 3))).toDS()).collect().head
+    assert(junk.format == "unknown" && junk.n_bytes == 3)
+    // batching: a partition with >batchSize rows → batches of 64/…, all kept
     val one = media.repartition(1)
     assert(Multimodal.decode(one).count() == 500)
   }
