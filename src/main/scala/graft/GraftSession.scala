@@ -23,19 +23,34 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
-      // ObjectHashAggregate silently degrades to SORT-BASED aggregation
-      // after 128 distinct keys per task (the default fallback
-      // threshold) — which re-imposes exactly the full per-partition
-      // sort that bounded-buffer aggregates like TopKByValue exist to
-      // avoid (measured: the 1000× rehearsal's topk_agg matched the
-      // window sort's cost instead of beating it). Our typed aggregates
-      // all carry O(k) buffers, so hash mode's memory is keys×k pairs —
-      // raise the threshold so they stay hash-based.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.ensureRegistered(spark)
     spark
+  }
+
+  /** Child session for queries whose typed aggregates carry O(k)-BOUNDED
+    * buffers (TopKByValue): ObjectHashAggregate silently degrades to
+    * sort-based aggregation after 128 distinct keys per task (the
+    * default `objectHashAggregate.sortBased.fallbackThreshold`), which
+    * re-imposes exactly the full per-partition sort the bounded buffer
+    * exists to avoid (measured: the 1000× rehearsal's topk_agg matched
+    * the window sort's cost instead of beating it, BASELINE.md).
+    *
+    * The raise is deliberately NOT session-global: it applies to every
+    * ObjectHashAggregate in a session, and an unbounded buffer (a
+    * collect_list-style aggregate) would hold 4M keys per task in hash
+    * mode before falling back — the OOM risk the 128 default guards.
+    * A child session shares the SparkContext and cached data but has
+    * isolated SQL conf, and a DataFrame executes under the conf of the
+    * session that built it — so the threshold travels with exactly the
+    * plans constructed here and nothing else. */
+  def boundedAggSession(parent: SparkSession): SparkSession = {
+    val child = parent.newSession()
+    child.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
+    graft.plans.GraftFunctions.ensureRegistered(child)
+    child
   }
 }

@@ -127,8 +127,14 @@ object Rehearsal {
       // the same top-3-per-customer answer through the O(k)-state
       // aggregate — the head-to-head for the window_rank sort
       "topk_agg" -> { () =>
+        // rebuild the replicated frame under the bounded-agg child
+        // session so the scoped fallback threshold governs this plan
+        val sb = GraftSession.boundedAggSession(spark)
+        val ordB = replicate(Tables(sb, sfDir, "orders"), mult) { d =>
+          d.withColumn("o_orderkey", col("o_orderkey") * m + col("__rep")).drop("__rep")
+        }
         val topk = udaf(new graft.functions.Aggregators.TopKByValue(3))
-        ordR.select(col("o_custkey"),
+        ordB.select(col("o_custkey"),
             round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
             col("o_orderkey"))
           .groupBy("o_custkey")

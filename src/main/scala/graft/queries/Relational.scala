@@ -296,7 +296,10 @@ object Relational {
     * customer WITHOUT a window's full per-key sort — per-key state is
     * O(k) and map-side combine collapses each task's rows to k before
     * the exchange. The scale twin of q15's window form. */
-  def q37TopKAgg(s: SparkSession, d: String): DataFrame = {
+  def q37TopKAgg(s0: SparkSession, d: String): DataFrame = {
+    // bounded-buffer opt-in: the raised ObjectHashAggregate fallback
+    // threshold is scoped to this plan's child session (GraftSession)
+    val s = graft.GraftSession.boundedAggSession(s0)
     val topk = udaf(new graft.functions.Aggregators.TopKByValue(3))
     ord(s, d)
       .select(col("o_custkey"),

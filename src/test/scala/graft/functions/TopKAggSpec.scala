@@ -49,4 +49,16 @@ class TopKAggSpec extends SparkSpec {
     assert(plan.contains("partial_topkbyvalue"),
       s"expected a partial aggregation phase in:\n$plan")
   }
+
+  test("the raised ObjectHashAggregate fallback is scoped, not global") {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val df = graft.queries.Relational.q37TopKAgg(spark, sf)
+    // the bounded-buffer plan executes under the raised threshold...
+    assert(df.sparkSession.conf.get(key) == "4194304")
+    assert(df.count() > 0)
+    // ...while the parent session keeps Spark's protective default, so
+    // an unbounded ObjectHashAggregate elsewhere still falls back early
+    assert(spark.conf.get(key) == "128",
+      "parent session must keep the default fallback threshold")
+  }
 }
