@@ -321,15 +321,28 @@ object Dedup {
   }
 
   /** Embedding near-dups: cosine ≥ threshold within a blocking key
-    * (here the label column; at scale an LSH/IVF coarse quantizer
-    * provides the blocks — see Similarity.lshAnn). Norms are computed
-    * once per vector BEFORE the pair join — at N² pair counts that
-    * removes two-thirds of the floating-point work. */
-  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame = {
+    * (the label column; at scale an LSH/IVF coarse quantizer provides
+    * the blocks — see embeddingNearDupsBy + Similarity.lloydAssign).
+    * Norms are computed once per vector BEFORE the pair join — at N²
+    * pair counts that removes two-thirds of the floating-point work. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double): DataFrame =
+    embeddingNearDupsBy(emb, "label", threshold)
+
+  /** The same within-block cosine join over an ARBITRARY blocking
+    * column. The block key is what makes embedding dedup scale: the
+    * pair join shuffles on `blockCol`, so candidate volume is
+    * Σ_b |block_b|² instead of N² — supply a corpus label when one
+    * exists, or a trained coarse-quantizer cell (IVF centroid id)
+    * when the corpus is unlabeled. Pairs never cross blocks by
+    * construction; recall across block boundaries is the quantizer's
+    * responsibility (more cells = cheaper join, more boundary
+    * misses — the standard IVF trade). */
+  def embeddingNearDupsBy(emb: DataFrame, blockCol: String,
+                          threshold: Double): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
     val e = emb.withColumn("nrm", sqrt(graft.functions.VectorFunctions.fastNormSq(col("embedding"))))
     e.as("a")
-      .join(e.as("b"), col("a.label") === col("b.label")
+      .join(e.as("b"), col(s"a.$blockCol") === col(s"b.$blockCol")
         && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", round(
         graft.functions.VectorFunctions.fastDot(col("a.embedding"), col("b.embedding"))

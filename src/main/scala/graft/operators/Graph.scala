@@ -48,15 +48,28 @@ object Graph {
     * component) where component = the minimum node id reachable.
     * Nodes are those that appear in at least one edge — callers join
     * isolated vertices back with coalesce(component, id). */
+  private val trace = sys.env.contains("SPARK_GRAFT_CC_TRACE")
+  private def traced[T](label: String)(f: => T): T =
+    if (!trace) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"CC $label ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      r
+    }
+
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("component"))
-      .localCheckpoint()
+    val sym = traced("sym") {
+      edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+        .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+        .distinct()
+        .localCheckpoint()
+    }
+    var labels = traced("init") {
+      sym.select(col("u").as("node")).distinct()
+        .select(col("node"), col("node").as("component"))
+        .localCheckpoint()
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -90,7 +103,9 @@ object Graph {
       // fully materializes the lazy checkpoint above AND answers the
       // convergence test — halving the per-round job count, the
       // dominant cost once components collapse to a few labels.
-      converged = next.filter(col("component") =!= col("prev")).count() == 0
+      converged = traced(s"round$i") {
+        next.filter(col("component") =!= col("prev")).count() == 0
+      }
       // `next` is checkpointed, so it no longer depends on the previous
       // round's blocks — free them now. Leaked checkpoint blocks squat
       // in the block manager for the session lifetime and evict/starve
@@ -106,7 +121,7 @@ object Graph {
     // frame they can re-run any number of actions against without this
     // function having leaked session-lifetime storage blocks.
     ensureCheckpointDir(labels.sparkSession)
-    val out = labels.select("node", "component").checkpoint()
+    val out = traced("final-ckpt") { labels.select("node", "component").checkpoint() }
     labels.unpersist()
     out
   }

@@ -176,13 +176,50 @@ object Similarity {
     * One codegen'd dot per output dim; no shuffle at all. */
   def randomProject(emb: DataFrame, outDims: Int = 16): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
+    emb.select(col("vec_id"), rpColumn(outDims).as("rp"))
+  }
+
+  /** The projection array as a Column (shared by randomProject and the
+    * projected-space ANN below, so both index the identical rounded
+    * coordinates). */
+  private def rpColumn(outDims: Int): org.apache.spark.sql.Column = {
     val scale = 1.0 / math.sqrt(outDims)
-    val proj = array((0 until outDims).map { p =>
+    array((0 until outDims).map { p =>
       val plane = lit((0 until lshDims).map(d =>
         planeWeight(rpSeedOffset + p, d).toFloat).toArray)
       round(fastDot(col("embedding"), plane) * scale, 6)
     }: _*)
-    emb.select(col("vec_id"), proj.as("rp"))
+  }
+
+  /** Bucketed + normed projection for the RP-ANN entry points: a JL
+    * coordinate IS a hyperplane dot product, so the outDims sign bits
+    * of the projection form a sign-LSH bucket key with zero extra
+    * arithmetic — the compress→index composition the JL operator
+    * exists for. Rerank stays FULL-dimension (exact cosine on the
+    * original vectors); only candidate generation lives in the
+    * compressed space, which is the posture that scales: the 4×
+    * narrower vectors are what a 100 TB corpus shuffles and caches
+    * for indexing, while the expensive exact math runs only on the
+    * bucket-sized candidate sets. */
+  private def rpBucketedNormed(df: DataFrame, outDims: Int): DataFrame = {
+    val sign = (0 until outDims).map { i =>
+      when(element_at(col("rp"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.select(col("vec_id"), col("embedding"), rpColumn(outDims).as("rp"))
+      .select(col("vec_id"), col("embedding"), sign.as("bucket"))
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+  }
+
+  /** ANN through the JL-projected index with an explicit query set:
+    * same query-bound asymmetry as lshAnnFor — only the probing
+    * vectors compute projections outside the corpus-side index
+    * build, and answering |Q| lookups costs |Q| bucket probes. */
+  def rpAnnFor(corpus: DataFrame, queries: DataFrame, k: Int,
+               outDims: Int = 16): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val b = rpBucketedNormed(corpus, outDims)
+    val qb = rpBucketedNormed(queries, outDims).withColumn("probe", col("bucket"))
+    rerankByBucket(qb, b, k)
   }
 
   /** IVF-style coarse index: assign each vector to its nearest of

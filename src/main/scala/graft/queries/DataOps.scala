@@ -104,6 +104,40 @@ object DataOps {
   val lloydK = 4
   val lloydIters = 4
 
+  /** IVF-blocked embedding dedup — the unlabeled-corpus form of
+    * dd_embed_neardups: block on the TRAINED coarse cell
+    * (lloydTrain → lloydAssign) instead of a corpus label, then run
+    * the same within-block cosine join. At 100 TB this is the only
+    * viable posture: labels don't exist, and the quantizer bounds the
+    * pair join to Σ|cell|² instead of N². Fully oracle-replayable —
+    * the centroids come from the 6dp-pinned Lloyd loop DuckDB
+    * already replays for sim_ivf_kmeans. */
+  def ddEmbedIvf(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = emb(s, d)
+    val cents = Similarity.lloydTrain(e, lloydK, lloydIters)
+    val assigned = Similarity.lloydAssign(e, cents.toDF("centroid_id", "cent"))
+    Dedup.embeddingNearDupsBy(assigned, "centroid_id", cosineThreshold)
+  }
+
+  /** Recall@k of the JL-projected sign-LSH index (compress → index →
+    * full-dim rerank) against exact brute force over the query set —
+    * closes the loop sim_rp opens: the projection is only worth its
+    * 4× width cut if the index built on it still finds the true
+    * neighbors. Same deterministic-replay contract as sim_ann_recall
+    * (the projection planes are closed-form literals in the oracle). */
+  def simRpAnn(s: SparkSession, d: String): DataFrame = {
+    val exact = simTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val e = emb(s, d)
+    val ann = Similarity.rpAnnFor(e, e.filter(col("vec_id") < annQueries), annK)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      .agg(round(sum(col("hits")) / (lit(annK) * annQueries), 4).as("recall_at_k"),
+           count(lit(1)).as("queries_with_hits"))
+  }
+
   /** JL random projection 64 → 16 dims (scale 1/√16 = 0.25 exactly,
     * so the oracle's literal is representation-exact), flattened to
     * (vec_id, dim, v) rows for the element-exact hash compare. */
@@ -462,6 +496,83 @@ object DataOps {
                 GROUP BY vec_id)"""
   }
 
+  /** Sign-bucket CTEs for the JL-projected index (mirrors
+    * Similarity.rpAnnFor): the 16 projection planes as literals, the
+    * 6dp-rounded coordinates, bucket = Σ sign-bit·2^p. Defines the
+    * same `bk(vec_id, bucket)` / `nrm(vec_id, nrm)` surface as
+    * lshBucketCte so the recall body composes over either index. */
+  private val rpBucketCte: String = {
+    import graft.operators.Similarity.{lshDims, planeWeight, rpSeedOffset}
+    val planeRows = (0 until 16).map { p =>
+      val wl = (0 until lshDims)
+        .map(d => planeWeight(rpSeedOffset + p, d).toFloat.toDouble.toString)
+        .mkString("[", ", ", "]")
+      s"($p, ${1L << p}, $wl)"
+    }.mkString(", ")
+    s"""rplanes(p, pw, wl) AS (VALUES $planeRows),
+        rpv AS (SELECT e.vec_id, pl.pw,
+                  round(list_sum(list_transform(range(1, ${lshDims + 1}),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * pl.wl[i])) * 0.25, 6) AS v
+                FROM embeddings e CROSS JOIN rplanes pl),
+        bk AS (SELECT vec_id,
+                      CAST(sum(CASE WHEN v >= 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+               FROM rpv GROUP BY vec_id),
+        nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+                  (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+                GROUP BY vec_id)"""
+  }
+
+  /** Recall@k of a bucketed ANN index vs exact brute force over the
+    * query set, parameterized by the index's bucket CTEs (`bucketCtes`
+    * must define `bk(vec_id, bucket)` and `nrm(vec_id, nrm)`) —
+    * shared by sim_ann_recall (full-dim sign-LSH) and sim_rp_ann
+    * (JL-projected sign-LSH); candidates join on the bucket, rerank
+    * is exact full-dimension cosine in both. */
+  private def annRecallSql(bucketCtes: String): String =
+    s"""WITH $bucketCtes,
+        ep AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      q.embedding AS ea, c.embedding AS eb
+               FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+               WHERE q.vec_id < $annQueries),
+        eu AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                      CAST(unnest(eb) AS DOUBLE) AS y FROM ep),
+        ed AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM eu
+               GROUP BY query_id, neighbor_id),
+        es AS (SELECT query_id, neighbor_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
+               FROM ed JOIN nrm na ON query_id = na.vec_id
+                       JOIN nrm nb ON neighbor_id = nb.vec_id),
+        exact_rk AS (SELECT query_id, neighbor_id FROM
+                       (SELECT query_id, neighbor_id,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rk FROM es)
+                     WHERE rk <= $annK),
+        ap AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      qe.embedding AS ea, ce.embedding AS eb
+               FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+               JOIN embeddings qe ON qe.vec_id = q.vec_id
+               JOIN embeddings ce ON ce.vec_id = c.vec_id
+               WHERE q.vec_id < $annQueries),
+        au AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                      CAST(unnest(eb) AS DOUBLE) AS y FROM ap),
+        ad AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM au
+               GROUP BY query_id, neighbor_id),
+        asq AS (SELECT query_id, neighbor_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
+                FROM ad JOIN nrm na ON query_id = na.vec_id
+                        JOIN nrm nb ON neighbor_id = nb.vec_id),
+        ann_rk AS (SELECT query_id, neighbor_id FROM
+                     (SELECT query_id, neighbor_id,
+                             row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS rk FROM asq)
+                   WHERE rk <= $annK),
+        hits AS (SELECT e.query_id, count(*) AS hits FROM exact_rk e
+                 WHERE EXISTS (SELECT 1 FROM ann_rk a
+                               WHERE a.query_id = e.query_id
+                                 AND a.neighbor_id = e.neighbor_id)
+                 GROUP BY e.query_id)
+        SELECT round(CAST(sum(hits) AS BIGINT) / ${annK * annQueries}.0, 4) AS recall_at_k,
+               count(*) AS queries_with_hits
+        FROM hits"""
+
   /** Bucket-candidate → exact-cosine rerank (mirrors the shared tail
     * of Similarity.lshAnn / lshAnnMultiProbe). `candCte` must define
     * `cand(query_id, neighbor_id, ea, eb)`. */
@@ -521,7 +632,11 @@ object DataOps {
     * same 6dp-rounded cosine distance and tie-break, same 6dp-rounded
     * per-dimension means, same empty-cluster carry-forward — then a
     * final assignment with the trained centroids. */
-  private val lloydOracle: String = {
+  /** The full CTE chain of the unrolled Lloyd replay, up to and
+    * including the final assignment `a_f(vec_id, cid)` (plus
+    * `en(vec_id, v, nrm)` for downstream math) — shared by the
+    * sim_ivf_kmeans oracle and the IVF-blocked dedup oracle. */
+  private val lloydCtes: String = {
     import graft.operators.Similarity.lshDims
     val k = lloydK
     def assign(cents: String, out: String): String =
@@ -544,18 +659,38 @@ object DataOps {
     val iterBlocks = (1 to lloydIters).map { it =>
       assign(s"c${it - 1}", s"$it") + ",\n" + recenter(s"c${it - 1}", s"a_$it", s"c$it")
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
         en AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cent
                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
         $iterBlocks,
-        ${assign(s"c$lloydIters", "f")}
+        ${assign(s"c$lloydIters", "f")}"""
+  }
+
+  private val lloydOracle: String =
+    s"""WITH $lloydCtes
         SELECT cid AS centroid_id, count(*) AS n_vectors FROM a_f GROUP BY cid"""
+
+  /** dd_embed_ivf replay: the trained assignment blocks the pair
+    * join, then the same 6dp cosine + threshold as dd_embed_neardups
+    * — en already carries each vector (double) and its norm. */
+  private val embedIvfOracle: String = {
+    import graft.operators.Similarity.lshDims
+    s"""WITH $lloydCtes,
+        pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM a_f a JOIN a_f b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        sc AS (SELECT pr.id_a, pr.id_b,
+                      round(list_sum(list_transform(range(1, ${lshDims + 1}),
+                              i -> ea.v[i] * eb.v[i])) / (ea.nrm * eb.nrm), 6) AS cos
+               FROM pr JOIN en ea ON ea.vec_id = pr.id_a
+                       JOIN en eb ON eb.vec_id = pr.id_b)
+        SELECT id_a, id_b, cos FROM sc WHERE cos >= $cosineThreshold"""
   }
 
   val oracleSql: Map[String, String] = Map(
     "sim_ivf_kmeans" -> lloydOracle,
+    "dd_embed_ivf" -> embedIvfOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
     "sim_lsh_ann" -> lshRerankSql(
@@ -602,50 +737,8 @@ object DataOps {
                    FROM probes q JOIN bk c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
                    JOIN embeddings qe ON qe.vec_id = q.vec_id
                    JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
-    "sim_ann_recall" ->
-      s"""WITH $lshBucketCte,
-          ep AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                        q.embedding AS ea, c.embedding AS eb
-                 FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-                 WHERE q.vec_id < $annQueries),
-          eu AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
-                        CAST(unnest(eb) AS DOUBLE) AS y FROM ep),
-          ed AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM eu
-                 GROUP BY query_id, neighbor_id),
-          es AS (SELECT query_id, neighbor_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
-                 FROM ed JOIN nrm na ON query_id = na.vec_id
-                         JOIN nrm nb ON neighbor_id = nb.vec_id),
-          exact_rk AS (SELECT query_id, neighbor_id FROM
-                         (SELECT query_id, neighbor_id,
-                                 row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cos DESC, neighbor_id) AS rk FROM es)
-                       WHERE rk <= $annK),
-          ap AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                        qe.embedding AS ea, ce.embedding AS eb
-                 FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-                 JOIN embeddings qe ON qe.vec_id = q.vec_id
-                 JOIN embeddings ce ON ce.vec_id = c.vec_id
-                 WHERE q.vec_id < $annQueries),
-          au AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
-                        CAST(unnest(eb) AS DOUBLE) AS y FROM ap),
-          ad AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM au
-                 GROUP BY query_id, neighbor_id),
-          asq AS (SELECT query_id, neighbor_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
-                  FROM ad JOIN nrm na ON query_id = na.vec_id
-                          JOIN nrm nb ON neighbor_id = nb.vec_id),
-          ann_rk AS (SELECT query_id, neighbor_id FROM
-                       (SELECT query_id, neighbor_id,
-                               row_number() OVER (PARTITION BY query_id
-                                 ORDER BY cos DESC, neighbor_id) AS rk FROM asq)
-                     WHERE rk <= $annK),
-          hits AS (SELECT e.query_id, count(*) AS hits FROM exact_rk e
-                   WHERE EXISTS (SELECT 1 FROM ann_rk a
-                                 WHERE a.query_id = e.query_id
-                                   AND a.neighbor_id = e.neighbor_id)
-                   GROUP BY e.query_id)
-          SELECT round(CAST(sum(hits) AS BIGINT) / ${annK * annQueries}.0, 4) AS recall_at_k,
-                 count(*) AS queries_with_hits
-          FROM hits""",
+    "sim_ann_recall" -> annRecallSql(lshBucketCte),
+    "sim_rp_ann" -> annRecallSql(rpBucketCte),
     "sim_ivf" ->
       """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce
                         FROM embeddings WHERE vec_id < 4),
@@ -961,8 +1054,10 @@ object DataOps {
     "dd_minhash_est" -> ddMinhashEst _,
     "dd_simhash" -> ddSimhash _,
     "dd_simhash_pairs" -> ddSimhashPairs _,
-    "sim_ivf_kmeans" -> simIvfKmeans _, // MLlib-trained centroids → rows-only
+    "sim_ivf_kmeans" -> simIvfKmeans _, // Lloyd loop → oracle replays training
     "dd_embed_neardups" -> ddEmbedNearDups _,
+    "dd_embed_ivf" -> ddEmbedIvf _,
+    "sim_rp_ann" -> simRpAnn _,
     "dd_corpus" -> ddCorpus _,
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly

@@ -80,6 +80,57 @@ class DataOpsSpec extends SparkSpec {
       "to bucket near-identical vectors together")
   }
 
+  test("IVF-blocked embedding dedup recovers planted near-dups at least as well as arbitrary blocking") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0 until 300).map(i => (i.toLong, vec()))
+    // near-copies of vectors 0..9: cosine > 0.999, so the ONLY thing
+    // that can lose them is the blocking — exactly what this test pins
+    val planted = (0 until 10).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+
+    def found(pairs: org.apache.spark.sql.DataFrame): Int = {
+      val set = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (0 until 10).count(i => set((i.toLong, 1000L + i)))
+    }
+    // trained coarse cells: a near-identical pair lands in the same
+    // Lloyd cell unless it straddles a boundary — recall should be
+    // near-total on cos>0.999 pairs
+    val cents = Similarity.lloydTrain(df, 4, iters = 4)
+    val assigned = Similarity.lloydAssign(df, cents.toDF("centroid_id", "cent"))
+    val ivf = found(Dedup.embeddingNearDupsBy(assigned, "centroid_id", 0.9))
+    // arbitrary blocking (id mod 3): a planted pair (i, 1000+i) shares
+    // a block only when 1000 ≡ 0 (mod 3) — i.e. never — so this is the
+    // "blocking carries no geometry" floor
+    val arbitrary = found(Dedup.embeddingNearDupsBy(
+      df.withColumn("blk", pmod(col("vec_id"), lit(3))), "blk", 0.9))
+    assert(ivf >= 8, s"trained-cell blocking lost planted near-dups: $ivf/10")
+    assert(ivf >= arbitrary,
+      s"trained cells must not trail arbitrary blocks (ivf=$ivf arbitrary=$arbitrary)")
+  }
+
+  test("JL-projected sign-LSH ANN surfaces planted near-dups with full-dim rerank") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    val planted = (0 until 5).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 5)
+    val ann = Similarity.rpAnnFor(df, queries, k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 5).count(i => ann.contains((i.toLong, 1000L + i)))
+    // a cos>0.999 pair's projections are near-identical, so all 16
+    // sign bits agree unless a coordinate sits on the hyperplane
+    assert(found >= 3, s"only $found/5 planted near-dups surfaced through " +
+      "the projected-space index")
+  }
+
   test("probe radius is a monotone recall knob: single ⊆ radius-1 ⊆ radius-2") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
