@@ -36,14 +36,19 @@ object CandyMain {
     val stage = args.sliding(2).collectFirst {
       case Array("--stage", st) => st }.getOrElse("all")
     val ckpt = s"$outDir/_stages"
+    // staged-path console blocks (same surface as the single-session
+    // path's --verbose below; the reference DAG logs these per task)
+    val stageLog: Option[String => Unit] =
+      if (args.contains("--verbose")) Some(println) else None
     stage match {
       case "ingest" => graft.pipeline.CandyStages.ingest(spark, dataDir, ckpt)
-      case "process" => graft.pipeline.CandyStages.process(spark, ckpt, reloadDaily)
-      case "report" => graft.pipeline.CandyStages.report(spark, ckpt, outDir, horizon, model)
+      case "process" => graft.pipeline.CandyStages.process(spark, ckpt, reloadDaily, stageLog)
+      case "report" =>
+        graft.pipeline.CandyStages.report(spark, ckpt, outDir, horizon, model, stageLog)
       case "staged" => // all three stages, checkpointed (DAG contract)
         graft.pipeline.CandyStages.ingest(spark, dataDir, ckpt)
-        graft.pipeline.CandyStages.process(spark, ckpt, reloadDaily)
-        graft.pipeline.CandyStages.report(spark, ckpt, outDir, horizon, model)
+        graft.pipeline.CandyStages.process(spark, ckpt, reloadDaily, stageLog)
+        graft.pipeline.CandyStages.report(spark, ckpt, outDir, horizon, model, stageLog)
       case _ =>
         val r = CandyPipeline.run(spark, dataDir, Some(outDir), reloadDaily, horizon, model)
         println(s"orders=${r.orders.count()} lines=${r.orderLineItems.count()} " +

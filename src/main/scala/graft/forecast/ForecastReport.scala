@@ -15,8 +15,13 @@ import scala.util.Try
   */
 object ForecastReport {
 
+  /** `onMetrics` (model name, in-sample MAE/MSE per series) fires
+    * after a successful fit — the hook the staged pipeline uses to
+    * render the reference's forecast-metrics console block without
+    * this package depending on pipeline.Diagnostics. */
   def forecast(dailySummary: DataFrame, horizon: Int = 1,
-               model: () => Forecaster = () => new LinearTrendForecaster()): Option[DataFrame] =
+               model: () => Forecaster = () => new LinearTrendForecaster(),
+               onMetrics: Option[(String, Map[String, Double]) => Unit] = None): Option[DataFrame] =
     Try {
       val rows = dailySummary.select("date", "total_sales", "total_profit")
         .orderBy("date").collect()
@@ -27,6 +32,13 @@ object ForecastReport {
 
       val salesModel = model().fit(series(1))
       val profitModel = model().fit(series(2))
+      onMetrics.foreach { emit =>
+        val (sMae, sMse) = salesModel.metrics(series(1))
+        val (pMae, pMse) = profitModel.metrics(series(2))
+        emit(salesModel.name, Map(
+          "Sales MAE" -> sMae, "Sales MSE" -> sMse,
+          "Profit MAE" -> pMae, "Profit MSE" -> pMse))
+      }
       val salesF = salesModel.predict(horizon)
       val profitF = profitModel.predict(horizon)
 

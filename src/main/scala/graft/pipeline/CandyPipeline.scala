@@ -122,16 +122,20 @@ object CandyPipeline {
     (orders, orderLineItems, dailySummary, productsUpdated)
   }
 
-  /** Write the four report CSVs + the forecast (S5/S6). */
+  /** Write the four report CSVs + the forecast (S5/S6). `log` (when
+    * set) renders the forecast-metrics console block as the forecast
+    * fits — the reference's per-task print surface. */
   def writeReports(orders: DataFrame, orderLineItems: DataFrame,
                    dailySummary: DataFrame, productsUpdated: DataFrame,
                    out: String, forecastHorizon: Int,
-                   forecastModel: () => graft.forecast.Forecaster): Unit = {
+                   forecastModel: () => graft.forecast.Forecaster,
+                   log: Option[String => Unit] = None): Unit = {
     Sinks.singleFileCsv(dailySummary, out, "daily_summary.csv")
     Sinks.singleFileCsv(orders, out, "orders.csv")
     Sinks.singleFileCsv(orderLineItems, out, "order_line_items.csv")
     Sinks.singleFileCsv(productsUpdated, out, "products_updated.csv")
-    graft.forecast.ForecastReport.forecast(dailySummary, forecastHorizon, forecastModel)
+    graft.forecast.ForecastReport.forecast(dailySummary, forecastHorizon, forecastModel,
+        onMetrics = log.map(o => (m, mm) => Diagnostics.forecastMetrics(m, mm, o)))
       .foreach(f => Sinks.singleFileCsv(f, out, "sales_profit_forecast.csv"))
   }
 

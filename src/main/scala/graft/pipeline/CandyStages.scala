@@ -33,8 +33,12 @@ object CandyStages {
   }
 
   /** Stage 2 — allocation + report frames from checkpoints
-    * (src/candy_store_dag.py:120-180). */
-  def process(spark: SparkSession, ckpt: String, reloadDaily: Boolean = false): Unit = {
+    * (src/candy_store_dag.py:120-180). `log` (when set) renders the
+    * reference batch task's console blocks — dataset info + inventory
+    * levels (src/data_processor.py:465-475, :543-547) — after the
+    * checkpoints land, from the already-written small frames. */
+  def process(spark: SparkSession, ckpt: String, reloadDaily: Boolean = false,
+              log: Option[String => Unit] = None): Unit = {
     val products = ParquetSource(s"$ckpt/products").load(spark)
     val items = ParquetSource(s"$ckpt/items").load(spark)
     val lines = CandyPipeline
@@ -46,6 +50,10 @@ object CandyStages {
     Sinks.parquet(orderLineItems, s"$ckpt/order_line_items")
     Sinks.parquet(dailySummary, s"$ckpt/daily_summary")
     Sinks.parquet(productsUpdated, s"$ckpt/products_updated")
+    log.foreach { out =>
+      Diagnostics.datasetInfo(dailySummary, out)
+      Diagnostics.inventoryLevels(productsUpdated, out)
+    }
   }
 
   /** Stage 3 — CSV emission + forecast from checkpoints
@@ -55,7 +63,8 @@ object CandyStages {
   def report(spark: SparkSession, ckpt: String, outDir: String,
              horizon: Int = 1,
              model: () => graft.forecast.Forecaster =
-               () => new graft.forecast.LinearTrendForecaster()): Unit = {
+               () => new graft.forecast.LinearTrendForecaster(),
+             log: Option[String => Unit] = None): Unit = {
     import org.apache.spark.sql.functions.col
     CandyPipeline.writeReports(
       ParquetSource(s"$ckpt/orders").load(spark).orderBy("order_id"),
@@ -63,6 +72,6 @@ object CandyStages {
         .orderBy("order_id", "product_id"),
       ParquetSource(s"$ckpt/daily_summary").load(spark).orderBy("date"),
       ParquetSource(s"$ckpt/products_updated").load(spark).orderBy(col("product_id")),
-      outDir, horizon, model)
+      outDir, horizon, model, log)
   }
 }

@@ -80,14 +80,15 @@ object Orchestrate {
              reloadDaily: Boolean = false, horizon: Int = 1,
              model: () => graft.forecast.Forecaster =
                () => new graft.forecast.LinearTrendForecaster(),
-             attempts: Int = 3, backoffMs: Long = 0L): Seq[StageResult] = Seq(
+             attempts: Int = 3, backoffMs: Long = 0L,
+             log: Option[String => Unit] = None): Seq[StageResult] = Seq(
     runStage(spark, ckpt, "ingest", attempts, backoffMs) {
       CandyStages.ingest(spark, dataDir, ckpt)
     },
     runStage(spark, ckpt, "process", attempts, backoffMs) {
-      CandyStages.process(spark, ckpt, reloadDaily)
+      CandyStages.process(spark, ckpt, reloadDaily, log)
     },
     runStage(spark, ckpt, "report", attempts, backoffMs) {
-      CandyStages.report(spark, ckpt, outDir, horizon, model)
+      CandyStages.report(spark, ckpt, outDir, horizon, model, log)
     })
 }

@@ -28,4 +28,19 @@ class DiagnosticsSpec extends SparkSpec {
     Diagnostics.forecastMetrics("linear_trend", Map("Sales MAE" -> 12.345), m.append(_))
     assert(m.exists(_ == "Sales MAE: $12.35"))
   }
+
+  test("staged pipeline emits all three console blocks through the injected sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-diag-staged").toString
+    val lines = collection.mutable.ArrayBuffer[String]()
+    Orchestrate.staged(spark, "/root/reference/data/dataset_15",
+      s"$tmp/_stages", tmp, log = Some(lines.append(_)))
+    // process stage: dataset info + inventory; report stage: forecast
+    // metrics with real in-sample MAE/MSE from the fitted models
+    assert(lines.exists(_ == "Dataset Information:"))
+    assert(lines.exists(_.contains("CURRENT INVENTORY LEVELS")))
+    assert(lines.count(_.startsWith("•")) >= 36 + 4)
+    assert(lines.exists(_ == "Model Type: linear_trend"))
+    assert(lines.exists(_.matches("""Sales MAE: \$\d+\.\d{2}""")))
+    assert(lines.exists(_.matches("""Profit MSE: \$\d+\.\d{2}""")))
+  }
 }
