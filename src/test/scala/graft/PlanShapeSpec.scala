@@ -162,6 +162,23 @@ class PlanShapeSpec extends SparkSpec {
       s"signature aggregation duplicated:\n$p")
   }
 
+  test("LSH-verified dedup reuses the shingle distinct across generator and verifier") {
+    val df = Tables(spark, sf, "documents")
+    val p = finalSection(finalPlan(graft.operators.Dedup.lshVerifiedPairs(
+      df, col("text"), col("doc_id"), 3, 0.3)))
+    // The candidate generator (minhash signatures) and the verify side
+    // (per-doc hashed shingle arrays) both start from the identical
+    // shingle explode+distinct subtree; ReuseExchange must serve the
+    // repeats from the first materialization. This is why the two
+    // pipelines are written IDENTICALLY up to the distinct — a r8
+    // attempt to "share" them by collecting both hash families through
+    // one collect_list aggregation measured ~35% SLOWER (wider shuffled
+    // arrays + ObjectHashAggregate + serial per-doc array_min) than
+    // letting the optimizer dedup the exchange.
+    assert(countOccurrences(p, "ReusedExchange") >= 2,
+      s"shingle/bucket subtrees not reused across the verified-pairs plan:\n$p")
+  }
+
   test("exact dedup groups on the md5 key with partial aggregation") {
     val p = plan(DataOps.ddExact(spark, sf))
     assert(p.contains("HashAggregate") &&
