@@ -23,6 +23,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
+      // Trust the sortBy order of bucketed tables at read time (off by
+      // default since Spark 3.0). Safe engine-wide: Spark only reports
+      // the ordering when every bucket is a single file — the layout
+      // Bucketing.writeBucketed guarantees — and it's what removes the
+      // per-bucket re-sort from co-located sort-merge joins.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed-table layout — the co-located-join primitive at 100 TB.
+  *
+  * A fact table bucketed AND sorted on its join key is pre-shuffled
+  * and pre-sorted on disk: a sort-merge join between two tables
+  * bucketed the same way (same key, same bucket count) needs NO
+  * exchange and NO sort at read time — the two scans already satisfy
+  * the join's distribution and ordering requirements. At cluster
+  * scale that removes the dominant cost of every fact-to-fact join on
+  * the bucketing key: a 100 TB lineitem⋈orders pays zero network
+  * bytes instead of 2×(shuffle write + read) per query. The write
+  * pays one shuffle, once, amortized over every subsequent join —
+  * the same trade Hive bucketing / Iceberg bucket-partitioning make.
+  *
+  * The reference's star joins re-shuffle per run (PySpark joins on
+  * freshly loaded frames, /root/reference/src/data_processor.py); a
+  * warehouse layer owns layout, so this operator is the layout half
+  * the engine adds alongside Z-ordering (Layout.scala: clustering for
+  * scan pruning; this: clustering for join locality).
+  */
+object Bucketing {
+
+  /** Write `df` as a parquet table bucketed+sorted on `key`.
+    *
+    * The frame is repartitioned on the bucketing expression first so
+    * each write task holds exactly the rows of its buckets — one file
+    * per bucket instead of (tasks × buckets) files. One file per
+    * bucket is what lets the scan report its output as SORTED (a
+    * multi-file bucket only guarantees per-file order, so the join
+    * would re-sort); it is also the small-file guard: bucketed writes
+    * without it emit task-count× the file count. Spark's repartition
+    * hash and its bucket-file assignment are the same
+    * murmur3-pmod(n), so the alignment is exact, not heuristic. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    key: String, nBuckets: Int): Unit =
+    df.repartition(nBuckets, col(key))
+      .write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Idempotent per-session materialization: first call writes the
+    * bucketed table, later calls reuse the catalog entry (the bench
+    * harness calls each query repeatedly; the layout write is the
+    * amortized-once cost by design, so re-runs must not pay it). */
+  def ensureBucketed(spark: SparkSession, table: String, path: String,
+                     key: String, nBuckets: Int)(load: => DataFrame): DataFrame = {
+    if (!spark.catalog.tableExists(table))
+      writeBucketed(load, table, path, key, nBuckets)
+    spark.table(table)
+  }
+}

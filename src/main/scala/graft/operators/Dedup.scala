@@ -120,9 +120,7 @@ object Dedup {
     * shuffles keyed on doc id, sized by candidates not by corpus². */
   def lshVerifiedPairs(df: DataFrame, text: Column, id: Column, n: Int,
                        threshold: Double): DataFrame = {
-    val sets = shingles(df, text, id, n)
-      .withColumn("h", xxhash64(col("shingle")))
-      .groupBy("doc_id").agg(collect_list(col("h")).as("sh"))
+    val sets = shingleSets(df, text, id, n)
     minhashCandidatePairs(df, text, id, n)
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
@@ -153,6 +151,96 @@ object Dedup {
     df.join(keepers, Seq("doc_id"), "left_semi")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
+
+  /** Per-document hashed shingle sets — the verification payload for
+    * the exact-Jaccard confirm pass (and, persisted, the corpus half
+    * of incremental dedup). */
+  def shingleSets(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
+    shingles(df, text, id, n)
+      .withColumn("h", xxhash64(col("shingle")))
+      .groupBy("doc_id").agg(collect_list(col("h")).as("sh"))
+
+  /** The corpus-side dedup state incremental ingestion probes against.
+    * In production these three frames are PERSISTED artifacts of the
+    * previous pipeline run (parquet tables, bucketed on their keys) —
+    * the whole point of the incremental form is that a new batch
+    * never re-scans the corpus text, only joins against this index. */
+  final case class CorpusIndex(md5s: DataFrame, signatures: DataFrame,
+                               shingleSets: DataFrame)
+
+  /** Build the index from a corpus frame (the bootstrap / refresh
+    * path; steady-state pipelines load the persisted index instead). */
+  def indexCorpus(corpus: DataFrame, text: Column, id: Column, n: Int): CorpusIndex =
+    CorpusIndex(
+      corpus.select(md5(text.cast("binary")).as("content_md5")).distinct(),
+      minhashSignatures(corpus, text, id, n),
+      shingleSets(corpus, text, id, n))
+
+  /** Incremental dedup: the rows of `batch` that survive against an
+    * already-deduped corpus — the shape a continuously-ingested
+    * training corpus actually runs (the full-corpus rebuild
+    * `dedupedCorpus` is the bootstrap; this is every day after).
+    *
+    * A batch doc is dropped when (a) its exact content exists in the
+    * corpus or earlier in the batch (min doc_id wins, matching
+    * `exact`), or (b) an LSH-proposed, exact-Jaccard-verified near-dup
+    * exists in the corpus or earlier in the batch — the same
+    * propose-then-verify policy as `dedupedCorpus`, made asymmetric:
+    * the corpus side always wins regardless of id.
+    *
+    * Scale shape: every join is batch-driven. Batch bucket rows probe
+    * the corpus bucket table (|B|·bands rows against a bucket-keyed
+    * index — at 100 TB, bucketed-by-`bucket` storage makes this probe
+    * shuffle only the batch side), verification joins only the
+    * candidate pairs against the shingle-set index, and the corpus
+    * text is never rescanned. Cost ∝ |batch| + collisions, not
+    * |corpus|. */
+  def incremental(index: CorpusIndex, batch: DataFrame, text: Column,
+                  id: Column, n: Int, threshold: Double): DataFrame = {
+    val bMd5 = batch.select(id.as("doc_id"), md5(text.cast("binary")).as("content_md5"))
+    val exactVsCorpus = bMd5.join(index.md5s, Seq("content_md5"), "left_semi")
+      .select("doc_id")
+    val exactInBatch = bMd5
+      .join(bMd5.groupBy("content_md5").agg(min(col("doc_id")).as("keep_id")),
+        Seq("content_md5"))
+      .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
+
+    val sigB = minhashSignatures(batch, text, id, n)
+    val bkB = lshBuckets(sigB)
+    val bkC = lshBuckets(index.signatures)
+    val candVsCorpus = bkB.as("b").join(bkC.as("c"),
+        col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("other_id"))
+    val candInBatch = bkB.as("b").join(bkB.as("o"),
+        col("b.band") === col("o.band") && col("b.bucket") === col("o.bucket")
+          && col("b.doc_id") > col("o.doc_id"))
+      .select(col("b.doc_id").as("batch_id"), col("o.doc_id").as("other_id"))
+    val cand = candVsCorpus.unionByName(candInBatch).distinct()
+
+    val setsB = shingleSets(batch, text, id, n)
+    val nearLosers = cand
+      .join(setsB.select(col("doc_id").as("batch_id"), col("sh").as("sha")),
+        Seq("batch_id"))
+      .join(index.shingleSets.unionByName(setsB)
+          .select(col("doc_id").as("other_id"), col("sh").as("shb")),
+        Seq("other_id"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jaccard",
+        round(col("common").cast("double")
+          / (size(col("sha")) + size(col("shb")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id").as("doc_id")).distinct()
+
+    batch.join(
+      exactVsCorpus.unionByName(exactInBatch).unionByName(nearLosers).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Bootstrap convenience: index the corpus in-plan, then dedupe the
+    * batch against it. */
+  def incremental(corpus: DataFrame, batch: DataFrame, text: Column,
+                  id: Column, n: Int, threshold: Double): DataFrame =
+    incremental(indexCorpus(corpus, text, id, n), batch, text, id, n, threshold)
 
   // ---- MinHash + LSH -------------------------------------------------
 

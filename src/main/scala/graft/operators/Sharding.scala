@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Global running totals and token-budget shard packing — the
+  * corpus-serialization step of a training-data pipeline ("pack these
+  * N billion documents into ~1 GB shards in a stable global order").
+  *
+  * The naive expression — `sum(v) OVER (ORDER BY k)` with no
+  * PARTITION BY — collapses the whole table into ONE task (Spark
+  * plans an Exchange SinglePartition under the window), which is the
+  * single worst scale trap in the window family: at 100 TB it is not
+  * slow, it is impossible. The scale-correct form here is a two-level
+  * prefix sum:
+  *
+  *   1. rows fold into order-aligned blocks (block id = orderKey div
+  *      blockSize — deterministic arithmetic, no sampled range
+  *      boundaries, so results are bit-stable across runs/cluster
+  *      sizes);
+  *   2. per-block subtotals (one map-side-combined groupBy, output is
+  *      O(#blocks) rows) get exclusive running offsets through a
+  *      single-partition window that only ever sees #blocks rows —
+  *      bounded by layout choice, not by data;
+  *   3. offsets broadcast-join back and a block-partitioned window
+  *      (parallel, each partition ≤ blockSize rows) adds the local
+  *      prefix.
+  *
+  * Identical answer to the global window, shuffle structure of a
+  * groupBy. At 100 TB pick blockSize so a block (≈ blockSize rows)
+  * fits one task comfortably; #blocks stays millions of rows at most,
+  * still trivial for the offset pass.
+  */
+object Sharding {
+
+  /** `df` plus `cum` = inclusive running total of `value` in
+    * ascending `orderKey` order (orderKey values must be unique —
+    * ties would make "running" ill-defined in any engine). */
+  def globalCumsum(df: DataFrame, orderKey: String, value: Column,
+                   blockSize: Long): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
+    val withBlk = df.withColumn("__v", value.cast("long"))
+      .withColumn("__blk", expr(s"CAST($orderKey AS BIGINT) div $blockSize"))
+    // O(#blocks) frame: subtotal per block, then each block's EXCLUSIVE
+    // offset (sum of all earlier blocks). The unpartitioned window here
+    // is deliberate and safe — its input is the block-summary frame.
+    val offsets = withBlk.groupBy("__blk").agg(sum(col("__v")).as("__bsum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bsum")).over(
+          Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("__blk", "__offset")
+    val local = Window.partitionBy("__blk").orderBy(orderKey)
+    withBlk.join(broadcast(offsets), Seq("__blk"))
+      .withColumn("cum", col("__offset") + sum(col("__v")).over(local))
+      .drop("__blk", "__bsum", "__offset", "__v")
+  }
+
+  /** Pack rows into contiguous shards of ~`budget` tokens in global
+    * `orderKey` order: a row's shard is its STARTING offset div
+    * budget, so every shard covers a half-open token range
+    * [i·budget, (i+1)·budget) — rows never reorder across runs, shard
+    * boundaries never move when the corpus is appended to (earlier
+    * rows keep their cumsum), and a shard exceeds the budget by at
+    * most one row's tokens (the standard greedy packing bound). */
+  def packShards(df: DataFrame, orderKey: String, tokens: Column,
+                 budget: Long, blockSize: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    globalCumsum(df.withColumn("n_tokens", tokens.cast("long")),
+        orderKey, col("n_tokens"), blockSize)
+      .withColumn("shard_id", expr(s"(cum - n_tokens) div $budget"))
+  }
+}

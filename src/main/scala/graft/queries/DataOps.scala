@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bucketing, Dedup, Layout, Multimodal, Sharding, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-checkable queries over
   * the `documents` / `embeddings` tables, with DuckDB oracle SQL
@@ -365,6 +365,62 @@ object DataOps {
       .limit(20)
   }
 
+  /** Incremental ingestion dedup: the corpus is every doc except the
+    * batch (doc_id % 10 = 7 — a deterministic tenth of the table
+    * standing in for "today's crawl"), and the batch survives only
+    * where it collides with neither the corpus nor its own earlier
+    * rows — exact or LSH-verified-near-dup. The production form
+    * probes a PERSISTED Dedup.CorpusIndex; semantics are identical. */
+  def ddIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 7
+    Dedup.incremental(all.filter(!isBatch), all.filter(isBatch),
+        col("text"), col("doc_id"), 3, jaccardThreshold)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  val shardBudget = 1000L
+  /** Prefix-sum block size: ≥2 orders of magnitude below the corpus
+    * so the rehearsal actually exercises the two-level structure; at
+    * 100 TB this is a layout knob (rows per task), not a tuning. */
+  val shardBlock = 100L
+
+  /** Token-budget shard packing in stable doc_id order via the
+    * two-level distributed prefix sum (operators.Sharding) — the
+    * single-partition global window it replaces is asserted absent in
+    * ShardingSpec. */
+  def dsPackShards(s: SparkSession, d: String): DataFrame =
+    Sharding.packShards(docs(s, d).select(col("doc_id"), col("text")),
+        "doc_id", size(split(col("text"), " ")), shardBudget, shardBlock)
+      .select(col("doc_id"), col("n_tokens"), col("cum").as("cum_tokens"),
+        col("shard_id"))
+
+  val bucketCount = 8
+
+  /** Fact-to-fact join on bucketed, sorted tables: both sides are
+    * laid out on the join key (Bucketing.writeBucketed — one shuffle,
+    * paid once at write), so the sort-merge join runs with NO
+    * exchange and NO sort (asserted in BucketingSpec); the only
+    * shuffle left in the query is the 5-row priority rollup. The
+    * result is layout-independent — the oracle is the plain join. */
+  def dsBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val li = Bucketing.ensureBucketed(s, s"li_bkt_$tag",
+        s"/root/repo/target/graft-bucketed/$tag/lineitem", "l_orderkey", bucketCount) {
+      Tables(s, d, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    }
+    val ord = Bucketing.ensureBucketed(s, s"ord_bkt_$tag",
+        s"/root/repo/target/graft-bucketed/$tag/orders", "o_orderkey", bucketCount) {
+      Tables(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    }
+    li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("cents",
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), (sum(col("cents")) / 100.0).as("revenue"))
+  }
+
   def allocGreedy(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.{Allocate, Model}
@@ -441,20 +497,25 @@ object DataOps {
         sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)"""
   }
 
-  /** Shared CTE chain: MinHash-LSH candidate pairs (mirrors
-    * Dedup.minhashCandidatePairs) — `pairs(id_a, id_b)`. */
-  private val lshPairsCte = {
+  /** Shared CTE: LSH band/bucket rows per doc — `bands(doc_id, band,
+    * bucket)` (mirrors Dedup.lshBuckets). */
+  private val lshBandsCte = {
     val bandSelects = (0 until 4).map { band =>
       val cols = (band * 4 until band * 4 + 4)
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
-    s"""$minhashSigCte, bands AS ($bandSelects),
+    s"$minhashSigCte, bands AS ($bandSelects)"
+  }
+
+  /** Shared CTE chain: MinHash-LSH candidate pairs (mirrors
+    * Dedup.minhashCandidatePairs) — `pairs(id_a, id_b)`. */
+  private val lshPairsCte =
+    s"""$lshBandsCte,
         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM bands a JOIN bands b
                     ON a.band = b.band AND a.bucket = b.bucket
                    AND a.doc_id < b.doc_id)"""
-  }
 
   /** Shared CTE: 32-bit SimHash per document (mirrors Dedup.simhash). */
   private val simhashCte = {
@@ -786,6 +847,55 @@ object DataOps {
           WHERE doc_id IN (SELECT doc_id FROM keepers)
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
     "dd_lsh_pairs" -> s"WITH $lshPairsCte SELECT id_a, id_b FROM pairs",
+    "dd_incremental" ->
+      // batch = doc_id % 10 = 7; a batch doc loses to ANY corpus doc
+      // and to EARLIER batch docs only — exact (md5) or LSH-proposed +
+      // exact-Jaccard-verified, mirroring Dedup.incremental
+      s"""WITH $lshBandsCte,
+          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          cand AS (SELECT DISTINCT b.doc_id AS bid, o.doc_id AS oid
+                   FROM bands b JOIN bands o
+                     ON b.band = o.band AND b.bucket = o.bucket
+                   WHERE b.doc_id % 10 = 7
+                     AND (o.doc_id % 10 <> 7 OR o.doc_id < b.doc_id)),
+          c AS (SELECT cand.bid, cand.oid, count(*) AS common
+                FROM cand JOIN s sa ON sa.doc_id = cand.bid
+                          JOIN s sb ON sb.doc_id = cand.oid
+                           AND sb.shingle = sa.shingle
+                GROUP BY cand.bid, cand.oid),
+          nearlosers AS (SELECT DISTINCT bid AS doc_id
+                         FROM c JOIN sz x ON bid = x.doc_id
+                                JOIN sz y ON oid = y.doc_id
+                         WHERE round(common * 1.0 / (x.n + y.n - common), 6)
+                                 >= $jaccardThreshold),
+          exactlosers AS (SELECT DISTINCT b.doc_id
+                          FROM documents b JOIN documents o
+                            ON md5(b.text) = md5(o.text)
+                           AND b.doc_id % 10 = 7
+                           AND (o.doc_id % 10 <> 7 OR o.doc_id < b.doc_id))
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id % 10 = 7
+            AND doc_id NOT IN (SELECT doc_id FROM nearlosers)
+            AND doc_id NOT IN (SELECT doc_id FROM exactlosers)""",
+    "ds_pack_shards" ->
+      s"""WITH d AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM d)
+          SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+                 CAST((cum - n_tokens) // $shardBudget AS BIGINT) AS shard_id
+          FROM c""",
+    "ds_bucketed_join" ->
+      // layout-independent semantics: the oracle is the plain join —
+      // the bucketed tables' zero-exchange plan is BucketingSpec's job
+      """SELECT o_orderpriority, count(*) AS n_lines,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+                  / 100.0 AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "dd_cc" ->
       // transitive closure of the LSH pair graph: reachability pairs by
       // a recursive CTE, component = min reachable id, singletons kept
@@ -1059,6 +1169,9 @@ object DataOps {
     "dd_embed_ivf" -> ddEmbedIvf _,
     "sim_rp_ann" -> simRpAnn _,
     "dd_corpus" -> ddCorpus _,
+    "dd_incremental" -> ddIncremental _,
+    "ds_pack_shards" -> dsPackShards _,
+    "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly
     "sim_lsh_multiprobe" -> simLshMultiProbe _,

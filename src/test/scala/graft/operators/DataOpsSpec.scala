@@ -212,6 +212,44 @@ class DataOpsSpec extends SparkSpec {
     assert(kept.size == total - losers.size, "only near-dup losers removed (no exact dups here)")
   }
 
+  test("incremental dedup equals full-corpus dedup when corpus ids precede batch ids") {
+    // with every corpus id below every batch id, "corpus always wins"
+    // coincides with dedupedCorpus's min-id policy — so the batch
+    // survivors of the incremental pass must be exactly the batch rows
+    // of the full rebuild
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = 40L
+    val corpus = all.filter(col("doc_id") < cut)
+    val batch = all.filter(col("doc_id") >= cut)
+    val inc = Dedup.incremental(corpus, batch, col("text"), col("doc_id"), 3, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = Dedup.dedupedCorpus(all, col("text"), col("doc_id"), 3, 0.3)
+      .filter(col("doc_id") >= cut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(inc == full)
+  }
+
+  test("incremental dedup: corpus wins regardless of id; batch self-dedups by min id") {
+    import spark.implicits._
+    // 40 tokens, last one changed: 37 of 39 shingles shared (J ≈ 0.95)
+    // — deep inside the banding's catch zone for the fixed permutations
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w40", "zz")
+    // corpus doc 100 has a HIGHER id than every batch doc — it must
+    // still win (the corpus is settled; ingestion never evicts it)
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base),                    // exact dup of corpus → dropped
+      (2L, near),                    // near dup of corpus → dropped
+      (3L, "a1 a2 a3 a4 a5 a6 a7"),  // novel → kept
+      (4L, "a1 a2 a3 a4 a5 a6 a7"),  // exact dup of batch 3 → dropped
+      (5L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10")) // novel → kept
+      .toDF("doc_id", "text")
+    val kept = Dedup.incremental(corpus, batch, col("text"), col("doc_id"), 3, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 5L))
+  }
+
   test("Dataset allocator and custom-plan allocator agree on lineitem") {
     val a = DataOps.allocGreedy(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.DataOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two-level prefix sum must (a) equal the single-window global
+  * cumsum exactly, (b) keep the single-partition exchange confined to
+  * the O(#blocks) summary frame — the full table must flow through a
+  * block-partitioned window only — and (c) pack shards that respect
+  * the greedy budget bound.
+  */
+class ShardingSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final adaptive plan only (the AQE toString appends the initial
+    * plan, which would double-count exchanges). */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString().split("== Initial Plan ==")(0)
+  }
+
+  test("globalCumsum equals the naive single-partition window") {
+    import spark.implicits._
+    // keys deliberately sparse + unordered input, several block spans
+    val rows = new scala.util.Random(7).shuffle(
+      (0 until 500).map(i => (i.toLong * 7, (i % 13 + 1).toLong)).toList)
+    val df = rows.toDF("k", "v")
+    val got = Sharding.globalCumsum(df, "k", col("v"), blockSize = 100)
+      .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.withColumn("cum",
+        sum(col("v")).over(Window.orderBy("k")))
+      .select("k", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("only the block-summary frame crosses a single-partition exchange") {
+    val df = DataOps.dsPackShards(spark, sf)
+    val p = finalPlan(df)
+    // the tiny offsets window is allowed exactly one; a second one
+    // would mean the full table collapsed into one task
+    assert(p.sliding("Exchange SinglePartition".length)
+      .count(_ == "Exchange SinglePartition") == 1, s"plan:\n$p")
+    // the full-table window is keyed on the block id — parallel by layout
+    assert(p.contains("windowspecdefinition(__blk"),
+      s"full-table window must partition by __blk:\n$p")
+  }
+
+  test("shard packing: stable order, budget bound, contiguous shard ids") {
+    val rows = DataOps.dsPackShards(spark, sf)
+      .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // cum is the running total in doc_id order
+    var run = 0L
+    rows.foreach { case (_, n, cum, _) => run += n; assert(cum == run) }
+    // shard id = starting offset div budget: nondecreasing, starts at 0,
+    // no gaps, and every shard's span holds its start offset
+    assert(rows.head._4 == 0L)
+    val perShard = rows.groupBy(_._4)
+    (0L until perShard.keys.max).foreach(i => assert(perShard.contains(i), s"gap at shard $i"))
+    rows.foreach { case (_, n, cum, sid) =>
+      assert((cum - n) / DataOps.shardBudget == sid)
+    }
+    // greedy bound: a shard overflows the budget by at most one row
+    perShard.foreach { case (sid, rs) =>
+      val tokens = rs.map(_._2).sum
+      val lastRow = rs.maxBy(_._3)
+      assert(tokens <= DataOps.shardBudget + lastRow._2,
+        s"shard $sid holds $tokens tokens, budget ${DataOps.shardBudget}")
+    }
+  }
+}
