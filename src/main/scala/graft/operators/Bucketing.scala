@@ -37,11 +37,18 @@ object Bucketing {
     * murmur3-pmod(n), so the alignment is exact, not heuristic. */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     key: String, nBuckets: Int): Unit =
-    df.repartition(nBuckets, col(key))
+    writeBucketed(df, table, path, Seq(key), nBuckets)
+
+  /** Multi-column form: buckets hash over ALL `keys` (murmur3 over the
+    * tuple, same as `repartition(n, keys…)`), so an equi-join on the
+    * full key set reads both sides co-partitioned. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    keys: Seq[String], nBuckets: Int): Unit =
+    df.repartition(nBuckets, keys.map(col): _*)
       .write.mode("overwrite")
       .option("path", path)
-      .bucketBy(nBuckets, key)
-      .sortBy(key)
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 
@@ -50,9 +57,13 @@ object Bucketing {
     * harness calls each query repeatedly; the layout write is the
     * amortized-once cost by design, so re-runs must not pay it). */
   def ensureBucketed(spark: SparkSession, table: String, path: String,
-                     key: String, nBuckets: Int)(load: => DataFrame): DataFrame = {
+                     key: String, nBuckets: Int)(load: => DataFrame): DataFrame =
+    ensureBucketed(spark, table, path, Seq(key), nBuckets)(load)
+
+  def ensureBucketed(spark: SparkSession, table: String, path: String,
+                     keys: Seq[String], nBuckets: Int)(load: => DataFrame): DataFrame = {
     if (!spark.catalog.tableExists(table))
-      writeBucketed(load, table, path, key, nBuckets)
+      writeBucketed(load, table, path, keys, nBuckets)
     spark.table(table)
   }
 }

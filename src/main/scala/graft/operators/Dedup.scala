@@ -162,10 +162,14 @@ object Dedup {
 
   /** The corpus-side dedup state incremental ingestion probes against.
     * In production these three frames are PERSISTED artifacts of the
-    * previous pipeline run (parquet tables, bucketed on their keys) —
-    * the whole point of the incremental form is that a new batch
-    * never re-scans the corpus text, only joins against this index. */
-  final case class CorpusIndex(md5s: DataFrame, signatures: DataFrame,
+    * previous pipeline run (parquet tables, bucketed on their keys —
+    * `saveIndex`/`loadIndex` below) — the whole point of the
+    * incremental form is that a new batch never re-scans the corpus
+    * text, only joins against this index. The index stores the LSH
+    * BUCKET rows (band, bucket, doc_id), not raw signatures: the
+    * probe joins on (band, bucket), so that is the key the stored
+    * layout must be clustered on. */
+  final case class CorpusIndex(md5s: DataFrame, buckets: DataFrame,
                                shingleSets: DataFrame)
 
   /** Build the index from a corpus frame (the bootstrap / refresh
@@ -173,8 +177,48 @@ object Dedup {
   def indexCorpus(corpus: DataFrame, text: Column, id: Column, n: Int): CorpusIndex =
     CorpusIndex(
       corpus.select(md5(text.cast("binary")).as("content_md5")).distinct(),
-      minhashSignatures(corpus, text, id, n),
+      lshBuckets(minhashSignatures(corpus, text, id, n)),
       shingleSets(corpus, text, id, n))
+
+  private def indexTables(tag: String): (String, String, String) =
+    (s"ci_md5_$tag", s"ci_bkt_$tag", s"ci_sh_$tag")
+
+  /** Persist the index as three bucketed+sorted parquet tables, each
+    * clustered on its probe key — md5s on content_md5 (the exact-dup
+    * semi-join), buckets on (band, bucket) (the LSH candidate join),
+    * shingle sets on doc_id (the verification join). With this layout
+    * every probe join reads the corpus side co-partitioned: only the
+    * |batch|-sided frames shuffle (asserted in DedupIndexSpec). */
+  def saveIndex(index: CorpusIndex, root: String, tag: String,
+                nBuckets: Int = 8): Unit = {
+    val (tm, tb, ts) = indexTables(tag)
+    Bucketing.writeBucketed(index.md5s, tm, s"$root/md5s",
+      Seq("content_md5"), nBuckets)
+    Bucketing.writeBucketed(index.buckets, tb, s"$root/buckets",
+      Seq("band", "bucket"), nBuckets)
+    Bucketing.writeBucketed(index.shingleSets, ts, s"$root/shingles",
+      Seq("doc_id"), nBuckets)
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, tag: String): CorpusIndex = {
+    val (tm, tb, ts) = indexTables(tag)
+    CorpusIndex(spark.table(tm), spark.table(tb), spark.table(ts))
+  }
+
+  /** Idempotent persisted-index materialization (same pattern as
+    * Bucketing.ensureBucketed): first call builds and writes the three
+    * tables, later calls load the stored layout — the steady-state
+    * ingestion shape, where the index is an artifact of the previous
+    * run and the corpus text is never rescanned. */
+  def ensurePersistedIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+                           tag: String, nBuckets: Int = 8)
+                          (build: => CorpusIndex): CorpusIndex = {
+    val (tm, tb, ts) = indexTables(tag)
+    if (!(spark.catalog.tableExists(tm) && spark.catalog.tableExists(tb)
+        && spark.catalog.tableExists(ts)))
+      saveIndex(build, root, tag, nBuckets)
+    loadIndex(spark, tag)
+  }
 
   /** Incremental dedup: the rows of `batch` that survive against an
     * already-deduped corpus — the shape a continuously-ingested
@@ -207,29 +251,37 @@ object Dedup {
 
     val sigB = minhashSignatures(batch, text, id, n)
     val bkB = lshBuckets(sigB)
-    val bkC = lshBuckets(index.signatures)
-    val candVsCorpus = bkB.as("b").join(bkC.as("c"),
+    val candVsCorpus = bkB.as("b").join(index.buckets.as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
       .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("other_id"))
+      .distinct()
     val candInBatch = bkB.as("b").join(bkB.as("o"),
         col("b.band") === col("o.band") && col("b.bucket") === col("o.bucket")
           && col("b.doc_id") > col("o.doc_id"))
       .select(col("b.doc_id").as("batch_id"), col("o.doc_id").as("other_id"))
-    val cand = candVsCorpus.unionByName(candInBatch).distinct()
+      .distinct()
 
+    // Verification runs per candidate SOURCE (corpus / earlier-batch),
+    // so the corpus half joins the shingle-set index directly on its
+    // stored doc_id clustering instead of through a union with the
+    // batch frame (a union would discard the persisted layout and
+    // re-shuffle the corpus side). Corpus and batch ids are disjoint
+    // by contract, so the split is the same pair set.
     val setsB = shingleSets(batch, text, id, n)
-    val nearLosers = cand
-      .join(setsB.select(col("doc_id").as("batch_id"), col("sh").as("sha")),
-        Seq("batch_id"))
-      .join(index.shingleSets.unionByName(setsB)
-          .select(col("doc_id").as("other_id"), col("sh").as("shb")),
-        Seq("other_id"))
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
-      .withColumn("jaccard",
-        round(col("common").cast("double")
-          / (size(col("sha")) + size(col("shb")) - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("batch_id").as("doc_id")).distinct()
+    def verifiedLosers(cand: DataFrame, otherSets: DataFrame): DataFrame =
+      cand
+        .join(setsB.select(col("doc_id").as("batch_id"), col("sh").as("sha")),
+          Seq("batch_id"))
+        .join(otherSets.select(col("doc_id").as("other_id"), col("sh").as("shb")),
+          Seq("other_id"))
+        .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("jaccard",
+          round(col("common").cast("double")
+            / (size(col("sha")) + size(col("shb")) - col("common")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select(col("batch_id").as("doc_id"))
+    val nearLosers = verifiedLosers(candVsCorpus, index.shingleSets)
+      .unionByName(verifiedLosers(candInBatch, setsB)).distinct()
 
     batch.join(
       exactVsCorpus.unionByName(exactInBatch).unionByName(nearLosers).distinct(),

@@ -379,6 +379,24 @@ object DataOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** The production form of dd_incremental: the corpus index is a
+    * PERSISTED artifact — three bucketed+sorted parquet tables, each
+    * clustered on its probe key — and the batch probes the stored
+    * layout. Identical semantics (same oracle); DedupIndexSpec
+    * asserts the probe plan never shuffles the corpus side. */
+  def ddIncrementalPersisted(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 7
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val index = Dedup.ensurePersistedIndex(s, s"$tableRoot/$tag/corpus_index",
+        tag, bucketCount) {
+      Dedup.indexCorpus(all.filter(!isBatch), col("text"), col("doc_id"), 3)
+    }
+    Dedup.incremental(index, all.filter(isBatch),
+        col("text"), col("doc_id"), 3, jaccardThreshold)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   val shardBudget = 1000L
   /** Prefix-sum block size: ≥2 orders of magnitude below the corpus
     * so the rehearsal actually exercises the two-level structure; at
@@ -397,6 +415,12 @@ object DataOps {
 
   val bucketCount = 8
 
+  /** Root for session-materialized table layouts (bucketed joins,
+    * persisted dedup/ANN indexes). Config-overridable, tmp-derived —
+    * never a repo-absolute path. */
+  val tableRoot: String = sys.env.getOrElse("SPARK_GRAFT_TABLE_ROOT",
+    s"${System.getProperty("java.io.tmpdir")}/graft-bucketed")
+
   /** Fact-to-fact join on bucketed, sorted tables: both sides are
     * laid out on the join key (Bucketing.writeBucketed — one shuffle,
     * paid once at write), so the sort-merge join runs with NO
@@ -406,12 +430,12 @@ object DataOps {
   def dsBucketedJoin(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_")
     val li = Bucketing.ensureBucketed(s, s"li_bkt_$tag",
-        s"/root/repo/target/graft-bucketed/$tag/lineitem", "l_orderkey", bucketCount) {
+        s"$tableRoot/$tag/lineitem", "l_orderkey", bucketCount) {
       Tables(s, d, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
     }
     val ord = Bucketing.ensureBucketed(s, s"ord_bkt_$tag",
-        s"/root/repo/target/graft-bucketed/$tag/orders", "o_orderkey", bucketCount) {
+        s"$tableRoot/$tag/orders", "o_orderkey", bucketCount) {
       Tables(s, d, "orders").select("o_orderkey", "o_orderpriority")
     }
     li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -749,6 +773,40 @@ object DataOps {
         SELECT id_a, id_b, cos FROM sc WHERE cos >= $cosineThreshold"""
   }
 
+  /** dd_incremental / dd_incremental_persisted replay: batch =
+    * doc_id % 10 = 7; a batch doc loses to ANY corpus doc and to
+    * EARLIER batch docs only — exact (md5) or LSH-proposed +
+    * exact-Jaccard-verified, mirroring Dedup.incremental. The
+    * persisted form runs the identical algebra over stored index
+    * tables, so both keys share this oracle. */
+  private val incrementalOracle: String =
+    s"""WITH $lshBandsCte,
+        sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+        cand AS (SELECT DISTINCT b.doc_id AS bid, o.doc_id AS oid
+                 FROM bands b JOIN bands o
+                   ON b.band = o.band AND b.bucket = o.bucket
+                 WHERE b.doc_id % 10 = 7
+                   AND (o.doc_id % 10 <> 7 OR o.doc_id < b.doc_id)),
+        c AS (SELECT cand.bid, cand.oid, count(*) AS common
+              FROM cand JOIN s sa ON sa.doc_id = cand.bid
+                        JOIN s sb ON sb.doc_id = cand.oid
+                         AND sb.shingle = sa.shingle
+              GROUP BY cand.bid, cand.oid),
+        nearlosers AS (SELECT DISTINCT bid AS doc_id
+                       FROM c JOIN sz x ON bid = x.doc_id
+                              JOIN sz y ON oid = y.doc_id
+                       WHERE round(common * 1.0 / (x.n + y.n - common), 6)
+                               >= $jaccardThreshold),
+        exactlosers AS (SELECT DISTINCT b.doc_id
+                        FROM documents b JOIN documents o
+                          ON md5(b.text) = md5(o.text)
+                         AND b.doc_id % 10 = 7
+                         AND (o.doc_id % 10 <> 7 OR o.doc_id < b.doc_id))
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id % 10 = 7
+          AND doc_id NOT IN (SELECT doc_id FROM nearlosers)
+          AND doc_id NOT IN (SELECT doc_id FROM exactlosers)"""
+
   val oracleSql: Map[String, String] = Map(
     "sim_ivf_kmeans" -> lloydOracle,
     "dd_embed_ivf" -> embedIvfOracle,
@@ -847,36 +905,9 @@ object DataOps {
           WHERE doc_id IN (SELECT doc_id FROM keepers)
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
     "dd_lsh_pairs" -> s"WITH $lshPairsCte SELECT id_a, id_b FROM pairs",
-    "dd_incremental" ->
-      // batch = doc_id % 10 = 7; a batch doc loses to ANY corpus doc
-      // and to EARLIER batch docs only — exact (md5) or LSH-proposed +
-      // exact-Jaccard-verified, mirroring Dedup.incremental
-      s"""WITH $lshBandsCte,
-          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-          cand AS (SELECT DISTINCT b.doc_id AS bid, o.doc_id AS oid
-                   FROM bands b JOIN bands o
-                     ON b.band = o.band AND b.bucket = o.bucket
-                   WHERE b.doc_id % 10 = 7
-                     AND (o.doc_id % 10 <> 7 OR o.doc_id < b.doc_id)),
-          c AS (SELECT cand.bid, cand.oid, count(*) AS common
-                FROM cand JOIN s sa ON sa.doc_id = cand.bid
-                          JOIN s sb ON sb.doc_id = cand.oid
-                           AND sb.shingle = sa.shingle
-                GROUP BY cand.bid, cand.oid),
-          nearlosers AS (SELECT DISTINCT bid AS doc_id
-                         FROM c JOIN sz x ON bid = x.doc_id
-                                JOIN sz y ON oid = y.doc_id
-                         WHERE round(common * 1.0 / (x.n + y.n - common), 6)
-                                 >= $jaccardThreshold),
-          exactlosers AS (SELECT DISTINCT b.doc_id
-                          FROM documents b JOIN documents o
-                            ON md5(b.text) = md5(o.text)
-                           AND b.doc_id % 10 = 7
-                           AND (o.doc_id % 10 <> 7 OR o.doc_id < b.doc_id))
-          SELECT doc_id, lang, source, n_chars FROM documents
-          WHERE doc_id % 10 = 7
-            AND doc_id NOT IN (SELECT doc_id FROM nearlosers)
-            AND doc_id NOT IN (SELECT doc_id FROM exactlosers)""",
+    "dd_incremental" -> incrementalOracle,
+    // identical semantics — only the index's storage differs
+    "dd_incremental_persisted" -> incrementalOracle,
     "ds_pack_shards" ->
       s"""WITH d AS (SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1170,6 +1201,7 @@ object DataOps {
     "sim_rp_ann" -> simRpAnn _,
     "dd_corpus" -> ddCorpus _,
     "dd_incremental" -> ddIncremental _,
+    "dd_incremental_persisted" -> ddIncrementalPersisted _,
     "ds_pack_shards" -> dsPackShards _,
     "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,
