@@ -437,18 +437,25 @@ object Dedup {
     * 100× rehearsal, BASELINE.md). At corpus scale use bits=64,
     * bandBits=16: still 4 bands (lossless for ≤3 bits) but 65,536
     * buckets per band — 256× fewer chance candidates. */
-  def simhashPairs(df: DataFrame, text: Column, id: Column,
-                   bits: Int = 32, bandBits: Int = 8): DataFrame = {
+  /** Per-fingerprint (band, bkey) rows: fingerprint split into
+    * bandBits-wide slices, one row per slice — the blocking key of
+    * the Hamming-ball join (shared by the pair self-join and the
+    * incremental batch-vs-corpus probe). */
+  def simhashBands(fp: DataFrame, bits: Int, bandBits: Int): DataFrame = {
     val nBands = bits / bandBits
     require(bits % bandBits == 0 && nBands > simhashMaxHamming,
       s"need more than $simhashMaxHamming bands for a lossless Hamming-$simhashMaxHamming join")
     val mask = (1L << bandBits) - 1
-    val sim = simhash(df, text, id, bits)
-    val bands = sim.select(col("doc_id"), col("simhash"),
+    fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until nBands).map(b => struct(
           lit(b).as("band"),
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bkey"))): _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band").as("band"), col("bd.bkey").as("bkey"))
+  }
+
+  def simhashPairs(df: DataFrame, text: Column, id: Column,
+                   bits: Int = 32, bandBits: Int = 8): DataFrame = {
+    val bands = simhashBands(simhash(df, text, id, bits), bits, bandBits)
     bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band")
         && col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
@@ -489,5 +496,71 @@ object Dedup {
           / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
+
+  // ---- Incremental (batch-vs-settled-corpus) variants -----------------
+
+  /** Incremental SimHash dedup: the rows of `batch` with no corpus
+    * fingerprint (and no EARLIER batch fingerprint) within
+    * `simhashMaxHamming` bits. Same policy as `incremental`: the
+    * settled corpus always wins regardless of id; within the batch the
+    * lower id wins. `corpusFp` is the persisted fingerprint frame
+    * (doc_id, simhash) of the previous run — one long per document,
+    * the cheapest corpus state of the three dedup families; at 100 TB
+    * it is stored banded-bucketed so this probe shuffles only the
+    * |batch|·nBands band rows (exact duplicates collapse here too:
+    * identical text → identical fingerprint → Hamming 0). */
+  def incrementalSimhash(corpusFp: DataFrame, batch: DataFrame, text: Column,
+                         id: Column, bits: Int = 32, bandBits: Int = 8): DataFrame = {
+    val bandsB = simhashBands(simhash(batch, text, id, bits), bits, bandBits)
+    val bandsC = simhashBands(corpusFp, bits, bandBits)
+    val candVsCorpus = bandsB.as("b").join(bandsC.as("c"),
+        col("b.band") === col("c.band") && col("b.bkey") === col("c.bkey"))
+      .select(col("b.doc_id").as("batch_id"),
+        col("b.simhash").as("sa"), col("c.simhash").as("sb"))
+    val candInBatch = bandsB.as("b").join(bandsB.as("o"),
+        col("b.band") === col("o.band") && col("b.bkey") === col("o.bkey")
+          && col("b.doc_id") > col("o.doc_id"))
+      .select(col("b.doc_id").as("batch_id"),
+        col("b.simhash").as("sa"), col("o.simhash").as("sb"))
+    val losers = candVsCorpus.unionByName(candInBatch)
+      .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= simhashMaxHamming)
+      .select(col("batch_id").as("doc_id")).distinct()
+    batch.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Incremental embedding dedup: the rows of `batch` with no cosine
+    * near-dup (≥ threshold) in the settled corpus or earlier in the
+    * batch, blocked on the trained IVF cell — the unlabeled-corpus
+    * posture of embeddingNearDupsBy made asymmetric. `corpusAssigned`
+    * is the persisted (vec_id, centroid_id, embedding) assignment of
+    * the previous run; `centroids` the (centroid_id, cent) table it
+    * was trained with (Similarity.lloydTrain). Only the batch pays an
+    * assignment pass, and the pair join is bounded per cell — cost
+    * ∝ |batch| · max cell width, never |corpus|². Cross-cell recall
+    * stays the quantizer's responsibility, exactly as in the full
+    * rebuild — so under the SAME centroids, incremental ≡ rebuild on
+    * corpus-id-precedes-batch inputs (IncrementalDedupSpec; a rebuild
+    * that also retrains on the batch may block differently, which is
+    * the standard index-refresh trade, not a correctness gap). */
+  def incrementalEmbedding(corpusAssigned: DataFrame, centroids: DataFrame,
+                           batch: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{fastDot, fastNormSq}
+    graft.plans.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val b = Similarity.lloydAssign(batch, centroids)
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    val c = corpusAssigned.withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    def losers(other: DataFrame, extraCond: Column): DataFrame =
+      b.as("b").join(other.as("o"),
+          col("b.centroid_id") === col("o.centroid_id") && extraCond)
+        .withColumn("cos", round(
+          fastDot(col("b.embedding"), col("o.embedding"))
+            / (col("b.nrm") * col("o.nrm")), 6))
+        .filter(col("cos") >= threshold)
+        .select(col("b.vec_id").as("vec_id"))
+    val all = losers(c, lit(true))
+      .unionByName(losers(b, col("b.vec_id") > col("o.vec_id")))
+      .distinct()
+    batch.join(all, Seq("vec_id"), "left_anti")
   }
 }

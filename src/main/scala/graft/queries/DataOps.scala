@@ -397,6 +397,39 @@ object DataOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** SimHash family of incremental ingestion: the corpus state is one
+    * fingerprint long per settled document; batch docs within
+    * Hamming-3 of a corpus fingerprint (or an earlier batch one) are
+    * dropped. Same batch/corpus split as dd_incremental. */
+  def ddIncrementalSimhash(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 7
+    val corpusFp = Dedup.simhash(all.filter(!isBatch), col("text"), col("doc_id"))
+    Dedup.incrementalSimhash(corpusFp, all.filter(isBatch),
+        col("text"), col("doc_id"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Embedding family of incremental ingestion: corpus state =
+    * (vec_id, centroid_id, embedding) assignment under the Lloyd
+    * centroids of the settled corpus; the batch pays one assignment
+    * pass and a per-cell cosine probe. Same deterministic training
+    * replay as dd_embed_ivf, trained on the CORPUS side only (the
+    * index predates the batch by construction). */
+  def ddIncrementalEmbed(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = emb(s, d)
+    val isBatch = pmod(col("vec_id"), lit(10L)) === 7
+    val corpus = e.filter(!isBatch)
+    val cents = Similarity.lloydTrain(corpus, lloydK, lloydIters)
+      .toDF("centroid_id", "cent")
+    val corpusAssigned = Similarity.lloydAssign(corpus, cents)
+    Dedup.incrementalEmbedding(corpusAssigned, cents, e.filter(isBatch),
+        cosineThreshold)
+      .select(col("vec_id"), col("label"))
+  }
+
   val shardBudget = 1000L
   /** Prefix-sum block size: ≥2 orders of magnitude below the corpus
     * so the rehearsal actually exercises the two-level structure; at
@@ -721,7 +754,12 @@ object DataOps {
     * including the final assignment `a_f(vec_id, cid)` (plus
     * `en(vec_id, v, nrm)` for downstream math) — shared by the
     * sim_ivf_kmeans oracle and the IVF-blocked dedup oracle. */
-  private val lloydCtes: String = {
+  private val lloydCtes: String = lloydCtesFrom("TRUE")
+
+  /** Same unrolled Lloyd replay over a filtered training source —
+    * the incremental-embedding oracle trains on the corpus side only
+    * (`vec_id % 10 <> 7`), exactly as the Spark side does. */
+  private def lloydCtesFrom(trainWhere: String): String = {
     import graft.operators.Similarity.lshDims
     val k = lloydK
     def assign(cents: String, out: String): String =
@@ -745,7 +783,7 @@ object DataOps {
       assign(s"c${it - 1}", s"$it") + ",\n" + recenter(s"c${it - 1}", s"a_$it", s"c$it")
     }.mkString(",\n")
     s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings),
+                   FROM embeddings WHERE $trainWhere),
         en AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e),
         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v AS cent
                FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
@@ -806,6 +844,62 @@ object DataOps {
         WHERE doc_id % 10 = 7
           AND doc_id NOT IN (SELECT doc_id FROM nearlosers)
           AND doc_id NOT IN (SELECT doc_id FROM exactlosers)"""
+
+  /** dd_incremental_simhash replay: fingerprints are per-document, so
+    * computing them over the whole table and splitting in the join is
+    * identical to fingerprinting the two sides separately. */
+  private val incrementalSimhashOracle: String = {
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS bkey FROM sim"
+    }.mkString(" UNION ALL ")
+    s"""WITH $simhashCte, bands AS ($bandSelects),
+        cand AS (SELECT b.doc_id AS bid, b.simhash AS sa, o.simhash AS sb
+                 FROM bands b JOIN bands o
+                   ON b.band = o.band AND b.bkey = o.bkey
+                 WHERE b.doc_id % 10 = 7
+                   AND (o.doc_id % 10 <> 7 OR o.doc_id < b.doc_id)),
+        losers AS (SELECT DISTINCT bid AS doc_id FROM cand
+                   WHERE bit_count(xor(sa, sb)) <= ${Dedup.simhashMaxHamming})
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE doc_id % 10 = 7
+          AND doc_id NOT IN (SELECT doc_id FROM losers)"""
+  }
+
+  /** dd_incremental_embed replay: Lloyd training on the corpus side
+    * only, one extra assignment block for the batch against the
+    * trained centroids, then the per-cell cosine probe with the
+    * corpus-wins / earlier-batch-wins policy. */
+  private val incrementalEmbedOracle: String = {
+    import graft.operators.Similarity.lshDims
+    s"""WITH ${lloydCtesFrom("vec_id % 10 <> 7")},
+        be AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id % 10 = 7),
+        ben AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+                FROM be),
+        d_bt AS (SELECT ben.vec_id, c.cid,
+                  round(1.0 - list_sum(list_transform(range(1, ${lshDims + 1}),
+                          i -> ben.v[i] * c.cent[i]))
+                        / (ben.nrm * sqrt(list_sum(list_transform(c.cent, x -> x*x)))), 6) AS dist
+                FROM ben CROSS JOIN c$lloydIters c),
+        a_bt AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rk FROM d_bt) WHERE rk = 1),
+        cand AS (SELECT b.vec_id AS bid, a.vec_id AS oid
+                 FROM a_bt b JOIN a_f a ON a.cid = b.cid
+                 UNION ALL
+                 SELECT b.vec_id, o.vec_id
+                 FROM a_bt b JOIN a_bt o ON o.cid = b.cid AND o.vec_id < b.vec_id),
+        alln AS (SELECT * FROM en UNION ALL SELECT * FROM ben),
+        sc AS (SELECT cand.bid,
+                      round(list_sum(list_transform(range(1, ${lshDims + 1}),
+                              i -> bb.v[i] * oo.v[i])) / (bb.nrm * oo.nrm), 6) AS cos
+               FROM cand JOIN ben bb ON bb.vec_id = cand.bid
+                         JOIN alln oo ON oo.vec_id = cand.oid),
+        losers AS (SELECT DISTINCT bid AS vec_id FROM sc WHERE cos >= $cosineThreshold)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id % 10 = 7
+          AND vec_id NOT IN (SELECT vec_id FROM losers)"""
+  }
 
   val oracleSql: Map[String, String] = Map(
     "sim_ivf_kmeans" -> lloydOracle,
@@ -908,6 +1002,8 @@ object DataOps {
     "dd_incremental" -> incrementalOracle,
     // identical semantics — only the index's storage differs
     "dd_incremental_persisted" -> incrementalOracle,
+    "dd_incremental_simhash" -> incrementalSimhashOracle,
+    "dd_incremental_embed" -> incrementalEmbedOracle,
     "ds_pack_shards" ->
       s"""WITH d AS (SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1202,6 +1298,8 @@ object DataOps {
     "dd_corpus" -> ddCorpus _,
     "dd_incremental" -> ddIncremental _,
     "dd_incremental_persisted" -> ddIncrementalPersisted _,
+    "dd_incremental_simhash" -> ddIncrementalSimhash _,
+    "dd_incremental_embed" -> ddIncrementalEmbed _,
     "ds_pack_shards" -> dsPackShards _,
     "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.DataOps
+import org.apache.spark.sql.functions._
+
+/** The SimHash and embedding incremental-dedup variants must carry
+  * the same two contracts the MinHash form proved (DataOpsSpec):
+  * with every corpus id below every batch id the incremental pass
+  * equals the full rebuild restricted to the batch, and the settled
+  * corpus wins regardless of id while the batch self-dedups by min
+  * id. The embedding equivalence is stated under the SAME quantizer
+  * (centroids are part of the index; a rebuild that retrains may
+  * block differently by design).
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("incremental simhash equals the full Hamming-pair policy when corpus ids precede batch ids") {
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = 40L
+    val corpusFp = Dedup.simhash(all.filter(col("doc_id") < cut),
+      col("text"), col("doc_id"))
+    val inc = Dedup.incrementalSimhash(corpusFp, all.filter(col("doc_id") >= cut),
+        col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // full rebuild: pairs are (id_a < id_b) within Hamming-3; a batch
+    // doc survives iff it is nobody's higher-id near-dup
+    val losers = Dedup.simhashPairs(all, col("text"), col("doc_id"))
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val want = all.filter(col("doc_id") >= cut)
+      .select("doc_id").collect().map(_.getLong(0)).toSet -- losers
+    assert(inc == want)
+    assert(inc.nonEmpty)
+  }
+
+  test("incremental simhash: corpus wins regardless of id; batch self-dedups by min id") {
+    import spark.implicits._
+    // 40 tokens, one changed: ≤ a couple of fingerprint bits flip —
+    // inside the Hamming-3 ball; the novel docs share no tokens
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = base.replace("w40", "zz")
+    val corpus = Seq((100L, base)).toDF("doc_id", "text")
+    val corpusFp = Dedup.simhash(corpus, col("text"), col("doc_id"))
+    val batch = Seq(
+      (1L, base),                    // exact dup of corpus → dropped (Hamming 0)
+      (3L, "a1 a2 a3 a4 a5 a6 a7"),  // novel → kept
+      (4L, "a1 a2 a3 a4 a5 a6 a7"))  // exact dup of batch 3 → dropped
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalSimhash(corpusFp, batch, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // the near-dup text lands within the ball of the corpus doc
+    val hamming = Dedup.simhash(Seq((1L, base), (2L, near)).toDF("doc_id", "text"),
+        col("text"), col("doc_id"))
+      .agg(bit_count(min(col("simhash")).bitwiseXOR(max(col("simhash")))))
+      .collect()(0).getInt(0)
+    assert(hamming <= Dedup.simhashMaxHamming, s"fixture drifted: hamming=$hamming")
+  }
+
+  test("incremental embedding equals the same-quantizer rebuild when corpus ids precede batch ids") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cut = 250L
+    val corpus = all.filter(col("vec_id") < cut)
+    val cents = Similarity.lloydTrain(corpus, DataOps.lloydK, DataOps.lloydIters)
+      .toDF("centroid_id", "cent")
+    val inc = Dedup.incrementalEmbedding(
+        Similarity.lloydAssign(corpus, cents), cents,
+        all.filter(col("vec_id") >= cut), 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // rebuild under the SAME centroids over corpus+batch
+    val losers = Dedup.embeddingNearDupsBy(
+        Similarity.lloydAssign(all, cents), "centroid_id", 0.95)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val want = all.filter(col("vec_id") >= cut)
+      .select("vec_id").collect().map(_.getLong(0)).toSet -- losers
+    assert(inc == want)
+    assert(inc.nonEmpty)
+  }
+
+  test("incremental embedding: corpus wins regardless of id; batch self-dedups by min id") {
+    import spark.implicits._
+    val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val near = Array(0.99f, 0.01f, 0.0f, 0.0f)
+    val w = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    // one centroid: everything shares a cell, so the policy alone decides
+    val cents = Seq((0L, Seq(1.0, 1.0, 1.0, 1.0))).toDF("centroid_id", "cent")
+    val corpus = Seq((100L, v)).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, v),     // exact dup of corpus → dropped
+      (2L, near),  // near dup of corpus (cos ≈ 0.9999) → dropped
+      (3L, w),     // novel (orthogonal) → kept
+      (4L, w))     // dup of batch 3 → dropped
+      .toDF("vec_id", "embedding")
+    val kept = Dedup.incrementalEmbedding(
+        Similarity.lloydAssign(corpus, cents), cents, batch, 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+}
