@@ -126,6 +126,28 @@ object Similarity {
     rerankByBucket(qb, b, k)
   }
 
+  /** The serving-index frame — (vec_id, embedding, bucket, nrm), the
+    * one pass of hyperplane math a corpus pays at index-build time.
+    * Persist it as a parquet table bucketed on `bucket`
+    * (Bucketing.writeBucketed) and every probe reads the corpus side
+    * co-partitioned on the join key with ZERO per-query index work:
+    * no hyperplane dots, no norm pass, no exchange. That is the ANN
+    * serving posture at 100 TB — the index is storage layout, not a
+    * per-query subtree (asserted in AnnIndexSpec). */
+  def annIndexFrame(corpus: DataFrame, nPlanes: Int = lshPlanes): DataFrame =
+    bucketedNormed(corpus, nPlanes)
+
+  /** Probe a stored index frame: only the query side computes its
+    * sign bits; the index is consumed as-is. Same answer as
+    * lshAnnFor(corpus, queries, k) over the corpus the index was
+    * built from. */
+  def lshAnnProbe(index: DataFrame, queries: DataFrame, k: Int,
+                  nPlanes: Int = lshPlanes): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val qb = bucketedNormed(queries, nPlanes).withColumn("probe", col("bucket"))
+    rerankByBucket(qb, index, k)
+  }
+
   /** Multi-probe LSH ANN: the query side also probes every bucket
     * within Hamming distance `probeRadius` (default 1: flip each of
     * the nPlanes sign bits), trading more candidate lookups for
@@ -308,6 +330,28 @@ object Similarity {
         col("v.embedding").as("embedding"))).as("m"))
       .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
         col("m.embedding").as("embedding"))
+  }
+
+  /** The IVF serving index: the cell assignment plus the rerank norm,
+    * with the cell id exposed as `bucket` so the probe shares
+    * rerankByBucket with the LSH family. Persisted bucketed on
+    * `bucket`, a probe reads each queried cell co-partitioned —
+    * assignment runs once at build time, never per query. */
+  def ivfIndexFrame(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(corpus, centroids)
+      .withColumnRenamed("centroid_id", "bucket")
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+
+  /** Probe a stored IVF index: queries pay one broadcast-centroid
+    * assignment (|Q| × k dots), then the exact cosine rerank inside
+    * their own cell. */
+  def ivfProbe(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+               k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val q = ivfAssign(queries, centroids)
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+      .withColumn("probe", col("centroid_id"))
+    rerankByBucket(q, index, k)
   }
 
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {

@@ -165,6 +165,36 @@ object DataOps {
       .groupBy("centroid_id").agg(count(lit(1)).as("n_vectors"))
   }
 
+  /** ANN against a PERSISTED sign-LSH index: the (vec_id, embedding,
+    * bucket, nrm) frame is a stored table bucketed on `bucket`; the
+    * probe computes sign bits only for the 10 query vectors and reads
+    * the corpus co-partitioned. Same answer as lshAnnFor over the
+    * live corpus; AnnIndexSpec asserts the index is scanned, not
+    * rebuilt. */
+  def simAnnPersisted(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val index = Bucketing.ensureBucketed(s, s"ann_idx_$tag",
+        s"$tableRoot/$tag/ann_index", Seq("bucket"), bucketCount) {
+      Similarity.annIndexFrame(emb(s, d))
+    }
+    Similarity.lshAnnProbe(index, emb(s, d).filter(col("vec_id") < annQueries), annK)
+  }
+
+  /** The IVF twin: assignment + norms persisted bucketed on the cell
+    * id; probing pays one broadcast-centroid assignment for the query
+    * set and an in-cell exact rerank. */
+  def simIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val e = emb(s, d)
+    val centroids = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val index = Bucketing.ensureBucketed(s, s"ivf_idx_$tag",
+        s"$tableRoot/$tag/ivf_index", Seq("bucket"), bucketCount) {
+      Similarity.ivfIndexFrame(e, centroids)
+    }
+    Similarity.ivfProbe(index, centroids, e.filter(col("vec_id") < annQueries), annK)
+  }
+
   /** Recall@k of the LSH ANN against exact brute force over the
     * query set — the quality metric an approximate index must ship
     * with (oracle-exact: the hyperplanes are deterministic closed
@@ -952,6 +982,51 @@ object DataOps {
                    JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
     "sim_ann_recall" -> annRecallSql(lshBucketCte),
     "sim_rp_ann" -> annRecallSql(rpBucketCte),
+    // identical semantics to lshAnnFor over the live corpus — the
+    // index's storage is invisible to the result
+    "sim_ann_persisted" -> lshRerankSql(
+      s"""cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          qe.embedding AS ea, ce.embedding AS eb
+                   FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                   JOIN embeddings qe ON qe.vec_id = q.vec_id
+                   JOIN embeddings ce ON ce.vec_id = c.vec_id
+                   WHERE q.vec_id < $annQueries)"""),
+    "sim_ivf_persisted" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce
+                         FROM embeddings WHERE vec_id < 4),
+          p AS (SELECT v.vec_id, c.centroid_id, v.embedding AS ve, c.ce
+                FROM embeddings v, cents c),
+          u AS (SELECT vec_id, centroid_id, CAST(unnest(ve) AS DOUBLE) AS x,
+                       CAST(unnest(ce) AS DOUBLE) AS y FROM p),
+          s2 AS (SELECT vec_id, centroid_id, sum(x*y) AS dp, sum(x*x) AS na,
+                        sum(y*y) AS nb FROM u GROUP BY vec_id, centroid_id),
+          dd AS (SELECT vec_id, centroid_id, 1.0 - dp/sqrt(na*nb) AS dist FROM s2),
+          r AS (SELECT vec_id, centroid_id,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dist ASC, centroid_id) AS rk FROM dd),
+          a AS (SELECT vec_id, centroid_id FROM r WHERE rk = 1),
+          nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+                    (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+                  GROUP BY vec_id),
+          cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          qe.embedding AS ea, ce.embedding AS eb
+                   FROM a q JOIN a c ON q.centroid_id = c.centroid_id
+                                    AND q.vec_id <> c.vec_id
+                   JOIN embeddings qe ON qe.vec_id = q.vec_id
+                   JOIN embeddings ce ON ce.vec_id = c.vec_id
+                   WHERE q.vec_id < $annQueries),
+          u2 AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                        CAST(unnest(eb) AS DOUBLE) AS y FROM cand),
+          d2 AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM u2
+                 GROUP BY query_id, neighbor_id),
+          scored AS (SELECT query_id, neighbor_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
+                     FROM d2 JOIN nrm na ON query_id = na.vec_id
+                             JOIN nrm nb ON neighbor_id = nb.vec_id),
+          ranked AS (SELECT query_id, neighbor_id, cos,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rk
+                     FROM scored)
+          SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= $annK""",
     "sim_ivf" ->
       """WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce
                         FROM embeddings WHERE vec_id < 4),
@@ -1308,6 +1383,8 @@ object DataOps {
     "sim_lsh_multiprobe_for" -> simLshMultiProbeFor _,
     "sim_lsh_multiprobe_r2" -> simLshMultiProbeR2 _,
     "sim_ivf" -> simIvf _,
+    "sim_ann_persisted" -> simAnnPersisted _,
+    "sim_ivf_persisted" -> simIvfPersisted _,
     "sim_ann_recall" -> simAnnRecall _,
     "tx_tokens" -> txTokens _,
     "dq_profile" -> dqProfile _,
