@@ -49,6 +49,30 @@ class ShardingSpec extends SparkSpec {
       s"full-table window must partition by __blk:\n$p")
   }
 
+  test("shard boundaries are append-stable: earlier rows keep (cum, shard_id)") {
+    // a shard is its row's STARTING offset div budget, and appends only
+    // ever add higher orderKeys — so every pre-append row must keep its
+    // exact running total and shard id after a repack over the grown
+    // corpus (the property that makes shards immutable artifacts)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    def pack(df: DataFrame) =
+      Sharding.packShards(df, "doc_id", size(split(col("text"), " ")),
+        DataOps.shardBudget, DataOps.shardBlock)
+    val before = pack(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cum"), r.getAs[Long]("shard_id")))).toMap
+    val appended = docs.unionByName(
+      docs.select((col("doc_id") + maxId + 1).as("doc_id"), col("text")))
+    val after = pack(appended)
+      .filter(col("doc_id") <= maxId)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cum"), r.getAs[Long]("shard_id")))).toMap
+    assert(after == before)
+    assert(before.nonEmpty)
+  }
+
   test("shard packing: stable order, budget bound, contiguous shard ids") {
     val rows = DataOps.dsPackShards(spark, sf)
       .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
