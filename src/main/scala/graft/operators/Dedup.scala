@@ -511,9 +511,19 @@ object Dedup {
     * |batch|·nBands band rows (exact duplicates collapse here too:
     * identical text → identical fingerprint → Hamming 0). */
   def incrementalSimhash(corpusFp: DataFrame, batch: DataFrame, text: Column,
-                         id: Column, bits: Int = 32, bandBits: Int = 8): DataFrame = {
+                         id: Column, bits: Int = 32, bandBits: Int = 8): DataFrame =
+    incrementalSimhashBands(simhashBands(corpusFp, bits, bandBits), batch,
+      text, id, bits, bandBits)
+
+  /** The persisted-index probe form: `corpusBands` is the stored
+    * banded fingerprint table — (doc_id, simhash, band, bkey),
+    * bucketed on (band, bkey) — so the candidate join reads the
+    * corpus side co-partitioned and only the batch bands shuffle
+    * (DedupIndexSpec). The in-plan form above derives the same frame
+    * from the fingerprint column. */
+  def incrementalSimhashBands(bandsC: DataFrame, batch: DataFrame, text: Column,
+                              id: Column, bits: Int = 32, bandBits: Int = 8): DataFrame = {
     val bandsB = simhashBands(simhash(batch, text, id, bits), bits, bandBits)
-    val bandsC = simhashBands(corpusFp, bits, bandBits)
     val candVsCorpus = bandsB.as("b").join(bandsC.as("c"),
         col("b.band") === col("c.band") && col("b.bkey") === col("c.bkey"))
       .select(col("b.doc_id").as("batch_id"),
@@ -527,6 +537,39 @@ object Dedup {
       .filter(bit_count(col("sa").bitwiseXOR(col("sb"))) <= simhashMaxHamming)
       .select(col("batch_id").as("doc_id")).distinct()
     batch.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Persist / load the SimHash corpus state: the banded fingerprint
+    * rows stored bucketed+sorted on (band, bkey) — the probe's join
+    * key, same layout contract as the MinHash bucket table. */
+  def ensurePersistedSimhashIndex(spark: org.apache.spark.sql.SparkSession,
+                                  root: String, tag: String, nBuckets: Int = 8)
+                                 (build: => DataFrame): DataFrame = {
+    val table = s"ci_sim_$tag"
+    if (!spark.catalog.tableExists(table))
+      Bucketing.writeBucketed(build, table, s"$root/simhash_bands",
+        Seq("band", "bkey"), nBuckets)
+    spark.table(table)
+  }
+
+  /** Persist / load the embedding corpus state: the cell assignment
+    * bucketed+sorted on centroid_id (the per-cell probe key) plus the
+    * tiny centroid table the assignment was trained with — centroids
+    * are PART of the index; probing with different centroids would
+    * change the blocking. */
+  def ensurePersistedEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+                                    root: String, tag: String, nBuckets: Int = 8)
+                                   (build: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    val (ta, tc) = (s"ci_emb_$tag", s"ci_cent_$tag")
+    if (!(spark.catalog.tableExists(ta) && spark.catalog.tableExists(tc))) {
+      val (assigned, centroids) = build
+      Bucketing.writeBucketed(assigned, ta, s"$root/embed_assign",
+        Seq("centroid_id"), nBuckets)
+      centroids.write.mode("overwrite")
+        .option("path", s"$root/embed_centroids")
+        .format("parquet").saveAsTable(tc)
+    }
+    (spark.table(ta), spark.table(tc))
   }
 
   /** Incremental embedding dedup: the rows of `batch` with no cosine

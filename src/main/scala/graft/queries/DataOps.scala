@@ -460,6 +460,45 @@ object DataOps {
       .select(col("vec_id"), col("label"))
   }
 
+  /** dd_incremental_simhash against the STORED band index — the
+    * steady-state shape where the corpus fingerprints are an artifact
+    * of the previous run (bucketed on the probe key, so only batch
+    * bands shuffle; DedupIndexSpec). */
+  def ddIncrementalSimhashPersisted(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val isBatch = pmod(col("doc_id"), lit(10L)) === 7
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val bands = Dedup.ensurePersistedSimhashIndex(s,
+        s"$tableRoot/$tag/corpus_index", tag, bucketCount) {
+      Dedup.simhashBands(
+        Dedup.simhash(all.filter(!isBatch), col("text"), col("doc_id")), 32, 8)
+    }
+    Dedup.incrementalSimhashBands(bands, all.filter(isBatch),
+        col("text"), col("doc_id"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** dd_incremental_embed against the STORED assignment index (cell
+    * rows bucketed on centroid_id) and its stored centroids — the
+    * batch pays one broadcast-centroid assignment, the corpus side is
+    * read co-partitioned on the cell. */
+  def ddIncrementalEmbedPersisted(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = emb(s, d)
+    val isBatch = pmod(col("vec_id"), lit(10L)) === 7
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (assigned, cents) = Dedup.ensurePersistedEmbeddingIndex(s,
+        s"$tableRoot/$tag/corpus_index", tag, bucketCount) {
+      val corpus = e.filter(!isBatch)
+      val c = Similarity.lloydTrain(corpus, lloydK, lloydIters)
+        .toDF("centroid_id", "cent")
+      (Similarity.lloydAssign(corpus, c), c)
+    }
+    Dedup.incrementalEmbedding(assigned, cents, e.filter(isBatch), cosineThreshold)
+      .select(col("vec_id"), col("label"))
+  }
+
   val shardBudget = 1000L
   /** Prefix-sum block size: ≥2 orders of magnitude below the corpus
     * so the rehearsal actually exercises the two-level structure; at
@@ -1079,6 +1118,9 @@ object DataOps {
     "dd_incremental_persisted" -> incrementalOracle,
     "dd_incremental_simhash" -> incrementalSimhashOracle,
     "dd_incremental_embed" -> incrementalEmbedOracle,
+    // persisted twins: identical algebra over stored index tables
+    "dd_incremental_simhash_persisted" -> incrementalSimhashOracle,
+    "dd_incremental_embed_persisted" -> incrementalEmbedOracle,
     "ds_pack_shards" ->
       s"""WITH d AS (SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1375,6 +1417,8 @@ object DataOps {
     "dd_incremental_persisted" -> ddIncrementalPersisted _,
     "dd_incremental_simhash" -> ddIncrementalSimhash _,
     "dd_incremental_embed" -> ddIncrementalEmbed _,
+    "dd_incremental_simhash_persisted" -> ddIncrementalSimhashPersisted _,
+    "dd_incremental_embed_persisted" -> ddIncrementalEmbedPersisted _,
     "ds_pack_shards" -> dsPackShards _,
     "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,

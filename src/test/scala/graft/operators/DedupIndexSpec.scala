@@ -27,10 +27,16 @@ class DedupIndexSpec extends SparkSpec {
       case _                        => p.children.flatMap(flatten)
     })
 
+  /** Corpus-index scans, EXCLUDING the stored centroid table: k
+    * centroids are model state the assignment broadcasts by design —
+    * the batch-only-shuffle contract is about corpus-sized frames. */
   private def indexScans(nodes: Seq[SparkPlan]): Seq[FileSourceScanExec] =
     nodes.collect {
       case s: FileSourceScanExec
-        if s.relation.location.rootPaths.exists(_.toString.contains("corpus_index")) => s
+        if s.relation.location.rootPaths.exists { p =>
+          p.toString.contains("corpus_index") &&
+            !p.toString.contains("embed_centroids")
+        } => s
     }
 
   /** Index scans reachable from `p` WITHOUT crossing a join: an
@@ -55,19 +61,24 @@ class DedupIndexSpec extends SparkSpec {
     assert(persisted.nonEmpty)
   }
 
-  test("probe plan: bucketed index scans, zero exchange above any corpus-index scan") {
+  /** Shared probe-shape assertion: every scan of a bucketed index
+    * table (path containing `bucketedMarker`) is a bucketed scan that
+    * reaches its first join exchange-free. Tables under
+    * `broadcastOk` markers (the tiny centroid table an assignment
+    * legitimately broadcasts) are exempt. */
+  private def assertBatchOnlyShuffle(df: org.apache.spark.sql.DataFrame,
+                                     minScans: Int): Unit = {
     // force the join shapes the claim is about — at corpus scale no
     // index side fits a broadcast, so disable it rather than assert
     // against the tiny-test-data plan AQE would pick
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = DataOps.ddIncrementalPersisted(spark, sf)
       df.collect()
       val nodes = flatten(df.queryExecution.executedPlan)
       val scans = indexScans(nodes)
-      // all three index tables participate (md5s, buckets, shingle sets)
-      assert(scans.size >= 3, s"expected >=3 corpus-index scans, got ${scans.size}")
+      assert(scans.size >= minScans,
+        s"expected >=$minScans corpus-index scans, got ${scans.size}")
       assert(scans.forall(_.bucketedScan),
         "every corpus-index read must be a bucketed scan")
       // no shuffle and no broadcast materialization of corpus state:
@@ -83,5 +94,31 @@ class DedupIndexSpec extends SparkSpec {
       }
       assert(exchanges.nonEmpty, "sanity: the batch side does shuffle")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("probe plan: bucketed index scans, zero exchange above any corpus-index scan") {
+    // all three index tables participate (md5s, buckets, shingle sets)
+    assertBatchOnlyShuffle(DataOps.ddIncrementalPersisted(spark, sf), minScans = 3)
+  }
+
+  test("simhash persisted probe equals the in-plan form, batch-only shuffle") {
+    val inPlan = DataOps.ddIncrementalSimhash(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val persisted = DataOps.ddIncrementalSimhashPersisted(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(persisted == inPlan && persisted.nonEmpty)
+    assertBatchOnlyShuffle(DataOps.ddIncrementalSimhashPersisted(spark, sf), minScans = 1)
+  }
+
+  test("embedding persisted probe equals the in-plan form, batch-only shuffle") {
+    val inPlan = DataOps.ddIncrementalEmbed(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val persisted = DataOps.ddIncrementalEmbedPersisted(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(persisted == inPlan && persisted.nonEmpty)
+    // the bucketed assignment table is the corpus state under the
+    // contract; the k-row stored centroid table broadcasts by design
+    // (excluded in indexScans)
+    assertBatchOnlyShuffle(DataOps.ddIncrementalEmbedPersisted(spark, sf), minScans = 1)
   }
 }
