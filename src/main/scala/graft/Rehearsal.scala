@@ -80,7 +80,30 @@ object Rehearsal {
     }
     val part = Tables(spark, sfDir, "part")
 
+    // Persisted-index probe pair: build once per corpus size (lazy),
+    // then probe with a FIXED-size batch — the incremental-dedup
+    // headline is probe cost ∝ |batch| + collisions, so across corpus
+    // decades the probe row should stay ~flat while the build row
+    // tracks the corpus. Batch = the base table on fresh (negative)
+    // ids: even rows wear replica-0 vocabulary (exact corpus dups →
+    // they exercise the md5/verify path), odd rows a fresh vocabulary
+    // (novel → they exercise the miss path).
+    val incrRoot = s"${System.getProperty("java.io.tmpdir")}/graft-rehearsal-idx/m$mult"
+    lazy val incrIndex = Dedup.ensurePersistedIndex(spark, incrRoot, s"rehm$mult") {
+      Dedup.indexCorpus(docsR, col("text"), col("doc_id"), 3)
+    }
+    lazy val incrBatch = Tables(spark, sfDir, "documents").select(
+      (-(col("doc_id") + 1)).as("doc_id"),
+      regexp_replace(col("text"), lit("(\\S+)"),
+        concat(lit("$1_"), when(pmod(col("doc_id"), lit(2)) === 0, lit("0"))
+          .otherwise(lit("b")))).as("text"))
+
     val cases: Seq[(String, () => Long)] = Seq(
+      "dd_incr_build" -> { () => incrIndex.buckets.count() },
+      "dd_incr_probe" -> { () =>
+        Dedup.incremental(incrIndex, incrBatch,
+          col("text"), col("doc_id"), 3, 0.3).count()
+      },
       "alloc_plan" -> { () =>
         val demand = lineR
           .join(broadcast(part.select(col("p_partkey"),

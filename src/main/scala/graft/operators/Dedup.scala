@@ -498,6 +498,36 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
   }
 
+  // ---- Train/eval decontamination --------------------------------------
+
+  /** Contamination report: (train doc, eval doc, shared distinct
+    * n-gram count) for every training document sharing at least one
+    * n-gram with an evaluation document — the leakage check a
+    * training corpus runs before any benchmark claim (n is the
+    * distinctiveness knob; 13 is the common choice for web-scale
+    * text, lower for short documents). Shingles hash to longs at the
+    * explode so the join shuffles 8-byte keys; the join is blocked on
+    * the n-gram and the eval side is tiny, so cost is the eval
+    * posting matches, never |train|². */
+  def contaminationPairs(train: DataFrame, eval: DataFrame, text: Column,
+                         id: Column, n: Int): DataFrame = {
+    def hashed(df: DataFrame, as: String) =
+      shingles(df, text, id, n)
+        .select(col("doc_id").as(as), xxhash64(col("shingle")).as("h"))
+    hashed(train, "train_id").join(hashed(eval, "eval_id"), Seq("h"))
+      .groupBy("train_id", "eval_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /** The decontaminated training set: training docs with NO n-gram
+    * overlap against the eval set (anti-join on the report). */
+  def decontaminated(train: DataFrame, eval: DataFrame, text: Column,
+                     id: Column, n: Int): DataFrame =
+    train.join(
+      contaminationPairs(train, eval, text, id, n)
+        .select(col("train_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   // ---- Incremental (batch-vs-settled-corpus) variants -----------------
 
   /** Incremental SimHash dedup: the rows of `batch` with no corpus

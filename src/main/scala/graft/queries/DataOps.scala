@@ -427,6 +427,29 @@ object DataOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Decontamination n-gram width: distinctive for 40–60-token docs
+    * (web-scale corpora use ~13; the knob is per-corpus). */
+  val decontamN = 5
+
+  /** Train→eval contamination report over the deterministic split:
+    * every training doc sharing a 5-gram with a test doc, with the
+    * shared count — the leakage check before any benchmark claim. */
+  def dsContamination(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
+    Dedup.contaminationPairs(
+      dd.filter(col("split") === "train"), dd.filter(col("split") === "test"),
+      col("text"), col("doc_id"), decontamN)
+  }
+
+  /** The decontaminated training set (anti-join on the report). */
+  def dsDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).withColumn("split", TextAnalysis.splitAssign(col("doc_id")))
+    Dedup.decontaminated(
+        dd.filter(col("split") === "train"), dd.filter(col("split") === "test"),
+        col("text"), col("doc_id"), decontamN)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** SimHash family of incremental ingestion: the corpus state is one
     * fingerprint long per settled document; batch docs within
     * Hamming-3 of a corpus fingerprint (or an earlier batch one) are
@@ -970,7 +993,37 @@ object DataOps {
           AND vec_id NOT IN (SELECT vec_id FROM losers)"""
   }
 
+  /** Shared decontamination CTEs: the deterministic split + distinct
+    * 5-gram shingles per doc + the train→test overlap pairs. */
+  private val contaminationCtes: String = {
+    val splitExpr =
+      """CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < 80 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                % 100 < 90 THEN 'val'
+              ELSE 'test' END"""
+    s"""sp AS (SELECT doc_id, text, $splitExpr AS split FROM documents),
+        dt AS (SELECT doc_id, split, string_split(text, ' ') AS toks FROM sp),
+        sh AS (SELECT DISTINCT doc_id, split,
+                 unnest(list_transform(range(1, greatest(len(toks) - ${decontamN - 2}, 1)),
+                   i -> array_to_string(toks[i:i+${decontamN - 1}], ' '))) AS shingle
+               FROM dt),
+        cpairs AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+                          count(*) AS shared_ngrams
+                   FROM sh t JOIN sh e ON t.shingle = e.shingle
+                   WHERE t.split = 'train' AND e.split = 'test'
+                   GROUP BY 1, 2)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ds_contamination" ->
+      s"WITH $contaminationCtes SELECT train_id, eval_id, shared_ngrams FROM cpairs",
+    "ds_decontaminate" ->
+      s"""WITH $contaminationCtes
+          SELECT d.doc_id, d.lang, d.source, d.n_chars
+          FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+          WHERE sp.split = 'train'
+            AND d.doc_id NOT IN (SELECT train_id FROM cpairs)""",
     "sim_ivf_kmeans" -> lloydOracle,
     "dd_embed_ivf" -> embedIvfOracle,
     "p_alloc_greedy" -> allocOracle,
@@ -1442,6 +1495,8 @@ object DataOps {
     "dd_cc" -> ddCc _,
     "dd_corpus_cc" -> ddCorpusCc _,
     "ds_sample" -> dsSample _,
+    "ds_contamination" -> dsContamination _,
+    "ds_decontaminate" -> dsDecontaminate _,
     "ds_zorder" -> dsZorder _,
     "tx_idf" -> txIdf _,
     "tx_redact" -> txRedact _,
