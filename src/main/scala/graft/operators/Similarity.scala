@@ -277,7 +277,25 @@ object Similarity {
     * iteration is exactly one broadcast assignment pass over the
     * corpus plus a k×dims-row mean. At 100 TB: train on a sample,
     * assign on the full corpus (same posture as trainCentroids). */
-  def lloydTrain(emb: DataFrame, k: Int, iters: Int = 4): Seq[(Long, Seq[Double])] = {
+  /** Session-level training memo: lloydTrain is a PURE function of
+    * its input (closed-form init, 6dp-pinned iterations), so an
+    * identical (canonical input plan, k, iters) triple always yields
+    * the same centroids — queries sharing a training corpus (the IVF
+    * family: cell-size summary, IVF-blocked dedup, incremental
+    * embedding dedup) pay the driver-driven Lloyd loop once per JVM
+    * instead of once per query. Keying on the CANONICALIZED analyzed
+    * plan (not a caller-supplied tag) makes a wrong-key hit
+    * impossible: different sources, filters, or scale dirs canonicalize
+    * differently. Memo size is k×dims doubles per distinct corpus. */
+  private val lloydMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Long, Seq[Double])]]
+
+  def lloydTrain(emb: DataFrame, k: Int, iters: Int = 4): Seq[(Long, Seq[Double])] =
+    lloydMemo.getOrElseUpdate(
+      (emb.queryExecution.analyzed.canonicalized.toString, k, iters),
+      lloydTrainImpl(emb, k, iters))
+
+  private def lloydTrainImpl(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     val spark = emb.sparkSession
     import spark.implicits._
     // The loop drives iters+1 jobs over the same vectors; pin them in
