@@ -111,6 +111,49 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
+  /** N-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold —
+    * the asymmetric partial-duplicate measure. A short document
+    * quoted inside a long one has high containment but LOW Jaccard
+    * (the union is dominated by the long doc), so MinHash bands
+    * rarely collide on it and the symmetric pipeline never proposes
+    * it; containment detection therefore rides the shingle-postings
+    * generator (same single-shuffle shape as jaccardPairs, same
+    * `maxPostingLen` stop-shingle cap for dense corpora). Emits both
+    * directional ratios: c_a = |A∩B|/|A| is "how much of A is inside
+    * B". */
+  def containmentPairs(df: DataFrame, text: Column, id: Column, n: Int,
+                       threshold: Double, maxPostingLen: Int = Int.MaxValue): DataFrame = {
+    val toks = col("__toks")
+    val cnt = size(toks) - (n - 1)
+    val sh = df.select(id.as("doc_id"), split(text, " ").as("__toks"))
+      .select(
+        col("doc_id"),
+        explode(when(cnt >= 1,
+          transform(sequence(lit(1), cnt),
+            i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
+          .otherwise(array())).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val postings = sh.groupBy("shingle")
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxPostingLen)
+    val pairs = postings.select(explode(flatten(transform(col("docs"),
+      (x, i) => transform(
+        slice(col("docs"), i + 2, size(col("docs"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    pairs
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+                 .withColumnRenamed("n_shingles", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("n_shingles", "size_b"), Seq("id_b"))
+      .withColumn("c_a", round(col("common").cast("double") / col("size_a"), 6))
+      .withColumn("c_b", round(col("common").cast("double") / col("size_b"), 6))
+      .filter(greatest(col("c_a"), col("c_b")) >= threshold)
+      .select("id_a", "id_b", "common", "c_a", "c_b")
+  }
+
   /** EXACT Jaccard restricted to the LSH candidate set — the
     * production dedup shape: the sub-linear generator proposes, the
     * exact measure verifies, and the quadratic shingle join never

@@ -35,6 +35,13 @@ object DataOps {
   def ddJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.jaccardPairs(docs(s, d), col("text"), col("doc_id"), 3, jaccardThreshold)
 
+  /** Containment cut for partial-dup detection (quotes/subsets). */
+  val containmentThreshold = 0.8
+
+  def ddContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs(s, d), col("text"), col("doc_id"), 3,
+      containmentThreshold)
+
   def ddMinhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"), 3)
 
@@ -1166,6 +1173,18 @@ object DataOps {
           WHERE doc_id IN (SELECT doc_id FROM keepers)
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
     "dd_lsh_pairs" -> s"WITH $lshPairsCte SELECT id_a, id_b FROM pairs",
+    "dd_containment" ->
+      s"""WITH $shingleCte,
+          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+          SELECT id_a, id_b, common,
+                 round(common * 1.0 / x.n, 6) AS c_a,
+                 round(common * 1.0 / y.n, 6) AS c_b
+          FROM c JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+          WHERE greatest(round(common * 1.0 / x.n, 6),
+                         round(common * 1.0 / y.n, 6)) >= $containmentThreshold""",
     "dd_incremental" -> incrementalOracle,
     // identical semantics — only the index's storage differs
     "dd_incremental_persisted" -> incrementalOracle,
@@ -1456,6 +1475,7 @@ object DataOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact _,
     "dd_jaccard" -> ddJaccard _,
+    "dd_containment" -> ddContainment _,
     "dd_minhash_sig" -> ddMinhashSig _,
     "dd_lsh_pairs" -> ddLshPairs _,
     "dd_minhash_est" -> ddMinhashEst _,
