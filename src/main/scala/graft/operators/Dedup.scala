@@ -64,65 +64,20 @@ object Dedup {
     * quadratic cost. Capping changes semantics (it can only drop
     * pairs, never invent them), so the default keeps the exact join.
     */
-  def jaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
-                   threshold: Double, maxPostingLen: Int = Int.MaxValue): DataFrame = {
-    // Hash each shingle to 8 bytes AT THE EXPLODE, before the distinct —
-    // the dedup shuffle then moves longs, not ~n-word strings (the
-    // grouping key is internal; outputs are doc-id pairs + counts).
-    // Identical semantics to hashing after: every downstream step
-    // already keys on the hash. Tokenization is bound to a column
-    // BEFORE the lambda (see `shingles` — an inline split re-executes
-    // per n-gram, O(tokens²) per document).
-    val toks = col("__toks")
-    val cnt = size(toks) - (n - 1)
-    val sh = df.select(id.as("doc_id"), split(text, " ").as("__toks"))
-      .select(
-        col("doc_id"),
-        explode(when(cnt >= 1,
-          transform(sequence(lit(1), cnt),
-            i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
-          .otherwise(array())).as("shingle"))
-      .distinct()
-    // One row per document — but at corpus scale that's O(N-documents),
-    // far past any safe broadcast ceiling, so no broadcast hint: AQE
-    // broadcasts when the measured size allows and falls back to a
-    // shuffled join on id_a/id_b otherwise (both sides are already
-    // keyed by doc id, so the shuffle is one exchange per side).
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val postings = sh.groupBy("shingle")
-      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxPostingLen)
-    val pairs = postings.select(explode(flatten(transform(col("docs"),
-      (x, i) => transform(
-        slice(col("docs"), i + 2, size(col("docs"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-    val common = pairs
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-                 .withColumnRenamed("n_shingles", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-                 .withColumnRenamed("n_shingles", "size_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("common").cast("double")
-          / (col("size_a") + col("size_b") - col("common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "common", "jaccard")
-  }
-
-  /** N-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold —
-    * the asymmetric partial-duplicate measure. A short document
-    * quoted inside a long one has high containment but LOW Jaccard
-    * (the union is dominated by the long doc), so MinHash bands
-    * rarely collide on it and the symmetric pipeline never proposes
-    * it; containment detection therefore rides the shingle-postings
-    * generator (same single-shuffle shape as jaccardPairs, same
-    * `maxPostingLen` stop-shingle cap for dense corpora). Emits both
-    * directional ratios: c_a = |A∩B|/|A| is "how much of A is inside
-    * B". */
-  def containmentPairs(df: DataFrame, text: Column, id: Column, n: Int,
-                       threshold: Double, maxPostingLen: Int = Int.MaxValue): DataFrame = {
+  /** Shared shingle-postings core for the exact overlap measures:
+    * (id_a, id_b, common, size_a, size_b) for every pair sharing ≥1
+    * n-gram. Shingles hash to 8 bytes AT THE EXPLODE, before the
+    * distinct — the dedup shuffle then moves longs, not ~n-word
+    * strings (the grouping key is internal; outputs are doc-id pairs
+    * + counts). Tokenization is bound to a column BEFORE the lambda
+    * (see `shingles` — an inline split re-executes per n-gram,
+    * O(tokens²) per document). The size frames are one row per
+    * document — at corpus scale that's O(N-documents), far past any
+    * safe broadcast ceiling, so no broadcast hint: AQE broadcasts
+    * when the measured size allows and falls back to a shuffled join
+    * on id_a/id_b otherwise. */
+  private def shingleOverlap(df: DataFrame, text: Column, id: Column, n: Int,
+                             maxPostingLen: Int): DataFrame = {
     val toks = col("__toks")
     val cnt = size(toks) - (n - 1)
     val sh = df.select(id.as("doc_id"), split(text, " ").as("__toks"))
@@ -148,11 +103,34 @@ object Dedup {
                  .withColumnRenamed("n_shingles", "size_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("doc_id", "id_b")
                  .withColumnRenamed("n_shingles", "size_b"), Seq("id_b"))
+  }
+
+  def jaccardPairs(df: DataFrame, text: Column, id: Column, n: Int,
+                   threshold: Double, maxPostingLen: Int = Int.MaxValue): DataFrame =
+    shingleOverlap(df, text, id, n, maxPostingLen)
+      .withColumn("jaccard",
+        round(col("common").cast("double")
+          / (col("size_a") + col("size_b") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+
+  /** N-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ threshold —
+    * the asymmetric partial-duplicate measure. A short document
+    * quoted inside a long one has high containment but LOW Jaccard
+    * (the union is dominated by the long doc), so MinHash bands
+    * rarely collide on it and the symmetric pipeline never proposes
+    * it; containment detection therefore rides the shingle-postings
+    * generator (same single-shuffle shape as jaccardPairs, same
+    * `maxPostingLen` stop-shingle cap for dense corpora). Emits both
+    * directional ratios: c_a = |A∩B|/|A| is "how much of A is inside
+    * B". */
+  def containmentPairs(df: DataFrame, text: Column, id: Column, n: Int,
+                       threshold: Double, maxPostingLen: Int = Int.MaxValue): DataFrame =
+    shingleOverlap(df, text, id, n, maxPostingLen)
       .withColumn("c_a", round(col("common").cast("double") / col("size_a"), 6))
       .withColumn("c_b", round(col("common").cast("double") / col("size_b"), 6))
       .filter(greatest(col("c_a"), col("c_b")) >= threshold)
       .select("id_a", "id_b", "common", "c_a", "c_b")
-  }
 
   /** EXACT Jaccard restricted to the LSH candidate set — the
     * production dedup shape: the sub-linear generator proposes, the
