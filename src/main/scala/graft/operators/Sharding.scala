@@ -57,6 +57,47 @@ object Sharding {
       .drop("__blk", "__bsum", "__offset", "__v")
   }
 
+  /** Per-group running totals with the same two-level structure.
+    * The naive `sum(v) OVER (PARTITION BY g ORDER BY k)` collapses
+    * each GROUP into one task — at low group cardinality (a corpus
+    * with a dozen sources) that is the same scale trap as the global
+    * form, just sliced thinner. Blocks nest inside groups here: the
+    * per-group block-summary window sees O(#blocks-per-group) rows,
+    * and the full table only ever flows through a (group, block)-
+    * partitioned window. */
+  def groupedCumsum(df: DataFrame, groupCol: String, orderKey: String,
+                    value: Column, blockSize: Long): DataFrame = {
+    require(blockSize > 0, "blockSize must be positive")
+    val withBlk = df.withColumn("__v", value.cast("long"))
+      .withColumn("__blk", expr(s"CAST($orderKey AS BIGINT) div $blockSize"))
+    val offsets = withBlk.groupBy(groupCol, "__blk")
+      .agg(sum(col("__v")).as("__bsum"))
+      .withColumn("__offset",
+        coalesce(sum(col("__bsum")).over(
+          Window.partitionBy(groupCol).orderBy("__blk")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(groupCol), col("__blk"), col("__offset"))
+    val local = Window.partitionBy(col(groupCol), col("__blk")).orderBy(orderKey)
+    withBlk.join(broadcast(offsets), Seq(groupCol, "__blk"))
+      .withColumn("cum", col("__offset") + sum(col("__v")).over(local))
+      .drop("__blk", "__bsum", "__offset", "__v")
+  }
+
+  /** Token-budget mixture sampling ("data mixing"): keep each group's
+    * stable-`orderKey` prefix while the running token total fits that
+    * group's budget — the step that assembles a training corpus from
+    * per-source quotas (budget is a per-row Column, normally a
+    * function of the group). Whole-document granularity: a document
+    * that would cross the budget is dropped, as is everything after
+    * it in the group's order (prefix semantics keep the sample
+    * append-stable for the same reason packShards is). */
+  def mixByBudget(df: DataFrame, groupCol: String, orderKey: String,
+                  tokens: Column, budget: Column, blockSize: Long): DataFrame =
+    groupedCumsum(df.withColumn("n_tokens", tokens.cast("long")),
+        groupCol, orderKey, col("n_tokens"), blockSize)
+      .filter(col("cum") <= budget)
+
   /** Pack rows into contiguous shards of ~`budget` tokens in global
     * `orderKey` order: a row's shard is its STARTING offset div
     * budget, so every shard covers a half-open token range

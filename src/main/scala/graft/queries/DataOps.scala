@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.{Bucketing, Dedup, Layout, Multimodal, Sharding, Similarity, TextAnalysis}
@@ -544,6 +544,22 @@ object DataOps {
         "doc_id", size(split(col("text"), " ")), shardBudget, shardBlock)
       .select(col("doc_id"), col("n_tokens"), col("cum").as("cum_tokens"),
         col("shard_id"))
+
+  /** Per-source mixture budgets (tokens): even-numbered sources get
+    * 1000, odd (and non-numeric suffixes) 500 — the null-safe
+    * fall-through matches ds_sample's TRY_CAST convention. */
+  private def mixBudget: Column =
+    when(pmod(substring(col("source"), 4, 10).cast("int"), lit(2)) === 0, 1000L)
+      .otherwise(500L)
+
+  /** Data mixing: per-source token-budget prefix sampling in stable
+    * doc_id order through the grouped two-level prefix sum (no
+    * one-task-per-source window). */
+  def dsMix(s: SparkSession, d: String): DataFrame =
+    Sharding.mixByBudget(docs(s, d).select(col("doc_id"), col("source"), col("text")),
+        "source", "doc_id", size(split(col("text"), " ")), mixBudget, shardBlock)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum").as("cum_tokens"))
 
   val bucketCount = 8
 
@@ -1193,6 +1209,18 @@ object DataOps {
     // persisted twins: identical algebra over stored index tables
     "dd_incremental_simhash_persisted" -> incrementalSimhashOracle,
     "dd_incremental_embed_persisted" -> incrementalEmbedOracle,
+    "ds_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+          b AS (SELECT *, CASE WHEN TRY_CAST(substr(source, 4) AS INT) % 2 = 0
+                               THEN 1000 ELSE 500 END AS budget FROM d),
+          c AS (SELECT doc_id, source, n_tokens, budget,
+                       sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM b)
+          SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+          FROM c WHERE cum <= budget""",
     "ds_pack_shards" ->
       s"""WITH d AS (SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1493,6 +1521,7 @@ object DataOps {
     "dd_incremental_simhash_persisted" -> ddIncrementalSimhashPersisted _,
     "dd_incremental_embed_persisted" -> ddIncrementalEmbedPersisted _,
     "ds_pack_shards" -> dsPackShards _,
+    "ds_mix" -> dsMix _,
     "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly

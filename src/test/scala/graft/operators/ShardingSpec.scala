@@ -49,6 +49,49 @@ class ShardingSpec extends SparkSpec {
       s"full-table window must partition by __blk:\n$p")
   }
 
+  test("groupedCumsum equals the naive per-group window") {
+    import spark.implicits._
+    val rows = new scala.util.Random(11).shuffle(
+      (0 until 600).map(i => (s"g${i % 7}", i.toLong * 3, (i % 11 + 1).toLong)).toList)
+    val df = rows.toDF("g", "k", "v")
+    val got = Sharding.groupedCumsum(df, "g", "k", col("v"), blockSize = 50)
+      .select("g", "k", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = df.withColumn("cum",
+        sum(col("v")).over(Window.partitionBy("g").orderBy("k")))
+      .select("g", "k", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("mix sampling: per-group budgeted prefix, no single-partition exchange") {
+    val df = DataOps.dsMix(spark, sf)
+    val p = finalPlan(df)
+    // neither the summary nor the full-table window may collapse to one
+    // task — the offsets window partitions by the group
+    assert(!p.contains("Exchange SinglePartition"), s"plan:\n$p")
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._2)
+    bySource.foreach { case (src, rs) =>
+      val budget = if (src.drop(3).toIntOption.exists(_ % 2 == 0)) 1000L else 500L
+      // every kept row fits the budget, and the kept set is the exact
+      // stable-order prefix: cum = running sum in doc_id order
+      var run = 0L
+      rs.sortBy(_._1).foreach { case (_, _, n, cum) =>
+        run += n
+        assert(cum == run, s"$src: not a contiguous prefix")
+        assert(cum <= budget, s"$src overruns its budget")
+      }
+    }
+    // the cut binds: at least one source uses most of its budget
+    assert(bySource.exists { case (src, rs) =>
+      val budget = if (src.drop(3).toIntOption.exists(_ % 2 == 0)) 1000L else 500L
+      rs.map(_._3).sum > budget - 60
+    })
+  }
+
   test("shard boundaries are append-stable: earlier rows keep (cum, shard_id)") {
     // a shard is its row's STARTING offset div budget, and appends only
     // ever add higher orderKeys — so every pre-append row must keep its
