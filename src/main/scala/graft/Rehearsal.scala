@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph}
+import graft.operators.{Dedup, Graph, Sharding}
 import graft.pipeline.Allocate
 
 /** Scale rehearsal main: replicate the sf tables ×MULT in-plan and
@@ -127,6 +127,22 @@ object Rehearsal {
       },
       "dd_corpus" -> { () =>
         Dedup.dedupedCorpus(docsR, col("text"), col("doc_id"), 3, 0.3).count()
+      },
+      // the two-level prefix-sum family: full-corpus running totals
+      // (global + grouped) must scale like a groupBy, not a window
+      "pack_shards" -> { () =>
+        Sharding.packShards(docsR.select(col("doc_id"), col("text")),
+            "doc_id", size(split(col("text"), " ")),
+            budget = 100000L, blockSize = 10000L)
+          .groupBy("shard_id").agg(sum(col("n_tokens"))).count()
+      },
+      "mix" -> { () =>
+        // 10k tokens/source binds at every scale: work grows ×MULT
+        // (the cumsum runs corpus-wide) while output stays ~fixed
+        Sharding.mixByBudget(docsR.select(col("doc_id"), col("source"), col("text")),
+            "source", "doc_id", size(split(col("text"), " ")),
+            lit(10000L), blockSize = 10000L)
+          .count()
       },
       "dd_cc" -> { () =>
         Graph.connectedComponents(

@@ -80,6 +80,44 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("all three incremental families are idempotent on their own survivors") {
+    import spark.implicits._
+    // a survivor set has, by construction, no corpus collision and no
+    // within-batch collision — re-ingesting it must change nothing
+    // (the retry/replay safety a continuous pipeline leans on)
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+    val cut = 40L
+    val corpus = all.filter(col("doc_id") < cut)
+    val batch = all.filter(col("doc_id") >= cut)
+
+    val index = Dedup.indexCorpus(corpus, col("text"), col("doc_id"), 3)
+    val s1 = Dedup.incremental(index, batch, col("text"), col("doc_id"), 3, 0.3)
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Dedup.incremental(index, s1, col("text"), col("doc_id"), 3, 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids1 && ids1.nonEmpty)
+
+    val fp = Dedup.simhash(corpus, col("text"), col("doc_id"))
+    val t1 = Dedup.incrementalSimhash(fp, batch, col("text"), col("doc_id"))
+    val tids1 = t1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val tids2 = Dedup.incrementalSimhash(fp, t1, col("text"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tids2 == tids1 && tids1.nonEmpty)
+
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ec = e.filter(col("vec_id") < 250L)
+    val eb = e.filter(col("vec_id") >= 250L)
+    val cents = Similarity.lloydTrain(ec, DataOps.lloydK, DataOps.lloydIters)
+      .toDF("centroid_id", "cent")
+    val assigned = Similarity.lloydAssign(ec, cents)
+    val e1 = Dedup.incrementalEmbedding(assigned, cents, eb, 0.95)
+    val eids1 = e1.select("vec_id").collect().map(_.getLong(0)).toSet
+    val eids2 = Dedup.incrementalEmbedding(assigned, cents,
+        e1.select("vec_id", "embedding", "label"), 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(eids2 == eids1 && eids1.nonEmpty)
+  }
+
   test("incremental embedding: corpus wins regardless of id; batch self-dedups by min id") {
     import spark.implicits._
     val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
