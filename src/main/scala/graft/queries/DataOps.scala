@@ -545,6 +545,21 @@ object DataOps {
       .select(col("doc_id"), col("n_tokens"), col("cum").as("cum_tokens"),
         col("shard_id"))
 
+  /** Shard materialization: the packed documents concatenated into one
+    * training sequence per shard (doc_id order inside the shard, an
+    * <eos> separator between documents). One groupBy on shard_id —
+    * shard sizes are budget-bounded, so the per-group state is too;
+    * sort_array over (doc_id, text) structs pins the concat order
+    * without a sort shuffle. */
+  def dsPackSequences(s: SparkSession, d: String): DataFrame =
+    Sharding.packShards(docs(s, d).select(col("doc_id"), col("text")),
+        "doc_id", size(split(col("text"), " ")), shardBudget, shardBlock)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"),
+        concat_ws(" <eos> ",
+          transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
+            st => st.getField("text"))).as("sequence"))
+
   /** Per-source mixture budgets (tokens): even-numbered sources get
     * 1000, odd (and non-numeric suffixes) 500 — the null-safe
     * fall-through matches ds_sample's TRY_CAST convention. */
@@ -1209,6 +1224,21 @@ object DataOps {
     // persisted twins: identical algebra over stored index tables
     "dd_incremental_simhash_persisted" -> incrementalSimhashOracle,
     "dd_incremental_embed_persisted" -> incrementalEmbedOracle,
+    "ds_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, text,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+          c AS (SELECT doc_id, text, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM d),
+          sh AS (SELECT doc_id, text, n_tokens,
+                        CAST((cum - n_tokens) // $shardBudget AS BIGINT) AS shard_id
+                 FROM c)
+          SELECT shard_id, count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+                 string_agg(text, ' <eos> ' ORDER BY doc_id) AS sequence
+          FROM sh GROUP BY shard_id""",
     "ds_mix" ->
       s"""WITH d AS (SELECT doc_id, source,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -1521,6 +1551,7 @@ object DataOps {
     "dd_incremental_simhash_persisted" -> ddIncrementalSimhashPersisted _,
     "dd_incremental_embed_persisted" -> ddIncrementalEmbedPersisted _,
     "ds_pack_shards" -> dsPackShards _,
+    "ds_pack_sequences" -> dsPackSequences _,
     "ds_mix" -> dsMix _,
     "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,

@@ -92,6 +92,18 @@ class ShardingSpec extends SparkSpec {
     })
   }
 
+  test("shard sequences: ordered concat, one separator between docs, tokens add up") {
+    val rows = DataOps.dsPackSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (sid, nDocs, tokens, seq) =>
+      val docs = seq.split(" <eos> ", -1)
+      assert(docs.length.toLong == nDocs, s"shard $sid separator count")
+      assert(docs.map(_.split(" ").length.toLong).sum == tokens,
+        s"shard $sid token sum")
+    }
+  }
+
   test("shard boundaries are append-stable: earlier rows keep (cum, shard_id)") {
     // a shard is its row's STARTING offset div budget, and appends only
     // ever add higher orderKeys — so every pre-append row must keep its
