@@ -181,6 +181,17 @@ object Rehearsal {
           .select(col("o_custkey"), posexplode(col("top")))
           .count()
       },
+      // decontamination sweeps the WHOLE corpus once per eval release —
+      // linear in the corpus is its honest floor; the eval side stays
+      // fixed (1% of base docs wearing replica-0 vocabulary, so they
+      // genuinely collide with one replica's worth of training text)
+      "decontam" -> { () =>
+        val evalR = Tables(spark, sfDir, "documents")
+          .filter(pmod(col("doc_id"), lit(100L)) === 3)
+          .select((-(col("doc_id") + 1)).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"), lit("$1_0")).as("text"))
+        Dedup.contaminationPairs(docsR, evalR, col("text"), col("doc_id"), 5).count()
+      },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
       },
