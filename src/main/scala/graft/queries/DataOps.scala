@@ -284,6 +284,23 @@ object DataOps {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Cluster dedup with a QUALITY representative: keep the longest
+    * member of each transitive near-dup component (ties → lower id)
+    * instead of the lowest id — the policy curation pipelines
+    * actually run, since near-dup clusters usually hold truncated or
+    * boilerplate-padded variants of one document and the longest is
+    * the best-preserved. Same argmin-as-min(struct) trick as
+    * ivfAssign: partial-aggregatable, no per-component sort. */
+  def ddCorpusCcBest(s: SparkSession, d: String): DataFrame = {
+    val reps = ddCc(s, d)
+      .join(docs(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("component")
+      .agg(min(struct((-col("n_chars")).as("neg_len"), col("doc_id"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"))
+    docs(s, d).join(reps, Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Stratified deterministic sampling: per-source keep rate decided
     * by the stratum (50% for src0..src9, 20% for the rest), membership
     * by the portable content hash — reshuffle/cluster-size invariant,
@@ -1299,6 +1316,26 @@ object DataOps {
           reps AS (SELECT min(doc_id) AS doc_id FROM allc GROUP BY component)
           SELECT doc_id, lang, source, n_chars FROM documents
           WHERE doc_id IN (SELECT doc_id FROM reps)""",
+    "dd_corpus_cc_best" ->
+      // same transitive clusters, longest member kept (ties → min id)
+      s"""WITH RECURSIVE $lshPairsCte,
+          sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+          reach(node, r) AS (
+            SELECT DISTINCT u, u FROM sym
+            UNION
+            SELECT reach.node, s2.v FROM reach JOIN sym s2 ON reach.r = s2.u),
+          comp AS (SELECT node AS doc_id, min(r) AS component
+                   FROM reach GROUP BY node),
+          allc AS (SELECT d.doc_id, d.n_chars,
+                          coalesce(c.component, d.doc_id) AS component
+                   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          reps AS (SELECT doc_id FROM (
+                     SELECT doc_id, row_number() OVER (PARTITION BY component
+                       ORDER BY n_chars DESC, doc_id) AS rk FROM allc)
+                   WHERE rk = 1)
+          SELECT doc_id, lang, source, n_chars FROM documents
+          WHERE doc_id IN (SELECT doc_id FROM reps)""",
     "ds_sample" ->
       // TRY_CAST: the Spark side's substring().cast("int") yields null
       // (→ the 20% bucket) for non-numeric source suffixes; a plain
@@ -1574,6 +1611,7 @@ object DataOps {
     "tx_fingerprint" -> txFingerprint _,
     "dd_cc" -> ddCc _,
     "dd_corpus_cc" -> ddCorpusCc _,
+    "dd_corpus_cc_best" -> ddCorpusCcBest _,
     "ds_sample" -> dsSample _,
     "ds_contamination" -> dsContamination _,
     "ds_decontaminate" -> dsDecontaminate _,
