@@ -9,10 +9,13 @@ import graft.pipeline.Allocate
 /** Scale rehearsal main: replicate the sf tables ×MULT in-plan and
   * time the operators whose cost curves matter most at 100 TB —
   * allocation, corpus dedup, connected components, the window family,
-  * and the SimHash Hamming join (both band widths). Run with
-  * SPARK_GRAFT_MULT at 1 / 10 / 100 and compare wall-clocks: a
-  * healthy operator grows ≲ linearly per decade on fixed cores
-  * (results table in BASELINE.md).
+  * the SimHash Hamming join (both band widths), the persisted-index
+  * probe pair (build once, probe a fixed batch), the prefix-sum
+  * family (global shard packing + grouped mixture sampling), and the
+  * decontamination sweep. Run with SPARK_GRAFT_MULT at
+  * 1 / 10 / 100 / 1000 and compare wall-clocks: a healthy operator
+  * grows ≲ linearly per decade on fixed cores, and a probe against
+  * persisted state should stay ~flat (results tables in BASELINE.md).
   *
   * Replication is salted so the bigger corpus is realistic, not
   * degenerate:
