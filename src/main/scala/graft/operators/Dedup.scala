@@ -657,4 +657,64 @@ object Dedup {
       .distinct()
     batch.join(all, Seq("vec_id"), "left_anti")
   }
+
+  /** Exact-substring repeated-span detection (the ExactSubstr policy
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022): every word k-gram that occurs more than once
+    * in the corpus — across documents OR within one — marks a
+    * duplicated window; overlapping duplicated windows inside a
+    * document then collapse (gaps-and-islands) into MAXIMAL repeated
+    * spans `(doc_id, span_start, span_end, span_len, n_windows)`,
+    * 1-based word positions, both ends inclusive. This is the
+    * span-LEVEL complement to the document-level Jaccard/MinHash
+    * verdicts: the emitted spans are the unit a training pipeline
+    * TRIMS from otherwise-kept documents. Windows that merely touch
+    * (next start == prev end + 1) stay separate spans — each is
+    * independently repeated elsewhere, but their concatenation never
+    * was, and a trimmer may keep either one.
+    *
+    * Shape at 100 TB — three keyed shuffles, nothing all-pairs:
+    * (1) groupBy on the 16-byte gram fingerprint to find duplicated
+    * grams (map-side combine collapses a document's self-repeats
+    * before the exchange); (2) LEFT SEMI join of (doc, pos, gram)
+    * against that set — a semi join emits each probe row at most
+    * once, so a boilerplate gram shared by a million documents costs
+    * its posting length, never its square (contrast the pair
+    * expansion in `jaccardPairs`, which is why that one needs
+    * `maxPostingLen`); (3) one per-document window for the island
+    * merge, whose state is a single lag. Positions within a document
+    * are distinct, so the running "furthest end seen" is just
+    * `lag(pos) + k - 1` — no running-max frame needed. Production
+    * uses k≈50 tokens (the paper's setting); tests use small k so a
+    * small fixture exercises the merge logic. */
+  def repeatedSpans(df: DataFrame, text: Column, id: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = col("__toks")
+    val cnt = size(toks) - (k - 1)
+    val grams = df
+      .select(id.as("doc_id"), split(text, " ").as("__toks"))
+      .select(col("doc_id"),
+        posexplode(when(cnt >= 1,
+          transform(sequence(lit(1), cnt),
+            i => md5(concat_ws(" ", slice(toks, i, lit(k))).cast("binary"))))
+          .otherwise(array())).as(Seq("off", "gram")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("gram"))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gram")
+    val hits = grams.join(dup, Seq("gram"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("new_span",
+        when(lag(col("pos"), 1).over(w).isNull
+          || col("pos") >= lag(col("pos"), 1).over(w) + k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_span")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        (max(col("pos")) + (k - 1) - min(col("pos")) + 1).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
+  }
 }

@@ -42,6 +42,15 @@ object DataOps {
     Dedup.containmentPairs(docs(s, d), col("text"), col("doc_id"), 3,
       containmentThreshold)
 
+  /** Span window width for exact-substring dedup. Production uses the
+    * paper's ~50 tokens; 4 here so the small-vocabulary fixture
+    * actually produces repeats at every sf (a 50-token window over a
+    * ~30-word vocabulary never collides on synthetic text). */
+  val spanK = 4
+
+  def ddRepeatedSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedSpans(docs(s, d), col("text"), col("doc_id"), spanK)
+
   def ddMinhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"), 3)
 
@@ -1245,6 +1254,29 @@ object DataOps {
           FROM c JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
           WHERE greatest(round(common * 1.0 / x.n, 6),
                          round(common * 1.0 / y.n, 6)) >= $containmentThreshold""",
+    "dd_repeated_spans" ->
+      // Dedup.repeatedSpans: duplicated k-gram windows -> maximal spans
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          g0 AS (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks)-${spanK - 2}, 1)),
+                     i -> struct_pack(pos := i,
+                            gram := md5(array_to_string(toks[i:i+${spanK - 1}], ' '))))) AS u
+                 FROM d),
+          g AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.gram AS gram FROM g0),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          h AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+          fl AS (SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                          OR pos >= lag(pos) OVER w + $spanK THEN 1 ELSE 0 END AS f
+                 FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+          isl AS (SELECT doc_id, pos, sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM fl)
+          SELECT doc_id,
+                 CAST(min(pos) AS BIGINT) AS span_start,
+                 CAST(max(pos) + ${spanK - 1} AS BIGINT) AS span_end,
+                 CAST(max(pos) + ${spanK - 1} - min(pos) + 1 AS BIGINT) AS span_len,
+                 count(*) AS n_windows
+          FROM isl GROUP BY doc_id, island""",
     "dd_incremental" -> incrementalOracle,
     // identical semantics — only the index's storage differs
     "dd_incremental_persisted" -> incrementalOracle,
@@ -1600,6 +1632,7 @@ object DataOps {
     "dd_exact" -> ddExact _,
     "dd_jaccard" -> ddJaccard _,
     "dd_containment" -> ddContainment _,
+    "dd_repeated_spans" -> ddRepeatedSpans _,
     "dd_minhash_sig" -> ddMinhashSig _,
     "dd_lsh_pairs" -> ddLshPairs _,
     "dd_minhash_est" -> ddMinhashEst _,
