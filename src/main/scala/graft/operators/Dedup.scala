@@ -689,19 +689,7 @@ object Dedup {
     * small fixture exercises the merge logic. */
   def repeatedSpans(df: DataFrame, text: Column, id: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = col("__toks")
-    val cnt = size(toks) - (k - 1)
-    val grams = df
-      .select(id.as("doc_id"), split(text, " ").as("__toks"))
-      .select(col("doc_id"),
-        posexplode(when(cnt >= 1,
-          transform(sequence(lit(1), cnt),
-            i => md5(concat_ws(" ", slice(toks, i, lit(k))).cast("binary"))))
-          .otherwise(array())).as(Seq("off", "gram")))
-      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("gram"))
-    val dup = grams.groupBy("gram").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("gram")
-    val hits = grams.join(dup, Seq("gram"), "left_semi")
+    val hits = dupWindowHits(df, text, id, k)
     val w = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("new_span",
@@ -716,5 +704,66 @@ object Dedup {
         (max(col("pos")) + (k - 1) - min(col("pos")) + 1).as("span_len"),
         count(lit(1)).as("n_windows"))
       .select("doc_id", "span_start", "span_end", "span_len", "n_windows")
+  }
+
+  /** `(doc_id, pos, gram)` for every k-gram window whose fingerprint
+    * occurs ≥2 times in the corpus — the shared detection core of
+    * `repeatedSpans` and `trimRepeatedSpans`. */
+  private def dupWindowHits(df: DataFrame, text: Column, id: Column,
+                            k: Int): DataFrame = {
+    val toks = col("__toks")
+    val cnt = size(toks) - (k - 1)
+    val grams = df
+      .select(id.as("doc_id"), split(text, " ").as("__toks"))
+      .select(col("doc_id"),
+        posexplode(when(cnt >= 1,
+          transform(sequence(lit(1), cnt),
+            i => md5(concat_ws(" ", slice(toks, i, lit(k))).cast("binary"))))
+          .otherwise(array())).as(Seq("off", "gram")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("gram"))
+    val dup = grams.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gram")
+    grams.join(dup, Seq("gram"), "left_semi")
+  }
+
+  /** The trim half of the ExactSubstr pipeline: the corpus with every
+    * word that falls inside a duplicated k-gram window REMOVED —
+    * `(doc_id, clean_text, n_dropped)`, one row per input document
+    * (a fully-duplicated document survives as an empty string, so
+    * downstream accounting never loses rows). All occurrences of a
+    * repeated span are dropped, the paper's aggressive variant; a
+    * keep-one-copy policy is `repeatedSpans` minus a keeper choice,
+    * left to the caller because keeper choice is corpus policy.
+    *
+    * Scale shape: the detection core is `dupWindowHits` (see
+    * `repeatedSpans`); cover positions explode each dup window into k
+    * per-word rows and dedup on (doc, pos) — volume bounded by k·hits,
+    * partial-aggregated before its exchange; the word-level LEFT ANTI
+    * join is keyed on (doc_id, pos); reassembly is one per-document
+    * aggregate whose collect_list is bounded by document length (the
+    * same bound `ds_pack_sequences` already rides). Every join and
+    * aggregate is equi-keyed — no range join is needed because cover
+    * positions are materialized, not interval-probed. */
+  def trimRepeatedSpans(df: DataFrame, text: Column, id: Column, k: Int): DataFrame = {
+    val words = df
+      .select(id.as("doc_id"), posexplode(split(text, " ")).as(Seq("off", "word")))
+      .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("word"))
+    val covered = dupWindowHits(df, text, id, k)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = words.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x("word")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(id.as("doc_id"),
+        size(split(text, " ")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 }

@@ -51,6 +51,9 @@ object DataOps {
   def ddRepeatedSpans(s: SparkSession, d: String): DataFrame =
     Dedup.repeatedSpans(docs(s, d), col("text"), col("doc_id"), spanK)
 
+  def ddTrimSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.trimRepeatedSpans(docs(s, d), col("text"), col("doc_id"), spanK)
+
   def ddMinhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"), 3)
 
@@ -1277,6 +1280,32 @@ object DataOps {
                  CAST(max(pos) + ${spanK - 1} - min(pos) + 1 AS BIGINT) AS span_len,
                  count(*) AS n_windows
           FROM isl GROUP BY doc_id, island""",
+    "dd_trim_spans" ->
+      // Dedup.trimRepeatedSpans: drop every word inside a dup window
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          g0 AS (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks)-${spanK - 2}, 1)),
+                     i -> struct_pack(pos := i,
+                            gram := md5(array_to_string(toks[i:i+${spanK - 1}], ' '))))) AS u
+                 FROM d),
+          g AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.gram AS gram FROM g0),
+          dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+          h AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM dup)),
+          cov AS (SELECT DISTINCT doc_id, pos + j AS pos
+                  FROM h, unnest(range(0, $spanK)) t(j)),
+          w0 AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                     i -> struct_pack(pos := i, word := toks[i]))) AS u
+                 FROM d),
+          w AS (SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.word AS word FROM w0),
+          kept AS (SELECT w.doc_id, w.pos, w.word FROM w
+                   ANTI JOIN cov ON w.doc_id = cov.doc_id AND w.pos = cov.pos),
+          k2 AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+                        count(*) AS n_kept
+                 FROM kept GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(k2.clean_text, '') AS clean_text,
+                 CAST(len(d.toks) - coalesce(k2.n_kept, 0) AS BIGINT) AS n_dropped
+          FROM d LEFT JOIN k2 ON d.doc_id = k2.doc_id""",
     "dd_incremental" -> incrementalOracle,
     // identical semantics — only the index's storage differs
     "dd_incremental_persisted" -> incrementalOracle,
@@ -1633,6 +1662,7 @@ object DataOps {
     "dd_jaccard" -> ddJaccard _,
     "dd_containment" -> ddContainment _,
     "dd_repeated_spans" -> ddRepeatedSpans _,
+    "dd_trim_spans" -> ddTrimSpans _,
     "dd_minhash_sig" -> ddMinhashSig _,
     "dd_lsh_pairs" -> ddLshPairs _,
     "dd_minhash_est" -> ddMinhashEst _,

@@ -58,4 +58,35 @@ class RepeatedSpansSpec extends SparkSpec {
       3L -> "a b c") // shorter than k: zero windows
     assert(out.isEmpty)
   }
+
+  private def trim(texts: (Long, String)*): Map[Long, (String, Long)] = {
+    import spark.implicits._
+    val df = texts.toDF("doc_id", "text")
+    Dedup.trimRepeatedSpans(df, col("text"), col("doc_id"), 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+  }
+
+  test("trim drops exactly the in-span words and keeps the rest in order") {
+    val out = trim(
+      1L -> "a b c d e f g h",
+      2L -> "x x a b c d e y")
+    assert(out(1L) == (("f g h", 5L)))
+    assert(out(2L) == (("x x y", 5L)))
+  }
+
+  test("a fully-duplicated document survives as an empty row") {
+    val out = trim(1L -> "m n o p q r", 2L -> "m n o p q r")
+    assert(out(1L) == (("", 6L)))
+    assert(out(2L) == (("", 6L)))
+  }
+
+  test("an all-unique corpus trims nothing") {
+    val out = trim(
+      1L -> "one two three four five",
+      2L -> "six seven eight nine ten")
+    assert(out(1L) == (("one two three four five", 0L)))
+    assert(out(2L) == (("six seven eight nine ten", 0L)))
+  }
 }
