@@ -11,8 +11,9 @@ import graft.pipeline.Allocate
   * allocation, corpus dedup, connected components, the window family,
   * the SimHash Hamming join (both band widths), the persisted-index
   * probe pair (build once, probe a fixed batch), the prefix-sum
-  * family (global shard packing + grouped mixture sampling), and the
-  * decontamination sweep. Run with SPARK_GRAFT_MULT at
+  * family (global shard packing + grouped mixture sampling), the
+  * decontamination sweep, and the ExactSubstr span pair (detection +
+  * trim). Run with SPARK_GRAFT_MULT at
   * 1 / 10 / 100 / 1000 and compare wall-clocks: a healthy operator
   * grows ≲ linearly per decade on fixed cores, and a probe against
   * persisted state should stay ~flat (results tables in BASELINE.md).
@@ -130,6 +131,19 @@ object Rehearsal {
       },
       "dd_corpus" -> { () =>
         Dedup.dedupedCorpus(docsR, col("text"), col("doc_id"), 3, 0.3).count()
+      },
+      // the ExactSubstr pair: detection is two keyed shuffles + one
+      // per-doc window; trim adds the cover-position ANTI join and the
+      // per-doc reassembly (consumed via length so pruning can't skip
+      // it). Salted replicas keep per-replica dup structure, so
+      // dup-window volume grows ×MULT — linear is the honest floor.
+      "repeated_spans" -> { () =>
+        Dedup.repeatedSpans(docsR, col("text"), col("doc_id"), 4).count()
+      },
+      "trim_spans" -> { () =>
+        Dedup.trimRepeatedSpans(docsR, col("text"), col("doc_id"), 4)
+          .agg(sum(length(col("clean_text"))).cast("long"))
+          .collect()(0).getLong(0)
       },
       // the two-level prefix-sum family: full-corpus running totals
       // (global + grouped) must scale like a groupBy, not a window
