@@ -69,25 +69,32 @@ object Dedup {
     * n-gram. Shingles hash to 8 bytes AT THE EXPLODE, before the
     * distinct — the dedup shuffle then moves longs, not ~n-word
     * strings (the grouping key is internal; outputs are doc-id pairs
-    * + counts). Tokenization is bound to a column BEFORE the lambda
-    * (see `shingles` — an inline split re-executes per n-gram,
-    * O(tokens²) per document). The size frames are one row per
+    * + counts) — via the rolling-fingerprint kernel
+    * ([[graft.plans.RollingGramHash]]): O(len) per document, no
+    * per-window string rebuild. The size frames are one row per
     * document — at corpus scale that's O(N-documents), far past any
     * safe broadcast ceiling, so no broadcast hint: AQE broadcasts
     * when the measured size allows and falls back to a shuffled join
     * on id_a/id_b otherwise. */
+  /** Distinct 8-byte rolling-fingerprint shingles per document:
+    * `(doc_id, h)` — the shared blocking/verification currency of the
+    * overlap measures, the exact-confirm pass, and the incremental
+    * index ([[graft.plans.RollingGramHash]]: O(len) per document, no
+    * per-window string rebuild). NOT the MinHash input — signature
+    * VALUES must replay in the oracle, so that path keeps the
+    * portable md5-based tokenHash over shingle strings. */
+  private[operators] def hashedShingles(df: DataFrame, text: Column,
+                                        id: Column, n: Int): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.select(id.as("doc_id"), split(text, " ").as("__toks"))
+      .select(col("doc_id"),
+        explode(call_function("graft_grams", col("__toks"), lit(n))).as("h"))
+      .distinct()
+  }
+
   private def shingleOverlap(df: DataFrame, text: Column, id: Column, n: Int,
                              maxPostingLen: Int): DataFrame = {
-    val toks = col("__toks")
-    val cnt = size(toks) - (n - 1)
-    val sh = df.select(id.as("doc_id"), split(text, " ").as("__toks"))
-      .select(
-        col("doc_id"),
-        explode(when(cnt >= 1,
-          transform(sequence(lit(1), cnt),
-            i => xxhash64(concat_ws(" ", slice(toks, i, lit(n))))))
-          .otherwise(array())).as("shingle"))
-      .distinct()
+    val sh = hashedShingles(df, text, id, n).withColumnRenamed("h", "shingle")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val postings = sh.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
@@ -177,8 +184,7 @@ object Dedup {
     * the exact-Jaccard confirm pass (and, persisted, the corpus half
     * of incremental dedup). */
   def shingleSets(df: DataFrame, text: Column, id: Column, n: Int): DataFrame =
-    shingles(df, text, id, n)
-      .withColumn("h", xxhash64(col("shingle")))
+    hashedShingles(df, text, id, n)
       .groupBy("doc_id").agg(collect_list(col("h")).as("sh"))
 
   /** The corpus-side dedup state incremental ingestion probes against.
@@ -533,8 +539,7 @@ object Dedup {
   def contaminationPairs(train: DataFrame, eval: DataFrame, text: Column,
                          id: Column, n: Int): DataFrame = {
     def hashed(df: DataFrame, as: String) =
-      shingles(df, text, id, n)
-        .select(col("doc_id").as(as), xxhash64(col("shingle")).as("h"))
+      hashedShingles(df, text, id, n).select(col("doc_id").as(as), col("h"))
     hashed(train, "train_id").join(hashed(eval, "eval_id"), Seq("h"))
       .groupBy("train_id", "eval_id")
       .agg(count(lit(1)).as("shared_ngrams"))
@@ -674,9 +679,11 @@ object Dedup {
     * was, and a trimmer may keep either one.
     *
     * Shape at 100 TB — three keyed shuffles, nothing all-pairs:
-    * (1) groupBy on the 16-byte gram fingerprint to find duplicated
-    * grams (map-side combine collapses a document's self-repeats
-    * before the exchange); (2) LEFT SEMI join of (doc, pos, gram)
+    * (1) groupBy on the 8-byte rolling gram fingerprint
+    * ([[graft.plans.RollingGramHash]]: O(len) per document, vs the
+    * O(len·k) per-window string rebuild the md5 form cost) to find
+    * duplicated grams (map-side combine collapses a document's
+    * self-repeats before the exchange); (2) LEFT SEMI join of (doc, pos, gram)
     * against that set — a semi join emits each probe row at most
     * once, so a boilerplate gram shared by a million documents costs
     * its posting length, never its square (contrast the pair
@@ -711,15 +718,12 @@ object Dedup {
     * `repeatedSpans` and `trimRepeatedSpans`. */
   private def dupWindowHits(df: DataFrame, text: Column, id: Column,
                             k: Int): DataFrame = {
-    val toks = col("__toks")
-    val cnt = size(toks) - (k - 1)
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
     val grams = df
       .select(id.as("doc_id"), split(text, " ").as("__toks"))
       .select(col("doc_id"),
-        posexplode(when(cnt >= 1,
-          transform(sequence(lit(1), cnt),
-            i => md5(concat_ws(" ", slice(toks, i, lit(k))).cast("binary"))))
-          .otherwise(array())).as(Seq("off", "gram")))
+        posexplode(call_function("graft_grams", col("__toks"), lit(k)))
+          .as(Seq("off", "gram")))
       .select(col("doc_id"), (col("off") + 1).cast("long").as("pos"), col("gram"))
     val dup = grams.groupBy("gram").agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select("gram")

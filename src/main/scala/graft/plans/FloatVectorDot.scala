@@ -67,6 +67,7 @@ case class FloatVectorDot(left: Expression, right: Expression) extends BinaryExp
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.fvdotDescriptor)
+    ext.injectFunction(GraftFunctions.gramsDescriptor)
     ext.injectOptimizerRule(_ => RewriteVectorDot)
   }
 }
@@ -77,9 +78,25 @@ object GraftFunctions {
     new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_fvdot"),
     (children: Seq[Expression]) => FloatVectorDot(children(0), children(1)))
 
+  val gramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_grams"),
+    new ExpressionInfo(classOf[RollingGramHash].getName, "graft_grams"),
+    mkGrams _)
+
+  // the window size parameterizes generated code, so it must be a
+  // compile-time literal, not a runtime column
+  private def mkGrams(children: Seq[Expression]): Expression = children(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+      RollingGramHash(children(0), v)
+    case other => throw new IllegalArgumentException(
+      s"graft_grams(tokens, k): k must be an integer literal, got $other")
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fvdot", children => FloatVectorDot(children(0), children(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_grams", mkGrams, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorDot
