@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bucketing, Dedup, Layout, Multimodal, Sharding, Similarity, TextAnalysis}
+import graft.operators.{Bucketing, Dedup, LanguageModel, Layout, Multimodal, Sharding, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-checkable queries over
   * the `documents` / `embeddings` tables, with DuckDB oracle SQL
@@ -53,6 +53,30 @@ object DataOps {
 
   def ddTrimSpans(s: SparkSession, d: String): DataFrame =
     Dedup.trimRepeatedSpans(docs(s, d), col("text"), col("doc_id"), spanK)
+
+  /** The trusted reference slice for LM quality scoring: two of the
+    * twenty synthetic sources stand in for the clean corpus (CCNet
+    * uses Wikipedia). */
+  val lmRefSources: Seq[String] = Seq("src0", "src1")
+  private def lmRefSourcesSql: String = lmRefSources.map(s => s"'$s'").mkString(", ")
+
+  private def lmRef(s: SparkSession, d: String): DataFrame =
+    docs(s, d).filter(col("source").isin(lmRefSources: _*))
+
+  def txLmBigrams(s: SparkSession, d: String): DataFrame =
+    LanguageModel.bigramLm(lmRef(s, d), col("text"))
+
+  def txLmScore(s: SparkSession, d: String): DataFrame =
+    LanguageModel.scoreDocs(docs(s, d), col("text"), col("doc_id"),
+      LanguageModel.bigramLm(lmRef(s, d), col("text")))
+
+  /** DSIR-style selection sweep: target model from the trusted slice,
+    * reference model from the full corpus, one bigram pass probes
+    * both. */
+  def txLmContrast(s: SparkSession, d: String): DataFrame =
+    LanguageModel.contrastScore(docs(s, d), col("text"), col("doc_id"),
+      LanguageModel.bigramLm(lmRef(s, d), col("text")),
+      LanguageModel.bigramLm(docs(s, d), col("text")))
 
   def ddMinhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"), 3)
@@ -1655,7 +1679,63 @@ object DataOps {
          b AS (SELECT unnest(list_transform(range(1, len(toks)),
                  i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM d),
          c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
-         SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 20""")
+         SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 20""",
+    "tx_lm_bigrams" ->
+      s"""WITH r AS (SELECT string_split(text, ' ') AS toks FROM documents
+                     WHERE source IN ($lmRefSourcesSql)),
+          b AS (SELECT toks[i] AS ctx, toks[i+1] AS nxt
+                FROM r, unnest(range(1, greatest(len(toks), 1))) t(i))
+          SELECT ctx, nxt, count(*) AS c2 FROM b GROUP BY ctx, nxt""",
+    "tx_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          r AS (SELECT string_split(text, ' ') AS toks FROM documents
+                WHERE source IN ($lmRefSourcesSql)),
+          rb AS (SELECT toks[i] AS ctx, toks[i+1] AS nxt
+                 FROM r, unnest(range(1, greatest(len(toks), 1))) t(i)),
+          lm AS (SELECT ctx, nxt, count(*) AS c2 FROM rb GROUP BY ctx, nxt),
+          ct AS (SELECT ctx, sum(c2) AS c1 FROM lm GROUP BY ctx),
+          v AS (SELECT count(DISTINCT nxt) AS vsz FROM lm),
+          db AS (SELECT doc_id, toks[i] AS ctx, toks[i+1] AS nxt
+                 FROM d, unnest(range(1, greatest(len(toks), 1))) t(i)),
+          s AS (SELECT db.doc_id,
+                  ln((coalesce(lm.c2, 0) + 1.0) / (coalesce(ct.c1, 0) + v.vsz)) AS ll
+                FROM db LEFT JOIN lm ON db.ctx = lm.ctx AND db.nxt = lm.nxt
+                        LEFT JOIN ct ON db.ctx = ct.ctx
+                        CROSS JOIN v),
+          g AS (SELECT doc_id, count(*) AS n_bigrams,
+                       round(-avg(ll), 6) AS avg_nll FROM s GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(g.n_bigrams, 0) AS n_bigrams, g.avg_nll
+          FROM d LEFT JOIN g ON d.doc_id = g.doc_id""",
+    "tx_lm_contrast" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          r AS (SELECT string_split(text, ' ') AS toks FROM documents
+                WHERE source IN ($lmRefSourcesSql)),
+          tb AS (SELECT toks[i] AS ctx, toks[i+1] AS nxt
+                 FROM r, unnest(range(1, greatest(len(toks), 1))) t(i)),
+          lmt AS (SELECT ctx, nxt, count(*) AS c2 FROM tb GROUP BY ctx, nxt),
+          ctt AS (SELECT ctx, sum(c2) AS c1 FROM lmt GROUP BY ctx),
+          vt AS (SELECT count(DISTINCT nxt) AS vsz FROM lmt),
+          db AS (SELECT doc_id, toks[i] AS ctx, toks[i+1] AS nxt
+                 FROM d, unnest(range(1, greatest(len(toks), 1))) t(i)),
+          lmr AS (SELECT ctx, nxt, count(*) AS c2 FROM db GROUP BY ctx, nxt),
+          ctr AS (SELECT ctx, sum(c2) AS c1 FROM lmr GROUP BY ctx),
+          vr AS (SELECT count(DISTINCT nxt) AS vsz FROM lmr),
+          s AS (SELECT db.doc_id,
+                  -ln((coalesce(lmt.c2, 0) + 1.0) / (coalesce(ctt.c1, 0) + vt.vsz)) AS nt,
+                  -ln((coalesce(lmr.c2, 0) + 1.0) / (coalesce(ctr.c1, 0) + vr.vsz)) AS nr
+                FROM db LEFT JOIN lmt ON db.ctx = lmt.ctx AND db.nxt = lmt.nxt
+                        LEFT JOIN ctt ON db.ctx = ctt.ctx
+                        LEFT JOIN lmr ON db.ctx = lmr.ctx AND db.nxt = lmr.nxt
+                        LEFT JOIN ctr ON db.ctx = ctr.ctx
+                        CROSS JOIN vt CROSS JOIN vr),
+          g AS (SELECT doc_id, count(*) AS n_bigrams,
+                       round(avg(nt), 6) AS avg_nll_target,
+                       round(avg(nr), 6) AS avg_nll_ref,
+                       round(avg(nr) - avg(nt), 6) AS log_importance
+                FROM s GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(g.n_bigrams, 0) AS n_bigrams,
+                 g.avg_nll_target, g.avg_nll_ref, g.log_importance
+          FROM d LEFT JOIN g ON d.doc_id = g.doc_id""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact _,
@@ -1717,6 +1797,9 @@ object DataOps {
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,
     "tx_top_bigrams" -> txTopBigrams _,
+    "tx_lm_bigrams" -> txLmBigrams _,
+    "tx_lm_score" -> txLmScore _,
+    "tx_lm_contrast" -> txLmContrast _,
     "p_alloc_greedy" -> allocGreedy _,     // sequential-state op → rows-only check
     "p_alloc_plan" -> allocGreedyPlan _)   // custom Catalyst operator form
 }
