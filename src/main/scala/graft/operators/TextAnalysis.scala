@@ -119,6 +119,89 @@ object TextAnalysis {
       regexp_replace(text, emailRegex, "[EMAIL]"),
       phoneRegex, "[PHONE]")
 
+  /** Within-document repetition signals, the Gopher/MassiveText
+    * quality-filter family (Rae et al. 2021 §A1.1; reimplemented by
+    * Dolma/RedPajama): a document that keeps repeating itself is
+    * boilerplate or SEO spam, and the signal is measurable without
+    * any model.
+    *
+    *   - `top_{n}gram_frac` (n ∈ topNs): characters claimed by the
+    *     single most frequent word n-gram — count × gram chars /
+    *     total token chars. Overlapping windows each count (the
+    *     published definition), so a degenerate "a a a a" doc can
+    *     exceed 1.0 — the filter thresholds sit far below that.
+    *     Ties break deterministically to the lexicographically
+    *     greatest gram (one `max(struct(cnt, gram))` — partial-
+    *     aggregatable, so the map side collapses before the
+    *     exchange; no rank window).
+    *   - `dup_{n}gram_frac` (n ∈ dupNs): characters COVERED by any
+    *     n-gram that occurs ≥2 times in the document, each position
+    *     counted once however many duplicated grams overlap it —
+    *     the cover-position form, same machinery as the ExactSubstr
+    *     trimmer but scoped within-document. Gram identity rides the
+    *     O(len) rolling fingerprint ([[graft.plans.RollingGramHash]]);
+    *     the oracle keys on gram content, so oracle agreement is the
+    *     collision check.
+    *
+    * Character totals count token characters only (the corpus'
+    * single-space convention makes inter-token spaces a constant
+    * n−1 per gram; excluding them keeps numerator and denominator
+    * on the same basis). Shape at corpus scale: one explode +
+    * per-doc groupBy per n — every shuffle keyed by doc_id, nothing
+    * cross-document, so it scales like a projection + local
+    * aggregation however large the corpus. */
+  def repetitionSignals(df: DataFrame, text: Column, id: Column,
+                        topNs: Seq[Int] = Seq(2, 3, 4),
+                        dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    val toksF = df.select(id.as("doc_id"), tokens(text).as("__toks"))
+    val base = toksF.select(col("doc_id"),
+      aggregate(transform(col("__toks"), t => length(t)), lit(0L), (a, x) => a + x)
+        .as("total_chars"))
+
+    // numerator of the top-n signal: most frequent n-gram's cnt × chars
+    def topNum(n: Int): DataFrame = {
+      val toks = col("__toks")
+      val cnt = size(toks) - (n - 1)
+      toksF.select(col("doc_id"),
+          explode(when(cnt >= 1,
+            transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
+            .otherwise(array())).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max(struct(col("cnt"), col("gram"))).as("top"))
+        .select(col("doc_id"),
+          (col("top.cnt") * (length(col("top.gram")) - (n - 1))).as(s"__num$n"))
+    }
+
+    // numerator of the dup-n signal: chars at positions covered by
+    // any within-doc duplicated n-gram (covered once, overlaps merged)
+    def dupNum(n: Int): DataFrame = {
+      val grams = toksF.select(col("doc_id"),
+        posexplode(call_function("graft_grams", col("__toks"), lit(n)))
+          .as(Seq("off", "h")))
+      val covered = grams.groupBy("doc_id", "h")
+        .agg(collect_list(col("off")).as("offs"))
+        .filter(size(col("offs")) >= 2)
+        .select(col("doc_id"), explode(col("offs")).as("off"))
+        .select(col("doc_id"), explode(sequence(col("off") + 1, col("off") + n)).as("pos"))
+        .distinct()
+      val lens = toksF.select(col("doc_id"),
+          posexplode(transform(col("__toks"), t => length(t))).as(Seq("off", "len")))
+        .select(col("doc_id"), (col("off") + 1).as("pos"), col("len"))
+      covered.join(lens, Seq("doc_id", "pos"))
+        .groupBy("doc_id").agg(sum(col("len")).as(s"__dup$n"))
+    }
+
+    val joined = (topNs.map(topNum) ++ dupNs.map(dupNum))
+      .foldLeft(base)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
+    val out = col("doc_id") +: (
+      topNs.map(n => round(coalesce(col(s"__num$n"), lit(0L)).cast("double")
+        / col("total_chars"), 6).as(s"top_${n}gram_frac")) ++
+      dupNs.map(n => round(coalesce(col(s"__dup$n"), lit(0L)).cast("double")
+        / col("total_chars"), 6).as(s"dup_${n}gram_frac")))
+    joined.select(out: _*)
+  }
+
   val fpPrime = 2147483647L // 2^31 − 1
 
   /** Order-SENSITIVE positional fingerprint: Σ position-weighted

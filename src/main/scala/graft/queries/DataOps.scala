@@ -78,6 +78,9 @@ object DataOps {
       LanguageModel.bigramLm(lmRef(s, d), col("text")),
       LanguageModel.bigramLm(docs(s, d), col("text")))
 
+  def txRepNgrams(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetitionSignals(docs(s, d), col("text"), col("doc_id"))
+
   def ddMinhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"), 3)
 
@@ -1680,6 +1683,50 @@ object DataOps {
                  i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM d),
          c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
          SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 20""",
+    "tx_rep_ngrams" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         base AS (SELECT doc_id, list_sum(list_transform(toks, t -> length(t))) AS total_chars FROM d),
+         t2 AS (SELECT doc_id, cnt * (length(gram) - 1) AS num
+                FROM (SELECT doc_id, gram, count(*) AS cnt
+                      FROM (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+                            FROM d, unnest(range(1, len(toks))) t(i))
+                      GROUP BY doc_id, gram)
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
+         t3 AS (SELECT doc_id, cnt * (length(gram) - 2) AS num
+                FROM (SELECT doc_id, gram, count(*) AS cnt
+                      FROM (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+                            FROM d, unnest(range(1, len(toks) - 1)) t(i))
+                      GROUP BY doc_id, gram)
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
+         t4 AS (SELECT doc_id, cnt * (length(gram) - 3) AS num
+                FROM (SELECT doc_id, gram, count(*) AS cnt
+                      FROM (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+                            FROM d, unnest(range(1, len(toks) - 2)) t(i))
+                      GROUP BY doc_id, gram)
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
+         p5 AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+                FROM d, unnest(range(1, len(toks) - 3)) t(i)),
+         c5 AS (SELECT DISTINCT doc_id, pos + j AS p
+                FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, gram) AS c FROM p5)
+                     , unnest(range(0, 5)) t(j) WHERE c >= 2),
+         h5 AS (SELECT c5.doc_id, sum(length(d.toks[c5.p])) AS num
+                FROM c5 JOIN d ON c5.doc_id = d.doc_id GROUP BY c5.doc_id),
+         p10 AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+9], ' ') AS gram
+                 FROM d, unnest(range(1, len(toks) - 8)) t(i)),
+         c10 AS (SELECT DISTINCT doc_id, pos + j AS p
+                 FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, gram) AS c FROM p10)
+                      , unnest(range(0, 10)) t(j) WHERE c >= 2),
+         h10 AS (SELECT c10.doc_id, sum(length(d.toks[c10.p])) AS num
+                 FROM c10 JOIN d ON c10.doc_id = d.doc_id GROUP BY c10.doc_id)
+         SELECT b.doc_id,
+                round(coalesce(t2.num, 0) / b.total_chars, 6) AS top_2gram_frac,
+                round(coalesce(t3.num, 0) / b.total_chars, 6) AS top_3gram_frac,
+                round(coalesce(t4.num, 0) / b.total_chars, 6) AS top_4gram_frac,
+                round(coalesce(h5.num, 0) / b.total_chars, 6) AS dup_5gram_frac,
+                round(coalesce(h10.num, 0) / b.total_chars, 6) AS dup_10gram_frac
+         FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+              LEFT JOIN t4 USING (doc_id) LEFT JOIN h5 USING (doc_id)
+              LEFT JOIN h10 USING (doc_id)""",
     "tx_lm_bigrams" ->
       s"""WITH r AS (SELECT string_split(text, ' ') AS toks FROM documents
                      WHERE source IN ($lmRefSourcesSql)),
@@ -1797,6 +1844,7 @@ object DataOps {
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,
     "tx_top_bigrams" -> txTopBigrams _,
+    "tx_rep_ngrams" -> txRepNgrams _,
     "tx_lm_bigrams" -> txLmBigrams _,
     "tx_lm_score" -> txLmScore _,
     "tx_lm_contrast" -> txLmContrast _,
