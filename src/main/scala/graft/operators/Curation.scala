@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation composite: the filter→dedup chain
+  * every production training-data pipeline runs (C4, CCNet,
+  * MassiveText, RefinedWeb all share this skeleton), with per-document
+  * drop accounting. The reference pipeline has no counterpart — this
+  * is pure beyond-reference capability, built entirely from the
+  * engine's own operators:
+  *
+  *   1. repetition gate — [[TextAnalysis.repetitionSignals]]
+  *      (Gopher top-2-gram / duplicated-5-gram fractions);
+  *   2. LM perplexity gate — [[LanguageModel]] average NLL under a
+  *      bigram model trained on the trusted slice (CCNet policy);
+  *   3. dedup — [[Dedup.dedupedCorpus]] (exact min-id + LSH-verified
+  *      near-dup suppression) over the docs that SURVIVED 1–2.
+  *
+  * Stages are ordered cheap→expensive on purpose: both gates are
+  * projections + doc-keyed aggregations, so the MinHash/LSH subtree —
+  * the only stage with cross-document joins — runs on the smallest
+  * possible corpus. That ordering is also semantics: a document
+  * suppressed as boilerplate never competes in dedup, so a spam
+  * cluster can't crowd out the one clean copy of its text held by a
+  * quality-passing page.
+  *
+  * The verdict column reports the FIRST failing stage
+  * (`repetition` | `lm` | `duplicate` | `kept`) for every input
+  * document — the audit frame a curation run ships next to its output
+  * corpus so per-source loss rates are explainable. Every join in the
+  * assembly is doc_id-keyed; nothing leaves the executors.
+  */
+object Curation {
+
+  def audit(docs: DataFrame, text: Column, id: Column, lmRef: DataFrame,
+            n: Int, jaccardThreshold: Double,
+            maxTop2: Double, maxDup5: Double, maxAvgNll: Double): DataFrame = {
+    val rep = TextAnalysis.repetitionSignals(docs, text, id, Seq(2), Seq(5))
+      .select(col("doc_id"),
+        (col("top_2gram_frac") > maxTop2 || col("dup_5gram_frac") > maxDup5)
+          .as("rep_fail"))
+    // unscorable docs (< 2 words) fail the gate: a filter that can't
+    // vouch for a document does not pass it
+    val lm = LanguageModel.scoreDocs(docs, text, id,
+        LanguageModel.bigramLm(lmRef, text))
+      .select(col("doc_id"),
+        (col("avg_nll").isNull || col("avg_nll") > maxAvgNll).as("lm_fail"))
+    val flagged = docs.select(id.as("doc_id"), text.as("__text"))
+      .join(rep, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+    val quality = flagged.filter(!col("rep_fail") && !col("lm_fail"))
+      .select(col("doc_id"), col("__text").as("text"))
+    val survivors = Dedup
+      .dedupedCorpus(quality, col("text"), col("doc_id"), n, jaccardThreshold)
+      .select(col("doc_id"), lit(true).as("__kept"))
+    flagged.join(survivors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("rep_fail"), lit("repetition"))
+          .when(col("lm_fail"), lit("lm"))
+          .when(col("__kept").isNull, lit("duplicate"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bucketing, Dedup, LanguageModel, Layout, Multimodal, Sharding, Similarity, TextAnalysis}
+import graft.operators.{Bucketing, Curation, Dedup, LanguageModel, Layout, Multimodal, Sharding, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-checkable queries over
   * the `documents` / `embeddings` tables, with DuckDB oracle SQL
@@ -80,6 +80,17 @@ object DataOps {
 
   def txRepNgrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionSignals(docs(s, d), col("text"), col("doc_id"))
+
+  /** Curation-gate thresholds: top-2-gram cap is Gopher's published
+    * 0.20; the dup-5-gram cap and the NLL cap (≈ p97 of the corpus
+    * under the trusted-slice LM) are calibrated to this corpus. */
+  val curateMaxTop2 = 0.2
+  val curateMaxDup5 = 0.6
+  val curateMaxNll = 3.65
+
+  def dsCurate(s: SparkSession, d: String): DataFrame =
+    Curation.audit(docs(s, d), col("text"), col("doc_id"), lmRef(s, d),
+      3, jaccardThreshold, curateMaxTop2, curateMaxDup5, curateMaxNll)
 
   def ddMinhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"), 3)
@@ -734,43 +745,53 @@ object DataOps {
   // ---- Oracle SQL ----------------------------------------------------
 
   /** Shared CTE: distinct 3-gram shingles with a portable 32-bit hash
-    * (mirrors Dedup.shingles + VectorFunctions.tokenHash). */
-  private val shingleCte =
-    """d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    * (mirrors Dedup.shingles + VectorFunctions.tokenHash). The `rel`
+    * parameter scopes the chain to any (doc_id, text) relation — the
+    * curation composite runs it over its quality-surviving subset. */
+  private def shingleCteOver(rel: String) =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel),
        s0 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 1)),
                 i -> array_to_string(toks[i:i+2], ' '))) AS shingle FROM d),
        s AS (SELECT DISTINCT doc_id, shingle FROM s0)"""
 
-  private val minhashSigCte = {
+  private val shingleCte = shingleCteOver("documents")
+
+  private def minhashSigCteOver(rel: String) = {
     val p = Dedup.minhashP
     val mins = Dedup.minhashAB.zipWithIndex.map { case ((a, b), i) =>
       s"min((h * $a + $b) % $p) AS m$i"
     }.mkString(", ")
-    s"""$shingleCte,
+    s"""${shingleCteOver(rel)},
         hh AS (SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % $p AS h
                FROM s),
         sig AS (SELECT doc_id, $mins FROM hh GROUP BY doc_id)"""
   }
 
+  private val minhashSigCte = minhashSigCteOver("documents")
+
   /** Shared CTE: LSH band/bucket rows per doc — `bands(doc_id, band,
     * bucket)` (mirrors Dedup.lshBuckets). */
-  private val lshBandsCte = {
+  private def lshBandsCteOver(rel: String) = {
     val bandSelects = (0 until 4).map { band =>
       val cols = (band * 4 until band * 4 + 4)
         .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $band AS band, md5($cols) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
-    s"$minhashSigCte, bands AS ($bandSelects)"
+    s"${minhashSigCteOver(rel)}, bands AS ($bandSelects)"
   }
+
+  private val lshBandsCte = lshBandsCteOver("documents")
 
   /** Shared CTE chain: MinHash-LSH candidate pairs (mirrors
     * Dedup.minhashCandidatePairs) — `pairs(id_a, id_b)`. */
-  private val lshPairsCte =
-    s"""$lshBandsCte,
+  private def lshPairsCteOver(rel: String) =
+    s"""${lshBandsCteOver(rel)},
         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM bands a JOIN bands b
                     ON a.band = b.band AND a.bucket = b.bucket
                    AND a.doc_id < b.doc_id)"""
+
+  private val lshPairsCte = lshPairsCteOver("documents")
 
   /** Shared CTE: 32-bit SimHash per document (mirrors Dedup.simhash). */
   private val simhashCte = {
@@ -1120,6 +1141,74 @@ object DataOps {
                    WHERE t.split = 'train' AND e.split = 'test'
                    GROUP BY 1, 2)"""
   }
+
+  /** Full tx_rep_ngrams / tx_lm_score statements, shared so the
+    * curation composite can nest them as scoped sub-CTEs. */
+  private val repNgramsSql =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         base AS (SELECT doc_id, list_sum(list_transform(toks, t -> length(t))) AS total_chars FROM d),
+         t2 AS (SELECT doc_id, cnt * (length(gram) - 1) AS num
+                FROM (SELECT doc_id, gram, count(*) AS cnt
+                      FROM (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+                            FROM d, unnest(range(1, len(toks))) t(i))
+                      GROUP BY doc_id, gram)
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
+         t3 AS (SELECT doc_id, cnt * (length(gram) - 2) AS num
+                FROM (SELECT doc_id, gram, count(*) AS cnt
+                      FROM (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+                            FROM d, unnest(range(1, len(toks) - 1)) t(i))
+                      GROUP BY doc_id, gram)
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
+         t4 AS (SELECT doc_id, cnt * (length(gram) - 3) AS num
+                FROM (SELECT doc_id, gram, count(*) AS cnt
+                      FROM (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+                            FROM d, unnest(range(1, len(toks) - 2)) t(i))
+                      GROUP BY doc_id, gram)
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
+         p5 AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS gram
+                FROM d, unnest(range(1, len(toks) - 3)) t(i)),
+         c5 AS (SELECT DISTINCT doc_id, pos + j AS p
+                FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, gram) AS c FROM p5)
+                     , unnest(range(0, 5)) t(j) WHERE c >= 2),
+         h5 AS (SELECT c5.doc_id, sum(length(d.toks[c5.p])) AS num
+                FROM c5 JOIN d ON c5.doc_id = d.doc_id GROUP BY c5.doc_id),
+         p10 AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+9], ' ') AS gram
+                 FROM d, unnest(range(1, len(toks) - 8)) t(i)),
+         c10 AS (SELECT DISTINCT doc_id, pos + j AS p
+                 FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, gram) AS c FROM p10)
+                      , unnest(range(0, 10)) t(j) WHERE c >= 2),
+         h10 AS (SELECT c10.doc_id, sum(length(d.toks[c10.p])) AS num
+                 FROM c10 JOIN d ON c10.doc_id = d.doc_id GROUP BY c10.doc_id)
+         SELECT b.doc_id,
+                round(coalesce(t2.num, 0) / b.total_chars, 6) AS top_2gram_frac,
+                round(coalesce(t3.num, 0) / b.total_chars, 6) AS top_3gram_frac,
+                round(coalesce(t4.num, 0) / b.total_chars, 6) AS top_4gram_frac,
+                round(coalesce(h5.num, 0) / b.total_chars, 6) AS dup_5gram_frac,
+                round(coalesce(h10.num, 0) / b.total_chars, 6) AS dup_10gram_frac
+         FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+              LEFT JOIN t4 USING (doc_id) LEFT JOIN h5 USING (doc_id)
+              LEFT JOIN h10 USING (doc_id)"""
+
+  private val lmScoreSql =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          r AS (SELECT string_split(text, ' ') AS toks FROM documents
+                WHERE source IN ($lmRefSourcesSql)),
+          rb AS (SELECT toks[i] AS ctx, toks[i+1] AS nxt
+                 FROM r, unnest(range(1, greatest(len(toks), 1))) t(i)),
+          lm AS (SELECT ctx, nxt, count(*) AS c2 FROM rb GROUP BY ctx, nxt),
+          ct AS (SELECT ctx, sum(c2) AS c1 FROM lm GROUP BY ctx),
+          v AS (SELECT count(DISTINCT nxt) AS vsz FROM lm),
+          db AS (SELECT doc_id, toks[i] AS ctx, toks[i+1] AS nxt
+                 FROM d, unnest(range(1, greatest(len(toks), 1))) t(i)),
+          s AS (SELECT db.doc_id,
+                  ln((coalesce(lm.c2, 0) + 1.0) / (coalesce(ct.c1, 0) + v.vsz)) AS ll
+                FROM db LEFT JOIN lm ON db.ctx = lm.ctx AND db.nxt = lm.nxt
+                        LEFT JOIN ct ON db.ctx = ct.ctx
+                        CROSS JOIN v),
+          g AS (SELECT doc_id, count(*) AS n_bigrams,
+                       round(-avg(ll), 6) AS avg_nll FROM s GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(g.n_bigrams, 0) AS n_bigrams, g.avg_nll
+          FROM d LEFT JOIN g ON d.doc_id = g.doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "ds_contamination" ->
@@ -1683,76 +1772,44 @@ object DataOps {
                  i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM d),
          c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
          SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 20""",
-    "tx_rep_ngrams" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         base AS (SELECT doc_id, list_sum(list_transform(toks, t -> length(t))) AS total_chars FROM d),
-         t2 AS (SELECT doc_id, cnt * (length(gram) - 1) AS num
-                FROM (SELECT doc_id, gram, count(*) AS cnt
-                      FROM (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
-                            FROM d, unnest(range(1, len(toks))) t(i))
-                      GROUP BY doc_id, gram)
-                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
-         t3 AS (SELECT doc_id, cnt * (length(gram) - 2) AS num
-                FROM (SELECT doc_id, gram, count(*) AS cnt
-                      FROM (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
-                            FROM d, unnest(range(1, len(toks) - 1)) t(i))
-                      GROUP BY doc_id, gram)
-                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
-         t4 AS (SELECT doc_id, cnt * (length(gram) - 3) AS num
-                FROM (SELECT doc_id, gram, count(*) AS cnt
-                      FROM (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
-                            FROM d, unnest(range(1, len(toks) - 2)) t(i))
-                      GROUP BY doc_id, gram)
-                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
-         p5 AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS gram
-                FROM d, unnest(range(1, len(toks) - 3)) t(i)),
-         c5 AS (SELECT DISTINCT doc_id, pos + j AS p
-                FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, gram) AS c FROM p5)
-                     , unnest(range(0, 5)) t(j) WHERE c >= 2),
-         h5 AS (SELECT c5.doc_id, sum(length(d.toks[c5.p])) AS num
-                FROM c5 JOIN d ON c5.doc_id = d.doc_id GROUP BY c5.doc_id),
-         p10 AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+9], ' ') AS gram
-                 FROM d, unnest(range(1, len(toks) - 8)) t(i)),
-         c10 AS (SELECT DISTINCT doc_id, pos + j AS p
-                 FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id, gram) AS c FROM p10)
-                      , unnest(range(0, 10)) t(j) WHERE c >= 2),
-         h10 AS (SELECT c10.doc_id, sum(length(d.toks[c10.p])) AS num
-                 FROM c10 JOIN d ON c10.doc_id = d.doc_id GROUP BY c10.doc_id)
-         SELECT b.doc_id,
-                round(coalesce(t2.num, 0) / b.total_chars, 6) AS top_2gram_frac,
-                round(coalesce(t3.num, 0) / b.total_chars, 6) AS top_3gram_frac,
-                round(coalesce(t4.num, 0) / b.total_chars, 6) AS top_4gram_frac,
-                round(coalesce(h5.num, 0) / b.total_chars, 6) AS dup_5gram_frac,
-                round(coalesce(h10.num, 0) / b.total_chars, 6) AS dup_10gram_frac
-         FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
-              LEFT JOIN t4 USING (doc_id) LEFT JOIN h5 USING (doc_id)
-              LEFT JOIN h10 USING (doc_id)""",
+    "tx_rep_ngrams" -> repNgramsSql,
+    "ds_curate" ->
+      s"""WITH rep AS ($repNgramsSql),
+          lmsc AS ($lmScoreSql),
+          flags AS (SELECT dd.doc_id, dd.text,
+                      (r.top_2gram_frac > $curateMaxTop2
+                        OR r.dup_5gram_frac > $curateMaxDup5) AS rep_fail,
+                      (sc.avg_nll IS NULL OR sc.avg_nll > $curateMaxNll) AS lm_fail
+                    FROM documents dd JOIN rep r ON dd.doc_id = r.doc_id
+                         JOIN lmsc sc ON dd.doc_id = sc.doc_id),
+          quality AS (SELECT doc_id, text FROM flags WHERE NOT rep_fail AND NOT lm_fail),
+          ${lshPairsCteOver("quality")},
+          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          cmn AS (SELECT p.id_a, p.id_b, count(*) AS common
+                  FROM pairs p JOIN s sa ON sa.doc_id = p.id_a
+                               JOIN s sb ON sb.doc_id = p.id_b
+                                AND sb.shingle = sa.shingle
+                  GROUP BY p.id_a, p.id_b),
+          losers AS (SELECT DISTINCT id_b AS doc_id
+                     FROM cmn JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+                     WHERE round(common * 1.0 / (x.n + y.n - common), 6) >= $jaccardThreshold),
+          keepers AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+          kept AS (SELECT doc_id FROM quality
+                   WHERE doc_id IN (SELECT doc_id FROM keepers)
+                     AND doc_id NOT IN (SELECT doc_id FROM losers))
+          SELECT f.doc_id,
+                 CASE WHEN f.rep_fail THEN 'repetition'
+                      WHEN f.lm_fail THEN 'lm'
+                      WHEN k.doc_id IS NULL THEN 'duplicate'
+                      ELSE 'kept' END AS verdict
+          FROM flags f LEFT JOIN kept k ON f.doc_id = k.doc_id""",
     "tx_lm_bigrams" ->
       s"""WITH r AS (SELECT string_split(text, ' ') AS toks FROM documents
                      WHERE source IN ($lmRefSourcesSql)),
           b AS (SELECT toks[i] AS ctx, toks[i+1] AS nxt
                 FROM r, unnest(range(1, greatest(len(toks), 1))) t(i))
           SELECT ctx, nxt, count(*) AS c2 FROM b GROUP BY ctx, nxt""",
-    "tx_lm_score" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-          r AS (SELECT string_split(text, ' ') AS toks FROM documents
-                WHERE source IN ($lmRefSourcesSql)),
-          rb AS (SELECT toks[i] AS ctx, toks[i+1] AS nxt
-                 FROM r, unnest(range(1, greatest(len(toks), 1))) t(i)),
-          lm AS (SELECT ctx, nxt, count(*) AS c2 FROM rb GROUP BY ctx, nxt),
-          ct AS (SELECT ctx, sum(c2) AS c1 FROM lm GROUP BY ctx),
-          v AS (SELECT count(DISTINCT nxt) AS vsz FROM lm),
-          db AS (SELECT doc_id, toks[i] AS ctx, toks[i+1] AS nxt
-                 FROM d, unnest(range(1, greatest(len(toks), 1))) t(i)),
-          s AS (SELECT db.doc_id,
-                  ln((coalesce(lm.c2, 0) + 1.0) / (coalesce(ct.c1, 0) + v.vsz)) AS ll
-                FROM db LEFT JOIN lm ON db.ctx = lm.ctx AND db.nxt = lm.nxt
-                        LEFT JOIN ct ON db.ctx = ct.ctx
-                        CROSS JOIN v),
-          g AS (SELECT doc_id, count(*) AS n_bigrams,
-                       round(-avg(ll), 6) AS avg_nll FROM s GROUP BY doc_id)
-          SELECT d.doc_id, coalesce(g.n_bigrams, 0) AS n_bigrams, g.avg_nll
-          FROM d LEFT JOIN g ON d.doc_id = g.doc_id""",
+    "tx_lm_score" -> lmScoreSql,
     "tx_lm_contrast" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
           r AS (SELECT string_split(text, ' ') AS toks FROM documents
@@ -1845,6 +1902,7 @@ object DataOps {
     "mm_resize" -> mmResize _,
     "tx_top_bigrams" -> txTopBigrams _,
     "tx_rep_ngrams" -> txRepNgrams _,
+    "ds_curate" -> dsCurate _,
     "tx_lm_bigrams" -> txLmBigrams _,
     "tx_lm_score" -> txLmScore _,
     "tx_lm_contrast" -> txLmContrast _,
