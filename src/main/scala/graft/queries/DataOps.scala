@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Bucketing, Curation, Dedup, LanguageModel, Layout, Multimodal, Sharding, Similarity, TextAnalysis}
+import graft.operators.{Bucketing, Chunking, Curation, Dedup, LanguageModel, Layout, Multimodal, Sharding, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as driver-checkable queries over
   * the `documents` / `embeddings` tables, with DuckDB oracle SQL
@@ -80,6 +80,13 @@ object DataOps {
 
   def txRepNgrams(s: SparkSession, d: String): DataFrame =
     TextAnalysis.repetitionSignals(docs(s, d), col("text"), col("doc_id"))
+
+  /** Chunker window: 64 tokens with 16-token overlap (stride 48). */
+  val chunkTokens = 64
+  val chunkOverlap = 16
+
+  def dsChunk(s: SparkSession, d: String): DataFrame =
+    Chunking.chunk(docs(s, d), col("text"), col("doc_id"), chunkTokens, chunkOverlap)
 
   /** Curation-gate thresholds: top-2-gram cap is Gopher's published
     * 0.20; the dup-5-gram cap and the NLL cap (≈ p97 of the corpus
@@ -1773,6 +1780,17 @@ object DataOps {
          c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
          SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 20""",
     "tx_rep_ngrams" -> repNgramsSql,
+    "ds_chunk" -> {
+      val c = chunkTokens; val st = chunkTokens - chunkOverlap
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          n AS (SELECT doc_id, toks,
+                  CASE WHEN len(toks) <= $c THEN 1
+                       ELSE (len(toks) - $c + ${st - 1}) // $st + 1 END AS nc FROM d)
+          SELECT doc_id, k AS chunk_id,
+                 len(toks[k*$st+1 : k*$st+$c]) AS n_tokens,
+                 array_to_string(toks[k*$st+1 : k*$st+$c], ' ') AS chunk_text
+          FROM n, unnest(range(0, nc)) t(k)"""
+    },
     "ds_curate" ->
       s"""WITH rep AS ($repNgramsSql),
           lmsc AS ($lmScoreSql),
@@ -1903,6 +1921,7 @@ object DataOps {
     "tx_top_bigrams" -> txTopBigrams _,
     "tx_rep_ngrams" -> txRepNgrams _,
     "ds_curate" -> dsCurate _,
+    "ds_chunk" -> dsChunk _,
     "tx_lm_bigrams" -> txLmBigrams _,
     "tx_lm_score" -> txLmScore _,
     "tx_lm_contrast" -> txLmContrast _,
