@@ -60,6 +60,43 @@ object Profile {
       s"stack(${cols.size}, $stack) as (col_name, nonnull_cnt, min_val, max_val, distinct_cnt)")
   }
 
+  /** Per-source data card — the transparency table a corpus release
+    * ships (datasheets-for-datasets practice: per-source volume,
+    * duplication, dominant language, quality/perplexity profile), so
+    * a training-mixture decision can be made per source without
+    * re-scanning the corpus. One row per source:
+    * doc/token counts, exact-duplicate rate, dominant language
+    * (deterministic argmax via max(struct)), mean top-2-gram
+    * repetition, mean NLL under the trusted-slice LM.
+    *
+    * Composes [[TextAnalysis.repetitionSignals]] and
+    * [[LanguageModel.scoreDocs]] per doc, then one source-keyed
+    * aggregation — at 100 TB the signal subtrees dominate and they
+    * are both doc-keyed; the final rollup is O(#sources) rows. */
+  def datacard(docs: DataFrame, text: org.apache.spark.sql.Column,
+               id: org.apache.spark.sql.Column, lmRef: DataFrame): DataFrame = {
+    val rep = TextAnalysis.repetitionSignals(docs, text, id, Seq(2), Seq(5))
+      .select(col("doc_id"), col("top_2gram_frac"))
+    val lm = LanguageModel.scoreDocs(docs, text, id,
+        LanguageModel.bigramLm(lmRef, text))
+      .select(col("doc_id"), col("avg_nll"))
+    val base = docs.select(id.as("doc_id"), col("source"), col("lang"),
+      text.as("__text"), size(split(text, " ")).as("__n_toks"))
+    val topLang = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(max(struct(col("c"), col("lang"))).as("t"))
+      .select(col("source"), col("t.lang").as("top_lang"))
+    base.join(rep, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__n_toks")).as("n_tokens"),
+        round(avg(col("__n_toks")), 2).as("avg_doc_tokens"),
+        round((count(lit(1)) - countDistinct(col("__text"))).cast("double")
+          / count(lit(1)), 6).as("exact_dup_rate"),
+        round(avg(col("top_2gram_frac")), 6).as("avg_top2_frac"),
+        round(avg(col("avg_nll")), 6).as("avg_nll"))
+      .join(topLang, Seq("source"))
+  }
+
   /** ZERO-COST observability: attach row/null counters to a frame via
     * the Observation API — the metrics ride the frame's own action
     * (accumulator-style, no second scan, no extra shuffle), exactly

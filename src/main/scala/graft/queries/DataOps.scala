@@ -88,6 +88,10 @@ object DataOps {
   def dsChunk(s: SparkSession, d: String): DataFrame =
     Chunking.chunk(docs(s, d), col("text"), col("doc_id"), chunkTokens, chunkOverlap)
 
+  def dqDatacard(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.datacard(docs(s, d), col("text"), col("doc_id"),
+      lmRef(s, d))
+
   /** Curation-gate thresholds: top-2-gram cap is Gopher's published
     * 0.20; the dup-5-gram cap and the NLL cap (≈ p97 of the corpus
     * under the trusted-slice LM) are calibrated to this corpus. */
@@ -1780,6 +1784,28 @@ object DataOps {
          c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
          SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 20""",
     "tx_rep_ngrams" -> repNgramsSql,
+    "dq_datacard" ->
+      s"""WITH rep AS ($repNgramsSql),
+          lmsc AS ($lmScoreSql),
+          dd AS (SELECT doc_id, source, lang, text,
+                        len(string_split(text, ' ')) AS n_toks FROM documents),
+          lt AS (SELECT source, lang, count(*) AS c FROM dd GROUP BY 1, 2),
+          topl AS (SELECT source, lang AS top_lang FROM lt
+                   QUALIFY row_number() OVER (PARTITION BY source
+                                              ORDER BY c DESC, lang DESC) = 1),
+          agg AS (SELECT dd.source, count(*) AS n_docs,
+                         CAST(sum(dd.n_toks) AS BIGINT) AS n_tokens,
+                         round(avg(dd.n_toks), 2) AS avg_doc_tokens,
+                         round((count(*) - count(DISTINCT dd.text)) * 1.0 / count(*), 6)
+                           AS exact_dup_rate,
+                         round(avg(r.top_2gram_frac), 6) AS avg_top2_frac,
+                         round(avg(sc.avg_nll), 6) AS avg_nll
+                  FROM dd JOIN rep r ON dd.doc_id = r.doc_id
+                          JOIN lmsc sc ON dd.doc_id = sc.doc_id
+                  GROUP BY dd.source)
+          SELECT a.source, a.n_docs, a.n_tokens, a.avg_doc_tokens,
+                 a.exact_dup_rate, a.avg_top2_frac, a.avg_nll, t.top_lang
+          FROM agg a JOIN topl t ON a.source = t.source""",
     "ds_chunk" -> {
       val c = chunkTokens; val st = chunkTokens - chunkOverlap
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1922,6 +1948,7 @@ object DataOps {
     "tx_rep_ngrams" -> txRepNgrams _,
     "ds_curate" -> dsCurate _,
     "ds_chunk" -> dsChunk _,
+    "dq_datacard" -> dqDatacard _,
     "tx_lm_bigrams" -> txLmBigrams _,
     "tx_lm_score" -> txLmScore _,
     "tx_lm_contrast" -> txLmContrast _,
