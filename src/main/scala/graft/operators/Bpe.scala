@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich,
+  * Haddow & Birch, "Neural Machine Translation of Rare Words with
+  * Subword Units", ACL 2016) — the vocabulary-induction step in front
+  * of every LLM pretraining corpus. Classic BPE: explode the corpus'
+  * DISTINCT words into character symbols (plus an end-of-word
+  * marker), then repeatedly merge the most frequent adjacent symbol
+  * pair, weighting by word frequency.
+  *
+  * Scale shape: all state lives in one `(word, freq, pos, sym)`
+  * frame keyed by word — at 100 TB that's the distinct-word frame
+  * (billions of rows, far beyond a driver dict, which is exactly why
+  * the textbook in-memory trainer doesn't scale), and every round is
+  * one `lead` window + one pair-count groupBy (map-side combined) +
+  * one window-pass merge application, all partitioned by word. Only
+  * the argmax pair — the model itself, k rows after k rounds —
+  * touches the driver, the same boundary as the Lloyd trainer's
+  * centroids. Lineage is truncated per round with localCheckpoint and
+  * the previous round's blocks are released as the loop advances.
+  *
+  * Greedy left-to-right merge application is the published tie rule:
+  * overlapping matches only arise when lhs == rhs (runs like "aaaa"),
+  * where the leftmost pair wins — expressed as run-grouping + odd
+  * parity, two window functions, no sequential scan. Pair selection
+  * ties break deterministically by (count, lhs, rhs) descending.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>"
+
+  /** Corpus words → per-word character symbols: (word, freq, pos, sym). */
+  private def initialSymbols(docs: DataFrame, text: Column): DataFrame =
+    docs.select(explode(split(text, " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        posexplode(concat(regexp_extract_all(col("word"), lit("."), lit(0)),
+          array(lit(EndOfWord)))).as(Seq("p", "sym")))
+      .select(col("word"), col("freq"), (col("p") + 1).as("pos"), col("sym"))
+
+  /** One merge round: replace every non-overlapping (l, r) adjacency
+    * with the concatenated symbol, leftmost-first within runs. */
+  private def applyMerge(sym: DataFrame, l: String, r: String): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    val marked = sym
+      .withColumn("nxt", lead(col("sym"), 1).over(w))
+      .withColumn("m",
+        col("nxt").isNotNull && col("sym") === l && col("nxt") === r)
+    // runs of consecutive matches (only possible when l == r): keep
+    // odd positions within each run — greedy left-to-right pairing
+    val sel = marked
+      .withColumn("grp", when(col("m"), col("pos") -
+        row_number().over(Window.partitionBy("word", "m").orderBy("pos"))))
+      .withColumn("take", col("m") && row_number()
+        .over(Window.partitionBy("word", "m", "grp").orderBy("pos")) % 2 === 1)
+    sel
+      .withColumn("ptake", lag(col("take"), 1, false).over(w))
+      .filter(!col("ptake")) // the consumed right half of each merge
+      .select(col("word"), col("freq"),
+        row_number().over(w).as("pos"),
+        when(col("take"), concat(col("sym"), col("nxt")))
+          .otherwise(col("sym")).as("sym"))
+  }
+
+  /** Run the training loop; returns the merge table (driver-side — it
+    * IS the model) and the final symbol frame (checkpointed). */
+  private def train(docs: DataFrame, text: Column, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var sym = initialSymbols(docs, text).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val w = Window.partitionBy("word").orderBy("pos")
+      val best = sym
+        .withColumn("nxt", lead(col("sym"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum(col("freq")).as("cnt"))
+        .agg(max(struct(col("cnt"), col("sym"), col("nxt"))).as("b"))
+        .select(col("b.cnt"), col("b.sym"), col("b.nxt"))
+        .collect()(0)
+      if (best.isNullAt(0)) done = true // every word fully merged
+      else {
+        merges += ((rank, best.getString(1), best.getString(2), best.getLong(0)))
+        val next = applyMerge(sym, best.getString(1), best.getString(2))
+          .localCheckpoint()
+        sym.unpersist()
+        sym = next
+        rank += 1
+      }
+    }
+    (merges.result(), sym)
+  }
+
+  /** The learned merge table: (merge_rank, lhs, rhs, freq). */
+  def trainMerges(docs: DataFrame, text: Column, numMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, sym) = train(docs, text, numMerges)
+    sym.unpersist()
+    merges.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  /** The corpus vocabulary tokenized under the learned merges:
+    * (word, freq, encoding) — encoding is the space-joined subword
+    * sequence. (The final frame is a localCheckpoint handed to the
+    * caller; like connectedComponents' labels, it cannot be safely
+    * unpersisted here.) */
+  def encodeWords(docs: DataFrame, text: Column, numMerges: Int): DataFrame = {
+    val (_, sym) = train(docs, text, numMerges)
+    sym.groupBy("word", "freq")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+          s => s.getField("sym"))).as("encoding"))
+  }
+}

@@ -1153,6 +1153,52 @@ object DataOps {
                    GROUP BY 1, 2)"""
   }
 
+  val bpeMerges = 12
+
+  def txBpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.trainMerges(docs(s, d), col("text"), bpeMerges)
+
+  def txBpeVocab(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.encodeWords(docs(s, d), col("text"), bpeMerges)
+
+  /** Unrolled round-by-round BPE replay (mirrors Bpe.train): each
+    * round computes the argmax pair with the same (count, lhs, rhs)
+    * descending tie-break, then applies it with the same
+    * run-group + odd-parity greedy pairing. */
+  private val bpeRoundCtes: String = {
+    val rounds = (1 to bpeMerges).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT word, freq, pos, sym,
+                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                 FROM s${r - 1}),
+          b$r AS MATERIALIZED (SELECT cnt, sym AS l, nxt AS rr FROM (
+                    SELECT sym, nxt, CAST(sum(freq) AS BIGINT) AS cnt
+                    FROM p$r WHERE nxt IS NOT NULL GROUP BY sym, nxt)
+                  QUALIFY row_number() OVER (ORDER BY cnt DESC, sym DESC, nxt DESC) = 1),
+          m$r AS (SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+                         coalesce(p.sym = b.l AND p.nxt = b.rr, FALSE) AS m
+                  FROM p$r p LEFT JOIN b$r b ON TRUE),
+          g$r AS (SELECT *, CASE WHEN m THEN pos - row_number()
+                    OVER (PARTITION BY word, m ORDER BY pos) END AS grp FROM m$r),
+          k$r AS (SELECT *, m AND (row_number()
+                    OVER (PARTITION BY word, m, grp ORDER BY pos) % 2 = 1) AS take
+                  FROM g$r),
+          f$r AS (SELECT word, freq, pos,
+                         CASE WHEN take THEN sym || nxt ELSE sym END AS sym,
+                         lag(take, 1, FALSE) OVER (PARTITION BY word ORDER BY pos) AS ptake
+                  FROM k$r),
+          s$r AS MATERIALIZED (SELECT word, freq,
+                         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+                  FROM f$r WHERE NOT ptake)"""
+    }.mkString(",\n")
+    s"""w0 AS (SELECT word, count(*) AS freq FROM (
+                 SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+               GROUP BY word),
+        s0 AS (SELECT word, freq, i AS pos,
+                 CASE WHEN i <= length(word) THEN word[i] ELSE '</w>' END AS sym
+               FROM w0, unnest(range(1, length(word) + 2)) t(i)),
+        $rounds"""
+  }
+
   /** Full tx_rep_ngrams / tx_lm_score statements, shared so the
     * curation composite can nest them as scoped sub-CTEs. */
   private val repNgramsSql =
@@ -1784,6 +1830,16 @@ object DataOps {
          c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
          SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 20""",
     "tx_rep_ngrams" -> repNgramsSql,
+    "tx_bpe_merges" -> {
+      val sel = (1 to bpeMerges)
+        .map(r => s"SELECT $r AS merge_rank, l AS lhs, rr AS rhs, cnt AS freq FROM b$r")
+        .mkString(" UNION ALL ")
+      s"WITH $bpeRoundCtes $sel"
+    },
+    "tx_bpe_vocab" ->
+      s"""WITH $bpeRoundCtes
+          SELECT word, freq, string_agg(sym, ' ' ORDER BY pos) AS encoding
+          FROM s$bpeMerges GROUP BY word, freq""",
     "dq_datacard" ->
       s"""WITH rep AS ($repNgramsSql),
           lmsc AS ($lmScoreSql),
@@ -1949,6 +2005,8 @@ object DataOps {
     "ds_curate" -> dsCurate _,
     "ds_chunk" -> dsChunk _,
     "dq_datacard" -> dqDatacard _,
+    "tx_bpe_merges" -> txBpeMerges _,
+    "tx_bpe_vocab" -> txBpeVocab _,
     "tx_lm_bigrams" -> txLmBigrams _,
     "tx_lm_score" -> txLmScore _,
     "tx_lm_contrast" -> txLmContrast _,
