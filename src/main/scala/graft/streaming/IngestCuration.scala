@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.operators.{Dedup, LanguageModel, TextAnalysis}
+
+/** Streaming curation: the filter→dedup composite
+  * ([[graft.operators.Curation]]) as a continuous-ingestion loop —
+  * the batch pipeline's audit semantics, held batch-over-batch.
+  *
+  * Per micro-batch: the repetition and LM-perplexity gates run first
+  * (stateless per-document work, so they cost nothing across batch
+  * boundaries), then the survivors dedup against (a) the settled
+  * corpus index, (b) themselves, and (c) every earlier batch this
+  * stream accepted — the same three scopes as [[IngestDedup]].
+  * The LM rides along as its single count table (`bigramLm`'s
+  * "persisting the model is persisting this one frame"), loaded once
+  * outside the stream — scoring inside the batch is two equi-keyed
+  * probe joins against a static frame.
+  *
+  * Two sinks per batch, both overwrite-by-batch-id (idempotent under
+  * foreachBatch's at-least-once retries): `accepted/batch_<id>` with
+  * the surviving documents, and `audit/batch_<id>` with the per-doc
+  * first-failing-stage verdict — the continuously-written form of the
+  * data card's drop accounting.
+  */
+object IngestCuration {
+
+  def curatedIngest(docs: DataFrame, index: Dedup.CorpusIndex, lm: DataFrame,
+                    outDir: String, n: Int = 3, threshold: Double = 0.3,
+                    maxTop2: Double = 0.2, maxDup5: Double = 0.6,
+                    maxAvgNll: Double = 3.65): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val text = col("text")
+        val id = col("doc_id")
+        val rep = TextAnalysis
+          .repetitionSignals(batch.toDF(), text, id, Seq(2), Seq(5))
+          .select(col("doc_id"),
+            (col("top_2gram_frac") > maxTop2 || col("dup_5gram_frac") > maxDup5)
+              .as("rep_fail"))
+        val lmGate = LanguageModel.scoreDocs(batch.toDF(), text, id, lm)
+          .select(col("doc_id"),
+            (col("avg_nll").isNull || col("avg_nll") > maxAvgNll).as("lm_fail"))
+        val flagged = batch.toDF().select(id.as("doc_id"), text.as("__text"))
+          .join(rep, Seq("doc_id"))
+          .join(lmGate, Seq("doc_id"))
+        val quality = flagged.filter(!col("rep_fail") && !col("lm_fail"))
+          .select(col("doc_id"), col("__text").as("text"))
+        val vsCorpus = Dedup.incremental(index, quality, text, id, n, threshold)
+        val accepted = scala.util.Try(
+            spark.read.parquet(s"$outDir/accepted/batch_*")).toOption match {
+          case Some(prev) =>
+            Dedup.incremental(prev.select("doc_id", "text"), vsCorpus,
+              text, id, n, threshold)
+          case None => vsCorpus
+        }
+        accepted.write.mode("overwrite")
+          .parquet(s"$outDir/accepted/batch_$batchId")
+        flagged
+          .join(spark.read.parquet(s"$outDir/accepted/batch_$batchId")
+            .select(col("doc_id"), lit(true).as("__ok")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("rep_fail"), lit("repetition"))
+              .when(col("lm_fail"), lit("lm"))
+              .when(col("__ok").isNull, lit("duplicate"))
+              .otherwise(lit("kept")).as("verdict"))
+          .write.mode("overwrite").parquet(s"$outDir/audit/batch_$batchId")
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+}
