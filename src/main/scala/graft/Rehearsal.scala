@@ -209,6 +209,37 @@ object Rehearsal {
             regexp_replace(col("text"), lit("(\\S+)"), lit("$1_0")).as("text"))
         Dedup.contaminationPairs(docsR, evalR, col("text"), col("doc_id"), 5).count()
       },
+      // BPE training: round count is FIXED (12), so cost per round =
+      // one pair-count groupBy over the symbol frame — the salted
+      // replicas multiply the distinct-word vocabulary by MULT, which
+      // is exactly the dimension the word-keyed state must absorb
+      "bpe_train" -> { () =>
+        graft.operators.Bpe.trainMerges(docsR, col("text"), 12).count()
+      },
+      // the full filter→dedup curation composite: gates are
+      // projections + doc-keyed aggs (linear), dedup sees only the
+      // gate survivors — the composite should track dd_corpus. The
+      // NLL cap is disabled (add-one smoothing inflates every score
+      // as the salted vocabulary grows ×MULT, so a fixed cap would
+      // empty the corpus and let dedup run on nothing); the LM gate's
+      // COST still runs in full — only the comparison is vacuous
+      "curate" -> { () =>
+        graft.operators.Curation.audit(docsR, col("text"), col("doc_id"),
+            docsR.filter(col("source").isin("src0", "src1")),
+            3, 0.3, 0.2, 0.6, maxAvgNll = 1e9)
+          .filter(col("verdict") === "kept").count()
+      },
+      // Gopher repetition signals: per-n explode + doc-keyed groupBy.
+      // Consume every signal column — a bare count() lets Catalyst
+      // drop the unique-key left joins and prune all five subtrees
+      "rep_ngrams" -> { () =>
+        val r = graft.operators.TextAnalysis.repetitionSignals(
+          docsR, col("text"), col("doc_id"))
+        r.agg(count(lit(1)),
+            sum(col("top_2gram_frac") + col("top_3gram_frac") + col("top_4gram_frac")
+              + col("dup_5gram_frac") + col("dup_10gram_frac")))
+          .collect()(0).getLong(0)
+      },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
       },
