@@ -46,9 +46,20 @@ object Curation {
         LanguageModel.bigramLm(lmRef, text))
       .select(col("doc_id"),
         (col("avg_nll").isNull || col("avg_nll") > maxAvgNll).as("lm_fail"))
+    // truncate here: the gate subtree (two explode pipelines + the
+    // LM probe joins) feeds SIX downstream scans — quality's exact
+    // keepers, the signature/shingle-set/band frames inside dedup,
+    // the semi/anti assembly, and the audit join. Without a stage
+    // boundary every one re-scans the corpus and re-runs the gates
+    // (measured: 70 parquet scans, zero exchange reuse). The lazy
+    // localCheckpoint materializes the flagged corpus once — the
+    // in-session analogue of the staged-parquet boundary a production
+    // run would write between filter and dedup. (Handed to the
+    // caller's lineage, so it cannot be unpersisted here.)
     val flagged = docs.select(id.as("doc_id"), text.as("__text"))
       .join(rep, Seq("doc_id"))
       .join(lm, Seq("doc_id"))
+      .localCheckpoint(false)
     val quality = flagged.filter(!col("rep_fail") && !col("lm_fail"))
       .select(col("doc_id"), col("__text").as("text"))
     val survivors = Dedup
