@@ -70,7 +70,13 @@ object Bpe {
     * IS the model) and the final symbol frame (checkpointed). */
   private def train(docs: DataFrame, text: Column, numMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var sym = initialSymbols(docs, text).localCheckpoint()
+    var sym = initialSymbols(docs, text).localCheckpoint(false)
+    // lazy checkpoints: each round's argmax job does double duty,
+    // materializing the previous round's merge result — one job per
+    // round instead of two. The PREVIOUS frame's blocks can only be
+    // released after the job that materializes its successor, so the
+    // unpersist trails by one round (connectedComponents' pattern).
+    var prev: DataFrame = null
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 1
     var done = false
@@ -82,17 +88,21 @@ object Bpe {
         .groupBy("sym", "nxt").agg(sum(col("freq")).as("cnt"))
         .agg(max(struct(col("cnt"), col("sym"), col("nxt"))).as("b"))
         .select(col("b.cnt"), col("b.sym"), col("b.nxt"))
-        .collect()(0)
+        .collect()(0) // materializes `sym`; `prev` is now safe to drop
+      if (prev != null) { prev.unpersist(); prev = null }
       if (best.isNullAt(0)) done = true // every word fully merged
       else {
         merges += ((rank, best.getString(1), best.getString(2), best.getLong(0)))
         val next = applyMerge(sym, best.getString(1), best.getString(2))
-          .localCheckpoint()
-        sym.unpersist()
+          .localCheckpoint(false)
+        prev = sym
         sym = next
         rank += 1
       }
     }
+    // the last round's frame may still be lazy and leaning on prev's
+    // blocks — settle it before releasing them
+    if (prev != null) { sym.count(); prev.unpersist() }
     (merges.result(), sym)
   }
 
