@@ -127,4 +127,33 @@ object Bpe {
         transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
           s => s.getField("sym"))).as("encoding"))
   }
+
+  /** Documents tokenized under the learned merges — the inference
+    * half of the tokenizer: (doc_id, n_tokens, tokens), tokens the
+    * space-joined subword sequence of the whole document.
+    *
+    * Rank-order application per word is the exact encode: a merge's
+    * operands are produced only by strictly lower-rank merges, so
+    * the training loop's final symbol frame IS each word's encoding.
+    * Document encode therefore reduces to a dictionary join: explode
+    * the corpus into (doc, pos, word), shuffle-join on `word`
+    * against the per-word encoding frame (both sides word-keyed —
+    * at 100 TB the vocabulary is the distinct-word frame, far past
+    * broadcast size), and reassemble per document. Per-doc cost is
+    * one join probe per word; nothing is quadratic in |vocab|. */
+  def encodeDocs(docs: DataFrame, id: Column, text: Column,
+                 numMerges: Int): DataFrame = {
+    val vocab = encodeWords(docs, text, numMerges)
+      .select(col("word"), col("encoding"))
+    docs
+      .select(id.as("doc_id"),
+        posexplode(split(text, " ")).as(Seq("wpos", "word")))
+      .join(vocab, Seq("word"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("wpos"), col("encoding")))),
+          s => s.getField("encoding"))).as("tokens"))
+      .select(col("doc_id"),
+        size(split(col("tokens"), " ")).as("n_tokens"), col("tokens"))
+  }
 }

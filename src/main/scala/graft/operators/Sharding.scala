@@ -112,4 +112,39 @@ object Sharding {
         orderKey, col("n_tokens"), blockSize)
       .withColumn("shard_id", expr(s"(cum - n_tokens) div $budget"))
   }
+
+  /** Deterministic multi-epoch training shuffle: every epoch gets its
+    * own content-keyed permutation of the corpus (shuffle key =
+    * md5(id:epoch), so order is reproducible across runs and engines,
+    * never RNG state), each row's epoch position assigned by the
+    * two-level prefix sum — the naive row_number() over a global
+    * ORDER BY hash is the same single-task collapse packShards
+    * avoids. Rows round-robin over `numShards` output shards, so
+    * shard sizes differ by at most one and a 1000-executor write
+    * fans out evenly.
+    *
+    * The position key packs (hash28 << 32 | id) into one BIGINT
+    * (28 hash bits — 7 md5 hex digits — keep the product inside
+    * signed-64): primary order is the per-epoch hash, ties (28-bit
+    * collisions, certain at corpus scale) break by id, keeping
+    * positions unique and the permutation total. Requires ids unique
+    * and < 2^32. Unlike packShards the key space here is the sparse
+    * hash range, not dense row offsets, so the prefix-sum block width
+    * is derived from the keyspace: hash uniformity makes the
+    * `blocksPerEpoch` blocks roughly equal row count. */
+  def epochShuffle(df: DataFrame, id: Column, epochs: Int, numShards: Int,
+                   blocksPerEpoch: Int = 1 << 10): DataFrame = {
+    require(epochs > 0 && numShards > 0 && blocksPerEpoch > 0,
+      "epochs/numShards/blocksPerEpoch must be positive")
+    val keyBlock = math.max((1L << 60) / blocksPerEpoch, 1L)
+    val keyed = df.select(id.cast("long").as("doc_id"))
+      .withColumn("epoch", explode(array((0 until epochs).map(lit(_)): _*)))
+      .withColumn("skey",
+        conv(substring(md5(concat(col("doc_id"), lit(":"), col("epoch"))), 1, 7),
+          16, 10).cast("long") * lit(4294967296L) + col("doc_id"))
+    groupedCumsum(keyed, "epoch", "skey", lit(1L), keyBlock)
+      .withColumn("pos", col("cum"))
+      .withColumn("shard", ((col("pos") - 1) % numShards).cast("long"))
+      .select("doc_id", "epoch", "pos", "shard")
+  }
 }

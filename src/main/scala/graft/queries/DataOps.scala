@@ -1161,6 +1161,9 @@ object DataOps {
   def txBpeVocab(s: SparkSession, d: String): DataFrame =
     graft.operators.Bpe.encodeWords(docs(s, d), col("text"), bpeMerges)
 
+  def txBpeEncode(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.encodeDocs(docs(s, d), col("doc_id"), col("text"), bpeMerges)
+
   /** Unrolled round-by-round BPE replay (mirrors Bpe.train): each
     * round computes the argmax pair with the same (count, lhs, rhs)
     * descending tie-break, then applies it with the same
@@ -1840,6 +1843,16 @@ object DataOps {
       s"""WITH $bpeRoundCtes
           SELECT word, freq, string_agg(sym, ' ' ORDER BY pos) AS encoding
           FROM s$bpeMerges GROUP BY word, freq""",
+    "tx_bpe_encode" ->
+      s"""WITH $bpeRoundCtes,
+          vocab AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS encoding
+                    FROM s$bpeMerges GROUP BY word),
+          dw AS (SELECT doc_id, i AS wpos, toks[i] AS word
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                      unnest(range(1, len(toks) + 1)) t(i)),
+          enc AS (SELECT doc_id, string_agg(encoding, ' ' ORDER BY wpos) AS tokens
+                  FROM dw JOIN vocab USING (word) GROUP BY doc_id)
+          SELECT doc_id, len(string_split(tokens, ' ')) AS n_tokens, tokens FROM enc""",
     "dq_datacard" ->
       s"""WITH rep AS ($repNgramsSql),
           lmsc AS ($lmScoreSql),
@@ -2007,6 +2020,7 @@ object DataOps {
     "dq_datacard" -> dqDatacard _,
     "tx_bpe_merges" -> txBpeMerges _,
     "tx_bpe_vocab" -> txBpeVocab _,
+    "tx_bpe_encode" -> txBpeEncode _,
     "tx_lm_bigrams" -> txLmBigrams _,
     "tx_lm_score" -> txLmScore _,
     "tx_lm_contrast" -> txLmContrast _,

@@ -47,4 +47,13 @@ class BpeSpec extends SparkSpec {
     assert(enc("ab") == "ab</w>")
     assert(enc("abc") == "ab c </w>")
   }
+
+  test("document encode joins the vocab encodings in word order") {
+    val docs = Seq((1L, "ab ab ab abc"), (2L, "abc ab")).toDF("doc_id", "text")
+    val out = Bpe.encodeDocs(docs, col("doc_id"), col("text"), 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    // per-word encodings from the test above, concatenated in doc order
+    assert(out(1L) == ((6, "ab</w> ab</w> ab</w> ab c </w>")))
+    assert(out(2L) == ((4, "ab c </w> ab</w>")))
+  }
 }
