@@ -635,6 +635,13 @@ object DataOps {
       .select(col("doc_id"), col("n_tokens"), col("cum").as("cum_tokens"),
         col("shard_id"))
 
+  val shuffleEpochs = 2
+  val shuffleShards = 8
+
+  def dsShuffle(s: SparkSession, d: String): DataFrame =
+    Sharding.epochShuffle(docs(s, d), col("doc_id"),
+      shuffleEpochs, shuffleShards)
+
   /** Shard materialization: the packed documents concatenated into one
     * training sequence per shard (doc_id order inside the shard, an
     * <eos> separator between documents). One groupBy on shard_id —
@@ -1528,6 +1535,19 @@ object DataOps {
           SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
                  CAST((cum - n_tokens) // $shardBudget AS BIGINT) AS shard_id
           FROM c""",
+    "ds_shuffle" ->
+      s"""WITH e AS (SELECT doc_id, CAST(t.e AS INTEGER) AS epoch
+                     FROM documents, unnest(range(0, $shuffleEpochs)) t(e)),
+          k AS (SELECT doc_id, epoch,
+                       CAST(('0x' || substr(md5(doc_id || ':' || epoch), 1, 7)) AS BIGINT)
+                         * 4294967296 + doc_id AS skey
+                FROM e),
+          p AS (SELECT doc_id, epoch,
+                       CAST(row_number() OVER (PARTITION BY epoch ORDER BY skey) AS BIGINT) AS pos
+                FROM k)
+          SELECT doc_id, epoch, pos,
+                 CAST((pos - 1) % $shuffleShards AS BIGINT) AS shard
+          FROM p""",
     "ds_bucketed_join" ->
       // layout-independent semantics: the oracle is the plain join —
       // the bucketed tables' zero-exchange plan is BucketingSpec's job
@@ -1977,6 +1997,7 @@ object DataOps {
     "dd_incremental_simhash_persisted" -> ddIncrementalSimhashPersisted _,
     "dd_incremental_embed_persisted" -> ddIncrementalEmbedPersisted _,
     "ds_pack_shards" -> dsPackShards _,
+    "ds_shuffle" -> dsShuffle _,
     "ds_pack_sequences" -> dsPackSequences _,
     "ds_mix" -> dsMix _,
     "ds_bucketed_join" -> dsBucketedJoin _,

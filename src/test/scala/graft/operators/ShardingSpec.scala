@@ -152,4 +152,31 @@ class ShardingSpec extends SparkSpec {
         s"shard $sid holds $tokens tokens, budget ${DataOps.shardBudget}")
     }
   }
+
+  test("epoch shuffle: total permutations, epochs distinct, shards balanced") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val out = Sharding.epochShuffle(docs, col("doc_id"),
+        epochs = 2, numShards = 8, blocksPerEpoch = 16)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1))
+    byEpoch.foreach { case (_, rs) =>
+      // a total permutation: every id exactly once, positions 1..N
+      assert(rs.map(_._2).toSet == ids)
+      assert(rs.map(_._3).sorted.toSeq == (1L to ids.size).toSeq)
+      // round-robin shards differ in size by at most one
+      val sizes = rs.groupBy(_._4).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+    }
+    // the two epochs are genuinely different orders of the same corpus
+    def order(e: Int) = byEpoch(e).sortBy(_._3).map(_._2).toSeq
+    assert(order(0) != order(1))
+    // deterministic: a second run reproduces positions bit-for-bit
+    val again = Sharding.epochShuffle(docs, col("doc_id"),
+        epochs = 2, numShards = 8, blocksPerEpoch = 16)
+      .collect().map(r => (r.getInt(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(t => (t._1, t._3)).toSeq == out.sortBy(t => (t._1, t._3)).toSeq)
+  }
 }
