@@ -216,6 +216,21 @@ object Rehearsal {
       "bpe_train" -> { () =>
         graft.operators.Bpe.trainMerges(docsR, col("text"), 12).count()
       },
+      // tokenizer inference: train is fixed-round; the ×MULT axis is
+      // the vocab-keyed dictionary join + per-doc reassembly. Consume
+      // token counts so pruning can't skip the concat
+      "bpe_encode" -> { () =>
+        graft.operators.Bpe.encodeDocs(docsR, col("doc_id"), col("text"), 12)
+          .agg(sum(col("n_tokens")).cast("long")).collect()(0).getLong(0)
+      },
+      // epoch shuffle: two grouped prefix sums over the replicated
+      // corpus — must track pack_shards' groupBy-like growth, never
+      // a single-task window collapse
+      "epoch_shuffle" -> { () =>
+        Sharding.epochShuffle(docsR, col("doc_id"), epochs = 2,
+            numShards = 64, blocksPerEpoch = 1 << 12)
+          .groupBy("epoch", "shard").agg(max(col("pos"))).count()
+      },
       // the full filter→dedup curation composite: gates are
       // projections + doc-keyed aggs (linear), dedup sees only the
       // gate survivors — the composite should track dd_corpus. The
