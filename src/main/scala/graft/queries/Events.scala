@@ -5,16 +5,29 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Event-time analytics over the `events` table (nanosecond
-  * timestamps read as Long — see Verify's nanosAsLong config) plus
-  * the forecasting query. The same window logic runs unchanged under
-  * Structured Streaming (`readStream` + watermark) — see
+/** Event-time analytics over the `events` table plus the forecasting
+  * query. The same window logic runs unchanged under Structured
+  * Streaming (`readStream` + watermark) — see
   * graft.streaming.EventStream; these batch forms are the
   * driver-checkable equivalents.
   */
 object Events {
 
-  private def ev(s: SparkSession, d: String) = Tables(s, d, "events")
+  /** The events frame with `ts` normalized to a NANOSECOND epoch
+    * Long regardless of how the parquet spells it — the harness data
+    * has shipped both TIMESTAMP(NANOS) (read as Long under
+    * nanosAsLong) and timestamp[us]; everything downstream keys on
+    * the Long form. The timestamp branch casts through TIMESTAMP so a
+    * naive (NTZ) value is interpreted in the UTC session zone, the
+    * same reading DuckDB's `epoch_us` gives the oracle. */
+  private def ev(s: SparkSession, d: String) = {
+    val raw = Tables(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
 
   /** Nanos → micros (integer division — ns epochs exceed 2^53, so
     * double math would drop microseconds). */
