@@ -33,6 +33,29 @@ object Bpe {
 
   val EndOfWord = "</w>"
 
+  /** A trained tokenizer: the merge table (driver-side — k rows, it
+    * IS the model) plus the final per-word symbol frame (a
+    * localCheckpoint, so it survives for the session). Production
+    * tokenizers are trained ONCE and served many times; every view
+    * below (merge table, vocabulary, document encode) derives from
+    * one `Trained` so the k-round loop never re-runs per query. */
+  final case class Trained(merges: Seq[(Int, String, String, Long)],
+                           symbols: DataFrame)
+
+  /** Session-scoped model memo keyed by (session, corpus tag,
+    * numMerges) — the in-session analogue of persisting the merge
+    * table (same idempotent pattern as `Bucketing.ensureBucketed`). */
+  private val models =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Int), Trained]
+
+  def trainedFor(docs: DataFrame, text: Column, numMerges: Int,
+                 tag: String): Trained =
+    models.getOrElseUpdate((docs.sparkSession, tag, numMerges), {
+      val (m, sym) = train(docs, text, numMerges)
+      Trained(m, sym)
+    })
+
   /** Corpus words → per-word character symbols: (word, freq, pos, sym). */
   private def initialSymbols(docs: DataFrame, text: Column): DataFrame =
     docs.select(explode(split(text, " ")).as("word"))
@@ -115,18 +138,27 @@ object Bpe {
     merges.toDF("merge_rank", "lhs", "rhs", "freq")
   }
 
+  /** Merge-table view of a trained model. */
+  def mergesOf(t: Trained): DataFrame = {
+    val spark = t.symbols.sparkSession
+    import spark.implicits._
+    t.merges.toDF("merge_rank", "lhs", "rhs", "freq")
+  }
+
+  /** Vocabulary view of a trained model: (word, freq, encoding). */
+  def vocabOf(t: Trained): DataFrame =
+    t.symbols.groupBy("word", "freq")
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+          s => s.getField("sym"))).as("encoding"))
+
   /** The corpus vocabulary tokenized under the learned merges:
     * (word, freq, encoding) — encoding is the space-joined subword
     * sequence. (The final frame is a localCheckpoint handed to the
     * caller; like connectedComponents' labels, it cannot be safely
     * unpersisted here.) */
-  def encodeWords(docs: DataFrame, text: Column, numMerges: Int): DataFrame = {
-    val (_, sym) = train(docs, text, numMerges)
-    sym.groupBy("word", "freq")
-      .agg(concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
-          s => s.getField("sym"))).as("encoding"))
-  }
+  def encodeWords(docs: DataFrame, text: Column, numMerges: Int): DataFrame =
+    vocabOf(Trained(Nil, train(docs, text, numMerges)._2))
 
   /** Documents tokenized under the learned merges — the inference
     * half of the tokenizer: (doc_id, n_tokens, tokens), tokens the
@@ -142,9 +174,15 @@ object Bpe {
     * broadcast size), and reassemble per document. Per-doc cost is
     * one join probe per word; nothing is quadratic in |vocab|. */
   def encodeDocs(docs: DataFrame, id: Column, text: Column,
-                 numMerges: Int): DataFrame = {
-    val vocab = encodeWords(docs, text, numMerges)
-      .select(col("word"), col("encoding"))
+                 numMerges: Int): DataFrame =
+    encodeDocsWith(Trained(Nil, train(docs, text, numMerges)._2),
+      docs, id, text)
+
+  /** Document encode against an already-trained model — the serving
+    * half: no training jobs, one vocabulary join. */
+  def encodeDocsWith(t: Trained, docs: DataFrame, id: Column,
+                     text: Column): DataFrame = {
+    val vocab = vocabOf(t).select(col("word"), col("encoding"))
     docs
       .select(id.as("doc_id"),
         posexplode(split(text, " ")).as(Seq("wpos", "word")))

@@ -770,4 +770,53 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
+
+  /** CROSS-document paragraph dedup with reassembly (the line/
+    * paragraph-level pass of MassiveText §A.1.1 and RefinedWeb —
+    * contrast `trimRepeatedSpans`, which is WITHIN-document): segment
+    * every document into fixed-width `paraTokens`-word paragraphs,
+    * keep exactly one global copy of each distinct paragraph (the
+    * earliest by (doc_id, paragraph index) — deterministic, not
+    * sampled), and reassemble each document from its surviving
+    * paragraphs in original order. One row per input document:
+    * `(doc_id, n_paras, n_kept, clean_text)` — a document whose every
+    * paragraph lost survives as an empty string so corpus accounting
+    * never loses rows (boilerplate-heavy pages collapse to "" here,
+    * which is precisely the signal RefinedWeb uses to drop them).
+    *
+    * Scale shape: segmentation is `Chunking.chunk` (zero-shuffle
+    * generator); the keep-first choice is ONE min-struct groupBy on
+    * md5(paragraph) — map-side combined, never a row_number window
+    * over the hash partition (same answer, but the agg form partial-
+    * aggregates before the exchange while the window form ships every
+    * occurrence); the winner set broadcast-or-shuffle joins back on
+    * the (md5, doc, idx) triple; reassembly is one per-document
+    * aggregate bounded by document length. Nothing is quadratic in
+    * corpus size and every exchange is keyed. */
+  def paragraphDedup(df: DataFrame, text: Column, id: Column,
+                     paraTokens: Int): DataFrame = {
+    val paras = Chunking.chunk(df, text, id, paraTokens, 0)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text").cast("binary")).as("p_md5"))
+    val winners = paras
+      .groupBy("p_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("w"))
+      .select(col("p_md5"), col("w.doc_id").as("doc_id"),
+        col("w.chunk_id").as("chunk_id"))
+    val kept = paras.join(winners, Seq("p_md5", "doc_id", "chunk_id"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            x => x("chunk_text")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(id.as("doc_id"), text.as("__t"))
+      .select(col("doc_id"),
+        expr(s"(size(split(__t, ' ')) - 1) div $paraTokens + 1")
+          .cast("long").as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -88,6 +88,14 @@ object DataOps {
   def dsChunk(s: SparkSession, d: String): DataFrame =
     Chunking.chunk(docs(s, d), col("text"), col("doc_id"), chunkTokens, chunkOverlap)
 
+  /** Paragraph width for the cross-doc paragraph dedup: 16 words —
+    * short enough that the synthetic corpus' repeated phrases
+    * actually collide across documents. */
+  val paraTokens = 16
+
+  def ddParagraph(s: SparkSession, d: String): DataFrame =
+    Dedup.paragraphDedup(docs(s, d), col("text"), col("doc_id"), paraTokens)
+
   def dqDatacard(s: SparkSession, d: String): DataFrame =
     graft.operators.Profile.datacard(docs(s, d), col("text"), col("doc_id"),
       lmRef(s, d))
@@ -1162,14 +1170,22 @@ object DataOps {
 
   val bpeMerges = 12
 
+  /** One trained tokenizer per (session, corpus): the merge-table /
+    * vocab / encode queries are three VIEWS of the same model, so the
+    * k-round training loop runs once, not three times — the
+    * train-once/serve-many shape of a production tokenizer. */
+  private def bpeModel(s: SparkSession, d: String) =
+    graft.operators.Bpe.trainedFor(docs(s, d), col("text"), bpeMerges, d)
+
   def txBpeMerges(s: SparkSession, d: String): DataFrame =
-    graft.operators.Bpe.trainMerges(docs(s, d), col("text"), bpeMerges)
+    graft.operators.Bpe.mergesOf(bpeModel(s, d))
 
   def txBpeVocab(s: SparkSession, d: String): DataFrame =
-    graft.operators.Bpe.encodeWords(docs(s, d), col("text"), bpeMerges)
+    graft.operators.Bpe.vocabOf(bpeModel(s, d))
 
   def txBpeEncode(s: SparkSession, d: String): DataFrame =
-    graft.operators.Bpe.encodeDocs(docs(s, d), col("doc_id"), col("text"), bpeMerges)
+    graft.operators.Bpe.encodeDocsWith(bpeModel(s, d), docs(s, d),
+      col("doc_id"), col("text"))
 
   /** Unrolled round-by-round BPE replay (mirrors Bpe.train): each
     * round computes the argmax pair with the same (count, lhs, rhs)
@@ -1906,6 +1922,28 @@ object DataOps {
                  array_to_string(toks[k*$st+1 : k*$st+$c], ' ') AS chunk_text
           FROM n, unnest(range(0, nc)) t(k)"""
     },
+    "dd_paragraph" -> {
+      val c = paraTokens
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          n AS (SELECT doc_id, toks, (len(toks) - 1) // $c + 1 AS np FROM d),
+          paras AS (SELECT doc_id, k AS chunk_id,
+                      array_to_string(toks[k*$c+1 : k*$c+$c], ' ') AS chunk_text
+                    FROM n, unnest(range(0, np)) t(k)),
+          win AS (SELECT chunk_text, min(struct_pack(doc_id := doc_id,
+                         chunk_id := chunk_id)) AS w
+                  FROM paras GROUP BY chunk_text),
+          kept AS (SELECT p.doc_id,
+                     string_agg(p.chunk_text, ' ' ORDER BY p.chunk_id) AS clean_text,
+                     count(*) AS n_kept
+                   FROM paras p JOIN win w
+                     ON p.chunk_text = w.chunk_text
+                    AND p.doc_id = w.w.doc_id AND p.chunk_id = w.w.chunk_id
+                   GROUP BY p.doc_id)
+          SELECT n.doc_id, n.np AS n_paras,
+                 coalesce(k.n_kept, 0) AS n_kept,
+                 coalesce(k.clean_text, '') AS clean_text
+          FROM n LEFT JOIN kept k ON n.doc_id = k.doc_id"""
+    },
     "ds_curate" ->
       s"""WITH rep AS ($repNgramsSql),
           lmsc AS ($lmScoreSql),
@@ -2038,6 +2076,7 @@ object DataOps {
     "tx_rep_ngrams" -> txRepNgrams _,
     "ds_curate" -> dsCurate _,
     "ds_chunk" -> dsChunk _,
+    "dd_paragraph" -> ddParagraph _,
     "dq_datacard" -> dqDatacard _,
     "tx_bpe_merges" -> txBpeMerges _,
     "tx_bpe_vocab" -> txBpeVocab _,
