@@ -13,21 +13,7 @@ import graft.Tables
   */
 object Events {
 
-  /** The events frame with `ts` normalized to a NANOSECOND epoch
-    * Long regardless of how the parquet spells it — the harness data
-    * has shipped both TIMESTAMP(NANOS) (read as Long under
-    * nanosAsLong) and timestamp[us]; everything downstream keys on
-    * the Long form. The timestamp branch casts through TIMESTAMP so a
-    * naive (NTZ) value is interpreted in the UTC session zone, the
-    * same reading DuckDB's `epoch_us` gives the oracle. */
-  private def ev(s: SparkSession, d: String) = {
-    val raw = Tables(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn("ts",
-        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
-    }
-  }
+  private def ev(s: SparkSession, d: String) = Tables.eventsNanos(s, d)
 
   /** Nanos → micros (integer division — ns epochs exceed 2^53, so
     * double math would drop microseconds). */

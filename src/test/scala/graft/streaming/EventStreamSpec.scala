@@ -41,7 +41,7 @@ class EventStreamSpec extends SparkSpec {
 
   test("parquet file-source stream reproduces the batch windowed aggregation") {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val src = graft.Tables.eventsNanos(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
     val dir = java.nio.file.Files.createTempDirectory("ev_stream").toString
