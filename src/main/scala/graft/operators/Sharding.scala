@@ -113,6 +113,42 @@ object Sharding {
       .withColumn("shard_id", expr(s"(cum - n_tokens) div $budget"))
   }
 
+  /** Fixed-length sequence packing — the final tensor-shaping step of
+    * a pretraining pipeline: documents are laid end-to-end in global
+    * `orderKey` order, each followed by ONE end-of-sequence token, and
+    * the token stream is cut every `seqLen` tokens into training rows
+    * of EXACTLY that length (the last may run short). Unlike
+    * `packShards` (whole documents, variable shard size) a document
+    * here SPLITS across sequence boundaries — the GPT-style packing
+    * where no pad tokens exist and attention masks are rebuilt from
+    * the document spans this emits.
+    *
+    * Returns the doc→sequence span map, one row per (document,
+    * sequence) incidence: `(doc_id, seq_id, seq_off, n_tokens)` —
+    * exactly what a shard writer needs to route each document's token
+    * slice into its sequence rows, and what the mask builder needs to
+    * mark document boundaries. Span rows number ≈ total_tokens/seqLen
+    * + n_docs (each doc adds its floor-crossings plus one) — linear,
+    * never materializing per-token rows. Offsets come from the same
+    * two-level prefix sum as `packShards`, so no global window ever
+    * collapses to one task and boundaries are append-stable: packing
+    * more documents onto the end never moves an existing span. */
+  def packFixedSequences(df: DataFrame, orderKey: String, tokens: Column,
+                         seqLen: Int, blockSize: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    globalCumsum(df.withColumn("__n", tokens.cast("long") + 1L),
+        orderKey, col("__n"), blockSize)
+      .withColumn("__start", col("cum") - col("__n"))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"__start div $seqLen"),
+          expr(s"(cum - 1) div $seqLen"))))
+      .select(col(orderKey).as("doc_id"), col("seq_id"),
+        greatest(col("__start") - col("seq_id") * seqLen, lit(0L))
+          .as("seq_off"),
+        (least(col("cum"), (col("seq_id") + 1) * seqLen)
+          - greatest(col("__start"), col("seq_id") * seqLen)).as("n_tokens"))
+  }
+
   /** Deterministic multi-epoch training shuffle: every epoch gets its
     * own content-keyed permutation of the corpus (shuffle key =
     * md5(id:epoch), so order is reproducible across runs and engines,

@@ -665,6 +665,14 @@ object DataOps {
           transform(sort_array(collect_list(struct(col("doc_id"), col("text")))),
             st => st.getField("text"))).as("sequence"))
 
+  /** Fixed training-row length for ds_pack_fixed (tokens, incl. the
+    * per-document EOS). */
+  val seqLen = 128
+
+  def dsPackFixed(s: SparkSession, d: String): DataFrame =
+    Sharding.packFixedSequences(docs(s, d).select(col("doc_id"), col("text")),
+      "doc_id", size(split(col("text"), " ")), seqLen, shardBlock)
+
   /** Per-source mixture budgets (tokens): even-numbered sources get
     * 1000, odd (and non-numeric suffixes) 500 — the null-safe
     * fall-through matches ds_sample's TRY_CAST convention. */
@@ -1528,6 +1536,21 @@ object DataOps {
                  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
                  string_agg(text, ' <eos> ' ORDER BY doc_id) AS sequence
           FROM sh GROUP BY shard_id""",
+    "ds_pack_fixed" ->
+      s"""WITH d AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n
+               FROM documents),
+          c AS (SELECT doc_id, n,
+                       CAST(sum(n) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum
+                FROM d),
+          sp AS (SELECT doc_id, cum - n AS st, cum FROM c)
+          SELECT doc_id, CAST(k AS BIGINT) AS seq_id,
+                 CAST(greatest(st - k*$seqLen, 0) AS BIGINT) AS seq_off,
+                 CAST(least(cum, (k+1)*$seqLen)
+                      - greatest(st, k*$seqLen) AS BIGINT) AS n_tokens
+          FROM sp, unnest(range(st // $seqLen, (cum - 1) // $seqLen + 1)) t(k)""",
     "ds_mix" ->
       s"""WITH d AS (SELECT doc_id, source,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -2037,6 +2060,7 @@ object DataOps {
     "ds_pack_shards" -> dsPackShards _,
     "ds_shuffle" -> dsShuffle _,
     "ds_pack_sequences" -> dsPackSequences _,
+    "ds_pack_fixed" -> dsPackFixed _,
     "ds_mix" -> dsMix _,
     "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,

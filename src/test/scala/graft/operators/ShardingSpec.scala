@@ -179,4 +179,45 @@ class ShardingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(again.sortBy(t => (t._1, t._3)).toSeq == out.sortBy(t => (t._1, t._3)).toSeq)
   }
+
+  test("fixed-length packing tiles the token stream exactly") {
+    import spark.implicits._
+    // lengths chosen to cross, land on, and fall inside boundaries
+    val docs = Seq((1L, 5L), (2L, 2L), (3L, 9L), (4L, 1L), (5L, 14L))
+      .toDF("doc_id", "n")
+    val spans = Sharding.packFixedSequences(docs, "doc_id", col("n") - 1,
+        seqLen = 8, blockSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3))
+    val total = 5 + 2 + 9 + 1 + 14 // each doc's n includes its EOS here
+    // sequences are exactly full except the last
+    val bySeq = spans.groupBy(_._2).toSeq.sortBy(_._1)
+    assert(bySeq.map(_._1) == (0L until (total + 7) / 8).toList)
+    bySeq.foreach { case (sid, rs) =>
+      val want = math.min(8L, total - sid * 8)
+      assert(rs.map(_._4).sum == want, s"seq $sid length")
+      // spans tile the sequence: offsets chain with no gap or overlap
+      var off = 0L
+      rs.foreach { case (_, _, o, n) => assert(o == off); off += n }
+    }
+    // each document's spans cover exactly its tokens, in order
+    spans.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).distinct.length == rs.length) // one span per seq
+      assert(rs.map(_._2).toSeq == (rs.head._2 to rs.last._2).toSeq) // contiguous
+    }
+    val perDoc = spans.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(perDoc == Map(1L -> 5L, 2L -> 2L, 3L -> 9L, 4L -> 1L, 5L -> 14L))
+  }
+
+  test("fixed-length packing is append-stable") {
+    import spark.implicits._
+    val base = Seq((1L, 7L), (2L, 13L), (3L, 4L)).toDF("doc_id", "n")
+    def pack(df: org.apache.spark.sql.DataFrame) =
+      Sharding.packFixedSequences(df, "doc_id", col("n"), 8, 2)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val before = pack(base)
+    val after = pack(base.unionByName(Seq((9L, 20L)).toDF("doc_id", "n")))
+    assert(before.forall { case (id, sp) => after(id) == sp })
+  }
 }
