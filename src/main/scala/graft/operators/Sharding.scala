@@ -113,6 +113,40 @@ object Sharding {
       .withColumn("shard_id", expr(s"(cum - n_tokens) div $budget"))
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual-corpus
+    * rebalancing of XLM-R / mT5: sample source s with probability
+    * ∝ c_s^α, α < 1 flattening the source distribution so head
+    * sources stop drowning the tail). Given per-group token counts
+    * c_s and a corpus token budget B, each group's target is
+    * B·c_s^α / Σc^α and its keep-rate r_s = min(1, target / c_s) —
+    * pinned to parts-per-million and applied as a DETERMINISTIC
+    * content-hash threshold per row (md5(id) mod 1e6 < r_s·1e6), so
+    * the sample is reproducible across runs, engines, and cluster
+    * sizes, and a document's membership never depends on scan order.
+    *
+    * Returns the kept rows with their group's `(c_tokens, rate_ppm)`
+    * attached. Scale shape: one map-side-combined groupBy for the
+    * totals (O(#groups) rows), the rate frame broadcast back, one
+    * filter — no shuffle of the corpus at all. */
+  def mixByTemperature(df: DataFrame, groupCol: String, id: Column,
+                       tokens: Column, alpha: Double,
+                       budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && budgetTokens > 0, "alpha/budget must be positive")
+    val t = df.withColumn("__n", tokens.cast("long"))
+    val totals = t.groupBy(groupCol).agg(sum(col("__n")).as("c_tokens"))
+    val z = totals.agg(sum(pow(col("c_tokens"), alpha)).as("__z"))
+    val rates = totals.crossJoin(broadcast(z))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          round(lit(budgetTokens.toDouble) * pow(col("c_tokens"), alpha)
+            / col("__z") / col("c_tokens") * 1e6).cast("long")))
+      .select(col(groupCol), col("c_tokens"), col("rate_ppm"))
+    t.join(broadcast(rates), Seq(groupCol))
+      .filter(graft.functions.VectorFunctions.tokenHash(id.cast("string"))
+        % 1000000L < col("rate_ppm"))
+      .drop("__n")
+  }
+
   /** Fixed-length sequence packing — the final tensor-shaping step of
     * a pretraining pipeline: documents are laid end-to-end in global
     * `orderKey` order, each followed by ONE end-of-sequence token, and

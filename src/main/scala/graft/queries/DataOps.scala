@@ -689,6 +689,22 @@ object DataOps {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum").as("cum_tokens"))
 
+  /** Temperature mixture: α = 0.7 (the mT5 default family) against a
+    * 30k-token target budget — below the corpus total, so head
+    * sources genuinely downsample while the computed rates stay a
+    * pure function of the per-source token counts. */
+  val mixAlpha = 0.7
+  val mixTempBudget = 30000L
+
+  def dsMixTemperature(s: SparkSession, d: String): DataFrame =
+    Sharding.mixByTemperature(
+        docs(s, d).select(col("doc_id"), col("source"), col("text")),
+        "source", col("doc_id"), size(split(col("text"), " ")),
+        mixAlpha, mixTempBudget)
+      .groupBy("source", "c_tokens", "rate_ppm")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("text"), " "))).cast("long").as("kept_tokens"))
+
   val bucketCount = 8
 
   /** Root for session-materialized table layouts (bucketed joins,
@@ -1563,6 +1579,24 @@ object DataOps {
                 FROM b)
           SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
           FROM c WHERE cum <= budget""",
+    "ds_mix_temperature" ->
+      s"""WITH d AS (SELECT doc_id, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+          tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS c_tokens
+                  FROM d GROUP BY source),
+          z AS (SELECT sum(pow(c_tokens, $mixAlpha)) AS zv FROM tot),
+          r AS (SELECT source, c_tokens,
+                  least(1000000, CAST(round($mixTempBudget * pow(c_tokens, $mixAlpha)
+                    / zv / c_tokens * 1000000) AS BIGINT)) AS rate_ppm
+                FROM tot, z),
+          k AS (SELECT d.source, d.n, r.c_tokens, r.rate_ppm
+                FROM d JOIN r USING (source)
+                WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 1000000 < rate_ppm)
+          SELECT source, c_tokens, rate_ppm, count(*) AS n_kept,
+                 CAST(sum(n) AS BIGINT) AS kept_tokens
+          FROM k GROUP BY source, c_tokens, rate_ppm""",
     "ds_pack_shards" ->
       s"""WITH d AS (SELECT doc_id,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -2062,6 +2096,7 @@ object DataOps {
     "ds_pack_sequences" -> dsPackSequences _,
     "ds_pack_fixed" -> dsPackFixed _,
     "ds_mix" -> dsMix _,
+    "ds_mix_temperature" -> dsMixTemperature _,
     "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly

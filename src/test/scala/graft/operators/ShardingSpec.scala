@@ -180,6 +180,45 @@ class ShardingSpec extends SparkSpec {
     assert(again.sortBy(t => (t._1, t._3)).toSeq == out.sortBy(t => (t._1, t._3)).toSeq)
   }
 
+  test("temperature mixing: α<1 flattens, α=1 is proportional, tiny sources uncapped") {
+    import spark.implicits._
+    // head source 10× the tail's tokens
+    val docs = ((1 to 100).map(i => (i.toLong, "head", ("t " * 10).trim)) ++
+      (101 to 110).map(i => (i.toLong, "tail", ("t " * 10).trim)))
+      .toDF("doc_id", "source", "text")
+    def rates(alpha: Double, budget: Long): Map[String, Long] =
+      Sharding.mixByTemperature(docs, "source", col("doc_id"),
+          size(split(col("text"), " ")), alpha, budget)
+        .select("source", "rate_ppm").distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=1: proportional — every source keeps the same fraction
+    val p = rates(1.0, 550)
+    assert(p("head") == p("tail") && p("head") == 500000L)
+    // α=0.5: the tail's keep-rate must exceed the head's
+    val f = rates(0.5, 550)
+    assert(f("tail") > f("head"))
+    // a budget beyond the corpus caps every rate at 100%
+    assert(rates(0.7, 100000).values.toSet == Set(1000000L))
+  }
+
+  test("temperature mixing membership is exactly the hash threshold") {
+    import spark.implicits._
+    val docs = (1 to 200).map(i => (i.toLong, s"s${i % 3}", ("w " * (i % 20 + 1)).trim))
+      .toDF("doc_id", "source", "text")
+    val out = Sharding.mixByTemperature(docs, "source", col("doc_id"),
+        size(split(col("text"), " ")), 0.7, 800)
+    val rates = out.select("source", "rate_ppm").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.withColumn("h",
+        graft.functions.VectorFunctions.tokenHash(col("doc_id").cast("string"))
+          % 1000000L)
+      .collect()
+      .filter(r => r.getAs[Long]("h") < rates(r.getAs[String]("source")))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == want && kept.nonEmpty && kept.size < 200)
+  }
+
   test("fixed-length packing tiles the token stream exactly") {
     import spark.implicits._
     // lengths chosen to cross, land on, and fall inside boundaries
