@@ -1194,6 +1194,20 @@ object DataOps {
 
   val bpeMerges = 12
 
+  /** Weak-labeled Naive Bayes quality classifier: positives are the
+    * trusted-source slice (the same allowlist the reference LM
+    * trains on), negatives the rest — train on the whole corpus,
+    * score the whole corpus. */
+  def txNbQuality(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val label = col("source").isin(lmRefSources: _*)
+    val model = graft.operators.QualityClassifier
+      .trainNaiveBayes(dd, col("text"), label)
+    graft.operators.QualityClassifier.scoreNaiveBayes(
+      dd, col("text"), col("doc_id"), model,
+      graft.operators.QualityClassifier.docPriors(dd, label))
+  }
+
   /** One trained tokenizer per (session, corpus): the merge-table /
     * vocab / encode queries are three VIEWS of the same model, so the
     * k-round training loop runs once, not three times — the
@@ -1926,6 +1940,32 @@ object DataOps {
          c AS (SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram)
          SELECT bigram, cnt FROM c ORDER BY cnt DESC, bigram LIMIT 20""",
     "tx_rep_ngrams" -> repNgramsSql,
+    "tx_nb_quality" ->
+      s"""WITH lbl AS (SELECT doc_id, text,
+                 source IN ($lmRefSourcesSql) AS pos FROM documents),
+          tok AS (SELECT doc_id, pos, unnest(string_split(text, ' ')) AS token
+                  FROM lbl),
+          model AS (SELECT token,
+                      sum(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                      sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS c_neg
+                    FROM tok GROUP BY token),
+          tot AS (SELECT sum(c_pos) AS t_pos, sum(c_neg) AS t_neg,
+                         count(*) AS vsz FROM model),
+          pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS p_docs,
+                         sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS n_docs
+                  FROM lbl),
+          per AS (SELECT t.doc_id,
+                    ln(coalesce(m.c_pos, 0) + 1.0) - ln(tot.t_pos + tot.vsz)
+                    - ln(coalesce(m.c_neg, 0) + 1.0) + ln(tot.t_neg + tot.vsz) AS llr
+                  FROM tok t LEFT JOIN model m USING (token), tot),
+          agg AS (SELECT doc_id, count(*) AS n_tokens, sum(llr) AS sum_llr
+                  FROM per GROUP BY doc_id)
+          SELECT l.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+                 round(coalesce(a.sum_llr, 0) + ln(p.p_docs) - ln(p.n_docs), 6)
+                   AS nb_llr,
+                 (coalesce(a.sum_llr, 0) + ln(p.p_docs) - ln(p.n_docs)) > 0
+                   AS nb_label
+          FROM lbl l LEFT JOIN agg a USING (doc_id), pri p""",
     "tx_bpe_merges" -> {
       val sel = (1 to bpeMerges)
         .map(r => s"SELECT $r AS merge_rank, l AS lhs, rr AS rhs, cnt AS freq FROM b$r")
@@ -2133,6 +2173,7 @@ object DataOps {
     "mm_resize" -> mmResize _,
     "tx_top_bigrams" -> txTopBigrams _,
     "tx_rep_ngrams" -> txRepNgrams _,
+    "tx_nb_quality" -> txNbQuality _,
     "ds_curate" -> dsCurate _,
     "ds_chunk" -> dsChunk _,
     "dd_paragraph" -> ddParagraph _,
