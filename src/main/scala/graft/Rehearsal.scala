@@ -255,6 +255,49 @@ object Rehearsal {
               + col("dup_5gram_frac") + col("dup_10gram_frac")))
           .collect()(0).getLong(0)
       },
+      // cross-doc paragraph dedup: segmentation is a zero-shuffle
+      // generator; the keep-first agg + winner join shuffle on the
+      // paragraph hash — salted replicas keep per-replica paragraph
+      // collision structure, so winner volume grows ×MULT (linear
+      // floor). Consume reassembled text length so pruning can't
+      // skip the per-doc rebuild
+      "paragraph_dedup" -> { () =>
+        Dedup.paragraphDedup(docsR, col("text"), col("doc_id"), 16)
+          .agg(sum(length(col("clean_text"))).cast("long"))
+          .collect()(0).getLong(0)
+      },
+      // fixed-length packing: one global prefix sum + a span explode —
+      // must track pack_shards (groupBy-like), span volume ≈
+      // tokens/seqLen + docs
+      "pack_fixed" -> { () =>
+        Sharding.packFixedSequences(docsR.select(col("doc_id"), col("text")),
+            "doc_id", size(split(col("text"), " ")),
+            seqLen = 2048, blockSize = 10000L)
+          .groupBy("seq_id").agg(sum(col("n_tokens"))).count()
+      },
+      // temperature mixing: one O(#groups) aggregate + broadcast rates
+      // + a corpus filter — the only full-corpus pass is the scan
+      "mix_temperature" -> { () =>
+        Sharding.mixByTemperature(
+            docsR.select(col("doc_id"), col("source"), col("text")),
+            "source", col("doc_id"), size(split(col("text"), " ")),
+            alpha = 0.7, budgetTokens = 100000L * mult)
+          .count()
+      },
+      // NB classifier train+score in one pass: the salted vocabulary
+      // multiplies the model frame ×MULT — exactly the dimension the
+      // token-keyed join must absorb; per-doc fold is linear
+      "nb_classify" -> { () =>
+        // balanced weak label (half the sources positive) so the kept
+        // count is a real split, not a prior-dominated constant
+        val lbl = substring(col("source"), 4, 10).cast("int") < 10
+        val model = graft.operators.QualityClassifier
+          .trainNaiveBayes(docsR, col("text"), lbl)
+        graft.operators.QualityClassifier.scoreNaiveBayes(
+            docsR, col("text"), col("doc_id"), model,
+            graft.operators.QualityClassifier.docPriors(docsR, lbl))
+          .filter(col("nb_label")).count()
+      },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
       },

@@ -170,7 +170,10 @@ object Sharding {
   def packFixedSequences(df: DataFrame, orderKey: String, tokens: Column,
                          seqLen: Int, blockSize: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
-    globalCumsum(df.withColumn("__n", tokens.cast("long") + 1L),
+    // project to (key, count) BEFORE the cumsum: the span map needs
+    // nothing else, and the block-window sort should move 16-byte
+    // rows, not document payloads
+    globalCumsum(df.select(col(orderKey), (tokens.cast("long") + 1L).as("__n")),
         orderKey, col("__n"), blockSize)
       .withColumn("__start", col("cum") - col("__n"))
       .withColumn("seq_id",
