@@ -181,8 +181,12 @@ object Bpe {
   /** Document encode against an already-trained model — the serving
     * half: no training jobs, one vocabulary join. */
   def encodeDocsWith(t: Trained, docs: DataFrame, id: Column,
-                     text: Column): DataFrame = {
-    val vocab = vocabOf(t).select(col("word"), col("encoding"))
+                     text: Column): DataFrame =
+    encodeAgainst(vocabOf(t).select(col("word"), col("encoding")),
+      docs, id, text)
+
+  private def encodeAgainst(vocab: DataFrame, docs: DataFrame,
+                            id: Column, text: Column): DataFrame =
     docs
       .select(id.as("doc_id"),
         posexplode(split(text, " ")).as(Seq("wpos", "word")))
@@ -193,5 +197,40 @@ object Bpe {
           s => s.getField("encoding"))).as("tokens"))
       .select(col("doc_id"),
         size(split(col("tokens"), " ")).as("n_tokens"), col("tokens"))
+
+  private def modelTables(tag: String): (String, String) =
+    (s"bpe_vocab_$tag", s"bpe_merges_$tag")
+
+  /** Persist a trained tokenizer: the per-word vocabulary bucketed on
+    * `word` — the serving join key — plus the k-row merge table (the
+    * auditable model artifact). Mirrors `Dedup.saveIndex`: at 100 TB
+    * the vocabulary is the distinct-word frame, so the serving join
+    * shuffles only the document side against the stored bucket
+    * layout; training never re-runs in the serving session. */
+  def saveModel(t: Trained, root: String, tag: String,
+                nBuckets: Int = 8): Unit = {
+    val (tv, tm) = modelTables(tag)
+    Bucketing.writeBucketed(vocabOf(t), tv, s"$root/vocab",
+      Seq("word"), nBuckets)
+    mergesOf(t).coalesce(1).write.mode("overwrite")
+      .option("path", s"$root/merges").format("parquet").saveAsTable(tm)
   }
+
+  /** Idempotent persisted-model materialization (the
+    * `ensurePersistedIndex` pattern): first call trains and writes,
+    * later calls reuse the stored artifact. */
+  def ensureModel(spark: org.apache.spark.sql.SparkSession, root: String,
+                  tag: String, nBuckets: Int = 8)(build: => Trained): Unit = {
+    val (tv, tm) = modelTables(tag)
+    if (!(spark.catalog.tableExists(tv) && spark.catalog.tableExists(tm)))
+      saveModel(build, root, tag, nBuckets)
+  }
+
+  /** Document encode against the PERSISTED vocabulary: zero training
+    * jobs, one join against the bucketed vocab table. */
+  def encodeDocsPersisted(spark: org.apache.spark.sql.SparkSession,
+                          tag: String, docs: DataFrame, id: Column,
+                          text: Column): DataFrame =
+    encodeAgainst(spark.table(modelTables(tag)._1)
+      .select(col("word"), col("encoding")), docs, id, text)
 }

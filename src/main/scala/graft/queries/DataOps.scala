@@ -1225,6 +1225,17 @@ object DataOps {
     graft.operators.Bpe.encodeDocsWith(bpeModel(s, d), docs(s, d),
       col("doc_id"), col("text"))
 
+  /** Tokenizer SERVING: encode against the persisted vocab table —
+    * zero training jobs in the probe plan, the document side joins
+    * the stored bucket layout. */
+  def txBpeEncodePersisted(s: SparkSession, d: String): DataFrame = {
+    val tag = s"m${bpeMerges}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.operators.Bpe.ensureModel(s, s"$tableRoot/bpe_$tag", tag,
+      bucketCount) { bpeModel(s, d) }
+    graft.operators.Bpe.encodeDocsPersisted(s, tag, docs(s, d),
+      col("doc_id"), col("text"))
+  }
+
   /** Unrolled round-by-round BPE replay (mirrors Bpe.train): each
     * round computes the argmax pair with the same (count, lhs, rhs)
     * descending tie-break, then applies it with the same
@@ -1986,6 +1997,17 @@ object DataOps {
           enc AS (SELECT doc_id, string_agg(encoding, ' ' ORDER BY wpos) AS tokens
                   FROM dw JOIN vocab USING (word) GROUP BY doc_id)
           SELECT doc_id, len(string_split(tokens, ' ')) AS n_tokens, tokens FROM enc""",
+    // the persisted-serving twin must produce the identical encoding
+    "tx_bpe_encode_persisted" ->
+      s"""WITH $bpeRoundCtes,
+          vocab AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS encoding
+                    FROM s$bpeMerges GROUP BY word),
+          dw AS (SELECT doc_id, i AS wpos, toks[i] AS word
+                 FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                      unnest(range(1, len(toks) + 1)) t(i)),
+          enc AS (SELECT doc_id, string_agg(encoding, ' ' ORDER BY wpos) AS tokens
+                  FROM dw JOIN vocab USING (word) GROUP BY doc_id)
+          SELECT doc_id, len(string_split(tokens, ' ')) AS n_tokens, tokens FROM enc""",
     "dq_datacard" ->
       s"""WITH rep AS ($repNgramsSql),
           lmsc AS ($lmScoreSql),
@@ -2181,6 +2203,7 @@ object DataOps {
     "tx_bpe_merges" -> txBpeMerges _,
     "tx_bpe_vocab" -> txBpeVocab _,
     "tx_bpe_encode" -> txBpeEncode _,
+    "tx_bpe_encode_persisted" -> txBpeEncodePersisted _,
     "tx_lm_bigrams" -> txLmBigrams _,
     "tx_lm_score" -> txLmScore _,
     "tx_lm_contrast" -> txLmContrast _,
