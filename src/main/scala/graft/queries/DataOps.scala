@@ -1194,6 +1194,22 @@ object DataOps {
 
   val bpeMerges = 12
 
+  /** Snapshot diff against a deterministically-derived "next release":
+    * every 10th doc dropped, every 10th-plus-one rewritten (a marker
+    * token appended), a shifted copy of every 10th-plus-two appended
+    * as new — the three change classes a real release carries. */
+  def ddSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val prev = docs(s, d)
+    val maxId = lit(1000000L)
+    val next = prev.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(10L)) === 1,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .unionByName(prev.filter(pmod(col("doc_id"), lit(10L)) === 2)
+        .withColumn("doc_id", col("doc_id") + maxId))
+    graft.operators.Snapshot.diff(prev, next, col("doc_id"), col("text"))
+  }
+
   /** Weak-labeled Naive Bayes quality classifier: positives are the
     * trusted-source slice (the same allowlist the reference LM
     * trains on), negatives the rest — train on the whole corpus,
@@ -2041,6 +2057,22 @@ object DataOps {
                  array_to_string(toks[k*$st+1 : k*$st+$c], ' ') AS chunk_text
           FROM n, unnest(range(0, nc)) t(k)"""
     },
+    "dd_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, text FROM documents),
+          nxt AS (SELECT doc_id,
+                    CASE WHEN doc_id % 10 = 1 THEN text || ' rev2' ELSE text END AS text
+                  FROM documents WHERE doc_id % 10 <> 0
+                  UNION ALL
+                  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 2),
+          j AS (SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+                       md5(p.text) AS ma, md5(n.text) AS mb
+                FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id)
+          SELECT doc_id,
+                 CASE WHEN ma IS NULL THEN 'added'
+                      WHEN mb IS NULL THEN 'removed'
+                      WHEN ma <> mb THEN 'modified' END AS status
+          FROM j
+          WHERE ma IS NULL OR mb IS NULL OR ma <> mb""",
     "dd_paragraph" -> {
       val c = paraTokens
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2199,6 +2231,7 @@ object DataOps {
     "ds_curate" -> dsCurate _,
     "ds_chunk" -> dsChunk _,
     "dd_paragraph" -> ddParagraph _,
+    "dd_snapshot_diff" -> ddSnapshotDiff _,
     "dq_datacard" -> dqDatacard _,
     "tx_bpe_merges" -> txBpeMerges _,
     "tx_bpe_vocab" -> txBpeVocab _,
