@@ -233,4 +233,28 @@ object Bpe {
                           text: Column): DataFrame =
     encodeAgainst(spark.table(modelTables(tag)._1)
       .select(col("word"), col("encoding")), docs, id, text)
+
+  /** Tokenizer-drift monitoring: coverage of a batch under a trained
+    * vocabulary — the serving-side QA line that decides when a
+    * tokenizer needs retraining. Per batch: word-occurrence OOV rate,
+    * distinct-word OOV rate, and the token-inflation factor
+    * (subwords emitted per covered word; OOV words count 1:1 — the
+    * byte/char-fallback floor). One left join of the batch's word
+    * counts against the vocab — |batch-vocab| rows, never per-token. */
+  def coverage(vocab: DataFrame, docs: DataFrame, text: Column): DataFrame = {
+    val words = docs.select(explode(split(text, " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("occ"))
+    words
+      .join(vocab.select(col("word"),
+        size(split(col("encoding"), " ")).as("n_sub")), Seq("word"), "left")
+      .agg(
+        sum(col("occ")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        round(sum(when(col("n_sub").isNull, col("occ")).otherwise(0L))
+          / sum(col("occ")).cast("double"), 6).as("oov_word_rate"),
+        round(sum(when(col("n_sub").isNull, 1L).otherwise(0L))
+          / count(lit(1)).cast("double"), 6).as("oov_distinct_rate"),
+        round(sum(coalesce(col("n_sub").cast("long"), lit(1L)) * col("occ"))
+          / sum(col("occ")).cast("double"), 6).as("tokens_per_word"))
+  }
 }

@@ -1224,6 +1224,19 @@ object DataOps {
       graft.operators.QualityClassifier.docPriors(dd, label))
   }
 
+  /** Tokenizer coverage on a drifted batch: every 5th document's
+    * words are suffixed (guaranteed-OOV vocabulary drift), the rest
+    * unchanged — the monitoring query that decides when the persisted
+    * tokenizer needs retraining. */
+  def txBpeCoverage(s: SparkSession, d: String): DataFrame = {
+    val batch = docs(s, d).withColumn("text",
+      when(pmod(col("doc_id"), lit(5L)) === 0,
+        concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(w, lit("_v2"))))).otherwise(col("text")))
+    graft.operators.Bpe.coverage(
+      graft.operators.Bpe.vocabOf(bpeModel(s, d)), batch, col("text"))
+  }
+
   /** One trained tokenizer per (session, corpus): the merge-table /
     * vocab / encode queries are three VIEWS of the same model, so the
     * k-round training loop runs once, not three times — the
@@ -2024,6 +2037,28 @@ object DataOps {
           enc AS (SELECT doc_id, string_agg(encoding, ' ' ORDER BY wpos) AS tokens
                   FROM dw JOIN vocab USING (word) GROUP BY doc_id)
           SELECT doc_id, len(string_split(tokens, ' ')) AS n_tokens, tokens FROM enc""",
+    "tx_bpe_coverage" ->
+      s"""WITH $bpeRoundCtes,
+          vocab AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS encoding
+                    FROM s$bpeMerges GROUP BY word),
+          batch AS (SELECT CASE WHEN doc_id % 5 = 0
+                      THEN array_to_string(list_transform(string_split(text, ' '),
+                             w -> w || '_v2'), ' ')
+                      ELSE text END AS text FROM documents),
+          w AS (SELECT unnest(string_split(text, ' ')) AS word FROM batch),
+          wc AS (SELECT word, count(*) AS occ FROM w GROUP BY word),
+          j AS (SELECT wc.word, wc.occ,
+                       len(string_split(v.encoding, ' ')) AS n_sub
+                FROM wc LEFT JOIN vocab v USING (word))
+          SELECT CAST(sum(occ) AS BIGINT) AS n_words,
+                 count(*) AS n_distinct,
+                 round(sum(CASE WHEN n_sub IS NULL THEN occ ELSE 0 END)
+                       / CAST(sum(occ) AS DOUBLE), 6) AS oov_word_rate,
+                 round(sum(CASE WHEN n_sub IS NULL THEN 1 ELSE 0 END)
+                       / CAST(count(*) AS DOUBLE), 6) AS oov_distinct_rate,
+                 round(sum(coalesce(n_sub, 1) * occ)
+                       / CAST(sum(occ) AS DOUBLE), 6) AS tokens_per_word
+          FROM j""",
     "dq_datacard" ->
       s"""WITH rep AS ($repNgramsSql),
           lmsc AS ($lmScoreSql),
@@ -2237,6 +2272,7 @@ object DataOps {
     "tx_bpe_vocab" -> txBpeVocab _,
     "tx_bpe_encode" -> txBpeEncode _,
     "tx_bpe_encode_persisted" -> txBpeEncodePersisted _,
+    "tx_bpe_coverage" -> txBpeCoverage _,
     "tx_lm_bigrams" -> txLmBigrams _,
     "tx_lm_score" -> txLmScore _,
     "tx_lm_contrast" -> txLmContrast _,

@@ -53,6 +53,17 @@ class BpeModelSpec extends SparkSpec {
       "serving plan must not re-run training")
   }
 
+  test("coverage reports OOV rates and token inflation by hand") {
+    val vocab = Seq(("low", "lo w"), ("new", "new")).toDF("word", "encoding")
+    // 4 occurrences: low ×2 (2 subwords each), new ×1 (1), zz ×1 (OOV)
+    val batch = Seq((1L, "low new low zz")).toDF("doc_id", "text")
+    val r = Bpe.coverage(vocab, batch, col("text")).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.25)     // 1 of 4 occurrences OOV
+    assert(math.abs(r.getDouble(3) - 0.333333) < 1e-6) // 1 of 3 distinct
+    assert(r.getDouble(4) == 1.5)      // (2+2+1+1)/4 subwords per word
+  }
+
   test("ensureModel is idempotent and a fresh-session probe needs no retrain") {
     val root = java.nio.file.Files.createTempDirectory("bpe_model2").toString
     Bpe.ensureModel(spark, root, "spec2", nBuckets = 4) {
