@@ -113,6 +113,35 @@ object Sharding {
       .withColumn("shard_id", expr(s"(cum - n_tokens) div $budget"))
   }
 
+  /** Length-bucketed batching — the padding-waste killer for
+    * fixed-shape fine-tuning/eval serving: documents are bucketed by
+    * ⌈log2(len)⌉ (every batch pads to its bucket's power-of-two cap,
+    * the bucketing dynamic-shape compilers want), then packed into
+    * `batchSize`-document batches in stable id order within each
+    * bucket. Returns one row per document: `(doc_id, n_tokens,
+    * bucket, batch_id, pad_tokens)` — pad_tokens the per-doc waste
+    * against the bucket cap, so Σ is the exact padding bill.
+    *
+    * Batch numbering rides the grouped two-level prefix sum (rank =
+    * running count within the bucket), so no bucket ever collapses
+    * into one task and numbering is append-stable: new documents only
+    * ever extend the last batch or open new ones. */
+  def lengthBucketBatches(df: DataFrame, id: Column, tokens: Column,
+                          batchSize: Int, blockSize: Long): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    // bucket = smallest b with 2^b ≥ len, via integer bit-length —
+    // float log2 rounds ambiguously at exact powers of two
+    val base = df.select(id.as("doc_id"), tokens.cast("long").as("n_tokens"))
+      .withColumn("bucket", when(col("n_tokens") <= 1L, 0L)
+        .otherwise(length(bin(col("n_tokens") - 1L)).cast("long")))
+    groupedCumsum(base, "bucket", "doc_id", lit(1L), blockSize)
+      .withColumn("batch_id", expr(s"(cum - 1) div $batchSize"))
+      .withColumn("pad_tokens",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+          - col("n_tokens"))
+      .select("doc_id", "n_tokens", "bucket", "batch_id", "pad_tokens")
+  }
+
   /** Temperature-scaled mixture sampling (the multilingual-corpus
     * rebalancing of XLM-R / mT5: sample source s with probability
     * ∝ c_s^α, α < 1 flattening the source distribution so head

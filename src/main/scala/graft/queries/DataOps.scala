@@ -669,6 +669,13 @@ object DataOps {
     * per-document EOS). */
   val seqLen = 128
 
+  /** Length-bucket batch size for ds_length_buckets. */
+  val lenBatchSize = 16
+
+  def dsLengthBuckets(s: SparkSession, d: String): DataFrame =
+    Sharding.lengthBucketBatches(docs(s, d), col("doc_id"),
+      size(split(col("text"), " ")), lenBatchSize, shardBlock)
+
   def dsPackFixed(s: SparkSession, d: String): DataFrame =
     Sharding.packFixedSequences(docs(s, d).select(col("doc_id"), col("text")),
       "doc_id", size(split(col("text"), " ")), seqLen, shardBlock)
@@ -1621,6 +1628,21 @@ object DataOps {
                  CAST(least(cum, (k+1)*$seqLen)
                       - greatest(st, k*$seqLen) AS BIGINT) AS n_tokens
           FROM sp, unnest(range(st // $seqLen, (cum - 1) // $seqLen + 1)) t(k)""",
+    "ds_length_buckets" ->
+      s"""WITH d AS (SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+          b AS (SELECT doc_id, n_tokens,
+                  CASE WHEN n_tokens <= 1 THEN 0
+                       ELSE CAST(len(bin(n_tokens - 1)) AS BIGINT) END AS bucket
+                FROM d),
+          r AS (SELECT doc_id, n_tokens, bucket,
+                  row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk
+                FROM b)
+          SELECT doc_id, n_tokens, bucket,
+                 CAST((rk - 1) // $lenBatchSize AS BIGINT) AS batch_id,
+                 (CAST(1 AS BIGINT) << bucket) - n_tokens AS pad_tokens
+          FROM r""",
     "ds_mix" ->
       s"""WITH d AS (SELECT doc_id, source,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -2224,6 +2246,7 @@ object DataOps {
     "ds_shuffle" -> dsShuffle _,
     "ds_pack_sequences" -> dsPackSequences _,
     "ds_pack_fixed" -> dsPackFixed _,
+    "ds_length_buckets" -> dsLengthBuckets _,
     "ds_mix" -> dsMix _,
     "ds_mix_temperature" -> dsMixTemperature _,
     "ds_bucketed_join" -> dsBucketedJoin _,

@@ -180,6 +180,31 @@ class ShardingSpec extends SparkSpec {
     assert(again.sortBy(t => (t._1, t._3)).toSeq == out.sortBy(t => (t._1, t._3)).toSeq)
   }
 
+  test("length buckets: power-of-two caps, batch numbering, padding bill") {
+    import spark.implicits._
+    val docs = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L),
+      (6L, 8L), (7L, 9L), (8L, 1024L), (9L, 1025L), (10L, 4L))
+      .toDF("doc_id", "n")
+    val out = Sharding.lengthBucketBatches(docs, col("doc_id"), col("n"),
+        batchSize = 2, blockSize = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // exact powers land in their own cap, not the next one up
+    assert(out(1L)._2 == 0L && out(1L)._4 == 0L)   // 1 → cap 1
+    assert(out(2L)._2 == 1L && out(2L)._4 == 0L)   // 2 → cap 2
+    assert(out(3L)._2 == 2L && out(3L)._4 == 1L)   // 3 → cap 4, pad 1
+    assert(out(4L)._2 == 2L && out(4L)._4 == 0L)   // 4 → cap 4
+    assert(out(6L)._2 == 3L && out(6L)._4 == 0L)   // 8 → cap 8
+    assert(out(7L)._2 == 4L && out(7L)._4 == 7L)   // 9 → cap 16
+    assert(out(8L)._2 == 10L && out(8L)._4 == 0L)  // 1024 → cap 1024
+    assert(out(9L)._2 == 11L && out(9L)._4 == 1023L)
+    // batch ids count in stable doc order within each bucket:
+    // bucket 2 holds docs 3, 4, 10 → batches 0, 0, 1 at size 2
+    assert(out(3L)._3 == 0L && out(4L)._3 == 0L && out(10L)._3 == 1L)
+    // doc 5 (len 5) shares bucket 3 with doc 6 (len 8)
+    assert(out(5L)._2 == 3L && out(5L)._3 == 0L && out(6L)._3 == 0L)
+  }
+
   test("temperature mixing: α<1 flattens, α=1 is proportional, tiny sources uncapped") {
     import spark.implicits._
     // head source 10× the tail's tokens
