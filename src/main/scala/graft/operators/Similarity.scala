@@ -350,6 +350,85 @@ object Similarity {
         col("m.embedding").as("embedding"))
   }
 
+  /** Product quantization (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * vector splits into `m` contiguous subvectors, each quantized by
+    * its own small codebook — m·log2(k) bits per vector instead of
+    * dims·32, the compression leg the IVF family serves against at
+    * scale. Codebooks train through the same 6dp-pinned Lloyd loop as
+    * the coarse quantizer (one loop per subspace, memoized on the
+    * sliced plan), so the whole train→encode pipeline replays exactly
+    * in the DuckDB oracle. Sub-distance is the engine's pinned cosine
+    * metric, applied per subspace.
+    *
+    * Returns per subspace the trained codebook. Encode/ADC below are
+    * the serving halves: encoding is m broadcast-argmin passes
+    * (union of m keyed plans — no shuffle grows with m beyond the
+    * output itself). */
+  def pqTrain(emb: DataFrame, m: Int, k: Int, iters: Int)
+      : Seq[(Int, Seq[(Long, Seq[Double])])] = {
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    (0 until m).map { s =>
+      s -> lloydTrain(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        k, iters)
+    }
+  }
+
+  /** PQ codes: `(vec_id, subspace, code)` — one argmin assignment per
+    * subspace against its broadcast codebook. */
+  def pqEncode(emb: DataFrame, m: Int, k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val sub = dims / m
+    pqTrain(emb, m, k, iters).map { case (s, cents) =>
+      lloydAssign(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        cents.toDF("centroid_id", "cent"))
+        .select(col("vec_id"), lit(s.toLong).as("subspace"),
+          col("centroid_id").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Asymmetric-distance top-k: queries stay full precision, the
+    * corpus is its PQ codes — per query the m×k sub-distance table is
+    * computed once (a broadcast-sized frame), then one equi-join on
+    * (subspace, code) + a per-(query, vector) fold ranks the corpus.
+    * The scan cost is |codes| = m rows per corpus vector of 8-byte
+    * keys — the point of PQ serving at 100 TB. */
+  def pqAdcTopK(emb: DataFrame, queries: DataFrame, m: Int, k: Int,
+                iters: Int, topK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val sub = dims / m
+    val codes = pqEncode(emb, m, k, iters)
+    val cbooks = pqTrain(emb, m, k, iters).flatMap { case (s, cents) =>
+      cents.map { case (cid, cent) => (s.toLong, cid, cent) }
+    }.toDF("subspace", "code", "cent")
+    val qsub = queries.select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(cbooks))
+      .withColumn("qs",
+        slice(col("embedding"), col("subspace").cast("int") * sub + 1, lit(sub)))
+      .select(col("query_id"), col("subspace"), col("code"),
+        lloydDist(col("qs"), col("cent")).as("sd"))
+    codes.join(qsub, Seq("subspace", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(sum(col("sd")), 6).as("adc_dist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("adc_dist"), col("neighbor_id"))))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** The IVF serving index: the cell assignment plus the rerank norm,
     * with the cell id exposed as `bucket` so the probe shares
     * rerankByBucket with the LSH family. Persisted bucketed on

@@ -180,6 +180,22 @@ object DataOps {
   val lloydK = 4
   val lloydIters = 4
 
+  /** Product quantization layout: 4 subspaces × 16 dims, 4 codes per
+    * codebook, 2 Lloyd iterations (the oracle unrolls m×iters
+    * assignment/recenter blocks — kept small enough to replay). */
+  val pqM = 4
+  val pqK = 4
+  val pqIters = 2
+
+  def simPqCodes(s: SparkSession, d: String): DataFrame =
+    Similarity.pqEncode(emb(s, d), pqM, pqK, pqIters)
+
+  def simPqAdc(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.pqAdcTopK(e, e.filter(col("vec_id") < annQueries),
+      pqM, pqK, pqIters, annK)
+  }
+
   /** IVF-blocked embedding dedup — the unlabeled-corpus form of
     * dd_embed_neardups: block on the TRAINED coarse cell
     * (lloydTrain → lloydAssign) instead of a corpus label, then run
@@ -1071,6 +1087,93 @@ object DataOps {
     s"""WITH $lloydCtes
         SELECT cid AS centroid_id, count(*) AS n_vectors FROM a_f GROUP BY cid"""
 
+  /** Per-subspace Lloyd replay for PQ: the same unrolled
+    * assign/recenter blocks as lloydCtesFrom, prefixed `s<n>_` and
+    * running over the 16-dim slice — codebooks and code assignments
+    * replay exactly. */
+  private def pqLloydCtes(sub: Int): String = {
+    val p = s"s${sub}_"
+    val dims = graft.operators.Similarity.lshDims / pqM
+    val lo = sub * dims + 1
+    val hi = (sub + 1) * dims
+    def assign(cents: String, out: String): String =
+      s"""${p}d_$out AS (SELECT en.vec_id, c.cid,
+                round(1.0 - list_sum(list_transform(range(1, ${dims + 1}),
+                        i -> en.v[i] * c.cent[i]))
+                      / (en.nrm * sqrt(list_sum(list_transform(c.cent, x -> x*x)))), 6) AS dist
+              FROM ${p}en en CROSS JOIN $cents c),
+          ${p}a_$out AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist, cid) AS rk FROM ${p}d_$out) WHERE rk = 1)"""
+    def recenter(prev: String, assigned: String, out: String): String =
+      s"""${p}m_$out AS (SELECT a.cid, t.i, round(avg(en.v[t.i]), 6) AS val
+              FROM $assigned a JOIN ${p}en en ON en.vec_id = a.vec_id
+              CROSS JOIN range(1, ${dims + 1}) t(i)
+              GROUP BY a.cid, t.i),
+          ${p}g_$out AS (SELECT cid, list(val ORDER BY i) AS cent
+                         FROM ${p}m_$out GROUP BY cid),
+          $out AS (SELECT pp.cid, coalesce(n.cent, pp.cent) AS cent
+                   FROM $prev pp LEFT JOIN ${p}g_$out n ON n.cid = pp.cid)"""
+    val iterBlocks = (1 to pqIters).map { it =>
+      assign(s"${p}c${it - 1}", s"$it") + ",\n" +
+        recenter(s"${p}c${it - 1}", s"${p}a_$it", s"${p}c$it")
+    }.mkString(",\n")
+    s"""${p}e AS (SELECT vec_id,
+                list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        ${p}en AS (SELECT vec_id, v,
+                sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM ${p}e),
+        ${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                v AS cent
+               FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $pqK)),
+        $iterBlocks,
+        ${assign(s"${p}c$pqIters", "f")}"""
+  }
+
+  private val pqCodesOracle: String = {
+    val ctes = (0 until pqM).map(pqLloydCtes).mkString(",\n")
+    val sel = (0 until pqM)
+      .map(s => s"SELECT vec_id, CAST($s AS BIGINT) AS subspace, cid AS code FROM s${s}_a_f")
+      .mkString(" UNION ALL ")
+    s"WITH $ctes $sel"
+  }
+
+  private val pqAdcOracle: String = {
+    val dims = graft.operators.Similarity.lshDims / pqM
+    val ctes = (0 until pqM).map(pqLloydCtes).mkString(",\n")
+    val codeSel = (0 until pqM)
+      .map(s => s"SELECT vec_id, CAST($s AS BIGINT) AS subspace, cid AS code FROM s${s}_a_f")
+      .mkString(" UNION ALL ")
+    val bookSel = (0 until pqM)
+      .map(s => s"SELECT CAST($s AS BIGINT) AS subspace, cid AS code, cent FROM s${s}_c$pqIters")
+      .mkString(" UNION ALL ")
+    s"""WITH $ctes,
+        codes AS ($codeSel),
+        books AS ($bookSel),
+        q AS (SELECT vec_id AS query_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id < $annQueries),
+        qs AS (SELECT q.query_id, b.subspace, b.code,
+                 round(1.0 - list_sum(list_transform(range(1, ${dims + 1}),
+                         i -> q.v[CAST(b.subspace * $dims AS INT) + i] * b.cent[i]))
+                       / (sqrt(list_sum(list_transform(range(1, ${dims + 1}),
+                            i -> q.v[CAST(b.subspace * $dims AS INT) + i]
+                               * q.v[CAST(b.subspace * $dims AS INT) + i])))
+                          * sqrt(list_sum(list_transform(b.cent, x -> x*x)))), 6) AS sd
+               FROM q CROSS JOIN books b),
+        pairs AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
+                         round(sum(qs.sd), 6) AS adc_dist
+                  FROM codes c JOIN qs ON qs.subspace = c.subspace
+                                      AND qs.code = c.code
+                  WHERE qs.query_id <> c.vec_id
+                  GROUP BY qs.query_id, c.vec_id),
+        rk AS (SELECT query_id, neighbor_id, adc_dist,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
+               FROM pairs)
+        SELECT query_id, neighbor_id, adc_dist, rk FROM rk WHERE rk <= $annK"""
+  }
+
   /** dd_embed_ivf replay: the trained assignment blocks the pair
     * join, then the same 6dp cosine + threshold as dd_embed_neardups
     * — en already carries each vector (double) and its norm. */
@@ -1388,6 +1491,8 @@ object DataOps {
           WHERE sp.split = 'train'
             AND d.doc_id NOT IN (SELECT train_id FROM cpairs)""",
     "sim_ivf_kmeans" -> lloydOracle,
+    "sim_pq_codes" -> pqCodesOracle,
+    "sim_pq_adc" -> pqAdcOracle,
     "dd_embed_ivf" -> embedIvfOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
@@ -2231,7 +2336,9 @@ object DataOps {
     "dd_minhash_est" -> ddMinhashEst _,
     "dd_simhash" -> ddSimhash _,
     "dd_simhash_pairs" -> ddSimhashPairs _,
-    "sim_ivf_kmeans" -> simIvfKmeans _, // Lloyd loop → oracle replays training
+    "sim_ivf_kmeans" -> simIvfKmeans _,
+    "sim_pq_codes" -> simPqCodes _,
+    "sim_pq_adc" -> simPqAdc _, // Lloyd loop → oracle replays training
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_embed_ivf" -> ddEmbedIvf _,
     "sim_rp_ann" -> simRpAnn _,
