@@ -83,6 +83,18 @@ object Rehearsal {
       d.withColumn("o_orderkey", col("o_orderkey") * m + col("__rep")).drop("__rep")
     }
     val part = Tables(spark, sfDir, "part")
+    // embeddings: ids salted unique; each replica's vectors get a
+    // deterministic per-replica, per-dim perturbation so the corpus
+    // isn't MULT exact copies of the same point cloud (which would
+    // hand the quantizers degenerate, identical cells)
+    val embR = replicate(Tables(spark, sfDir, "embeddings"), mult) { d =>
+      d.select((col("vec_id") * m + col("__rep")).as("vec_id"),
+        zip_with(col("embedding"),
+          transform(sequence(lit(1), size(col("embedding"))),
+            i => (col("__rep") % 97).cast("float") * lit(1e-3f) * i.cast("float")),
+          (x, p) => x + p).as("embedding"),
+        col("label"))
+    }
 
     // Persisted-index probe pair: build once per corpus size (lazy),
     // then probe with a FIXED-size batch — the incremental-dedup
@@ -297,6 +309,22 @@ object Rehearsal {
             docsR, col("text"), col("doc_id"), model,
             graft.operators.QualityClassifier.docPriors(docsR, lbl))
           .filter(col("nb_label")).count()
+      },
+      // vector family: codebook training cost is FIXED (sampled-free
+      // deterministic loop over the full frame — the ×MULT axis);
+      // encoding is m broadcast-argmin passes over every vector
+      "pq_encode" -> { () =>
+        graft.operators.Similarity.pqEncode(embR, m = 4, k = 4, iters = 2)
+          .count()
+      },
+      // coarse-quantizer assignment alone: one broadcast argmin pass
+      "ivf_assign" -> { () =>
+        val spark2 = embR.sparkSession
+        import spark2.implicits._
+        val cents = graft.operators.Similarity.lloydTrain(embR, 4, 2)
+        graft.operators.Similarity.lloydAssign(embR,
+            cents.toDF("centroid_id", "cent"))
+          .groupBy("centroid_id").agg(count(lit(1))).count()
       },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
