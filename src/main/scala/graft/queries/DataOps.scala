@@ -111,6 +111,24 @@ object DataOps {
     Curation.audit(docs(s, d), col("text"), col("doc_id"), lmRef(s, d),
       3, jaccardThreshold, curateMaxTop2, curateMaxDup5, curateMaxNll)
 
+  /** The end-to-end corpus→shards pipeline: curation gates → dedup →
+    * token-budget shard packing over the survivors, summarized per
+    * shard — the whole engine composed into one plan (every stage is
+    * the already-verified operator; the composition adds one keyed
+    * semi-join and the prefix sum). */
+  def dsPipeline(s: SparkSession, d: String): DataFrame = {
+    val kept = dsCurate(s, d).filter(col("verdict") === "kept")
+      .select("doc_id")
+    val survivors = docs(s, d).join(kept, Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    Sharding.packShards(survivors, "doc_id",
+        size(split(col("text"), " ")), shardBudget, shardBlock)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   def ddMinhashSig(s: SparkSession, d: String): DataFrame =
     Dedup.minhashSignatures(docs(s, d), col("text"), col("doc_id"), 3)
 
@@ -1481,6 +1499,39 @@ object DataOps {
           SELECT d.doc_id, coalesce(g.n_bigrams, 0) AS n_bigrams, g.avg_nll
           FROM d LEFT JOIN g ON d.doc_id = g.doc_id"""
 
+  /** Shared curate-verdict SQL (per-doc verdict) — reused by the
+    * end-to-end pipeline oracle. */
+  private val curateVerdictSql: String =
+    s"""WITH rep AS ($repNgramsSql),
+          lmsc AS ($lmScoreSql),
+          flags AS (SELECT dd.doc_id, dd.text,
+                      (r.top_2gram_frac > $curateMaxTop2
+                        OR r.dup_5gram_frac > $curateMaxDup5) AS rep_fail,
+                      (sc.avg_nll IS NULL OR sc.avg_nll > $curateMaxNll) AS lm_fail
+                    FROM documents dd JOIN rep r ON dd.doc_id = r.doc_id
+                         JOIN lmsc sc ON dd.doc_id = sc.doc_id),
+          quality AS (SELECT doc_id, text FROM flags WHERE NOT rep_fail AND NOT lm_fail),
+          ${lshPairsCteOver("quality")},
+          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          cmn AS (SELECT p.id_a, p.id_b, count(*) AS common
+                  FROM pairs p JOIN s sa ON sa.doc_id = p.id_a
+                               JOIN s sb ON sb.doc_id = p.id_b
+                                AND sb.shingle = sa.shingle
+                  GROUP BY p.id_a, p.id_b),
+          losers AS (SELECT DISTINCT id_b AS doc_id
+                     FROM cmn JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+                     WHERE round(common * 1.0 / (x.n + y.n - common), 6) >= $jaccardThreshold),
+          keepers AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
+          kept AS (SELECT doc_id FROM quality
+                   WHERE doc_id IN (SELECT doc_id FROM keepers)
+                     AND doc_id NOT IN (SELECT doc_id FROM losers))
+          SELECT f.doc_id,
+                 CASE WHEN f.rep_fail THEN 'repetition'
+                      WHEN f.lm_fail THEN 'lm'
+                      WHEN k.doc_id IS NULL THEN 'duplicate'
+                      ELSE 'kept' END AS verdict
+          FROM flags f LEFT JOIN kept k ON f.doc_id = k.doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     "ds_contamination" ->
       s"WITH $contaminationCtes SELECT train_id, eval_id, shared_ngrams FROM cpairs",
@@ -2257,36 +2308,23 @@ object DataOps {
                  coalesce(k.clean_text, '') AS clean_text
           FROM n LEFT JOIN kept k ON n.doc_id = k.doc_id"""
     },
-    "ds_curate" ->
-      s"""WITH rep AS ($repNgramsSql),
-          lmsc AS ($lmScoreSql),
-          flags AS (SELECT dd.doc_id, dd.text,
-                      (r.top_2gram_frac > $curateMaxTop2
-                        OR r.dup_5gram_frac > $curateMaxDup5) AS rep_fail,
-                      (sc.avg_nll IS NULL OR sc.avg_nll > $curateMaxNll) AS lm_fail
-                    FROM documents dd JOIN rep r ON dd.doc_id = r.doc_id
-                         JOIN lmsc sc ON dd.doc_id = sc.doc_id),
-          quality AS (SELECT doc_id, text FROM flags WHERE NOT rep_fail AND NOT lm_fail),
-          ${lshPairsCteOver("quality")},
-          sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
-          cmn AS (SELECT p.id_a, p.id_b, count(*) AS common
-                  FROM pairs p JOIN s sa ON sa.doc_id = p.id_a
-                               JOIN s sb ON sb.doc_id = p.id_b
-                                AND sb.shingle = sa.shingle
-                  GROUP BY p.id_a, p.id_b),
-          losers AS (SELECT DISTINCT id_b AS doc_id
-                     FROM cmn JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-                     WHERE round(common * 1.0 / (x.n + y.n - common), 6) >= $jaccardThreshold),
-          keepers AS (SELECT min(doc_id) AS doc_id FROM quality GROUP BY text),
-          kept AS (SELECT doc_id FROM quality
-                   WHERE doc_id IN (SELECT doc_id FROM keepers)
-                     AND doc_id NOT IN (SELECT doc_id FROM losers))
-          SELECT f.doc_id,
-                 CASE WHEN f.rep_fail THEN 'repetition'
-                      WHEN f.lm_fail THEN 'lm'
-                      WHEN k.doc_id IS NULL THEN 'duplicate'
-                      ELSE 'kept' END AS verdict
-          FROM flags f LEFT JOIN kept k ON f.doc_id = k.doc_id""",
+    "ds_curate" -> curateVerdictSql,
+    "ds_pipeline" ->
+      s"""WITH cur AS ($curateVerdictSql),
+          surv AS (SELECT dd.doc_id,
+                     CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents dd JOIN cur ON cur.doc_id = dd.doc_id
+                   WHERE cur.verdict = 'kept'),
+          c AS (SELECT doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS BIGINT) AS cum
+                FROM surv)
+          SELECT CAST((cum - n_tokens) // $shardBudget AS BIGINT) AS shard_id,
+                 count(*) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM c GROUP BY 1""",
     "tx_lm_bigrams" ->
       s"""WITH r AS (SELECT string_split(text, ' ') AS toks FROM documents
                      WHERE source IN ($lmRefSourcesSql)),
@@ -2394,6 +2432,7 @@ object DataOps {
     "tx_rep_ngrams" -> txRepNgrams _,
     "tx_nb_quality" -> txNbQuality _,
     "ds_curate" -> dsCurate _,
+    "ds_pipeline" -> dsPipeline _,
     "ds_chunk" -> dsChunk _,
     "dd_paragraph" -> ddParagraph _,
     "dd_snapshot_diff" -> ddSnapshotDiff _,
