@@ -214,6 +214,18 @@ object DataOps {
       pqM, pqK, pqIters, annK)
   }
 
+  /** Recall@k of PQ-ADC against exact brute force — the quality
+    * closure for the compressed serving leg, same contract as
+    * sim_rp_ann's recall row. */
+  def simPqRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = simTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val adc = simPqAdc(s, d).select(col("query_id"), col("neighbor_id"))
+    exact.join(adc, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      .agg(round(sum(col("hits")) / (lit(annK) * annQueries), 4).as("recall_at_k"),
+        count(lit(1)).as("queries_with_hits"))
+  }
+
   /** IVF-blocked embedding dedup — the unlabeled-corpus form of
     * dd_embed_neardups: block on the TRAINED coarse cell
     * (lloydTrain → lloydAssign) instead of a corpus label, then run
@@ -1192,6 +1204,43 @@ object DataOps {
         SELECT query_id, neighbor_id, adc_dist, rk FROM rk WHERE rk <= $annK"""
   }
 
+  private val pqRecallOracle: String = {
+    // strip pqAdcOracle down to its CTE chain and intersect with the
+    // exact brute-force top-k
+    val adcBody = pqAdcOracle.stripPrefix("WITH ")
+      .replace(s"SELECT query_id, neighbor_id, adc_dist, rk FROM rk WHERE rk <= $annK", "")
+      .trim
+    s"""WITH $adcBody,
+        adc AS (SELECT query_id, neighbor_id FROM rk WHERE rk <= $annK),
+        n2 AS (SELECT vec_id,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+               FROM embeddings),
+        ep AS (SELECT q2.vec_id AS query_id, c2.vec_id AS neighbor_id,
+                      q2.embedding AS ea, c2.embedding AS eb
+               FROM embeddings q2 JOIN embeddings c2 ON q2.vec_id <> c2.vec_id
+               WHERE q2.vec_id < $annQueries),
+        eu AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                      CAST(unnest(eb) AS DOUBLE) AS y FROM ep),
+        ed AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM eu
+               GROUP BY query_id, neighbor_id),
+        es AS (SELECT query_id, neighbor_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
+               FROM ed JOIN n2 na ON query_id = na.vec_id
+                       JOIN n2 nb ON neighbor_id = nb.vec_id),
+        exact_rk AS (SELECT query_id, neighbor_id FROM
+                       (SELECT query_id, neighbor_id,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rk FROM es)
+                     WHERE rk <= $annK),
+        j AS (SELECT e.query_id FROM exact_rk e
+              JOIN adc a ON a.query_id = e.query_id
+                        AND a.neighbor_id = e.neighbor_id),
+        g AS (SELECT query_id, count(*) AS hits FROM j GROUP BY query_id)
+        SELECT round(sum(hits) * 1.0 / ($annK * $annQueries), 4) AS recall_at_k,
+               count(*) AS queries_with_hits FROM g"""
+  }
+
+
   /** dd_embed_ivf replay: the trained assignment blocks the pair
     * join, then the same 6dp cosine + threshold as dd_embed_neardups
     * — en already carries each vector (double) and its norm. */
@@ -1544,6 +1593,7 @@ object DataOps {
     "sim_ivf_kmeans" -> lloydOracle,
     "sim_pq_codes" -> pqCodesOracle,
     "sim_pq_adc" -> pqAdcOracle,
+    "sim_pq_recall" -> pqRecallOracle,
     "dd_embed_ivf" -> embedIvfOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
@@ -2376,7 +2426,8 @@ object DataOps {
     "dd_simhash_pairs" -> ddSimhashPairs _,
     "sim_ivf_kmeans" -> simIvfKmeans _,
     "sim_pq_codes" -> simPqCodes _,
-    "sim_pq_adc" -> simPqAdc _, // Lloyd loop → oracle replays training
+    "sim_pq_adc" -> simPqAdc _,
+    "sim_pq_recall" -> simPqRecall _, // Lloyd loop → oracle replays training
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_embed_ivf" -> ddEmbedIvf _,
     "sim_rp_ann" -> simRpAnn _,
