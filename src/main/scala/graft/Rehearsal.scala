@@ -317,6 +317,13 @@ object Rehearsal {
         graft.operators.Similarity.pqEncode(embR, m = 4, k = 4, iters = 2)
           .count()
       },
+      // the composed IVFADC index: coarse train+assign, residuals,
+      // m residual codebooks, m argmin encode passes — everything
+      // full-scan shaped, no pairwise term anywhere
+      "ivfpq_encode" -> { () =>
+        graft.operators.Similarity.ivfPqEncode(embR, kc = 4, coarseIters = 2,
+          m = 4, k = 4, iters = 2).count()
+      },
       // coarse-quantizer assignment alone: one broadcast argmin pass
       "ivf_assign" -> { () =>
         val spark2 = embR.sparkSession

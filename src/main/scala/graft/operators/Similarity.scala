@@ -468,4 +468,184 @@ object Similarity {
       .select(col("vec_id"), col("m.embedding").as("embedding"),
         col("m.centroid_id").as("centroid_id"))
   }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ (IVFADC — Jégou, Douze & Schmid 2011 §IV): the coarse
+  // quantizer routes each vector to a cell, PQ encodes the RESIDUAL
+  // (vector − cell centroid), and a query probes only its nprobe
+  // nearest cells with per-cell ADC tables. Residuals cluster around
+  // the origin, where the cosine metric degenerates (norms → 0 make
+  // the ratio unstable), so the residual codebooks train under a
+  // squared-L2 twin of the pinned Lloyd loop — division-free, same
+  // 6dp rounding contract, so the whole composed train→encode→search
+  // path still replays exactly in the DuckDB oracle.
+  // ------------------------------------------------------------------
+
+  /** 6dp-rounded squared-L2 distance between a (float or double)
+    * array column and a double-array centroid column — the pinned
+    * metric of the residual Lloyd loop. No sqrt: squared L2 ranks
+    * identically and keeps the replay to one rounding site. */
+  def lloydDistL2(v: org.apache.spark.sql.Column,
+                  cent: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(aggregate(zip_with(v.cast("array<double>"), cent,
+      (x, y) => (x - y) * (x - y)), lit(0.0), _ + _), 6)
+
+  /** Argmin assignment under the pinned squared-L2 metric (ties →
+    * lower centroid_id) — same partial-aggregatable min-struct shape
+    * as lloydAssign. */
+  def lloydAssignL2(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    emb.as("v").crossJoin(broadcast(centroids.as("cent")))
+      .withColumn("dist", lloydDistL2(col("v.embedding"), col("cent.cent")))
+      .groupBy(col("v.vec_id").as("vec_id"))
+      .agg(min(struct(col("dist"), col("cent.centroid_id").as("centroid_id"),
+        col("v.embedding").as("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        col("m.embedding").as("embedding"))
+  }
+
+  /** Squared-L2 Lloyd training over a double-array embedding column —
+    * same closed-form init (k lowest vec_ids), 6dp-pinned iterations,
+    * empty-cluster carry-forward, and session memo as the cosine
+    * loop. Input arrays may be float or double; state is doubles. */
+  def lloydTrainL2(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] =
+    lloydMemo.getOrElseUpdate(
+      ("l2:" + emb.queryExecution.analyzed.canonicalized.toString, k, iters),
+      lloydTrainL2Impl(emb, k, iters))
+
+  private def lloydTrainL2Impl(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val src = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding")).persist()
+    try {
+      var cents: Seq[(Long, Seq[Double])] =
+        src.orderBy("vec_id").limit(k).collect()
+          .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
+      (1 to iters).foreach { _ =>
+        val assigned = lloydAssignL2(src, cents.toDF("centroid_id", "cent"))
+        val means = assigned
+          .select(col("centroid_id"), posexplode(col("embedding")))
+          .groupBy(col("centroid_id"), col("pos"))
+          .agg(round(avg(col("col").cast("double")), 6).as("v"))
+          .collect()
+        val byCid = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        cents = cents.map { case (cid, old) => (cid, byCid.getOrElse(cid, old)) }
+      }
+      cents
+    } finally src.unpersist(blocking = false)
+  }
+
+  /** Coarse assignment + 6dp-pinned residuals: (vec_id, centroid_id,
+    * embedding = v − cell centroid, as doubles). The IVFADC encode
+    * input — one broadcast argmin pass plus a broadcast centroid
+    * join; the corpus never shuffles. */
+  def ivfResiduals(emb: DataFrame, coarse: Seq[(Long, Seq[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = coarse.toDF("centroid_id", "cent")
+    lloydAssign(emb, cents)
+      .join(broadcast(cents), "centroid_id")
+      .select(col("vec_id"), col("centroid_id"),
+        zip_with(col("embedding").cast("array<double>"), col("cent"),
+          (x, c) => round(x - c, 6)).as("embedding"))
+  }
+
+  /** IVF-PQ codebooks: the coarse quantizer is the engine's shared
+    * cosine Lloyd loop (memoized — the IVF serving family and IVFADC
+    * quantize with the SAME cells), the m residual codebooks train
+    * under the squared-L2 loop on contiguous residual slices. */
+  def ivfPqTrain(emb: DataFrame, kc: Int, coarseIters: Int, m: Int, k: Int,
+                 iters: Int): (Seq[(Long, Seq[Double])], Seq[(Int, Seq[(Long, Seq[Double])])]) = {
+    val coarse = lloydTrain(emb, kc, coarseIters)
+    val res = ivfResiduals(emb, coarse)
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    val books = (0 until m).map { s =>
+      s -> lloydTrainL2(
+        res.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        k, iters)
+    }
+    (coarse, books)
+  }
+
+  /** The composed index content: (vec_id, centroid_id, subspace,
+    * code) — the cell routes the probe, the m codes reconstruct the
+    * residual. m·log2(k) bits + one cell id per vector; at 100 TB
+    * this frame (persisted bucketed on centroid_id) IS the index. */
+  def ivfPqEncode(emb: DataFrame, kc: Int, coarseIters: Int, m: Int, k: Int,
+                  iters: Int): DataFrame = {
+    val (coarse, books) = ivfPqTrain(emb, kc, coarseIters, m, k, iters)
+    ivfPqEncodeWith(emb, coarse, books)
+  }
+
+  private def ivfPqEncodeWith(emb: DataFrame, coarse: Seq[(Long, Seq[Double])],
+                              books: Seq[(Int, Seq[(Long, Seq[Double])])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val res = ivfResiduals(emb, coarse)
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val sub = dims / books.length
+    val codes = books.map { case (s, cents) =>
+      lloydAssignL2(
+        res.select(col("vec_id"),
+          slice(col("embedding"), s * sub + 1, sub).as("embedding")),
+        cents.toDF("centroid_id", "cent"))
+        .select(col("vec_id"), lit(s.toLong).as("subspace"),
+          col("centroid_id").as("code"))
+    }.reduce(_ unionByName _)
+    codes.join(res.select(col("vec_id"), col("centroid_id")), "vec_id")
+      .select(col("vec_id"), col("centroid_id"), col("subspace"), col("code"))
+  }
+
+  /** IVFADC search: each query routes to its nprobe nearest coarse
+    * cells, computes ONE residual + m×k sub-distance table per probed
+    * cell (|Q|·nprobe·m·k rows — broadcast-sized), and scans only the
+    * codes of those cells via a (cell, subspace, code) equi-join. The
+    * corpus-side cost is the probed cells' code rows — 8-byte keys,
+    * never the vectors — which is the whole point of IVFADC serving:
+    * candidate volume ∝ nprobe/kc of the corpus, scan width m bytes. */
+  def ivfPqAdcTopK(emb: DataFrame, queries: DataFrame, kc: Int, coarseIters: Int,
+                   m: Int, k: Int, iters: Int, nprobe: Int, topK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (coarse, books) = ivfPqTrain(emb, kc, coarseIters, m, k, iters)
+    val codes = ivfPqEncodeWith(emb, coarse, books)
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val sub = dims / m
+    val cents = coarse.toDF("centroid_id", "cent")
+    val bookDf = books.flatMap { case (s, cs) =>
+      cs.map { case (cid, cent) => (s.toLong, cid, cent) }
+    }.toDF("subspace", "code", "cent")
+    // nprobe nearest cells under the SAME pinned coarse metric the
+    // corpus was assigned with; the per-cell query residual rides along
+    val probed = queries.select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cdist", lloydDist(col("embedding"), col("cent")))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cdist"), col("centroid_id"))))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("cell"),
+        zip_with(col("embedding").cast("array<double>"), col("cent"),
+          (x, c) => round(x - c, 6)).as("qres"))
+    val qs = probed.crossJoin(broadcast(bookDf))
+      .select(col("query_id"), col("cell"), col("subspace"), col("code"),
+        lloydDistL2(
+          slice(col("qres"), col("subspace").cast("int") * sub + 1, lit(sub)),
+          col("cent")).as("sd"))
+    codes.as("c")
+      .join(qs.as("q"), col("c.centroid_id") === col("q.cell")
+        && col("c.subspace") === col("q.subspace") && col("c.code") === col("q.code"))
+      .groupBy(col("q.query_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
+      .agg(round(sum(col("q.sd")), 6).as("adc_dist"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rk").cast("long").as("rk"))
+  }
 }

@@ -226,6 +226,35 @@ object DataOps {
         count(lit(1)).as("queries_with_hits"))
   }
 
+  /** IVF-PQ (IVFADC) layout: the coarse quantizer is the SAME
+    * 4-cell/4-iteration Lloyd loop the IVF family shares (memoized —
+    * one training per JVM), the residual codebooks reuse the flat-PQ
+    * geometry (4 subspaces × 16 dims, 4 codes, 2 iterations) under
+    * the squared-L2 pinned loop. nprobe=2 of 4 cells. */
+  val ivfpqNprobe = 2
+
+  def simIvfPqCodes(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqEncode(emb(s, d), lloydK, lloydIters, pqM, pqK, pqIters)
+
+  def simIvfPqAdc(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.ivfPqAdcTopK(e, e.filter(col("vec_id") < annQueries),
+      lloydK, lloydIters, pqM, pqK, pqIters, ivfpqNprobe, annK)
+  }
+
+  /** Recall@k of IVFADC against exact brute force — the quality
+    * closure for the composed cell-routed + residual-compressed
+    * serving leg (contrast sim_pq_recall: flat scan, raw-vector
+    * codebooks). */
+  def simIvfPqRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = simTopK(s, d).select(col("query_id"), col("neighbor_id"))
+    val adc = simIvfPqAdc(s, d).select(col("query_id"), col("neighbor_id"))
+    exact.join(adc, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      .agg(round(sum(col("hits")) / (lit(annK) * annQueries), 4).as("recall_at_k"),
+        count(lit(1)).as("queries_with_hits"))
+  }
+
   /** IVF-blocked embedding dedup — the unlabeled-corpus form of
     * dd_embed_neardups: block on the TRAINED coarse cell
     * (lloydTrain → lloydAssign) instead of a corpus label, then run
@@ -1240,6 +1269,146 @@ object DataOps {
                count(*) AS queries_with_hits FROM g"""
   }
 
+  /** IVF-PQ replay. The coarse half reuses lloydCtes verbatim (same
+    * 4-cell/4-iteration cosine loop as sim_ivf_kmeans — a_f is the
+    * cell assignment, d_f every vector×cell distance, c4 the trained
+    * centroids); residuals are 6dp-pinned differences; each residual
+    * codebook unrolls the squared-L2 Lloyd loop over its 16-dim
+    * slice, prefixed r<n>_. */
+  private def ivfPqResCtes: String = {
+    import graft.operators.Similarity.lshDims
+    // MATERIALIZED: res is referenced by all m subspace chains (each
+    // several times); inlined, DuckDB would re-evaluate the whole
+    // coarse Lloyd chain per reference — same blow-up the BPE replay
+    // hit, same fix
+    s"""res AS MATERIALIZED (SELECT a.vec_id, a.cid AS cell,
+              list_transform(range(1, ${lshDims + 1}),
+                i -> round(en.v[i] - c.cent[i], 6)) AS v
+            FROM a_f a JOIN en ON en.vec_id = a.vec_id
+            JOIN c$lloydIters c ON c.cid = a.cid)"""
+  }
+
+  private def ivfPqSubCtes(sub: Int): String = {
+    val p = s"r${sub}_"
+    val dims = graft.operators.Similarity.lshDims / pqM
+    val lo = sub * dims + 1
+    val hi = (sub + 1) * dims
+    def assign(cents: String, out: String): String =
+      s"""${p}d_$out AS (SELECT e.vec_id, c.cid,
+                round(list_sum(list_transform(range(1, ${dims + 1}),
+                        i -> (e.v[i] - c.cent[i]) * (e.v[i] - c.cent[i]))), 6) AS dist
+              FROM ${p}e e CROSS JOIN $cents c),
+          ${p}a_$out AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                  ORDER BY dist, cid) AS rk FROM ${p}d_$out) WHERE rk = 1)"""
+    def recenter(prev: String, assigned: String, out: String): String =
+      s"""${p}m_$out AS (SELECT a.cid, t.i, round(avg(e.v[t.i]), 6) AS val
+              FROM $assigned a JOIN ${p}e e ON e.vec_id = a.vec_id
+              CROSS JOIN range(1, ${dims + 1}) t(i)
+              GROUP BY a.cid, t.i),
+          ${p}g_$out AS (SELECT cid, list(val ORDER BY i) AS cent
+                         FROM ${p}m_$out GROUP BY cid),
+          $out AS (SELECT pp.cid, coalesce(n.cent, pp.cent) AS cent
+                   FROM $prev pp LEFT JOIN ${p}g_$out n ON n.cid = pp.cid)"""
+    val iterBlocks = (1 to pqIters).map { it =>
+      assign(s"${p}c${it - 1}", s"$it") + ",\n" +
+        recenter(s"${p}c${it - 1}", s"${p}a_$it", s"${p}c$it")
+    }.mkString(",\n")
+    s"""${p}e AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM res),
+        ${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+                v AS cent
+               FROM (SELECT vec_id, v FROM ${p}e ORDER BY vec_id LIMIT $pqK)),
+        $iterBlocks,
+        ${assign(s"${p}c$pqIters", "f")}"""
+  }
+
+  private def ivfPqCodesCtes: String = {
+    val subCtes = (0 until pqM).map(ivfPqSubCtes).mkString(",\n")
+    val codeSel = (0 until pqM)
+      .map(s => s"SELECT vec_id, CAST($s AS BIGINT) AS subspace, cid AS code FROM r${s}_a_f")
+      .mkString(" UNION ALL ")
+    s"""$lloydCtes,
+        $ivfPqResCtes,
+        $subCtes,
+        pqcodes AS ($codeSel),
+        cellcodes AS (SELECT pc.vec_id, r.cell AS centroid_id, pc.subspace, pc.code
+                      FROM pqcodes pc JOIN res r ON r.vec_id = pc.vec_id)"""
+  }
+
+  private val ivfPqCodesOracle: String =
+    s"""WITH $ivfPqCodesCtes
+        SELECT vec_id, centroid_id, subspace, code FROM cellcodes"""
+
+  private val ivfPqAdcOracle: String = {
+    import graft.operators.Similarity.lshDims
+    val dims = lshDims / pqM
+    val bookSel = (0 until pqM)
+      .map(s => s"SELECT CAST($s AS BIGINT) AS subspace, cid AS code, cent FROM r${s}_c$pqIters")
+      .mkString(" UNION ALL ")
+    s"""WITH $ivfPqCodesCtes,
+        books AS ($bookSel),
+        probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+                    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist, cid) AS crk
+                    FROM d_f WHERE vec_id < $annQueries)
+                  WHERE crk <= $ivfpqNprobe),
+        qres AS (SELECT p.query_id, p.cell,
+                   list_transform(range(1, ${lshDims + 1}),
+                     i -> round(en.v[i] - c.cent[i], 6)) AS v
+                 FROM probe p JOIN en ON en.vec_id = p.query_id
+                 JOIN c$lloydIters c ON c.cid = p.cell),
+        qs AS (SELECT q.query_id, q.cell, b.subspace, b.code,
+                 round(list_sum(list_transform(range(1, ${dims + 1}),
+                   i -> (q.v[CAST(b.subspace * $dims AS INT) + i] - b.cent[i])
+                      * (q.v[CAST(b.subspace * $dims AS INT) + i] - b.cent[i]))), 6) AS sd
+               FROM qres q CROSS JOIN books b),
+        pairs AS (SELECT qs.query_id, cc.vec_id AS neighbor_id,
+                         round(sum(qs.sd), 6) AS adc_dist
+                  FROM cellcodes cc JOIN qs ON qs.cell = cc.centroid_id
+                                           AND qs.subspace = cc.subspace
+                                           AND qs.code = cc.code
+                  WHERE qs.query_id <> cc.vec_id
+                  GROUP BY qs.query_id, cc.vec_id),
+        rk AS (SELECT query_id, neighbor_id, adc_dist,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rk
+               FROM pairs)
+        SELECT query_id, neighbor_id, adc_dist, rk FROM rk WHERE rk <= $annK"""
+  }
+
+  private val ivfPqRecallOracle: String = {
+    val adcBody = ivfPqAdcOracle.stripPrefix("WITH ")
+      .replace(s"SELECT query_id, neighbor_id, adc_dist, rk FROM rk WHERE rk <= $annK", "")
+      .trim
+    s"""WITH $adcBody,
+        adc AS (SELECT query_id, neighbor_id FROM rk WHERE rk <= $annK),
+        n2 AS (SELECT vec_id,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+               FROM embeddings),
+        ep AS (SELECT q2.vec_id AS query_id, c2.vec_id AS neighbor_id,
+                      q2.embedding AS ea, c2.embedding AS eb
+               FROM embeddings q2 JOIN embeddings c2 ON q2.vec_id <> c2.vec_id
+               WHERE q2.vec_id < $annQueries),
+        eu AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                      CAST(unnest(eb) AS DOUBLE) AS y FROM ep),
+        ed AS (SELECT query_id, neighbor_id, sum(x*y) AS dp FROM eu
+               GROUP BY query_id, neighbor_id),
+        es AS (SELECT query_id, neighbor_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
+               FROM ed JOIN n2 na ON query_id = na.vec_id
+                       JOIN n2 nb ON neighbor_id = nb.vec_id),
+        exact_rk AS (SELECT query_id, neighbor_id FROM
+                       (SELECT query_id, neighbor_id,
+                               row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id) AS rk FROM es)
+                     WHERE rk <= $annK),
+        j AS (SELECT e.query_id FROM exact_rk e
+              JOIN adc a ON a.query_id = e.query_id
+                        AND a.neighbor_id = e.neighbor_id),
+        g AS (SELECT query_id, count(*) AS hits FROM j GROUP BY query_id)
+        SELECT round(sum(hits) * 1.0 / ($annK * $annQueries), 4) AS recall_at_k,
+               count(*) AS queries_with_hits FROM g"""
+  }
 
   /** dd_embed_ivf replay: the trained assignment blocks the pair
     * join, then the same 6dp cosine + threshold as dd_embed_neardups
@@ -1594,6 +1763,9 @@ object DataOps {
     "sim_pq_codes" -> pqCodesOracle,
     "sim_pq_adc" -> pqAdcOracle,
     "sim_pq_recall" -> pqRecallOracle,
+    "sim_ivfpq_codes" -> ivfPqCodesOracle,
+    "sim_ivfpq_adc" -> ivfPqAdcOracle,
+    "sim_ivfpq_recall" -> ivfPqRecallOracle,
     "dd_embed_ivf" -> embedIvfOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
@@ -2428,6 +2600,9 @@ object DataOps {
     "sim_pq_codes" -> simPqCodes _,
     "sim_pq_adc" -> simPqAdc _,
     "sim_pq_recall" -> simPqRecall _, // Lloyd loop → oracle replays training
+    "sim_ivfpq_codes" -> simIvfPqCodes _,
+    "sim_ivfpq_adc" -> simIvfPqAdc _,
+    "sim_ivfpq_recall" -> simIvfPqRecall _, // IVFADC: coarse + residual-PQ replay
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_embed_ivf" -> ddEmbedIvf _,
     "sim_rp_ann" -> simRpAnn _,
