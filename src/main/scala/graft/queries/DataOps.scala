@@ -88,6 +88,21 @@ object DataOps {
   def dsChunk(s: SparkSession, d: String): DataFrame =
     Chunking.chunk(docs(s, d), col("text"), col("doc_id"), chunkTokens, chunkOverlap)
 
+  /** RAG retrieval: chunk the corpus with the standard window, embed
+    * via signed feature hashing, index with the sign-LSH layout, and
+    * retrieve top-k chunks for the first ragQueries documents used as
+    * whole-text queries — the end-to-end corpus→index→probe
+    * composition, every stage oracle-replayable. */
+  val ragQueries = 3
+
+  def dsRag(s: SparkSession, d: String): DataFrame = {
+    val index = graft.operators.Rag.chunkIndex(docs(s, d), col("text"),
+      col("doc_id"), chunkTokens, chunkOverlap)
+    graft.operators.Rag.retrieve(index,
+      docs(s, d).filter(col("doc_id") < ragQueries), col("text"), col("doc_id"),
+      annK)
+  }
+
   /** Paragraph width for the cross-doc paragraph dedup: 16 words —
     * short enough that the synthetic corpus' repeated phrases
     * actually collide across documents. */
@@ -1067,6 +1082,73 @@ object DataOps {
       lang -> s"len(list_filter(toks, x -> list_contains($lst, x)))"
     }
 
+  /** ds_rag replay: the ds_chunk window arithmetic keyed into packed
+    * chunk ids, the signed feature-hash embedding (md5 bucket + sign
+    * bit 6), then the literal-plane sign-LSH bucket join and exact
+    * cosine rerank — the full corpus→index→probe composition in one
+    * CTE chain. */
+  private val ragOracle: String = {
+    import graft.operators.Similarity.{lshDims, lshPlanes, planeWeight}
+    val base = graft.operators.Rag.chunkKeyBase
+    val c = chunkTokens; val st = chunkTokens - chunkOverlap
+    val planeRows = (0 until lshPlanes).map { p =>
+      val wl = (0 until lshDims)
+        .map(d => planeWeight(p, d).toFloat.toDouble.toString)
+        .mkString("[", ", ", "]")
+      s"($p, ${1L << p}, $wl)"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        n AS (SELECT doc_id, toks,
+                CASE WHEN len(toks) <= $c THEN 1
+                     ELSE (len(toks) - $c + ${st - 1}) // $st + 1 END AS nc FROM d),
+        ch AS (SELECT doc_id * $base + k AS vec_id,
+                      array_to_string(toks[k*$st+1 : k*$st+$c], ' ') AS text
+               FROM n, unnest(range(0, nc)) t(k)),
+        qry AS (SELECT -(doc_id + 1) AS vec_id, text FROM documents
+                WHERE doc_id < $ragQueries),
+        allv AS (SELECT * FROM ch UNION ALL SELECT * FROM qry),
+        tok AS (SELECT vec_id, unnest(string_split(text, ' ')) AS token FROM allv),
+        th AS (SELECT vec_id,
+                 CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM tok),
+        sg AS (SELECT vec_id, h % $lshDims AS dd,
+                      CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn FROM th),
+        ag AS (SELECT vec_id, dd, sum(sgn) AS v FROM sg GROUP BY vec_id, dd),
+        dims AS (SELECT t.vec_id, r.dd, coalesce(a.v, 0.0) AS v
+                 FROM (SELECT DISTINCT vec_id FROM allv) t
+                 CROSS JOIN range(0, $lshDims) r(dd)
+                 LEFT JOIN ag a ON a.vec_id = t.vec_id AND a.dd = r.dd),
+        emb AS MATERIALIZED (SELECT vec_id,
+                 list(CAST(CAST(v AS FLOAT) AS DOUBLE) ORDER BY dd) AS v
+               FROM dims GROUP BY vec_id),
+        planes(p, pw, wl) AS (VALUES $planeRows),
+        pd AS (SELECT e.vec_id, pl.pw,
+                 list_sum(list_transform(range(1, ${lshDims + 1}),
+                   i -> e.v[i] * pl.wl[i])) AS dp
+               FROM emb e CROSS JOIN planes pl),
+        bk AS (SELECT vec_id,
+                 CAST(sum(CASE WHEN dp >= 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
+               FROM pd GROUP BY vec_id),
+        nrm AS (SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+                FROM emb),
+        cand AS (SELECT q.vec_id AS qid, cc.vec_id AS nid
+                 FROM bk q JOIN bk cc ON q.bucket = cc.bucket
+                 WHERE q.vec_id < 0 AND cc.vec_id >= 0),
+        scored AS (SELECT qid, nid,
+                     round(list_sum(list_transform(range(1, ${lshDims + 1}),
+                       i -> qe.v[i] * ce.v[i])) / (nq.nrm * nc2.nrm), 6) AS cos
+                   FROM cand JOIN emb qe ON qe.vec_id = qid
+                        JOIN emb ce ON ce.vec_id = nid
+                        JOIN nrm nq ON nq.vec_id = qid
+                        JOIN nrm nc2 ON nc2.vec_id = nid),
+        ranked AS (SELECT qid, nid, cos,
+                     CAST(row_number() OVER (PARTITION BY qid
+                       ORDER BY cos DESC, nid) AS BIGINT) AS rk
+                   FROM scored)
+        SELECT -qid - 1 AS query_doc, nid // $base AS src_doc,
+               nid % $base AS chunk_id, cos, rk
+        FROM ranked WHERE rk <= $annK"""
+  }
+
   /** Greedy allocation as a DuckDB RECURSIVE CTE: one recursion step
     * per in-product sequence position (bulk across products), exactly
     * the operator's sequential semantics — recursion depth = the
@@ -1766,6 +1848,7 @@ object DataOps {
     "sim_ivfpq_codes" -> ivfPqCodesOracle,
     "sim_ivfpq_adc" -> ivfPqAdcOracle,
     "sim_ivfpq_recall" -> ivfPqRecallOracle,
+    "ds_rag" -> ragOracle,
     "dd_embed_ivf" -> embedIvfOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
@@ -2603,6 +2686,7 @@ object DataOps {
     "sim_ivfpq_codes" -> simIvfPqCodes _,
     "sim_ivfpq_adc" -> simIvfPqAdc _,
     "sim_ivfpq_recall" -> simIvfPqRecall _, // IVFADC: coarse + residual-PQ replay
+    "ds_rag" -> dsRag _, // chunk → hash-embed → LSH index → probe, one replayable chain
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_embed_ivf" -> ddEmbedIvf _,
     "sim_rp_ann" -> simRpAnn _,
