@@ -249,4 +249,33 @@ object Sharding {
       .withColumn("shard", ((col("pos") - 1) % numShards).cast("long"))
       .select("doc_id", "epoch", "pos", "shard")
   }
+
+  /** Curriculum staging (the length/difficulty curriculum: train on
+    * easy documents first): every document's GLOBAL difficulty rank
+    * and its ntile-style stage of `nStages`. The textbook form —
+    * `ntile(n) OVER (ORDER BY difficulty)` — is an unpartitioned
+    * window, the same Exchange SinglePartition collapse globalCumsum
+    * exists to avoid; here the rank IS a prefix count through the
+    * two-level sum. The rank key packs the integer difficulty above
+    * `idBits` id bits, so ties break by id and the block arithmetic
+    * stays pure-integer: difficulty must fit 62 − idBits bits, ids
+    * idBits bits. Stage boundaries are the exact ntile ones
+    * (⌊(rank−1)·nStages/N⌋); N rides as an in-plan 1-row broadcast,
+    * never a driver round-trip. */
+  def curriculumStages(df: DataFrame, id: Column, difficulty: Column,
+                       nStages: Int, idBits: Int = 33,
+                       blockSize: Long = 1L << 30): DataFrame = {
+    require(nStages > 0, "nStages must be positive")
+    require(idBits > 0 && idBits < 62, s"idBits out of range: $idBits")
+    val keyed = df.select(id.cast("long").as("doc_id"),
+        difficulty.cast("long").as("difficulty"))
+      .withColumn("__key",
+        shiftleft(col("difficulty"), idBits) + col("doc_id"))
+    val total = keyed.agg(count(lit(1)).as("__n"))
+    globalCumsum(keyed, "__key", lit(1L), blockSize)
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("difficulty"), col("cum").as("rank"),
+        // integer `div`, not `/`: Spark's / on longs is double division
+        expr(s"CAST(((cum - 1) * $nStages) div __n AS BIGINT)").as("stage"))
+  }
 }

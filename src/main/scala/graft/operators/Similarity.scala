@@ -312,7 +312,12 @@ object Similarity {
         val means = assigned
           .select(col("centroid_id"), posexplode(col("embedding")))
           .groupBy(col("centroid_id"), col("pos"))
-          .agg(round(avg(col("col").cast("double")), 6).as("v"))
+          // order-independent mean: per-value integer micros, an exact
+          // integer sum, one rounded division — round(avg(), 6) sits at
+          // a grid boundary whenever the true mean does, and parallel
+          // summation order then flips the 6th decimal run-to-run
+          .agg((round(sum(round(col("col").cast("double") * 1e6).cast("long"))
+              / count(lit(1))).cast("long") / 1e6).as("v"))
           .collect()
         val byCid = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
           cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
@@ -417,9 +422,13 @@ object Similarity {
         slice(col("embedding"), col("subspace").cast("int") * sub + 1, lit(sub)))
       .select(col("query_id"), col("subspace"), col("code"),
         lloydDist(col("qs"), col("cent")).as("sd"))
+    // sum EXACT integer micros, not the 6dp doubles: the sub-distances
+    // are already on the rounding grid, so a float sum lands exactly ON
+    // a round(_, 6) boundary and the result flips with summation order
+    // (parallel aggregation order is nondeterministic in any engine)
     codes.join(qsub, Seq("subspace", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(round(sum(col("sd")), 6).as("adc_dist"))
+      .agg((sum(round(col("sd") * 1e6).cast("long")) / 1e6).as("adc_dist"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
@@ -526,7 +535,12 @@ object Similarity {
         val means = assigned
           .select(col("centroid_id"), posexplode(col("embedding")))
           .groupBy(col("centroid_id"), col("pos"))
-          .agg(round(avg(col("col").cast("double")), 6).as("v"))
+          // order-independent mean: per-value integer micros, an exact
+          // integer sum, one rounded division — round(avg(), 6) sits at
+          // a grid boundary whenever the true mean does, and parallel
+          // summation order then flips the 6th decimal run-to-run
+          .agg((round(sum(round(col("col").cast("double") * 1e6).cast("long"))
+              / count(lit(1))).cast("long") / 1e6).as("v"))
           .collect()
         val byCid = means.groupBy(_.getLong(0)).map { case (cid, rows) =>
           cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
@@ -636,11 +650,12 @@ object Similarity {
         lloydDistL2(
           slice(col("qres"), col("subspace").cast("int") * sub + 1, lit(sub)),
           col("cent")).as("sd"))
+    // exact integer micros — same order-independence fix as pqAdcTopK
     codes.as("c")
       .join(qs.as("q"), col("c.centroid_id") === col("q.cell")
         && col("c.subspace") === col("q.subspace") && col("c.code") === col("q.code"))
       .groupBy(col("q.query_id").as("query_id"), col("c.vec_id").as("neighbor_id"))
-      .agg(round(sum(col("q.sd")), 6).as("adc_dist"))
+      .agg((sum(round(col("q.sd") * 1e6).cast("long")) / 1e6).as("adc_dist"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))))

@@ -103,6 +103,36 @@ object DataOps {
       annK)
   }
 
+  /** Curriculum staging over token counts (train short → long): the
+    * exact ntile quintiles through the two-level prefix-sum rank —
+    * never an unpartitioned ntile window. */
+  val curriculumStageCount = 5
+
+  def dsCurriculum(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sharding.curriculumStages(docs(s, d), col("doc_id"),
+      size(split(col("text"), " ")), curriculumStageCount)
+
+  /** Per-source document cap (the C4/RefinedWeb domain-cap policy:
+    * no single domain may dominate the corpus): keep at most
+    * capPerSource docs per source, preferring longer documents
+    * (n_chars DESC, doc_id ASC). The bounded O(k)-state aggregate
+    * replaces the per-source rank window — a hot domain's partition
+    * ships k rows through the exchange and never sorts its history,
+    * the same scale argument q37_topk_agg measures head-to-head at
+    * 150 M rows in BASELINE.md. */
+  val capPerSource = 20
+
+  def dsSourceCap(s0: SparkSession, d: String): DataFrame = {
+    val s = graft.GraftSession.boundedAggSession(s0)
+    val topk = udaf(new graft.functions.Aggregators.TopKByValue(capPerSource))
+    docs(s, d).select(col("source"), col("n_chars"), col("doc_id"))
+      .groupBy("source")
+      .agg(topk(col("n_chars"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._1").as("n_chars"), col("col._2").as("doc_id"))
+  }
+
   /** Paragraph width for the cross-doc paragraph dedup: 16 words —
     * short enough that the synthetic corpus' repeated phrases
     * actually collide across documents. */
@@ -1205,7 +1235,8 @@ object DataOps {
                 SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
                   ORDER BY dist, cid) AS rk FROM d_$out) WHERE rk = 1)"""
     def recenter(prev: String, assigned: String, out: String): String =
-      s"""m_$out AS (SELECT a.cid, t.i, round(avg(en.v[t.i]), 6) AS val
+      s"""m_$out AS (SELECT a.cid, t.i, CAST(round(sum(CAST(round(en.v[t.i] * 1000000) AS BIGINT)) * 1.0
+                   / count(*)) AS BIGINT) / 1000000.0 AS val
               FROM $assigned a JOIN en ON en.vec_id = a.vec_id
               CROSS JOIN range(1, ${lshDims + 1}) t(i)
               GROUP BY a.cid, t.i),
@@ -1247,7 +1278,8 @@ object DataOps {
                 SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
                   ORDER BY dist, cid) AS rk FROM ${p}d_$out) WHERE rk = 1)"""
     def recenter(prev: String, assigned: String, out: String): String =
-      s"""${p}m_$out AS (SELECT a.cid, t.i, round(avg(en.v[t.i]), 6) AS val
+      s"""${p}m_$out AS (SELECT a.cid, t.i, CAST(round(sum(CAST(round(en.v[t.i] * 1000000) AS BIGINT)) * 1.0
+                   / count(*)) AS BIGINT) / 1000000.0 AS val
               FROM $assigned a JOIN ${p}en en ON en.vec_id = a.vec_id
               CROSS JOIN range(1, ${dims + 1}) t(i)
               GROUP BY a.cid, t.i),
@@ -1303,7 +1335,8 @@ object DataOps {
                           * sqrt(list_sum(list_transform(b.cent, x -> x*x)))), 6) AS sd
                FROM q CROSS JOIN books b),
         pairs AS (SELECT qs.query_id, c.vec_id AS neighbor_id,
-                         round(sum(qs.sd), 6) AS adc_dist
+                         sum(CAST(round(qs.sd * 1000000) AS BIGINT)) / 1000000.0
+                           AS adc_dist
                   FROM codes c JOIN qs ON qs.subspace = c.subspace
                                       AND qs.code = c.code
                   WHERE qs.query_id <> c.vec_id
@@ -1384,7 +1417,8 @@ object DataOps {
                 SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
                   ORDER BY dist, cid) AS rk FROM ${p}d_$out) WHERE rk = 1)"""
     def recenter(prev: String, assigned: String, out: String): String =
-      s"""${p}m_$out AS (SELECT a.cid, t.i, round(avg(e.v[t.i]), 6) AS val
+      s"""${p}m_$out AS (SELECT a.cid, t.i, CAST(round(sum(CAST(round(e.v[t.i] * 1000000) AS BIGINT)) * 1.0
+                   / count(*)) AS BIGINT) / 1000000.0 AS val
               FROM $assigned a JOIN ${p}e e ON e.vec_id = a.vec_id
               CROSS JOIN range(1, ${dims + 1}) t(i)
               GROUP BY a.cid, t.i),
@@ -1445,7 +1479,8 @@ object DataOps {
                       * (q.v[CAST(b.subspace * $dims AS INT) + i] - b.cent[i]))), 6) AS sd
                FROM qres q CROSS JOIN books b),
         pairs AS (SELECT qs.query_id, cc.vec_id AS neighbor_id,
-                         round(sum(qs.sd), 6) AS adc_dist
+                         sum(CAST(round(qs.sd * 1000000) AS BIGINT)) / 1000000.0
+                           AS adc_dist
                   FROM cellcodes cc JOIN qs ON qs.cell = cc.centroid_id
                                            AND qs.subspace = cc.subspace
                                            AND qs.code = cc.code
@@ -1849,6 +1884,23 @@ object DataOps {
     "sim_ivfpq_adc" -> ivfPqAdcOracle,
     "sim_ivfpq_recall" -> ivfPqRecallOracle,
     "ds_rag" -> ragOracle,
+    "ds_source_cap" ->
+      s"""WITH r AS (SELECT source, n_chars, doc_id,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rk
+                     FROM documents)
+          SELECT source, rk, n_chars, doc_id FROM r WHERE rk <= $capPerSource""",
+    "ds_curriculum" ->
+      s"""WITH d AS (SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS difficulty
+                     FROM documents),
+          r AS (SELECT doc_id, difficulty,
+                  CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT) AS rank
+                FROM d),
+          n AS (SELECT count(*) AS n FROM d)
+          SELECT doc_id, difficulty, rank,
+                 (rank - 1) * $curriculumStageCount // n AS stage
+          FROM r, n""",
     "dd_embed_ivf" -> embedIvfOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
@@ -2687,6 +2739,8 @@ object DataOps {
     "sim_ivfpq_adc" -> simIvfPqAdc _,
     "sim_ivfpq_recall" -> simIvfPqRecall _, // IVFADC: coarse + residual-PQ replay
     "ds_rag" -> dsRag _, // chunk → hash-embed → LSH index → probe, one replayable chain
+    "ds_source_cap" -> dsSourceCap _, // domain cap via the bounded O(k) aggregate
+    "ds_curriculum" -> dsCurriculum _, // ntile stages via the prefix-sum rank
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_embed_ivf" -> ddEmbedIvf _,
     "sim_rp_ann" -> simRpAnn _,

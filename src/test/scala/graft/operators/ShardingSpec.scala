@@ -284,4 +284,35 @@ class ShardingSpec extends SparkSpec {
     val after = pack(base.unionByName(Seq((9L, 20L)).toDF("doc_id", "n")))
     assert(before.forall { case (id, sp) => after(id) == sp })
   }
+
+  test("curriculum stages equal the exact ntile, ranks are a permutation") {
+    import spark.implicits._
+    // difficulty with heavy ties; 23 rows across 5 stages (uneven split)
+    val rows = (0 until 23).map(i => (i.toLong, ((i * 7) % 5 + 1).toLong))
+    val df = rows.toDF("doc_id", "difficulty")
+    val got = Sharding.curriculumStages(df, col("doc_id"), col("difficulty"),
+        nStages = 5, idBits = 8, blockSize = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.values.map(_._2).toSeq.sorted == (1L to 23L))
+    val want = df.withColumn("rank",
+        row_number().over(Window.orderBy("difficulty", "doc_id")).cast("long"))
+      .withColumn("stage", ((col("rank") - 1) * 5 / 23).cast("long"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == want)
+  }
+
+  test("curriculum: the corpus-wide window is block-keyed, not global") {
+    val df = DataOps.dsCurriculum(spark, sf)
+    val p = finalPlan(df)
+    // exactly two single-partition stages, both over bounded frames:
+    // the O(#blocks) offsets window and the O(1) corpus-count agg —
+    // a third would mean the full table collapsed (the ntile shape)
+    assert(p.sliding("Exchange SinglePartition".length)
+      .count(_ == "Exchange SinglePartition") == 2, s"plan:\n$p")
+    assert(p.contains("windowspecdefinition(__blk"),
+      s"full-table window must partition by __blk:\n$p")
+    assert(!p.contains("ntile"), s"ntile window must not appear:\n$p")
+  }
 }
