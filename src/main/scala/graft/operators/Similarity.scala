@@ -629,11 +629,21 @@ object Similarity {
     val (coarse, books) = ivfPqTrain(emb, kc, coarseIters, m, k, iters)
     val codes = ivfPqEncodeWith(emb, coarse, books)
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
-    val sub = dims / m
     val cents = coarse.toDF("centroid_id", "cent")
     val bookDf = books.flatMap { case (s, cs) =>
       cs.map { case (cid, cent) => (s.toLong, cid, cent) }
     }.toDF("subspace", "code", "cent")
+    ivfPqProbe(codes, cents, bookDf, queries, dims / m, nprobe, topK)
+  }
+
+  /** IVFADC search against MODEL FRAMES — the serving half, shared by
+    * the live path above and the persisted-model path (the frames come
+    * from stored tables; no training, no corpus encoding, ever). The
+    * query side computes nprobe residuals + m×k sub-distance tables
+    * under the same pinned metrics the model was built with; the
+    * corpus side is the codes scan alone. */
+  def ivfPqProbe(codes: DataFrame, cents: DataFrame, books: DataFrame,
+                 queries: DataFrame, sub: Int, nprobe: Int, topK: Int): DataFrame = {
     // nprobe nearest cells under the SAME pinned coarse metric the
     // corpus was assigned with; the per-cell query residual rides along
     val probed = queries.select(col("vec_id").as("query_id"), col("embedding"))
@@ -645,7 +655,7 @@ object Similarity {
       .select(col("query_id"), col("centroid_id").as("cell"),
         zip_with(col("embedding").cast("array<double>"), col("cent"),
           (x, c) => round(x - c, 6)).as("qres"))
-    val qs = probed.crossJoin(broadcast(bookDf))
+    val qs = probed.crossJoin(broadcast(books))
       .select(col("query_id"), col("cell"), col("subspace"), col("code"),
         lloydDistL2(
           slice(col("qres"), col("subspace").cast("int") * sub + 1, lit(sub)),
@@ -662,5 +672,39 @@ object Similarity {
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
         col("rk").cast("long").as("rk"))
+  }
+
+  /** Persist-or-load the IVFADC model: the coarse centroid and
+    * residual-codebook tables (k and m·k rows — the model artifact),
+    * plus the code frame bucketed on the probe's full
+    * (centroid_id, subspace, code) equi-join key. A serving session
+    * calls this and ivfPqProbe — the train→encode pipeline runs only
+    * when the tables don't exist yet (the amortized-once index build;
+    * same contract as Dedup.ensurePersistedIndex / Bpe.ensureModel). */
+  def ensureIvfPqModel(spark: org.apache.spark.sql.SparkSession, root: String,
+                       tag: String, corpus: => DataFrame, kc: Int,
+                       coarseIters: Int, m: Int, k: Int, iters: Int,
+                       nBuckets: Int = 8): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    lazy val trained = {
+      val c = corpus
+      val (coarse, books) = ivfPqTrain(c, kc, coarseIters, m, k, iters)
+      (coarse, books, ivfPqEncodeWith(c, coarse, books))
+    }
+    val cents = Bucketing.ensureBucketed(spark, s"ivfpq_cents_$tag",
+      s"$root/cents", Seq("centroid_id"), 1) {
+      trained._1.toDF("centroid_id", "cent")
+    }
+    val books = Bucketing.ensureBucketed(spark, s"ivfpq_books_$tag",
+      s"$root/books", Seq("subspace", "code"), 1) {
+      trained._2.flatMap { case (s, cs) =>
+        cs.map { case (cid, cent) => (s.toLong, cid, cent) }
+      }.toDF("subspace", "code", "cent")
+    }
+    val codes = Bucketing.ensureBucketed(spark, s"ivfpq_codes_$tag",
+      s"$root/codes", Seq("centroid_id", "subspace", "code"), nBuckets) {
+      trained._3
+    }
+    (codes, cents, books)
   }
 }

@@ -287,6 +287,21 @@ object DataOps {
       lloydK, lloydIters, pqM, pqK, pqIters, ivfpqNprobe, annK)
   }
 
+  /** IVFADC against the PERSISTED model: centroid/codebook tables plus
+    * the code frame bucketed on the probe's (cell, subspace, code)
+    * equi-join key — a serving session reads the model, never trains
+    * or re-encodes (IvfPqModelSpec asserts the bucketed scan and
+    * child-session serving). Same answer as the live path. */
+  def simIvfPqPersisted(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (codes, cents, books) = Similarity.ensureIvfPqModel(s,
+      s"$tableRoot/$tag/ivfpq", tag, emb(s, d),
+      lloydK, lloydIters, pqM, pqK, pqIters, bucketCount)
+    Similarity.ivfPqProbe(codes, cents, books,
+      emb(s, d).filter(col("vec_id") < annQueries),
+      graft.operators.Similarity.lshDims / pqM, ivfpqNprobe, annK)
+  }
+
   /** Recall@k of IVFADC against exact brute force — the quality
     * closure for the composed cell-routed + residual-compressed
     * serving leg (contrast sim_pq_recall: flat scan, raw-vector
@@ -1883,6 +1898,8 @@ object DataOps {
     "sim_ivfpq_codes" -> ivfPqCodesOracle,
     "sim_ivfpq_adc" -> ivfPqAdcOracle,
     "sim_ivfpq_recall" -> ivfPqRecallOracle,
+    // persisted twin: identical algebra over stored model tables
+    "sim_ivfpq_persisted" -> ivfPqAdcOracle,
     "ds_rag" -> ragOracle,
     "ds_source_cap" ->
       s"""WITH r AS (SELECT source, n_chars, doc_id,
@@ -2738,6 +2755,7 @@ object DataOps {
     "sim_ivfpq_codes" -> simIvfPqCodes _,
     "sim_ivfpq_adc" -> simIvfPqAdc _,
     "sim_ivfpq_recall" -> simIvfPqRecall _, // IVFADC: coarse + residual-PQ replay
+    "sim_ivfpq_persisted" -> simIvfPqPersisted _, // serve from the stored model
     "ds_rag" -> dsRag _, // chunk → hash-embed → LSH index → probe, one replayable chain
     "ds_source_cap" -> dsSourceCap _, // domain cap via the bounded O(k) aggregate
     "ds_curriculum" -> dsCurriculum _, // ntile stages via the prefix-sum rank
