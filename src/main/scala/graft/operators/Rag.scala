@@ -47,16 +47,23 @@ object Rag {
         array((0 until dims).map(j => col(s"e$j").cast("float")): _*).as("embedding"))
   }
 
+  /** Chunk embeddings keyed by the packed chunk id — the frame both
+    * the LSH index and the exact-recall baseline consume. */
+  def chunkEmbeddings(docs: DataFrame, text: Column, id: Column,
+                      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    val ch = Chunking.chunk(docs, text, id, chunkTokens, overlapTokens)
+      .select((col("doc_id") * chunkKeyBase + col("chunk_id")).as("vec_id"),
+        col("chunk_text"))
+    hashEmbed(ch, col("chunk_text"), col("vec_id"))
+  }
+
   /** The retrieval index: overlapping chunks, embedded and laid out
     * as the sign-LSH serving frame (persist bucketed on `bucket` via
     * Bucketing.writeBucketed — same contract as annIndexFrame). */
   def chunkIndex(docs: DataFrame, text: Column, id: Column,
-                 chunkTokens: Int, overlapTokens: Int): DataFrame = {
-    val ch = Chunking.chunk(docs, text, id, chunkTokens, overlapTokens)
-      .select((col("doc_id") * chunkKeyBase + col("chunk_id")).as("vec_id"),
-        col("chunk_text"))
-    Similarity.annIndexFrame(hashEmbed(ch, col("chunk_text"), col("vec_id")))
-  }
+                 chunkTokens: Int, overlapTokens: Int): DataFrame =
+    Similarity.annIndexFrame(
+      chunkEmbeddings(docs, text, id, chunkTokens, overlapTokens))
 
   /** Retrieve top-k chunks per query text; neighbor keys decode back
     * to (src_doc, chunk_id). Queries wear negative ids so they can

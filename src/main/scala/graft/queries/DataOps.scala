@@ -112,6 +112,28 @@ object DataOps {
     graft.operators.Sharding.curriculumStages(docs(s, d), col("doc_id"),
       size(split(col("text"), " ")), curriculumStageCount)
 
+  /** Recall of the bucketed retrieval against the exact full-scan
+    * rank over the same chunk embeddings — closes the quality loop
+    * for ds_rag (same contract as sim_ann_recall / sim_pq_recall). */
+  def dsRagRecall(s: SparkSession, d: String): DataFrame = {
+    val ce = graft.operators.Rag.chunkEmbeddings(docs(s, d), col("text"),
+      col("doc_id"), chunkTokens, chunkOverlap)
+    val qe = graft.operators.Rag.hashEmbed(
+      docs(s, d).filter(col("doc_id") < ragQueries)
+        .select((-(col("doc_id") + 1)).as("qid"), col("text")),
+      col("text"), col("qid"))
+    val exact = Similarity.bruteForceTopK(ce, qe, annK)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = dsRag(s, d).select(
+      (-col("query_doc") - 1).as("query_id"),
+      (col("src_doc") * graft.operators.Rag.chunkKeyBase + col("chunk_id"))
+        .as("neighbor_id"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      .agg(round(sum(col("hits")) / (lit(annK) * ragQueries), 4).as("recall_at_k"),
+        count(lit(1)).as("queries_with_hits"))
+  }
+
   /** Per-source document cap (the C4/RefinedWeb domain-cap policy:
     * no single domain may dominate the corpus): keep at most
     * capPerSource docs per source, preferring longer documents
@@ -1132,7 +1154,7 @@ object DataOps {
     * bit 6), then the literal-plane sign-LSH bucket join and exact
     * cosine rerank — the full corpus→index→probe composition in one
     * CTE chain. */
-  private val ragOracle: String = {
+  private def ragCtes: String = {
     import graft.operators.Similarity.{lshDims, lshPlanes, planeWeight}
     val base = graft.operators.Rag.chunkKeyBase
     val c = chunkTokens; val st = chunkTokens - chunkOverlap
@@ -1188,10 +1210,39 @@ object DataOps {
         ranked AS (SELECT qid, nid, cos,
                      CAST(row_number() OVER (PARTITION BY qid
                        ORDER BY cos DESC, nid) AS BIGINT) AS rk
-                   FROM scored)
+                   FROM scored)"""
+  }
+
+  private val ragOracle: String = {
+    val base = graft.operators.Rag.chunkKeyBase
+    s"""$ragCtes
         SELECT -qid - 1 AS query_doc, nid // $base AS src_doc,
                nid % $base AS chunk_id, cos, rk
         FROM ranked WHERE rk <= $annK"""
+  }
+
+  /** Recall of the bucketed retrieval vs the exact full-scan rank over
+    * the same chunk embeddings — the quality closure for ds_rag, same
+    * contract as the other recall rows. */
+  private val ragRecallOracle: String = {
+    import graft.operators.Similarity.lshDims
+    s"""$ragCtes,
+        exact_s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                      round(list_sum(list_transform(range(1, ${lshDims + 1}),
+                        i -> a.v[i] * b.v[i])) / (na.nrm * nb.nrm), 6) AS cos
+                    FROM emb a JOIN emb b ON a.vec_id < 0 AND b.vec_id >= 0
+                    JOIN nrm na ON na.vec_id = a.vec_id
+                    JOIN nrm nb ON nb.vec_id = b.vec_id),
+        exact_rk AS (SELECT qid, nid FROM (SELECT qid, nid,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, nid) AS rk
+                     FROM exact_s) WHERE rk <= $annK),
+        lsh_rk AS (SELECT qid, nid FROM ranked WHERE rk <= $annK),
+        j AS (SELECT e.qid FROM exact_rk e
+              JOIN lsh_rk a ON a.qid = e.qid AND a.nid = e.nid),
+        g AS (SELECT qid, count(*) AS hits FROM j GROUP BY qid)
+        SELECT round(sum(hits) * 1.0 / ($annK * $ragQueries), 4) AS recall_at_k,
+               count(*) AS queries_with_hits FROM g"""
   }
 
   /** Greedy allocation as a DuckDB RECURSIVE CTE: one recursion step
@@ -1901,6 +1952,7 @@ object DataOps {
     // persisted twin: identical algebra over stored model tables
     "sim_ivfpq_persisted" -> ivfPqAdcOracle,
     "ds_rag" -> ragOracle,
+    "ds_rag_recall" -> ragRecallOracle,
     "ds_source_cap" ->
       s"""WITH r AS (SELECT source, n_chars, doc_id,
                             row_number() OVER (PARTITION BY source
@@ -2757,6 +2809,7 @@ object DataOps {
     "sim_ivfpq_recall" -> simIvfPqRecall _, // IVFADC: coarse + residual-PQ replay
     "sim_ivfpq_persisted" -> simIvfPqPersisted _, // serve from the stored model
     "ds_rag" -> dsRag _, // chunk → hash-embed → LSH index → probe, one replayable chain
+    "ds_rag_recall" -> dsRagRecall _, // retrieval quality vs exact full scan
     "ds_source_cap" -> dsSourceCap _, // domain cap via the bounded O(k) aggregate
     "ds_curriculum" -> dsCurriculum _, // ntile stages via the prefix-sum rank
     "dd_embed_neardups" -> ddEmbedNearDups _,
