@@ -159,18 +159,32 @@ object TextAnalysis {
       aggregate(transform(col("__toks"), t => length(t)), lit(0L), (a, x) => a + x)
         .as("total_chars"))
 
-    // numerator of the top-n signal: most frequent n-gram's cnt × chars
+    // numerator of the top-n signal: most frequent n-gram's cnt ×
+    // adjusted chars (Σ window token lengths = gram length minus its
+    // n−1 separators). The corpus-wide shuffle carries (doc_id, 8-byte
+    // rolling hash, window char sum) — never gram STRINGS: the string
+    // explode held the distinct (doc, gram) text in every partial-agg
+    // hash map and shuffle buffer, which is what blew the 1000×/
+    // 32-thread rehearsal (SparkOutOfMemoryError in the shuffle
+    // write). Ties break (cnt, adj) — a residual tie has the same
+    // numerator either way, so the signal itself is tie-independent.
+    // Hash-collision contract is the same as the ExactSubstr core
+    // (per-doc windows vs 64-bit keys).
     def topNum(n: Int): DataFrame = {
       val toks = col("__toks")
       val cnt = size(toks) - (n - 1)
+      val lens = transform(toks, t => length(t).cast("long"))
+      val adjs = transform(sequence(lit(1), cnt),
+        i => aggregate(slice(lens, i, lit(n)), lit(0L), (a, x) => a + x))
       toksF.select(col("doc_id"),
           explode(when(cnt >= 1,
-            transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
-            .otherwise(array())).as("gram"))
-        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id").agg(max(struct(col("cnt"), col("gram"))).as("top"))
-        .select(col("doc_id"),
-          (col("top.cnt") * (length(col("top.gram")) - (n - 1))).as(s"__num$n"))
+            zip_with(call_function("graft_grams", toks, lit(n)), adjs,
+              (h, a) => struct(h.as("h"), a.as("adj"))))
+            .otherwise(array())).as("g"))
+        .select(col("doc_id"), col("g.h").as("h"), col("g.adj").as("adj"))
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"), max(col("adj")).as("adj"))
+        .groupBy("doc_id").agg(max(struct(col("cnt"), col("adj"))).as("top"))
+        .select(col("doc_id"), (col("top.cnt") * col("top.adj")).as(s"__num$n"))
     }
 
     // numerator of the dup-n signal: chars at positions covered by

@@ -1842,19 +1842,19 @@ object DataOps {
                       FROM (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
                             FROM d, unnest(range(1, len(toks))) t(i))
                       GROUP BY doc_id, gram)
-                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, length(gram) DESC) = 1),
          t3 AS (SELECT doc_id, cnt * (length(gram) - 2) AS num
                 FROM (SELECT doc_id, gram, count(*) AS cnt
                       FROM (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
                             FROM d, unnest(range(1, len(toks) - 1)) t(i))
                       GROUP BY doc_id, gram)
-                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, length(gram) DESC) = 1),
          t4 AS (SELECT doc_id, cnt * (length(gram) - 3) AS num
                 FROM (SELECT doc_id, gram, count(*) AS cnt
                       FROM (SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
                             FROM d, unnest(range(1, len(toks) - 2)) t(i))
                       GROUP BY doc_id, gram)
-                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1),
+                QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, length(gram) DESC) = 1),
          p5 AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+4], ' ') AS gram
                 FROM d, unnest(range(1, len(toks) - 3)) t(i)),
          c5 AS (SELECT DISTINCT doc_id, pos + j AS p
