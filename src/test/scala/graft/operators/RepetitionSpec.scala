@@ -15,12 +15,20 @@ class RepetitionSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (1 to 5).map(r.getDouble))
       .toMap
 
-  test("top-n-gram fractions match the hand count, ties break to the greatest gram") {
+  test("top-n-gram fractions match the hand count on equal-length ties") {
     // "a b a b c": chars 5; 2-grams {a b: 2, b a: 1, b c: 1} → 2·2/5
-    // 3-grams all unique → tie breaks to "b a b" → 1·3/5
-    // 4-grams {a b a b, b a b c} → "b a b c" → 1·4/5; no dup 5/10-grams
+    // 3-grams all unique (equal chars → any winner, same value) → 1·3/5
+    // 4-grams {a b a b, b a b c} equal chars → 1·4/5; no dup 5/10-grams
     val out = signals(1L -> "a b a b c")
     assert(out(1L) == Seq(0.8, 0.6, 0.8, 0.0, 0.0))
+  }
+
+  test("count ties with unequal char sums break to the LONGEST gram") {
+    // "zz a zz a bbb c bbb c": chars 14; 2-gram counts: {zz a: 2,
+    // bbb c: 2, a zz: 1, a bbb: 1, c bbb: 1} — cnt tie between
+    // "zz a" (3 chars) and "bbb c" (4 chars) → longest wins → 2·4/14
+    val out = signals(9L -> "zz a zz a bbb c bbb c")
+    assert(out(9L).head == round6(8.0 / 14))
   }
 
   test("dup-n-gram coverage merges overlapping occurrences") {
