@@ -481,8 +481,14 @@ object Dedup {
   }
 
   def simhashPairs(df: DataFrame, text: Column, id: Column,
-                   bits: Int = 32, bandBits: Int = 8): DataFrame = {
-    val bands = simhashBands(simhash(df, text, id, bits), bits, bandBits)
+                   bits: Int = 32, bandBits: Int = 8): DataFrame =
+    hammingPairs(simhash(df, text, id, bits), bits, bandBits)
+
+  /** Banded Hamming-ball pair join over ANY `(doc_id, simhash)`
+    * fingerprint frame — the blocking machinery is hash-agnostic, so
+    * text SimHash and image dHash ([[Multimodal.dHash]]) share it. */
+  def hammingPairs(fp: DataFrame, bits: Int, bandBits: Int): DataFrame = {
+    val bands = simhashBands(fp, bits, bandBits)
     bands.as("a")
       .join(bands.as("b"), col("a.band") === col("b.band")
         && col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))

@@ -243,4 +243,58 @@ object Multimodal {
       PixelBuffer(b.media_id, outW, outH, b.channels, out)
     }))
   }
+
+  // ---- perceptual hashing (image near-dup dedup) ---------------------
+
+  /** dHash grid: 9 columns × 8 rows of grayscale samples → 64
+    * horizontal-gradient bits (row y, columns x vs x+1 → bit y·8+x). */
+  val dhashCols = 9
+  val dhashRows = 8
+
+  /** Difference hash (dHash) over decoded pixel buffers — the
+    * perceptual fingerprint of image dedup (the LAION-style pipeline's
+    * near-dup key): nearest-neighbor sample onto a 9×8 grayscale grid
+    * (same floor gather as [[resizeNearest]], gray = integer mean of
+    * the channels), then bit (y,x) = 1 iff gray(y,x) < gray(y,x+1).
+    * Comparing ADJACENT samples makes the hash a function of local
+    * gradients, not absolute intensity — brightness shifts and
+    * re-encodes keep the bits, which is why Hamming distance over
+    * dHashes is a near-duplicate signal where an exact byte hash sees
+    * nothing. Pure integer math (no codec), so the DuckDB oracle
+    * replays every bit; partition-local and batched like [[decode]] —
+    * fingerprinting never shuffles the corpus. */
+  def dHash(media: Dataset[PixelBuffer]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { b =>
+      def gray(y: Int, x: Int): Int = {
+        val sy = y * b.height / dhashRows
+        val sx = x * b.width / dhashCols
+        val base = (sy * b.width + sx) * b.channels
+        var s = 0
+        var c = 0
+        while (c < b.channels) { s += b.pixels(base + c) & 0xff; c += 1 }
+        s / b.channels
+      }
+      var hash = 0L
+      var y = 0
+      while (y < dhashRows) {
+        var x = 0
+        while (x < dhashCols - 1) {
+          if (gray(y, x) < gray(y, x + 1)) hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      (b.media_id, hash)
+    })).toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs: banded Hamming-ball join over the dHashes
+    * via [[Dedup.hammingPairs]] (64-bit / 16-bit bands — 4 bands,
+    * pigeonhole-lossless at the Hamming-3 cutoff, 65 536 buckets per
+    * band). The fingerprint frame shuffles 4×; never N². */
+  def imageNearDups(hashes: DataFrame): DataFrame =
+    Dedup.hammingPairs(
+      hashes.select(col("media_id").as("doc_id"), col("dhash").as("simhash")),
+      bits = 64, bandBits = 16)
 }

@@ -460,6 +460,58 @@ object Similarity {
     rerankByBucket(q, index, k)
   }
 
+  // ---- hard-negative mining (contrastive training) -------------------
+
+  /** Hard-negative mining — the contrastive-training curriculum step
+    * (DPR / SimCSE): for each query vector, the k most-similar corpus
+    * vectors whose `label` DIFFERS. Near-misses across the class
+    * boundary are where the contrastive gradient lives; random
+    * negatives are trivially separable and teach nothing. The class
+    * exclusion is a JOIN predicate, so rank k means "k-th nearest
+    * cross-class neighbor" — never "cross-class survivors of an
+    * overall top-k", which can silently return fewer than k. Exact
+    * form: |Q|·|C| dots, the oracle baseline. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val c = corpus.withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    val q = queries.withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    rankNegatives(q.as("q").join(c.as("c"),
+      col("q.vec_id") =!= col("c.vec_id")
+        && col("q.label") =!= col("c.label")), k)
+  }
+
+  /** The scale form: candidates come from the sign-LSH bucket join —
+    * a probe costs |Q| bucket lookups, never |Q|·|C| — with the label
+    * exclusion riding the SAME join, and the exact-cosine rerank
+    * running inside the bucket. Rank is "k-th nearest cross-class
+    * bucket-mate" (approximate, like every ANN; the recall knob is
+    * nPlanes). This is the mining pass a 100 TB corpus can afford:
+    * pair it with the persisted [[annIndexFrame]] layout and mining a
+    * new query batch touches only its own buckets. */
+  def hardNegativesAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                       nPlanes: Int = lshPlanes): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def prep(df: DataFrame) = lshBucket(df, nPlanes)
+      .select("vec_id", "embedding", "label", "bucket")
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    rankNegatives(prep(queries).as("q").join(prep(corpus).as("c"),
+      col("q.bucket") === col("c.bucket")
+        && col("q.vec_id") =!= col("c.vec_id")
+        && col("q.label") =!= col("c.label")), k)
+  }
+
+  private def rankNegatives(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined.withColumn("cos", round(
+      fastDot(col("q.embedding"), col("c.embedding"))
+        / (col("q.nrm") * col("c.nrm")), 6))
+    val w = Window.partitionBy(col("q.vec_id"))
+      .orderBy(col("cos").desc, col("c.vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("negative_id"),
+        col("cos"), col("rk"))
+  }
+
   def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
     // argmin as min(struct(dist, id)) — lexicographic struct ordering

@@ -223,6 +223,20 @@ object DataOps {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < annQueries), annK)
   }
 
+  /** Exact hard-negative mining: k nearest cross-class neighbors per
+    * query vector (the contrastive-training near-misses). */
+  def simHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < annQueries), annK)
+  }
+
+  /** The scale form: cross-class mining through the sign-LSH bucket
+    * join — |Q| probes, never |Q|·|C|. */
+  def simHardNegativesAnn(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.hardNegativesAnn(e, e.filter(col("vec_id") < annQueries), annK)
+  }
+
   def simLshAnn(s: SparkSession, d: String): DataFrame =
     Similarity.lshAnn(emb(s, d), annK)
 
@@ -637,6 +651,17 @@ object DataOps {
       .toDF("media_id", "out_w", "out_h", "n_bytes", "pix_sum")
   }
 
+  /** Perceptual dHash per image (the 64-bit image near-dup key). */
+  def mmPhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.dHash(Multimodal.documentsAsPixels(docs(s, d)))
+
+  /** Image near-dup pairs: banded Hamming join over the dHashes. The
+    * oracle is the BRUTE-FORCE all-pairs Hamming join at the cutoff,
+    * so the green row doubles as a banding-losslessness proof on the
+    * live corpus. */
+  def mmImageNearDups(s: SparkSession, d: String): DataFrame =
+    Multimodal.imageNearDups(mmPhash(s, d))
+
   /** Global bigram frequency table, top 20 (count desc, bigram asc —
     * a total order, so the cut is deterministic). The corpus-statistics
     * staple: one explode + one partial-agg count + a k-row ordered
@@ -1006,6 +1031,31 @@ object DataOps {
                    AND a.doc_id < b.doc_id)"""
 
   private val lshPairsCte = lshPairsCteOver("documents")
+
+  /** Shared CTE chain: the dHash replay (mirrors Multimodal.dHash over
+    * documentsAsPixels' 16×12×3 tiled-text buffers — buffer byte i is
+    * the doc's ASCII char at i mod len, the mm_resize convention).
+    * Bit 63 can't be built by `1 << 63` in signed BIGINT arithmetic;
+    * it lands via xor with MIN_BIGINT instead, and the shift argument
+    * is clamped so the THEN branch stays overflow-free even if the
+    * engine evaluates it eagerly on non-selected rows. */
+  private val phashCte =
+    """d AS (SELECT doc_id, text, len(text) AS L FROM documents),
+       g AS (SELECT doc_id, y.range AS y, x.range AS x,
+               (ord(substr(text, CAST(((((y.range*12//8)*16 + (x.range*16//9))*3 + 0) % L) AS INT) + 1, 1))
+              + ord(substr(text, CAST(((((y.range*12//8)*16 + (x.range*16//9))*3 + 1) % L) AS INT) + 1, 1))
+              + ord(substr(text, CAST(((((y.range*12//8)*16 + (x.range*16//9))*3 + 2) % L) AS INT) + 1, 1))) // 3 AS gv
+             FROM d, range(0, 8) y, range(0, 9) x),
+       bt AS (SELECT a.doc_id, a.y*8 + a.x AS k,
+                     CASE WHEN a.gv < b.gv THEN 1 ELSE 0 END AS bit
+              FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1),
+       hs AS (SELECT doc_id,
+                CAST(sum(CASE WHEN bit = 1 AND k < 63 THEN (1::BIGINT << CAST(least(k, 62) AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+                max(CASE WHEN bit = 1 AND k = 63 THEN 1 ELSE 0 END) AS hi
+              FROM bt GROUP BY doc_id),
+       ph AS (SELECT doc_id AS media_id,
+                CASE WHEN hi = 1 THEN xor(lo, (-9223372036854775808)::BIGINT) ELSE lo END AS dhash
+              FROM hs)"""
 
   /** Shared CTE: 32-bit SimHash per document (mirrors Dedup.simhash). */
   private val simhashCte = {
@@ -2017,6 +2067,48 @@ object DataOps {
                    FROM probes q JOIN bk c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
                    JOIN embeddings qe ON qe.vec_id = q.vec_id
                    JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
+    "sim_hard_negatives" ->
+      s"""WITH nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+                 (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+               GROUP BY vec_id),
+          p AS (SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+                       q.embedding AS ea, c.embedding AS eb
+                FROM embeddings q JOIN embeddings c
+                  ON q.vec_id <> c.vec_id AND q.label <> c.label
+                WHERE q.vec_id < $annQueries),
+          u AS (SELECT query_id, negative_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                       CAST(unnest(eb) AS DOUBLE) AS y FROM p),
+          d AS (SELECT query_id, negative_id, sum(x*y) AS dp FROM u
+                GROUP BY query_id, negative_id),
+          scored AS (SELECT query_id, negative_id,
+                            round(dp / (na.nrm * nb.nrm), 6) AS cos
+                     FROM d JOIN nrm na ON query_id = na.vec_id
+                            JOIN nrm nb ON negative_id = nb.vec_id),
+          ranked AS (SELECT query_id, negative_id, cos,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, negative_id) AS rk
+                     FROM scored)
+          SELECT query_id, negative_id, cos, rk FROM ranked WHERE rk <= $annK""",
+    "sim_hard_negatives_ann" ->
+      s"""WITH $lshBucketCte,
+          cand AS (SELECT q.vec_id AS query_id, c.vec_id AS negative_id,
+                          qe.embedding AS ea, ce.embedding AS eb
+                   FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+                   JOIN embeddings qe ON qe.vec_id = q.vec_id
+                   JOIN embeddings ce ON ce.vec_id = c.vec_id
+                   WHERE q.vec_id < $annQueries AND qe.label <> ce.label),
+          u AS (SELECT query_id, negative_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                       CAST(unnest(eb) AS DOUBLE) AS y FROM cand),
+          d AS (SELECT query_id, negative_id, sum(x*y) AS dp FROM u
+                GROUP BY query_id, negative_id),
+          scored AS (SELECT query_id, negative_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
+                     FROM d JOIN nrm na ON query_id = na.vec_id
+                            JOIN nrm nb ON negative_id = nb.vec_id),
+          ranked AS (SELECT query_id, negative_id, cos,
+                            row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, negative_id) AS rk
+                     FROM scored)
+          SELECT query_id, negative_id, cos, rk FROM ranked WHERE rk <= $annK""",
     "sim_ann_recall" -> annRecallSql(lshBucketCte),
     "sim_rp_ann" -> annRecallSql(rpBucketCte),
     // identical semantics to lshAnnFor over the live corpus — the
@@ -2560,6 +2652,16 @@ object DataOps {
           h AS (SELECT doc_id, ord(c) % 8 AS b FROM ch)
           SELECT doc_id AS media_id, $cols FROM h GROUP BY doc_id"""
     },
+    "mm_phash" -> s"WITH $phashCte SELECT media_id, dhash FROM ph",
+    "mm_image_neardups" ->
+      // deliberately the BRUTE-FORCE all-pairs form: oracle agreement
+      // proves the 64/16 banding loses nothing at the Hamming-3 cutoff
+      // on the live corpus, not just on spec fixtures
+      s"""WITH $phashCte
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+                 CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+          FROM ph a JOIN ph b ON a.media_id < b.media_id
+          WHERE bit_count(xor(a.dhash, b.dhash)) <= ${Dedup.simhashMaxHamming}""",
     "mm_resize" ->
       // NN gather replayed literally: source pixel index for output
       // (y, x, c) over a 16x12x3 buffer resized to 8x6 is
@@ -2832,6 +2934,8 @@ object DataOps {
     "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly
+    "sim_hard_negatives" -> simHardNegatives _,
+    "sim_hard_negatives_ann" -> simHardNegativesAnn _,
     "sim_lsh_multiprobe" -> simLshMultiProbe _,
     "sim_lsh_multiprobe_for" -> simLshMultiProbeFor _,
     "sim_lsh_multiprobe_r2" -> simLshMultiProbeR2 _,
@@ -2863,6 +2967,8 @@ object DataOps {
     "mm_frames" -> mmFrames _,
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,
+    "mm_phash" -> mmPhash _,
+    "mm_image_neardups" -> mmImageNearDups _,
     "tx_top_bigrams" -> txTopBigrams _,
     "tx_rep_ngrams" -> txRepNgrams _,
     "tx_nb_quality" -> txNbQuality _,
