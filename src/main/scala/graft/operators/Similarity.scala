@@ -460,6 +460,59 @@ object Similarity {
     rerankByBucket(q, index, k)
   }
 
+  // ---- index drift monitoring (serving-side QA) ----------------------
+
+  /** Assignment WITH the winning distance retained — the drift
+    * monitor needs how far each vector sits from its centroid, not
+    * just which cell it landed in. */
+  def lloydAssignDist(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.as("v").crossJoin(broadcast(centroids.as("cent")))
+      .withColumn("dist", lloydDist(col("v.embedding"), col("cent.cent")))
+      .groupBy(col("v.vec_id").as("vec_id"))
+      .agg(min(struct(col("dist"), col("cent.centroid_id").as("centroid_id"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        col("m.dist").as("dist"))
+
+  /** Index staleness / distribution-drift monitor — the vector-index
+    * twin of Bpe.coverage: the serving-side QA that decides when the
+    * quantizer retrains. Both sides assign under the SAME stored
+    * centroids (in production the corpus numbers come off the
+    * persisted assignment table; the batch pays |B|·k broadcast
+    * dots — the corpus never rescans). Per cell: occupancy share and
+    * mean assignment distance on each side. Diverging shares mean the
+    * index no longer balances the load (hot cells → skewed probes);
+    * a rising batch-side mean distance means the centroids no longer
+    * describe the incoming data. Mean distances aggregate as integer
+    * micro-units (the Lloyd-recenter trick), so the result is
+    * partial-order invariant and the DuckDB oracle replays it
+    * exactly. */
+  def indexDrift(centroids: DataFrame, corpus: DataFrame,
+                 batch: DataFrame): DataFrame = {
+    def cellStats(df: DataFrame, n: String, md: String): DataFrame =
+      lloydAssignDist(df, centroids)
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as(n),
+          sum(round(col("dist") * 1e6).cast("long")).as(s"__u$md"))
+        .withColumn(md, round(col(s"__u$md") / col(n) / 1e6, 6))
+        .drop(s"__u$md")
+    val c = cellStats(corpus, "corpus_n", "corpus_mean_dist")
+    val b = cellStats(batch, "batch_n", "batch_mean_dist")
+    // every stored cell appears (empty cells are a drift signal too);
+    // totals ride as 1-row in-plan broadcasts, never a driver round trip
+    val joined = centroids.select("centroid_id")
+      .join(c, Seq("centroid_id"), "left")
+      .join(b, Seq("centroid_id"), "left")
+      .na.fill(0L, Seq("corpus_n", "batch_n"))
+    val totals = joined.agg(sum(col("corpus_n")).as("ct"), sum(col("batch_n")).as("bt"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("centroid_id"), col("corpus_n"), col("batch_n"),
+        round(col("corpus_n") / col("ct"), 6).as("corpus_frac"),
+        round(col("batch_n") / col("bt"), 6).as("batch_frac"),
+        col("corpus_mean_dist"), col("batch_mean_dist"),
+        round(abs(col("corpus_n") / col("ct") - col("batch_n") / col("bt")), 6)
+          .as("share_gap"))
+  }
+
   // ---- hard-negative mining (contrastive training) -------------------
 
   /** Hard-negative mining — the contrastive-training curriculum step

@@ -223,6 +223,21 @@ object DataOps {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < annQueries), annK)
   }
 
+  /** Vector-index drift monitor: per-cell occupancy + mean assignment
+    * distance, corpus vs incoming batch, under the SAME stored
+    * quantizer (batch = vec_id%10==7, the incremental-embed split;
+    * centroids trained corpus-side — the serving posture). */
+  def simIndexDrift(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = emb(s, d)
+    val isBatch = pmod(col("vec_id"), lit(10L)) === 7
+    val corpus = e.filter(!isBatch)
+    val cents = Similarity.lloydTrain(corpus, lloydK, lloydIters)
+      .toDF("centroid_id", "cent")
+    Similarity.indexDrift(cents, corpus, e.filter(isBatch))
+  }
+
   /** Exact hard-negative mining: k nearest cross-class neighbors per
     * query vector (the contrastive-training near-misses). */
   def simHardNegatives(s: SparkSession, d: String): DataFrame = {
@@ -2067,6 +2082,45 @@ object DataOps {
                    FROM probes q JOIN bk c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
                    JOIN embeddings qe ON qe.vec_id = q.vec_id
                    JOIN embeddings ce ON ce.vec_id = c.vec_id)"""),
+    "sim_index_drift" -> {
+      import graft.operators.Similarity.lshDims
+      s"""WITH ${lloydCtesFrom("vec_id % 10 <> 7")},
+          wd AS (SELECT a.vec_id, a.cid, d.dist
+                 FROM a_f a JOIN d_f d ON d.vec_id = a.vec_id AND d.cid = a.cid),
+          be AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings WHERE vec_id % 10 = 7),
+          ben AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+                  FROM be),
+          d_bt AS (SELECT ben.vec_id, c.cid,
+                    round(1.0 - list_sum(list_transform(range(1, ${lshDims + 1}),
+                            i -> ben.v[i] * c.cent[i]))
+                          / (ben.nrm * sqrt(list_sum(list_transform(c.cent, x -> x*x)))), 6) AS dist
+                  FROM ben CROSS JOIN c$lloydIters c),
+          a_bt AS (SELECT vec_id, cid, dist FROM (
+                    SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY dist, cid) AS rk FROM d_bt) WHERE rk = 1),
+          cs AS (SELECT cid, count(*) AS corpus_n,
+                        sum(CAST(round(dist*1000000) AS BIGINT)) AS cu
+                 FROM wd GROUP BY cid),
+          bs AS (SELECT cid, count(*) AS batch_n,
+                        sum(CAST(round(dist*1000000) AS BIGINT)) AS bu
+                 FROM a_bt GROUP BY cid),
+          j AS (SELECT cl.cid, coalesce(cs.corpus_n, 0) AS corpus_n,
+                       coalesce(bs.batch_n, 0) AS batch_n,
+                       CASE WHEN cs.corpus_n IS NULL THEN NULL
+                            ELSE round(cs.cu*1.0/cs.corpus_n/1000000, 6) END AS corpus_mean_dist,
+                       CASE WHEN bs.batch_n IS NULL THEN NULL
+                            ELSE round(bs.bu*1.0/bs.batch_n/1000000, 6) END AS batch_mean_dist
+                FROM c$lloydIters cl LEFT JOIN cs ON cs.cid = cl.cid
+                     LEFT JOIN bs ON bs.cid = cl.cid),
+          tot AS (SELECT sum(corpus_n) AS ct, sum(batch_n) AS bt FROM j)
+          SELECT j.cid AS centroid_id, corpus_n, batch_n,
+                 round(corpus_n*1.0/ct, 6) AS corpus_frac,
+                 round(batch_n*1.0/bt, 6) AS batch_frac,
+                 corpus_mean_dist, batch_mean_dist,
+                 round(abs(corpus_n*1.0/ct - batch_n*1.0/bt), 6) AS share_gap
+          FROM j, tot"""
+    },
     "sim_hard_negatives" ->
       s"""WITH nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
                  (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
@@ -2934,6 +2988,7 @@ object DataOps {
     "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly
+    "sim_index_drift" -> simIndexDrift _,
     "sim_hard_negatives" -> simHardNegatives _,
     "sim_hard_negatives_ann" -> simHardNegativesAnn _,
     "sim_lsh_multiprobe" -> simLshMultiProbe _,
