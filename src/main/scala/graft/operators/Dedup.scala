@@ -531,6 +531,52 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * that decides WHICH vector to keep, not just which pairs collide.
+    * Vectors are blocked by their assigned coarse-quantizer cell
+    * (`centroids` = e.g. Similarity.lloydTrain output as
+    * (centroid_id, cent)); within a cell, cosine-near pairs
+    * (≥ threshold) are found exactly as embeddingNearDupsBy, and a
+    * vector is DROPPED when any near-neighbor outranks it. Keep
+    * priority follows the paper's diversity-keeping choice: the
+    * vector FARTHER from its cell centroid wins (it carries the
+    * information the centroid doesn't already summarize); ties break
+    * to the lower vec_id. The verdict is pairwise dominance, not
+    * one-per-connected-component — a dropped vector's own neighbors
+    * are judged against their OWN best dominator, matching the
+    * paper's per-pair epsilon sweep. The reference pipeline stops at
+    * relational ETL (/root/reference/src/data_processor.py); this is
+    * the LLM-corpus extension surface.
+    *
+    * Scale shape: the quantizer bounds the pair join to Σ|cell|²
+    * (the dd_embed_ivf argument); the dominance verdict is a
+    * pair-local projection, a distinct over loser ids, and one keyed
+    * left join — nothing all-pairs, no corpus-wide window.
+    *
+    * Returns every vector with its verdict:
+    * (vec_id, centroid_id, dist, kept). */
+  def semDedup(emb: DataFrame, centroids: DataFrame,
+               threshold: Double): DataFrame = {
+    val assigned = Similarity.lloydAssignDist(emb, centroids)
+    val cellEmb = emb.select(col("vec_id"), col("embedding"))
+      .join(assigned, Seq("vec_id"))
+    val pairs = embeddingNearDupsBy(cellEmb, "centroid_id", threshold)
+    val ranked = pairs
+      .join(assigned.select(col("vec_id").as("id_a"), col("dist").as("dist_a")),
+        Seq("id_a"))
+      .join(assigned.select(col("vec_id").as("id_b"), col("dist").as("dist_b")),
+        Seq("id_b"))
+    // id_a < id_b by construction, so on a dist tie the pair's loser is b
+    val losers = ranked.select(
+        when(col("dist_a") >= col("dist_b"), col("id_b")).otherwise(col("id_a"))
+          .as("vec_id"))
+      .distinct()
+      .withColumn("lost", lit(true))
+    assigned.join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("dist"),
+        coalesce(!col("lost"), lit(true)).as("kept"))
+  }
+
   // ---- Train/eval decontamination --------------------------------------
 
   /** Contamination report: (train doc, eval doc, shared distinct

@@ -383,6 +383,19 @@ object DataOps {
     Dedup.embeddingNearDupsBy(assigned, "centroid_id", cosineThreshold)
   }
 
+  /** SemDeDup: dd_embed_ivf's pair detection upgraded to a keep/drop
+    * verdict — within each trained cell, the member of a cosine-near
+    * pair closer to the centroid is dropped (the paper keeps the
+    * far-from-centroid representative for diversity). Same replayable
+    * Lloyd quantizer as the rest of the IVF family. */
+  def ddSemdedup(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = emb(s, d)
+    val cents = Similarity.lloydTrain(e, lloydK, lloydIters)
+    Dedup.semDedup(e, cents.toDF("centroid_id", "cent"), cosineThreshold)
+  }
+
   /** Recall@k of the JL-projected sign-LSH index (compress → index →
     * full-dim rerank) against exact brute force over the query set —
     * closes the loop sim_rp opens: the projection is only worth its
@@ -1674,6 +1687,33 @@ object DataOps {
         SELECT id_a, id_b, cos FROM sc WHERE cos >= $cosineThreshold"""
   }
 
+  /** dd_semdedup replay: the dd_embed_ivf pair chain plus the
+    * dominance verdict — each vector's assignment distance comes off
+    * the final Lloyd assign block (d_f ⋈ a_f), the pair's loser is
+    * the centroid-CLOSER member (ties → the higher id loses, since
+    * id_a < id_b and the lower id keeps). */
+  private val semdedupOracle: String = {
+    import graft.operators.Similarity.lshDims
+    s"""WITH $lloydCtes,
+        ad AS (SELECT a.vec_id, a.cid, d.dist
+               FROM a_f a JOIN d_f d ON d.vec_id = a.vec_id AND d.cid = a.cid),
+        pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM a_f a JOIN a_f b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        sc AS (SELECT pr.id_a, pr.id_b,
+                      round(list_sum(list_transform(range(1, ${lshDims + 1}),
+                              i -> ea.v[i] * eb.v[i])) / (ea.nrm * eb.nrm), 6) AS cos
+               FROM pr JOIN en ea ON ea.vec_id = pr.id_a
+                       JOIN en eb ON eb.vec_id = pr.id_b),
+        near AS (SELECT id_a, id_b FROM sc WHERE cos >= $cosineThreshold),
+        losers AS (SELECT DISTINCT CASE WHEN da.dist >= db.dist
+                          THEN near.id_b ELSE near.id_a END AS vec_id
+                   FROM near JOIN ad da ON da.vec_id = near.id_a
+                             JOIN ad db ON db.vec_id = near.id_b)
+        SELECT ad.vec_id, ad.cid AS centroid_id, ad.dist,
+               ad.vec_id NOT IN (SELECT vec_id FROM losers) AS kept
+        FROM ad"""
+  }
+
   /** dd_incremental / dd_incremental_persisted replay: batch =
     * doc_id % 10 = 7; a batch doc loses to ANY corpus doc and to
     * EARLIER batch docs only — exact (md5) or LSH-proposed +
@@ -2036,6 +2076,7 @@ object DataOps {
                  (rank - 1) * $curriculumStageCount // n AS stage
           FROM r, n""",
     "dd_embed_ivf" -> embedIvfOracle,
+    "dd_semdedup" -> semdedupOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
     "sim_lsh_ann" -> lshRerankSql(
@@ -2970,6 +3011,7 @@ object DataOps {
     "ds_curriculum" -> dsCurriculum _, // ntile stages via the prefix-sum rank
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_embed_ivf" -> ddEmbedIvf _,
+    "dd_semdedup" -> ddSemdedup _,
     "sim_rp_ann" -> simRpAnn _,
     "dd_corpus" -> ddCorpus _,
     "dd_incremental" -> ddIncremental _,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SemDeDup verdict semantics: pairwise dominance inside trained
+  * cells — the centroid-CLOSER member of a cosine-near pair drops,
+  * ties break to the lower vec_id, untouched vectors keep. */
+class SemDedupSpec extends SparkSpec {
+
+  test("semDedup drops exactly the centroid-closer member of each near pair") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0 until 300).map(i => (i.toLong, vec()))
+    val planted = (0 until 10).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.01f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val cents = Similarity.lloydTrain(df, 4, iters = 4).toDF("centroid_id", "cent")
+
+    val res = Dedup.semDedup(df, cents, 0.9)
+    val rows = res.collect()
+    assert(rows.length == 310, "every vector gets a verdict row")
+
+    // reference verdict recomputed from the operator's own building
+    // blocks: near pairs within cells + assignment distances
+    val assigned = Similarity.lloydAssignDist(df, cents)
+    val dist = assigned.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cellEmb = df.join(assigned.select("vec_id", "centroid_id"), Seq("vec_id"))
+    val pairs = Dedup.embeddingNearDupsBy(cellEmb, "centroid_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expectedLosers = pairs.map { case (a, b) =>
+      if (dist(a) >= dist(b)) b else a // id_a < id_b: tie keeps the lower id
+    }.toSet
+    assert(pairs.nonEmpty, "fixture must actually plant in-cell near pairs")
+
+    val dropped = rows.filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(dropped == expectedLosers,
+      s"verdict mismatch: dropped=$dropped expected=$expectedLosers")
+
+    // each planted pair that shares a cell loses exactly its closer member
+    val cell = assigned.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 10).map(i => (i.toLong, 1000L + i))
+      .filter { case (a, b) => cell(a) == cell(b) }
+      .foreach { case (a, b) =>
+        val loser = if (dist(a) >= dist(b)) b else a
+        assert(dropped.contains(loser), s"pair ($a,$b): closer member $loser kept")
+      }
+  }
+
+  test("semDedup keeps everything when the threshold excludes all pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val df = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val cents = Similarity.lloydTrain(df, 2, iters = 2).toDF("centroid_id", "cent")
+    val res = Dedup.semDedup(df, cents, 1.1) // cosine can't reach 1.1
+    assert(res.filter(!col("kept")).count() == 0)
+    assert(res.count() == 50)
+  }
+}
