@@ -78,4 +78,57 @@ object Rag {
         pmod(col("neighbor_id"), lit(chunkKeyBase)).as("chunk_id"),
         col("cos"), col("rk").cast("long").as("rk"))
   }
+
+  /** BM25 lexical retrieval (Robertson–Spärck Jones; the Okapi
+    * formula with idf = ln(1 + (N − df + ½)/(df + ½))) — the lexical
+    * counterpart to the vector `retrieve` path; production RAG runs
+    * both and fuses. Top-k corpus documents per query document by
+    * summed per-term score.
+    *
+    * Determinism: each (query, doc, term) contribution is rounded to
+    * integer MICRO-units before the sum (the Lloyd-recenter trick),
+    * so the score is partial-aggregation- and order-invariant and
+    * the DuckDB oracle replays it bit-exactly; ranking ties break to
+    * the lower doc_id.
+    *
+    * Scale shape: term stats are two map-side-combined aggregations;
+    * the only corpus-sized joins are keyed (postings on `term`, doc
+    * length on `doc_id`); the 1-row stats frame rides as an in-plan
+    * broadcast; ranking is the bounded O(k)-state top-k aggregate,
+    * never a corpus-wide sort. A stopword term's posting list is the
+    * skew risk — its idf floor makes the contribution tiny, so
+    * production would drop terms below an idf cut before the join
+    * (the maxPostingLen argument from the Jaccard family). */
+  def bm25TopK(corpus: DataFrame, text: Column, id: Column,
+               queries: DataFrame, qText: Column, qId: Column,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = corpus.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qt = queries
+      .select(qId.as("query_id"), explode(split(qText, " ")).as("term"))
+      .distinct()
+    val scored = qt
+      .join(dfreq, Seq("term"))
+      .join(tf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0)
+        + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("tfn", (col("tf") * lit(k1 + 1.0))
+        / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .select(col("query_id"), col("doc_id"),
+        round(col("idf") * col("tfn") * lit(1e6)).cast("long").as("c_u"))
+      .groupBy("query_id", "doc_id").agg(sum(col("c_u")).as("score_u"))
+    val topk = udaf(new graft.functions.Aggregators.TopKByValue(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("score_u"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"),
+        round(col("col._1") / lit(1e6), 6).as("score"))
+  }
 }

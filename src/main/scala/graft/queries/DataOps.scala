@@ -103,6 +103,23 @@ object DataOps {
       annK)
   }
 
+  /** BM25 lexical retrieval over the corpus, queried with the same
+    * first-ragQueries documents ds_rag uses — the lexical half of a
+    * production retrieval stack (each query doc retrieves itself at
+    * rank 1, the standard sanity anchor). Micro-unit contributions
+    * make the score order-invariant; ranking is the bounded top-k
+    * aggregate under the scoped fallback-raise session. */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  def dsBm25(s0: SparkSession, d: String): DataFrame = {
+    val s = graft.GraftSession.boundedAggSession(s0)
+    val dd = docs(s, d)
+    graft.operators.Rag.bm25TopK(dd, col("text"), col("doc_id"),
+      dd.filter(col("doc_id") < ragQueries), col("text"), col("doc_id"),
+      annK, bm25K1, bm25B)
+  }
+
   /** Curriculum staging over token counts (train short → long): the
     * exact ntile quintiles through the two-level prefix-sum rank —
     * never an unpartitioned ntile window. */
@@ -1714,6 +1731,42 @@ object DataOps {
         FROM ad"""
   }
 
+  /** ds_bm25 replay: same micro-unit contribution algebra as
+    * Rag.bm25TopK with constants interpolated from the identical
+    * Scala vals (Double.toString round-trips, so both engines parse
+    * the same IEEE literals); ranking via row_number replays the
+    * bounded aggregate's (score DESC, doc_id ASC) order. */
+  private val bm25Oracle: String =
+    s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+               GROUP BY doc_id, term),
+        dln AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        st AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dln),
+        dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qt AS (SELECT DISTINCT doc_id AS query_id, term
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents WHERE doc_id < $ragQueries)),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+                      CAST(round(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                             * ((tf.tf * ${bm25K1 + 1.0})
+                                / (tf.tf + $bm25K1 * (${1.0 - bm25B}
+                                     + $bm25B * dln.dl / st.avgdl)))
+                             * 1000000) AS BIGINT) AS c_u
+               FROM qt JOIN dfr ON dfr.term = qt.term
+                       JOIN tf ON tf.term = qt.term
+                       JOIN dln ON dln.doc_id = tf.doc_id
+                       CROSS JOIN st),
+        agg AS (SELECT query_id, doc_id, CAST(sum(c_u) AS BIGINT) AS score_u
+                FROM sc GROUP BY query_id, doc_id),
+        rk AS (SELECT query_id, doc_id, score_u,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_u DESC, doc_id) AS rank
+               FROM agg)
+        SELECT query_id, rank, doc_id, round(score_u / 1000000.0, 6) AS score
+        FROM rk WHERE rank <= $annK"""
+
   /** dd_incremental / dd_incremental_persisted replay: batch =
     * doc_id % 10 = 7; a batch doc loses to ANY corpus doc and to
     * EARLIER batch docs only — exact (md5) or LSH-proposed +
@@ -2057,6 +2110,7 @@ object DataOps {
     // persisted twin: identical algebra over stored model tables
     "sim_ivfpq_persisted" -> ivfPqAdcOracle,
     "ds_rag" -> ragOracle,
+    "ds_bm25" -> bm25Oracle,
     "ds_rag_recall" -> ragRecallOracle,
     "ds_source_cap" ->
       s"""WITH r AS (SELECT source, n_chars, doc_id,
@@ -3006,6 +3060,7 @@ object DataOps {
     "sim_ivfpq_recall" -> simIvfPqRecall _, // IVFADC: coarse + residual-PQ replay
     "sim_ivfpq_persisted" -> simIvfPqPersisted _, // serve from the stored model
     "ds_rag" -> dsRag _, // chunk → hash-embed → LSH index → probe, one replayable chain
+    "ds_bm25" -> dsBm25 _,
     "ds_rag_recall" -> dsRagRecall _, // retrieval quality vs exact full scan
     "ds_source_cap" -> dsSourceCap _, // domain cap via the bounded O(k) aggregate
     "ds_curriculum" -> dsCurriculum _, // ntile stages via the prefix-sum rank
