@@ -518,6 +518,19 @@ object DataOps {
       .select(col("doc_id"), TextAnalysis.splitAssign(col("doc_id")).as("split"))
       .groupBy("split").agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
 
+  /** Leakage-safe split: assign train/val/test by the document's
+    * dedup COMPONENT (transitive LSH near-dup cluster), not its own
+    * id — a near-duplicate pair under a naive id-hash split lands in
+    * train AND test with probability 2·0.8·0.1, silently inflating
+    * eval. Hashing the component id gives every cluster one verdict,
+    * so near-dups can never straddle splits, while singletons reduce
+    * to exactly dsSplit's per-doc assignment. Cost over dsSplit is
+    * the already-measured CC pass; the split itself stays a pure
+    * projection. */
+  def dsSplitSafe(s: SparkSession, d: String): DataFrame =
+    ddCc(s, d).select(col("doc_id"), col("component"),
+      TextAnalysis.splitAssign(col("component")).as("split"))
+
   /** Exact profile (oracle-checkable); the library default
     * `Profile.numeric` is the HLL-approximate path — see Profile's
     * scaladoc and the Expand-free plan assertions in ProfileSpec. */
@@ -2542,6 +2555,27 @@ object DataOps {
                    FROM reach GROUP BY node)
           SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
           FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+    "ds_split_safe" ->
+      // dd_cc's component chain + ds_split's md5 bucket applied to the
+      // COMPONENT id — one verdict per near-dup cluster
+      s"""WITH RECURSIVE $lshPairsCte,
+          sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+          reach(node, r) AS (
+            SELECT DISTINCT u, u FROM sym
+            UNION
+            SELECT reach.node, s.v FROM reach JOIN sym s ON reach.r = s.u),
+          comp AS (SELECT node AS doc_id, min(r) AS component
+                   FROM reach GROUP BY node),
+          allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+          SELECT doc_id, component,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 < 80 THEN 'train'
+                 WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM allc""",
     "dd_corpus_cc" ->
       s"""WITH RECURSIVE $lshPairsCte,
           sym AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -3099,6 +3133,7 @@ object DataOps {
     "dq_profile" -> dqProfile _,
     "tx_clean" -> txClean _,
     "ds_split" -> dsSplit _,
+    "ds_split_safe" -> dsSplitSafe _,
     "tx_levenshtein" -> txLevenshtein _,
     "tx_hashvec" -> txHashVec _,
     "tx_quality" -> txQuality _,
