@@ -24,6 +24,29 @@ object TextAnalysis {
       size(tokens(text)).as("ws_tokens") :+
       size(regexp_extract_all(text, lit(bpeTokenRegex), lit(0))).as("bpe_tokens"): _*)
 
+  /** Shannon-entropy quality signals (nats, 6dp): per-code-point and
+    * per-whitespace-token, each computed by the single-pass codegen
+    * kernel graft.plans.TextEntropy — an explode-free projection, so
+    * the gate costs one scan even at corpus scale (the per-char
+    * explode it replaces multiplies row count by the document length
+    * before the first aggregation). Low char entropy flags
+    * repeated-symbol garbage; token entropy separates prose from
+    * wide-vocabulary boilerplate. Micro-nat integer terms make both
+    * entropies summation-order-invariant (oracle-exact). */
+  def entropySignals(df: DataFrame, text: Column, idCols: Column*): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    val ch = call_function("graft_entropy", text, lit(""))
+    val tk = call_function("graft_entropy", text, lit(" "))
+    df.select(idCols :+ ch.as("__ch") :+ tk.as("__tk"): _*)
+      .withColumn("n_codepoints", col("__ch.n"))
+      .withColumn("distinct_chars", col("__ch.distinct"))
+      .withColumn("char_entropy", round(col("__ch.entropy_u") / lit(1e6), 6))
+      .withColumn("n_tokens", col("__tk.n"))
+      .withColumn("distinct_tokens", col("__tk.distinct"))
+      .withColumn("token_entropy", round(col("__tk.entropy_u") / lit(1e6), 6))
+      .drop("__ch", "__tk")
+  }
+
   /** Tiny per-language stopword profiles (n-gram-free heuristic: a
     * language "wins" on stopword hits; `und` = undetermined). The
     * profiles are deliberately minimal — the operator shape (N

@@ -68,6 +68,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.fvdotDescriptor)
     ext.injectFunction(GraftFunctions.gramsDescriptor)
+    ext.injectFunction(GraftFunctions.entropyDescriptor)
     ext.injectOptimizerRule(_ => RewriteVectorDot)
   }
 }
@@ -92,11 +93,27 @@ object GraftFunctions {
       s"graft_grams(tokens, k): k must be an integer literal, got $other")
   }
 
+  val entropyDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_entropy"),
+    new ExpressionInfo(classOf[TextEntropy].getName, "graft_entropy"),
+    mkEntropy _)
+
+  // the alphabet delimiter parameterizes the scan, so it must be a
+  // string literal, not a runtime column
+  private def mkEntropy(children: Seq[Expression]): Expression = children(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      TextEntropy(children(0), if (v == null) "" else v.toString)
+    case other => throw new IllegalArgumentException(
+      s"graft_entropy(text, delim): delim must be a string literal, got $other")
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fvdot", children => FloatVectorDot(children(0), children(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_grams", mkGrams, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_entropy", mkEntropy, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorDot

@@ -544,6 +544,9 @@ object DataOps {
   def txQuality(s: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, d), col("text"), col("doc_id"))
 
+  def txEntropy(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.entropySignals(docs(s, d), col("text"), col("doc_id"))
+
   def txLangid(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       TextAnalysis.languageId(col("text")).as("lang_pred"))
@@ -2734,6 +2737,33 @@ object DataOps {
       s"""SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
                  len(regexp_extract_all(text, '${TextAnalysis.bpeTokenRegex}')) AS bpe_tokens
          FROM documents""",
+    "tx_entropy" ->
+      // the micro-nat term replay: unnest → GROUP BY → per-symbol
+      // round(−p·ln(p)·10⁶) summed as integers — order-invariant, so
+      // the single-pass kernel and this explode land on one value
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+         cc AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+         cn AS (SELECT doc_id, sum(k) AS n FROM cc GROUP BY doc_id),
+         ce AS (SELECT cc.doc_id, max(cn.n) AS n, count(*) AS dst,
+                       sum(CAST(round(-(cc.k * 1.0 / cn.n) * ln(cc.k * 1.0 / cn.n)
+                                      * 1000000) AS BIGINT)) AS eu
+                FROM cc JOIN cn ON cn.doc_id = cc.doc_id GROUP BY cc.doc_id),
+         tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         tc AS (SELECT doc_id, t, count(*) AS k FROM tk GROUP BY doc_id, t),
+         tn AS (SELECT doc_id, sum(k) AS n FROM tc GROUP BY doc_id),
+         te AS (SELECT tc.doc_id, max(tn.n) AS n, count(*) AS dst,
+                       sum(CAST(round(-(tc.k * 1.0 / tn.n) * ln(tc.k * 1.0 / tn.n)
+                                      * 1000000) AS BIGINT)) AS eu
+                FROM tc JOIN tn ON tn.doc_id = tc.doc_id GROUP BY tc.doc_id)
+         SELECT d.doc_id,
+                CAST(ce.n AS BIGINT) AS n_codepoints,
+                CAST(ce.dst AS BIGINT) AS distinct_chars,
+                round(ce.eu / 1000000.0, 6) AS char_entropy,
+                CAST(te.n AS BIGINT) AS n_tokens,
+                CAST(te.dst AS BIGINT) AS distinct_tokens,
+                round(te.eu / 1000000.0, 6) AS token_entropy
+         FROM documents d JOIN ce ON ce.doc_id = d.doc_id
+                          JOIN te ON te.doc_id = d.doc_id""",
     "tx_quality" -> {
       val sw = TextAnalysis.langProfiles.flatMap(_._2).distinct
         .map(w => s"'$w'").mkString("[", ", ", "]")
@@ -3137,6 +3167,7 @@ object DataOps {
     "tx_levenshtein" -> txLevenshtein _,
     "tx_hashvec" -> txHashVec _,
     "tx_quality" -> txQuality _,
+    "tx_entropy" -> txEntropy _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
     "dd_cc" -> ddCc _,
