@@ -120,6 +120,47 @@ object DataOps {
       annK, bm25K1, bm25B)
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    * the standard k₀=60 form) of the BM25 lexical list and the
+    * embedding cosine list for the same query documents — the fusion
+    * step every production retrieval stack runs over its lexical and
+    * vector halves. Both lists are already rank-deterministic, and
+    * each fused score is at most two fixed-order 1/(k₀+rank) terms,
+    * so the composite replays exactly. The fusion itself touches only
+    * the union of the two top-k lists (≤ 2k rows per query) — its
+    * cost is nil next to the retrievals; the vector half here is the
+    * exact brute-force list (|Q| tiny), with the ANN family as the
+    * documented scale path. */
+  val rrfK0 = 60
+
+  def dsHybridRrf(s0: SparkSession, d: String): DataFrame = {
+    val s = graft.GraftSession.boundedAggSession(s0)
+    val dd = docs(s, d)
+    val lex = graft.operators.Rag.bm25TopK(dd, col("text"), col("doc_id"),
+        dd.filter(col("doc_id") < ragQueries), col("text"), col("doc_id"),
+        annK, bm25K1, bm25B)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val de = graft.operators.Rag.hashEmbed(dd, col("text"), col("doc_id"))
+    val vec = Similarity
+      .bruteForceTopK(de, de.filter(col("vec_id") < ragQueries), annK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rk").cast("long").as("vec_rank"))
+    val cand = lex.select("query_id", "doc_id")
+      .union(vec.select("query_id", "doc_id")).distinct()
+    val fused = cand
+      .join(lex, Seq("query_id", "doc_id"), "left")
+      .join(vec, Seq("query_id", "doc_id"), "left")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK0) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK0) + col("vec_rank")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= annK)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+
   /** Curriculum staging over token counts (train short → long): the
     * exact ntile quintiles through the two-level prefix-sum rank —
     * never an unpartitioned ntile window. */
@@ -530,6 +571,17 @@ object DataOps {
   def dsSplitSafe(s: SparkSession, d: String): DataFrame =
     ddCc(s, d).select(col("doc_id"), col("component"),
       TextAnalysis.splitAssign(col("component")).as("split"))
+
+  /** Dedup audit rollup: the cluster-size histogram every dedup run
+    * reports before anyone trusts its drop rate — n_clusters per
+    * component size (size 1 = unique docs) and the duplicate mass
+    * each size contributes ((size−1)·n, what dedup would remove).
+    * Two keyed aggregations over the CC output; the histogram is at
+    * most max-cluster-size rows. */
+  def ddClusterSizes(s: SparkSession, d: String): DataFrame =
+    ddCc(s, d).groupBy("component").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("dup_docs", (col("csize") - 1) * col("n_clusters"))
 
   /** Exact profile (oracle-checkable); the library default
     * `Profile.numeric` is the HLL-approximate path — see Profile's
@@ -1783,6 +1835,88 @@ object DataOps {
         SELECT query_id, rank, doc_id, round(score_u / 1000000.0, 6) AS score
         FROM rk WHERE rank <= $annK"""
 
+  /** ds_hybrid_rrf replay: the bm25Oracle chain ranked to its top-k,
+    * the doc-level hash-embed + exact-cosine chain (ragCtes' embed
+    * algebra without the chunking), and the two-term RRF sum over
+    * the union of the lists. */
+  private val hybridRrfOracle: String = {
+    import graft.operators.Similarity.lshDims
+    s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents)
+               GROUP BY doc_id, term),
+        dln AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        st AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dln),
+        dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        qt AS (SELECT DISTINCT doc_id AS query_id, term
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents WHERE doc_id < $ragQueries)),
+        sc AS (SELECT qt.query_id, tf.doc_id,
+                      CAST(round(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                             * ((tf.tf * ${bm25K1 + 1.0})
+                                / (tf.tf + $bm25K1 * (${1.0 - bm25B}
+                                     + $bm25B * dln.dl / st.avgdl)))
+                             * 1000000) AS BIGINT) AS c_u
+               FROM qt JOIN dfr ON dfr.term = qt.term
+                       JOIN tf ON tf.term = qt.term
+                       JOIN dln ON dln.doc_id = tf.doc_id
+                       CROSS JOIN st),
+        agg AS (SELECT query_id, doc_id, CAST(sum(c_u) AS BIGINT) AS score_u
+                FROM sc GROUP BY query_id, doc_id),
+        lrk AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score_u DESC, doc_id) AS lex_rank
+               FROM agg),
+        ltop AS (SELECT query_id, doc_id, lex_rank FROM lrk
+                 WHERE lex_rank <= $annK),
+        th AS (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h
+               FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                     FROM documents)),
+        sgt AS (SELECT doc_id, h % $lshDims AS dd,
+                      CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sgn
+                FROM th),
+        agv AS (SELECT doc_id, dd, sum(sgn) AS v FROM sgt GROUP BY doc_id, dd),
+        dims AS (SELECT t.doc_id, r.dd, coalesce(a.v, 0.0) AS v
+                 FROM (SELECT doc_id FROM documents) t
+                 CROSS JOIN range(0, $lshDims) r(dd)
+                 LEFT JOIN agv a ON a.doc_id = t.doc_id AND a.dd = r.dd),
+        emb2 AS MATERIALIZED (SELECT doc_id,
+                 list(CAST(CAST(v AS FLOAT) AS DOUBLE) ORDER BY dd) AS v
+               FROM dims GROUP BY doc_id),
+        nrm2 AS (SELECT doc_id, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+                 FROM emb2),
+        vsc AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+                      round(list_sum(list_transform(range(1, ${lshDims + 1}),
+                              i -> q.v[i] * c.v[i])) / (nq.nrm * nc2.nrm), 6) AS cos
+                FROM emb2 q JOIN emb2 c ON c.doc_id <> q.doc_id
+                     JOIN nrm2 nq ON nq.doc_id = q.doc_id
+                     JOIN nrm2 nc2 ON nc2.doc_id = c.doc_id
+                WHERE q.doc_id < $ragQueries),
+        vrk AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, doc_id) AS vec_rank
+                FROM vsc),
+        vtop AS (SELECT query_id, doc_id, vec_rank FROM vrk
+                 WHERE vec_rank <= $annK),
+        cand AS (SELECT query_id, doc_id FROM ltop
+                 UNION SELECT query_id, doc_id FROM vtop),
+        fused AS (SELECT cand.query_id, cand.doc_id,
+                        coalesce(1.0 / ($rrfK0 + l.lex_rank), 0.0)
+                          + coalesce(1.0 / ($rrfK0 + v.vec_rank), 0.0) AS rrf
+                  FROM cand
+                  LEFT JOIN ltop l ON l.query_id = cand.query_id
+                                  AND l.doc_id = cand.doc_id
+                  LEFT JOIN vtop v ON v.query_id = cand.query_id
+                                  AND v.doc_id = cand.doc_id),
+        frk AS (SELECT query_id, doc_id, rrf,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+                FROM fused)
+        SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf_score
+        FROM frk WHERE rank <= $annK"""
+  }
+
   /** dd_incremental / dd_incremental_persisted replay: batch =
     * doc_id % 10 = 7; a batch doc loses to ANY corpus doc and to
     * EARLIER batch docs only — exact (md5) or LSH-proposed +
@@ -2127,6 +2261,7 @@ object DataOps {
     "sim_ivfpq_persisted" -> ivfPqAdcOracle,
     "ds_rag" -> ragOracle,
     "ds_bm25" -> bm25Oracle,
+    "ds_hybrid_rrf" -> hybridRrfOracle,
     "ds_rag_recall" -> ragRecallOracle,
     "ds_source_cap" ->
       s"""WITH r AS (SELECT source, n_chars, doc_id,
@@ -2579,6 +2714,22 @@ object DataOps {
                    % 100 < 90 THEN 'val'
                  ELSE 'test' END AS split
           FROM allc""",
+    "dd_cluster_sizes" ->
+      s"""WITH RECURSIVE $lshPairsCte,
+          sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+          reach(node, r) AS (
+            SELECT DISTINCT u, u FROM sym
+            UNION
+            SELECT reach.node, s.v FROM reach JOIN sym s ON reach.r = s.u),
+          comp AS (SELECT node AS doc_id, min(r) AS component
+                   FROM reach GROUP BY node),
+          allc AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+                   FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+          cs AS (SELECT component, count(*) AS csize FROM allc GROUP BY component)
+          SELECT csize, count(*) AS n_clusters,
+                 (csize - 1) * count(*) AS dup_docs
+          FROM cs GROUP BY csize""",
     "dd_corpus_cc" ->
       s"""WITH RECURSIVE $lshPairsCte,
           sym AS (SELECT id_a AS u, id_b AS v FROM pairs
@@ -3125,6 +3276,7 @@ object DataOps {
     "sim_ivfpq_persisted" -> simIvfPqPersisted _, // serve from the stored model
     "ds_rag" -> dsRag _, // chunk → hash-embed → LSH index → probe, one replayable chain
     "ds_bm25" -> dsBm25 _,
+    "ds_hybrid_rrf" -> dsHybridRrf _,
     "ds_rag_recall" -> dsRagRecall _, // retrieval quality vs exact full scan
     "ds_source_cap" -> dsSourceCap _, // domain cap via the bounded O(k) aggregate
     "ds_curriculum" -> dsCurriculum _, // ntile stages via the prefix-sum rank
@@ -3164,6 +3316,7 @@ object DataOps {
     "tx_clean" -> txClean _,
     "ds_split" -> dsSplit _,
     "ds_split_safe" -> dsSplitSafe _,
+    "dd_cluster_sizes" -> ddClusterSizes _,
     "tx_levenshtein" -> txLevenshtein _,
     "tx_hashvec" -> txHashVec _,
     "tx_quality" -> txQuality _,
