@@ -333,6 +333,60 @@ object Rehearsal {
             cents.toDF("centroid_id", "cent"))
           .groupBy("centroid_id").agg(count(lit(1))).count()
       },
+      // BM25: corpus-sized term stats (tf/df/dl — all map-side
+      // combined) + query-bound postings probes. Queries stay FIXED
+      // (3 docs wearing replica-0 vocabulary, so they genuinely match
+      // one replica's postings) — the honest floor is the linear
+      // stats pass; probe cost must not grow with MULT
+      "bm25" -> { () =>
+        val sb = GraftSession.boundedAggSession(spark)
+        // repartition AFTER the salting crossJoin: the base parquet is
+        // one split, so the replicated frame would otherwise run its
+        // whole tokenize/stats map side in a single task — a
+        // small-file artifact a real many-split scan never has
+        val docsB = replicate(Tables(sb, sfDir, "documents"), mult) { d =>
+          d.select((col("doc_id") * m + col("__rep")).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1_"), col("__rep"))).as("text"))
+        }.repartition(32)
+        val queriesB = Tables(sb, sfDir, "documents")
+          .filter(col("doc_id") < 3)
+          .select((-(col("doc_id") + 1)).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"), lit("$1_0")).as("text"))
+        graft.operators.Rag.bm25TopK(docsB, col("text"), col("doc_id"),
+          queriesB, col("text"), col("doc_id"), 5).count()
+      },
+      // entropy signals: the explode-free single-pass kernel — a pure
+      // projection, so the decade curve must track the raw scan.
+      // Consume both entropies so pruning can't drop a kernel call
+      "entropy" -> { () =>
+        graft.operators.TextAnalysis.entropySignals(docsR, col("text"), col("doc_id"))
+          .agg(count(lit(1)),
+            sum(col("char_entropy") + col("token_entropy")))
+          .collect()(0).getLong(0)
+      },
+      // SemDeDup: coarse train/assign (full-scan shaped) + the
+      // within-cell pair join (Σ|cell|², the dd_embed_ivf bound) +
+      // the pair-local dominance verdict. The cell count GROWS with
+      // the corpus (k = 4·MULT, cells stay ~2000 vectors) — holding k
+      // fixed makes Σ|cell|² = N²/k quadratic by construction, which
+      // a 10× probe measured at 48×/decade before this was scaled;
+      // bounding cell size is the production IVF posture the operator
+      // scaladoc documents. Training runs on the fixed base-replica
+      // sample and assigns the full corpus (sample-train/full-assign,
+      // the sim_ivf_kmeans serving pattern).
+      "semdedup" -> { () =>
+        val spark2 = embR.sparkSession
+        import spark2.implicits._
+        // same single-split artifact as bm25: the N·k broadcast-argmin
+        // assign runs BEFORE any exchange, so it inherits the base
+        // file's one partition unless re-spread
+        val embP = embR.repartition(32)
+        val sample = embP.filter(pmod(col("vec_id"), m) === 0)
+        val cents = graft.operators.Similarity.lloydTrain(sample, 4 * mult, 2)
+        Dedup.semDedup(embP, cents.toDF("centroid_id", "cent"), 0.3)
+          .filter(!col("kept")).count()
+      },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
       },

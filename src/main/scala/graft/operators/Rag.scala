@@ -104,7 +104,10 @@ object Rag {
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val tf = corpus.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // doc length = token count — a pure projection (Σ tf would re-run
+    // the tokenize explode and a second corpus-keyed aggregation)
+    val dl = corpus.select(id.as("doc_id"),
+      size(split(text, " ")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -1809,7 +1809,8 @@ object DataOps {
                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                      FROM documents)
                GROUP BY doc_id, term),
-        dln AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        dln AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents),
         st AS (SELECT count(*) AS n_docs,
                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dln),
         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -1845,7 +1846,8 @@ object DataOps {
                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                      FROM documents)
                GROUP BY doc_id, term),
-        dln AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        dln AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+               FROM documents),
         st AS (SELECT count(*) AS n_docs,
                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dln),
         dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

@@ -196,7 +196,31 @@ object Events {
         col("m.event_id").as("last_event_id"),
         col("m.event_type").as("last_type"), col("m.value").as("last_value"))
 
+  /** Context width for next-event training examples. */
+  val seqCtx = 5
+
+  /** Sequence-model dataset shaping (SASRec/GRU4Rec-style): for every
+    * event with ≥ seqCtx predecessors in its user's timeline, input =
+    * the previous seqCtx event types oldest-first and label = the
+    * event's own type — the next-item-prediction examples a
+    * recommender/behavior model trains on. All seqCtx lags share one
+    * window frame, so the cost is a single per-user sorted pass;
+    * partition depth (a user's history) is the scale axis, the same
+    * one the 1000× window rows measure. */
+  def evSeqExamples(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val lags = (seqCtx to 1 by -1).map(i => lag(col("event_type"), i).over(w))
+    ev(s, d)
+      .withColumn("tsu", tsUs)
+      .withColumn("input_seq", concat_ws(" ", lags: _*))
+      .withColumn("full_ctx", lag(col("event_type"), seqCtx).over(w).isNotNull)
+      .filter(col("full_ctx"))
+      .select(col("user_id"), col("event_id"), col("input_seq"),
+        col("event_type").as("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_seq_examples" -> evSeqExamples _,
     "ev_window_agg" -> evWindowAgg _,
     "ev_latest" -> evLatest _,
     "ev_sessions" -> evSessions _,
@@ -224,6 +248,19 @@ object Events {
                      FROM sess GROUP BY user_id, session_id)"""
 
   val oracleSql: Map[String, String] = Map(
+    "ev_seq_examples" -> {
+      val lagCols = (seqCtx to 1 by -1)
+        .map(i => s"lag(event_type, $i) OVER w AS l$i").mkString(", ")
+      val joined = (seqCtx to 1 by -1).map(i => s"l$i").mkString(" || ' ' || ")
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+                     FROM events),
+          lagged AS (SELECT user_id, event_id, event_type, $lagCols
+                     FROM e WINDOW w AS (PARTITION BY user_id
+                       ORDER BY tsu, event_id))
+          SELECT user_id, event_id, $joined AS input_seq,
+                 event_type AS label
+          FROM lagged WHERE l$seqCtx IS NOT NULL"""
+    },
     "ev_scd2" ->
       // lead() closes each interval; the current row is the one with
       // no successor — same (tsu, event_id) tie order as the Spark side

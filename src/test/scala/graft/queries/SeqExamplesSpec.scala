@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ev_seq_examples shaping laws on a hand-computed timeline. */
+class SeqExamplesSpec extends SparkSpec {
+
+  test("each post-warmup event yields one example with its true context") {
+    import spark.implicits._
+    // user 1: a b c d e f g (7 events) → 2 examples; user 2: 3 events → 0
+    val types = Seq("a", "b", "c", "d", "e", "f", "g")
+    val rows =
+      types.zipWithIndex.map { case (t, i) =>
+        (i.toLong, new java.sql.Timestamp(1000L * (i + 1)), 1L, t) } ++
+      Seq("x", "y", "z").zipWithIndex.map { case (t, i) =>
+        (100L + i, new java.sql.Timestamp(1000L * (i + 1)), 2L, t) }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type")
+
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val lags = (Events.seqCtx to 1 by -1).map(i => lag(col("event_type"), i).over(w))
+    val out = ev
+      .withColumn("input_seq", concat_ws(" ", lags: _*))
+      .withColumn("full_ctx", lag(col("event_type"), Events.seqCtx).over(w).isNotNull)
+      .filter(col("full_ctx"))
+      .select(col("user_id"), col("event_id"), col("input_seq"),
+        col("event_type").as("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(_._2)
+
+    assert(out.length == 2, s"7 events, ctx 5 → 2 examples: ${out.toSeq}")
+    assert(out(0) == (1L, 5L, "a b c d e", "f"))
+    assert(out(1) == (1L, 6L, "b c d e f", "g"))
+  }
+
+  test("the registered query emits n - ctx examples per deep user") {
+    val sf = "/root/testdata/sf0.001"
+    val perUser = graft.Tables.eventsNanos(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = perUser.values.map(n => math.max(0L, n - Events.seqCtx)).sum
+    assert(Events.evSeqExamples(spark, sf).count() == expected)
+  }
+}
