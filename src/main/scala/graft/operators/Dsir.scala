@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.tokenHash
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): score every raw-pool document by how much its
+  * hashed n-gram distribution looks like a small target corpus, then
+  * keep the top of the pool. This is the pretraining-data selector
+  * that sits between raw crawl and the quality gates: the reference
+  * pipeline has no counterpart (its corpus is trusted retail feeds);
+  * at 100 TB the selector IS the budget decision.
+  *
+  * Model: unigram+bigram bag-of-words hashed into [[buckets]] cells
+  * (the paper's hashed n-gram features). Target distribution p and
+  * raw distribution q are add-one-smoothed bucket frequencies; a
+  * document's importance weight is Σ_b cnt_b·(ln p_b − ln q_b) — its
+  * log-likelihood ratio under the two bag models.
+  *
+  * Determinism: the per-bucket log-ratio is rounded to integer
+  * MICRO-nats first, so every document weight is an exact integer
+  * sum — partial-aggregation- and order-invariant, bit-replayable in
+  * DuckDB (same trick as BM25 / the entropy kernel).
+  *
+  * Scale shape: ONE gram explode over the pool (the corpus's only
+  * heavy pass, map-side combined into ≤ |doc|·buckets rows); the
+  * bucket model is a ≤ [[buckets]]-row frame built by a second keyed
+  * agg over those counts and broadcast back; scoring is a broadcast
+  * join + one keyed sum. Selection is orderBy(...).limit(k) —
+  * Spark's TakeOrdered, O(k) state per partition, never a global
+  * sort. Nothing here is target-corpus-sized except the is_target
+  * flag the caller supplies as a column.
+  */
+object Dsir {
+
+  /** Hashed feature space (buckets for unigram+bigram grams). 2^12
+    * keeps the model frame broadcast-tiny while leaving bucket
+    * collisions rare at the test vocabulary; production would raise
+    * it (the paper uses 10^4) — every stage below is bucket-count
+    * agnostic. */
+  val buckets = 4096
+
+  /** Unigram + bigram stream of a document (single-space token
+    * convention). Guarded: Spark's sequence(1, n) DESCENDS for n<1,
+    * so single-token docs must short-circuit to an empty bigram
+    * list. */
+  private def gramsCol(text: Column): Column = {
+    val toks = split(text, " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** (doc_id, is_target, bucket, cnt): the hashed gram bag of every
+    * pool document — the one corpus-sized frame all downstream stages
+    * share. */
+  def gramBag(pool: DataFrame, text: Column, id: Column, isTarget: Column): DataFrame =
+    pool.select(id.as("doc_id"), isTarget.as("is_target"),
+        explode(gramsCol(text)).as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(tokenHash(col("gram")), lit(buckets.toLong)).as("bucket"))
+      .groupBy("doc_id", "is_target", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Per-bucket importance log-ratio in integer micro-nats:
+    * round(1e6·(ln(t_b+1) − ln(T+B) − ln(r_b+1) + ln(R+B))), where
+    * t/r are target/raw bucket counts and T/R their totals (add-one
+    * smoothing over B = [[buckets]] cells). ≤ B rows → broadcast. */
+  def ratios(bag: DataFrame): DataFrame = {
+    val rb = bag.groupBy("bucket").agg(
+      sum(col("cnt")).as("rn"),
+      sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("tn"))
+    val tot = rb.agg(sum(col("rn")).as("rtot"), sum(col("tn")).as("ttot"))
+    rb.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round((log(col("tn") + 1) - log(col("ttot") + buckets)
+          - log(col("rn") + 1) + log(col("rtot") + buckets)) * 1e6)
+          .cast("long").as("llr_micro"))
+  }
+
+  /** (doc_id, weight_micro): exact-integer importance weight of every
+    * pool document under the pool's own target/raw split. The model
+    * is fit on the SAME pool it scores (raw ⊇ scored is the DSIR
+    * contract — a bucket unseen in raw cannot appear in a scored
+    * doc, so the model join is inner and lossless). */
+  def weights(pool: DataFrame, text: Column, id: Column, isTarget: Column): DataFrame = {
+    val bag = gramBag(pool, text, id, isTarget)
+    bag.join(broadcast(ratios(bag)), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("llr_micro")).as("weight_micro"))
+  }
+
+  /** Top-k most-target-like pool documents (weight desc, doc_id asc).
+    * The rank window runs AFTER the TakeOrdered limit, on k rows —
+    * never a corpus-wide single-partition sort. */
+  def selectTopK(pool: DataFrame, text: Column, id: Column, isTarget: Column,
+                 k: Int): DataFrame =
+    weights(pool, text, id, isTarget)
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk",
+        row_number().over(
+          Window.orderBy(col("weight_micro").desc, col("doc_id"))))
+      .select(col("rk").cast("long").as("rk"), col("doc_id"), col("weight_micro"))
+}

@@ -120,6 +120,23 @@ object DataOps {
       annK, bm25K1, bm25B)
   }
 
+  /** DSIR data selection (Xie 2023): importance weight of every
+    * document under a hashed-n-gram bag model fit with target =
+    * the English docs and raw = the whole corpus — the
+    * crawl-to-pretraining budget selector. Integer micro-nat
+    * log-ratios make every weight an exact integer (order-invariant,
+    * bit-replayable); one gram explode, a broadcast-sized bucket
+    * model, TakeOrdered selection. */
+  val dsirK = 50
+
+  def dsDsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dsir.weights(docs(s, d), col("text"), col("doc_id"),
+      col("lang") === "en")
+
+  def dsDsirSelect(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dsir.selectTopK(docs(s, d), col("text"), col("doc_id"),
+      col("lang") === "en", dsirK)
+
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
     * the standard k₀=60 form) of the BM25 lexical list and the
     * embedding cosine list for the same query documents — the fusion
@@ -2243,7 +2260,45 @@ object DataOps {
                       ELSE 'kept' END AS verdict
           FROM flags f LEFT JOIN kept k ON f.doc_id = k.doc_id"""
 
+  /** DSIR replay: same gram stream (unigrams + bigrams), same md5
+    * bucket hash, same add-one bucket model, same micro-nat rounding
+    * before the integer weight sum — ln parity with Spark holds
+    * because both sides micro-round data-dependent logs (the BM25
+    * precedent). */
+  private val dsirCtes: String = {
+    val b = graft.operators.Dsir.buckets
+    s"""toks AS (SELECT doc_id, lang = 'en' AS is_target,
+                        string_split(text, ' ') AS t FROM documents),
+        grams AS (SELECT doc_id, is_target,
+                    unnest(t || list_transform(range(1, len(t)),
+                                               i -> t[i] || ' ' || t[i+1])) AS gram
+                  FROM toks),
+        bag AS (SELECT doc_id, is_target,
+                  CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % $b AS bucket,
+                  count(*) AS cnt
+                FROM grams GROUP BY 1, 2, 3),
+        rb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rn,
+                  CAST(sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS BIGINT) AS tn
+               FROM bag GROUP BY 1),
+        tot AS (SELECT CAST(sum(rn) AS BIGINT) AS rtot,
+                       CAST(sum(tn) AS BIGINT) AS ttot FROM rb),
+        llr AS (SELECT bucket,
+                  CAST(round(1e6 * (ln(tn + 1) - ln(ttot + $b)
+                       - ln(rn + 1) + ln(rtot + $b))) AS BIGINT) AS llr_micro
+                FROM rb, tot),
+        w AS (SELECT bag.doc_id,
+                     CAST(sum(bag.cnt * llr.llr_micro) AS BIGINT) AS weight_micro
+              FROM bag JOIN llr USING (bucket) GROUP BY 1)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ds_dsir_weights" ->
+      s"WITH $dsirCtes SELECT doc_id, weight_micro FROM w",
+    "ds_dsir_select" ->
+      s"""WITH $dsirCtes
+          SELECT CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
+                      AS BIGINT) AS rk, doc_id, weight_micro
+          FROM w ORDER BY weight_micro DESC, doc_id LIMIT $dsirK""",
     "ds_contamination" ->
       s"WITH $contaminationCtes SELECT train_id, eval_id, shared_ngrams FROM cpairs",
     "ds_decontaminate" ->
@@ -3278,6 +3333,8 @@ object DataOps {
     "sim_ivfpq_persisted" -> simIvfPqPersisted _, // serve from the stored model
     "ds_rag" -> dsRag _, // chunk → hash-embed → LSH index → probe, one replayable chain
     "ds_bm25" -> dsBm25 _,
+    "ds_dsir_weights" -> dsDsirWeights _, // DSIR importance weights (Xie 2023)
+    "ds_dsir_select" -> dsDsirSelect _,   // DSIR top-k budget selection
     "ds_hybrid_rrf" -> dsHybridRrf _,
     "ds_rag_recall" -> dsRagRecall _, // retrieval quality vs exact full scan
     "ds_source_cap" -> dsSourceCap _, // domain cap via the bounded O(k) aggregate
