@@ -137,6 +137,37 @@ object Similarity {
   def annIndexFrame(corpus: DataFrame, nPlanes: Int = lshPlanes): DataFrame =
     bucketedNormed(corpus, nPlanes)
 
+  /** Cross-corpus mutual-best-match mining (Artetxe & Schwenk 2019's
+    * bidirectional criterion, the bitext-mining / dataset-linking
+    * alignment primitive): a pair (a, b) survives only when b is a's
+    * best exact-cosine candidate AND a is b's — the filter that kills
+    * hub vectors which are "someone's nearest neighbor" thousands of
+    * times over.
+    *
+    * Shape: BOTH sides are full corpora, so candidates are blocked by
+    * the shared sign-LSH bucket — one bucket-keyed equi-join (each
+    * side shuffles once on `bucket`, candidate volume Σ_b |A_b|·|B_b|,
+    * never |A|·|B|), then the SAME candidate frame is ranked in both
+    * directions by two keyed windows; a row where both row_numbers
+    * are 1 is mutual. No second join, no second hyperplane pass. */
+  def mutualMatches(a: DataFrame, b: DataFrame,
+                    nPlanes: Int = lshPlanes): DataFrame = {
+    GraftFunctions.ensureRegistered(a.sparkSession)
+    val ab = bucketedNormed(a, nPlanes)
+    val bb = bucketedNormed(b, nPlanes)
+    val scored = ab.as("a").join(bb.as("b"), col("a.bucket") === col("b.bucket"))
+      .withColumn("cos", round(
+        fastDot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cos"))
+    val fw = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
+    val bw = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id"))
+    scored.withColumn("fr", row_number().over(fw))
+      .withColumn("br", row_number().over(bw))
+      .filter(col("fr") === 1 && col("br") === 1)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
   /** Probe a stored index frame: only the query side computes its
     * sign bits; the index is consumed as-is. Same answer as
     * lshAnnFor(corpus, queries, k) over the corpus the index was

@@ -333,6 +333,17 @@ object DataOps {
   def simLshMultiProbe(s: SparkSession, d: String): DataFrame =
     Similarity.lshAnnMultiProbe(emb(s, d), annK)
 
+  /** Cross-corpus alignment: mutual best matches between the even-id
+    * and odd-id halves of the embedding corpus — the bitext-mining /
+    * dataset-linking verdict (both sides corpus-sized, LSH-bucket
+    * blocked, one candidate join ranked in both directions). */
+  def simMutualMatch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.mutualMatches(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0),
+      e.filter(pmod(col("vec_id"), lit(2)) === 1))
+  }
+
   /** Multi-probe bound to the query SET — a 10-lookup probe costs
     * 10·17 bucket probes, not |corpus|·17 (the same asymmetry that
     * took sim_ann_recall from 9.9s to 0.9s in r3). */
@@ -1307,6 +1318,32 @@ object DataOps {
   /** Bucket-candidate → exact-cosine rerank (mirrors the shared tail
     * of Similarity.lshAnn / lshAnnMultiProbe). `candCte` must define
     * `cand(query_id, neighbor_id, ea, eb)`. */
+  /** sim_mutual_match replay: the same literal-plane buckets/norms as
+    * every LSH oracle, the even/odd candidate join, exact cosine at
+    * 6dp, and row_number in BOTH directions — mutual = both ranks 1,
+    * tie-breaks mirroring the Spark windows (other-side id asc). */
+  private val mutualMatchOracle: String =
+    s"""WITH $lshBucketCte,
+        cand AS (SELECT ba.vec_id AS a_id, bb.vec_id AS b_id,
+                        ea.embedding AS ea, eb.embedding AS eb
+                 FROM bk ba JOIN bk bb ON ba.bucket = bb.bucket
+                 JOIN embeddings ea ON ea.vec_id = ba.vec_id
+                 JOIN embeddings eb ON eb.vec_id = bb.vec_id
+                 WHERE ba.vec_id % 2 = 0 AND bb.vec_id % 2 = 1),
+        u AS (SELECT a_id, b_id, CAST(unnest(ea) AS DOUBLE) AS x,
+                     CAST(unnest(eb) AS DOUBLE) AS y FROM cand),
+        d AS (SELECT a_id, b_id, sum(x*y) AS dp FROM u GROUP BY a_id, b_id),
+        scored AS (SELECT a_id, b_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
+                   FROM d JOIN nrm na ON a_id = na.vec_id
+                          JOIN nrm nb ON b_id = nb.vec_id),
+        ranked AS (SELECT a_id, b_id, cos,
+                          row_number() OVER (PARTITION BY a_id
+                            ORDER BY cos DESC, b_id) AS fr,
+                          row_number() OVER (PARTITION BY b_id
+                            ORDER BY cos DESC, a_id) AS br
+                   FROM scored)
+        SELECT a_id, b_id, cos FROM ranked WHERE fr = 1 AND br = 1"""
+
   private def lshRerankSql(candCte: String): String =
     s"""WITH $lshBucketCte,
         $candCte,
@@ -2341,6 +2378,7 @@ object DataOps {
     "dd_semdedup" -> semdedupOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
+    "sim_mutual_match" -> mutualMatchOracle,
     "sim_lsh_ann" -> lshRerankSql(
       """cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                          qe.embedding AS ea, ce.embedding AS eb
@@ -3360,6 +3398,7 @@ object DataOps {
     "ds_bucketed_join" -> dsBucketedJoin _,
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly
+    "sim_mutual_match" -> simMutualMatch _, // cross-corpus mutual-best alignment
     "sim_index_drift" -> simIndexDrift _,
     "sim_hard_negatives" -> simHardNegatives _,
     "sim_hard_negatives_ann" -> simHardNegativesAnn _,
