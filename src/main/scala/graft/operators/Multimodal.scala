@@ -76,6 +76,106 @@ object Multimodal {
     bb.array()
   }
 
+  // ---- audio containers (RIFF/WAVE) ----------------------------------
+
+  final case class AudioMeta(
+      media_id: Long, n_bytes: Long, channels: Int, sample_rate: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long)
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Valid RIFF/WAVE structure: RIFF header, a LIST chunk (so parsers
+    * must genuinely WALK chunks — data is never at a fixed offset), a
+    * PCM `fmt ` chunk, and the payload as the `data` chunk, padded to
+    * a whole number of sample frames. 56 container bytes around the
+    * padded payload. */
+  def wavContainer(channels: Int, sampleRate: Int, bitsPerSample: Int,
+                   data: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * (bitsPerSample / 8)
+    val padded = data ++ Array.fill(
+      (blockAlign - data.length % blockAlign) % blockAlign)(0.toByte)
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(sampleRate) ++
+      le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(bitsPerSample)
+    val list = "LIST".getBytes("US-ASCII") ++ le32(4) ++
+      "INFO".getBytes("US-ASCII")
+    val dataCk = "data".getBytes("US-ASCII") ++ le32(padded.length) ++ padded
+    val body = "WAVE".getBytes("US-ASCII") ++ list ++ fmt ++ dataCk
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** Text → real WAV containers with format parameters derived
+    * deterministically from (doc_id, payload length) — the DuckDB
+    * oracle replays the arithmetic while the engine parses the actual
+    * bytes. */
+  def documentsAsAudio(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+      .map { r =>
+        val channels = 1 + (r.media_id % 2).toInt
+        val rate = Seq(8000, 16000, 44100)((r.media_id % 3).toInt)
+        MediaRecord(r.media_id, wavContainer(channels, rate, 16, r.payload))
+      }
+  }
+
+  private def leU32(p: Array[Byte], off: Int): Long =
+    (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+      ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+
+  private def leU16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+
+  /** Pure byte-read WAV parse: verify RIFF/WAVE, then walk the chunk
+    * list (8-byte headers, word-aligned bodies) collecting `fmt ` and
+    * `data`. n_samples = data bytes / block align; duration from the
+    * sample rate. Malformed input degrades to a zeroed row, never a
+    * throw — at corpus scale a decode failure is a data point. */
+  private def decodeWavOne(r: MediaRecord): AudioMeta = {
+    val p = r.payload
+    val n = p.length.toLong
+    def tag(off: Int) = new String(p, off, 4, "US-ASCII")
+    if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return AudioMeta(r.media_id, n, 0, 0, 0, 0L, 0L)
+    var off = 12
+    var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
+    var dataLen = -1L
+    while (off + 8 <= p.length) {
+      val ckLen = leU32(p, off + 4)
+      val body = off + 8
+      tag(off) match {
+        case "fmt " if body + 16 <= p.length =>
+          channels = leU16(p, body + 2)
+          rate = leU32(p, body + 4).toInt
+          blockAlign = leU16(p, body + 12)
+          bits = leU16(p, body + 14)
+        case "data" => dataLen = ckLen
+        case _ => ()
+      }
+      off = body + ckLen.toInt + (ckLen.toInt & 1) // chunks are word-aligned
+    }
+    if (dataLen < 0 || blockAlign == 0 || rate == 0)
+      AudioMeta(r.media_id, n, channels, rate, bits, 0L, 0L)
+    else {
+      val samples = dataLen / blockAlign
+      AudioMeta(r.media_id, n, channels, rate, bits, samples,
+        samples * 1000L / rate)
+    }
+  }
+
+  /** Batched partition-local audio decode — same vectorized-UDF batch
+    * shape as image decode; no shuffle. */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeWavOne)))
+  }
+
   // ---- header parsing (the decode) -----------------------------------
 
   private def be32(p: Array[Byte], off: Int): Int =

@@ -774,6 +774,14 @@ object DataOps {
     Multimodal.decode(Multimodal.documentsAsImages(docs(s, d))).toDF()
   }
 
+  /** Audio metadata extraction: documents wrapped as REAL RIFF/WAVE
+    * containers (LIST + fmt + data chunks), parsed back by walking
+    * the actual bytes; the oracle replays the parameter arithmetic. */
+  def mmAudio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.decodeAudio(Multimodal.documentsAsAudio(docs(s, d))).toDF()
+  }
+
   def mmFrames(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.documentsAsMedia(docs(s, d)), Multimodal.batchSize)
 
@@ -3096,6 +3104,20 @@ object DataOps {
                 3 AS channels, 8 AS bit_depth,
                 CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
          FROM d""",
+    "mm_audio" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents),
+          p AS (SELECT doc_id, len,
+                       CAST(1 + doc_id % 2 AS INT) AS channels,
+                       CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            ELSE 44100 END AS INT) AS sample_rate,
+                       (1 + doc_id % 2) * 2 AS block FROM d),
+          q AS (SELECT doc_id, channels, sample_rate, block,
+                       len + (block - len % block) % block AS padded FROM p)
+          SELECT doc_id AS media_id, CAST(56 + padded AS BIGINT) AS n_bytes,
+                 channels, sample_rate, 16 AS bits_per_sample,
+                 CAST(padded // block AS BIGINT) AS n_samples,
+                 CAST((padded // block) * 1000 // sample_rate AS BIGINT) AS duration_ms
+          FROM q""",
     "mm_frames" ->
       s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
           SELECT doc_id AS media_id,
@@ -3433,6 +3455,7 @@ object DataOps {
     "sim_quantize" -> simQuantize _,
     "sim_rp" -> simRandomProject _,
     "mm_decode" -> mmDecode _,
+    "mm_audio" -> mmAudio _, // RIFF/WAVE chunk-walk metadata extraction
     "mm_frames" -> mmFrames _,
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,

@@ -192,6 +192,48 @@ class DataOpsSpec extends SparkSpec {
     assert(Multimodal.decode(one).count() == 500)
   }
 
+  test("audio decode walks real RIFF chunks and recovers the written format") {
+    import spark.implicits._
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Multimodal.decodeAudio(Multimodal.documentsAsAudio(docsDf)).collect()
+    assert(out.length == 500)
+    val lens = docsDf.select(col("doc_id"), length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { m =>
+      val ch = 1 + (m.media_id % 2).toInt
+      val rate = Seq(8000, 16000, 44100)((m.media_id % 3).toInt)
+      val block = ch * 2
+      val padded = lens(m.media_id) + (block - lens(m.media_id) % block) % block
+      assert(m.channels == ch && m.sample_rate == rate && m.bits_per_sample == 16,
+        s"format round-trip failed for ${m.media_id}")
+      assert(m.n_samples == padded / block && m.n_bytes == 56 + padded)
+      assert(m.duration_ms == m.n_samples * 1000 / rate)
+    }
+    // hand-built container: 4 stereo 16-bit frames at 8 kHz
+    val wav = Multimodal.wavContainer(2, 8000, 16, new Array[Byte](16))
+    val one = Multimodal.decodeAudio(Seq(
+      Multimodal.MediaRecord(1L, wav)).toDS()).collect().head
+    assert(one.channels == 2 && one.sample_rate == 8000 && one.n_samples == 4L)
+    // chunk walking is real: an ODD-length junk chunk before fmt must
+    // be skipped with word alignment or every later offset is wrong
+    val junkCk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](9, 9, 9)
+    val riffLen = wav.length - 8 + junkCk.length + 1
+    val oddAligned = wav.take(8) ++ wav.slice(8, 12) ++ junkCk ++
+      Array[Byte](0) ++ wav.drop(12)
+    val fixed = oddAligned.patch(4,
+      Array((riffLen & 0xff).toByte, ((riffLen >> 8) & 0xff).toByte,
+        ((riffLen >> 16) & 0xff).toByte, ((riffLen >> 24) & 0xff).toByte), 4)
+    val walked = Multimodal.decodeAudio(Seq(
+      Multimodal.MediaRecord(2L, fixed)).toDS()).collect().head
+    assert(walked.sample_rate == 8000 && walked.n_samples == 4L,
+      s"odd-chunk alignment broke the walk: $walked")
+    // junk degrades to a zeroed row, never a throw
+    val bad = Multimodal.decodeAudio(Seq(
+      Multimodal.MediaRecord(3L, Array[Byte](1, 2, 3))).toDS()).collect().head
+    assert(bad.sample_rate == 0 && bad.n_samples == 0L && bad.n_bytes == 3)
+  }
+
   test("approx distinct lands within the configured 2% rsd of exact") {
     val exact = graft.queries.Relational.q6CountDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
