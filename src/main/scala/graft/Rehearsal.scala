@@ -387,6 +387,19 @@ object Rehearsal {
         Dedup.semDedup(embP, cents.toDF("centroid_id", "cent"), 0.3)
           .filter(!col("kept")).count()
       },
+      // DSIR: one gram explode + map-side-combined bag, a ≤-4096-row
+      // bucket model broadcast back, one keyed weight sum — the decade
+      // curve must track the raw token scan (no pairwise term
+      // anywhere). Salted replica vocabularies keep the bucket model
+      // realistic (buckets saturate, counts grow) rather than MULT
+      // exact copies of one distribution. Consume the weights so
+      // pruning can't skip the model join.
+      "dsir" -> { () =>
+        graft.operators.Dsir.weights(docsR.repartition(32), col("text"),
+            col("doc_id"), col("lang") === "en")
+          .agg(count(lit(1)), sum(col("weight_micro")))
+          .collect()(0).getLong(0)
+      },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
       },

@@ -87,7 +87,13 @@ object Dsir {
     * contract — a bucket unseen in raw cannot appear in a scored
     * doc, so the model join is inner and lossless). */
   def weights(pool: DataFrame, text: Column, id: Column, isTarget: Column): DataFrame = {
-    val bag = gramBag(pool, text, id, isTarget)
+    // localCheckpoint: the bag feeds the model (twice: per-bucket and
+    // totals) AND the scoring join; without the boundary the gram
+    // explode re-scans the corpus three times (measured in the
+    // formatted plan). Same staged-boundary pattern as Curation.
+    // (Handed to the caller's lineage, so it cannot be unpersisted
+    // here.)
+    val bag = gramBag(pool, text, id, isTarget).localCheckpoint(false)
     bag.join(broadcast(ratios(bag)), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("llr_micro")).as("weight_micro"))
