@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.tokenHash
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+  * 2003 — the MOSS local fingerprinting algorithm): from the rolling
+  * stream of token k-gram hashes, keep the RIGHTMOST MINIMUM of
+  * every w-hash window. The guarantee is positional: any run of w
+  * consecutive grams contributes at least one fingerprint, so two
+  * documents sharing a sufficiently long passage MUST share a
+  * fingerprint — the local-coverage property plain MinHash (a global
+  * sketch) cannot give, which is why copy/plagiarism detection
+  * winnows instead of min-hashing.
+  *
+  * Shape at corpus scale: selection is a pure per-document column
+  * expression (one `transform` of window argmins over the in-row
+  * hash array — O(len·w) comparisons, no explode, no shuffle); the
+  * corpus-wide frame only materializes the ~len/w SELECTED
+  * fingerprints. Pair confirmation shuffles on the fingerprint key
+  * with the same hot-posting cap discipline as the Jaccard family
+  * (a boilerplate gram's posting list is the skew risk).
+  *
+  * Hash backend: the portable md5 token hash, so the DuckDB oracle
+  * replays the selection bit-exactly (min-of-window depends on hash
+  * ORDER, not just identity — a replayable order needs a replayable
+  * hash). The xxh64 rolling kernel (`graft_grams`) is the O(len)
+  * production swap-in; the winnowing guarantee is hash-agnostic
+  * (WinnowSpec asserts the coverage invariant independently of the
+  * backend). */
+object Winnow {
+
+  /** (doc_id, pos, fp): the winnowed fingerprint set. `pos` is the
+    * 1-based gram position — kept because MOSS-style matching aligns
+    * shared passages by position, and because the (pos, fp) pair is
+    * what makes the selection auditable. Documents shorter than k
+    * tokens carry no grams and vanish (same as the gram family). */
+  def fingerprints(df: DataFrame, text: Column, id: Column,
+                   k: Int, w: Int): DataFrame = {
+    val withToks = df
+      .select(id.as("doc_id"), split(text, " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .withColumn("m", (size(col("toks")) - (k - 1)))
+      .withColumn("hs", transform(sequence(lit(1), col("m")),
+        i => tokenHash(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+    // per-window argmin: (hash asc, position desc) — the paper's
+    // rightmost-minimum rule, which makes overlapping windows agree
+    // on a shared minimum and keeps the selected set ~len/w
+    val sel = transform(
+      sequence(lit(1), greatest(col("m") - (w - 1), lit(1))),
+      j => aggregate(
+        sequence(j, least(j + (w - 1), col("m"))),
+        struct(lit(Long.MaxValue).as("h"), lit(0).as("p")),
+        (acc, p) => {
+          val h = element_at(col("hs"), p)
+          when(h < acc.getField("h")
+            || (h === acc.getField("h") && p > acc.getField("p")),
+            struct(h.as("h"), p.as("p"))).otherwise(acc)
+        }))
+    withToks.select(col("doc_id"), explode(array_distinct(sel)).as("s"))
+      .select(col("doc_id"), col("s.p").cast("long").as("pos"),
+        col("s.h").as("fp"))
+  }
+
+  /** Document pairs sharing ≥ `minShared` winnowed fingerprints —
+    * the copy-detection verdict. Fingerprints hotter than
+    * `maxPostingLen` documents are boilerplate, not evidence:
+    * dropped BEFORE the pair join (anti-join against the hot list),
+    * which caps per-key pair fan-out exactly like the Jaccard
+    * family's posting cap. */
+  def sharedPairs(fps: DataFrame, minShared: Int,
+                  maxPostingLen: Int): DataFrame = {
+    val sets = fps.select("doc_id", "fp").distinct()
+    val hot = sets.groupBy("fp").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxPostingLen)
+    val kept = sets.join(hot, Seq("fp"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+}

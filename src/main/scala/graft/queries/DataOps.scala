@@ -782,6 +782,21 @@ object DataOps {
     Multimodal.decodeAudio(Multimodal.documentsAsAudio(docs(s, d))).toDF()
   }
 
+  /** Winnowing fingerprints (MOSS): k-gram window size and selection
+    * window per Schleimer 2003 §4; the pair verdict needs ≥2 shared
+    * fingerprints with boilerplate grams capped out of the join. */
+  val winnowK = 4
+  val winnowW = 4
+  val winnowMinShared = 2
+  val winnowCap = 50
+
+  def txWinnow(s: SparkSession, d: String): DataFrame =
+    graft.operators.Winnow.fingerprints(docs(s, d), col("text"),
+      col("doc_id"), winnowK, winnowW)
+
+  def ddWinnowPairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Winnow.sharedPairs(txWinnow(s, d), winnowMinShared, winnowCap)
+
   def mmFrames(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.documentsAsMedia(docs(s, d)), Multimodal.batchSize)
 
@@ -2336,7 +2351,43 @@ object DataOps {
               FROM bag JOIN llr USING (bucket) GROUP BY 1)"""
   }
 
+  /** Winnowing replay: same md5 gram hashes as the Spark side, the
+    * rightmost-minimum selection as a relational argmin (row_number
+    * over (hash asc, pos desc) per window), distinct selections. */
+  private val winnowSelCtes: String = {
+    val k = winnowK; val w = winnowW
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        g AS (SELECT doc_id, toks, len(toks) - ${k - 1} AS m FROM t
+              WHERE len(toks) >= $k),
+        h AS (SELECT doc_id, i AS p,
+                CAST(('0x' || substr(md5(array_to_string(toks[i:i+${k - 1}], ' ')),
+                      1, 8)) AS BIGINT) AS h
+              FROM g, unnest(range(1, m + 1)) r(i)),
+        wins AS (SELECT doc_id, j FROM g,
+                   unnest(range(1, greatest(m - ${w - 1}, 1) + 1)) r(j)),
+        cand AS (SELECT w.doc_id, w.j, h.p, h.h,
+                   row_number() OVER (PARTITION BY w.doc_id, w.j
+                     ORDER BY h.h, h.p DESC) AS rk
+                 FROM wins w JOIN h ON h.doc_id = w.doc_id
+                   AND h.p BETWEEN w.j AND w.j + ${w - 1}),
+        sel AS (SELECT DISTINCT doc_id, p, h FROM cand WHERE rk = 1)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "tx_winnow" ->
+      s"""WITH $winnowSelCtes
+          SELECT doc_id, CAST(p AS BIGINT) AS pos, h AS fp FROM sel""",
+    "dd_winnow_pairs" ->
+      s"""WITH $winnowSelCtes,
+          sets AS (SELECT DISTINCT doc_id, h AS fp FROM sel),
+          hot AS (SELECT fp FROM sets GROUP BY fp
+                  HAVING count(*) > $winnowCap),
+          kept AS (SELECT * FROM sets
+                   WHERE fp NOT IN (SELECT fp FROM hot))
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared""",
     "ds_dsir_weights" ->
       s"WITH $dsirCtes SELECT doc_id, weight_micro FROM w",
     "ds_dsir_select" ->
@@ -3456,6 +3507,8 @@ object DataOps {
     "sim_rp" -> simRandomProject _,
     "mm_decode" -> mmDecode _,
     "mm_audio" -> mmAudio _, // RIFF/WAVE chunk-walk metadata extraction
+    "tx_winnow" -> txWinnow _, // MOSS winnowing fingerprints (local coverage)
+    "dd_winnow_pairs" -> ddWinnowPairs _, // copy detection via shared fingerprints
     "mm_frames" -> mmFrames _,
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,

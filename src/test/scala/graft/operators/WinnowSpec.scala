@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Winnowing laws (Schleimer 2003): local coverage, the shared-passage
+  * guarantee, and the pair verdict. */
+class WinnowSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val k = 4
+  private val w = 4
+
+  private def fps(rows: Seq[(Long, String)]) =
+    Winnow.fingerprints(rows.toDF("doc_id", "text"), col("text"), col("doc_id"), k, w)
+
+  test("coverage invariant: every w-gram window holds a selected position") {
+    val text = (1 to 60).map(i => s"tok${i * 37 % 19}_$i").mkString(" ")
+    val sel = fps(Seq((0L, text))).collect().map(_.getLong(1)).toSet
+    val m = 60 - k + 1
+    (1 to (m - w + 1)).foreach { j =>
+      assert((j until j + w).exists(p => sel.contains(p.toLong)),
+        s"window starting at $j has no fingerprint (selected: ${sel.toSeq.sorted})")
+    }
+  }
+
+  test("fingerprint count is ~m/w selected, not every gram") {
+    val text = (1 to 100).map(i => s"word${i % 83}x$i").mkString(" ")
+    val n = fps(Seq((0L, text))).count()
+    val m = 100 - k + 1
+    assert(n < m, s"winnowing must select a subset ($n of $m grams)")
+    assert(n >= (m - w + 1) / w, "coverage forces at least one per window stride")
+  }
+
+  test("shared passage of w+k-1 tokens forces a shared fingerprint") {
+    val passage = (1 to (w + k - 1)).map(i => s"shared$i").mkString(" ")
+    val a = s"preamble one two three $passage tail alpha beta gamma delta"
+    val b = s"totally different words here entirely $passage other ending tokens now"
+    val f = fps(Seq((0L, a), (1L, b)))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val fa = f.filter(_._1 == 0L).map(_._2).toSet
+    val fb = f.filter(_._1 == 1L).map(_._2).toSet
+    assert((fa intersect fb).nonEmpty,
+      "the winnowing guarantee: a w+k-1 token passage shares a fingerprint")
+  }
+
+  test("documents shorter than k tokens vanish; exactly-k yields one fingerprint") {
+    val out = fps(Seq((0L, "a b c"), (1L, "a b c d")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!out.map(_._1).contains(0L))
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 1L)))
+  }
+
+  test("sharedPairs flags the planted copy and respects the hot cap") {
+    val passage = (1 to 20).map(i => s"copied$i").mkString(" ")
+    val boiler = (1 to k).map(i => s"footer$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"one two three four five six $passage seven eight nine ten eleven"),
+      (1L, s"alpha beta gamma delta epsilon $passage zeta eta theta iota kappa"),
+      (2L, s"unrelated prose about other matters entirely with no overlap at all")
+    ).map { case (i, t) => (i, s"$t $boiler") } // every doc ends in boilerplate
+    val f = Winnow.fingerprints(docs.toDF("doc_id", "text"),
+      col("text"), col("doc_id"), k, w)
+    val pairs = Winnow.sharedPairs(f, minShared = 2, maxPostingLen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)),
+      s"only the copied-passage pair may survive: ${pairs.toSeq}")
+  }
+
+  test("rightmost-minimum rule: ties select the later position") {
+    // identical grams → identical hashes everywhere; the argmin must
+    // take the rightmost position of each window, and overlapping
+    // windows then agree (one fingerprint per window end)
+    val text = (1 to 12).map(_ => "same").mkString(" ")
+    val sel = fps(Seq((0L, text))).collect().map(_.getLong(1)).sorted
+    val m = 12 - k + 1 // 9 grams, all equal
+    assert(sel.last == m.toLong, "the last window's rightmost position wins")
+    assert(sel.toSet == ((w to m).map(_.toLong).toSet),
+      s"each window selects its rightmost slot: $sel")
+  }
+}
