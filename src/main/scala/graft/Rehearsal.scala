@@ -384,7 +384,14 @@ object Rehearsal {
         val embP = embR.repartition(32)
         val sample = embP.filter(pmod(col("vec_id"), m) === 0)
         val cents = graft.operators.Similarity.lloydTrain(sample, 4 * mult, 2)
-        Dedup.semDedup(embP, cents.toDF("centroid_id", "cent"), 0.3)
+        // maxCell: the 100x run of the UNCAPPED form proved growing k
+        // alone is no bound — the perturbed replicas re-cluster, one
+        // cell ballooned, and its |cell|^2 pair join sat in a single
+        // 31-minute straggler task. The cap is the operator's own
+        // skew guard (deterministic id-slice sub-split), and it is
+        // what a production run would set.
+        Dedup.semDedup(embP, cents.toDF("centroid_id", "cent"), 0.3,
+            maxCell = 2000)
           .filter(!col("kept")).count()
       },
       // DSIR: one gram explode + map-side-combined bag, a ≤-4096-row

@@ -553,14 +553,35 @@ object Dedup {
     * pair-local projection, a distinct over loser ids, and one keyed
     * left join — nothing all-pairs, no corpus-wide window.
     *
+    * `maxCell` (0 = off) is the SKEW GUARD: Σ|cell|² is only a bound
+    * if no single cell balloons, and the 100× spill rehearsal caught
+    * exactly that failure — one oversized cell put ~|cell|² pairs in
+    * one task (a 31-minute straggler before the kill). With
+    * maxCell > 0 every cell is deterministically sub-split into
+    * ceil(|cell|/maxCell) id-hash slices before the pair join, so no
+    * block exceeds ~maxCell vectors. Near-pairs across slices of the
+    * same cell are NOT compared — semantically this is "more, finer
+    * clusters", the same trade the paper makes when it scales k with
+    * the corpus; the cap is the production posture at any scale.
+    * The sub-split needs one ≤-k-row count aggregate, broadcast back.
+    *
     * Returns every vector with its verdict:
     * (vec_id, centroid_id, dist, kept). */
   def semDedup(emb: DataFrame, centroids: DataFrame,
-               threshold: Double): DataFrame = {
+               threshold: Double, maxCell: Int = 0): DataFrame = {
     val assigned = Similarity.lloydAssignDist(emb, centroids)
+    val blocked =
+      if (maxCell <= 0) assigned.withColumn("block", col("centroid_id"))
+      else {
+        val nsub = assigned.groupBy("centroid_id")
+          .agg(ceil(count(lit(1)) / maxCell.toDouble).cast("long").as("nsub"))
+        assigned.join(broadcast(nsub), Seq("centroid_id"))
+          .withColumn("block",
+            col("centroid_id") * (1L << 32) + pmod(col("vec_id"), col("nsub")))
+      }
     val cellEmb = emb.select(col("vec_id"), col("embedding"))
-      .join(assigned, Seq("vec_id"))
-    val pairs = embeddingNearDupsBy(cellEmb, "centroid_id", threshold)
+      .join(blocked.select(col("vec_id"), col("block")), Seq("vec_id"))
+    val pairs = embeddingNearDupsBy(cellEmb, "block", threshold)
     val ranked = pairs
       .join(assigned.select(col("vec_id").as("id_a"), col("dist").as("dist_a")),
         Seq("id_a"))

@@ -482,6 +482,21 @@ object DataOps {
     Dedup.semDedup(e, cents.toDF("centroid_id", "cent"), cosineThreshold)
   }
 
+  /** The skew-guarded SemDeDup twin: cells capped at [[semdedupMaxCell]]
+    * vectors via deterministic id-hash sub-splitting — the posture the
+    * 100× rehearsal forced (one ballooned cell = one \|cell\|²-pair
+    * straggler task). Small cap here so sf0.01 genuinely sub-splits. */
+  val semdedupMaxCell = 50
+
+  def ddSemdedupCapped(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = emb(s, d)
+    val cents = Similarity.lloydTrain(e, lloydK, lloydIters)
+    Dedup.semDedup(e, cents.toDF("centroid_id", "cent"), cosineThreshold,
+      maxCell = semdedupMaxCell)
+  }
+
   /** Recall@k of the JL-projected sign-LSH index (compress → index →
     * full-dim rerank) against exact brute force over the query set —
     * closes the loop sim_rp opens: the projection is only worth its
@@ -1876,6 +1891,36 @@ object DataOps {
         FROM ad"""
   }
 
+  /** dd_semdedup_capped replay: identical chain, but the pair join
+    * additionally requires the same deterministic id-hash slice —
+    * nsub = ceil(|cell| / maxCell) per cell, slice = vec_id % nsub. */
+  private val semdedupCappedOracle: String = {
+    import graft.operators.Similarity.lshDims
+    s"""WITH $lloydCtes,
+        ad AS (SELECT a.vec_id, a.cid, d.dist
+               FROM a_f a JOIN d_f d ON d.vec_id = a.vec_id AND d.cid = a.cid),
+        ns AS (SELECT cid, CAST(ceil(count(*) / ${semdedupMaxCell.toDouble})
+                            AS BIGINT) AS nsub
+               FROM a_f GROUP BY cid),
+        pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM a_f a JOIN a_f b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                    JOIN ns ON ns.cid = a.cid
+               WHERE a.vec_id % ns.nsub = b.vec_id % ns.nsub),
+        sc AS (SELECT pr.id_a, pr.id_b,
+                      round(list_sum(list_transform(range(1, ${lshDims + 1}),
+                              i -> ea.v[i] * eb.v[i])) / (ea.nrm * eb.nrm), 6) AS cos
+               FROM pr JOIN en ea ON ea.vec_id = pr.id_a
+                       JOIN en eb ON eb.vec_id = pr.id_b),
+        near AS (SELECT id_a, id_b FROM sc WHERE cos >= $cosineThreshold),
+        losers AS (SELECT DISTINCT CASE WHEN da.dist >= db.dist
+                          THEN near.id_b ELSE near.id_a END AS vec_id
+                   FROM near JOIN ad da ON da.vec_id = near.id_a
+                             JOIN ad db ON db.vec_id = near.id_b)
+        SELECT ad.vec_id, ad.cid AS centroid_id, ad.dist,
+               ad.vec_id NOT IN (SELECT vec_id FROM losers) AS kept
+        FROM ad"""
+  }
+
   /** ds_bm25 replay: same micro-unit contribution algebra as
     * Rag.bm25TopK with constants interpolated from the identical
     * Scala vals (Double.toString round-trips, so both engines parse
@@ -2435,6 +2480,7 @@ object DataOps {
           FROM r, n""",
     "dd_embed_ivf" -> embedIvfOracle,
     "dd_semdedup" -> semdedupOracle,
+    "dd_semdedup_capped" -> semdedupCappedOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
     "sim_mutual_match" -> mutualMatchOracle,
@@ -3453,6 +3499,7 @@ object DataOps {
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_embed_ivf" -> ddEmbedIvf _,
     "dd_semdedup" -> ddSemdedup _,
+    "dd_semdedup_capped" -> ddSemdedupCapped _, // skew-guarded cell sub-split
     "sim_rp_ann" -> simRpAnn _,
     "dd_corpus" -> ddCorpus _,
     "dd_incremental" -> ddIncremental _,

@@ -59,4 +59,39 @@ class SemDedupSpec extends SparkSpec {
     assert(res.filter(!col("kept")).count() == 0)
     assert(res.count() == 50)
   }
+
+  test("a maxCell cap above every cell size is a no-op") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val cents = Similarity.lloydTrain(df, 3, iters = 3).toDF("centroid_id", "cent")
+    def verdicts(mc: Int) = Dedup.semDedup(df, cents, 0.3, maxCell = mc)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(verdicts(100000) == verdicts(0),
+      "nsub = 1 everywhere must reproduce the uncapped verdict exactly")
+  }
+
+  test("the cap only removes cross-slice comparisons, never adds drops") {
+    import spark.implicits._
+    val rng = new scala.util.Random(37)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    // near-twins at id+1200: same slice iff 1200 % nsub == 0, which
+    // holds for every nsub the 220-vector fixture can produce (<= 6)
+    val planted = (0 until 20).map { i =>
+      (1200L + i, base(i)._2.map(x => x + 0.005f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val cents = Similarity.lloydTrain(df, 2, iters = 3).toDF("centroid_id", "cent")
+    val uncapped = Dedup.semDedup(df, cents, 0.9)
+      .filter(!col("kept")).collect().map(_.getLong(0)).toSet
+    val capped = Dedup.semDedup(df, cents, 0.9, maxCell = 40)
+      .filter(!col("kept")).collect().map(_.getLong(0)).toSet
+    assert(uncapped.nonEmpty, "fixture must plant near pairs")
+    assert(capped.subsetOf(uncapped),
+      s"sub-splitting may only LOSE pairs: extra drops ${capped -- uncapped}")
+    // 1200 ≡ 0 (mod nsub) for nsub ≤ 6, so planted pairs share slices
+    assert(capped.nonEmpty, "same-slice planted pairs must still be dropped")
+  }
 }
