@@ -230,6 +230,49 @@ object DataOps {
         col("col._1").as("n_chars"), col("col._2").as("doc_id"))
   }
 
+  /** KMV bottom-k sketch (Beyer et al. 2007, "On synopses for
+    * distinct-value estimation"): the k MINIMUM values of a uniform
+    * hash per group are simultaneously (a) a k-element uniform sample
+    * of the group without any RNG, and (b) the KMV distinct-count
+    * estimator D̂ = (k−1)·M/h_k (M = 2³² hash domain, h_k = k-th
+    * minimum). Both ride the bounded O(k)-state aggregator — a group
+    * ships k rows through the exchange however hot it is, and there
+    * is never a per-group sort. Pure integer arithmetic end to end
+    * (the estimate uses integral division), so the oracle replays
+    * bit-exactly. */
+  val samplePerKey = 8
+  val kmvK = 32
+
+  def dsGroupSample(s0: SparkSession, d: String): DataFrame = {
+    val s = graft.GraftSession.boundedAggSession(s0)
+    val topk = udaf(new graft.functions.Aggregators.TopKByValue(samplePerKey))
+    docs(s, d)
+      .select(col("source"),
+        (-graft.functions.VectorFunctions.tokenHash(col("doc_id").cast("string")))
+          .as("nh"),
+        col("doc_id"))
+      .groupBy("source").agg(topk(col("nh"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._2").as("doc_id"))
+  }
+
+  def dsKmvDistinct(s0: SparkSession, d: String): DataFrame = {
+    val s = graft.GraftSession.boundedAggSession(s0)
+    val topk = udaf(new graft.functions.Aggregators.TopKByValue(kmvK))
+    docs(s, d)
+      .select(col("lang"),
+        graft.functions.VectorFunctions.tokenHash(col("text")).as("hv"))
+      .distinct()
+      .select(col("lang"), (-col("hv")).as("nh"), col("hv"))
+      .groupBy("lang").agg(topk(col("nh"), col("hv")).as("bot"))
+      .select(col("lang"), size(col("bot")).cast("long").as("n_kept"),
+        when(size(col("bot")) < kmvK, size(col("bot")).cast("long"))
+          .otherwise(expr(
+            s"CAST(${kmvK - 1} * 4294967296 AS BIGINT) div element_at(bot, $kmvK)._2"))
+          .as("kmv_distinct"))
+  }
+
   /** Paragraph width for the cross-doc paragraph dedup: 16 words —
     * short enough that the synthetic corpus' repeated phrases
     * actually collide across documents. */
@@ -2419,6 +2462,33 @@ object DataOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_group_sample" ->
+      s"""WITH h AS (SELECT source, doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) AS hv
+                FROM documents),
+          r AS (SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY hv, doc_id) AS rk
+                FROM h)
+          SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+          FROM r WHERE rk <= $samplePerKey""",
+    "ds_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT lang,
+                  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hv
+                FROM documents),
+          r AS (SELECT lang, hv,
+                  row_number() OVER (PARTITION BY lang ORDER BY hv) AS rk,
+                  count(*) OVER (PARTITION BY lang) AS nd
+                FROM h),
+          g AS (SELECT lang, min(nd) AS nd,
+                  max(CASE WHEN rk = $kmvK THEN hv END) AS hk
+                FROM r GROUP BY lang)
+          SELECT lang, CAST(least(nd, $kmvK) AS BIGINT) AS n_kept,
+                 CAST(CASE WHEN nd < $kmvK THEN nd
+                      ELSE (${kmvK - 1} * 4294967296) // hk END AS BIGINT)
+                   AS kmv_distinct
+          FROM g""",
     "tx_winnow" ->
       s"""WITH $winnowSelCtes
           SELECT doc_id, CAST(p AS BIGINT) AS pos, h AS fp FROM sel""",
@@ -3555,6 +3625,8 @@ object DataOps {
     "mm_decode" -> mmDecode _,
     "mm_audio" -> mmAudio _, // RIFF/WAVE chunk-walk metadata extraction
     "tx_winnow" -> txWinnow _, // MOSS winnowing fingerprints (local coverage)
+    "ds_group_sample" -> dsGroupSample _, // RNG-free per-key uniform sample (KMV)
+    "ds_kmv_distinct" -> dsKmvDistinct _, // KMV distinct estimate, bounded state
     "dd_winnow_pairs" -> ddWinnowPairs _, // copy detection via shared fingerprints
     "mm_frames" -> mmFrames _,
     "mm_features" -> mmFeatures _,
