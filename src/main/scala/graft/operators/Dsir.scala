@@ -68,13 +68,22 @@ object Dsir {
   /** Per-bucket importance log-ratio in integer micro-nats:
     * round(1e6·(ln(t_b+1) − ln(T+B) − ln(r_b+1) + ln(R+B))), where
     * t/r are target/raw bucket counts and T/R their totals (add-one
-    * smoothing over B = [[buckets]] cells). ≤ B rows → broadcast. */
+    * smoothing over B = [[buckets]] cells). The frame is the FULL
+    * B-row spine — buckets neither corpus touched carry their honest
+    * smoothed default ln((R+B)/(T+B)), so a serving join never
+    * misses and an all-unseen document is scored by the same model,
+    * not by an ad-hoc zero. Exactly B rows → broadcast. */
   def ratios(bag: DataFrame): DataFrame = {
+    val spark = bag.sparkSession
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
     val rb = bag.groupBy("bucket").agg(
       sum(col("cnt")).as("rn"),
       sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("tn"))
     val tot = rb.agg(sum(col("rn")).as("rtot"), sum(col("tn")).as("ttot"))
-    rb.crossJoin(broadcast(tot))
+    spine.join(rb, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("rn"), lit(0L)).as("rn"),
+        coalesce(col("tn"), lit(0L)).as("tn"))
+      .crossJoin(broadcast(tot))
       .select(col("bucket"),
         round((log(col("tn") + 1) - log(col("ttot") + buckets)
           - log(col("rn") + 1) + log(col("rtot") + buckets)) * 1e6)
@@ -98,6 +107,46 @@ object Dsir {
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("llr_micro")).as("weight_micro"))
   }
+
+  /** Scoring against an EXPLICIT bucket model: one gram pass over the
+    * pool, a broadcast model join, one keyed sum — the serving half
+    * of the selector, usable against any (bucket, llr_micro) frame
+    * however it was fit. A [[ratios]] model is the full bucket spine,
+    * so the join never misses: a batch document made entirely of
+    * unseen grams is scored by the model's own smoothed default, and
+    * every document keeps a weight row. */
+  def weightsAgainst(model: DataFrame, pool: DataFrame, text: Column,
+                     id: Column): DataFrame =
+    gramBag(pool, text, id, lit(false))
+      .join(broadcast(model.select(col("bucket"), col("llr_micro"))), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("llr_micro")).as("weight_micro"))
+
+  private def modelTable(tag: String): String = s"dsir_model_$tag"
+
+  /** Persist a fitted bucket model — the ≤ [[buckets]]-row table IS
+    * the selector artifact (train-once/serve-many, the same contract
+    * as the BPE vocab and IVFADC codebooks; the frame is
+    * broadcast-sized, so a plain single-file table is the right
+    * layout, no bucketing needed). */
+  def saveModel(ratios: DataFrame, root: String, tag: String): Unit =
+    ratios.coalesce(1).write.mode("overwrite")
+      .option("path", s"$root/model").format("parquet")
+      .saveAsTable(modelTable(tag))
+
+  /** Idempotent materialization (the ensurePersistedIndex pattern):
+    * first call fits and writes, later calls reuse the artifact. */
+  def ensureModel(spark: org.apache.spark.sql.SparkSession, root: String,
+                  tag: String)(build: => DataFrame): Unit =
+    if (!spark.catalog.tableExists(modelTable(tag)))
+      saveModel(build, root, tag)
+
+  /** Score a pool against the STORED model: zero fitting jobs, zero
+    * target-corpus access — the serving posture for scoring fresh
+    * crawl batches against a selector fit once on the trusted set. */
+  def weightsPersisted(spark: org.apache.spark.sql.SparkSession, tag: String,
+                       pool: DataFrame, text: Column, id: Column): DataFrame =
+    weightsAgainst(spark.table(modelTable(tag)), pool, text, id)
 
   /** Top-k most-target-like pool documents (weight desc, doc_id asc).
     * The rank window runs AFTER the TakeOrdered limit, on k rows —

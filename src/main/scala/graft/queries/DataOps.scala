@@ -137,6 +137,20 @@ object DataOps {
     graft.operators.Dsir.selectTopK(docs(s, d), col("text"), col("doc_id"),
       col("lang") === "en", dsirK)
 
+  /** The serving twin: fit the bucket model once, persist the
+    * ≤-4096-row table, score the pool against the STORED model —
+    * identical weights to the live fit (same oracle SQL), zero
+    * fitting jobs on later calls. */
+  def dsDsirPersisted(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_dsir"
+    graft.operators.Dsir.ensureModel(s, s"$tableRoot/$tag", tag) {
+      graft.operators.Dsir.ratios(graft.operators.Dsir.gramBag(
+        docs(s, d), col("text"), col("doc_id"), col("lang") === "en"))
+    }
+    graft.operators.Dsir.weightsPersisted(s, tag, docs(s, d),
+      col("text"), col("doc_id"))
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
     * the standard k₀=60 form) of the BM25 lexical list and the
     * embedding cosine list for the same query documents — the fusion
@@ -2505,6 +2519,9 @@ object DataOps {
           GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared""",
     "ds_dsir_weights" ->
       s"WITH $dsirCtes SELECT doc_id, weight_micro FROM w",
+    // persisted twin: identical algebra against the stored model table
+    "ds_dsir_persisted" ->
+      s"WITH $dsirCtes SELECT doc_id, weight_micro FROM w",
     "ds_dsir_select" ->
       s"""WITH $dsirCtes
           SELECT CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
@@ -3561,6 +3578,7 @@ object DataOps {
     "ds_rag" -> dsRag _, // chunk → hash-embed → LSH index → probe, one replayable chain
     "ds_bm25" -> dsBm25 _,
     "ds_dsir_weights" -> dsDsirWeights _, // DSIR importance weights (Xie 2023)
+    "ds_dsir_persisted" -> dsDsirPersisted _, // serving twin vs the stored model
     "ds_dsir_select" -> dsDsirSelect _,   // DSIR top-k budget selection
     "ds_hybrid_rrf" -> dsHybridRrf _,
     "ds_rag_recall" -> dsRagRecall _, // retrieval quality vs exact full scan
