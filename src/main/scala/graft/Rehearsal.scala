@@ -407,6 +407,22 @@ object Rehearsal {
           .agg(count(lit(1)), sum(col("weight_micro")))
           .collect()(0).getLong(0)
       },
+      // winnowing: a pure per-doc O(len·w) projection until the
+      // ~len/w selected rows — the decade curve must track the scan
+      "winnow" -> { () =>
+        graft.operators.Winnow.fingerprints(docsR.repartition(32),
+          col("text"), col("doc_id"), 4, 4).count()
+      },
+      // cross-corpus mutual match: candidates are Σ_b |A_b|·|B_b| over
+      // 2^16 sign-LSH buckets; the perturbed replicas CLUSTER in
+      // buckets, so this case measures the honest skew exposure of
+      // the bucket join as the corpus deepens
+      "mutual" -> { () =>
+        val e = embR.repartition(32)
+        graft.operators.Similarity.mutualMatches(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2)) === 1)).count()
+      },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
       },
