@@ -219,8 +219,30 @@ object Events {
         col("event_type").as("label"))
   }
 
+  /** Leave-last-out temporal split (the standard recommender eval
+    * protocol, e.g. SASRec/BERT4Rec evaluation): per user, the LAST
+    * event is test, the second-to-last is validation, everything
+    * earlier trains — a time-respecting split that random sampling
+    * (ds_split) cannot give. One per-user ranked window (the same
+    * partition-depth axis the 1000× window rows measure); users with
+    * fewer than three events contribute train rows only when they
+    * have any slack (n=1 → test only, n=2 → val+test), matching the
+    * protocol's "never evaluate on a user's first interaction". */
+  def evTemporalSplit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsu").desc, col("event_id").desc)
+    ev(s, d)
+      .withColumn("tsu", tsUs)
+      .withColumn("rev", row_number().over(w))
+      .select(col("user_id"), col("event_id"),
+        when(col("rev") === 1, lit("test"))
+          .when(col("rev") === 2, lit("val"))
+          .otherwise(lit("train")).as("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_seq_examples" -> evSeqExamples _,
+    "ev_temporal_split" -> evTemporalSplit _,
     "ev_window_agg" -> evWindowAgg _,
     "ev_latest" -> evLatest _,
     "ev_sessions" -> evSessions _,
@@ -248,6 +270,17 @@ object Events {
                      FROM sess GROUP BY user_id, session_id)"""
 
   val oracleSql: Map[String, String] = Map(
+    "ev_temporal_split" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+         r AS (SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY tsu DESC, event_id DESC) AS rev
+               FROM e)
+         SELECT user_id, event_id,
+                CASE WHEN rev = 1 THEN 'test'
+                     WHEN rev = 2 THEN 'val'
+                     ELSE 'train' END AS split
+         FROM r""",
     "ev_seq_examples" -> {
       val lagCols = (seqCtx to 1 by -1)
         .map(i => s"lag(event_type, $i) OVER w AS l$i").mkString(", ")

@@ -42,4 +42,30 @@ class SeqExamplesSpec extends SparkSpec {
     val expected = perUser.values.map(n => math.max(0L, n - Events.seqCtx)).sum
     assert(Events.evSeqExamples(spark, sf).count() == expected)
   }
+
+  test("temporal split: one test per user, at most one val, latest event is test") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Events.evTemporalSplit(spark, sf)
+    val byUser = out.groupBy("user_id").agg(
+        sum(when(col("split") === "test", 1).otherwise(0)).as("t"),
+        sum(when(col("split") === "val", 1).otherwise(0)).as("v"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    byUser.foreach { case (u, t, v, n) =>
+      assert(t == 1L, s"user $u: exactly one test event")
+      assert(v == (if (n >= 2) 1L else 0L), s"user $u: one val iff >= 2 events")
+    }
+    // the test event is the user's LATEST (tsu, event_id)
+    val latest = graft.Tables.eventsNanos(spark, sf)
+      .withColumn("tsu", expr("ts div 1000"))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("tsu").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tests = out.filter(col("split") === "test")
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tests == latest)
+  }
 }
