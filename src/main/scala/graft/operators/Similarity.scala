@@ -150,22 +150,74 @@ object Similarity {
     * never |A|·|B|), then the SAME candidate frame is ranked in both
     * directions by two keyed windows; a row where both row_numbers
     * are 1 is mutual. No second join, no second hyperplane pass. */
-  def mutualMatches(a: DataFrame, b: DataFrame,
-                    nPlanes: Int = lshPlanes): DataFrame = {
+  /** The shared cross-corpus candidate frame: bucket-blocked pairs
+    * with exact 6dp cosine — the one expensive join both alignment
+    * verdicts (mutual, margin) rank. */
+  private def crossScored(a: DataFrame, b: DataFrame,
+                          nPlanes: Int): DataFrame = {
     GraftFunctions.ensureRegistered(a.sparkSession)
     val ab = bucketedNormed(a, nPlanes)
     val bb = bucketedNormed(b, nPlanes)
-    val scored = ab.as("a").join(bb.as("b"), col("a.bucket") === col("b.bucket"))
+    ab.as("a").join(bb.as("b"), col("a.bucket") === col("b.bucket"))
       .withColumn("cos", round(
         fastDot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 6))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cos"))
+  }
+
+  def mutualMatches(a: DataFrame, b: DataFrame,
+                    nPlanes: Int = lshPlanes): DataFrame = {
+    val scored = crossScored(a, b, nPlanes)
     val fw = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
     val bw = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id"))
     scored.withColumn("fr", row_number().over(fw))
       .withColumn("br", row_number().over(bw))
       .filter(col("fr") === 1 && col("br") === 1)
       .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Margin-scored alignment (Artetxe & Schwenk 2019 §3, the "ratio"
+    * margin): each a-side vector proposes its best candidate, scored
+    * by cos(a,b) divided by the mean of both sides' top-k candidate
+    * cosines — the absolute-threshold killer, because a hub with
+    * uniformly high cosines has a high denominator and a genuine
+    * translation pair a low one. Pairs below `minMarginMicro`
+    * (micro-units; the paper's typical cut is ~1.05 → 1_050_000)
+    * are dropped.
+    *
+    * Determinism: cosines are 6dp, so their micro form is exact
+    * integers; both k-NN sums are integer sums, and the final ratio
+    * divides exact integers well under 2⁵³ — both engines IEEE-divide
+    * the same values and round to the same micro integer.
+    *
+    * Shape: the SAME bucket-blocked candidate frame as
+    * mutualMatches (staged once via localCheckpoint — it feeds the
+    * ranking and both per-side top-k aggregates), two keyed windows,
+    * two keyed aggregates, two keyed joins — nothing beyond the
+    * candidate volume. */
+  def marginMatches(a: DataFrame, b: DataFrame, k: Int,
+                    nPlanes: Int = lshPlanes,
+                    minMarginMicro: Long = 1050000L): DataFrame = {
+    val scored = crossScored(a, b, nPlanes)
+      .withColumn("cu", round(col("cos") * 1e6).cast("long"))
+      .localCheckpoint(false)
+    val fw = Window.partitionBy("a_id").orderBy(col("cu").desc, col("b_id"))
+    val bw = Window.partitionBy("b_id").orderBy(col("cu").desc, col("a_id"))
+    val ranked = scored.withColumn("rn_a", row_number().over(fw))
+      .withColumn("rn_b", row_number().over(bw))
+    val na = ranked.filter(col("rn_a") <= k).groupBy("a_id")
+      .agg(sum(col("cu")).as("sum_a"), count(lit(1)).as("n_a"))
+    val nb = ranked.filter(col("rn_b") <= k).groupBy("b_id")
+      .agg(sum(col("cu")).as("sum_b"), count(lit(1)).as("n_b"))
+    ranked.filter(col("rn_a") === 1)
+      .join(na, "a_id").join(nb, "b_id")
+      .filter(col("sum_a") * col("n_b") + col("sum_b") * col("n_a") > 0)
+      .withColumn("margin_micro",
+        round(lit(1e6) * col("cu") * 2 * col("n_a") * col("n_b")
+          / (col("sum_a") * col("n_b") + col("sum_b") * col("n_a")))
+          .cast("long"))
+      .filter(col("margin_micro") >= minMarginMicro)
+      .select(col("a_id"), col("b_id"), col("cos"), col("margin_micro"))
   }
 
   /** Probe a stored index frame: only the query side computes its

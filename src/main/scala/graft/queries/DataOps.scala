@@ -401,6 +401,20 @@ object DataOps {
       e.filter(pmod(col("vec_id"), lit(2)) === 1))
   }
 
+  /** Margin-scored alignment over the same even/odd halves: the
+    * ratio-margin verdict (k-NN-mean denominator) that absolute
+    * cosine thresholds can't give. */
+  val marginK = 4
+  val marginThresholdMicro = 1050000L
+
+  def simMarginMatch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    Similarity.marginMatches(
+      e.filter(pmod(col("vec_id"), lit(2)) === 0),
+      e.filter(pmod(col("vec_id"), lit(2)) === 1),
+      marginK, minMarginMicro = marginThresholdMicro)
+  }
+
   /** Multi-probe bound to the query SET — a 10-lookup probe costs
     * 10·17 bucket probes, not |corpus|·17 (the same asymmetry that
     * took sim_ann_recall from 9.9s to 0.9s in r3). */
@@ -1417,8 +1431,10 @@ object DataOps {
     * every LSH oracle, the even/odd candidate join, exact cosine at
     * 6dp, and row_number in BOTH directions — mutual = both ranks 1,
     * tie-breaks mirroring the Spark windows (other-side id asc). */
-  private val mutualMatchOracle: String =
-    s"""WITH $lshBucketCte,
+  /** Shared even/odd cross-corpus candidate chain (buckets, pair
+    * join, exact 6dp cosine) — the base of both alignment oracles. */
+  private val crossScoredCtes: String =
+    s"""$lshBucketCte,
         cand AS (SELECT ba.vec_id AS a_id, bb.vec_id AS b_id,
                         ea.embedding AS ea, eb.embedding AS eb
                  FROM bk ba JOIN bk bb ON ba.bucket = bb.bucket
@@ -1430,7 +1446,10 @@ object DataOps {
         d AS (SELECT a_id, b_id, sum(x*y) AS dp FROM u GROUP BY a_id, b_id),
         scored AS (SELECT a_id, b_id, round(dp/(na.nrm*nb.nrm), 6) AS cos
                    FROM d JOIN nrm na ON a_id = na.vec_id
-                          JOIN nrm nb ON b_id = nb.vec_id),
+                          JOIN nrm nb ON b_id = nb.vec_id)"""
+
+  private val mutualMatchOracle: String =
+    s"""WITH $crossScoredCtes,
         ranked AS (SELECT a_id, b_id, cos,
                           row_number() OVER (PARTITION BY a_id
                             ORDER BY cos DESC, b_id) AS fr,
@@ -1438,6 +1457,37 @@ object DataOps {
                             ORDER BY cos DESC, a_id) AS br
                    FROM scored)
         SELECT a_id, b_id, cos FROM ranked WHERE fr = 1 AND br = 1"""
+
+  /** sim_margin_match replay: integer micro cosines, both per-side
+    * top-k sums, and the exact-integer ratio algebra (all operands
+    * < 2⁵³, so the IEEE division is value-identical in both
+    * engines). */
+  private def marginMatchOracle: String = {
+    val k = marginK
+    val denom = "(na.sum_a * nb.n_b + nb.sum_b * na.n_a)"
+    val margin = s"round(1e6 * ra.cu * 2 * na.n_a * nb.n_b / $denom)"
+    s"""WITH $crossScoredCtes,
+        cu AS (SELECT a_id, b_id, cos,
+                      CAST(round(cos * 1e6) AS BIGINT) AS cu FROM scored),
+        ra AS (SELECT a_id, b_id, cos, cu,
+                 row_number() OVER (PARTITION BY a_id
+                   ORDER BY cu DESC, b_id) AS rn_a,
+                 row_number() OVER (PARTITION BY b_id
+                   ORDER BY cu DESC, a_id) AS rn_b
+               FROM cu),
+        na AS (SELECT a_id, CAST(sum(cu) AS BIGINT) AS sum_a,
+                      CAST(count(*) AS BIGINT) AS n_a
+               FROM ra WHERE rn_a <= $k GROUP BY a_id),
+        nb AS (SELECT b_id, CAST(sum(cu) AS BIGINT) AS sum_b,
+                      CAST(count(*) AS BIGINT) AS n_b
+               FROM ra WHERE rn_b <= $k GROUP BY b_id)
+        SELECT ra.a_id, ra.b_id, ra.cos,
+               CAST($margin AS BIGINT) AS margin_micro
+        FROM ra JOIN na ON na.a_id = ra.a_id
+                JOIN nb ON nb.b_id = ra.b_id
+        WHERE ra.rn_a = 1 AND $denom > 0
+          AND $margin >= $marginThresholdMicro"""
+  }
 
   private def lshRerankSql(candCte: String): String =
     s"""WITH $lshBucketCte,
@@ -2571,6 +2621,7 @@ object DataOps {
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
     "sim_mutual_match" -> mutualMatchOracle,
+    "sim_margin_match" -> marginMatchOracle,
     "sim_lsh_ann" -> lshRerankSql(
       """cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                          qe.embedding AS ea, ce.embedding AS eb
@@ -3607,6 +3658,7 @@ object DataOps {
     "sim_topk" -> simTopK _,
     "sim_lsh_ann" -> simLshAnn _, // deterministic hyperplanes → DuckDB replays exactly
     "sim_mutual_match" -> simMutualMatch _, // cross-corpus mutual-best alignment
+    "sim_margin_match" -> simMarginMatch _, // ratio-margin alignment (Artetxe 2019)
     "sim_index_drift" -> simIndexDrift _,
     "sim_hard_negatives" -> simHardNegatives _,
     "sim_hard_negatives_ann" -> simHardNegativesAnn _,

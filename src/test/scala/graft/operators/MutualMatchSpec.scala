@@ -54,6 +54,32 @@ class MutualMatchSpec extends SparkSpec {
       s"planted twin of $donorId not mined: $m")
   }
 
+  test("margin verdict: outputs are forward-best with margin above the cut") {
+    val (a, b) = halves
+    val m = Similarity.marginMatches(a, b, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(m.nonEmpty)
+    assert(m.map(_._1).distinct.length == m.length, "one proposal per a-vector")
+    assert(m.forall(_._3 >= 1050000L), "every kept pair clears the 1.05 margin")
+    // every margin pair's (a, b) must be a forward rank-1 of the ANN family
+    val fwd = Similarity.lshAnnFor(b, a, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m.map(x => (x._1, x._2)).toSet.subsetOf(fwd))
+  }
+
+  test("margin kills a uniform hub that mutual-best-match alone keeps") {
+    // one direction, scaled: every cosine is exactly 1.0, so the
+    // margin denominator equals the numerator -> margin 1.0 < 1.05
+    def vec(scale: Float): Array[Float] = Array.tabulate(64)(i => scale * (i + 1))
+    val a = Seq((0L, vec(1f), "x"), (2L, vec(2f), "x"), (4L, vec(3f), "x"))
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq((1L, vec(1.5f), "x")).toDF("vec_id", "embedding", "label")
+    assert(Similarity.mutualMatches(a, b).count() == 1,
+      "mutual-best keeps one hub pair")
+    assert(Similarity.marginMatches(a, b, k = 4).count() == 0,
+      "the ratio margin recognizes the hub's uniform cosines and drops it")
+  }
+
   test("hub suppression: a vector that is many queries' nearest keeps one partner") {
     // all fixtures share one direction (scaling preserves every
     // hyperplane sign → one bucket, cosine 1.0 for every pair): the
