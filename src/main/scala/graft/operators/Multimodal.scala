@@ -176,6 +176,71 @@ object Multimodal {
     media.mapPartitions(_.grouped(batchSize).flatMap(_.map(decodeWavOne)))
   }
 
+  final case class AudioFeatures(
+      media_id: Long, n_samples: Long, rms_milli: Long, peak: Long,
+      mean_crossings: Long)
+
+  /** PCM feature extraction over the real `data` chunk: RMS energy
+    * (milli-units — the one non-integer step is a sqrt of exact
+    * integers, IEEE-identical in any engine), peak amplitude, and the
+    * MEAN-crossing rate (the offset-robust form of zero-crossing
+    * rate — this corpus's synthetic samples are ASCII-derived and
+    * never negative, so crossings around zero would be degenerate;
+    * crossings around the mean measure the same oscillation). Sample
+    * stream = little-endian s16 values of the data chunk, the format
+    * the containers declare. Per-record work is linear in the
+    * payload; batched mapPartitions, no shuffle — the stand-in slot
+    * for a real feature extractor (MFCC, embedding model) with the
+    * same batch shape. */
+  private def audioFeaturesOne(r: MediaRecord): AudioFeatures = {
+    val m = decodeWavOne(r)
+    val p = r.payload
+    // locate the data chunk again (cheap second walk, keeps the
+    // feature pass independent of decode ordering)
+    var off = 12
+    var start = -1; var len = 0
+    if (m.sample_rate > 0) {
+      while (start < 0 && off + 8 <= p.length) {
+        val ckLen = leU32(p, off + 4).toInt
+        if (new String(p, off, 4, "US-ASCII") == "data") { start = off + 8; len = ckLen }
+        else off = off + 8 + ckLen + (ckLen & 1)
+      }
+    }
+    if (start < 0 || len < 2)
+      return AudioFeatures(r.media_id, 0L, 0L, 0L, 0L)
+    val n = len / 2
+    var i = 0
+    var sum = 0L; var sumSq = 0L; var peak = 0L
+    val samples = new Array[Long](n)
+    while (i < n) {
+      val v = (leU16(p, start + 2 * i).toShort).toLong // sign-extend s16
+      samples(i) = v
+      sum += v; sumSq += v * v
+      val a = math.abs(v); if (a > peak) peak = a
+      i += 1
+    }
+    // crossings around the integer-exact milli mean: (1000·s − μₘ)
+    // sign flips between consecutive samples
+    val meanMilli = math.round(1000.0 * sum / n)
+    var crossings = 0L
+    i = 1
+    while (i < n) {
+      val a = 1000L * samples(i - 1) - meanMilli
+      val b = 1000L * samples(i) - meanMilli
+      if (a * b < 0) crossings += 1
+      i += 1
+    }
+    AudioFeatures(r.media_id, n.toLong,
+      math.round(1000.0 * math.sqrt(sumSq.toDouble / n)), peak, crossings)
+  }
+
+  /** Batched partition-local PCM features — binary in, typed features
+    * out, no shuffle. */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map(audioFeaturesOne)))
+  }
+
   // ---- header parsing (the decode) -----------------------------------
 
   private def be32(p: Array[Byte], off: Int): Int =

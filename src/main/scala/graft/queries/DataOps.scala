@@ -883,6 +883,13 @@ object DataOps {
   def ddWinnowPairs(s: SparkSession, d: String): DataFrame =
     graft.operators.Winnow.sharedPairs(txWinnow(s, d), winnowMinShared, winnowCap)
 
+  /** PCM feature extraction over the WAV data chunk — RMS, peak, and
+    * mean-crossing rate from the real little-endian s16 stream. */
+  def mmAudioFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.audioFeatures(Multimodal.documentsAsAudio(docs(s, d))).toDF()
+  }
+
   def mmFrames(s: SparkSession, d: String): DataFrame =
     Multimodal.sampleFrames(Multimodal.documentsAsMedia(docs(s, d)), Multimodal.batchSize)
 
@@ -3353,6 +3360,44 @@ object DataOps {
                  CAST(padded // block AS BIGINT) AS n_samples,
                  CAST((padded // block) * 1000 // sample_rate AS BIGINT) AS duration_ms
           FROM q""",
+    // PCM replay: ASCII corpus ⇒ byte values == char codes; samples =
+    // little-endian byte pairs of the padded data chunk (hi byte <
+    // 128, so s16 sign extension is the identity); Σv² stays integral,
+    // the sqrt divides exact integers — IEEE-identical in both engines
+    "mm_audio_features" ->
+      """WITH d AS (SELECT doc_id, string_split(text, '') AS cs,
+                    octet_length(encode(text)) AS len,
+                    (1 + doc_id % 2) * 2 AS block FROM documents),
+          p AS (SELECT doc_id, cs, len,
+                       len + (block - len % block) % block AS padded FROM d),
+          s AS (SELECT doc_id, padded // 2 AS n,
+                  list_transform(range(1, padded // 2 + 1),
+                    j -> (CASE WHEN 2*j - 1 <= len THEN ord(cs[2*j - 1]) ELSE 0 END)
+                       + 256 * (CASE WHEN 2*j <= len THEN ord(cs[2*j]) ELSE 0 END))
+                    AS sm
+                FROM p),
+          a AS (SELECT doc_id, n, sm,
+                  CAST(list_sum(list_transform(sm, v -> CAST(v AS BIGINT) * v))
+                       AS BIGINT) AS sumsq,
+                  CAST(list_sum(sm) AS BIGINT) AS sum
+                FROM s WHERE n >= 1),
+          mu AS (SELECT doc_id, n, sm, sumsq,
+                   CAST(round(1000.0 * sum / n) AS BIGINT) AS mu FROM a),
+          f AS (SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+                  CAST(round(1000.0 * sqrt(CAST(sumsq AS DOUBLE) / n)) AS BIGINT)
+                    AS rms_milli,
+                  CAST(list_max(list_transform(sm, v -> abs(CAST(v AS BIGINT))))
+                       AS BIGINT) AS peak,
+                  CAST(list_sum(list_transform(range(1, n),
+                         i -> CASE WHEN (1000*sm[i] - mu)*(1000*sm[i+1] - mu) < 0
+                              THEN 1 ELSE 0 END)) AS BIGINT) AS mean_crossings
+                FROM mu)
+          SELECT p.doc_id AS media_id,
+                 COALESCE(f.n_samples, 0) AS n_samples,
+                 COALESCE(f.rms_milli, 0) AS rms_milli,
+                 COALESCE(f.peak, 0) AS peak,
+                 COALESCE(f.mean_crossings, 0) AS mean_crossings
+          FROM p LEFT JOIN f ON f.doc_id = p.doc_id""",
     "mm_frames" ->
       s"""WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
           SELECT doc_id AS media_id,
@@ -3694,6 +3739,7 @@ object DataOps {
     "sim_rp" -> simRandomProject _,
     "mm_decode" -> mmDecode _,
     "mm_audio" -> mmAudio _, // RIFF/WAVE chunk-walk metadata extraction
+    "mm_audio_features" -> mmAudioFeatures _, // PCM RMS/peak/mean-crossing
     "tx_winnow" -> txWinnow _, // MOSS winnowing fingerprints (local coverage)
     "ds_group_sample" -> dsGroupSample _, // RNG-free per-key uniform sample (KMV)
     "ds_kmv_distinct" -> dsKmvDistinct _, // KMV distinct estimate, bounded state

@@ -234,6 +234,22 @@ class DataOpsSpec extends SparkSpec {
     assert(bad.sample_rate == 0 && bad.n_samples == 0L && bad.n_bytes == 3)
   }
 
+  test("PCM features decode signed samples the ASCII corpus never exercises") {
+    import spark.implicits._
+    // hand-built s16le data: [1, 32767, 0, -32767] — includes a
+    // genuinely negative sample, so sign extension is proven
+    val data = Array[Byte](1, 0, -1, 127, 0, 0, 1, -128)
+    val wav = Multimodal.wavContainer(2, 8000, 16, data)
+    val f = Multimodal.audioFeatures(Seq(
+      Multimodal.MediaRecord(5L, wav)).toDS()).collect().head
+    assert(f.n_samples == 4L && f.peak == 32767L)
+    val sumSq = 1L + 32767L * 32767L + 0L + 32767L * 32767L
+    assert(f.rms_milli == math.round(1000.0 * math.sqrt(sumSq.toDouble / 4)))
+    // mean_milli = round(1000*(1+32767+0-32767)/4) = 250; the only
+    // strict sign flip around it is 32767 -> 0
+    assert(f.mean_crossings == 1L, s"got ${f.mean_crossings}")
+  }
+
   test("approx distinct lands within the configured 2% rsd of exact") {
     val exact = graft.queries.Relational.q6CountDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
