@@ -407,6 +407,18 @@ object Rehearsal {
           .agg(count(lit(1)), sum(col("weight_micro")))
           .collect()(0).getLong(0)
       },
+      // audio plumbing: wrap every doc as a real WAV container and run
+      // the chunk-walk decode + PCM feature pass — batched
+      // mapPartitions with zero shuffle, so the decade curve must
+      // track the scan (the binary-column claim at corpus scale)
+      "audio" -> { () =>
+        import org.apache.spark.sql.functions.{col => c}
+        val media = graft.operators.Multimodal.documentsAsAudio(
+          docsR.repartition(32))
+        graft.operators.Multimodal.audioFeatures(media).toDF()
+          .agg(count(lit(1)), sum(c("rms_milli")), sum(c("mean_crossings")))
+          .collect()(0).getLong(0)
+      },
       // winnowing: a pure per-doc O(len·w) projection until the
       // ~len/w selected rows — the decade curve must track the scan
       "winnow" -> { () =>

@@ -96,13 +96,18 @@ object Dsir {
     * contract — a bucket unseen in raw cannot appear in a scored
     * doc, so the model join is inner and lossless). */
   def weights(pool: DataFrame, text: Column, id: Column, isTarget: Column): DataFrame = {
-    // localCheckpoint: the bag feeds the model (twice: per-bucket and
+    // Stage the bag: it feeds the model (twice: per-bucket and
     // totals) AND the scoring join; without the boundary the gram
     // explode re-scans the corpus three times (measured in the
-    // formatted plan). Same staged-boundary pattern as Curation.
-    // (Handed to the caller's lineage, so it cannot be unpersisted
-    // here.)
-    val bag = gramBag(pool, text, id, isTarget).localCheckpoint(false)
+    // formatted plan). DISK_ONLY, not localCheckpoint — at the 1000×
+    // spill decade, 32 tasks unrolling deserialized checkpoint
+    // blocks starved their own partial hash-aggregates of pages
+    // (AGGREGATE_OUT_OF_MEMORY); a disk-staged block is the
+    // in-session analogue of the parquet stage a production run
+    // writes here, with zero unroll pressure. (Handed to the
+    // caller's lineage, so it cannot be unpersisted here.)
+    val bag = gramBag(pool, text, id, isTarget)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     bag.join(broadcast(ratios(bag)), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("llr_micro")).as("weight_micro"))
