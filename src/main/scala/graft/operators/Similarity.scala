@@ -569,6 +569,39 @@ object Similarity {
     * micro-units (the Lloyd-recenter trick), so the result is
     * partial-order invariant and the DuckDB oracle replays it
     * exactly. */
+  /** Embedding outlier gate: flag vectors whose assignment distance
+    * sits more than 3σ ABOVE their cell's mean — the corrupt-vector /
+    * off-manifold filter a corpus runs before trusting its embedding
+    * space (a zeroed or garbage vector lands far from every centroid
+    * and quietly poisons dedup thresholds and ANN recall).
+    *
+    * Exact integer algebra end to end: distances are 6dp-pinned, so
+    * micro-units are integers; the 3σ test is the cross-multiplied
+    * form (n·du − Σdu)² > 9·(n·Σdu² − (Σdu)²) over decimal(38,0) —
+    * no float mean, no float variance, no rounding divergence, and
+    * Σdu² stays exact where a 64-bit sum would overflow at corpus
+    * scale. One-sided by construction: tight vectors are fine,
+    * far ones are the defect.
+    *
+    * Shape: one k-row stats aggregate over the assignment frame,
+    * broadcast back — cost is the assignment scan it already shares
+    * with the IVF family. */
+  def assignmentOutliers(assigned: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val a = assigned.withColumn("du", round(col("dist") * 1e6).cast("long"))
+    val stats = a.groupBy("centroid_id").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("du").cast(dec)).as("s1"),
+      sum(col("du").cast(dec) * col("du")).as("s2"))
+    a.join(broadcast(stats), "centroid_id")
+      .withColumn("dev", col("n") * col("du") - col("s1"))
+      .withColumn("is_outlier", col("dev") > 0 &&
+        col("dev") * col("dev") >
+          lit(9) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col("vec_id"), col("centroid_id"), col("dist"),
+        col("is_outlier"))
+  }
+
   def indexDrift(centroids: DataFrame, corpus: DataFrame,
                  batch: DataFrame): DataFrame = {
     def cellStats(df: DataFrame, n: String, md: String): DataFrame =

@@ -553,6 +553,16 @@ object DataOps {
     Dedup.semDedup(e, cents.toDF("centroid_id", "cent"), cosineThreshold)
   }
 
+  /** Off-manifold vector gate over the shared Lloyd assignment. */
+  def simEmbedOutliers(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = emb(s, d)
+    val cents = Similarity.lloydTrain(e, lloydK, lloydIters)
+    Similarity.assignmentOutliers(
+      Similarity.lloydAssignDist(e, cents.toDF("centroid_id", "cent")))
+  }
+
   /** The skew-guarded SemDeDup twin: cells capped at [[semdedupMaxCell]]
     * vectors via deterministic id-hash sub-splitting — the posture the
     * 100× rehearsal forced (one ballooned cell = one \|cell\|²-pair
@@ -2005,6 +2015,26 @@ object DataOps {
         FROM ad"""
   }
 
+  /** sim_embed_outliers replay: micro distances, per-cell integer
+    * moment sums in HUGEINT, and the cross-multiplied 3σ test —
+    * zero float statistics on either side. */
+  private val embedOutliersOracle: String = {
+    val dev = "(st.n * du.du - st.s1)"
+    s"""WITH $lloydCtes,
+        ad AS (SELECT a.vec_id, a.cid, d.dist
+               FROM a_f a JOIN d_f d ON d.vec_id = a.vec_id AND d.cid = a.cid),
+        du AS (SELECT vec_id, cid, dist,
+                      CAST(round(dist * 1e6) AS BIGINT) AS du FROM ad),
+        st AS (SELECT cid, CAST(count(*) AS HUGEINT) AS n,
+                      CAST(sum(du) AS HUGEINT) AS s1,
+                      CAST(sum(CAST(du AS HUGEINT) * du) AS HUGEINT) AS s2
+               FROM du GROUP BY cid)
+        SELECT du.vec_id, du.cid AS centroid_id, du.dist,
+               $dev > 0 AND $dev * $dev > 9 * (st.n * st.s2 - st.s1 * st.s1)
+                 AS is_outlier
+        FROM du JOIN st ON st.cid = du.cid"""
+  }
+
   /** dd_semdedup_capped replay: identical chain, but the pair join
     * additionally requires the same deterministic id-hash slice —
     * nsub = ceil(|cell| / maxCell) per cell, slice = vec_id % nsub. */
@@ -2624,6 +2654,7 @@ object DataOps {
           FROM r, n""",
     "dd_embed_ivf" -> embedIvfOracle,
     "dd_semdedup" -> semdedupOracle,
+    "sim_embed_outliers" -> embedOutliersOracle,
     "dd_semdedup_capped" -> semdedupCappedOracle,
     "p_alloc_greedy" -> allocOracle,
     "p_alloc_plan" -> allocOracle,
@@ -3683,6 +3714,7 @@ object DataOps {
     "dd_embed_neardups" -> ddEmbedNearDups _,
     "dd_embed_ivf" -> ddEmbedIvf _,
     "dd_semdedup" -> ddSemdedup _,
+    "sim_embed_outliers" -> simEmbedOutliers _, // 3-sigma off-manifold gate
     "dd_semdedup_capped" -> ddSemdedupCapped _, // skew-guarded cell sub-split
     "sim_rp_ann" -> simRpAnn _,
     "dd_corpus" -> ddCorpus _,
