@@ -42,10 +42,22 @@ object Dsir {
     * agnostic. */
   val buckets = 4096
 
+  /** Last staged gram bag, released at the next weights() call. */
+  @volatile private var lastStagedBag: Option[DataFrame] = None
+
   /** Unigram + bigram stream of a document (single-space token
     * convention). Guarded: Spark's sequence(1, n) DESCENDS for n<1,
     * so single-token docs must short-circuit to an empty bigram
-    * list. */
+    * list.
+    *
+    * Deliberately the per-gram form: md5 runs on EXPLODED rows inside
+    * whole-stage codegen. The "obvious" optimization — hash each
+    * token once inside `transform(...)` and derive bigram buckets
+    * arithmetically — benchmarked 7× SLOWER (3.5 s → 24 s at sf0.1),
+    * because Spark evaluates higher-order-function lambdas with
+    * interpreted expressions: an md5 inside a lambda abandons codegen
+    * for every token. Row-wise explode-then-hash is the
+    * codegen-friendly shape. */
   private def gramsCol(text: Column): Column = {
     val toks = split(text, " ")
     val bigrams = when(size(toks) >= 2,
@@ -108,6 +120,15 @@ object Dsir {
     // caller's lineage, so it cannot be unpersisted here.)
     val bag = gramBag(pool, text, id, isTarget)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // trailing release (the Bpe pattern): each call frees the PREVIOUS
+    // call's staged blocks — without this, every invocation leaks its
+    // disk blocks into the session AND later identical plans silently
+    // reuse them through the CacheManager, flattering re-run timings
+    // (observed: 0.67 s cache-assisted vs 3.5 s honest)
+    Dsir.synchronized {
+      lastStagedBag.foreach(_.unpersist(blocking = false))
+      lastStagedBag = Some(bag)
+    }
     bag.join(broadcast(ratios(bag)), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("cnt") * col("llr_micro")).as("weight_micro"))
