@@ -81,4 +81,29 @@ object Winnow {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** Offset-consistent alignment — the MOSS region-matching step
+    * after fingerprint collision: fingerprints shared at a CONSTANT
+    * position offset (pos_a − pos_b) belong to one contiguous copied
+    * passage, while scattered coincidental collisions spread across
+    * offsets. Output: one row per (pair, offset) with ≥ `minAligned`
+    * aligned fingerprints — the copied-region report, with the span's
+    * position range for extraction. Same hot-posting cap as
+    * sharedPairs; the offset lives in the group key, so the extra
+    * verdict costs nothing beyond the pair join already paid. */
+  def alignedSpans(fps: DataFrame, minAligned: Int,
+                   maxPostingLen: Int): DataFrame = {
+    val sets = fps.select("doc_id", "pos", "fp")
+    val hot = sets.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("n"))
+      .filter(col("n") > maxPostingLen)
+    val kept = sets.join(hot, Seq("fp"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (col("a.pos") - col("b.pos")).as("offset"))
+      .agg(count(lit(1)).as("aligned"),
+        min(col("a.pos")).as("a_start"), max(col("a.pos")).as("a_end"))
+      .filter(col("aligned") >= minAligned)
+  }
 }

@@ -893,6 +893,9 @@ object DataOps {
   def ddWinnowPairs(s: SparkSession, d: String): DataFrame =
     graft.operators.Winnow.sharedPairs(txWinnow(s, d), winnowMinShared, winnowCap)
 
+  def ddWinnowSpans(s: SparkSession, d: String): DataFrame =
+    graft.operators.Winnow.alignedSpans(txWinnow(s, d), winnowMinShared, winnowCap)
+
   /** PCM feature extraction over the WAV data chunk — RMS, peak, and
     * mean-crossing rate from the real little-endian s16 stream. */
   def mmAudioFeatures(s: SparkSession, d: String): DataFrame = {
@@ -2604,6 +2607,19 @@ object DataOps {
                  CAST(count(*) AS BIGINT) AS shared
           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= $winnowMinShared""",
+    "dd_winnow_spans" ->
+      s"""WITH $winnowSelCtes,
+          hot AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM sel)
+                  GROUP BY h HAVING count(*) > $winnowCap),
+          kept AS (SELECT doc_id, p, h FROM sel
+                   WHERE h NOT IN (SELECT h FROM hot))
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(a.p - b.p AS BIGINT) AS offset,
+                 CAST(count(*) AS BIGINT) AS aligned,
+                 CAST(min(a.p) AS BIGINT) AS a_start,
+                 CAST(max(a.p) AS BIGINT) AS a_end
+          FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3 HAVING count(*) >= $winnowMinShared""",
     "ds_dsir_weights" ->
       s"WITH $dsirCtes SELECT doc_id, weight_micro FROM w",
     // persisted twin: identical algebra against the stored model table
@@ -3776,6 +3792,7 @@ object DataOps {
     "ds_group_sample" -> dsGroupSample _, // RNG-free per-key uniform sample (KMV)
     "ds_kmv_distinct" -> dsKmvDistinct _, // KMV distinct estimate, bounded state
     "dd_winnow_pairs" -> ddWinnowPairs _, // copy detection via shared fingerprints
+    "dd_winnow_spans" -> ddWinnowSpans _, // offset-consistent copied regions
     "mm_frames" -> mmFrames _,
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,

@@ -68,6 +68,21 @@ class WinnowSpec extends SparkSpec {
       s"only the copied-passage pair may survive: ${pairs.toSeq}")
   }
 
+  test("aligned spans: a planted copy aligns at one constant offset") {
+    val passage = (1 to 20).map(i => s"copied$i").mkString(" ")
+    val a = s"one two three four five six $passage tail1 tail2 tail3 tail4"
+    val b = s"${(1 to 12).map(i => s"pre$i").mkString(" ")} $passage end1 end2"
+    val f = fps(Seq((0L, a), (1L, b)))
+    val spans = Winnow.alignedSpans(f, minAligned = 2, maxPostingLen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.length == 1, s"one copied region, one offset: ${spans.toSeq}")
+    val (aId, bId, offset, aligned) = spans.head
+    assert((aId, bId) == (0L, 1L))
+    // passage starts at token 7 in a and token 13 in b -> offset -6
+    assert(offset == -6L, s"offset $offset")
+    assert(aligned >= 2L)
+  }
+
   test("rightmost-minimum rule: ties select the later position") {
     // identical grams → identical hashes everywhere; the argmin must
     // take the rightmost position of each window, and overlapping
