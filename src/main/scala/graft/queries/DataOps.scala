@@ -287,6 +287,35 @@ object DataOps {
           .as("kmv_distinct"))
   }
 
+  /** EXACT per-group quantiles without a per-group sort: token
+    * lengths have bounded cardinality, so quantiles reduce to a
+    * counting sort — one (group, value) count aggregate, a cumulative
+    * window over the ≤|distinct values| summary rows (NOT the
+    * corpus), and rank selection at ceil(q·n). The per-group window
+    * sorts thousands of summary rows where a naive percentile_cont
+    * sorts the corpus; this is the exact twin of the approximate
+    * q34 sketch, viable whenever the value domain is bounded (lengths,
+    * scores, bucketed floats). Rank convention: lower nearest-rank
+    * (the k-th smallest, k = ceil(q·n)) — integer-exact, replayable. */
+  val quantileQs: Seq[(String, Int)] = Seq("p50" -> 50, "p90" -> 90, "p99" -> 99)
+
+  def dsLengthQuantiles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).as("len"))
+      .groupBy("lang", "len").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("lang")))
+    val qs = quantileQs.map { case (name, q) =>
+      min(when(col("cum") * 100 >= col("n") * q, col("len")))
+        .cast("long").as(name)
+    }
+    cum.groupBy("lang").agg(qs.head, qs.tail: _*)
+  }
+
   /** Paragraph width for the cross-doc paragraph dedup: 16 words —
     * short enough that the synthetic corpus' repeated phrases
     * actually collide across documents. */
@@ -2566,6 +2595,20 @@ object DataOps {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ds_length_quantiles" -> {
+      val sel = quantileQs.map { case (name, q) =>
+        s"CAST(min(CASE WHEN cum*100 >= n*$q THEN len END) AS BIGINT) AS $name"
+      }.mkString(", ")
+      s"""WITH c AS (SELECT lang, len(string_split(text, ' ')) AS len,
+                            count(*) AS c
+                     FROM documents GROUP BY 1, 2),
+          cum AS (SELECT lang, len, c,
+                    sum(c) OVER (PARTITION BY lang ORDER BY len
+                                 ROWS UNBOUNDED PRECEDING) AS cum,
+                    sum(c) OVER (PARTITION BY lang) AS n
+                  FROM c)
+          SELECT lang, $sel FROM cum GROUP BY lang"""
+    },
     "ds_group_sample" ->
       s"""WITH h AS (SELECT source, doc_id,
                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -3790,6 +3833,7 @@ object DataOps {
     "mm_audio_features" -> mmAudioFeatures _, // PCM RMS/peak/mean-crossing
     "tx_winnow" -> txWinnow _, // MOSS winnowing fingerprints (local coverage)
     "ds_group_sample" -> dsGroupSample _, // RNG-free per-key uniform sample (KMV)
+    "ds_length_quantiles" -> dsLengthQuantiles _, // exact quantiles via counting sort
     "ds_kmv_distinct" -> dsKmvDistinct _, // KMV distinct estimate, bounded state
     "dd_winnow_pairs" -> ddWinnowPairs _, // copy detection via shared fingerprints
     "dd_winnow_spans" -> ddWinnowSpans _, // offset-consistent copied regions
