@@ -965,6 +965,47 @@ object DataOps {
     * a total order, so the cut is deterministic). The corpus-statistics
     * staple: one explode + one partial-agg count + a k-row ordered
     * take; nothing but the 20 survivors ever reaches the driver. */
+  /** PMI phrase mining (Church & Hanks 1990): pointwise mutual
+    * information of adjacent token pairs — the association statistic
+    * phrase extraction and tokenizer-candidate discovery rank by.
+    * pmi = ln(C₁₂·T² / (P·C₁·C₂)) over pair count C₁₂, unigram
+    * counts, total tokens T and total pairs P; micro-nat rounded so
+    * the score is an exact integer. `pmiMinCount` kills the
+    * low-count noise PMI is notorious for. Shape: one token
+    * explode feeding both count frames, two keyed joins on the
+    * token (the unigram frame is vocabulary-sized), totals as 1-row
+    * broadcasts — nothing pairwise beyond adjacency. */
+  val pmiMinCount = 5
+
+  def txPmi(s: SparkSession, d: String): DataFrame = {
+    val toks = col("__toks")
+    val cnt = size(toks) - 1
+    val base = docs(s, d).select(TextAnalysis.tokens(col("text")).as("__toks"))
+    val uni = base.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("t_tokens"))
+    val pairs = base.select(
+        explode(when(cnt >= 1,
+          transform(sequence(lit(1), cnt),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))
+          .otherwise(array())).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= pmiMinCount)
+    val ptot = base.select(greatest(cnt, lit(0)).cast("long").as("np"))
+      .agg(sum(col("np")).as("t_pairs"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((log(col("c12")) - log(col("t_pairs"))
+          - log(col("c1")) - log(col("c2"))
+          + lit(2) * log(col("t_tokens"))) * 1e6)
+          .cast("long").as("pmi_micro"))
+  }
+
   def txTopBigrams(s: SparkSession, d: String): DataFrame = {
     // tokens bound to a column BEFORE the bigram lambda — an inline
     // split inside `transform` re-executes per element (O(tokens²)/doc)
@@ -3530,6 +3571,23 @@ object DataOps {
                 CAST(144 AS BIGINT) AS n_bytes,
                 CAST(sum(b) AS BIGINT) AS pix_sum
          FROM v GROUP BY doc_id""",
+    "tx_pmi" -> s"""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      uni AS (SELECT unnest(toks) AS w FROM t),
+      uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_tokens FROM uc),
+      pr AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+             FROM t, unnest(range(1, len(toks))) r(i)),
+      pc AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY w1, w2
+             HAVING count(*) >= $pmiMinCount),
+      pt AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT)
+                    AS t_pairs FROM t)
+      SELECT pc.w1, pc.w2, CAST(pc.c12 AS BIGINT) AS c12,
+             CAST(round((ln(pc.c12) - ln(pt.t_pairs)
+                  - ln(u1.c) - ln(u2.c)
+                  + 2 * ln(tot.t_tokens)) * 1e6) AS BIGINT) AS pmi_micro
+      FROM pc JOIN uc u1 ON u1.w = pc.w1
+              JOIN uc u2 ON u2.w = pc.w2, tot, pt""",
     "tx_top_bigrams" ->
       """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
          b AS (SELECT unnest(list_transform(range(1, len(toks)),
@@ -3843,6 +3901,7 @@ object DataOps {
     "mm_phash" -> mmPhash _,
     "mm_image_neardups" -> mmImageNearDups _,
     "tx_top_bigrams" -> txTopBigrams _,
+    "tx_pmi" -> txPmi _, // PMI phrase mining over adjacent token pairs
     "tx_rep_ngrams" -> txRepNgrams _,
     "tx_nb_quality" -> txNbQuality _,
     "ds_curate" -> dsCurate _,
