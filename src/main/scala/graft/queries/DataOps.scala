@@ -756,6 +756,15 @@ object DataOps {
     docs(s, d).select(col("doc_id"),
       TextAnalysis.languageId(col("text")).as("lang_pred"))
 
+  /** Language-ID QA: the labeled-vs-predicted confusion matrix — the
+    * report that decides whether the heuristic classifier is
+    * trustworthy per language before its verdicts gate a corpus.
+    * One projection + one keyed count; |langs|² output rows. */
+  def txLangConfusion(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("lang").as("labeled"),
+        TextAnalysis.languageId(col("text")).as("predicted"))
+      .groupBy("labeled", "predicted").agg(count(lit(1)).as("n"))
+
   def txHashVec(s: SparkSession, d: String): DataFrame =
     TextAnalysis.hashedTermFrequency(docs(s, d), col("text"), col("doc_id"))
 
@@ -3423,6 +3432,19 @@ object DataOps {
           b AS (SELECT doc_id, *, $best AS best FROM h)
           SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
     },
+    "tx_lang_confusion" -> {
+      val hits = langHitsSql.map { case (l, e) => s"$e AS h_$l" }.mkString(", ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val cases = langs.map(l => s"WHEN h_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                     FROM documents),
+          h AS (SELECT doc_id, lang, $hits FROM d),
+          b AS (SELECT doc_id, lang, *, $best AS best FROM h)
+          SELECT lang AS labeled, CASE $cases ELSE 'und' END AS predicted,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2"""
+    },
     "tx_fingerprint" -> {
       val p = TextAnalysis.fpPrime
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -3874,6 +3896,7 @@ object DataOps {
     "tx_quality" -> txQuality _,
     "tx_entropy" -> txEntropy _,
     "tx_langid" -> txLangid _,
+    "tx_lang_confusion" -> txLangConfusion _, // classifier QA matrix
     "tx_fingerprint" -> txFingerprint _,
     "dd_cc" -> ddCc _,
     "dd_corpus_cc" -> ddCorpusCc _,
