@@ -419,6 +419,17 @@ object Rehearsal {
           .agg(count(lit(1)), sum(c("rms_milli")), sum(c("mean_crossings")))
           .collect()(0).getLong(0)
       },
+      // PMI: pair + unigram keyed aggs over the token stream, two
+      // vocabulary-keyed joins, broadcast totals. The salted replica
+      // vocabularies multiply BOTH the pair and unigram key spaces
+      // ×MULT — the dimension a driver-side collocation counter
+      // cannot absorb; the curve must stay keyed-agg linear
+      "pmi" -> { () =>
+        graft.operators.TextAnalysis.pmiPairs(docsR.repartition(32),
+            col("text"), 5)
+          .agg(count(lit(1)), sum(col("pmi_micro")))
+          .collect()(0).getLong(0)
+      },
       // winnowing: a pure per-doc O(len·w) projection until the
       // ~len/w selected rows — the decade curve must track the scan
       "winnow" -> { () =>

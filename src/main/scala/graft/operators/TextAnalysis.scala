@@ -250,4 +250,46 @@ object TextAnalysis {
       zip_with(tokens(text), sequence(lit(1), size(tokens(text))),
         (t, i) => pmod(tokenHash(t) * i.cast("long"), lit(fpPrime))),
       lit(0L), (acc, v) => pmod(acc + v, lit(fpPrime)))
+
+  /** PMI phrase mining (Church & Hanks 1990): pointwise mutual
+    * information of adjacent token pairs — the association statistic
+    * phrase extraction and tokenizer-candidate discovery rank by.
+    * pmi = ln(C₁₂·T² / (P·C₁·C₂)) over pair count C₁₂, unigram
+    * counts, total tokens T and total pairs P; micro-nat rounded so
+    * the score is an exact integer. `minCount` kills the low-count
+    * noise PMI is notorious for.
+    *
+    * Shape at corpus scale: one token explode feeding both count
+    * frames (map-side combined), two joins keyed on the token — the
+    * unigram frame is VOCABULARY-sized, the natural shuffle axis —
+    * and the two totals ride as 1-row broadcasts. Nothing pairwise
+    * beyond adjacency. */
+  def pmiPairs(df: DataFrame, text: Column, minCount: Int): DataFrame = {
+    val toks = col("__toks")
+    val cnt = size(toks) - 1
+    val base = df.select(tokens(text).as("__toks"))
+    val uni = base.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("t_tokens"))
+    val pairs = base.select(
+        explode(when(cnt >= 1,
+          transform(sequence(lit(1), cnt),
+            i => struct(element_at(toks, i).as("w1"),
+              element_at(toks, i + 1).as("w2"))))
+          .otherwise(array())).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val ptot = base.select(greatest(cnt, lit(0)).cast("long").as("np"))
+      .agg(sum(col("np")).as("t_pairs"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((log(col("c12")) - log(col("t_pairs"))
+          - log(col("c1")) - log(col("c2"))
+          + lit(2) * log(col("t_tokens"))) * 1e6)
+          .cast("long").as("pmi_micro"))
+  }
 }

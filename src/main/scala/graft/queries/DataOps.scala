@@ -986,34 +986,8 @@ object DataOps {
     * broadcasts — nothing pairwise beyond adjacency. */
   val pmiMinCount = 5
 
-  def txPmi(s: SparkSession, d: String): DataFrame = {
-    val toks = col("__toks")
-    val cnt = size(toks) - 1
-    val base = docs(s, d).select(TextAnalysis.tokens(col("text")).as("__toks"))
-    val uni = base.select(explode(toks).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val tot = uni.agg(sum(col("c")).as("t_tokens"))
-    val pairs = base.select(
-        explode(when(cnt >= 1,
-          transform(sequence(lit(1), cnt),
-            i => struct(element_at(toks, i).as("w1"),
-              element_at(toks, i + 1).as("w2"))))
-          .otherwise(array())).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= pmiMinCount)
-    val ptot = base.select(greatest(cnt, lit(0)).cast("long").as("np"))
-      .agg(sum(col("np")).as("t_pairs"))
-    pairs
-      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
-      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
-      .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
-      .select(col("w1"), col("w2"), col("c12"),
-        round((log(col("c12")) - log(col("t_pairs"))
-          - log(col("c1")) - log(col("c2"))
-          + lit(2) * log(col("t_tokens"))) * 1e6)
-          .cast("long").as("pmi_micro"))
-  }
+  def txPmi(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pmiPairs(docs(s, d), col("text"), pmiMinCount)
 
   def txTopBigrams(s: SparkSession, d: String): DataFrame = {
     // tokens bound to a column BEFORE the bigram lambda — an inline
