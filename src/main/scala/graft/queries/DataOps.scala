@@ -739,6 +739,24 @@ object DataOps {
   /** Exact profile (oracle-checkable); the library default
     * `Profile.numeric` is the HLL-approximate path — see Profile's
     * scaladoc and the Expand-free plan assertions in ProfileSpec. */
+  /** Referential-integrity audit between the text corpus and its
+    * embedding table — the pre-flight check before any join-shaped
+    * curation (a doc without a vector silently skips semantic dedup;
+    * a vector without a doc is an orphan from a stale run). Both
+    * sides project to bare 8-byte ids BEFORE the full-outer join, so
+    * a 100 TB audit moves ids, not payloads (the Snapshot.diff
+    * discipline); output is the 3-row status rollup. */
+  def dqRefIntegrity(s: SparkSession, d: String): DataFrame = {
+    val dIds = docs(s, d).select(col("doc_id").as("id"))
+      .withColumn("has_doc", lit(true))
+    val eIds = emb(s, d).select(col("vec_id").as("id"))
+      .withColumn("has_vec", lit(true))
+    dIds.join(eIds, Seq("id"), "full_outer")
+      .select(when(col("has_doc") && col("has_vec"), "matched")
+        .when(col("has_doc"), "doc_only").otherwise("vec_only").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+  }
+
   def dqProfile(s: SparkSession, d: String): DataFrame =
     graft.operators.Profile.numericExact(Tables(s, d, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey"))
@@ -3450,6 +3468,16 @@ object DataOps {
                       ELSE 'test' END AS split
           FROM documents)
           SELECT split, count(*) AS n_docs, min(doc_id) AS min_id FROM s GROUP BY split""",
+    "dq_ref_integrity" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents),
+          e AS (SELECT vec_id AS id FROM embeddings),
+          j AS (SELECT CASE WHEN d.id IS NOT NULL AND e.id IS NOT NULL
+                            THEN 'matched'
+                            WHEN d.id IS NOT NULL THEN 'doc_only'
+                            ELSE 'vec_only' END AS status
+                FROM d FULL OUTER JOIN e ON d.id = e.id)
+          SELECT status, CAST(count(*) AS BIGINT) AS n
+          FROM j GROUP BY status""",
     "dq_profile" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
       cols.map { c =>
@@ -3861,6 +3889,7 @@ object DataOps {
     "sim_ann_recall" -> simAnnRecall _,
     "tx_tokens" -> txTokens _,
     "dq_profile" -> dqProfile _,
+    "dq_ref_integrity" -> dqRefIntegrity _, // corpus-vs-embeddings id audit
     "tx_clean" -> txClean _,
     "ds_split" -> dsSplit _,
     "ds_split_safe" -> dsSplitSafe _,
