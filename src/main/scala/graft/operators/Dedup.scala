@@ -598,6 +598,32 @@ object Dedup {
         coalesce(!col("lost"), lit(true)).as("kept"))
   }
 
+  /** N-gram novelty scores — the diversity/memorization metric: what
+    * fraction of a document's distinct n-grams appear NOWHERE else in
+    * the corpus. Low novelty means the document is assembled from
+    * corpus-common phrasing (template/boilerplate mass); a
+    * memorization audit reads it in the other direction (an eval doc
+    * with low novelty against training data is leaked). ppm integer
+    * arithmetic end to end.
+    *
+    * Shape: the shingle stream rides the rolling xxh64 kernel (8-byte
+    * keys, same collision contract as the decontam family — the
+    * oracle keys on gram CONTENT, so agreement is the collision
+    * check); one gram-keyed document-frequency agg, one keyed join
+    * back, one doc-keyed rollup. Documents shorter than n tokens
+    * carry no grams and are absent, like the rest of the family. */
+  def noveltyScores(df: DataFrame, text: Column, id: Column,
+                    n: Int): DataFrame = {
+    val sh = hashedShingles(df, text, id, n)
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("gdf"))
+    sh.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") === 1, 1L).otherwise(0L)).as("unique_grams"))
+      .withColumn("novelty_ppm",
+        expr("unique_grams * 1000000 div n_grams"))
+  }
+
   // ---- Train/eval decontamination --------------------------------------
 
   /** Contamination report: (train doc, eval doc, shared distinct

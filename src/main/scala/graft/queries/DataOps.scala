@@ -770,6 +770,12 @@ object DataOps {
   def txEntropy(s: SparkSession, d: String): DataFrame =
     TextAnalysis.entropySignals(docs(s, d), col("text"), col("doc_id"))
 
+  /** Corpus novelty: 5-gram uniqueness fraction per document. */
+  val noveltyN = 5
+
+  def txNovelty(s: SparkSession, d: String): DataFrame =
+    Dedup.noveltyScores(docs(s, d), col("text"), col("doc_id"), noveltyN)
+
   def txLangid(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       TextAnalysis.languageId(col("text")).as("lang_pred"))
@@ -3424,6 +3430,22 @@ object DataOps {
           b AS (SELECT doc_id, *, $best AS best FROM h)
           SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM b"""
     },
+    "tx_novelty" -> {
+      val n = noveltyN
+      s"""WITH dt AS (SELECT doc_id, string_split(text, ' ') AS toks
+                      FROM documents),
+          sh AS (SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)),
+                     i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS g
+                 FROM dt),
+          fr AS (SELECT g, count(*) AS gdf FROM sh GROUP BY g)
+          SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN fr.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS unique_grams,
+                 CAST(sum(CASE WHEN fr.gdf = 1 THEN 1 ELSE 0 END) * 1000000
+                      // count(*) AS BIGINT) AS novelty_ppm
+          FROM sh JOIN fr USING (g) GROUP BY sh.doc_id"""
+    },
     "tx_lang_confusion" -> {
       val hits = langHitsSql.map { case (l, e) => s"$e AS h_$l" }.mkString(", ")
       val langs = TextAnalysis.langProfiles.map(_._1)
@@ -3899,6 +3921,7 @@ object DataOps {
     "tx_quality" -> txQuality _,
     "tx_entropy" -> txEntropy _,
     "tx_langid" -> txLangid _,
+    "tx_novelty" -> txNovelty _, // n-gram uniqueness (diversity/memorization)
     "tx_lang_confusion" -> txLangConfusion _, // classifier QA matrix
     "tx_fingerprint" -> txFingerprint _,
     "dd_cc" -> ddCc _,
