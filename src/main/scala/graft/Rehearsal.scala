@@ -424,6 +424,15 @@ object Rehearsal {
       // vocabularies multiply BOTH the pair and unigram key spaces
       // ×MULT — the dimension a driver-side collocation counter
       // cannot absorb; the curve must stay keyed-agg linear
+      // novelty: decontam-shaped (gram-keyed document-frequency agg +
+      // keyed join back), but BOTH sides are the full corpus — the
+      // gram key space grows ×MULT with the salted vocabularies
+      "novelty" -> { () =>
+        Dedup.noveltyScores(docsR.repartition(32), col("text"),
+            col("doc_id"), 5)
+          .agg(count(lit(1)), sum(col("novelty_ppm")))
+          .collect()(0).getLong(0)
+      },
       "pmi" -> { () =>
         graft.operators.TextAnalysis.pmiPairs(docsR.repartition(32),
             col("text"), 5)
