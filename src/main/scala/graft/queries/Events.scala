@@ -240,7 +240,25 @@ object Events {
           .otherwise(lit("train")).as("split"))
   }
 
+  /** Cohort retention (the canonical product-analytics rollup): users
+    * cohorted by first-activity week, counted per later active week —
+    * retention curves read straight off the (cohort_week, week) grid.
+    * All-integer week arithmetic (µs epochs, 7-day buckets), two
+    * keyed aggregates and one broadcast-sized join back; the corpus
+    * never crosses a window. */
+  val weekUs: Long = 7L * 24 * 3600 * 1000000L
+
+  def evRetention(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).withColumn("week", expr(s"(ts div 1000) div $weekUs"))
+    val cohort = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val active = e.select("user_id", "week").distinct()
+    active.join(cohort, "user_id")
+      .groupBy("cohort_week", "week")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_retention" -> evRetention _,
     "ev_seq_examples" -> evSeqExamples _,
     "ev_temporal_split" -> evTemporalSplit _,
     "ev_window_agg" -> evWindowAgg _,
@@ -270,6 +288,15 @@ object Events {
                      FROM sess GROUP BY user_id, session_id)"""
 
   val oracleSql: Map[String, String] = Map(
+    "ev_retention" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // $weekUs AS week FROM events),
+          cohort AS (SELECT user_id, min(week) AS cohort_week
+                     FROM e GROUP BY user_id),
+          active AS (SELECT DISTINCT user_id, week FROM e)
+          SELECT c.cohort_week, a.week,
+                 CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+          FROM active a JOIN cohort c ON c.user_id = a.user_id
+          GROUP BY 1, 2""",
     "ev_temporal_split" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
          r AS (SELECT user_id, event_id,

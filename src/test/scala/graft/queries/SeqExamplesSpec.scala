@@ -43,6 +43,26 @@ class SeqExamplesSpec extends SparkSpec {
     assert(Events.evSeqExamples(spark, sf).count() == expected)
   }
 
+  test("cohort retention counts distinct users on the (cohort, week) grid") {
+    import spark.implicits._
+    val wk = Events.weekUs
+    // users 1,2 start week 0; user 1 returns week 1; user 3 starts week 1
+    val rows = Seq(
+      (1L, 1L, 0L), (2L, 2L, 1L), (3L, 1L, wk + 5L), (4L, 1L, wk + 9L),
+      (5L, 3L, wk + 1L))
+      .map { case (eid, u, us) =>
+        (eid, new java.sql.Timestamp(us / 1000), u, "view") }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type")
+    val e = df.withColumn("week", expr(s"(unix_micros(ts)) div $wk"))
+    val cohort = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val out = e.select("user_id", "week").distinct()
+      .join(cohort, "user_id")
+      .groupBy("cohort_week", "week")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (1L, 1L) -> 1L), out)
+  }
+
   test("temporal split: one test per user, at most one val, latest event is test") {
     val sf = "/root/testdata/sf0.001"
     val out = Events.evTemporalSplit(spark, sf)
