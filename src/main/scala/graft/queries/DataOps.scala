@@ -137,6 +137,24 @@ object DataOps {
     graft.operators.Dsir.selectTopK(docs(s, d), col("text"), col("doc_id"),
       col("lang") === "en", dsirK)
 
+  /** Stratified DSIR selection: the per-source quota over importance
+    * weights — pure top-k-global selection lets one domain swallow
+    * the whole budget, so production selects the best k PER SOURCE.
+    * Rides the bounded O(k)-state aggregator: a hot source ships k
+    * rows through the exchange, never a per-source sort. */
+  def dsDsirStratified(s0: SparkSession, d: String): DataFrame = {
+    val s = graft.GraftSession.boundedAggSession(s0)
+    val topk = udaf(new graft.functions.Aggregators.TopKByValue(samplePerKey))
+    graft.operators.Dsir.weights(docs(s, d), col("text"), col("doc_id"),
+        col("lang") === "en")
+      .join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(topk(col("weight_micro"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._2").as("doc_id"), col("col._1").as("weight_micro"))
+  }
+
   /** The serving twin: fit the bucket model once, persist the
     * ≤-4096-row table, score the pool against the STORED model —
     * identical weights to the live fit (same oracle SQL), zero
@@ -2721,6 +2739,16 @@ object DataOps {
           SELECT CAST(row_number() OVER (ORDER BY weight_micro DESC, doc_id)
                       AS BIGINT) AS rk, doc_id, weight_micro
           FROM w ORDER BY weight_micro DESC, doc_id LIMIT $dsirK""",
+    "ds_dsir_stratified" ->
+      s"""WITH $dsirCtes,
+          ws AS (SELECT w.doc_id, w.weight_micro, d.source
+                 FROM w JOIN documents d ON d.doc_id = w.doc_id),
+          r AS (SELECT source, doc_id, weight_micro,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY weight_micro DESC, doc_id) AS rk
+                FROM ws)
+          SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, weight_micro
+          FROM r WHERE rk <= $samplePerKey""",
     "ds_contamination" ->
       s"WITH $contaminationCtes SELECT train_id, eval_id, shared_ngrams FROM cpairs",
     "ds_decontaminate" ->
@@ -3869,6 +3897,7 @@ object DataOps {
     "ds_bm25" -> dsBm25 _,
     "ds_dsir_weights" -> dsDsirWeights _, // DSIR importance weights (Xie 2023)
     "ds_dsir_persisted" -> dsDsirPersisted _, // serving twin vs the stored model
+    "ds_dsir_stratified" -> dsDsirStratified _, // per-source quota selection
     "ds_dsir_select" -> dsDsirSelect _,   // DSIR top-k budget selection
     "ds_hybrid_rrf" -> dsHybridRrf _,
     "ds_rag_recall" -> dsRagRecall _, // retrieval quality vs exact full scan
