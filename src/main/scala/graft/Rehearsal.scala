@@ -365,33 +365,23 @@ object Rehearsal {
             sum(col("char_entropy") + col("token_entropy")))
           .collect()(0).getLong(0)
       },
-      // SemDeDup: coarse train/assign (full-scan shaped) + the
-      // within-cell pair join (Σ|cell|², the dd_embed_ivf bound) +
-      // the pair-local dominance verdict. The cell count GROWS with
-      // the corpus (k = 4·MULT, cells stay ~2000 vectors) — holding k
-      // fixed makes Σ|cell|² = N²/k quadratic by construction, which
-      // a 10× probe measured at 48×/decade before this was scaled;
-      // bounding cell size is the production IVF posture the operator
-      // scaladoc documents. Training runs on the fixed base-replica
-      // sample and assigns the full corpus (sample-train/full-assign,
-      // the sim_ivf_kmeans serving pattern).
+      // SemDeDup in its production (spill-decade) posture: the coarse
+      // quantizer trains on the FIXED-SIZE deterministic hash sample
+      // (sampleMod = MULT keeps the training set ~base-corpus-sized at
+      // every decade) with a BOUNDED k — the r9 probe that scaled
+      // k ∝ corpus (k=4·MULT) burned an hour of k·N broadcast-argmin
+      // work at 1000x and heap-OOM'd inside Lloyd's mean reduction:
+      // training cost is k·N·iters, so neither k nor the training N
+      // may grow with the corpus. Wide cells are the PAIR stage's
+      // problem, and maxCell bounds that at any scale (the 100x run of
+      // the UNCAPPED form put one ballooned cell's |cell|^2 join in a
+      // single 31-minute straggler task before the cap existed).
       "semdedup" -> { () =>
-        val spark2 = embR.sparkSession
-        import spark2.implicits._
         // same single-split artifact as bm25: the N·k broadcast-argmin
         // assign runs BEFORE any exchange, so it inherits the base
         // file's one partition unless re-spread
-        val embP = embR.repartition(32)
-        val sample = embP.filter(pmod(col("vec_id"), m) === 0)
-        val cents = graft.operators.Similarity.lloydTrain(sample, 4 * mult, 2)
-        // maxCell: the 100x run of the UNCAPPED form proved growing k
-        // alone is no bound — the perturbed replicas re-cluster, one
-        // cell ballooned, and its |cell|^2 pair join sat in a single
-        // 31-minute straggler task. The cap is the operator's own
-        // skew guard (deterministic id-slice sub-split), and it is
-        // what a production run would set.
-        Dedup.semDedup(embP, cents.toDF("centroid_id", "cent"), 0.3,
-            maxCell = 2000)
+        Dedup.semDedupSampled(embR.repartition(32), 0.3, maxCell = 2000,
+            k = 64, iters = 2, sampleMod = mult.toLong)
           .filter(!col("kept")).count()
       },
       // DSIR: one gram explode + map-side-combined bag, a ≤-4096-row
@@ -439,26 +429,53 @@ object Rehearsal {
           .agg(count(lit(1)), sum(col("pmi_micro")))
           .collect()(0).getLong(0)
       },
-      // winnowing: a pure per-doc O(len·w) projection until the
-      // ~len/w selected rows — the decade curve must track the scan
+      // winnowing on the PRODUCTION backend (rolling-xxh64 kernel, the
+      // default): a pure per-doc projection until the ~len/w selected
+      // rows — the decade curve must track the scan
       "winnow" -> { () =>
         graft.operators.Winnow.fingerprints(docsR.repartition(32),
           col("text"), col("doc_id"), 4, 4).count()
       },
+      // the md5 oracle backend, same shape — the head-to-head that
+      // prices the interpreted-md5-in-lambda tax the kernel removes
+      "winnow_md5" -> { () =>
+        graft.operators.Winnow.fingerprints(docsR.repartition(32),
+          col("text"), col("doc_id"), 4, 4, oracleHash = true).count()
+      },
       // cross-corpus mutual match: candidates are Σ_b |A_b|·|B_b| over
       // the sign-LSH buckets, and the perturbed replicas CLUSTER — a
       // fixed 16-plane run measured 2.5→4.4→134 s (30× at the second
-      // decade, super-linear: hot buckets go quadratic). The knob is
-      // the plane count: buckets must grow with the corpus (16 at 1×,
-      // +4 planes per decade = ×16 buckets per ×10 rows, so expected
-      // bucket occupancy FALLS), which is the operator's documented
-      // production posture for corpus-vs-corpus joins.
+      // decade, super-linear: hot buckets go quadratic). Two knobs,
+      // both production posture: plane count grows with the corpus
+      // (+4/decade = ×16 buckets per ×10 rows, so expected occupancy
+      // FALLS), and maxBucket caps what occupancy statistics can't —
+      // the hot buckets where the near-copy mass concentrates (the
+      // r9 run without the cap: 99.1 s / 16× at the second decade,
+      // recorded as the adversarial ceiling).
       "mutual" -> { () =>
         val planes = 16 + 4 * (math.log10(mult.toDouble).round.toInt)
         val e = embR.repartition(32)
         graft.operators.Similarity.mutualMatches(
           e.filter(pmod(col("vec_id"), lit(2)) === 0),
-          e.filter(pmod(col("vec_id"), lit(2)) === 1), planes).count()
+          e.filter(pmod(col("vec_id"), lit(2)) === 1), planes,
+          maxBucket = 2000).count()
+      },
+      // the END-TO-END pipeline composite (ds_pipeline): curation
+      // gates → LSH dedup over gate survivors → keyed semi-join →
+      // token-budget shard packing — the one-plan job a production
+      // run actually executes; its stages' individual 1000× rows are
+      // green, this measures their composition (shared scans, one
+      // optimizer pass). Same NLL-cap posture as `curate`.
+      "pipeline" -> { () =>
+        val kept = graft.operators.Curation.audit(docsR, col("text"), col("doc_id"),
+            docsR.filter(col("source").isin("src0", "src1")),
+            3, 0.3, 0.2, 0.6, maxAvgNll = 1e9)
+          .filter(col("verdict") === "kept").select("doc_id")
+        val survivors = docsR.join(kept, Seq("doc_id"))
+          .select(col("doc_id"), col("text"))
+        Sharding.packShards(survivors, "doc_id",
+            size(split(col("text"), " ")), budget = 100000L, blockSize = 10000L)
+          .groupBy("shard_id").agg(sum(col("n_tokens"))).count()
       },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()

@@ -598,6 +598,85 @@ object Dedup {
         coalesce(!col("lost"), lit(true)).as("kept"))
   }
 
+  /** The production SemDeDup entry point: coarse quantizer trained on
+    * the deterministic [[Similarity.hashSample]] slice with a BOUNDED
+    * k, then the [[semDedup]] verdict over the full corpus. This is
+    * the spill-decade posture BASELINE.md's 1000× rehearsal forced —
+    * full-corpus training with k ∝ corpus is k·N·iters work and
+    * OOM'd inside Lloyd's mean reduction, while centroid quality only
+    * needs a sketch of the distribution. `sampleMod` ∝ corpus size
+    * keeps the training set FIXED-SIZE; cells that come out too wide
+    * for the pair join are `maxCell`'s job (deterministic id-slice
+    * sub-split — finer blocks, same dominance algebra). Verdict
+    * drift vs full-corpus training is bounded in SemDedupSpec; the
+    * whole composition replays in the DuckDB oracle (hash slice,
+    * 6dp-pinned loop, full-corpus assignment). */
+  def semDedupSampled(emb: DataFrame, threshold: Double, maxCell: Int,
+                      k: Int, iters: Int, sampleMod: Long): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = Similarity.lloydTrainSampled(emb, k, iters, sampleMod)
+    semDedup(emb, cents.toDF("centroid_id", "cent"), threshold, maxCell)
+  }
+
+  /** Incremental SemDeDup: dominance VERDICTS for an incoming batch
+    * against the settled corpus — the serving composition of
+    * [[semDedup]] and the persisted embedding index (the one dedup
+    * family whose incremental form stopped at pair detection).
+    * `corpusAssigned` is the stored (vec_id, centroid_id, embedding)
+    * assignment of the previous run, `centroids` the (centroid_id,
+    * cent) table it was trained with. A batch vector is judged by
+    * semDedup's EXACT rule — against every cosine-near cell-mate
+    * (corpus or batch), the member farther from the cell centroid
+    * wins, ties to the lower vec_id — so because dominance is
+    * pairwise (never transitive), the batch verdicts are IDENTICAL
+    * to a full rebuild's verdicts restricted to the batch rows under
+    * the same centroids (IncrementalDedupSpec asserts the
+    * equivalence). Corpus rows are not re-judged: a batch arrival
+    * that would outrank a settled corpus vector marks the BATCH side
+    * only — index maintenance (dropping dominated corpus rows) is
+    * the refresh cycle's job, not the probe's.
+    *
+    * Scale shape: only the batch pays the |B|·k assignment pass; the
+    * candidate joins are cell-keyed and batch-driven (the stored
+    * assignment is bucketed on centroid_id, so the corpus side reads
+    * co-partitioned); corpus-side distances come from a scan-local
+    * projection against the broadcast centroid table (no extra
+    * shuffle, no stored-dist column needed) — candidate volume
+    * ∝ |batch| · cell width, never |corpus|². */
+  def incrementalSemDedup(corpusAssigned: DataFrame, centroids: DataFrame,
+                          batch: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{fastDot, fastNormSq}
+    graft.plans.GraftFunctions.ensureRegistered(batch.sparkSession)
+    val b = Similarity.lloydAssignDist(batch, centroids)
+      .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    val c = corpusAssigned
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .withColumn("dist", Similarity.lloydDist(col("embedding"), col("cent")))
+      .drop("cent")
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    def dominated(other: DataFrame, extraCond: Column): DataFrame =
+      b.as("b").join(other.as("o"),
+          col("b.centroid_id") === col("o.centroid_id") && extraCond)
+        .withColumn("cos", round(
+          fastDot(col("b.embedding"), col("o.embedding"))
+            / (col("b.nrm") * col("o.nrm")), 6))
+        .filter(col("cos") >= threshold)
+        // the batch row loses when the OTHER side outranks it: farther
+        // from the centroid wins, ties break to the lower vec_id
+        .filter(col("o.dist") > col("b.dist")
+          || (col("o.dist") === col("b.dist") && col("o.vec_id") < col("b.vec_id")))
+        .select(col("b.vec_id").as("vec_id"))
+    val losers = dominated(c, lit(true))
+      .unionByName(dominated(b, col("b.vec_id") =!= col("o.vec_id")))
+      .distinct()
+      .withColumn("lost", lit(true))
+    b.join(losers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("dist"),
+        coalesce(!col("lost"), lit(true)).as("kept"))
+  }
+
   /** N-gram novelty scores — the diversity/memorization metric: what
     * fraction of a document's distinct n-grams appear NOWHERE else in
     * the corpus. Low novelty means the document is assembled from

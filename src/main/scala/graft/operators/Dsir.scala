@@ -106,7 +106,20 @@ object Dsir {
     * pool document under the pool's own target/raw split. The model
     * is fit on the SAME pool it scores (raw ⊇ scored is the DSIR
     * contract — a bucket unseen in raw cannot appear in a scored
-    * doc, so the model join is inner and lossless). */
+    * doc, so the model join is inner and lossless).
+    *
+    * STAGING CONTRACT — at most ONE live weights() lineage at a time:
+    * each call stages its gram bag (DISK_ONLY) and releases the
+    * PREVIOUS call's staged blocks, so a DataFrame returned by an
+    * earlier weights() call that is materialized only AFTER a later
+    * call silently recomputes its gram explode (the staging boundary
+    * is gone; the answer is still correct). Materialize each result
+    * before the next call — the consume-then-move-on shape Verify,
+    * Bench and the registered DSIR queries all follow. Pipelines that
+    * need several live selectors at once should stage explicitly
+    * (write the bag or the [[ratios]] model to a table — the
+    * [[ensureModel]]/[[weightsPersisted]] path) instead of relying on
+    * this in-session convenience boundary. */
   def weights(pool: DataFrame, text: Column, id: Column, isTarget: Column): DataFrame = {
     // Stage the bag: it feeds the model (twice: per-bucket and
     // totals) AND the scoring join; without the boundary the gram

@@ -146,19 +146,29 @@ object Multimodal {
     var off = 12
     var channels = 0; var rate = 0; var bits = 0; var blockAlign = 0
     var dataLen = -1L
-    while (off + 8 <= p.length) {
-      val ckLen = leU32(p, off + 4)
+    var walking = true
+    while (walking && off + 8 <= p.length) {
+      val ckLen = leU32(p, off + 4) // unsigned 32-bit, as a Long
       val body = off + 8
-      tag(off) match {
-        case "fmt " if body + 16 <= p.length =>
-          channels = leU16(p, body + 2)
-          rate = leU32(p, body + 4).toInt
-          blockAlign = leU16(p, body + 12)
-          bits = leU16(p, body + 14)
-        case "data" => dataLen = ckLen
-        case _ => ()
+      // Untrusted-bytes guard: a declared length past the buffer (which
+      // includes every value >= 2^31 — the .toInt of those is negative,
+      // the loop-stall / walk-backwards class) means the container is
+      // malformed from here on; stop the walk and let the zeroed-row
+      // degradation below apply. ckLen <= remaining also makes the
+      // Int advance overflow-free.
+      if (ckLen > p.length - body) walking = false
+      else {
+        tag(off) match {
+          case "fmt " if body + 16 <= p.length =>
+            channels = leU16(p, body + 2)
+            rate = leU32(p, body + 4).toInt
+            blockAlign = leU16(p, body + 12)
+            bits = leU16(p, body + 14)
+          case "data" => dataLen = ckLen
+          case _ => ()
+        }
+        off = body + ckLen.toInt + (ckLen.toInt & 1) // chunks are word-aligned
       }
-      off = body + ckLen.toInt + (ckLen.toInt & 1) // chunks are word-aligned
     }
     if (dataLen < 0 || blockAlign == 0 || rate == 0)
       AudioMeta(r.media_id, n, channels, rate, bits, 0L, 0L)
@@ -200,10 +210,13 @@ object Multimodal {
     var off = 12
     var start = -1; var len = 0
     if (m.sample_rate > 0) {
-      while (start < 0 && off + 8 <= p.length) {
-        val ckLen = leU32(p, off + 4).toInt
-        if (new String(p, off, 4, "US-ASCII") == "data") { start = off + 8; len = ckLen }
-        else off = off + 8 + ckLen + (ckLen & 1)
+      var walking = true
+      while (walking && start < 0 && off + 8 <= p.length) {
+        val ckLen = leU32(p, off + 4) // same untrusted-length guard as decodeWavOne
+        if (ckLen > p.length - (off + 8)) walking = false
+        else if (new String(p, off, 4, "US-ASCII") == "data") {
+          start = off + 8; len = ckLen.toInt
+        } else off = off + 8 + ckLen.toInt + (ckLen.toInt & 1)
       }
     }
     if (start < 0 || len < 2)

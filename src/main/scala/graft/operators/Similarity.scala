@@ -152,13 +152,50 @@ object Similarity {
     * are 1 is mutual. No second join, no second hyperplane pass. */
   /** The shared cross-corpus candidate frame: bucket-blocked pairs
     * with exact 6dp cosine — the one expensive join both alignment
-    * verdicts (mutual, margin) rank. */
-  private def crossScored(a: DataFrame, b: DataFrame,
-                          nPlanes: Int): DataFrame = {
+    * verdicts (mutual, margin) rank.
+    *
+    * `maxBucket` (0 = off) is the HOT-BUCKET guard, the same
+    * discipline as semDedup's maxCell: Σ_b |A_b|·|B_b| is only a
+    * bound while no bucket balloons, and one viral/near-copy cluster
+    * concentrated in a single bucket turns the blocked join quadratic
+    * (measured: the 100× rehearsal's 134-s straggler). With
+    * maxBucket > 0, every bucket whose LARGER side exceeds the cap is
+    * deterministically sub-split into ceil(max(|A_b|,|B_b|)/maxBucket)
+    * slices and only same-slice pairs are compared — candidates can
+    * only be LOST, never invented (MutualCapSpec), so semantically
+    * this is "more, finer buckets": a pair whose true best mate lands
+    * in another slice is ranked within what remains, the standard
+    * blocking-refinement recall trade. The slice is the residue of
+    * the md5 ID HASH, not of the raw id — cross-corpus sides are
+    * routinely id-striped (this engine's own even/odd convention),
+    * and a raw-id residue with an even nsub would annihilate every
+    * cross-parity pair in the bucket instead of thinning it
+    * uniformly. The sub-split needs one per-bucket count aggregate
+    * per side, joined back on the bucket key. */
+  private def crossScored(a: DataFrame, b: DataFrame, nPlanes: Int,
+                          maxBucket: Int): DataFrame = {
     GraftFunctions.ensureRegistered(a.sparkSession)
     val ab = bucketedNormed(a, nPlanes)
     val bb = bucketedNormed(b, nPlanes)
-    ab.as("a").join(bb.as("b"), col("a.bucket") === col("b.bucket"))
+    val (aj, bj) =
+      if (maxBucket <= 0) (ab, bb)
+      else {
+        val nsub = ab.groupBy("bucket").agg(count(lit(1)).as("na"))
+          .join(bb.groupBy("bucket").agg(count(lit(1)).as("nb")),
+            Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            ceil(greatest(coalesce(col("na"), lit(0L)), coalesce(col("nb"), lit(0L)))
+              / maxBucket.toDouble).cast("long").as("nsub"))
+        def sliced(df: DataFrame) = df.join(nsub, Seq("bucket"))
+          .withColumn("slice", pmod(
+            graft.functions.VectorFunctions.tokenHash(col("vec_id").cast("string")),
+            col("nsub")))
+        (sliced(ab), sliced(bb))
+      }
+    val joinCond =
+      if (maxBucket <= 0) col("a.bucket") === col("b.bucket")
+      else col("a.bucket") === col("b.bucket") && col("a.slice") === col("b.slice")
+    aj.as("a").join(bj.as("b"), joinCond)
       .withColumn("cos", round(
         fastDot(col("a.embedding"), col("b.embedding"))
           / (col("a.nrm") * col("b.nrm")), 6))
@@ -166,8 +203,8 @@ object Similarity {
   }
 
   def mutualMatches(a: DataFrame, b: DataFrame,
-                    nPlanes: Int = lshPlanes): DataFrame = {
-    val scored = crossScored(a, b, nPlanes)
+                    nPlanes: Int = lshPlanes, maxBucket: Int = 0): DataFrame = {
+    val scored = crossScored(a, b, nPlanes, maxBucket)
     val fw = Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id"))
     val bw = Window.partitionBy("b_id").orderBy(col("cos").desc, col("a_id"))
     scored.withColumn("fr", row_number().over(fw))
@@ -197,8 +234,9 @@ object Similarity {
     * candidate volume. */
   def marginMatches(a: DataFrame, b: DataFrame, k: Int,
                     nPlanes: Int = lshPlanes,
-                    minMarginMicro: Long = 1050000L): DataFrame = {
-    val scored = crossScored(a, b, nPlanes)
+                    minMarginMicro: Long = 1050000L,
+                    maxBucket: Int = 0): DataFrame = {
+    val scored = crossScored(a, b, nPlanes, maxBucket)
       .withColumn("cu", round(col("cos") * 1e6).cast("long"))
       .localCheckpoint(false)
     val fw = Window.partitionBy("a_id").orderBy(col("cu").desc, col("b_id"))
@@ -370,13 +408,47 @@ object Similarity {
     * plan (not a caller-supplied tag) makes a wrong-key hit
     * impossible: different sources, filters, or scale dirs canonicalize
     * differently. Memo size is k×dims doubles per distinct corpus. */
-  private val lloydMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[(Long, Seq[Double])]]
+  // The key is the canonicalized plan OBJECT (structural equality),
+  // not its toString — LocalRelation.toString elides the row data, so
+  // two in-memory frames with the same schema would string-collide
+  // and hand one corpus the other's centroids (caught by
+  // IndexLifecycleSpec's retrain test).
+  private val lloydMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
+      Seq[(Long, Seq[Double])]]
 
   def lloydTrain(emb: DataFrame, k: Int, iters: Int = 4): Seq[(Long, Seq[Double])] =
     lloydMemo.getOrElseUpdate(
-      (emb.queryExecution.analyzed.canonicalized.toString, k, iters),
+      ("cos", emb.queryExecution.analyzed.canonicalized, k, iters),
       lloydTrainImpl(emb, k, iters))
+
+  /** Deterministic hash slice of a vector corpus: vectors whose
+    * md5-id hash lands in residue 0 of `mod` — a ~1/mod sample that
+    * is reproducible across engines (the DuckDB oracle replays the
+    * identical predicate), independent of id assignment order
+    * (contrast `vec_id % mod`, which aliases any id-striping), and
+    * O(scan) to take. Choosing mod ∝ corpus size makes the slice a
+    * FIXED-SIZE sample — the quantizer-training posture at scale. */
+  def hashSample(emb: DataFrame, mod: Long): DataFrame =
+    if (mod <= 1) emb
+    else emb.filter(
+      pmod(graft.functions.VectorFunctions.tokenHash(col("vec_id").cast("string")),
+        lit(mod)) === 0)
+
+  /** Sample-trained Lloyd quantizer — the spill-decade posture
+    * BASELINE.md's 1000× probe forced: training cost is k·N·iters, so
+    * neither k nor the training N may scale with the corpus (the
+    * k∝corpus run burned an hour of broadcast-argmin work and OOM'd
+    * in the mean reduction). Centroid quality needs only a sketch of
+    * the distribution: train on the fixed-size [[hashSample]] slice
+    * with a bounded k, then assign the full corpus — cells that still
+    * balloon are the PAIR stage's problem, which semDedup's maxCell
+    * sub-split already bounds (finer blocks, same verdict algebra).
+    * Same 6dp-pinned loop, so the sampled form replays in the oracle
+    * exactly like the full one. */
+  def lloydTrainSampled(emb: DataFrame, k: Int, iters: Int,
+                        sampleMod: Long): Seq[(Long, Seq[Double])] =
+    lloydTrain(hashSample(emb, sampleMod), k, iters)
 
   private def lloydTrainImpl(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     val spark = emb.sparkSession
@@ -583,9 +655,21 @@ object Similarity {
     * scale. One-sided by construction: tight vectors are fine,
     * far ones are the defect.
     *
+    * EXACTNESS BOUND (Spark decimal overflow yields NULL, not a
+    * wrong bit): with cosine distance, du ≤ 2·10⁶, so per cell of n
+    * vectors |dev| = |n·du − Σdu| < n·2·10⁶ and both dev² and
+    * 9·(n·Σdu² − Σdu²-squared) stay under 38 digits while
+    * n < ~5·10¹² — i.e. five TRILLION vectors in ONE cell, ~10⁴×
+    * the entire vector count of a 100 TB float32 corpus, and the
+    * quantizer exists precisely to keep cells far smaller. The
+    * bound is recorded as [[outlierMaxCell]] so callers can assert
+    * it instead of degrading to NULL verdicts past it.
+    *
     * Shape: one k-row stats aggregate over the assignment frame,
     * broadcast back — cost is the assignment scan it already shares
     * with the IVF family. */
+  val outlierMaxCell: Long = 5_000_000_000_000L
+
   def assignmentOutliers(assigned: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val a = assigned.withColumn("du", round(col("dist") * 1e6).cast("long"))
@@ -739,7 +823,7 @@ object Similarity {
     * loop. Input arrays may be float or double; state is doubles. */
   def lloydTrainL2(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] =
     lloydMemo.getOrElseUpdate(
-      ("l2:" + emb.queryExecution.analyzed.canonicalized.toString, k, iters),
+      ("l2", emb.queryExecution.analyzed.canonicalized, k, iters),
       lloydTrainL2Impl(emb, k, iters))
 
   private def lloydTrainL2Impl(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
@@ -927,5 +1011,56 @@ object Similarity {
       trained._3
     }
     (codes, cents, books)
+  }
+
+  /** The serving loop's hinge between the drift monitor and the model
+    * artifact: probe the PERSISTED IVFADC model's drift against an
+    * incoming batch and retrain only when the per-cell occupancy shift
+    * exceeds `maxShareGap` (max per-cell |corpus_frac − batch_frac|,
+    * [[indexDrift]]'s share_gap). Below the threshold the call is
+    * TRAINING-FREE and idempotent — the corpus thunk is never
+    * evaluated (IndexLifecycleSpec passes a throwing thunk) and the
+    * stored tables are returned as-is; above it the three model
+    * tables are dropped and rebuilt from the corpus, and serving
+    * answers change accordingly.
+    *
+    * Monitoring cost: corpus-side occupancy is an aggregate of the
+    * stored CODE frame itself (every vector carries its cell id m
+    * times, and shares are ratios, so the m factor cancels — the
+    * corpus is never rescanned to monitor the index); the batch pays
+    * one |B|·kc broadcast-centroid assignment. The per-cell frame is
+    * kc rows — model-sized driver state, the same boundary the
+    * centroid tables already cross. */
+  def refreshIvfPqIfDrifted(spark: org.apache.spark.sql.SparkSession, root: String,
+                            tag: String, corpus: => DataFrame, batch: DataFrame,
+                            maxShareGap: Double, kc: Int, coarseIters: Int,
+                            m: Int, k: Int, iters: Int, nBuckets: Int = 8)
+      : (DataFrame, DataFrame, DataFrame, Boolean) = {
+    val tables = Seq(s"ivfpq_cents_$tag", s"ivfpq_books_$tag", s"ivfpq_codes_$tag")
+    require(tables.forall(spark.catalog.tableExists),
+      s"no stored IVFADC model under tag '$tag' — build with ensureIvfPqModel first")
+    val cents = spark.table(tables.head)
+    val codes = spark.table(tables(2))
+    val corpusOcc = codes.groupBy("centroid_id").agg(count(lit(1)).as("cn"))
+    val batchOcc = lloydAssignDist(batch, cents)
+      .groupBy("centroid_id").agg(count(lit(1)).as("bn"))
+    val perCell = cents.select("centroid_id")
+      .join(corpusOcc, Seq("centroid_id"), "left")
+      .join(batchOcc, Seq("centroid_id"), "left")
+      .na.fill(0L, Seq("cn", "bn"))
+      .collect()
+    val ct = perCell.map(_.getAs[Long]("cn")).sum.toDouble
+    val bt = perCell.map(_.getAs[Long]("bn")).sum.toDouble
+    val gap =
+      if (ct == 0 || bt == 0) 0.0
+      else perCell.map(r =>
+        math.abs(r.getAs[Long]("cn") / ct - r.getAs[Long]("bn") / bt)).max
+    if (gap <= maxShareGap) (codes, cents, spark.table(tables(1)), false)
+    else {
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      val (c2, ce2, b2) = ensureIvfPqModel(spark, root, tag, corpus,
+        kc, coarseIters, m, k, iters, nBuckets)
+      (c2, ce2, b2, true)
+    }
   }
 }

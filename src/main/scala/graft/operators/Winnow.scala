@@ -22,13 +22,19 @@ import graft.functions.VectorFunctions.tokenHash
   * with the same hot-posting cap discipline as the Jaccard family
   * (a boilerplate gram's posting list is the skew risk).
   *
-  * Hash backend: the portable md5 token hash, so the DuckDB oracle
-  * replays the selection bit-exactly (min-of-window depends on hash
+  * Hash backend: the PRODUCTION default is the xxh64 rolling kernel
+  * (`graft_grams`, [[graft.plans.RollingGramHash]]) — O(len) per
+  * document, one compiled call filling the whole gram-hash array, no
+  * per-window string rebuild and no interpreted md5 inside the
+  * selection lambda (the exact shape the ExactSubstr family already
+  * measured at 2.4× absolute, BASELINE.md). `oracleHash = true`
+  * switches to the portable md5 token hash so the DuckDB oracle can
+  * replay the selection bit-exactly (min-of-window depends on hash
   * ORDER, not just identity — a replayable order needs a replayable
-  * hash). The xxh64 rolling kernel (`graft_grams`) is the O(len)
-  * production swap-in; the winnowing guarantee is hash-agnostic
-  * (WinnowSpec asserts the coverage invariant independently of the
-  * backend). */
+  * hash); the registered oracle queries pin that backend. The
+  * winnowing guarantee is hash-agnostic, and WinnowSpec asserts both
+  * the coverage invariant per backend and that the two backends
+  * reach the same copy-detection verdicts on planted passages. */
 object Winnow {
 
   /** (doc_id, pos, fp): the winnowed fingerprint set. `pos` is the
@@ -37,13 +43,18 @@ object Winnow {
     * what makes the selection auditable. Documents shorter than k
     * tokens carry no grams and vanish (same as the gram family). */
   def fingerprints(df: DataFrame, text: Column, id: Column,
-                   k: Int, w: Int): DataFrame = {
+                   k: Int, w: Int, oracleHash: Boolean = false): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    val hashes =
+      if (oracleHash)
+        transform(sequence(lit(1), col("m")),
+          i => tokenHash(concat_ws(" ", slice(col("toks"), i, lit(k)))))
+      else call_function("graft_grams", col("toks"), lit(k))
     val withToks = df
       .select(id.as("doc_id"), split(text, " ").as("toks"))
       .filter(size(col("toks")) >= k)
       .withColumn("m", (size(col("toks")) - (k - 1)))
-      .withColumn("hs", transform(sequence(lit(1), col("m")),
-        i => tokenHash(concat_ws(" ", slice(col("toks"), i, lit(k))))))
+      .withColumn("hs", hashes)
     // per-window argmin: (hash asc, position desc) — the paper's
     // rightmost-minimum rule, which makes overlapping windows agree
     // on a shared minimum and keeps the selected set ~len/w

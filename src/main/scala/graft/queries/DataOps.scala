@@ -441,11 +441,19 @@ object DataOps {
     * and odd-id halves of the embedding corpus — the bitext-mining /
     * dataset-linking verdict (both sides corpus-sized, LSH-bucket
     * blocked, one candidate join ranked in both directions). */
+  /** Hot-bucket cap for the alignment family — the semDedup maxCell
+    * discipline applied to the sign-LSH bucket join (one viral
+    * document's bucket otherwise goes Σ|A_b|·|B_b| quadratic). Small
+    * here so sf0.01 genuinely sub-splits; the oracle replays the
+    * per-bucket counts, ceil, and id-residue slice exactly. */
+  val alignMaxBucket = 4
+
   def simMutualMatch(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     Similarity.mutualMatches(
       e.filter(pmod(col("vec_id"), lit(2)) === 0),
-      e.filter(pmod(col("vec_id"), lit(2)) === 1))
+      e.filter(pmod(col("vec_id"), lit(2)) === 1),
+      maxBucket = alignMaxBucket)
   }
 
   /** Margin-scored alignment over the same even/odd halves: the
@@ -459,7 +467,8 @@ object DataOps {
     Similarity.marginMatches(
       e.filter(pmod(col("vec_id"), lit(2)) === 0),
       e.filter(pmod(col("vec_id"), lit(2)) === 1),
-      marginK, minMarginMicro = marginThresholdMicro)
+      marginK, minMarginMicro = marginThresholdMicro,
+      maxBucket = alignMaxBucket)
   }
 
   /** Multi-probe bound to the query SET — a 10-lookup probe costs
@@ -590,15 +599,18 @@ object DataOps {
   /** SemDeDup: dd_embed_ivf's pair detection upgraded to a keep/drop
     * verdict — within each trained cell, the member of a cosine-near
     * pair closer to the centroid is dropped (the paper keeps the
-    * far-from-centroid representative for diversity). Same replayable
-    * Lloyd quantizer as the rest of the IVF family. */
-  def ddSemdedup(s: SparkSession, d: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val e = emb(s, d)
-    val cents = Similarity.lloydTrain(e, lloydK, lloydIters)
-    Dedup.semDedup(e, cents.toDF("centroid_id", "cent"), cosineThreshold)
-  }
+    * far-from-centroid representative for diversity). The quantizer
+    * trains on the deterministic md5-hash SAMPLE slice (1/4 here so
+    * sf0.01 genuinely subsamples) with bounded k — the spill-decade
+    * posture (full-corpus training at k ∝ corpus is k·N·iters work
+    * and OOM'd at 1000×, BASELINE.md); the oracle replays the slice
+    * predicate, the 6dp-pinned loop over it, and the full-corpus
+    * assignment. */
+  val semdedupSampleMod = 4L
+
+  def ddSemdedup(s: SparkSession, d: String): DataFrame =
+    Dedup.semDedupSampled(emb(s, d), cosineThreshold, maxCell = 0,
+      k = lloydK, iters = lloydIters, sampleMod = semdedupSampleMod)
 
   /** Off-manifold vector gate over the shared Lloyd assignment. */
   def simEmbedOutliers(s: SparkSession, d: String): DataFrame = {
@@ -616,14 +628,10 @@ object DataOps {
     * straggler task). Small cap here so sf0.01 genuinely sub-splits. */
   val semdedupMaxCell = 50
 
-  def ddSemdedupCapped(s: SparkSession, d: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val e = emb(s, d)
-    val cents = Similarity.lloydTrain(e, lloydK, lloydIters)
-    Dedup.semDedup(e, cents.toDF("centroid_id", "cent"), cosineThreshold,
-      maxCell = semdedupMaxCell)
-  }
+  def ddSemdedupCapped(s: SparkSession, d: String): DataFrame =
+    Dedup.semDedupSampled(emb(s, d), cosineThreshold,
+      maxCell = semdedupMaxCell,
+      k = lloydK, iters = lloydIters, sampleMod = semdedupSampleMod)
 
   /** Recall@k of the JL-projected sign-LSH index (compress → index →
     * full-dim rerank) against exact brute force over the query set —
@@ -966,9 +974,14 @@ object DataOps {
   val winnowMinShared = 2
   val winnowCap = 50
 
+  // oracleHash pins the md5 backend: fingerprint VALUES are part of
+  // the output, so the oracle must replay the hash order (the xxh64
+  // rolling kernel is the production default; WinnowSpec proves the
+  // backends agree on coverage + copy verdicts, the rehearsal row
+  // measures the kernel's absolute win)
   def txWinnow(s: SparkSession, d: String): DataFrame =
     graft.operators.Winnow.fingerprints(docs(s, d), col("text"),
-      col("doc_id"), winnowK, winnowW)
+      col("doc_id"), winnowK, winnowW, oracleHash = true)
 
   def ddWinnowPairs(s: SparkSession, d: String): DataFrame =
     graft.operators.Winnow.sharedPairs(txWinnow(s, d), winnowMinShared, winnowCap)
@@ -1172,6 +1185,29 @@ object DataOps {
     }
     Dedup.incrementalEmbedding(assigned, cents, e.filter(isBatch), cosineThreshold)
       .select(col("vec_id"), col("label"))
+  }
+
+  /** Incremental SemDeDup: dominance VERDICTS for the batch against
+    * the same STORED embedding index dd_incremental_embed_persisted
+    * probes (cell rows bucketed on centroid_id + the stored
+    * centroids) — semDedup's exact pairwise rule (farther-from-
+    * centroid wins, ties to the lower id), so the batch verdicts
+    * equal a full rebuild's restricted to the batch rows
+    * (IncrementalDedupSpec). */
+  def ddIncrementalSemdedup(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = emb(s, d)
+    val isBatch = pmod(col("vec_id"), lit(10L)) === 7
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (assigned, cents) = Dedup.ensurePersistedEmbeddingIndex(s,
+        s"$tableRoot/$tag/corpus_index", tag, bucketCount) {
+      val corpus = e.filter(!isBatch)
+      val c = Similarity.lloydTrain(corpus, lloydK, lloydIters)
+        .toDF("centroid_id", "cent")
+      (Similarity.lloydAssign(corpus, c), c)
+    }
+    Dedup.incrementalSemDedup(assigned, cents, e.filter(isBatch), cosineThreshold)
   }
 
   val shardBudget = 1000L
@@ -1547,15 +1583,28 @@ object DataOps {
     * 6dp, and row_number in BOTH directions — mutual = both ranks 1,
     * tie-breaks mirroring the Spark windows (other-side id asc). */
   /** Shared even/odd cross-corpus candidate chain (buckets, pair
-    * join, exact 6dp cosine) — the base of both alignment oracles. */
+    * join, exact 6dp cosine) — the base of both alignment oracles.
+    * Replays the hot-bucket cap exactly: per-bucket side counts,
+    * nsub = ceil(max/cap), and the same-id-residue slice predicate
+    * restricting the pair join. */
   private val crossScoredCtes: String =
     s"""$lshBucketCte,
+        bcnt AS (SELECT bucket,
+                        sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+                        sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS nb
+                 FROM bk GROUP BY bucket),
+        ns AS (SELECT bucket,
+                      CAST(ceil(greatest(na, nb) / ${alignMaxBucket.toDouble}) AS BIGINT) AS nsub
+               FROM bcnt),
         cand AS (SELECT ba.vec_id AS a_id, bb.vec_id AS b_id,
                         ea.embedding AS ea, eb.embedding AS eb
                  FROM bk ba JOIN bk bb ON ba.bucket = bb.bucket
+                 JOIN ns ON ns.bucket = ba.bucket
                  JOIN embeddings ea ON ea.vec_id = ba.vec_id
                  JOIN embeddings eb ON eb.vec_id = bb.vec_id
-                 WHERE ba.vec_id % 2 = 0 AND bb.vec_id % 2 = 1),
+                 WHERE ba.vec_id % 2 = 0 AND bb.vec_id % 2 = 1
+                   AND CAST(('0x' || substr(md5(CAST(ba.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % ns.nsub
+                     = CAST(('0x' || substr(md5(CAST(bb.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % ns.nsub),
         u AS (SELECT a_id, b_id, CAST(unnest(ea) AS DOUBLE) AS x,
                      CAST(unnest(eb) AS DOUBLE) AS y FROM cand),
         d AS (SELECT a_id, b_id, sum(x*y) AS dp FROM u GROUP BY a_id, b_id),
@@ -2086,23 +2135,49 @@ object DataOps {
         SELECT id_a, id_b, cos FROM sc WHERE cos >= $cosineThreshold"""
   }
 
-  /** dd_semdedup replay: the dd_embed_ivf pair chain plus the
+  /** Sampled-quantizer replay chain (the semDedupSampled posture):
+    * the unrolled Lloyd loop TRAINS on the deterministic md5-hash
+    * slice only (lloydCtesFrom over the slice predicate — same
+    * tokenHash algebra as ds_split), then a trailing block assigns
+    * the FULL corpus against the trained centroids. Yields
+    * `alln(vec_id, v, nrm)` plus `d_all`/`a_all` — the full-corpus
+    * twins of en/d_f/a_f. */
+  private val lloydSampledCtes: String = {
+    import graft.operators.Similarity.lshDims
+    val samplePred =
+      s"CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % $semdedupSampleMod = 0"
+    s"""${lloydCtesFrom(samplePred)},
+        alle AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+        alln AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+                 FROM alle),
+        d_all AS (SELECT alln.vec_id, c.cid,
+                  round(1.0 - list_sum(list_transform(range(1, ${lshDims + 1}),
+                          i -> alln.v[i] * c.cent[i]))
+                        / (alln.nrm * sqrt(list_sum(list_transform(c.cent, x -> x*x)))), 6) AS dist
+                FROM alln CROSS JOIN c$lloydIters c),
+        a_all AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist, cid) AS rk FROM d_all) WHERE rk = 1)"""
+  }
+
+  /** dd_semdedup replay: the sampled-quantizer chain plus the
     * dominance verdict — each vector's assignment distance comes off
-    * the final Lloyd assign block (d_f ⋈ a_f), the pair's loser is
-    * the centroid-CLOSER member (ties → the higher id loses, since
+    * the full-corpus assign block (d_all ⋈ a_all), the pair's loser
+    * is the centroid-CLOSER member (ties → the higher id loses, since
     * id_a < id_b and the lower id keeps). */
   private val semdedupOracle: String = {
     import graft.operators.Similarity.lshDims
-    s"""WITH $lloydCtes,
+    s"""WITH $lloydSampledCtes,
         ad AS (SELECT a.vec_id, a.cid, d.dist
-               FROM a_f a JOIN d_f d ON d.vec_id = a.vec_id AND d.cid = a.cid),
+               FROM a_all a JOIN d_all d ON d.vec_id = a.vec_id AND d.cid = a.cid),
         pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-               FROM a_f a JOIN a_f b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+               FROM a_all a JOIN a_all b ON a.cid = b.cid AND a.vec_id < b.vec_id),
         sc AS (SELECT pr.id_a, pr.id_b,
                       round(list_sum(list_transform(range(1, ${lshDims + 1}),
                               i -> ea.v[i] * eb.v[i])) / (ea.nrm * eb.nrm), 6) AS cos
-               FROM pr JOIN en ea ON ea.vec_id = pr.id_a
-                       JOIN en eb ON eb.vec_id = pr.id_b),
+               FROM pr JOIN alln ea ON ea.vec_id = pr.id_a
+                       JOIN alln eb ON eb.vec_id = pr.id_b),
         near AS (SELECT id_a, id_b FROM sc WHERE cos >= $cosineThreshold),
         losers AS (SELECT DISTINCT CASE WHEN da.dist >= db.dist
                           THEN near.id_b ELSE near.id_a END AS vec_id
@@ -2138,21 +2213,21 @@ object DataOps {
     * nsub = ceil(|cell| / maxCell) per cell, slice = vec_id % nsub. */
   private val semdedupCappedOracle: String = {
     import graft.operators.Similarity.lshDims
-    s"""WITH $lloydCtes,
+    s"""WITH $lloydSampledCtes,
         ad AS (SELECT a.vec_id, a.cid, d.dist
-               FROM a_f a JOIN d_f d ON d.vec_id = a.vec_id AND d.cid = a.cid),
-        ns AS (SELECT cid, CAST(ceil(count(*) / ${semdedupMaxCell.toDouble})
+               FROM a_all a JOIN d_all d ON d.vec_id = a.vec_id AND d.cid = a.cid),
+        nsub AS (SELECT cid, CAST(ceil(count(*) / ${semdedupMaxCell.toDouble})
                             AS BIGINT) AS nsub
-               FROM a_f GROUP BY cid),
+               FROM a_all GROUP BY cid),
         pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-               FROM a_f a JOIN a_f b ON a.cid = b.cid AND a.vec_id < b.vec_id
-                    JOIN ns ON ns.cid = a.cid
-               WHERE a.vec_id % ns.nsub = b.vec_id % ns.nsub),
+               FROM a_all a JOIN a_all b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                    JOIN nsub ON nsub.cid = a.cid
+               WHERE a.vec_id % nsub.nsub = b.vec_id % nsub.nsub),
         sc AS (SELECT pr.id_a, pr.id_b,
                       round(list_sum(list_transform(range(1, ${lshDims + 1}),
                               i -> ea.v[i] * eb.v[i])) / (ea.nrm * eb.nrm), 6) AS cos
-               FROM pr JOIN en ea ON ea.vec_id = pr.id_a
-                       JOIN en eb ON eb.vec_id = pr.id_b),
+               FROM pr JOIN alln ea ON ea.vec_id = pr.id_a
+                       JOIN alln eb ON eb.vec_id = pr.id_b),
         near AS (SELECT id_a, id_b FROM sc WHERE cos >= $cosineThreshold),
         losers AS (SELECT DISTINCT CASE WHEN da.dist >= db.dist
                           THEN near.id_b ELSE near.id_a END AS vec_id
@@ -2371,6 +2446,51 @@ object DataOps {
         SELECT vec_id, label FROM embeddings
         WHERE vec_id % 10 = 7
           AND vec_id NOT IN (SELECT vec_id FROM losers)"""
+  }
+
+  /** dd_incremental_semdedup replay: corpus-side Lloyd training (the
+    * stored index), one batch assignment block, then semDedup's exact
+    * pairwise dominance over batch-vs-corpus and batch-vs-batch
+    * cell-mates — loser = the centroid-CLOSER member, ties to the
+    * higher id. Corpus distances come off the training chain's final
+    * assign block (d_f ⋈ a_f), exactly the values the Spark side
+    * recomputes from the stored centroid table. */
+  private val incrementalSemdedupOracle: String = {
+    import graft.operators.Similarity.lshDims
+    s"""WITH ${lloydCtesFrom("vec_id % 10 <> 7")},
+        be AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings WHERE vec_id % 10 = 7),
+        ben AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+                FROM be),
+        d_bt AS (SELECT ben.vec_id, c.cid,
+                  round(1.0 - list_sum(list_transform(range(1, ${lshDims + 1}),
+                          i -> ben.v[i] * c.cent[i]))
+                        / (ben.nrm * sqrt(list_sum(list_transform(c.cent, x -> x*x)))), 6) AS dist
+                FROM ben CROSS JOIN c$lloydIters c),
+        a_bt AS (SELECT vec_id, cid, dist FROM (
+                  SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist, cid) AS rk FROM d_bt) WHERE rk = 1),
+        cad AS (SELECT a.vec_id, a.cid, d.dist
+                FROM a_f a JOIN d_f d ON d.vec_id = a.vec_id AND d.cid = a.cid),
+        alln2 AS (SELECT * FROM en UNION ALL SELECT * FROM ben),
+        cand AS (SELECT b.vec_id AS bid, b.dist AS bdist,
+                        o.vec_id AS oid, o.dist AS odist
+                 FROM a_bt b JOIN cad o ON o.cid = b.cid
+                 UNION ALL
+                 SELECT b.vec_id, b.dist, o.vec_id, o.dist
+                 FROM a_bt b JOIN a_bt o ON o.cid = b.cid
+                                        AND o.vec_id <> b.vec_id),
+        sc AS (SELECT cand.bid, cand.bdist, cand.oid, cand.odist,
+                      round(list_sum(list_transform(range(1, ${lshDims + 1}),
+                              i -> bb.v[i] * oo.v[i])) / (bb.nrm * oo.nrm), 6) AS cos
+               FROM cand JOIN ben bb ON bb.vec_id = cand.bid
+                         JOIN alln2 oo ON oo.vec_id = cand.oid),
+        losers AS (SELECT DISTINCT bid FROM sc
+                   WHERE cos >= $cosineThreshold
+                     AND (odist > bdist OR (odist = bdist AND oid < bid)))
+        SELECT a_bt.vec_id, a_bt.cid AS centroid_id, a_bt.dist,
+               a_bt.vec_id NOT IN (SELECT bid FROM losers) AS kept
+        FROM a_bt"""
   }
 
   /** Shared decontamination CTEs: the deterministic split + distinct
@@ -3083,6 +3203,7 @@ object DataOps {
     // persisted twins: identical algebra over stored index tables
     "dd_incremental_simhash_persisted" -> incrementalSimhashOracle,
     "dd_incremental_embed_persisted" -> incrementalEmbedOracle,
+    "dd_incremental_semdedup" -> incrementalSemdedupOracle,
     "ds_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, text,
                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -3916,6 +4037,8 @@ object DataOps {
     "dd_incremental_embed" -> ddIncrementalEmbed _,
     "dd_incremental_simhash_persisted" -> ddIncrementalSimhashPersisted _,
     "dd_incremental_embed_persisted" -> ddIncrementalEmbedPersisted _,
+    "dd_incremental_semdedup" -> ddIncrementalSemdedup _, // dominance verdicts vs stored index
+
     "ds_pack_shards" -> dsPackShards _,
     "ds_shuffle" -> dsShuffle _,
     "ds_pack_sequences" -> dsPackSequences _,

@@ -80,6 +80,69 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("incremental semDedup verdicts equal the full rebuild restricted to the batch") {
+    import spark.implicits._
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cut = 250L
+    val corpus = all.filter(col("vec_id") < cut)
+    // plant a cross twin so the fixture provably drops something
+    val planted = corpus.limit(1).select(lit(900001L).as("vec_id"),
+      transform(col("embedding"), x => x * 1.000001f).as("embedding"),
+      col("label"))
+    val batch = all.filter(col("vec_id") >= cut).unionByName(planted)
+    val allPlus = all.unionByName(planted)
+    val cents = Similarity.lloydTrain(corpus, DataOps.lloydK, DataOps.lloydIters)
+      .toDF("centroid_id", "cent")
+    val inc = Dedup.incrementalSemDedup(
+        Similarity.lloydAssign(corpus, cents), cents, batch, 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    // dominance is PAIRWISE (never transitive), so under the same
+    // centroids the incremental verdicts must be bit-identical to the
+    // full rebuild's rows for the batch ids — cell, distance, verdict
+    val rebuild = Dedup.semDedup(allPlus, cents, 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(inc.keySet == batchIds, "one verdict row per batch vector")
+    batchIds.foreach { id =>
+      assert(inc(id) == rebuild(id), s"verdict drift for $id: ${inc(id)} vs ${rebuild(id)}")
+    }
+    assert(inc.values.exists(!_._3), "fixture must actually drop some batch rows")
+    assert(inc.values.exists(_._3), "and keep some")
+  }
+
+  test("incremental semDedup: the batch twin of a KEPT corpus vector drops, of a farther one wins") {
+    import spark.implicits._
+    val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    // slightly off-axis: same cell, cosine vs v ≈ 0.99995 ≥ 0.95,
+    // strictly FARTHER from the centroid direction than v
+    val vFar = Array(0.9f, -0.1f, 0.0f, 0.0f)
+    val w = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("centroid_id", "cent")
+    val corpus = Seq((100L, v)).toDF("vec_id", "embedding")
+    val assigned = Similarity.lloydAssign(corpus, cents)
+    // exact twin of the corpus vector: equal dist → tie, and the
+    // LOWER id wins — dominance is id/dist-based, never corpus-always-wins
+    val tieWin = Dedup.incrementalSemDedup(assigned, cents,
+        Seq((1L, v), (3L, w)).toDF("vec_id", "embedding"), 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(tieWin == Map(1L -> true, 3L -> true),
+      s"tie must break to the lower id (1 < 100), novel direction kept: $tieWin")
+    // the same twin under a HIGHER id loses the tie
+    val tieLose = Dedup.incrementalSemDedup(assigned, cents,
+        Seq((200L, v)).toDF("vec_id", "embedding"), 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(tieLose == Map(200L -> false), s"higher-id tie twin must drop: $tieLose")
+    // a batch vector FARTHER from the centroid than its corpus near-dup
+    // keeps (the paper's diversity rule) — even though the corpus is settled
+    val farWin = Dedup.incrementalSemDedup(assigned, cents,
+        Seq((300L, vFar)).toDF("vec_id", "embedding"), 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(farWin == Map(300L -> true),
+      s"centroid-farther batch member must win its pair: $farWin")
+  }
+
   test("all three incremental families are idempotent on their own survivors") {
     import spark.implicits._
     // a survivor set has, by construction, no corpus collision and no

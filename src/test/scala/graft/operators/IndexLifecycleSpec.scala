@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The monitor→artifact hinge (Similarity.refreshIvfPqIfDrifted):
+  * below the drift threshold a refresh call is training-free and
+  * idempotent — the corpus thunk is never evaluated and the stored
+  * tables come back untouched; above it the model tables are dropped,
+  * retrained from the corpus, and serving answers change. */
+class IndexLifecycleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def cloud(n: Int, seed: Int, shift: Float = 0f): Seq[(Long, Array[Float])] = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map(i =>
+      (i.toLong, Array.fill(64)(shift + rng.nextGaussian().toFloat)))
+  }
+
+  private def root(tag: String) =
+    s"${java.nio.file.Files.createTempDirectory(s"graft_lc_$tag")}"
+
+  private val params = (2, 1, 4, 2, 1) // kc, coarseIters, m, k, iters
+
+  test("below-threshold refresh is training-free and returns the stored model") {
+    val (kc, ci, m, k, it) = params
+    val tag = "lc_below"
+    val corpus = cloud(200, 7).toDF("vec_id", "embedding")
+    Similarity.ensureIvfPqModel(spark, root(tag), tag, corpus, kc, ci, m, k, it, 2)
+    val before = spark.table(s"ivfpq_cents_$tag").collect().toSet
+    // the batch is the corpus itself — per-cell shares match, gap ~0
+    val (_, cents, _, refreshed) = Similarity.refreshIvfPqIfDrifted(
+      spark, root(tag), tag,
+      { throw new IllegalStateException("below-threshold refresh must not train") },
+      corpus, maxShareGap = 0.5, kc, ci, m, k, it, 2)
+    assert(!refreshed, "identical distribution must not trigger a rebuild")
+    assert(cents.collect().toSet == before, "stored centroids returned untouched")
+    // idempotent: a second call is equally training-free
+    val (_, _, _, again) = Similarity.refreshIvfPqIfDrifted(
+      spark, root(tag), tag,
+      { throw new IllegalStateException("still must not train") },
+      corpus, maxShareGap = 0.5, kc, ci, m, k, it, 2)
+    assert(!again)
+  }
+
+  test("above-threshold refresh rebuilds the model and serving changes") {
+    val (kc, ci, m, k, it) = params
+    val tag = "lc_above"
+    val r = root(tag)
+    val corpus = cloud(200, 11).toDF("vec_id", "embedding")
+    Similarity.ensureIvfPqModel(spark, r, tag, corpus, kc, ci, m, k, it, 2)
+    val before = spark.table(s"ivfpq_cents_$tag").collect()
+      .map(row => (row.getLong(0), row.getSeq[Double](1))).toSet
+    // a drifted world: every vector shifted to one side — the batch
+    // piles into one stored cell (share gap → ~1), and the refreshed
+    // corpus is the drifted cloud, so retraining provably moves cents
+    val drifted = cloud(200, 11, shift = 3f).toDF("vec_id", "embedding")
+    val (codes2, cents2, books2, refreshed) = Similarity.refreshIvfPqIfDrifted(
+      spark, r, tag, drifted, drifted,
+      maxShareGap = 0.2, kc, ci, m, k, it, 2)
+    assert(refreshed, "concentrated batch must exceed the share-gap threshold")
+    val after = cents2.collect()
+      .map(row => (row.getLong(0), row.getSeq[Double](1))).toSet
+    assert(after != before, "rebuild must retrain the coarse centroids")
+    // serving runs against the refreshed artifact
+    val probe = Similarity.ivfPqProbe(codes2, cents2, books2,
+      drifted.filter(col("vec_id") < 3), Similarity.lshDims / m, 1, 3)
+    assert(probe.count() > 0, "refreshed model must serve probes")
+    // and the monitor now reports calm: same batch, no further rebuild
+    val (_, _, _, again) = Similarity.refreshIvfPqIfDrifted(
+      spark, r, tag,
+      { throw new IllegalStateException("post-refresh call must not retrain") },
+      drifted, maxShareGap = 0.2, kc, ci, m, k, it, 2)
+    assert(!again, "after the rebuild the drifted batch matches the new model")
+  }
+}

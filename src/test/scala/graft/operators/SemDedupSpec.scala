@@ -72,6 +72,39 @@ class SemDedupSpec extends SparkSpec {
       "nsub = 1 everywhere must reproduce the uncapped verdict exactly")
   }
 
+  test("sample-trained quantizer: verdicts drift only at cell boundaries, planted twins still drop") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = (0 until 400).map(i => (i.toLong, vec()))
+    val planted = (0 until 20).map { i =>
+      (2000L + i, base(i)._2.map(x => x + 0.005f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val full = Dedup.semDedup(df,
+        Similarity.lloydTrain(df, 4, 4).toDF("centroid_id", "cent"), 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val sampled = Dedup.semDedupSampled(df, 0.9, maxCell = 0,
+        k = 4, iters = 4, sampleMod = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(sampled.size == 420, "every vector still gets a verdict row")
+    // detection quality: a twin pair is caught iff both members land
+    // in one cell, and twins near a Voronoi boundary can straddle
+    // under EITHER quantizer — so the honest claim is that sampled
+    // training catches ~as many planted twins as full training, not
+    // an absolute count
+    val fullPlanted = planted.count { case (id, _) => !full(id) }
+    val sampledPlanted = planted.count { case (id, _) => !sampled(id) }
+    assert(fullPlanted > 0, "fixture must plant catchable twins")
+    assert(sampledPlanted >= fullPlanted - 3,
+      s"sampled training detection quality: $sampledPlanted vs full's $fullPlanted")
+    // drift is bounded: verdicts only change where the two quantizers
+    // disagree on blocking, which the cosine-0.9 pairs rarely straddle
+    val agree = sampled.count { case (id, v) => full(id) == v }
+    assert(agree >= (sampled.size * 0.95).toInt,
+      s"sample-vs-full verdict drift too high: $agree/${sampled.size} agree")
+  }
+
   test("the cap only removes cross-slice comparisons, never adds drops") {
     import spark.implicits._
     val rng = new scala.util.Random(37)

@@ -83,6 +83,52 @@ class WinnowSpec extends SparkSpec {
     assert(aligned >= 2L)
   }
 
+  test("the md5 oracle backend preserves the coverage invariant too") {
+    // the default path above runs the xxh64 rolling kernel; the law is
+    // hash-agnostic, so the replayable backend must satisfy it as well
+    val text = (1 to 60).map(i => s"tok${i * 41 % 23}_$i").mkString(" ")
+    val sel = Winnow.fingerprints(Seq((0L, text)).toDF("doc_id", "text"),
+        col("text"), col("doc_id"), k, w, oracleHash = true)
+      .collect().map(_.getLong(1)).toSet
+    val m = 60 - k + 1
+    (1 to (m - w + 1)).foreach { j =>
+      assert((j until j + w).exists(p => sel.contains(p.toLong)),
+        s"window starting at $j has no fingerprint under the md5 backend")
+    }
+  }
+
+  test("kernel and md5 backends reach the same copy-detection verdicts") {
+    // fingerprint VALUES differ per backend (different hash, different
+    // per-window argmins), but the coverage guarantee makes the PAIR
+    // verdict on a planted w+k-1 passage backend-independent — the
+    // production/oracle swap must not change what gets flagged
+    val passage = (1 to 24).map(i => s"lifted$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"one two three four five six $passage seven eight nine ten eleven"),
+      (1L, s"alpha beta gamma delta epsilon $passage zeta eta theta iota kappa"),
+      (2L, s"unrelated prose about other matters entirely with no overlap anywhere here"),
+      (3L, s"${(1 to 14).map(i => s"pre$i").mkString(" ")} $passage closing words")
+    ).toDF("doc_id", "text")
+    def verdicts(oracleHash: Boolean) = {
+      val f = Winnow.fingerprints(docs, col("text"), col("doc_id"), k, w, oracleHash)
+      Winnow.sharedPairs(f, minShared = 2, maxPostingLen = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val kernel = verdicts(false)
+    val md5p = verdicts(true)
+    assert(kernel == Set((0L, 1L), (0L, 3L), (1L, 3L)),
+      s"kernel backend must flag exactly the planted copies: $kernel")
+    assert(kernel == md5p, s"backend verdict drift: kernel=$kernel md5=$md5p")
+    // the aligned-region step agrees on WHICH pairs align as well
+    def aligned(oracleHash: Boolean) = {
+      val f = Winnow.fingerprints(docs, col("text"), col("doc_id"), k, w, oracleHash)
+      Winnow.alignedSpans(f, minAligned = 2, maxPostingLen = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(aligned(false) == aligned(true),
+      "offset-consistent region pairs must match across backends")
+  }
+
   test("rightmost-minimum rule: ties select the later position") {
     // identical grams → identical hashes everywhere; the argmin must
     // take the rightmost position of each window, and overlapping
