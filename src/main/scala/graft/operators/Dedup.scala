@@ -549,18 +549,32 @@ object Dedup {
     * the LLM-corpus extension surface.
     *
     * Scale shape: the quantizer bounds the pair join to Σ|cell|²
-    * (the dd_embed_ivf argument); the dominance verdict is a
-    * pair-local projection, a distinct over loser ids, and one keyed
-    * left join — nothing all-pairs, no corpus-wide window.
+    * (the dd_embed_ivf argument), and the dominance verdict is
+    * computed INSIDE that block join — each candidate pair projects
+    * its loser id pair-locally (dist rides the join inputs), so the
+    * only things that ever materialize are the assignment frame
+    * (N rows, staged once) and the map-side-combined distinct over
+    * loser ids. The earlier form materialized the Σ|block|² candidate
+    * frame and re-joined the N-row assignment twice to rank it; at
+    * the 1000× rehearsal (5 M near-copy-clustered vectors) those
+    * pair-keyed joins buffered the candidate stream through a
+    * sort-merge join and OOM'd an 8 GB heap — pair-local dominance
+    * is the spill-decade posture, not an optimization.
     *
     * `maxCell` (0 = off) is the SKEW GUARD: Σ|cell|² is only a bound
     * if no single cell balloons, and the 100× spill rehearsal caught
     * exactly that failure — one oversized cell put ~|cell|² pairs in
     * one task (a 31-minute straggler before the kill). With
     * maxCell > 0 every cell is deterministically sub-split into
-    * ceil(|cell|/maxCell) id-hash slices before the pair join, so no
-    * block exceeds ~maxCell vectors. Near-pairs across slices of the
-    * same cell are NOT compared — semantically this is "more, finer
+    * ceil(|cell|/maxCell) slices before the pair join, so no block
+    * exceeds ~maxCell vectors. The slice is the residue of the md5
+    * ID HASH ([[graft.functions.VectorFunctions.tokenHash]]), not of
+    * the raw id — the same rationale as Similarity.crossScored's
+    * maxBucket: corpora routinely stripe ids (even/odd sides,
+    * id·mult+rep salting), and a raw-id residue with an even nsub
+    * would annihilate every cross-parity pair in the cell instead of
+    * thinning it uniformly. Near-pairs across slices of the same
+    * cell are NOT compared — semantically this is "more, finer
     * clusters", the same trade the paper makes when it scales k with
     * the corpus; the cap is the production posture at any scale.
     * The sub-split needs one ≤-k-row count aggregate, broadcast back.
@@ -569,31 +583,44 @@ object Dedup {
     * (vec_id, centroid_id, dist, kept). */
   def semDedup(emb: DataFrame, centroids: DataFrame,
                threshold: Double, maxCell: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.{fastDot, fastNormSq, tokenHash}
+    graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
     val assigned = Similarity.lloydAssignDist(emb, centroids)
-    val blocked =
+    val blockedRaw =
       if (maxCell <= 0) assigned.withColumn("block", col("centroid_id"))
       else {
         val nsub = assigned.groupBy("centroid_id")
           .agg(ceil(count(lit(1)) / maxCell.toDouble).cast("long").as("nsub"))
         assigned.join(broadcast(nsub), Seq("centroid_id"))
           .withColumn("block",
-            col("centroid_id") * (1L << 32) + pmod(col("vec_id"), col("nsub")))
+            col("centroid_id") * (1L << 32)
+              + pmod(tokenHash(col("vec_id").cast("string")), col("nsub")))
       }
-    val cellEmb = emb.select(col("vec_id"), col("embedding"))
-      .join(blocked.select(col("vec_id"), col("block")), Seq("vec_id"))
-    val pairs = embeddingNearDupsBy(cellEmb, "block", threshold)
-    val ranked = pairs
-      .join(assigned.select(col("vec_id").as("id_a"), col("dist").as("dist_a")),
-        Seq("id_a"))
-      .join(assigned.select(col("vec_id").as("id_b"), col("dist").as("dist_b")),
-        Seq("id_b"))
-    // id_a < id_b by construction, so on a dist tie the pair's loser is b
-    val losers = ranked.select(
-        when(col("dist_a") >= col("dist_b"), col("id_b")).otherwise(col("id_a"))
-          .as("vec_id"))
+    // stage the N·k assignment pass once (GraftBridge.stageLocal, the
+    // constraint-free checkpoint): it feeds both sides of the pair
+    // join AND the final verdict frame — three evaluations of the
+    // broadcast-argmin otherwise
+    val blocked = org.apache.spark.sql.GraftBridge.stageLocal(blockedRaw
+      .select(col("vec_id"), col("centroid_id"), col("dist"), col("block")))
+    val e = blocked.select(col("vec_id"), col("block"), col("dist"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    // dominance is pair-local: id_a < id_b by construction, so on a
+    // dist tie the pair's loser is b (the lower id keeps); the loser
+    // id is projected inside the join and the distinct partial-aggs
+    // map-side — no candidate frame survives the stage boundary
+    val losers = e.as("a")
+      .join(e.as("b"), col("a.block") === col("b.block")
+        && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", round(
+        fastDot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(when(col("a.dist") >= col("b.dist"), col("b.vec_id"))
+        .otherwise(col("a.vec_id")).as("vec_id"))
       .distinct()
       .withColumn("lost", lit(true))
-    assigned.join(losers, Seq("vec_id"), "left")
+    blocked.join(losers, Seq("vec_id"), "left")
       .select(col("vec_id"), col("centroid_id"), col("dist"),
         coalesce(!col("lost"), lit(true)).as("kept"))
   }
@@ -648,9 +675,17 @@ object Dedup {
                           batch: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions.{fastDot, fastNormSq}
     graft.plans.GraftFunctions.ensureRegistered(batch.sparkSession)
-    val b = Similarity.lloydAssignDist(batch, centroids)
-      .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      .withColumn("nrm", sqrt(fastNormSq(col("embedding"))))
+    // stage the batch frame once (GraftBridge.stageLocal — the
+    // CONSTRAINT-FREE checkpoint: Dataset.localCheckpoint leaks the
+    // batch plan's constraints onto the corpus side through shared
+    // source exprIds and empties the corpus join, see the stageLocal
+    // scaladoc): its |B|·k assignment pass + embedding join feed both
+    // dominated() joins and the final verdict left join — three
+    // re-executions of the batch lineage otherwise
+    val b = org.apache.spark.sql.GraftBridge.stageLocal(
+      Similarity.lloydAssignDist(batch, centroids)
+        .join(batch.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .withColumn("nrm", sqrt(fastNormSq(col("embedding")))))
     val c = corpusAssigned
       .join(broadcast(centroids), Seq("centroid_id"))
       .withColumn("dist", Similarity.lloydDist(col("embedding"), col("cent")))

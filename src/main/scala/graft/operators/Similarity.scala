@@ -228,7 +228,8 @@ object Similarity {
     * the same values and round to the same micro integer.
     *
     * Shape: the SAME bucket-blocked candidate frame as
-    * mutualMatches (staged once via localCheckpoint — it feeds the
+    * mutualMatches (staged once via GraftBridge.stageLocal, the
+    * constraint-free checkpoint — it feeds the
     * ranking and both per-side top-k aggregates), two keyed windows,
     * two keyed aggregates, two keyed joins — nothing beyond the
     * candidate volume. */
@@ -236,9 +237,9 @@ object Similarity {
                     nPlanes: Int = lshPlanes,
                     minMarginMicro: Long = 1050000L,
                     maxBucket: Int = 0): DataFrame = {
-    val scored = crossScored(a, b, nPlanes, maxBucket)
-      .withColumn("cu", round(col("cos") * 1e6).cast("long"))
-      .localCheckpoint(false)
+    val scored = org.apache.spark.sql.GraftBridge.stageLocal(
+      crossScored(a, b, nPlanes, maxBucket)
+        .withColumn("cu", round(col("cos") * 1e6).cast("long")))
     val fw = Window.partitionBy("a_id").orderBy(col("cu").desc, col("b_id"))
     val bw = Window.partitionBy("b_id").orderBy(col("cu").desc, col("a_id"))
     val ranked = scored.withColumn("rn_a", row_number().over(fw))

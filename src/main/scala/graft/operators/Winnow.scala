@@ -41,9 +41,18 @@ object Winnow {
     * 1-based gram position — kept because MOSS-style matching aligns
     * shared passages by position, and because the (pos, fp) pair is
     * what makes the selection auditable. Documents shorter than k
-    * tokens carry no grams and vanish (same as the gram family). */
+    * tokens carry no grams and vanish (same as the gram family).
+    *
+    * Selection always rides the compiled deque kernel
+    * ([[graft.plans.WinnowSelect]], O(len) total, inside whole-stage
+    * codegen) on EITHER hash backend — selection is a deterministic
+    * function of the hash ARRAY, so the oracle replay only needs the
+    * replayable md5 hash, not an interpreted selector. The
+    * interpreted argmin composition is kept as
+    * [[selectionInterpreted]], the spec's independent reference. */
   def fingerprints(df: DataFrame, text: Column, id: Column,
-                   k: Int, w: Int, oracleHash: Boolean = false): DataFrame = {
+                   k: Int, w: Int, oracleHash: Boolean = false,
+                   kernelSelect: Boolean = true): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
     val hashes =
       if (oracleHash)
@@ -55,24 +64,34 @@ object Winnow {
       .filter(size(col("toks")) >= k)
       .withColumn("m", (size(col("toks")) - (k - 1)))
       .withColumn("hs", hashes)
-    // per-window argmin: (hash asc, position desc) — the paper's
-    // rightmost-minimum rule, which makes overlapping windows agree
-    // on a shared minimum and keeps the selected set ~len/w
-    val sel = transform(
-      sequence(lit(1), greatest(col("m") - (w - 1), lit(1))),
+    val sel =
+      if (kernelSelect) call_function("graft_winnow", col("hs"), lit(w))
+      else array_distinct(selectionInterpreted(col("hs"), col("m"), w))
+    withToks.select(col("doc_id"), explode(sel).as("s"))
+      .select(col("doc_id"), col("s.p").cast("long").as("pos"),
+        col("s.h").as("fp"))
+  }
+
+  /** The pre-kernel interpreted selection — per-window argmin with
+    * the (hash asc, position desc) rightmost-minimum rule as a
+    * `transform(windows, aggregate(...))` composition. O(len·w)
+    * interpreted comparisons per document (higher-order lambdas never
+    * enter codegen), which BASELINE.md measured as the dominant
+    * winnow cost; retained ONLY as WinnowSpec's independent reference
+    * implementation for the kernel-equivalence law. */
+  private[graft] def selectionInterpreted(hs: Column, m: Column,
+                                          w: Int): Column =
+    transform(
+      sequence(lit(1), greatest(m - (w - 1), lit(1))),
       j => aggregate(
-        sequence(j, least(j + (w - 1), col("m"))),
+        sequence(j, least(j + (w - 1), m)),
         struct(lit(Long.MaxValue).as("h"), lit(0).as("p")),
         (acc, p) => {
-          val h = element_at(col("hs"), p)
+          val h = element_at(hs, p)
           when(h < acc.getField("h")
             || (h === acc.getField("h") && p > acc.getField("p")),
             struct(h.as("h"), p.as("p"))).otherwise(acc)
         }))
-    withToks.select(col("doc_id"), explode(array_distinct(sel)).as("s"))
-      .select(col("doc_id"), col("s.p").cast("long").as("pos"),
-        col("s.h").as("fp"))
-  }
 
   /** Document pairs sharing ≥ `minShared` winnowed fingerprints —
     * the copy-detection verdict. Fingerprints hotter than

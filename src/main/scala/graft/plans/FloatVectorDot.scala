@@ -69,6 +69,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.fvdotDescriptor)
     ext.injectFunction(GraftFunctions.gramsDescriptor)
     ext.injectFunction(GraftFunctions.entropyDescriptor)
+    ext.injectFunction(GraftFunctions.winnowDescriptor)
     ext.injectOptimizerRule(_ => RewriteVectorDot)
   }
 }
@@ -93,6 +94,20 @@ object GraftFunctions {
       s"graft_grams(tokens, k): k must be an integer literal, got $other")
   }
 
+  val winnowDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_winnow"),
+    new ExpressionInfo(classOf[WinnowSelect].getName, "graft_winnow"),
+    mkWinnow _)
+
+  // the window size parameterizes generated code, so it must be a
+  // compile-time literal, not a runtime column
+  private def mkWinnow(children: Seq[Expression]): Expression = children(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+      WinnowSelect(children(0), v)
+    case other => throw new IllegalArgumentException(
+      s"graft_winnow(hashes, w): w must be an integer literal, got $other")
+  }
+
   val entropyDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_entropy"),
     new ExpressionInfo(classOf[TextEntropy].getName, "graft_entropy"),
@@ -114,6 +129,8 @@ object GraftFunctions {
       "graft_grams", mkGrams, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_entropy", mkEntropy, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow", mkWinnow, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorDot

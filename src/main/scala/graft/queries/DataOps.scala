@@ -2209,8 +2209,11 @@ object DataOps {
   }
 
   /** dd_semdedup_capped replay: identical chain, but the pair join
-    * additionally requires the same deterministic id-hash slice —
-    * nsub = ceil(|cell| / maxCell) per cell, slice = vec_id % nsub. */
+    * additionally requires the same deterministic slice — nsub =
+    * ceil(|cell| / maxCell) per cell, slice = md5-id-hash % nsub
+    * (the tokenHash residue, same algebra as crossScoredCtes — raw-id
+    * residues bias id-striped corpora, Similarity.crossScored's
+    * rationale). */
   private val semdedupCappedOracle: String = {
     import graft.operators.Similarity.lshDims
     s"""WITH $lloydSampledCtes,
@@ -2222,7 +2225,8 @@ object DataOps {
         pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
                FROM a_all a JOIN a_all b ON a.cid = b.cid AND a.vec_id < b.vec_id
                     JOIN nsub ON nsub.cid = a.cid
-               WHERE a.vec_id % nsub.nsub = b.vec_id % nsub.nsub),
+               WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % nsub.nsub
+                   = CAST(('0x' || substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % nsub.nsub),
         sc AS (SELECT pr.id_a, pr.id_b,
                       round(list_sum(list_transform(range(1, ${lshDims + 1}),
                               i -> ea.v[i] * eb.v[i])) / (ea.nrm * eb.nrm), 6) AS cos

@@ -9,4 +9,31 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Constraint-free lazy local checkpoint — the staging primitive
+    * for frames that are re-used across several joins of ONE query.
+    *
+    * `Dataset.localCheckpoint` stamps the resulting LogicalRDD with
+    * the optimized plan's `originConstraints`, expressed on the
+    * ORIGINAL exprIds. When the staged frame's lineage shares source
+    * attributes with another frame in the same final query (the
+    * normal case: both sides of an incremental-dedup read the same
+    * table), InferFiltersFromConstraints re-applies those constraints
+    * to ANY operator outputting those exprIds — measured concretely:
+    * a checkpointed batch frame's `vec_id >= cut OR vec_id <=> id`
+    * union constraint was injected into the CORPUS-side scan of the
+    * same dominance query, turning it into an always-false filter and
+    * silently emptying the corpus join (IncrementalDedupSpec caught
+    * it). This helper wraps the checkpointed RDD in a bare LogicalRDD
+    * with NO origin stats/constraints, so nothing can leak; the cost
+    * is only that downstream loses inherited partitioning/ordering
+    * info, which the staged-frame call sites reshuffle anyway. */
+  def stageLocal(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val qe = ds.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    ofRows(df.sparkSession, org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, rdd)(ds.sparkSession))
+  }
 }

@@ -110,8 +110,10 @@ class SemDedupSpec extends SparkSpec {
     val rng = new scala.util.Random(37)
     val base = (0 until 200).map(i =>
       (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
-    // near-twins at id+1200: same slice iff 1200 % nsub == 0, which
-    // holds for every nsub the 220-vector fixture can produce (<= 6)
+    // near-twins at id+1200: the md5-hash slice puts a pair in one
+    // slice with chance ~1/nsub, and the hash is deterministic — with
+    // 20 planted pairs and nsub <= 6 the fixture reliably leaves
+    // same-slice survivors (capped.nonEmpty re-checks it)
     val planted = (0 until 20).map { i =>
       (1200L + i, base(i)._2.map(x => x + 0.005f * rng.nextGaussian().toFloat))
     }

@@ -129,6 +129,34 @@ class WinnowSpec extends SparkSpec {
       "offset-consistent region pairs must match across backends")
   }
 
+  test("compiled deque selection is row-identical to the interpreted argmin") {
+    // the kernel (graft.plans.WinnowSelect) must reproduce the
+    // interpreted transform/aggregate composition EXACTLY — same
+    // (doc_id, pos, fp) rows — on adversarial shapes: repeated grams
+    // (tie chains), short docs (m < w and m == 1), long mixed docs;
+    // and on BOTH hash backends, since selection is a pure function
+    // of the hash array
+    val rng = new scala.util.Random(59)
+    val docs = (0L until 40L).map { i =>
+      val len = (rng.nextInt(30) + k) min 64
+      val vocab = rng.nextInt(5) + 2 // small vocab → dense ties
+      (i, (1 to len).map(_ => s"t${rng.nextInt(vocab)}").mkString(" "))
+    } ++ Seq((100L, (1 to k).map(i => s"u$i").mkString(" ")), // m == 1
+             (101L, (1 to (k + 1)).map(_ => "same").mkString(" "))) // m = 2, tie
+    val df = docs.toDF("doc_id", "text")
+    Seq(false, true).foreach { oh =>
+      val kern = Winnow.fingerprints(df, col("text"), col("doc_id"), k, w,
+          oracleHash = oh, kernelSelect = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val interp = Winnow.fingerprints(df, col("text"), col("doc_id"), k, w,
+          oracleHash = oh, kernelSelect = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(kern == interp,
+        s"kernel/interpreted drift (oracleHash=$oh): " +
+          s"only-kernel=${(kern -- interp).take(5)} only-interp=${(interp -- kern).take(5)}")
+    }
+  }
+
   test("rightmost-minimum rule: ties select the later position") {
     // identical grams → identical hashes everywhere; the argmin must
     // take the rightmost position of each window, and overlapping
