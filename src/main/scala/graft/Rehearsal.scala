@@ -114,11 +114,41 @@ object Rehearsal {
         concat(lit("$1_"), when(pmod(col("doc_id"), lit(2)) === 0, lit("0"))
           .otherwise(lit("b")))).as("text"))
 
+    // Incremental-SemDeDup probe pair, same build-once/probe-fixed
+    // discipline: the stored state is the sampled-quantizer cell
+    // assignment (bucketed on centroid_id) + its centroid table; the
+    // fixed batch carries near-twins of replica-0 corpus vectors on
+    // even ids (the dominance path — replica 0 is unperturbed, so the
+    // twin's cosine is ~1) and shifted fresh vectors on odd ids (the
+    // novel path). Probe cost must track |batch|·cellwidth, not the
+    // corpus.
+    val semIncrRoot = s"${System.getProperty("java.io.tmpdir")}/graft-rehearsal-semidx/m$mult"
+    lazy val semIncrIndex = Dedup.ensurePersistedEmbeddingIndex(
+        spark, semIncrRoot, s"rehsem$mult") {
+      import spark.implicits._
+      val cents = graft.operators.Similarity.lloydTrainSampled(
+          embR.repartition(32), 64, 2, mult.toLong)
+        .toDF("centroid_id", "cent")
+      (graft.operators.Similarity.lloydAssign(embR.repartition(32), cents), cents)
+    }
+    lazy val semIncrBatch = Tables(spark, sfDir, "embeddings").select(
+      (-(col("vec_id") + 1)).as("vec_id"),
+      when(pmod(col("vec_id"), lit(2)) === 0,
+          transform(col("embedding"), x => x * lit(1.000001f)))
+        .otherwise(transform(col("embedding"), x => x + lit(0.5f)))
+        .as("embedding"))
+
     val cases: Seq[(String, () => Long)] = Seq(
       "dd_incr_build" -> { () => incrIndex.buckets.count() },
       "dd_incr_probe" -> { () =>
         Dedup.incremental(incrIndex, incrBatch,
           col("text"), col("doc_id"), 3, 0.3).count()
+      },
+      "dd_semdedup_incr_build" -> { () => semIncrIndex._1.count() },
+      "dd_semdedup_incr_probe" -> { () =>
+        Dedup.incrementalSemDedup(semIncrIndex._1, semIncrIndex._2,
+            semIncrBatch, 0.3)
+          .filter(!col("kept")).count()
       },
       "alloc_plan" -> { () =>
         val demand = lineR
@@ -251,8 +281,14 @@ object Rehearsal {
       // empty the corpus and let dedup run on nothing); the LM gate's
       // COST still runs in full — only the comparison is vacuous
       "curate" -> { () =>
-        graft.operators.Curation.audit(docsR, col("text"), col("doc_id"),
-            docsR.filter(col("source").isin("src0", "src1")),
+        // repartition: the base table is ONE parquet file, so the
+        // replicated corpus inherits a single scan partition and every
+        // gate stage before the first exchange serializes into one
+        // task (caught live at 1000x — a 16-minute single-task gram
+        // stage); r9/r10 rows measured that serialized shape
+        val d = docsR.repartition(32)
+        graft.operators.Curation.audit(d, col("text"), col("doc_id"),
+            d.filter(col("source").isin("src0", "src1")),
             3, 0.3, 0.2, 0.6, maxAvgNll = 1e9)
           .filter(col("verdict") === "kept").count()
       },
@@ -261,7 +297,7 @@ object Rehearsal {
       // drop the unique-key left joins and prune all five subtrees
       "rep_ngrams" -> { () =>
         val r = graft.operators.TextAnalysis.repetitionSignals(
-          docsR, col("text"), col("doc_id"))
+          docsR.repartition(32), col("text"), col("doc_id"))
         r.agg(count(lit(1)),
             sum(col("top_2gram_frac") + col("top_3gram_frac") + col("top_4gram_frac")
               + col("dup_5gram_frac") + col("dup_10gram_frac")))
@@ -429,18 +465,26 @@ object Rehearsal {
           .agg(count(lit(1)), sum(col("pmi_micro")))
           .collect()(0).getLong(0)
       },
-      // winnowing on the PRODUCTION backend (rolling-xxh64 kernel, the
-      // default): a pure per-doc projection until the ~len/w selected
-      // rows — the decade curve must track the scan
+      // winnowing, full PRODUCTION posture (rolling-xxh64 gram kernel
+      // + compiled deque selection): a pure per-doc projection until
+      // the ~len/w selected rows — the decade curve must track the scan
       "winnow" -> { () =>
         graft.operators.Winnow.fingerprints(docsR.repartition(32),
           col("text"), col("doc_id"), 4, 4).count()
       },
-      // the md5 oracle backend, same shape — the head-to-head that
-      // prices the interpreted-md5-in-lambda tax the kernel removes
+      // the md5 oracle hash backend (selection kernel on both) — the
+      // hash-swap head-to-head, measured at only ~12% in r10 because
+      // hashing was never the dominant term
       "winnow_md5" -> { () =>
         graft.operators.Winnow.fingerprints(docsR.repartition(32),
           col("text"), col("doc_id"), 4, 4, oracleHash = true).count()
+      },
+      // the r10 production shape — kernel hashes but INTERPRETED
+      // per-window argmin lambdas — the head-to-head that prices the
+      // selection kernel (the term r10's hash swap left on the table)
+      "winnow_interp" -> { () =>
+        graft.operators.Winnow.fingerprints(docsR.repartition(32),
+          col("text"), col("doc_id"), 4, 4, kernelSelect = false).count()
       },
       // cross-corpus mutual match: candidates are Σ_b |A_b|·|B_b| over
       // the sign-LSH buckets, and the perturbed replicas CLUSTER — a
@@ -467,11 +511,12 @@ object Rehearsal {
       // green, this measures their composition (shared scans, one
       // optimizer pass). Same NLL-cap posture as `curate`.
       "pipeline" -> { () =>
-        val kept = graft.operators.Curation.audit(docsR, col("text"), col("doc_id"),
-            docsR.filter(col("source").isin("src0", "src1")),
+        val d = docsR.repartition(32) // single-file artifact, see curate
+        val kept = graft.operators.Curation.audit(d, col("text"), col("doc_id"),
+            d.filter(col("source").isin("src0", "src1")),
             3, 0.3, 0.2, 0.6, maxAvgNll = 1e9)
           .filter(col("verdict") === "kept").select("doc_id")
-        val survivors = docsR.join(kept, Seq("doc_id"))
+        val survivors = d.join(kept, Seq("doc_id"))
           .select(col("doc_id"), col("text"))
         Sharding.packShards(survivors, "doc_id",
             size(split(col("text"), " ")), budget = 100000L, blockSize = 10000L)

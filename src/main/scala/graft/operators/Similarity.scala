@@ -408,20 +408,64 @@ object Similarity {
     * instead of once per query. Keying on the CANONICALIZED analyzed
     * plan (not a caller-supplied tag) makes a wrong-key hit
     * impossible: different sources, filters, or scale dirs canonicalize
-    * differently. Memo size is k×dims doubles per distinct corpus. */
-  // The key is the canonicalized plan OBJECT (structural equality),
-  // not its toString — LocalRelation.toString elides the row data, so
-  // two in-memory frames with the same schema would string-collide
-  // and hand one corpus the other's centroids (caught by
-  // IndexLifecycleSpec's retrain test).
-  private val lloydMemo = scala.collection.concurrent.TrieMap
-    .empty[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Int),
-      Seq[(Long, Seq[Double])]]
+    * differently.
+    *
+    * Two key regimes, both bounded by a 32-entry LRU (an unbounded
+    * plan-object map pins every in-memory training corpus in the
+    * driver for the JVM's lifetime):
+    *  - ALL-FILE-BACKED lineage → a string key rendering the
+    *    canonical tree plus each file relation's (sorted root paths,
+    *    data schema). Plan-object keys would make file reads memo-
+    *    blind: a fresh `spark.read` builds a fresh FileIndex, which
+    *    compares by reference, so two reads of the same path never
+    *    canonicalize equal.
+    *  - anything else (LocalRelation fixtures, RDD-backed frames) →
+    *    the canonicalized plan OBJECT (structural case-class
+    *    equality, row data included). Never its toString —
+    *    LocalRelation.toString elides rows, so two in-memory frames
+    *    with the same schema would string-collide and hand one corpus
+    *    the other's centroids (caught by IndexLifecycleSpec's retrain
+    *    test). */
+  private val lloydMemoMax = 32
+  private val lloydMemo =
+    new java.util.LinkedHashMap[AnyRef, Seq[(Long, Seq[Double])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, Seq[(Long, Seq[Double])]]): Boolean =
+        size() > lloydMemoMax
+    }
+
+  private def lloydMemoKey(metric: String, emb: DataFrame,
+                           k: Int, iters: Int): AnyRef = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val c = emb.queryExecution.analyzed.canonicalized
+    val fileKeys = c.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => Some(
+          h.location.rootPaths.map(_.toString).sorted.mkString(",")
+            + "|" + h.dataSchema.catalogString)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (fileKeys.nonEmpty && fileKeys.forall(_.isDefined))
+      (s"$metric-files", c.treeString + fileKeys.flatten.mkString(";"), k, iters)
+    else (s"$metric-plan", c, k, iters)
+  }
+
+  private def lloydMemoized(metric: String, emb: DataFrame, k: Int, iters: Int)
+                           (train: => Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    val key = lloydMemoKey(metric, emb, k, iters)
+    lloydMemo.synchronized(Option(lloydMemo.get(key))).getOrElse {
+      // train OUTSIDE the lock (it drives Spark jobs); a concurrent
+      // duplicate train is benign — pure function, identical result
+      val r = train
+      lloydMemo.synchronized(lloydMemo.put(key, r))
+      r
+    }
+  }
 
   def lloydTrain(emb: DataFrame, k: Int, iters: Int = 4): Seq[(Long, Seq[Double])] =
-    lloydMemo.getOrElseUpdate(
-      ("cos", emb.queryExecution.analyzed.canonicalized, k, iters),
-      lloydTrainImpl(emb, k, iters))
+    lloydMemoized("cos", emb, k, iters)(lloydTrainImpl(emb, k, iters))
 
   /** Deterministic hash slice of a vector corpus: vectors whose
     * md5-id hash lands in residue 0 of `mod` — a ~1/mod sample that
@@ -823,9 +867,7 @@ object Similarity {
     * empty-cluster carry-forward, and session memo as the cosine
     * loop. Input arrays may be float or double; state is doubles. */
   def lloydTrainL2(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] =
-    lloydMemo.getOrElseUpdate(
-      ("l2", emb.queryExecution.analyzed.canonicalized, k, iters),
-      lloydTrainL2Impl(emb, k, iters))
+    lloydMemoized("l2", emb, k, iters)(lloydTrainL2Impl(emb, k, iters))
 
   private def lloydTrainL2Impl(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     val spark = emb.sparkSession
@@ -1021,9 +1063,16 @@ object Similarity {
     * [[indexDrift]]'s share_gap). Below the threshold the call is
     * TRAINING-FREE and idempotent — the corpus thunk is never
     * evaluated (IndexLifecycleSpec passes a throwing thunk) and the
-    * stored tables are returned as-is; above it the three model
-    * tables are dropped and rebuilt from the corpus, and serving
-    * answers change accordingly.
+    * stored tables are returned as-is; above it the replacement model
+    * is built FIRST under temp table names in the non-serving
+    * generation directory, and only after the full rebuild succeeds
+    * are the serving tables dropped and the temps renamed in — a
+    * failure anywhere inside training/encoding leaves the stored
+    * model intact and serving (the drop-then-rebuild form had no
+    * model registered for the whole retrain window, and a crash
+    * stranded the store empty). Generations ping-pong between
+    * `$root/gen_a` and `$root/gen_b` so the overwrite never touches
+    * files the current model serves from.
     *
     * Monitoring cost: corpus-side occupancy is an aggregate of the
     * stored CODE frame itself (every vector carries its cell id m
@@ -1058,10 +1107,28 @@ object Similarity {
         math.abs(r.getAs[Long]("cn") / ct - r.getAs[Long]("bn") / bt)).max
     if (gap <= maxShareGap) (codes, cents, spark.table(tables(1)), false)
     else {
-      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-      val (c2, ce2, b2) = ensureIvfPqModel(spark, root, tag, corpus,
+      // staged swap: build the replacement FIRST under temp names in
+      // the non-serving generation dir; only a fully-built model ever
+      // replaces the serving one. DROP on these external tables only
+      // unregisters — the generation ping-pong is what keeps the
+      // rebuild's overwrite away from the files still being served.
+      val servingLoc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tables.head))
+        .location.toString
+      val newRoot =
+        if (servingLoc.contains("/gen_a/")) s"$root/gen_b" else s"$root/gen_a"
+      val tmpTag = s"${tag}__new"
+      val tmpTables = tables.map(_.replace(s"_$tag", s"_$tmpTag"))
+      // a crashed earlier refresh may have stranded temp tables;
+      // dropping them forces ensureIvfPqModel to rebuild fresh
+      tmpTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      ensureIvfPqModel(spark, newRoot, tmpTag, corpus,
         kc, coarseIters, m, k, iters, nBuckets)
-      (c2, ce2, b2, true)
+      tables.zip(tmpTables).foreach { case (fin, tmp) =>
+        spark.sql(s"DROP TABLE IF EXISTS $fin")
+        spark.sql(s"ALTER TABLE $tmp RENAME TO $fin")
+      }
+      (spark.table(tables(2)), spark.table(tables.head), spark.table(tables(1)), true)
     }
   }
 }

@@ -44,6 +44,32 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(!again)
   }
 
+  test("a failed rebuild leaves the stored model registered and serving") {
+    val (kc, ci, m, k, it) = params
+    val tag = "lc_fail"
+    val r = root(tag)
+    val corpus = cloud(200, 13).toDF("vec_id", "embedding")
+    Similarity.ensureIvfPqModel(spark, r, tag, corpus, kc, ci, m, k, it, 2)
+    val before = spark.table(s"ivfpq_cents_$tag").collect().toSet
+    val drifted = cloud(200, 13, shift = 3f).toDF("vec_id", "embedding")
+    // the rebuild dies mid-train (above threshold, throwing corpus
+    // thunk) — the staged swap must not have touched the serving model
+    intercept[IllegalStateException] {
+      Similarity.refreshIvfPqIfDrifted(spark, r, tag,
+        { throw new IllegalStateException("rebuild dies mid-train") },
+        drifted, maxShareGap = 0.2, kc, ci, m, k, it, 2)
+    }
+    assert(spark.catalog.tableExists(s"ivfpq_cents_$tag"),
+      "serving model must survive a failed refresh")
+    assert(spark.table(s"ivfpq_cents_$tag").collect().toSet == before,
+      "stored centroids unchanged after the failed rebuild")
+    // and a later healthy refresh still swaps in cleanly
+    val (_, cents2, _, refreshed) = Similarity.refreshIvfPqIfDrifted(
+      spark, r, tag, drifted, drifted, maxShareGap = 0.2, kc, ci, m, k, it, 2)
+    assert(refreshed)
+    assert(cents2.collect().toSet != before, "healthy refresh retrains")
+  }
+
   test("above-threshold refresh rebuilds the model and serving changes") {
     val (kc, ci, m, k, it) = params
     val tag = "lc_above"
