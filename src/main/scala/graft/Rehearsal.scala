@@ -66,6 +66,15 @@ object Rehearsal {
     val mult = sys.env.get("SPARK_GRAFT_MULT").flatMap(_.toIntOption).getOrElse(10)
     val only = sys.env.get("SPARK_GRAFT_REHEARSE").map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.create("graft-rehearsal")
+    // Decade-scaled shuffle parallelism (the partitions-fit-in-memory
+    // sizing rule): at 1000x a 32-way reduce hands each task ~1/32 of
+    // ~5 M documents' aggregate state, which is what OOM'd the
+    // pipeline composite's tail — more, smaller reduce partitions is
+    // the production answer, and AQE coalesces the ones that come out
+    // small. Opt-in per run so previously-recorded rows keep their
+    // measurement conditions.
+    sys.env.get("SPARK_GRAFT_SHUFFLE").filter(_.nonEmpty).foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n))
 
     val m = lit(mult.toLong)
     val docsR = replicate(Tables(spark, sfDir, "documents"), mult) { d =>
