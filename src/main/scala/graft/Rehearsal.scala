@@ -513,6 +513,18 @@ object Rehearsal {
           e.filter(pmod(col("vec_id"), lit(2)) === 1), planes,
           maxBucket = 2000).count()
       },
+      // margin alignment: the SAME capped candidate frame, staged once
+      // through the constraint-free checkpoint (stageLocal at corpus
+      // scale — it feeds the ranking and both per-side top-k
+      // aggregates), plus two keyed windows and two keyed aggregates
+      "margin" -> { () =>
+        val planes = 16 + 4 * (math.log10(mult.toDouble).round.toInt)
+        val e = embR.repartition(32)
+        graft.operators.Similarity.marginMatches(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          e.filter(pmod(col("vec_id"), lit(2)) === 1), k = 4, planes,
+          maxBucket = 2000).count()
+      },
       // the END-TO-END pipeline composite (ds_pipeline): curation
       // gates → LSH dedup over gate survivors → keyed semi-join →
       // token-budget shard packing — the one-plan job a production

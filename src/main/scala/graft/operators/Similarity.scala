@@ -228,22 +228,33 @@ object Similarity {
     * the same values and round to the same micro integer.
     *
     * Shape: the SAME bucket-blocked candidate frame as
-    * mutualMatches (staged once via GraftBridge.stageLocal, the
-    * constraint-free checkpoint — it feeds the
-    * ranking and both per-side top-k aggregates), two keyed windows,
-    * two keyed aggregates, two keyed joins — nothing beyond the
-    * candidate volume. */
+    * mutualMatches, ranked by two keyed windows in one pass, then
+    * PRUNED to rn_a ≤ k ∨ rn_b ≤ k before staging (GraftBridge
+    * .stageLocal, the constraint-free checkpoint): the three
+    * consumers — both per-side top-k aggregates and the forward-best
+    * verdict — only ever read top-k rows, so the staged frame is
+    * O((|A|+|B|)·k), not O(candidates). Staging the raw candidate
+    * frame materialized Σ_b |A_b|·|B_b| rows and filled the local
+    * disk at the 1000× rehearsal. */
   def marginMatches(a: DataFrame, b: DataFrame, k: Int,
                     nPlanes: Int = lshPlanes,
                     minMarginMicro: Long = 1050000L,
                     maxBucket: Int = 0): DataFrame = {
-    val scored = org.apache.spark.sql.GraftBridge.stageLocal(
-      crossScored(a, b, nPlanes, maxBucket)
-        .withColumn("cu", round(col("cos") * 1e6).cast("long")))
+    val scored = crossScored(a, b, nPlanes, maxBucket)
+      .withColumn("cu", round(col("cos") * 1e6).cast("long"))
     val fw = Window.partitionBy("a_id").orderBy(col("cu").desc, col("b_id"))
     val bw = Window.partitionBy("b_id").orderBy(col("cu").desc, col("a_id"))
-    val ranked = scored.withColumn("rn_a", row_number().over(fw))
-      .withColumn("rn_b", row_number().over(bw))
+    // Stage AFTER ranking and top-k pruning, not before: the staged
+    // frame is what three consumers reuse (both per-side top-k
+    // aggregates + the forward-best verdict), and everything they need
+    // satisfies rn_a ≤ k ∨ rn_b ≤ k — O((|A|+|B|)·k) rows. Staging the
+    // RAW candidate frame materialized Σ_b |A_b|·|B_b| rows to local
+    // disk and filled it at the 1000× rehearsal (no-space-left); the
+    // two ranking windows run once either way, inside this one plan.
+    val ranked = org.apache.spark.sql.GraftBridge.stageLocal(
+      scored.withColumn("rn_a", row_number().over(fw))
+        .withColumn("rn_b", row_number().over(bw))
+        .filter(col("rn_a") <= k || col("rn_b") <= k))
     val na = ranked.filter(col("rn_a") <= k).groupBy("a_id")
       .agg(sum(col("cu")).as("sum_a"), count(lit(1)).as("n_a"))
     val nb = ranked.filter(col("rn_b") <= k).groupBy("b_id")

@@ -179,6 +179,24 @@ class PlanShapeSpec extends SparkSpec {
       s"shingle/bucket subtrees not reused across the verified-pairs plan:\n$p")
   }
 
+  test("semDedup computes dominance inside the block join — no pair frame") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.operators.Similarity.lloydTrain(emb, 4, 2)
+      .toDF("centroid_id", "cent")
+    val p = plan(graft.operators.Dedup.semDedup(emb, cents, 0.3, maxCell = 50))
+    // the r10 shape materialized the candidate pairs as (id_a, id_b)
+    // and re-joined the assignment twice on those keys — the subtree
+    // that OOM'd the 1000x rehearsal's SMJ buffer. The pair-local form
+    // has no id_a/id_b attributes anywhere in the physical plan:
+    assert(!p.contains("id_a") && !p.contains("id_b"),
+      s"pair frame resurfaced (id_a/id_b keys in the plan):\n$p")
+    // and the loser distinct partial-aggregates map-side: two
+    // HashAggregates around one exchange, directly over the join
+    assert(countOccurrences(p, "HashAggregate") >= 2,
+      s"loser distinct lost its partial aggregation:\n$p")
+  }
+
   test("exact dedup groups on the md5 key with partial aggregation") {
     val p = plan(DataOps.ddExact(spark, sf))
     assert(p.contains("HashAggregate") &&
