@@ -27,7 +27,18 @@ object GraftBridge {
     * it). This helper wraps the checkpointed RDD in a bare LogicalRDD
     * with NO origin stats/constraints, so nothing can leak; the cost
     * is only that downstream loses inherited partitioning/ordering
-    * info, which the staged-frame call sites reshuffle anyway. */
+    * info, which the staged-frame call sites reshuffle anyway.
+    *
+    * When is plain `localCheckpoint` still safe? Constraints are
+    * expressed over the frame's OUTPUT attributes, so the leak needs
+    * the staged output to pass source attributes through UN-ALIASED
+    * (a filter/join keeps the exprId; `col.as("x")` mints a fresh
+    * one). Graph/Bpe/Curation stage frames whose outputs are all
+    * aliases or aggregate results — fresh exprIds, nothing for
+    * InferFiltersFromConstraints to bind elsewhere — and they keep
+    * Dataset.localCheckpoint for its unpersist() discipline. Frames
+    * that forward raw source ids (the dedup family's vec_id) MUST
+    * come through here. */
   def stageLocal(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     val qe = ds.queryExecution
