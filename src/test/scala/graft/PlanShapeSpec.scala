@@ -197,6 +197,20 @@ class PlanShapeSpec extends SparkSpec {
       s"loser distinct lost its partial aggregation:\n$p")
   }
 
+  test("incremental semDedup serves off the bucketed assignment — corpus read co-partitioned") {
+    // the stored cell assignment is written bucketed on centroid_id;
+    // the serving claim is that the cell joins exploit that layout —
+    // Spark reports `Bucketed: true` on a file scan ONLY when the
+    // bucket layout is actually used to satisfy the join's
+    // distribution (otherwise it prints `Bucketed: false (disabled by
+    // query planner)` and an Exchange re-shuffles the corpus)
+    val p = finalPlan(DataOps.ddIncrementalSemdedup(spark, sf))
+    assert(p.contains("ci_emb_") && p.contains("Bucketed: true"),
+      s"stored assignment not read as a bucketed scan:\n$p")
+    assert(!p.contains("Bucketed: false"),
+      s"a bucketed table was scanned with the layout disabled:\n$p")
+  }
+
   test("exact dedup groups on the md5 key with partial aggregation") {
     val p = plan(DataOps.ddExact(spark, sf))
     assert(p.contains("HashAggregate") &&
