@@ -105,6 +105,36 @@ class SemDedupSpec extends SparkSpec {
       s"sample-vs-full verdict drift too high: $agree/${sampled.size} agree")
   }
 
+  test("hash-residue sub-slices keep cross-parity pairs on id-striped corpora") {
+    import spark.implicits._
+    // ids striped by parity — the engine's own cross-corpus convention
+    // (even/odd sides, id·mult+rep salting): base vectors on EVEN ids,
+    // every planted near-twin on the adjacent ODD id. With the cap
+    // forcing nsub = 2, a raw-id residue puts every (even, odd) pair
+    // in different slices — the capped verdict would drop NOTHING —
+    // while the md5-hash residue thins the cell uniformly and keeps a
+    // same-slice share of the planted pairs (~1/2 in expectation,
+    // deterministic given the hash)
+    val rng = new scala.util.Random(43)
+    val base = (0 until 100).map(i =>
+      (2L * i, Array.fill(64)(rng.nextGaussian().toFloat)))
+    val planted = base.take(40).map { case (id, v) =>
+      (id + 1L, v.map(x => x + 0.004f * rng.nextGaussian().toFloat))
+    }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val cents = Similarity.lloydTrain(df, 2, iters = 3).toDF("centroid_id", "cent")
+    // ~70 vectors per cell; maxCell = 40 → nsub = 2 for both cells
+    val dropped = Dedup.semDedup(df, cents, 0.9, maxCell = 40)
+      .filter(!col("kept")).collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty,
+      "an even slice count annihilated every cross-parity planted pair — " +
+        "the sub-split is slicing on the raw id, not the id hash")
+    // and they are a subset of the uncapped drops (the cap-only-loses law)
+    val uncapped = Dedup.semDedup(df, cents, 0.9)
+      .filter(!col("kept")).collect().map(_.getLong(0)).toSet
+    assert(dropped.subsetOf(uncapped))
+  }
+
   test("the cap only removes cross-slice comparisons, never adds drops") {
     import spark.implicits._
     val rng = new scala.util.Random(37)
