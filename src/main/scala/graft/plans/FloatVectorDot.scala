@@ -70,6 +70,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.gramsDescriptor)
     ext.injectFunction(GraftFunctions.entropyDescriptor)
     ext.injectFunction(GraftFunctions.winnowDescriptor)
+    ext.injectFunction(GraftFunctions.dsirCountsDescriptor)
+    ext.injectFunction(GraftFunctions.dsirScoreDescriptor)
     ext.injectOptimizerRule(_ => RewriteVectorDot)
   }
 }
@@ -108,6 +110,36 @@ object GraftFunctions {
       s"graft_winnow(hashes, w): w must be an integer literal, got $other")
   }
 
+  val dsirCountsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dsir_counts"),
+    new ExpressionInfo(classOf[DsirBucketCounts].getName, "graft_dsir_counts"),
+    mkDsirCounts _)
+
+  // the bucket count sizes the aggregation buffer, so it must be a
+  // compile-time literal, not a runtime column
+  private def mkDsirCounts(children: Seq[Expression]): Expression = children(2) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+      DsirBucketCounts(children(0), children(1), v)
+    case other => throw new IllegalArgumentException(
+      s"graft_dsir_counts(text, is_target, buckets): buckets must be an integer literal, got $other")
+  }
+
+  val dsirScoreDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dsir_score"),
+    new ExpressionInfo(classOf[DsirScore].getName, "graft_dsir_score"),
+    mkDsirScore _)
+
+  // the fitted model rides as a foldable array literal (the
+  // BloomSemiJoin bounded-artifact pattern), indexed by bucket
+  private def mkDsirScore(children: Seq[Expression]): Expression = children(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        a: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+      DsirScore(children(0), a.toLongArray())
+    case other => throw new IllegalArgumentException(
+      s"graft_dsir_score(text, llr): llr must be an array<long> literal, got $other")
+  }
+
   val entropyDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_entropy"),
     new ExpressionInfo(classOf[TextEntropy].getName, "graft_entropy"),
@@ -131,6 +163,10 @@ object GraftFunctions {
       "graft_entropy", mkEntropy, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", mkWinnow, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dsir_counts", mkDsirCounts, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dsir_score", mkDsirScore, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorDot
