@@ -33,6 +33,15 @@ object Bench {
       .map(_.getCollectionTime).filter(_ > 0).sum
   }
 
+  /** One /proc/loadavg line ("1m 5m 15m running/total lastpid") — the
+    * box-state evidence the artifact carries so a slow record is
+    * attributable to ambient load without a code bisect (the r11
+    * +14% drift needed one). Empty string off-Linux. */
+  private def loadavg: String =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim
+    catch { case _: Throwable => "" }
+
   /** Locale-pinned fixed-point render: the JVM default locale may use
     * a comma decimal separator, which corrupts the JSON artifact. */
   private def fp(v: Double, decimals: Int): String =
@@ -120,6 +129,8 @@ object Bench {
       .toSeq.sortBy(_._1)
     val runTimes = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val diags = scala.collection.mutable.Map.empty[String, Map[String, Long]]
+    // box-state samples: before the sweep and after each pass
+    val boxSamples = scala.collection.mutable.ListBuffer(loadavg)
     (1 to runs).foreach { _ =>
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -129,6 +140,10 @@ object Bench {
         // A failed query is recorded as -1.0 so crashes are visibly distinct
         // from fast successes in the JSON line.
         val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // consume boundary: the query's result is materialized, so any
+        // checkpoint blocks stageLocal pinned for its staged frames are
+        // dead weight for every later query — release them now
+        org.apache.spark.sql.GraftBridge.releaseStaged()
         runTimes(name) = runTimes.getOrElse(name, Vector.empty) :+ t
         // Session-state snapshot AFTER this query: what accumulates
         // across the sweep shows up as a trend in these columns.
@@ -138,6 +153,7 @@ object Bench {
           "classes" -> classMx.getLoadedClassCount.toLong,
           "rdds" -> spark.sparkContext.getPersistentRDDs.size.toLong)
       }
+      boxSamples += loadavg
     }
     val results = names.map { case (name, _) =>
       val times = runTimes(name)
@@ -160,7 +176,12 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     // `sf` matches the stdout line's basename so the two artifacts join on
     // it; the full path is preserved separately as `sf_dir`.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfName","sf_dir":"$sfDir","runs_per_query":$runs,"queries":$fullRows,"errors":$errs}"""
+    // box context: core count + /proc/loadavg sampled before the sweep
+    // and after each pass — enough to attribute a slow record to
+    // ambient load (the r11 drift) without re-running the other side
+    val box = s""""box":{"cpus":${rt.availableProcessors()},"loadavg":${
+      boxSamples.map(s => "\"" + s + "\"").mkString("[", ",", "]")}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfName","sf_dir":"$sfDir","runs_per_query":$runs,$box,"queries":$fullRows,"errors":$errs}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"BENCH_OUT write failed: $e") }

@@ -563,6 +563,10 @@ object Rehearsal {
     val selected = cases.filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, run) =>
       val (rows, sec) = timed(name)(run())
+      // consume boundary: the case's count()/collect() materialized
+      // everything — drop any stageLocal checkpoint blocks before the
+      // next case (at 1000× a staged frame is GBs of dead spill)
+      org.apache.spark.sql.GraftBridge.releaseStaged()
       System.err.println(f"REHEARSAL $name mult=$mult rows=$rows sec=$sec%.2f")
       s""""$name":{"rows":$rows,"sec":$sec}"""
     }

@@ -18,6 +18,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // consume boundary: the dump materialized the frame — release any
+      // checkpoint blocks its staged lineage pinned (stageLocal contract)
+      org.apache.spark.sql.GraftBridge.releaseStaged()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

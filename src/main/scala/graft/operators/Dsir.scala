@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions.tokenHash
+import graft.plans.GraftFunctions
 
 /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
   * arXiv:2302.03169): score every raw-pool document by how much its
@@ -24,40 +25,40 @@ import graft.functions.VectorFunctions.tokenHash
   * sum — partial-aggregation- and order-invariant, bit-replayable in
   * DuckDB (same trick as BM25 / the entropy kernel).
   *
-  * Scale shape: ONE gram explode over the pool (the corpus's only
-  * heavy pass, map-side combined into ≤ |doc|·buckets rows); the
-  * bucket model is a ≤ [[buckets]]-row frame built by a second keyed
-  * agg over those counts and broadcast back; scoring is a broadcast
-  * join + one keyed sum. Selection is orderBy(...).limit(k) —
-  * Spark's TakeOrdered, O(k) state per partition, never a global
-  * sort. Nothing here is target-corpus-sized except the is_target
-  * flag the caller supplies as a column.
+  * Scale shape (the [[graft.plans.DsirKernels]] form): fitting is ONE
+  * bounded-state aggregate pass — `graft_dsir_counts` folds every
+  * document's gram stream into a flat `long[2B]` per task (≈64 KB at
+  * B=4096), map-side combined, merged by element-wise add; shuffle
+  * volume is #tasks × 64 KB, corpus-size-independent. Scoring is ONE
+  * codegen'd projection pass — `graft_dsir_score` sums the fitted
+  * B-long model (riding as a ~32 KB plan literal, the BloomSemiJoin
+  * bounded-artifact pattern) over each document's gram stream in
+  * place; it shuffles NOTHING. No gram explode, no staged bag, no
+  * model join anywhere on the production path. The earlier exploded
+  * shape (2·tokens rows per document, hash-aggregated, DISK_ONLY
+  * staged, shuffled twice) is retained below ONLY as the specs'
+  * independent reference ([[gramBag]]/[[ratios]]/[[weightsExploded]],
+  * the Winnow interpreted-kernel precedent); its staging contract
+  * retired with it. Selection is orderBy(...).limit(k) — Spark's
+  * TakeOrdered, O(k) state per partition, never a global sort.
   */
 object Dsir {
 
   /** Hashed feature space (buckets for unigram+bigram grams). 2^12
-    * keeps the model frame broadcast-tiny while leaving bucket
+    * keeps the fitted model a ~32 KB artifact while leaving bucket
     * collisions rare at the test vocabulary; production would raise
     * it (the paper uses 10^4) — every stage below is bucket-count
-    * agnostic. */
+    * agnostic, and the fit buffer stays `long[2B]` per task. */
   val buckets = 4096
 
-  /** Last staged gram bag, released at the next weights() call. */
-  @volatile private var lastStagedBag: Option[DataFrame] = None
+  // ---------------------------------------------------------------
+  // Reference implementation (spec oracle only — see scaladoc above).
+  // ---------------------------------------------------------------
 
   /** Unigram + bigram stream of a document (single-space token
     * convention). Guarded: Spark's sequence(1, n) DESCENDS for n<1,
     * so single-token docs must short-circuit to an empty bigram
-    * list.
-    *
-    * Deliberately the per-gram form: md5 runs on EXPLODED rows inside
-    * whole-stage codegen. The "obvious" optimization — hash each
-    * token once inside `transform(...)` and derive bigram buckets
-    * arithmetically — benchmarked 7× SLOWER (3.5 s → 24 s at sf0.1),
-    * because Spark evaluates higher-order-function lambdas with
-    * interpreted expressions: an md5 inside a lambda abandons codegen
-    * for every token. Row-wise explode-then-hash is the
-    * codegen-friendly shape. */
+    * list. Reference form — production grams never exist as rows. */
   private def gramsCol(text: Column): Column = {
     val toks = split(text, " ")
     val bigrams = when(size(toks) >= 2,
@@ -67,9 +68,10 @@ object Dsir {
     concat(toks, bigrams)
   }
 
-  /** (doc_id, is_target, bucket, cnt): the hashed gram bag of every
-    * pool document — the one corpus-sized frame all downstream stages
-    * share. */
+  /** (doc_id, is_target, bucket, cnt): the hashed gram bag —
+    * REFERENCE implementation for the specs' kernel-equality law;
+    * the production fit ([[bucketCounts]]) never materializes gram
+    * rows. */
   def gramBag(pool: DataFrame, text: Column, id: Column, isTarget: Column): DataFrame =
     pool.select(id.as("doc_id"), isTarget.as("is_target"),
         explode(gramsCol(text)).as("gram"))
@@ -77,97 +79,137 @@ object Dsir {
         pmod(tokenHash(col("gram")), lit(buckets.toLong)).as("bucket"))
       .groupBy("doc_id", "is_target", "bucket").agg(count(lit(1)).as("cnt"))
 
-  /** Per-bucket importance log-ratio in integer micro-nats:
-    * round(1e6·(ln(t_b+1) − ln(T+B) − ln(r_b+1) + ln(R+B))), where
-    * t/r are target/raw bucket counts and T/R their totals (add-one
-    * smoothing over B = [[buckets]] cells). The frame is the FULL
-    * B-row spine — buckets neither corpus touched carry their honest
-    * smoothed default ln((R+B)/(T+B)), so a serving join never
-    * misses and an all-unseen document is scored by the same model,
-    * not by an ad-hoc zero. Exactly B rows → broadcast. */
+  /** Bucket model from an exploded bag — reference twin of
+    * [[ratiosFromCounts]] (identical column algebra over the same
+    * (bucket, rn, tn) triples, so the two fits are bit-equal when the
+    * counts are; DsirSpec asserts both links). */
   def ratios(bag: DataFrame): DataFrame = {
     val spark = bag.sparkSession
     val spine = spark.range(buckets).select(col("id").as("bucket"))
     val rb = bag.groupBy("bucket").agg(
       sum(col("cnt")).as("rn"),
       sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("tn"))
-    val tot = rb.agg(sum(col("rn")).as("rtot"), sum(col("tn")).as("ttot"))
-    spine.join(rb, Seq("bucket"), "left")
+    ratiosFromCounts(spine.join(rb, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("rn"), lit(0L)).as("rn"),
-        coalesce(col("tn"), lit(0L)).as("tn"))
-      .crossJoin(broadcast(tot))
+        coalesce(col("tn"), lit(0L)).as("tn")))
+  }
+
+  /** Exploded-bag weights — the specs' independent reference for the
+    * kernel path ([[weights]]): one gram explode, the bag feeding the
+    * model aggs and a broadcast scoring join. Spec-scale only (no
+    * staging boundary: the bag recomputes, which a 4-row spec corpus
+    * does not notice; production runs the single-pass kernels). */
+  def weightsExploded(pool: DataFrame, text: Column, id: Column,
+                      isTarget: Column): DataFrame = {
+    val bag = gramBag(pool, text, id, isTarget)
+    bag.join(broadcast(ratios(bag)), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * col("llr_micro")).as("weight_micro"))
+  }
+
+  // ---------------------------------------------------------------
+  // Production path: the single-pass kernels.
+  // ---------------------------------------------------------------
+
+  /** (bucket, rn, tn) for every bucket 0..B−1 in ONE bounded-state
+    * aggregate pass (`graft_dsir_counts`): each task folds its
+    * documents' gram streams into a flat `long[2B]`, partials are
+    * map-side combined and merged by element-wise add. The full-spine
+    * B-row result is this frame — buckets no gram touched carry
+    * honest zeros, so the model keeps its smoothed default for them.
+    * Null-text rows contribute nothing (the exploded form's explode
+    * drops them; the kernel skips them — DsirSpec pins the parity). */
+  def bucketCounts(pool: DataFrame, text: Column, isTarget: Column): DataFrame = {
+    GraftFunctions.ensureRegistered(pool.sparkSession)
+    pool.select(text.as("__t"), isTarget.as("__tgt"))
+      .agg(call_function("graft_dsir_counts", col("__t"), col("__tgt"),
+        lit(buckets)).as("c"))
+      .select(posexplode(col("c")))
+      .select(col("pos").cast("long").as("bucket"),
+        col("col.rn").as("rn"), col("col.tn").as("tn"))
+  }
+
+  /** Per-bucket importance log-ratio in integer micro-nats over a
+    * full-spine (bucket, rn, tn) frame:
+    * round(1e6·(ln(t_b+1) − ln(T+B) − ln(r_b+1) + ln(R+B))) — add-one
+    * smoothing over B = [[buckets]] cells. Exactly the column algebra
+    * the exploded fit always ran (bit-parity by construction given
+    * equal counts); totals summed over the full spine equal the bag
+    * totals because spine-only rows add zero. Exactly B rows. */
+  def ratiosFromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("rn")).as("rtot"), sum(col("tn")).as("ttot"))
+    counts.crossJoin(broadcast(tot))
       .select(col("bucket"),
         round((log(col("tn") + 1) - log(col("ttot") + buckets)
           - log(col("rn") + 1) + log(col("rtot") + buckets)) * 1e6)
           .cast("long").as("llr_micro"))
   }
 
+  /** Collect a full-spine (bucket, llr_micro) model into the flat
+    * `long[B]` the scoring kernel indexes. A fitted model is exactly
+    * B broadcast-tiny rows by construction ([[ratiosFromCounts]] /
+    * the persisted tables [[saveModel]] writes); anything else is a
+    * corrupted artifact, failed loudly. */
+  private def llrArrayOf(model: DataFrame): Array[Long] = {
+    val llr = new Array[Long](buckets)
+    val seen = new Array[Boolean](buckets)
+    model.select(col("bucket").cast("long"), col("llr_micro").cast("long"))
+      .collect().foreach { r =>
+        val b = r.getLong(0).toInt
+        llr(b) = r.getLong(1); seen(b) = true
+      }
+    require(seen.forall(identity),
+      s"DSIR model is not the full $buckets-bucket spine " +
+        s"(missing ${seen.count(!_)} buckets) — refit or re-save it")
+    llr
+  }
+
+  /** (doc_id, weight_micro) against an in-hand `long[B]` model: ONE
+    * shuffle-free codegen'd projection pass (`graft_dsir_score`) over
+    * the pool scan — the model rides as a ~32 KB plan literal. The
+    * null-text filter mirrors the exploded form exactly: a null text
+    * produced no gram rows there, hence no weight row. */
+  def scoreAgainst(llr: Array[Long], pool: DataFrame, text: Column,
+                   id: Column): DataFrame = {
+    GraftFunctions.ensureRegistered(pool.sparkSession)
+    pool.where(text.isNotNull)
+      .select(id.as("doc_id"),
+        call_function("graft_dsir_score", text, lit(llr)).as("weight_micro"))
+  }
+
   /** (doc_id, weight_micro): exact-integer importance weight of every
     * pool document under the pool's own target/raw split. The model
     * is fit on the SAME pool it scores (raw ⊇ scored is the DSIR
-    * contract — a bucket unseen in raw cannot appear in a scored
-    * doc, so the model join is inner and lossless).
-    *
-    * STAGING CONTRACT — at most ONE live weights() lineage at a time:
-    * each call stages its gram bag (DISK_ONLY) and releases the
-    * PREVIOUS call's staged blocks, so a DataFrame returned by an
-    * earlier weights() call that is materialized only AFTER a later
-    * call silently recomputes its gram explode (the staging boundary
-    * is gone; the answer is still correct). Materialize each result
-    * before the next call — the consume-then-move-on shape Verify,
-    * Bench and the registered DSIR queries all follow. Pipelines that
-    * need several live selectors at once should stage explicitly
-    * (write the bag or the [[ratios]] model to a table — the
-    * [[ensureModel]]/[[weightsPersisted]] path) instead of relying on
-    * this in-session convenience boundary. */
+    * contract). Two corpus scans total — the bounded-state fit
+    * aggregate (collected as B rows) and the shuffle-free scoring
+    * projection; no explode, no staged bag, no model join. Weights
+    * are bit-equal to [[weightsExploded]] (kernel gram walk ≡ the
+    * exploded gram rows — DsirSpec's equality law) and to the DuckDB
+    * oracle replay. */
   def weights(pool: DataFrame, text: Column, id: Column, isTarget: Column): DataFrame = {
-    // Stage the bag: it feeds the model (twice: per-bucket and
-    // totals) AND the scoring join; without the boundary the gram
-    // explode re-scans the corpus three times (measured in the
-    // formatted plan). DISK_ONLY, not localCheckpoint — at the 1000×
-    // spill decade, 32 tasks unrolling deserialized checkpoint
-    // blocks starved their own partial hash-aggregates of pages
-    // (AGGREGATE_OUT_OF_MEMORY); a disk-staged block is the
-    // in-session analogue of the parquet stage a production run
-    // writes here, with zero unroll pressure. (Handed to the
-    // caller's lineage, so it cannot be unpersisted here.)
-    val bag = gramBag(pool, text, id, isTarget)
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // trailing release (the Bpe pattern): each call frees the PREVIOUS
-    // call's staged blocks — without this, every invocation leaks its
-    // disk blocks into the session AND later identical plans silently
-    // reuse them through the CacheManager, flattering re-run timings
-    // (observed: 0.67 s cache-assisted vs 3.5 s honest)
-    Dsir.synchronized {
-      lastStagedBag.foreach(_.unpersist(blocking = false))
-      lastStagedBag = Some(bag)
-    }
-    bag.join(broadcast(ratios(bag)), "bucket")
-      .groupBy("doc_id")
-      .agg(sum(col("cnt") * col("llr_micro")).as("weight_micro"))
+    val llr = llrArrayOf(ratiosFromCounts(bucketCounts(pool, text, isTarget)))
+    scoreAgainst(llr, pool, text, id)
   }
 
-  /** Scoring against an EXPLICIT bucket model: one gram pass over the
-    * pool, a broadcast model join, one keyed sum — the serving half
-    * of the selector, usable against any (bucket, llr_micro) frame
-    * however it was fit. A [[ratios]] model is the full bucket spine,
-    * so the join never misses: a batch document made entirely of
-    * unseen grams is scored by the model's own smoothed default, and
-    * every document keeps a weight row. */
+  /** Scoring against an EXPLICIT bucket model frame: collect the
+    * B-row model once, then the single projection pass — the serving
+    * half of the selector, usable against any full-spine
+    * (bucket, llr_micro) frame however it was fit. A batch document
+    * made entirely of unseen grams is scored by the model's own
+    * smoothed default (the spine carries it), and every non-null-text
+    * document keeps a weight row. */
   def weightsAgainst(model: DataFrame, pool: DataFrame, text: Column,
                      id: Column): DataFrame =
-    gramBag(pool, text, id, lit(false))
-      .join(broadcast(model.select(col("bucket"), col("llr_micro"))), "bucket")
-      .groupBy("doc_id")
-      .agg(sum(col("cnt") * col("llr_micro")).as("weight_micro"))
+    scoreAgainst(llrArrayOf(model.select(col("bucket"), col("llr_micro"))),
+      pool, text, id)
 
   private def modelTable(tag: String): String = s"dsir_model_$tag"
 
-  /** Persist a fitted bucket model — the ≤ [[buckets]]-row table IS
-    * the selector artifact (train-once/serve-many, the same contract
-    * as the BPE vocab and IVFADC codebooks; the frame is
-    * broadcast-sized, so a plain single-file table is the right
-    * layout, no bucketing needed). */
+  /** Persist a fitted bucket model — the B-row table IS the selector
+    * artifact (train-once/serve-many, the same contract as the BPE
+    * vocab and IVFADC codebooks; the frame is broadcast-sized, so a
+    * plain single-file table is the right layout, no bucketing
+    * needed). */
   def saveModel(ratios: DataFrame, root: String, tag: String): Unit =
     ratios.coalesce(1).write.mode("overwrite")
       .option("path", s"$root/model").format("parquet")
@@ -182,7 +224,8 @@ object Dsir {
 
   /** Score a pool against the STORED model: zero fitting jobs, zero
     * target-corpus access — the serving posture for scoring fresh
-    * crawl batches against a selector fit once on the trusted set. */
+    * crawl batches against a selector fit once on the trusted set.
+    * Serving cost is one B-row table read + the projection pass. */
   def weightsPersisted(spark: org.apache.spark.sql.SparkSession, tag: String,
                        pool: DataFrame, text: Column, id: Column): DataFrame =
     weightsAgainst(spark.table(modelTable(tag)), pool, text, id)

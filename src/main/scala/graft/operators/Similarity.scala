@@ -426,10 +426,14 @@ object Similarity {
     * driver for the JVM's lifetime):
     *  - ALL-FILE-BACKED lineage → a string key rendering the
     *    canonical tree plus each file relation's (sorted root paths,
-    *    data schema). Plan-object keys would make file reads memo-
-    *    blind: a fresh `spark.read` builds a fresh FileIndex, which
-    *    compares by reference, so two reads of the same path never
-    *    canonicalize equal.
+    *    data schema, content fingerprint of per-file length+mtime).
+    *    Plan-object keys would make file reads memo-blind: a fresh
+    *    `spark.read` builds a fresh FileIndex, which compares by
+    *    reference, so two reads of the same path never canonicalize
+    *    equal. The fingerprint closes the converse hazard: an
+    *    in-place OVERWRITE of a memoized path within one JVM (what
+    *    mode=overwrite writes) must miss, not serve stale centroids
+    *    (LloydMemoSpec proves both directions).
     *  - anything else (LocalRelation fixtures, RDD-backed frames) →
     *    the canonicalized plan OBJECT (structural case-class
     *    equality, row data included). Never its toString —
@@ -451,9 +455,19 @@ object Similarity {
     val c = emb.queryExecution.analyzed.canonicalized
     val fileKeys = c.collectLeaves().map {
       case lr: LogicalRelation => lr.relation match {
-        case h: HadoopFsRelation => Some(
-          h.location.rootPaths.map(_.toString).sorted.mkString(",")
-            + "|" + h.dataSchema.catalogString)
+        case h: HadoopFsRelation => Some {
+          // content fingerprint: (path, length, mtime) of every file
+          // behind the relation — an in-place overwrite of the same
+          // root path (mode=overwrite, the gen ping-pong) changes the
+          // file set and misses the memo instead of serving the OLD
+          // corpus's centroids. The FileIndex caches this listing at
+          // read time, so the fold is driver-local and list-free.
+          val fp = h.location.listFiles(Nil, Nil).flatMap(_.files)
+            .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+            .sorted.mkString(",").hashCode
+          val roots = h.location.rootPaths.map(_.toString).sorted.mkString(",")
+          s"$roots|${h.dataSchema.catalogString}|fp=$fp:${h.location.sizeInBytes}"
+        }
         case _ => None
       }
       case _ => None
@@ -1077,11 +1091,16 @@ object Similarity {
     * stored tables are returned as-is; above it the replacement model
     * is built FIRST under temp table names in the non-serving
     * generation directory, and only after the full rebuild succeeds
-    * are the serving tables dropped and the temps renamed in — a
-    * failure anywhere inside training/encoding leaves the stored
-    * model intact and serving (the drop-then-rebuild form had no
-    * model registered for the whole retrain window, and a crash
-    * stranded the store empty). Generations ping-pong between
+    * does each serving table swap by rename-aside → rename-in →
+    * drop-aside — a failure anywhere inside training/encoding leaves
+    * the stored model intact and serving (the drop-then-rebuild form
+    * had no model registered for the whole retrain window, and a
+    * crash stranded the store empty), and a crash INSIDE the swap
+    * itself leaves every table registered under some name (final,
+    * `__old` aside, or `__new` temp) with both generations' files on
+    * disk — recovery is a catalog rename, never a retrain; the only
+    * residual window is a final name being briefly unbound between
+    * its two renames. Generations ping-pong between
     * `$root/gen_a` and `$root/gen_b` so the overwrite never touches
     * files the current model serves from.
     *
@@ -1128,16 +1147,25 @@ object Similarity {
         .location.toString
       val newRoot =
         if (servingLoc.contains("/gen_a/")) s"$root/gen_b" else s"$root/gen_a"
+      // suffix-anchored name derivation: a bare replace() of "_$tag"
+      // hits the FIRST occurrence and miscomputes names for tags that
+      // repeat a table-name word (tag "cents" → "ivfpq_cents_cents")
       val tmpTag = s"${tag}__new"
-      val tmpTables = tables.map(_.replace(s"_$tag", s"_$tmpTag"))
-      // a crashed earlier refresh may have stranded temp tables;
+      val oldTag = s"${tag}__old"
+      val tmpTables = tables.map(_.stripSuffix(s"_$tag") + s"_$tmpTag")
+      val oldTables = tables.map(_.stripSuffix(s"_$tag") + s"_$oldTag")
+      // a crashed earlier refresh may have stranded temp/aside tables;
       // dropping them forces ensureIvfPqModel to rebuild fresh
-      tmpTables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      (tmpTables ++ oldTables).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       ensureIvfPqModel(spark, newRoot, tmpTag, corpus,
         kc, coarseIters, m, k, iters, nBuckets)
-      tables.zip(tmpTables).foreach { case (fin, tmp) =>
-        spark.sql(s"DROP TABLE IF EXISTS $fin")
+      // rename-aside → rename-in → drop-aside: every step leaves each
+      // table live under SOME catalog name, so a crash mid-swap is
+      // recoverable by rename (see scaladoc) — never a lost model
+      tables.zip(tmpTables).zip(oldTables).foreach { case ((fin, tmp), old) =>
+        spark.sql(s"ALTER TABLE $fin RENAME TO $old")
         spark.sql(s"ALTER TABLE $tmp RENAME TO $fin")
+        spark.sql(s"DROP TABLE IF EXISTS $old")
       }
       (spark.table(tables(2)), spark.table(tables.head), spark.table(tables(1)), true)
     }

@@ -125,8 +125,9 @@ object DataOps {
     * the English docs and raw = the whole corpus — the
     * crawl-to-pretraining budget selector. Integer micro-nat
     * log-ratios make every weight an exact integer (order-invariant,
-    * bit-replayable); one gram explode, a broadcast-sized bucket
-    * model, TakeOrdered selection. */
+    * bit-replayable); fit is one bounded-state `graft_dsir_counts`
+    * aggregate pass, scoring one shuffle-free `graft_dsir_score`
+    * projection pass, TakeOrdered selection. */
   val dsirK = 50
 
   def dsDsirWeights(s: SparkSession, d: String): DataFrame =
@@ -162,8 +163,8 @@ object DataOps {
   def dsDsirPersisted(s: SparkSession, d: String): DataFrame = {
     val tag = d.replaceAll("[^A-Za-z0-9]", "_") + "_dsir"
     graft.operators.Dsir.ensureModel(s, s"$tableRoot/$tag", tag) {
-      graft.operators.Dsir.ratios(graft.operators.Dsir.gramBag(
-        docs(s, d), col("text"), col("doc_id"), col("lang") === "en"))
+      graft.operators.Dsir.ratiosFromCounts(graft.operators.Dsir.bucketCounts(
+        docs(s, d), col("text"), col("lang") === "en"))
     }
     graft.operators.Dsir.weightsPersisted(s, tag, docs(s, d),
       col("text"), col("doc_id"))

@@ -44,7 +44,27 @@ object GraftBridge {
     val qe = ds.queryExecution
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
+    stagedRdds.synchronized(stagedRdds += rdd)
     ofRows(df.sparkSession, org.apache.spark.sql.execution.LogicalRDD(
       qe.analyzed.output, rdd)(ds.sparkSession))
+  }
+
+  /** RDDs checkpointed by [[stageLocal]] since the last release —
+    * the explicit-cleanup half of the staging contract. */
+  private val stagedRdds =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+
+  /** Unpersist every staged checkpoint block. Call at a CONSUME
+    * boundary — after the frames built on staged lineage have been
+    * materialized (Bench between queries, Rehearsal between cases):
+    * a released frame re-materialized later fails loudly (checkpoint
+    * block gone), it never silently recomputes. Without a call,
+    * reclamation falls to the ContextCleaner once the RDDs go
+    * unreferenced — correct but lazy; the hook keeps long-lived
+    * many-query sessions from carrying dead MEMORY_AND_DISK blocks
+    * until a driver GC happens to run. */
+  def releaseStaged(): Unit = stagedRdds.synchronized {
+    stagedRdds.foreach(_.unpersist(blocking = false))
+    stagedRdds.clear()
   }
 }

@@ -36,16 +36,21 @@ class DsirModelSpec extends SparkSpec {
     assert(served == live)
   }
 
-  test("serving pays ONE gram explode — the model side is a table scan") {
+  test("serving is one shuffle-free projection pass — no explode, no join") {
     Dsir.ensureModel(spark, root, "spec2") {
       Dsir.ratios(Dsir.gramBag(pool, col("text"), col("doc_id"), col("is_target")))
     }
-    val plan = Dsir.weightsPersisted(spark, "spec2", pool,
+    // file-backed pool: ConvertToLocalRelation folds the projection
+    // over a LocalRelation, leaving no plan text to assert on
+    val dir = java.nio.file.Files.createTempDirectory("dsir_model_plan").toString
+    pool.write.mode("overwrite").parquet(dir)
+    val plan = Dsir.weightsPersisted(spark, "spec2", spark.read.parquet(dir),
       col("text"), col("doc_id"))
       .queryExecution.executedPlan.toString
-    val explodes = "Generate explode".r.findAllIn(plan).length
-    assert(explodes == 1, s"expected exactly one gram explode, got $explodes:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), "the model joins broadcast")
+    assert(plan.contains("graft_dsir_score"), plan)
+    assert(!plan.contains("Generate explode"), s"gram explode resurfaced:\n$plan")
+    assert(!plan.contains("Join"), s"model join resurfaced:\n$plan")
+    assert(!plan.contains("Exchange"), s"serving pass shuffles:\n$plan")
   }
 
   test("a fresh batch scores against the stored model without refit") {

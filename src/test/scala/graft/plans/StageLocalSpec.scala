@@ -55,4 +55,18 @@ class StageLocalSpec extends SparkSpec {
     assert(staged.collect().map(_.toString).sorted.toSeq
       == df.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("releaseStaged unpersists the checkpoint blocks at a consume boundary") {
+    GraftBridge.releaseStaged() // clear anything earlier tests staged
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val staged = GraftBridge.stageLocal(
+      (0L until 500L).map(i => (i, i % 3)).toDF("id", "grp"))
+    assert(staged.count() == 500)
+    val pinned = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "stageLocal should pin checkpoint blocks")
+    GraftBridge.releaseStaged()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(pinned.forall(!after.contains(_)),
+      s"staged RDDs survived releaseStaged: ${pinned.intersect(after)}")
+  }
 }
