@@ -147,6 +147,22 @@ object Rehearsal {
         .otherwise(transform(col("embedding"), x => x + lit(0.5f)))
         .as("embedding"))
 
+    // RAG probe pair, same build-once/probe-fixed discipline: the
+    // chunk → hash-embed → sign-LSH index is the corpus-sized
+    // artifact (persisted bucketed on `bucket`, the serving layout);
+    // the probe retrieves top-k chunks for a FIXED 200-document query
+    // batch — |Q|-bound bucket probes against the stored layout, so
+    // across corpus decades the probe row must stay ~flat while the
+    // build row tracks the corpus (chunk count ∝ tokens).
+    val ragRoot = s"${System.getProperty("java.io.tmpdir")}/graft-rehearsal-ragidx/m$mult"
+    lazy val ragIndex = graft.operators.Bucketing.ensureBucketed(spark,
+        s"rag_reh_m$mult", s"$ragRoot/index", Seq("bucket"), 8) {
+      graft.operators.Rag.chunkIndex(docsR.repartition(32),
+        col("text"), col("doc_id"), 64, 16)
+    }
+    lazy val ragBatch = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+
     val cases: Seq[(String, () => Long)] = Seq(
       "dd_incr_build" -> { () => incrIndex.buckets.count() },
       "dd_incr_probe" -> { () =>
@@ -494,6 +510,33 @@ object Rehearsal {
       "winnow_interp" -> { () =>
         graft.operators.Winnow.fingerprints(docsR.repartition(32),
           col("text"), col("doc_id"), 4, 4, kernelSelect = false).count()
+      },
+      // the winnow PAIR verdict (fingerprint-keyed pair shuffle with
+      // the hot-posting anti-join cap) — previously priced only via
+      // the fingerprint case; salted replicas keep per-replica copy
+      // structure, so shared-fingerprint volume grows ×MULT
+      "winnow_pairs" -> { () =>
+        val fps = graft.operators.Winnow.fingerprints(docsR.repartition(32),
+          col("text"), col("doc_id"), 4, 4)
+        graft.operators.Winnow.sharedPairs(fps, 2, 2000).count()
+      },
+      // exact containment pairs under the production cap posture
+      // (maxPostingLen=2000, the mutual/semdedup skew-cap discipline):
+      // the library DEFAULT stays the exact uncapped join — capping
+      // changes semantics (drops pairs), so it is the caller's scale
+      // decision — but at corpus scale the cap is mandatory (posting
+      // lists densify, pair volume squares) and this row prices it
+      "containment" -> { () =>
+        Dedup.containmentPairs(docsR.repartition(32), col("text"),
+          col("doc_id"), 3, 0.8, maxPostingLen = 2000).count()
+      },
+      // RAG probe pair: build-once (corpus-sized chunk+embed+bucket
+      // layout) vs fixed-batch retrieve (|Q|-bound probes) — the
+      // composite previously had no decade row at all
+      "rag_build" -> { () => ragIndex.count() },
+      "rag_probe" -> { () =>
+        graft.operators.Rag.retrieve(ragIndex, ragBatch,
+          col("text"), col("doc_id"), 8).count()
       },
       // cross-corpus mutual match: candidates are Σ_b |A_b|·|B_b| over
       // the sign-LSH buckets, and the perturbed replicas CLUSTER — a

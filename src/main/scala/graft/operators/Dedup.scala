@@ -130,7 +130,16 @@ object Dedup {
     * generator (same single-shuffle shape as jaccardPairs, same
     * `maxPostingLen` stop-shingle cap for dense corpora). Emits both
     * directional ratios: c_a = |A∩B|/|A| is "how much of A is inside
-    * B". */
+    * B".
+    *
+    * Cap posture (deliberate): the DEFAULT stays the exact uncapped
+    * join, because capping changes semantics — a capped run can only
+    * DROP pairs, and this operator is the confirmation tool whose
+    * verdict callers trust to be exact. At corpus scale the cap is
+    * mandatory (a boilerplate shingle's posting list squares the pair
+    * volume); production passes maxPostingLen explicitly — the
+    * rehearsal's `containment` case prices that posture at 2000, the
+    * mutual/semdedup skew-cap discipline (BASELINE.md#containment). */
   def containmentPairs(df: DataFrame, text: Column, id: Column, n: Int,
                        threshold: Double, maxPostingLen: Int = Int.MaxValue): DataFrame =
     shingleOverlap(df, text, id, n, maxPostingLen)
