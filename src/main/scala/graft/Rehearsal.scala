@@ -445,13 +445,17 @@ object Rehearsal {
             k = 64, iters = 2, sampleMod = mult.toLong)
           .filter(!col("kept")).count()
       },
-      // DSIR: one gram explode + map-side-combined bag, a ≤-4096-row
-      // bucket model broadcast back, one keyed weight sum — the decade
-      // curve must track the raw token scan (no pairwise term
-      // anywhere). Salted replica vocabularies keep the bucket model
-      // realistic (buckets saturate, counts grow) rather than MULT
-      // exact copies of one distribution. Consume the weights so
-      // pruning can't skip the model join.
+      // DSIR on the single-pass kernels: fit is one bounded-state
+      // graft_dsir_counts aggregate (long[2B] per task, map-side
+      // combined — shuffle volume corpus-size-independent), scoring
+      // one shuffle-free graft_dsir_score projection; the decade
+      // curve must track the raw token scan (no pairwise term, no
+      // vocabulary-keyed agg anywhere — this case deliberately runs
+      // WITHOUT decade-scaled shuffle sizing to prove it). Salted
+      // replica vocabularies keep the bucket model realistic (buckets
+      // saturate, counts grow) rather than MULT exact copies of one
+      // distribution. Consume the weights so pruning can't skip the
+      // scoring pass.
       "dsir" -> { () =>
         graft.operators.Dsir.weights(docsR.repartition(32), col("text"),
             col("doc_id"), col("lang") === "en")
