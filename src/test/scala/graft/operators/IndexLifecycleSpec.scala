@@ -100,4 +100,50 @@ class IndexLifecycleSpec extends SparkSpec {
       drifted, maxShareGap = 0.2, kc, ci, m, k, it, 2)
     assert(!again, "after the rebuild the drifted batch matches the new model")
   }
+
+  test("stranded temp/aside tables from a crashed swap are cleaned and replaced") {
+    val (kc, ci, m, k, it) = params
+    val tag = "lc_strand"
+    val r = root(tag)
+    val corpus = cloud(200, 17).toDF("vec_id", "embedding")
+    Similarity.ensureIvfPqModel(spark, r, tag, corpus, kc, ci, m, k, it, 2)
+    // simulate a refresh that crashed mid-swap: both a __new temp and
+    // a __old aside left registered (contents irrelevant — the next
+    // refresh must drop them before rebuilding)
+    spark.sql(s"CREATE TABLE ivfpq_cents_${tag}__new AS SELECT 1 AS junk")
+    spark.sql(s"CREATE TABLE ivfpq_books_${tag}__old AS SELECT 1 AS junk")
+    val drifted = cloud(200, 17, shift = 3f).toDF("vec_id", "embedding")
+    val (_, cents2, _, refreshed) = Similarity.refreshIvfPqIfDrifted(
+      spark, r, tag, drifted, drifted, maxShareGap = 0.2, kc, ci, m, k, it, 2)
+    assert(refreshed)
+    // the swap completed: no temp/aside names survive, the final
+    // names serve the REBUILT model (not the stranded junk)
+    for (t <- Seq("cents", "books", "codes"); suf <- Seq("__new", "__old"))
+      assert(!spark.catalog.tableExists(s"ivfpq_${t}_$tag$suf"),
+        s"stranded ivfpq_${t}_$tag$suf survived the refresh")
+    assert(cents2.columns.toSeq != Seq("junk"))
+    assert(spark.table(s"ivfpq_cents_$tag").count() > 0)
+  }
+
+  test("a tag repeating a table-name word still derives correct swap names") {
+    // tag "cents" makes the serving table ivfpq_cents_cents — the old
+    // first-occurrence replace() derived ivfpq_cents__new_cents and
+    // the swap lost track of it; suffix-anchored naming must survive
+    // a full drift-triggered swap end to end
+    val (kc, ci, m, k, it) = params
+    val tag = "cents"
+    val r = root(tag)
+    val corpus = cloud(200, 11).toDF("vec_id", "embedding")
+    Similarity.ensureIvfPqModel(spark, r, tag, corpus, kc, ci, m, k, it, 2)
+    val drifted = cloud(200, 11, shift = 3f).toDF("vec_id", "embedding")
+    val (_, _, _, refreshed) = Similarity.refreshIvfPqIfDrifted(
+      spark, r, tag, drifted, drifted, maxShareGap = 0.2, kc, ci, m, k, it, 2)
+    assert(refreshed)
+    for (t <- Seq("cents", "books", "codes")) {
+      assert(spark.catalog.tableExists(s"ivfpq_${t}_$tag"))
+      for (suf <- Seq("__new", "__old"))
+        assert(!spark.catalog.tableExists(s"ivfpq_${t}_$tag$suf"),
+          s"swap stranded ivfpq_${t}_$tag$suf")
+    }
+  }
 }
