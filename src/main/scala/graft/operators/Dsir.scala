@@ -135,10 +135,22 @@ object Dsir {
     * smoothing over B = [[buckets]] cells. Exactly the column algebra
     * the exploded fit always ran (bit-parity by construction given
     * equal counts); totals summed over the full spine equal the bag
-    * totals because spine-only rows add zero. Exactly B rows. */
+    * totals because spine-only rows add zero. Exactly B rows.
+    *
+    * The counts frame is COLLECTED and re-localized first: the ratio
+    * expression consumes it twice (the totals aggregate and the
+    * per-bucket projection), and two plan branches over the same
+    * corpus-sized aggregate would each re-execute it — Spark reuses
+    * exchanges, not arbitrary common subtrees. Counts are exactly B
+    * rows whatever the corpus, so the collect is a bounded-artifact
+    * hop, and the fit pays its corpus scan exactly ONCE. */
   def ratiosFromCounts(counts: DataFrame): DataFrame = {
-    val tot = counts.agg(sum(col("rn")).as("rtot"), sum(col("tn")).as("ttot"))
-    counts.crossJoin(broadcast(tot))
+    val spark = counts.sparkSession
+    val localRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    counts.collect().foreach(localRows.add)
+    val local = spark.createDataFrame(localRows, counts.schema)
+    val tot = local.agg(sum(col("rn")).as("rtot"), sum(col("tn")).as("ttot"))
+    local.crossJoin(broadcast(tot))
       .select(col("bucket"),
         round((log(col("tn") + 1) - log(col("ttot") + buckets)
           - log(col("rn") + 1) + log(col("rtot") + buckets)) * 1e6)

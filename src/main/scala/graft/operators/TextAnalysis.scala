@@ -268,6 +268,16 @@ object TextAnalysis {
     val toks = col("__toks")
     val cnt = size(toks) - 1
     val base = df.select(tokens(text).as("__toks"))
+    // deliberately UNSTAGED: three plan branches consume the unigram
+    // frame (w1 join, w2 join, t_tokens total) and each re-executes
+    // the token explode + vocabulary-keyed agg — but staging it was
+    // measured SLOWER at the spill decade (223 s vs 154 s at 1000×):
+    // the vocabulary frame grows ×MULT with the salted corpus, and
+    // materializing ~50 M deserialized rows through a local
+    // checkpoint costs more than two recomputes of a cheap
+    // explode+map-side-combine. Staging pays only for frames whose
+    // size is DECADE-INVARIANT (the DSIR counts collect, the ≤k
+    // alignment frames); vocabulary-sized is not bounded
     val uni = base.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
     val tot = uni.agg(sum(col("c")).as("t_tokens"))

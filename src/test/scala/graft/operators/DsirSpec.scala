@@ -70,6 +70,32 @@ class DsirSpec extends SparkSpec {
     assert(kernel == exploded)
   }
 
+  test("kernel ≡ exploded on 300 seeded-random documents (fuzz parity)") {
+    // seeded generator over an adversarial alphabet: multi-byte UTF-8,
+    // tokens that are empty / single-char / long, runs of consecutive
+    // spaces, and ~5% empty or null texts — every shape the byte-walk
+    // tokenizer must reproduce from split/concat_ws semantics
+    val rng = new scala.util.Random(42)
+    val alphabet = Vector("α", "ß", "日", "a", "bb", "ccc", "Z", "émü", "x9", "")
+    def doc(): String =
+      (0 until rng.nextInt(30)).map { _ =>
+        alphabet(rng.nextInt(alphabet.size))
+      }.mkString(if (rng.nextBoolean()) " " else "  ")
+    val docs = (0L until 300L).map { i =>
+      val t = rng.nextInt(20) match {
+        case 0 => ""
+        case 1 => null
+        case _ => doc()
+      }
+      (i, t, rng.nextBoolean())
+    }.toDF("doc_id", "text", "is_target")
+    val kernel = weightMap(
+      Dsir.weights(docs, col("text"), col("doc_id"), col("is_target")))
+    val exploded = weightMap(
+      Dsir.weightsExploded(docs, col("text"), col("doc_id"), col("is_target")))
+    assert(kernel == exploded)
+  }
+
   test("target-like documents outweigh off-distribution ones") {
     val w = weightMap(
       Dsir.weights(pool, col("text"), col("doc_id"), col("is_target")))
