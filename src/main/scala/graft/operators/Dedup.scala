@@ -332,16 +332,41 @@ object Dedup {
 
   // ---- MinHash + LSH -------------------------------------------------
 
-  val minhashP = 2147483647L // 2^31 − 1
-  /** k=16 fixed permutations (a·h+b mod p); 4 bands × 4 rows. */
-  val minhashAB: Seq[(Long, Long)] =
-    (1 to 16).map { i =>
-      (((i * 2654435761L) % minhashP) | 1L, (i * 40503L * 65537L) % minhashP)
-    }
+  /** The permutation modulus and 16 fixed (a, b) permutations —
+    * re-exported from the kernel, the single source of truth
+    * ([[graft.plans.MinHashKernel]]; the oracle CTEs replay the same
+    * constants). */
+  val minhashP = graft.plans.MinHashKernel.P
+  val minhashAB: Seq[(Long, Long)] = graft.plans.MinHashKernel.perms
 
-  /** Per-document MinHash signature columns m0..m15 (one scan +
-    * one partial-aggregating groupBy over shingles). */
+  /** Per-document MinHash signature columns m0..m15 — the single-pass
+    * `graft_minhash` kernel: one byte-walk per document inside
+    * whole-stage codegen, no shingle explode, no corpus-sized
+    * DISTINCT, no groupBy(doc_id) reassembly shuffle. Bit-identical
+    * to [[minhashSignaturesExploded]] (duplicate shingles can't move
+    * a min, so dropping the distinct is sound — DedupSpec's parity
+    * law); documents with fewer than n tokens keep producing NO row
+    * (the kernel returns an empty signature, filtered here). */
   def minhashSignatures(df: DataFrame, text: Column, id: Column, n: Int): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    // the short-doc gate runs on the CHEAP token count, before the
+    // kernel projection — filtering on size(__sig) AFTER it lets
+    // predicate pushdown substitute the kernel into the filter and
+    // evaluate every document's md5 walk twice (measured in the plan:
+    // graft_minhash appeared in both the scan DataFilter and the
+    // projection); split-count ≥ n is the same predicate the exploded
+    // shingle window guard always applied
+    df.where(text.isNotNull && size(split(text, " ")) >= n)
+      .select(id.as("doc_id"),
+        call_function("graft_minhash", text, lit(n)).as("__sig"))
+      .select(col("doc_id") +:
+        minhashAB.indices.map(i => col("__sig")(i).as(s"m$i")): _*)
+  }
+
+  /** The relational twin — retained ONLY as the specs' independent
+    * reference for the kernel (the Winnow/DSIR/hashEmbed precedent). */
+  def minhashSignaturesExploded(df: DataFrame, text: Column, id: Column,
+                                n: Int): DataFrame = {
     val sh = shingles(df, text, id, n)
       .withColumn("h", pmod(tokenHash(col("shingle")), lit(minhashP)))
     val aggs = minhashAB.zipWithIndex.map { case ((a, b), i) =>
@@ -433,13 +458,25 @@ object Dedup {
     * bitwise OR of distinct powers (identical value to the old sum
     * for 32 bits, and safe for bit 63). */
   def simhash(df: DataFrame, text: Column, id: Column, bits: Int = 32): DataFrame = {
-    // tokenHash is the 32-bit oracle-portable hash — its upper 32 bits
-    // are ZERO, so a >32-bit fingerprint built on it would have
-    // constant-0 high bits and every high band would degenerate into
-    // one full-cross bucket (measured: 2.5e9 candidates on 50k docs).
-    // Wider fingerprints therefore hash with xxhash64, which fills all
-    // 64 bits; the 32-bit default keeps tokenHash so dd_simhash stays
-    // DuckDB-replayable.
+    // the single-pass graft_simhash kernel: one byte-walk per
+    // document computes all `bits` vote sums inside whole-stage
+    // codegen — no token explode, no groupBy(doc_id) reassembly
+    // shuffle (votes are MULTISET sums, so unlike MinHash there was
+    // no distinct to drop). Bit-identical to [[simhashExploded]]
+    // (SimHashKernelSpec's parity law); hash backend per width as
+    // before — ≤32 bits the portable md5 tokenHash (dd_simhash's
+    // DuckDB-replayable backend), wider xxhash64 (tokenHash's upper
+    // 32 bits are constant zero and would degenerate the high bands)
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.where(text.isNotNull)
+      .select(id.as("doc_id"),
+        call_function("graft_simhash", text, lit(bits)).as("simhash"))
+  }
+
+  /** The relational twin — retained ONLY as the specs' independent
+    * reference for the kernel (the Winnow/DSIR/MinHash precedent). */
+  def simhashExploded(df: DataFrame, text: Column, id: Column,
+                      bits: Int = 32): DataFrame = {
     val hash = if (bits <= 32) tokenHash(col("token")) else xxhash64(col("token"))
     val tok = df.select(id.as("doc_id"),
       explode(split(text, " ")).as("token"))

@@ -32,9 +32,27 @@ object Rag {
   /** Signed feature-hash embedding: dim = h mod dims, sign = bit 6 of
     * the same hash (disjoint from the dim bits for dims ≤ 64 ... the
     * sign bit rides ABOVE the bucket bits). Integer counts are
-    * float-exact, so the cast loses nothing. */
+    * float-exact, so the cast loses nothing.
+    *
+    * Runs the single-pass [[graft.plans.HashEmbedKernel]]: one
+    * byte-walk per document inside whole-stage codegen — no token
+    * explode, no corpus-sized groupBy(vec_id) shuffle whose only
+    * purpose was reassembling per-document state the row already had.
+    * Bit-identical to [[hashEmbedExploded]] (RagSpec's parity law);
+    * the null-text filter mirrors the exploded form (a null text
+    * produced no token rows there, hence no embedding row). */
   def hashEmbed(df: DataFrame, text: Column, id: Column,
                 dims: Int = Similarity.lshDims): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    df.where(text.isNotNull)
+      .select(id.as("vec_id"),
+        call_function("graft_hash_embed", text, lit(dims)).as("embedding"))
+  }
+
+  /** The relational twin — retained ONLY as the specs' independent
+    * reference for the kernel (the Winnow/DSIR precedent). */
+  def hashEmbedExploded(df: DataFrame, text: Column, id: Column,
+                        dims: Int = Similarity.lshDims): DataFrame = {
     val tok = df.select(id.as("vec_id"), explode(split(text, " ")).as("token"))
       .withColumn("h", tokenHash(col("token")))
       .withColumn("d", pmod(col("h"), lit(dims.toLong)))

@@ -72,6 +72,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.winnowDescriptor)
     ext.injectFunction(GraftFunctions.dsirCountsDescriptor)
     ext.injectFunction(GraftFunctions.dsirScoreDescriptor)
+    ext.injectFunction(GraftFunctions.hashEmbedDescriptor)
+    ext.injectFunction(GraftFunctions.minhashDescriptor)
+    ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectOptimizerRule(_ => RewriteVectorDot)
   }
 }
@@ -140,6 +143,48 @@ object GraftFunctions {
       s"graft_dsir_score(text, llr): llr must be an array<long> literal, got $other")
   }
 
+  val hashEmbedDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hash_embed"),
+    new ExpressionInfo(classOf[HashEmbed].getName, "graft_hash_embed"),
+    mkHashEmbed _)
+
+  // the dimension count sizes the per-row accumulator, so it must be
+  // a compile-time literal, not a runtime column
+  private def mkHashEmbed(children: Seq[Expression]): Expression = children(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+      HashEmbed(children(0), v)
+    case other => throw new IllegalArgumentException(
+      s"graft_hash_embed(text, dims): dims must be an integer literal, got $other")
+  }
+
+  val minhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_minhash"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+    mkMinhash _)
+
+  // the shingle width parameterizes the window walk, so it must be a
+  // compile-time literal, not a runtime column
+  private def mkMinhash(children: Seq[Expression]): Expression = children(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+      MinHashSig(children(0), v)
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash(text, n): n must be an integer literal, got $other")
+  }
+
+  val simhashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimHashFp].getName, "graft_simhash"),
+    mkSimhash _)
+
+  // the bit width sizes the vote array, so it must be a compile-time
+  // literal, not a runtime column
+  private def mkSimhash(children: Seq[Expression]): Expression = children(1) match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+      SimHashFp(children(0), v)
+    case other => throw new IllegalArgumentException(
+      s"graft_simhash(text, bits): bits must be an integer literal, got $other")
+  }
+
   val entropyDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_entropy"),
     new ExpressionInfo(classOf[TextEntropy].getName, "graft_entropy"),
@@ -167,6 +212,12 @@ object GraftFunctions {
       "graft_dsir_counts", mkDsirCounts, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dsir_score", mkDsirScore, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash_embed", mkHashEmbed, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", mkMinhash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", mkSimhash, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorDot

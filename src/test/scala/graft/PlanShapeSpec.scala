@@ -152,31 +152,40 @@ class PlanShapeSpec extends SparkSpec {
     val df = Tables(spark, sf, "documents")
     val p = finalSection(finalPlan(graft.operators.Dedup.minhashEstimates(
       df, col("text"), col("doc_id"), 3)))
-    // The bucket self-join's two inputs are the identical subtree: the
-    // second side must be a ReusedExchange, and the 16-component
-    // signature aggregation (one partial_min per permutation) must
-    // appear exactly once in the whole plan — 32 means the
-    // shingle→hash→min pipeline ran twice from the scan.
-    assert(p.contains("ReusedExchange"), s"bucket exchange not reused:\n$p")
-    assert(countOccurrences(p, "partial_min(pmod") == 16,
-      s"signature aggregation duplicated:\n$p")
+    // Signatures are the graft_minhash kernel projection (r12): the
+    // exploded shingle→hash→16-min aggregation pipeline must not
+    // appear anywhere — zero partial_min(pmod...) components — and
+    // the kernel must not leak into a pushed-down filter (the
+    // size(__sig)>0 form let predicate pushdown substitute the kernel
+    // below its projection and run every document's md5 walk twice;
+    // the short-doc gate is the cheap split-count predicate instead).
+    // No ReusedExchange requirement: at this scale the band self-join
+    // correctly BROADCASTS one side — re-running a shuffle-free
+    // projection beats manufacturing an exchange to reuse.
+    assert(countOccurrences(p, "partial_min(pmod") == 0,
+      s"exploded signature aggregation resurfaced:\n$p")
+    assert(p.contains("graft_minhash"), s"kernel signatures missing:\n$p")
+    assert(!p.contains("size(graft_minhash"),
+      s"kernel evaluated inside a pushed filter (double md5 walk):\n$p")
   }
 
   test("LSH-verified dedup reuses the shingle distinct across generator and verifier") {
     val df = Tables(spark, sf, "documents")
     val p = finalSection(finalPlan(graft.operators.Dedup.lshVerifiedPairs(
       df, col("text"), col("doc_id"), 3, 0.3)))
-    // The candidate generator (minhash signatures) and the verify side
-    // (per-doc hashed shingle arrays) both start from the identical
-    // shingle explode+distinct subtree; ReuseExchange must serve the
-    // repeats from the first materialization. This is why the two
-    // pipelines are written IDENTICALLY up to the distinct — a r8
-    // attempt to "share" them by collecting both hash families through
-    // one collect_list aggregation measured ~35% SLOWER (wider shuffled
-    // arrays + ObjectHashAggregate + serial per-doc array_min) than
-    // letting the optimizer dedup the exchange.
-    assert(countOccurrences(p, "ReusedExchange") >= 2,
-      s"shingle/bucket subtrees not reused across the verified-pairs plan:\n$p")
+    // Since r12 the candidate generator runs the graft_minhash kernel
+    // projection — it shares no subtree with the verify side any more
+    // because it no longer HAS an exchange-heavy subtree to share
+    // (the r8-r11 design shared the shingle explode+distinct through
+    // ReuseExchange; the kernel removed that pipeline from the
+    // generator entirely). What must still hold: the verify side's
+    // per-doc shingle-set frame is materialized once and reused for
+    // both pair ends, and the exploded signature aggregation is gone.
+    assert(countOccurrences(p, "ReusedExchange") >= 1,
+      s"shingle-set subtree not reused across the verify sides:\n$p")
+    assert(p.contains("graft_minhash"), s"kernel signatures missing:\n$p")
+    assert(countOccurrences(p, "partial_min(pmod") == 0,
+      s"exploded signature aggregation resurfaced:\n$p")
   }
 
   test("semDedup computes dominance inside the block join — no pair frame") {

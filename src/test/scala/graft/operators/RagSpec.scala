@@ -34,6 +34,40 @@ class RagSpec extends SparkSpec {
     assert(again == rows.map(r => (r._1, r._2.toSeq)).toSet)
   }
 
+  test("hashEmbed kernel is bit-equal to the exploded reference (edge cases + fuzz)") {
+    // the tokenization edges the kernel's byte walk must reproduce,
+    // plus seeded-random multi-byte docs
+    val rng = new scala.util.Random(7)
+    val alphabet = Vector("α", "ß", "日", "a", "bb", "ccc", "Z", "émü", "x9", "")
+    val gnarly = Seq(
+      (0L, "alpha beta gamma"), (1L, ""), (2L, " leading"), (3L, "trailing "),
+      (4L, "two  spaces"), (5L, "solo"), (6L, "über café naïve"),
+      (7L, null.asInstanceOf[String]), (8L, "   ")) ++
+      (9L until 150L).map { i =>
+        (i, (0 until rng.nextInt(25))
+          .map(_ => alphabet(rng.nextInt(alphabet.size)))
+          .mkString(if (rng.nextBoolean()) " " else "  "))
+      }
+    val df = gnarly.toDF("doc_id", "text")
+    def m(e: org.apache.spark.sql.DataFrame) =
+      e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val kernel = m(Rag.hashEmbed(df, col("text"), col("doc_id")))
+    val exploded = m(Rag.hashEmbedExploded(df, col("text"), col("doc_id")))
+    assert(kernel == exploded)
+    assert(!kernel.contains(7L), "a null text yields no embedding row on either path")
+    assert(kernel.contains(1L), "an empty text embeds its one empty token")
+  }
+
+  test("hashEmbed is a shuffle-free projection (no explode, no exchange)") {
+    val dir = java.nio.file.Files.createTempDirectory("rag_plan").toString
+    corpus().write.mode("overwrite").parquet(dir)
+    val plan = Rag.hashEmbed(spark.read.parquet(dir), col("text"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_hash_embed"), plan)
+    assert(!plan.contains("Generate explode"), s"token explode resurfaced:\n$plan")
+    assert(!plan.contains("Exchange"), s"embed pass shuffles:\n$plan")
+  }
+
   test("chunk keys pack and decode without collision") {
     val idx = Rag.chunkIndex(corpus(), col("text"), col("doc_id"),
       chunkTokens = 64, overlapTokens = 16)
