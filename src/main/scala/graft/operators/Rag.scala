@@ -30,9 +30,11 @@ object Rag {
   val chunkKeyBase: Long = 1L << 20
 
   /** Signed feature-hash embedding: dim = h mod dims, sign = bit 6 of
-    * the same hash (disjoint from the dim bits for dims ≤ 64 ... the
-    * sign bit rides ABOVE the bucket bits). Integer counts are
-    * float-exact, so the cast loses nothing.
+    * the same hash (disjoint from the dim bits when dims is a power
+    * of two ≤ 64 — `mod dims` then masks bits below bit 6, so the
+    * sign rides ABOVE the bucket bits; the kernel requires exactly
+    * that). Integer counts are float-exact, so the cast loses
+    * nothing.
     *
     * Runs the single-pass [[graft.plans.HashEmbedKernel]]: one
     * byte-walk per document inside whole-stage codegen — no token

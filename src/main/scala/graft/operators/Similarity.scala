@@ -1098,9 +1098,12 @@ object Similarity {
     * crash stranded the store empty), and a crash INSIDE the swap
     * itself leaves every table registered under some name (final,
     * `__old` aside, or `__new` temp) with both generations' files on
-    * disk — recovery is a catalog rename, never a retrain; the only
-    * residual window is a final name being briefly unbound between
-    * its two renames. Generations ping-pong between
+    * disk — recovery is a catalog rename, never a retrain, and the
+    * next call performs it AUTOMATICALLY on entry (an unbound final
+    * name with a live `__old` aside is renamed back in before the
+    * existence check); the only residual window is a final name being
+    * briefly unbound between its two renames, during which concurrent
+    * readers of that one table see transient table-not-found. Generations ping-pong between
     * `$root/gen_a` and `$root/gen_b` so the overwrite never touches
     * files the current model serves from.
     *
@@ -1117,6 +1120,16 @@ object Similarity {
                             m: Int, k: Int, iters: Int, nBuckets: Int = 8)
       : (DataFrame, DataFrame, DataFrame, Boolean) = {
     val tables = Seq(s"ivfpq_cents_$tag", s"ivfpq_books_$tag", s"ivfpq_codes_$tag")
+    // automatic crash-between-renames recovery: a crash after
+    // rename-aside but before rename-in leaves a final name unbound
+    // with the model live only under its __old aside — rename it back
+    // in BEFORE the existence require, so the documented "recovery is
+    // a catalog rename" happens here, not by operator intervention
+    tables.foreach { fin =>
+      val aside = fin.stripSuffix(s"_$tag") + s"_${tag}__old"
+      if (!spark.catalog.tableExists(fin) && spark.catalog.tableExists(aside))
+        spark.sql(s"ALTER TABLE $aside RENAME TO $fin")
+    }
     require(tables.forall(spark.catalog.tableExists),
       s"no stored IVFADC model under tag '$tag' — build with ensureIvfPqModel first")
     val cents = spark.table(tables.head)

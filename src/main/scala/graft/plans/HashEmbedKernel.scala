@@ -27,8 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Numeric contract: bit-identical to the exploded form. Per token,
   * h = first 8 md5 hex digits as an unsigned 32-bit value (exactly
   * `VectorFunctions.tokenHash`), dim = h mod dims, sign = −1 when
-  * bit 6 of h is set else +1 (disjoint from the dim bits for
-  * dims ≤ 64 — the sign rides ABOVE the bucket bits). Contributions
+  * bit 6 of h is set else +1 (disjoint from the dim bits only when
+  * dims is a power of two ≤ 64 — then `mod dims` masks bits below
+  * bit 6 and the sign rides ABOVE the bucket bits; enforced by the
+  * constructor require). Contributions
   * are ±1 integers, so the int accumulator equals the exploded
   * form's double sum exactly, and the float cast is lossless for any
   * |count| < 2²⁴. */
@@ -73,9 +75,10 @@ object HashEmbedKernel {
   * convention). */
 case class HashEmbed(child: Expression, dims: Int) extends UnaryExpression {
 
-  require(dims > 0 && dims <= 64,
-    s"graft_hash_embed: dims must be in 1..64 (the sign bit must ride " +
-      s"above the dim bits), got $dims")
+  require(dims > 0 && dims <= 64 && (dims & (dims - 1)) == 0,
+    s"graft_hash_embed: dims must be a power of two in 1..64 — only then " +
+      s"is `h mod dims` a pure low-bit mask, keeping the sign (bit 6) " +
+      s"statistically independent of the bucket; got $dims")
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 

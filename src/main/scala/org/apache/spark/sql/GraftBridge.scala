@@ -44,27 +44,45 @@ object GraftBridge {
     val qe = ds.queryExecution
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
-    stagedRdds.synchronized(stagedRdds += rdd)
+    stagedRdds.synchronized {
+      stagedRdds.filterInPlace(_.get != null) // prune GC-cleared slots
+      stagedRdds += new java.lang.ref.WeakReference(rdd)
+    }
     ofRows(df.sparkSession, org.apache.spark.sql.execution.LogicalRDD(
       qe.analyzed.output, rdd)(ds.sparkSession))
   }
 
-  /** RDDs checkpointed by [[stageLocal]] since the last release —
-    * the explicit-cleanup half of the staging contract. */
-  private val stagedRdds =
-    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+  /** RDDs checkpointed by [[stageLocal]] since the last release,
+    * held WEAKLY — the explicit-cleanup half of the staging contract.
+    * Weak references matter for library callers that never reach a
+    * [[releaseStaged]] boundary (Dedup.semDedup, Similarity et al. in
+    * a user's long-lived session): the returned LogicalRDD is the only
+    * strong reference, so once the caller drops the frame the
+    * ContextCleaner reclaims the checkpoint blocks as usual. A strong
+    * registry here would pin every staged block for the JVM lifetime
+    * and defeat that fallback. */
+  private val stagedRdds = scala.collection.mutable.ArrayBuffer
+    .empty[java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
 
-  /** Unpersist every staged checkpoint block. Call at a CONSUME
-    * boundary — after the frames built on staged lineage have been
-    * materialized (Bench between queries, Rehearsal between cases):
-    * a released frame re-materialized later fails loudly (checkpoint
-    * block gone), it never silently recomputes. Without a call,
-    * reclamation falls to the ContextCleaner once the RDDs go
-    * unreferenced — correct but lazy; the hook keeps long-lived
-    * many-query sessions from carrying dead MEMORY_AND_DISK blocks
-    * until a driver GC happens to run. */
+  /** Unpersist every staged checkpoint block still reachable. Call at
+    * a CONSUME boundary — after the frames built on staged lineage
+    * have been materialized (Bench between queries, Rehearsal between
+    * cases): a released frame re-materialized later fails loudly
+    * (checkpoint block gone), it never silently recomputes. Without a
+    * call, reclamation falls to the ContextCleaner once the RDDs go
+    * unreferenced (the registry is weak, so it never blocks that).
+    *
+    * CONTRACT: this is a process-global boundary — it assumes ONE
+    * in-flight query stream per JVM (the Bench/Verify/Rehearsal
+    * harness shape). With concurrent queries on a shared session,
+    * thread B's boundary would unpersist thread A's still-in-flight
+    * staged blocks and fail A's query; concurrent callers should skip
+    * the hook and rely on the weak-registry + ContextCleaner path. */
   def releaseStaged(): Unit = stagedRdds.synchronized {
-    stagedRdds.foreach(_.unpersist(blocking = false))
+    stagedRdds.foreach { ref =>
+      val rdd = ref.get
+      if (rdd != null) rdd.unpersist(blocking = false)
+    }
     stagedRdds.clear()
   }
 }

@@ -125,6 +125,32 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(spark.table(s"ivfpq_cents_$tag").count() > 0)
   }
 
+  test("a crash between the two renames recovers automatically on the next call") {
+    val (kc, ci, m, k, it) = params
+    val tag = "lc_midswap"
+    val r = root(tag)
+    val corpus = cloud(200, 23).toDF("vec_id", "embedding")
+    Similarity.ensureIvfPqModel(spark, r, tag, corpus, kc, ci, m, k, it, 2)
+    val before = spark.table(s"ivfpq_cents_$tag").collect().toSet
+    // simulate the worst crash point: rename-aside done, rename-in not —
+    // the final name is unbound and the model is live only as __old
+    spark.sql(s"ALTER TABLE ivfpq_cents_$tag RENAME TO ivfpq_cents_${tag}__old")
+    assert(!spark.catalog.tableExists(s"ivfpq_cents_$tag"))
+    // the next refresh must rename __old back in BEFORE the existence
+    // require (no manual catalog surgery), then proceed as normal —
+    // here the batch matches the recovered model, so no retrain either
+    val (_, cents, _, refreshed) = Similarity.refreshIvfPqIfDrifted(
+      spark, r, tag,
+      { throw new IllegalStateException("recovery path must not train") },
+      corpus, maxShareGap = 0.5, kc, ci, m, k, it, 2)
+    assert(!refreshed)
+    assert(cents.collect().toSet == before,
+      "recovered model must be the pre-crash generation, bit-for-bit")
+    assert(spark.catalog.tableExists(s"ivfpq_cents_$tag"))
+    assert(!spark.catalog.tableExists(s"ivfpq_cents_${tag}__old"),
+      "recovery renames the aside back in; it must not leave a copy")
+  }
+
   test("a tag repeating a table-name word still derives correct swap names") {
     // tag "cents" makes the serving table ivfpq_cents_cents — the old
     // first-occurrence replace() derived ivfpq_cents__new_cents and
