@@ -730,6 +730,51 @@ object DataOps {
            count(lit(1)).as("queries_with_hits"))
   }
 
+  /** Id offset for deterministically planted near-dup twins — far
+    * above any synthetic vec_id, so twins never collide with corpus
+    * ids and `vec_id < annQueries` still selects only originals. */
+  val plantedIdBase = 100000L
+
+  /** The planted near-dup twin of each query vector: element i scaled
+    * by 1 + 0.001·((i mod 7) − 3) — a deterministic ±0.3% per-position
+    * warp (cosine ≈ 0.999998 with the source, closed-form in both
+    * engines: double arithmetic, cast back to float). */
+  private def plantedTwins(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < annQueries)
+      .select((col("vec_id") + plantedIdBase).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") *
+            (lit(1.0) + lit(0.001) * (pmod(i, lit(7)) - lit(3)).cast("double")))
+            .cast("float")).as("embedding"))
+
+  /** [[simAnnRecall]]'s informative twin: the same index + rerank +
+    * metric over the corpus WITH planted near-duplicates of every
+    * query vector. On the unclustered synthetic embeddings the plain
+    * recall row reads ~0 by design (sign-LSH only collides small
+    * angles), so it guards nothing; here each query provably has a
+    * cos≈1 neighbor that brute force ranks first and the index MUST
+    * bucket with it — the registered value is materially > 0 and any
+    * banding/rerank regression drives it down, visible in
+    * CORRECTNESS. `planted_found` counts queries whose twin the ANN
+    * retrieved (the direct guarantee). */
+  def simAnnRecallPlanted(s: SparkSession, d: String): DataFrame = {
+    val corpus = emb(s, d).select(col("vec_id"), col("embedding"))
+      .unionByName(plantedTwins(emb(s, d)))
+    val qs = corpus.filter(col("vec_id") < annQueries)
+    val exact = Similarity.bruteForceTopK(corpus, qs, annK)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = Similarity.lshAnnFor(corpus, qs, annK)
+      .select(col("query_id"), col("neighbor_id"))
+    val plantedFound = ann
+      .filter(col("neighbor_id") === col("query_id") + plantedIdBase)
+      .agg(count(lit(1)).as("planted_found"))
+    exact.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      .agg(round(sum(col("hits")) / (lit(annK) * annQueries), 4).as("recall_at_k"),
+           count(lit(1)).as("queries_with_hits"))
+      .crossJoin(plantedFound)
+  }
+
   def txClean(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       TextAnalysis.cleaned(col("text")).as("clean_text"))
@@ -1478,7 +1523,9 @@ object DataOps {
     * float-rounded weights — the hash is deterministic, so both
     * engines dot against identical planes), plus the norm table.
     * Yields `bk(vec_id, bucket)` and `nrm(vec_id, nrm)`. */
-  private val lshBucketCte = {
+  /** Sign-bucket + norm CTEs over an arbitrary (vec_id, embedding)
+    * relation `rel` — `bk(vec_id, bucket)` / `nrm(vec_id, nrm)`. */
+  private def lshBucketCteFor(rel: String): String = {
     import graft.operators.Similarity.{lshDims, lshPlanes, planeWeight}
     val planeRows = (0 until lshPlanes).map { p =>
       val wl = (0 until lshDims)
@@ -1490,14 +1537,16 @@ object DataOps {
         pdots AS (SELECT e.vec_id, pl.pw,
                    list_sum(list_transform(range(1, ${lshDims + 1}),
                      i -> CAST(e.embedding[i] AS DOUBLE) * pl.wl[i])) AS dp
-                 FROM embeddings e CROSS JOIN planes pl),
+                 FROM $rel e CROSS JOIN planes pl),
         bk AS (SELECT vec_id,
                       CAST(sum(CASE WHEN dp >= 0 THEN pw ELSE 0 END) AS BIGINT) AS bucket
                FROM pdots GROUP BY vec_id),
         nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
-                  (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+                  (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM $rel)
                 GROUP BY vec_id)"""
   }
+
+  private val lshBucketCte = lshBucketCteFor("embeddings")
 
   /** Sign-bucket CTEs for the JL-projected index (mirrors
     * Similarity.rpAnnFor): the 16 projection planes as literals, the
@@ -1531,11 +1580,12 @@ object DataOps {
     * shared by sim_ann_recall (full-dim sign-LSH) and sim_rp_ann
     * (JL-projected sign-LSH); candidates join on the bucket, rerank
     * is exact full-dimension cosine in both. */
-  private def annRecallSql(bucketCtes: String): String =
+  private def annRecallSql(bucketCtes: String, rel: String = "embeddings",
+                           tailCtes: String = "", extraSelect: String = ""): String =
     s"""WITH $bucketCtes,
         ep AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                       q.embedding AS ea, c.embedding AS eb
-               FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+               FROM $rel q JOIN $rel c ON q.vec_id <> c.vec_id
                WHERE q.vec_id < $annQueries),
         eu AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
                       CAST(unnest(eb) AS DOUBLE) AS y FROM ep),
@@ -1552,8 +1602,8 @@ object DataOps {
         ap AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                       qe.embedding AS ea, ce.embedding AS eb
                FROM bk q JOIN bk c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-               JOIN embeddings qe ON qe.vec_id = q.vec_id
-               JOIN embeddings ce ON ce.vec_id = c.vec_id
+               JOIN $rel qe ON qe.vec_id = q.vec_id
+               JOIN $rel ce ON ce.vec_id = c.vec_id
                WHERE q.vec_id < $annQueries),
         au AS (SELECT query_id, neighbor_id, CAST(unnest(ea) AS DOUBLE) AS x,
                       CAST(unnest(eb) AS DOUBLE) AS y FROM ap),
@@ -1571,9 +1621,9 @@ object DataOps {
                  WHERE EXISTS (SELECT 1 FROM ann_rk a
                                WHERE a.query_id = e.query_id
                                  AND a.neighbor_id = e.neighbor_id)
-                 GROUP BY e.query_id)
+                 GROUP BY e.query_id)$tailCtes
         SELECT round(CAST(sum(hits) AS BIGINT) / ${annK * annQueries}.0, 4) AS recall_at_k,
-               count(*) AS queries_with_hits
+               count(*) AS queries_with_hits$extraSelect
         FROM hits"""
 
   /** Bucket-candidate → exact-cosine rerank (mirrors the shared tail
@@ -3046,6 +3096,25 @@ object DataOps {
                      FROM scored)
           SELECT query_id, negative_id, cos, rk FROM ranked WHERE rk <= $annK""",
     "sim_ann_recall" -> annRecallSql(lshBucketCte),
+    // planted twin: prepend the deterministic near-dup corpus, run
+    // the identical bucket/rerank/recall replay over it, and also
+    // count how many planted twins the ANN retrieved
+    "sim_ann_recall_planted" -> {
+      import graft.operators.Similarity.lshDims
+      val pembCte =
+        s"""pemb AS (SELECT vec_id, embedding FROM embeddings
+                     UNION ALL
+                     SELECT vec_id + $plantedIdBase,
+                            list_transform(range(1, ${lshDims + 1}),
+                              i -> CAST(CAST(embedding[i] AS DOUBLE) *
+                                     (1.0 + 0.001 * CAST(((i - 1) % 7) - 3 AS DOUBLE))
+                                   AS FLOAT))
+                     FROM embeddings WHERE vec_id < $annQueries)"""
+      annRecallSql(s"$pembCte, ${lshBucketCteFor("pemb")}", rel = "pemb",
+        extraSelect = s""",
+               (SELECT count(*) FROM ann_rk
+                WHERE neighbor_id = query_id + $plantedIdBase) AS planted_found""")
+    },
     "sim_rp_ann" -> annRecallSql(rpBucketCte),
     // identical semantics to lshAnnFor over the live corpus — the
     // index's storage is invisible to the result
@@ -4066,6 +4135,7 @@ object DataOps {
     "sim_ann_persisted" -> simAnnPersisted _,
     "sim_ivf_persisted" -> simIvfPersisted _,
     "sim_ann_recall" -> simAnnRecall _,
+    "sim_ann_recall_planted" -> simAnnRecallPlanted _,
     "tx_tokens" -> txTokens _,
     "dq_profile" -> dqProfile _,
     "dq_ref_integrity" -> dqRefIntegrity _, // corpus-vs-embeddings id audit

@@ -256,15 +256,28 @@ object Relational {
   }
 
   /** Q34 — quantile sketch (percentile_approx / KLL-style summaries):
-    * the scale path when q25's exact interpolation is too expensive;
-    * rows-only (sketch internals are engine-specific), accuracy
-    * bounded in ProfileSpec against the exact percentiles. */
+    * the scale path when q25's exact interpolation is too expensive.
+    * The sketch VALUE is engine-specific, so the driver-visible
+    * contract is the exact-twin tolerance check computed in-plan:
+    * each approximate percentile must land inside the exact
+    * [p−0.01, p+0.01] rank bracket (accuracy 10000 guarantees 1e-4
+    * rank error — 100× headroom), emitted as hashable 1/0 columns
+    * beside the exact per-group row count. The oracle asserts the
+    * brackets hold (constant 1s) — a sketch regression flips a bit
+    * and the row goes red in CORRECTNESS, not just in ProfileSpec. */
   def q34ApproxPercentile(s: SparkSession, d: String): DataFrame =
     li(s, d)
       .groupBy("l_returnflag")
       .agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
+        count(lit(1)).as("n_rows"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("__p95"),
+        expr("percentile(l_extendedprice, array(0.49D, 0.51D, 0.94D, 0.96D))").as("__ex"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("__p50") >= col("__ex")(0) && col("__p50") <= col("__ex")(1))
+          .cast("long").as("p50_in_bracket"),
+        (col("__p95") >= col("__ex")(2) && col("__p95") <= col("__ex")(3))
+          .cast("long").as("p95_in_bracket"))
 
   /** Q35 — unpivot/melt (the inverse reshape of ev_pivot): wide
     * per-flag aggregates to long (flag, metric, value) form. */
@@ -313,12 +326,23 @@ object Relational {
   }
 
   /** Q20 — sketch-based distinct (HLL++): scale path for G2-style
-    * distinct counts when exactness is waived; rows-only check (the
-    * estimate is engine-specific) + accuracy-bounded in tests. */
+    * distinct counts when exactness is waived. The estimate itself is
+    * engine-specific, so the driver-visible contract is the exact-twin
+    * tolerance check computed in-plan: |HLL − exact| ≤ 6%·exact
+    * (3× the requested 2% rsd) as a hashable 1/0 column beside the
+    * exact count. The oracle asserts the bound holds (constant 1) —
+    * a sketch regression goes red in CORRECTNESS, not just in the
+    * accuracy spec. */
   def q20ApproxDistinct(s: SparkSession, d: String): DataFrame =
     ord(s, d)
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"))
+      .agg(
+        countDistinct(col("o_custkey")).as("exact_custs"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("__approx"))
+      .select(col("o_orderpriority"), col("exact_custs"),
+        (abs(col("__approx") - col("exact_custs"))
+          <= col("exact_custs").cast("double") * 0.06)
+          .cast("long").as("approx_ok"))
 
   /** Q21 — statistical aggregates (population forms are closed-form
     * and engine-portable; rounded for float-path stability). */
@@ -433,7 +457,7 @@ object Relational {
     "q31_full_outer" -> q31FullOuter _,
     "q32_setops" -> q32SetOps _,
     "q33_window_family" -> q33WindowFamily _,
-    "q34_approx_percentile" -> q34ApproxPercentile _, // sketch → rows-only
+    "q34_approx_percentile" -> q34ApproxPercentile _,
     "q35_unpivot" -> q35Unpivot _,
     "q36_bloom_prune" -> q36BloomPrune _,
     "q37_topk_agg" -> q37TopKAgg _)
@@ -467,6 +491,19 @@ object Relational {
                 round(sum(l_extendedprice), 2) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority""",
+    // the HLL estimate is engine-specific; the contract is the
+    // in-plan exact-twin bound, which the oracle asserts always holds
+    "q20_approx_distinct" ->
+      """SELECT o_orderpriority,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+                CAST(1 AS BIGINT) AS approx_ok
+         FROM orders GROUP BY o_orderpriority""",
+    // same contract for the quantile sketch: both rank brackets hold
+    "q34_approx_percentile" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(1 AS BIGINT) AS p50_in_bracket,
+                CAST(1 AS BIGINT) AS p95_in_bracket
+         FROM lineitem GROUP BY l_returnflag""",
     "q25_percentile" ->
       """SELECT o_orderpriority,
                 round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)

@@ -80,6 +80,17 @@ class DataOpsSpec extends SparkSpec {
       "to bucket near-identical vectors together")
   }
 
+  test("registered planted-recall row is materially > 0 and finds every twin") {
+    // the driver-visible ANN quality gate: unlike sim_ann_recall
+    // (documented ~0 on the unclustered corpus), this row must carry
+    // signal — each query has a deterministic cos≈1 twin that brute
+    // force ranks first and sign-LSH must co-bucket
+    val r = DataOps.simAnnRecallPlanted(spark, sf).collect().head
+    assert(r.getDouble(0) > 0.0, "planted recall must be materially > 0")
+    assert(r.getLong(2) == graft.queries.DataOps.annQueries.toLong,
+      s"ANN retrieved only ${r.getLong(2)} of the planted twins")
+  }
+
   test("IVF-blocked embedding dedup recovers planted near-dups at least as well as arbitrary blocking") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
@@ -251,13 +262,24 @@ class DataOpsSpec extends SparkSpec {
   }
 
   test("approx distinct lands within the configured 2% rsd of exact") {
+    // the registered q20 row now carries the bound as an in-plan 1/0
+    // column beside the exact count (driver-hashable)
     val exact = graft.queries.Relational.q6CountDistinct(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     graft.queries.Relational.q20ApproxDistinct(spark, sf).collect().foreach { r =>
-      val est = r.getLong(1).toDouble
-      val act = exact(r.getString(0)).toDouble
-      assert(math.abs(est - act) / act < 0.05, s"${r.getString(0)}: est=$est exact=$act")
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"${r.getString(0)}: exact-twin count drifted")
+      assert(r.getLong(2) == 1L, s"${r.getString(0)}: HLL outside the 6% bound")
     }
+    // and the raw sketch accuracy law the row summarizes
+    graft.Tables(spark, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.02).as("est"))
+      .collect().foreach { r =>
+        val act = exact(r.getString(0)).toDouble
+        assert(math.abs(r.getLong(1) - act) / act < 0.05,
+          s"${r.getString(0)}: est=${r.getLong(1)} exact=$act")
+      }
   }
 
   test("deduped corpus drops exact dups and the higher id of near-dup pairs") {

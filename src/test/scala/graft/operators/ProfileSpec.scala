@@ -45,9 +45,20 @@ class ProfileSpec extends SparkSpec {
 
   test("approx percentile lands within the sketch's rank-error bound") {
     val sf = "/root/testdata/sf0.01"
-    val approx = graft.queries.Relational
-      .q34ApproxPercentile(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the registered q34 row now carries the bound as in-plan 1/0
+    // columns (driver-hashable) — every bracket must hold
+    graft.queries.Relational.q34ApproxPercentile(spark, sf).collect()
+      .foreach { r =>
+        assert(r.getLong(2) == 1L, s"${r.getString(0)} p50 out of rank bracket")
+        assert(r.getLong(3) == 1L, s"${r.getString(0)} p95 out of rank bracket")
+      }
+    // and the raw sketch accuracy law the row summarizes: the
+    // estimates land within 1% of the exact interpolated percentiles
+    val approx = Tables(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Tables(spark, sf, "lineitem")
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
