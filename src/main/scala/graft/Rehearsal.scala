@@ -590,6 +590,77 @@ object Rehearsal {
             size(split(col("text"), " ")), budget = 100000L, blockSize = 10000L)
           .groupBy("shard_id").agg(sum(col("n_tokens"))).count()
       },
+      // Candy ingest handoff (S7 posture): the raw multiline-JSON day
+      // files are unsplittable, and normalize's sequence-key contract
+      // (order = file order) makes the derivation one task per day
+      // file BY DESIGN — bounded by one day's volume, never by the
+      // corpus. The scale posture is land-once: derive (day, seq) at
+      // the per-day read, write day-partitioned parquet, and run the
+      // bulk explode/enrich from the splittable landing. This case
+      // measures the WHOLE handoff — per-day derivation + ×MULT
+      // salted landing write + parquet-side normalize/enrich — the
+      // row the curate family's serialized-scan failure says every
+      // single-file ingest needs.
+      "ingest" -> { () =>
+        import graft.pipeline.{CandyPipeline, Model}
+        val dataDir = "/root/reference/data/dataset_15"
+        val land = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+        val tx = graft.io.JsonSource(Seq(s"$dataDir/transactions_*.json"),
+            Model.transactionSchema).load(spark)
+          .withColumn("day",
+            regexp_extract(input_file_name(), "transactions_(\\d{8})", 1).cast("int"))
+          .withColumn("seq", monotonically_increasing_id())
+        // salt: every replica is a distinct business day with distinct
+        // transaction ids; the landing partitions by the original day
+        // (arrival layout — each real day lands once, its replicas
+        // widen the files, not the directory count)
+        val landed = tx
+          .crossJoin(spark.range(mult).select(col("id").as("__rep")))
+          .withColumn("day_key", col("day").cast("long") * m + col("__rep"))
+          .withColumn("transaction_id",
+            concat(col("transaction_id"), lit("_"), col("__rep")))
+          .drop("__rep")
+        landed.write.mode("overwrite").partitionBy("day").parquet(land)
+        val products = graft.io.CsvSource(s"$dataDir/products.csv",
+          Model.productSchema).load(spark)
+        // bulk side: splittable parquet scan, keys ride as columns
+        val normalized = spark.read.parquet(land)
+          .select(col("transaction_id"), col("customer_id"), col("timestamp"),
+            col("day_key"), col("seq"), posexplode(col("items")).as(Seq("pos", "item")))
+          .select(col("transaction_id"), col("customer_id"), col("timestamp"),
+            col("day_key"), col("seq"), col("pos"),
+            col("item.product_id").as("product_id"),
+            col("item.qty").as("qty"))
+          .filter(col("qty").isNotNull)
+        val n = CandyPipeline.enrich(normalized, products).count()
+        // the landing is a per-run scratch artifact
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(land))
+        n
+      },
+      // HTML main-text extraction: the crawl front door is a pure
+      // kernel projection (no shuffle, no explode), so its decade
+      // curve must track the raw byte scan — the page fixture
+      // roughly 1.6×es each doc's bytes with markup. Sums consume
+      // every output field so pruning can't skip the kernel.
+      "html_extract" -> { () =>
+        val pages = docsR.repartition(32).select(col("doc_id"),
+          graft.operators.Html.syntheticPage(col("text"), col("source")).as("html"))
+        graft.operators.Html.extractMainText(pages, col("html"), col("doc_id"))
+          .agg(count(lit(1)),
+            sum(col("kept_blocks") + col("n_blocks") + col("n_links")),
+            sum(length(col("main_text"))))
+          .collect()(0).getLong(0)
+      },
+      // URL canonicalize + keep-first dedup: the cascade is a
+      // projection; the ONE shuffle is the keep-first groupBy on the
+      // canonical URL with map-side min/count partials — expected
+      // ≲ linear per decade (shuffle rows ≈ distinct URLs/task)
+      "url_dedup" -> { () =>
+        val urls = docsR.repartition(32).select(col("doc_id"),
+          graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+        graft.operators.Urls.dedupByUrl(urls, col("url"), col("doc_id"),
+          graft.queries.DataOps.blockedDomains).count()
+      },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()
       },

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML main-text extraction — the crawl pipeline's missing front
+  * door (reference scope: the candy pipeline ingests pre-extracted
+  * JSON/CSV; C4/CCNet/RefinedWeb-style corpora start at raw HTML, so
+  * a library claiming the LLM-data surface needs the
+  * trafilatura/jusText slot before any text operator can run).
+  *
+  * The extraction contract is the five-stage cascade documented on
+  * [[graft.plans.HtmlExtract]]: strip comments/scripts/styles →
+  * block segmentation on exact block tags + newlines → per-block
+  * generic-tag strip + link count → entity decode → whitespace
+  * collapse → keep a block iff it has ≥ `minTokens` tokens and link
+  * density ≤ 1/`linkDensityInv` (integer-exact:
+  * links·linkDensityInv ≤ tokens). Deterministic and closed-form, so
+  * DuckDB replays it verbatim — the `tx_extract_html` oracle row is
+  * hash-exact, not heuristic-approximate.
+  *
+  * Two implementations, bit-equal (HtmlExtractSpec's parity law):
+  *  - [[extractMainText]]: the `graft_html_extract` codegen kernel —
+  *    one byte-walk per page, a pure projection, NO shuffle. The
+  *    registered/scale path: extraction touches every raw byte of a
+  *    crawl, so at 100 TB it must not explode blocks or reassemble
+  *    per-document state through a corpus-sized groupBy.
+  *  - [[extractMainTextStaged]]: the relational cascade (explode +
+  *    ordered reassembly) — the spec reference and the shape the
+  *    oracle SQL mirrors.
+  */
+object Html {
+
+  /** jusText-style keep thresholds: ≥5 tokens, link density ≤ 1/5. */
+  val minKeepTokens = 5
+  val linkDensityInv = 5
+
+  /** Kernel path: one codegen'd projection per page. */
+  def extractMainText(df: DataFrame, html: Column, id: Column,
+                      minTokens: Int = minKeepTokens,
+                      densityInv: Int = linkDensityInv): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    // null pages yield no row — mirrors the staged path, where a null
+    // html explodes into zero block rows
+    df.filter(html.isNotNull)
+      .select(id.as("doc_id"),
+        call_function("graft_html_extract", html,
+          lit(minTokens), lit(densityInv)).as("__e"))
+      .select(col("doc_id"),
+        col("__e.main_text").as("main_text"),
+        col("__e.n_blocks").as("n_blocks"),
+        col("__e.kept_blocks").as("kept_blocks"),
+        col("__e.n_links").as("n_links"))
+  }
+
+  /** The five decoded entities, cascade order: lt/gt/quot/#39 first,
+    * &amp; LAST (so `&amp;lt;` lands on the literal text `&lt;`) —
+    * equivalent to the kernel's single pass with &amp; first. */
+  private def decodeEntities(c: Column): Column = {
+    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+    steps.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+  }
+
+  /** Staged relational reference: the cascade stage by stage, with a
+    * block explode and an ordered per-document reassembly — an extra
+    * corpus-sized shuffle the kernel path avoids. Retained as the
+    * living spec of the contract (and the shape the oracle mirrors),
+    * not the path to run at scale. */
+  def extractMainTextStaged(df: DataFrame, html: Column, id: Column,
+                            minTokens: Int = minKeepTokens,
+                            densityInv: Int = linkDensityInv): DataFrame = {
+    val s1 = regexp_replace(html,
+      "(?s)<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
+    val s2 = regexp_replace(s1, "</?(p|nav|footer|html|head|body)>", "\n")
+    val blocks = df.select(id.as("doc_id"),
+      posexplode(split(s2, "\n", -1)).as(Seq("pos", "blk")))
+    val links = size(regexp_extract_all(col("blk"), lit("<a[ >]"), lit(0)))
+    val txt = trim(regexp_replace(
+      decodeEntities(regexp_replace(col("blk"), "<[^>]*>", " ")),
+      "[ \\t\\n\\r\\f]+", " "))
+    val perBlock = blocks
+      .select(col("doc_id"), col("pos"), txt.as("txt"), links.as("links"))
+      .withColumn("ntok",
+        when(col("txt") === "", 0).otherwise(size(split(col("txt"), " "))))
+      .withColumn("keep",
+        col("ntok") >= minTokens && col("links") * densityInv <= col("ntok"))
+    perBlock.groupBy("doc_id").agg(
+      array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("pos"), col("txt"))))),
+          x => x.getField("txt")),
+        "\n").as("main_text"),
+      sum(when(col("ntok") > 0, 1L).otherwise(0L)).as("n_blocks"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept_blocks"),
+      sum(when(col("ntok") > 0, col("links")).otherwise(0L))
+        .cast("long").as("n_links"))
+  }
+
+  /** Deterministic page furniture around a plain-text corpus — the
+    * fixture both engines derive identically (closed-form string
+    * ops), so extraction can be oracle-checked end to end on the
+    * `documents` table: a tracking script, a stylesheet, a comment,
+    * a 3-link nav, 12-token paragraphs with 'table' tokens promoted
+    * to in-paragraph links and 'agg' tokens to an `&amp;` entity
+    * phrase, and a linked footer. Nav/footer fail the keep rule
+    * (short + link-dense), paragraphs mostly pass, link-heavy ones
+    * data-dependently fail — the fixture exercises every branch. */
+  def syntheticPage(text: Column, source: Column): Column = {
+    val para = regexp_replace(text, "((?:\\S+ ){11}\\S+) ", "<p>$1</p>")
+    val linked = replace(para, lit(" table "),
+      lit(" <a href=\"#t\">table</a> "))
+    val ent = replace(linked, lit(" agg "), lit(" x &amp; y "))
+    concat(
+      lit("<html><head><script type=\"text/javascript\">var t=\""), source,
+      lit("\";</script><style>.m{color:#333}</style></head>" +
+        "<body><!-- graft fixture -->" +
+        "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> <a href=\"/"),
+      source, lit("\">"), source, lit("</a></nav>"),
+      ent,
+      lit("<footer>contact &amp; imprint <a href=\"/legal\">legal</a>" +
+        "</footer></body></html>"))
+  }
+}

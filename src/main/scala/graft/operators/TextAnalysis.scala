@@ -15,6 +15,27 @@ object TextAnalysis {
   /** Whitespace tokens (single-space convention of the corpus). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** The single-space token CONTRACT every byte-walk kernel
+    * (graft_minhash / graft_simhash / graft_hash_embed /
+    * graft_dsir_* / graft_entropy's token alphabet) assumes: tokens
+    * separated by EXACTLY one 0x20 — no tabs/newlines/other
+    * whitespace, no space runs, no leading/trailing space.
+    * [[cleaned]] establishes it (normalize-first is the documented
+    * composition); this predicate ENFORCES it where kernels meet raw
+    * text — a cheap input-column check (never gate on a kernel
+    * output: predicate pushdown would substitute the kernel into the
+    * scan filter and run it twice, the PlanShapeSpec trap).
+    *
+    * The contract is also SAFE to violate: TokenContractSpec proves
+    * each kernel and its exploded twin agree even on violating input
+    * (both treat only 0x20 as the separator, so a tab-joined pair is
+    * consistently ONE token on every path) — a missed normalize
+    * degrades token granularity identically everywhere, it never
+    * diverges kernel from oracle. */
+  def singleSpaced(text: Column): Column =
+    !(text.rlike("[\\t\\n\\x0B\\f\\r\\u00a0]") || text.contains("  ") ||
+      text.startsWith(" ") || text.endsWith(" "))
+
   /** BPE-ish regex token pieces: letter runs, digit runs, or single
     * non-alphanumeric symbols. */
   val bpeTokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"

@@ -185,6 +185,23 @@ object GraftFunctions {
       s"graft_simhash(text, bits): bits must be an integer literal, got $other")
   }
 
+  val htmlExtractDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_html_extract"),
+    new ExpressionInfo(classOf[HtmlExtract].getName, "graft_html_extract"),
+    mkHtmlExtract _)
+
+  // the keep thresholds parameterize generated code, so they must be
+  // compile-time literals, not runtime columns
+  private def mkHtmlExtract(children: Seq[Expression]): Expression =
+    (children(1), children(2)) match {
+      case (org.apache.spark.sql.catalyst.expressions.Literal(mt: Int, _),
+            org.apache.spark.sql.catalyst.expressions.Literal(inv: Int, _)) =>
+        HtmlExtract(children(0), mt, inv)
+      case other => throw new IllegalArgumentException(
+        s"graft_html_extract(html, min_tokens, density_inv): thresholds " +
+          s"must be integer literals, got $other")
+    }
+
   val entropyDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_entropy"),
     new ExpressionInfo(classOf[TextEntropy].getName, "graft_entropy"),
@@ -218,6 +235,8 @@ object GraftFunctions {
       "graft_minhash", mkMinhash, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash", mkSimhash, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_html_extract", mkHtmlExtract, "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorDot

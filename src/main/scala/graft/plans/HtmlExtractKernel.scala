@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML main-text extraction in ONE pass — the crawl pipeline's
+  * front door (the trafilatura/jusText slot: C4, CCNet and RefinedWeb
+  * all begin at raw HTML, before any of the text operators in this
+  * library can run). Returns `struct<main_text:string, n_blocks:long,
+  * kept_blocks:long, n_links:long>`.
+  *
+  * The CONTRACT is the deterministic staged cascade that
+  * [[graft.operators.Html.extractMainTextStaged]] runs relationally
+  * and the DuckDB oracle replays verbatim:
+  *
+  *  S1  strip invisible regions: one global leftmost-first pass of
+  *      `<!--.*?-->` | `<script[^>]*>.*?</script>` |
+  *      `<style[^>]*>.*?</style>` → ' ' (dotall; an unterminated
+  *      construct does not match and its text falls through).
+  *  S2  segment into blocks: the exact lowercase tags `<p> </p>
+  *      <nav> </nav> <footer> </footer> <html> </html> <head>
+  *      </head> <body> </body>` → '\n'; physical newlines delimit
+  *      too (line-blocks, the text-density-extractor convention).
+  *  S3  per block: links = occurrences of `<a[ >]`; then strip
+  *      `<[^>]*>` → ' ' (a tag never crosses a block boundary).
+  *  S4  decode the five entities `&lt; &gt; &quot; &#39;` then
+  *      `&amp;` (cascade order; single-pass-with-&amp;-first is
+  *      equivalent and is what this kernel does).
+  *  S5  collapse `[ \t\n\r\f]+` → ' ', trim.
+  *  S6  keep a block iff tokens ≥ minTokens AND
+  *      links·linkDensityInv ≤ tokens (the jusText-style
+  *      link-density gate, integer-exact); main_text = kept blocks
+  *      in document order joined by '\n'. `n_blocks`/`n_links`
+  *      count only blocks with ≥1 token.
+  *
+  * Why a kernel: the staged form needs a block explode plus a
+  * corpus-sized `groupBy(doc_id)` reassembly shuffle whose only
+  * purpose is re-joining per-document state the row already had —
+  * the exact shape the MinHash/SimHash/hash-embed kernels removed in
+  * r12. Extraction runs over every raw byte of a 100 TB crawl, so it
+  * must stay a shuffle-free projection inside whole-stage codegen.
+  * HtmlExtractSpec pins kernel ≡ staged bit-equality on well-formed
+  * and adversarial markup soup alike.
+  */
+case class HtmlExtract(child: Expression, minTokens: Int, linkDensityInv: Int)
+    extends UnaryExpression {
+
+  require(minTokens >= 0 && linkDensityInv >= 0,
+    s"graft_html_extract: thresholds must be non-negative, " +
+      s"got ($minTokens, $linkDensityInv)")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("main_text", StringType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("kept_blocks", LongType, nullable = false),
+    StructField("n_links", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_html_extract expects a string column, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(in: Any): Any =
+    HtmlExtract.compute(in.asInstanceOf[UTF8String], minTokens, linkDensityInv)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.HtmlExtract.compute(" +
+        s"$a, $minTokens, $linkDensityInv);")
+
+  override def prettyName: String = "graft_html_extract"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlExtract {
+
+  private val blockTags: Array[String] = Array(
+    "<p>", "</p>", "<nav>", "</nav>", "<footer>", "</footer>",
+    "<html>", "</html>", "<head>", "</head>", "<body>", "</body>")
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\r' || c == '\f'
+
+  private def blockTagAt(s: String, i: Int): Boolean = {
+    var t = 0
+    while (t < blockTags.length) {
+      if (s.startsWith(blockTags(t), i)) return true
+      t += 1
+    }
+    false
+  }
+
+  /** Length of the S1 construct starting at `i`, or -1 if none: a
+    * TERMINATED comment, or a script/style whose opening tag closes
+    * (`[^>]*>` = everything to the next '>') and whose close tag
+    * exists. Mirrors the regex alternation: an unterminated construct
+    * does not match and the '<' falls through to tag handling. */
+  private def s1SkipLen(s: String, i: Int): Int = {
+    if (s.startsWith("<!--", i)) {
+      val j = s.indexOf("-->", i + 4)
+      return if (j >= 0) j + 3 - i else -1
+    }
+    var open: String = null
+    var close: String = null
+    if (s.startsWith("<script", i)) { open = "<script"; close = "</script>" }
+    else if (s.startsWith("<style", i)) { open = "<style"; close = "</style>" }
+    else return -1
+    val gt = s.indexOf('>', i + open.length)
+    if (gt < 0) return -1
+    // the opening tag is `<script[^>]*>` — the prefix up to the FIRST
+    // '>' (by construction nothing between can be '>'); the body then
+    // runs non-greedily to the first close tag
+    val end = s.indexOf(close, gt + 1)
+    if (end < 0) -1 else end + close.length - i
+  }
+
+  /** Is `<a[ >]` at position i (the link-count pattern)? */
+  private def linkAt(s: String, i: Int): Boolean =
+    i + 2 < s.length && s.charAt(i) == '<' && s.charAt(i + 1) == 'a' &&
+      (s.charAt(i + 2) == ' ' || s.charAt(i + 2) == '>')
+
+  def compute(in: UTF8String, minTokens: Int, linkDensityInv: Int): InternalRow = {
+    val s = in.toString
+    val n = s.length
+    val out = new java.lang.StringBuilder()
+    val blk = new java.lang.StringBuilder()
+    var pendingSpace = false
+    var blkTokens = 0
+    var blkLinks = 0
+    var nBlocks = 0L
+    var keptBlocks = 0L
+    var nLinks = 0L
+
+    def emit(c: Char): Unit = {
+      if (pendingSpace && blk.length > 0) blk.append(' ')
+      if (pendingSpace || blk.length == 0) blkTokens += 1
+      pendingSpace = false
+      blk.append(c)
+    }
+
+    def endBlock(): Unit = {
+      if (blkTokens > 0) {
+        nBlocks += 1
+        nLinks += blkLinks
+        if (blkTokens >= minTokens && blkLinks * linkDensityInv <= blkTokens) {
+          keptBlocks += 1
+          if (out.length > 0) out.append('\n')
+          out.append(blk)
+        }
+      }
+      blk.setLength(0)
+      blkTokens = 0
+      blkLinks = 0
+      pendingSpace = false
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\n') { endBlock(); i += 1 }
+      else if (isWs(c)) { pendingSpace = true; i += 1 }
+      else if (c == '<') {
+        val skip = s1SkipLen(s, i)
+        if (skip > 0) { pendingSpace = true; i += skip } // S1 → ' '
+        else if (blockTagAt(s, i)) { // S2 → '\n'
+          endBlock()
+          i = s.indexOf('>', i) + 1
+        } else {
+          // generic tag (S3): lookahead for the closing '>' of
+          // `<[^>]*>` within THIS block — jumping embedded S1
+          // constructs (already ' ' in the staged string) and
+          // aborting at a block boundary ('\n' or a block tag, both
+          // already '\n' there). Links are counted over the scanned
+          // range only if the tag is consumed; on abort the '<' is
+          // literal text and the inner chars re-process normally.
+          var tmpLinks = if (linkAt(s, i)) 1 else 0
+          var j = i + 1
+          var end = -1 // exclusive end of the consumed tag
+          var aborted = false
+          while (!aborted && end < 0 && j < n) {
+            val cj = s.charAt(j)
+            if (cj == '>') end = j + 1
+            else if (cj == '\n') aborted = true
+            else if (cj == '<') {
+              val sk = s1SkipLen(s, j)
+              if (sk > 0) j += sk
+              else if (blockTagAt(s, j)) aborted = true
+              else { if (linkAt(s, j)) tmpLinks += 1; j += 1 }
+            } else j += 1
+          }
+          if (end >= 0) { // tag consumed → ' '
+            blkLinks += tmpLinks
+            pendingSpace = true
+            i = end
+          } else { // no '>' in this block → the '<' is literal text
+            if (linkAt(s, i)) blkLinks += 1
+            emit('<')
+            i += 1
+          }
+        }
+      } else if (c == '&') {
+        // S4 single-pass entity decode, &amp; first (≡ cascade
+        // lt/gt/quot/#39 then amp — see scaladoc)
+        if (s.startsWith("&amp;", i)) { emit('&'); i += 5 }
+        else if (s.startsWith("&lt;", i)) { emit('<'); i += 4 }
+        else if (s.startsWith("&gt;", i)) { emit('>'); i += 4 }
+        else if (s.startsWith("&quot;", i)) { emit('"'); i += 6 }
+        else if (s.startsWith("&#39;", i)) { emit('\''); i += 5 }
+        else { emit('&'); i += 1 }
+      } else { emit(c); i += 1 }
+    }
+    endBlock()
+
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(out.toString), nBlocks, keptBlocks, nLinks))
+  }
+}

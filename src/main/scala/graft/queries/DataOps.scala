@@ -775,6 +775,40 @@ object DataOps {
       .crossJoin(plantedFound)
   }
 
+  /** HTML main-text extraction over deterministic page furniture
+    * (script/style/comment, link-dense nav+footer, paragraphized body
+    * with in-paragraph links and entities — Html.syntheticPage) —
+    * the kernel path: one codegen'd projection, no shuffle. */
+  def txExtractHtml(s: SparkSession, d: String): DataFrame = {
+    val pages = docs(s, d).select(col("doc_id"),
+      graft.operators.Html.syntheticPage(col("text"), col("source")).as("html"))
+    graft.operators.Html.extractMainText(pages, col("html"), col("doc_id"))
+  }
+
+  /** Domain blocklist for the URL-dedup gate (2 of the 20 synthetic
+    * sources stand in for the spam/ads lists a crawl maintains). */
+  val blockedDomains: Seq[String] = Seq("src7.example.com", "src13.example.com")
+
+  /** URL canonicalization over the deterministic per-doc URL fixture
+    * (Urls.syntheticUrl) — a pure projection, every rule of the
+    * cascade exercised data-dependently. */
+  def txUrlCanon(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+      .select(col("doc_id"), col("url"),
+        graft.operators.Urls.canonicalize(col("url")).as("canon_url"))
+
+  /** Exact-URL keep-first + domain blocklist over the same fixture:
+    * all variation moduli divide 300, so docs d and d+300 carry the
+    * same canonical URL — the planted dup structure the gate must
+    * recover (300 canon groups at sf0.01; 30 blocked). */
+  def ddUrlDedup(s: SparkSession, d: String): DataFrame =
+    graft.operators.Urls.dedupByUrl(
+      docs(s, d).select(col("doc_id"),
+        graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url")),
+      col("url"), col("doc_id"), blockedDomains)
+
   def txClean(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       TextAnalysis.cleaned(col("text")).as("clean_text"))
@@ -1523,6 +1557,47 @@ object DataOps {
     * float-rounded weights — the hash is deterministic, so both
     * engines dot against identical planes), plus the norm table.
     * Yields `bk(vec_id, bucket)` and `nrm(vec_id, nrm)`. */
+  /** The URL fixture CTE — mirrors Urls.syntheticUrl verbatim. */
+  private val urlSynthCte: String =
+    """u AS (SELECT doc_id,
+           (CASE doc_id % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+                 WHEN 2 THEN 'Http' ELSE 'HTTPS' END)
+           || '://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
+           || (CASE WHEN doc_id % 4 < 2 THEN upper(source) ELSE source END)
+           || '.example.com'
+           || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                    WHEN 2 THEN ':8080' ELSE '' END)
+           || '/articles/' || CAST(doc_id % 150 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+           || (CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed'
+                    WHEN 1 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                    ELSE '?utm_campaign=x&id=' || CAST(doc_id % 5 AS VARCHAR) END)
+           || (CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                    ELSE '' END) AS url
+         FROM documents)"""
+
+  /** Urls.canonicalize replayed as one nested DuckDB expression over
+    * the SQL expression `in` — the same cascade, RE2 '\1' backrefs
+    * instead of Java '$1'. */
+  private def urlCanonSqlExpr(in: String): String = {
+    val prefix =
+      "regexp_extract(trim(" + in + "), '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    val lowered = "(lower(" + prefix + ") || substr(trim(" + in +
+      "), length(" + prefix + ") + 1))"
+    val tp = graft.operators.Urls.trackingParamsRe
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      lowered + ",\n" +
+      """ '^(https?://)www\.', '\1', 'g'),""" + "\n" +
+      """ '#.*$', '', 'g'),""" + "\n" +
+      """ '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2', 'g'),""" + "\n" +
+      """ '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),""" + "\n" +
+      " '&(?:" + tp + ")=[^&#]*', '', 'g'),\n" +
+      " '\\?(?:" + tp + ")=[^&#]*&', '?', 'g'),\n" +
+      " '\\?(?:" + tp + ")=[^&#]*$', '', 'g'),\n" +
+      """ '([^/:])/+(\?.*)?$', '\1\2', 'g')"""
+  }
+
   /** Sign-bucket + norm CTEs over an arbitrary (vec_id, embedding)
     * relation `rel` — `bk(vec_id, bucket)` / `nrm(vec_id, nrm)`. */
   private def lshBucketCteFor(rel: String): String = {
@@ -3704,6 +3779,70 @@ object DataOps {
                 trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
                      '\s+', ' ', 'g')) AS clean_text
          FROM documents""",
+    "tx_url_canon" ->
+      s"""WITH $urlSynthCte
+          SELECT doc_id, url, ${urlCanonSqlExpr("url")} AS canon_url FROM u""",
+    "dd_url_dedup" -> {
+      val notBlocked = blockedDomains.map(d =>
+        s"NOT (host = '$d' OR host LIKE '%.$d')").mkString(" AND ")
+      s"""WITH $urlSynthCte,
+          c AS (SELECT doc_id, ${urlCanonSqlExpr("url")} AS canon_url FROM u),
+          h AS (SELECT doc_id, canon_url,
+                  regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                    AS host
+                FROM c)
+          SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+                 CAST(count(*) AS BIGINT) AS n_fetches
+          FROM h WHERE $notBlocked
+          GROUP BY canon_url"""
+    },
+    // the full extraction cascade replayed stage by stage (see
+    // plans.HtmlExtract scaladoc): synth page → strip invisible
+    // regions → block segmentation → per-block tag strip + link
+    // count → entity decode → collapse → keep rule → ordered rejoin
+    "tx_extract_html" -> {
+      val mt = graft.operators.Html.minKeepTokens
+      val inv = graft.operators.Html.linkDensityInv
+      s"""WITH h AS (SELECT doc_id,
+              '<html><head><script type="text/javascript">var t="' || source ||
+              '";</script><style>.m{color:#333}</style></head><body><!-- graft fixture -->' ||
+              '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/' ||
+              source || '">' || source || '</a></nav>' ||
+              replace(replace(regexp_replace(text, '((?:\\S+ ){11}\\S+) ', '<p>\\1</p>', 'g'),
+                      ' table ', ' <a href="#t">table</a> '),
+                      ' agg ', ' x &amp; y ') ||
+              '<footer>contact &amp; imprint <a href="/legal">legal</a></footer></body></html>'
+              AS html
+            FROM documents),
+          s1 AS (SELECT doc_id, regexp_replace(html,
+                   '<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+                   ' ', 'gs') AS t FROM h),
+          s2 AS (SELECT doc_id,
+                   regexp_replace(t, '</?(p|nav|footer|html|head|body)>', chr(10), 'g') AS t
+                 FROM s1),
+          b AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS blk,
+                       generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM s2),
+          c AS (SELECT doc_id, pos,
+                  len(regexp_extract_all(blk, '<a[ >]')) AS links,
+                  trim(regexp_replace(
+                    replace(replace(replace(replace(replace(
+                      regexp_replace(blk, '<[^>]*>', ' ', 'g'),
+                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+                      '&amp;', '&'),
+                    '[ \\t\\n\\r\\f]+', ' ', 'g')) AS txt
+                FROM b),
+          m AS (SELECT doc_id, pos, links, txt,
+                  CASE WHEN txt = '' THEN 0 ELSE len(string_split(txt, ' ')) END AS ntok
+                FROM c),
+          k AS (SELECT *, (ntok >= $mt AND links * $inv <= ntok) AS keep FROM m)
+          SELECT doc_id,
+            coalesce(string_agg(CASE WHEN keep THEN txt END, chr(10) ORDER BY pos), '')
+              AS main_text,
+            CAST(sum(CASE WHEN ntok > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
+            CAST(sum(CASE WHEN ntok > 0 THEN links ELSE 0 END) AS BIGINT) AS n_links
+          FROM k GROUP BY doc_id"""
+    },
     "ds_split" ->
       """WITH s AS (SELECT doc_id,
                  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -4140,6 +4279,9 @@ object DataOps {
     "dq_profile" -> dqProfile _,
     "dq_ref_integrity" -> dqRefIntegrity _, // corpus-vs-embeddings id audit
     "tx_clean" -> txClean _,
+    "tx_extract_html" -> txExtractHtml _,
+    "tx_url_canon" -> txUrlCanon _,
+    "dd_url_dedup" -> ddUrlDedup _,
     "ds_split" -> dsSplit _,
     "ds_split_safe" -> dsSplitSafe _,
     "dd_cluster_sizes" -> ddClusterSizes _,

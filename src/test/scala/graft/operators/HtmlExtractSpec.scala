@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The HTML main-text extraction contract: the single-pass kernel is
+  * bit-equal to the staged regex-cascade reference on well-formed
+  * pages AND on adversarial markup soup; planted boilerplate
+  * (nav/footer/script/style/comment) is dropped while prose blocks
+  * survive; the kernel path plans as a shuffle-free projection. */
+class HtmlExtractSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+
+  private def parity(docs: org.apache.spark.sql.DataFrame): Unit = {
+    val kernel = rows(Html.extractMainText(docs, col("html"), col("doc_id")))
+    val staged = rows(Html.extractMainTextStaged(docs, col("html"), col("doc_id")))
+    assert(kernel.keySet == staged.keySet)
+    kernel.foreach { case (id, k) =>
+      assert(k == staged(id), s"doc $id: kernel=$k staged=${staged(id)}")
+    }
+  }
+
+  test("kernel == staged cascade on hand-built pages (every stage exercised)") {
+    val docs = Seq(
+      // the full furniture shape the registered query synthesizes
+      (0L, "<html><head><script>var x=1;</script><style>.a{}</style></head>" +
+        "<body><!-- c --><nav><a href=\"/\">home</a> <a href=\"/b\">b</a></nav>" +
+        "<p>one two three four five six</p>" +
+        "<p>a <a href=\"#\">link</a> heavy <a href=\"#\">pair</a></p>" +
+        "<footer><a href=\"/l\">legal</a> fine</footer></body></html>"),
+      // entities in text and inside tags; &amp;lt; must decode to &lt;
+      (1L, "<p>x &amp; y &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;lt; ok z</p>"),
+      // unterminated script: opening tag stripped as generic, body kept
+      (2L, "<p>alpha beta <script gamma delta epsilon zeta eta theta</p>"),
+      // unterminated comment: the <!-- falls through; '>' text is literal
+      (3L, "<p>aa <!-- bb cc dd ee ff gg</p><p>h &gt; i j k l m</p>"),
+      // tag spanning markup: <foo <a > consumed to the first '>'
+      (4L, "<p>uu <foo <a > vv ww xx yy zz</p>"),
+      // physical newlines delimit blocks; tabs collapse
+      (5L, "line one has five tokens\nshort line\nthird\tblock\twith\tfive\ttokens"),
+      // empty and null inputs
+      (6L, ""), (7L, null.asInstanceOf[String]),
+      // block with links exactly at the density boundary: 1 link, 5 tokens
+      (8L, "<p>a b c d <a href=\"#\">e</a></p>"),
+      // nested block tags back to back and a bare '<' in text
+      (9L, "<p></p><p>only</p><body>q w e r t y < u</body>"))
+      .toDF("doc_id", "html")
+    parity(docs)
+    val k = rows(Html.extractMainText(docs, col("html"), col("doc_id")))
+    // doc 0: nav (2 links / 2 tokens) and footer (1/2) dropped, the
+    // link-heavy paragraph (2 links / 4 tokens) dropped, prose kept
+    assert(k(0L)._1 == "one two three four five six")
+    assert(k(0L) == (("one two three four five six", 4L, 1L, 5L)))
+    // doc 1: the five entities decode, &amp;lt; -> literal &lt;
+    assert(k(1L)._1 == "x & y <tag> \"q\" 's' &lt; ok z")
+    // doc 2: '<script gamma ... ' has no '>' so every char is literal
+    assert(k(2L)._1 == "alpha beta <script gamma delta epsilon zeta eta theta")
+    // doc 3: unterminated comment is literal text; '>' entity decodes
+    assert(k(3L)._1 == "aa <!-- bb cc dd ee ff gg\nh > i j k l m")
+    // doc 4: '<foo <a >' is one consumed tag that counts a link
+    assert(k(4L) == (("uu vv ww xx yy zz", 1L, 1L, 1L)))
+    // doc 8: 1 link * 5 <= 5 tokens -> exactly on the keep boundary
+    assert(k(8L) == (("a b c d e", 1L, 1L, 1L)))
+    assert(k(6L) == (("", 0L, 0L, 0L)))
+    assert(!k.contains(7L), "null html yields no row on either path")
+  }
+
+  test("kernel == staged cascade on adversarial markup soup (fuzz)") {
+    val rng = new scala.util.Random(42)
+    val pieces = Vector(
+      "<p>", "</p>", "<nav>", "</nav>", "<footer>", "</footer>",
+      "<body>", "</body>", "<script>", "</script>", "<script src=\"x\">",
+      "<style>", "</style>", "<!--", "-->", "<a href=\"#\">", "<a>", "</a>",
+      "<div>", "<div class=\"c\">", "<", ">", "&amp;", "&lt;", "&gt;",
+      "&quot;", "&#39;", "&bad;", "&", "word", "tok", "x", "\n", "\t", " ",
+      "  ", "é", "日本")
+    val docs = (0L until 200L).map { i =>
+      (i, (0 until rng.nextInt(40))
+        .map(_ => pieces(rng.nextInt(pieces.size)))
+        .mkString(if (rng.nextBoolean()) " " else ""))
+    }.toDF("doc_id", "html")
+    parity(docs)
+  }
+
+  test("kernel == staged on the registered query's synthesized corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        Html.syntheticPage(col("text"), col("source")).as("html"))
+    parity(docs)
+  }
+
+  test("extraction is a shuffle-free projection (the staged path is not)") {
+    val dir = java.nio.file.Files.createTempDirectory("html_plan").toString
+    Seq((0L, "<p>a b c d e</p>"), (1L, "<nav><a href=\"/\">x</a></nav>"))
+      .toDF("doc_id", "html").write.mode("overwrite").parquet(dir)
+    val pages = spark.read.parquet(dir)
+    val plan = Html.extractMainText(pages, col("html"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_html_extract"), plan)
+    assert(!plan.contains("Exchange"), s"kernel extraction shuffles:\n$plan")
+    assert(!plan.contains("Generate"), s"kernel extraction explodes:\n$plan")
+    val stagedPlan = Html.extractMainTextStaged(pages, col("html"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(stagedPlan.contains("Exchange"),
+      "staged reference should show the reassembly shuffle the kernel removes")
+  }
+}

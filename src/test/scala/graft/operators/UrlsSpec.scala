@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization cascade + keep-first dedup: adversarial URL
+  * fixtures pin every rule and its edge, and the dedup recovers the
+  * planted collision structure with the blocklist applied pre-group. */
+class UrlsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def canon(urls: Seq[String]): Map[String, String] = {
+    val df = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("id", "url")
+    df.select(col("url"), Urls.canonicalize(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("canonicalization rules, one adversarial fixture per edge") {
+    val cases = Seq(
+      // scheme+host lowering, path case preserved
+      "HTTP://WWW.Example.COM/Path/File" -> "http://example.com/Path/File",
+      // default ports stripped only on the matching scheme
+      "http://a.com:80/x" -> "http://a.com/x",
+      "https://a.com:443/x" -> "https://a.com/x",
+      "http://a.com:443/x" -> "http://a.com:443/x",
+      "https://a.com:80/x" -> "https://a.com:80/x",
+      "http://a.com:8080/x" -> "http://a.com:8080/x",
+      // default port with empty path / query / fragment after it
+      "http://a.com:80" -> "http://a.com",
+      "http://a.com:80?q=1" -> "http://a.com?q=1",
+      "http://a.com:80#f" -> "http://a.com",
+      // fragment stripped, even when it contains separators
+      "http://a.com/x#frag?fake=1&z=2" -> "http://a.com/x",
+      // tracking params: sole, leading, trailing, middle, repeated
+      "http://a.com/x?utm_source=f" -> "http://a.com/x",
+      "http://a.com/x?utm_source=f&id=2" -> "http://a.com/x?id=2",
+      "http://a.com/x?id=2&utm_source=f" -> "http://a.com/x?id=2",
+      "http://a.com/x?a=1&gclid=g&b=2" -> "http://a.com/x?a=1&b=2",
+      "http://a.com/x?utm_a=1&utm_b=2" -> "http://a.com/x",
+      "http://a.com/x?ref=r&ref=s&b=2" -> "http://a.com/x?b=2",
+      "http://a.com/x?fbclid=z" -> "http://a.com/x",
+      // 'ref' only matches the whole param name, not a prefix
+      "http://a.com/x?referrer=keep" -> "http://a.com/x?referrer=keep",
+      // trailing slash: path, before-query, runs; the root slash also
+      // unifies (http://a.com/ and http://a.com are RFC-equivalent)
+      "http://a.com/x/" -> "http://a.com/x",
+      "http://a.com/x///" -> "http://a.com/x",
+      "http://a.com/x/?id=1" -> "http://a.com/x?id=1",
+      "http://a.com/" -> "http://a.com",
+      // www only strips on http(s), and only as a prefix label
+      "ftp://www.a.com/x" -> "ftp://www.a.com/x",
+      "http://wwwx.a.com/x" -> "http://wwwx.a.com/x",
+      // whitespace trim; schemeless input passes through case-intact
+      "  http://a.com/x " -> "http://a.com/x",
+      "not a url" -> "not a url")
+    val got = canon(cases.map(_._1))
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canon('$in') = '${got(in)}', want '$want'")
+    }
+  }
+
+  test("keep-first URL dedup recovers planted collisions; blocklist gates pre-group") {
+    val df = Seq(
+      (10L, "HTTP://www.A.com:80/p/?utm_source=x"), // canon: http://a.com/p
+      (3L, "http://a.com/p"),                       // same page, first fetch
+      (7L, "https://a.com/p"),                      // different scheme: distinct
+      (5L, "http://ads.bad.com/z"),                 // blocked by suffix
+      (6L, "http://bad.com/z"),                     // blocked exactly
+      (8L, "http://notbad.com/z"))                  // NOT blocked (no dot-suffix match)
+      .toDF("doc_id", "url")
+    val out = Urls.dedupByUrl(df, col("url"), col("doc_id"), Seq("bad.com"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "http://a.com/p" -> ((3L, 2L)),
+      "https://a.com/p" -> ((7L, 1L)),
+      "http://notbad.com/z" -> ((8L, 1L))))
+  }
+
+  test("the registered fixture plants exact d/d+300 canon collisions") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val c = docs.select(col("doc_id"),
+        Urls.canonicalize(
+          Urls.syntheticUrl(col("doc_id"), col("source"))).as("canon"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = c.size
+    c.keys.filter(d => c.contains(d + 300)).foreach { d =>
+      assert(c(d) == c(d + 300), s"doc $d and ${d + 300} must collide")
+    }
+    // and nothing else collides: distinct canon count = docs - planted pairs
+    val planted = c.keys.count(d => c.contains(d + 300))
+    assert(c.values.toSet.size == n - planted)
+  }
+
+  test("canonicalization + gate stay a pushdown-friendly single scan") {
+    val dir = java.nio.file.Files.createTempDirectory("url_plan").toString
+    Seq((1L, "http://a.com/x/"), (2L, "https://b.com/y?utm_source=f"))
+      .toDF("doc_id", "url").write.mode("overwrite").parquet(dir)
+    val plan = Urls.dedupByUrl(spark.read.parquet(dir), col("url"),
+        col("doc_id"), Seq("bad.com"))
+      .queryExecution.executedPlan.toString
+    // exactly one exchange: the keep-first groupBy on the canonical
+    // URL (with map-side partial min/count); the blocklist filter and
+    // the whole cascade run before it
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"URL dedup should shuffle exactly once:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"keep-first must combine map-side:\n$plan")
+  }
+}
