@@ -667,12 +667,21 @@ object Rehearsal {
       "simhash_64_16" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id"), bits = 64, bandBits = 16).count()
       },
-      // decomposition probes: fingerprint aggregation alone, per width
+      // decomposition probes: fingerprint aggregation alone, per
+      // width. The fingerprint MUST be consumed (sum of a residue) —
+      // under a bare count() Catalyst column-prunes the kernel out of
+      // the plan entirely and the case times only the scan (the same
+      // trap rep_ngrams hit with its left joins; the r12-recorded
+      // 3.2 s @100x row measured exactly that and is corrected below)
       "simhash_fp_32" -> { () =>
-        Dedup.simhash(docsR, col("text"), col("doc_id"), 32).count()
+        Dedup.simhash(docsR, col("text"), col("doc_id"), 32)
+          .agg(count(lit(1)), sum(pmod(col("simhash"), lit(1000003L))))
+          .collect()(0).getLong(0)
       },
       "simhash_fp_64" -> { () =>
-        Dedup.simhash(docsR, col("text"), col("doc_id"), 64).count()
+        Dedup.simhash(docsR, col("text"), col("doc_id"), 64)
+          .agg(count(lit(1)), sum(pmod(col("simhash"), lit(1000003L))))
+          .collect()(0).getLong(0)
       },
       // raw band-join candidate volume (pre-distinct, pre-filter)
       "simhash_cand_32_8" -> { () => simhashCandidates(docsR, 32, 8) },
