@@ -651,6 +651,34 @@ object Rehearsal {
             sum(length(col("main_text"))))
           .collect()(0).getLong(0)
       },
+      // the crawl front door COMPOSED (ds_crawl): canon → blocklist →
+      // keep-first with the PAGE PAYLOAD riding the min-struct
+      // through the one exchange → kernel extraction → thin gate.
+      // Map-side partial min keeps one payload per canon URL per
+      // task, so shuffle volume ≈ distinct URLs × page size — the
+      // posture a corpus join-back (two payload shuffles) would lose
+      "crawl" -> { () =>
+        import graft.operators.{Html, Urls}
+        val d = docsR.repartition(32)
+        val withUrl = d.select(col("doc_id"), col("source"), col("text"),
+            Urls.canonicalize(
+              Urls.syntheticUrl(col("doc_id"), col("source"))).as("canon_url"))
+          .withColumn("host", Urls.hostOf(col("canon_url")))
+        val blocked = graft.queries.DataOps.blockedDomains
+          .foldLeft(lit(false))((acc, dom) =>
+            acc || col("host") === dom || col("host").endsWith(s".$dom"))
+        val winners = withUrl.filter(!blocked)
+          .groupBy("canon_url")
+          .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"))
+          .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"),
+            col("w.text").as("text"))
+        val pages = winners.select(col("doc_id"),
+          Html.syntheticPage(col("text"), col("source")).as("html"))
+        Html.extractMainText(pages, col("html"), col("doc_id"))
+          .agg(count(lit(1)), sum(col("kept_blocks")),
+            sum(length(col("main_text"))))
+          .collect()(0).getLong(0)
+      },
       // URL canonicalize + keep-first dedup: the cascade is a
       // projection; the ONE shuffle is the keep-first groupBy on the
       // canonical URL with map-side min/count partials — expected

@@ -35,22 +35,24 @@ object Html {
   val minKeepTokens = 5
   val linkDensityInv = 5
 
-  /** Kernel path: one codegen'd projection per page. */
+  /** Kernel path: one codegen'd projection per page. `carry` columns
+    * ride through unchanged (composites keep their URL/fetch columns
+    * without a join-back). */
   def extractMainText(df: DataFrame, html: Column, id: Column,
                       minTokens: Int = minKeepTokens,
-                      densityInv: Int = linkDensityInv): DataFrame = {
+                      densityInv: Int = linkDensityInv,
+                      carry: Seq[Column] = Nil): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
     // null pages yield no row — mirrors the staged path, where a null
     // html explodes into zero block rows
     df.filter(html.isNotNull)
-      .select(id.as("doc_id"),
-        call_function("graft_html_extract", html,
-          lit(minTokens), lit(densityInv)).as("__e"))
-      .select(col("doc_id"),
-        col("__e.main_text").as("main_text"),
-        col("__e.n_blocks").as("n_blocks"),
-        col("__e.kept_blocks").as("kept_blocks"),
-        col("__e.n_links").as("n_links"))
+      .select(id.as("doc_id") +: call_function("graft_html_extract", html,
+        lit(minTokens), lit(densityInv)).as("__e") +: carry: _*)
+      .withColumn("main_text", col("__e.main_text"))
+      .withColumn("n_blocks", col("__e.n_blocks"))
+      .withColumn("kept_blocks", col("__e.kept_blocks"))
+      .withColumn("n_links", col("__e.n_links"))
+      .drop("__e")
   }
 
   /** The five decoded entities, cascade order: lt/gt/quot/#39 first,

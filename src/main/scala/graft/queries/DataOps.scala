@@ -809,6 +809,43 @@ object DataOps {
         graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url")),
       col("url"), col("doc_id"), blockedDomains)
 
+  /** Thin-content cut for the crawl composite. */
+  val crawlMinTokens = 20
+
+  /** The crawl front door COMPOSED (C4's opening stages in one plan):
+    * URL canonicalize → domain blocklist → exact-URL keep-first —
+    * with the page PAYLOAD riding the min-struct through the one
+    * shuffle, so there is no corpus join-back — → HTML main-text
+    * extraction over the winners (shuffle-free kernel) → thin-content
+    * verdict. Everything downstream of the single keep-first exchange
+    * is a projection. */
+  def dsCrawl(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Html, Urls}
+    val withUrl = docs(s, d).select(col("doc_id"), col("source"), col("text"),
+        Urls.canonicalize(
+          Urls.syntheticUrl(col("doc_id"), col("source"))).as("canon_url"))
+      .withColumn("host", Urls.hostOf(col("canon_url")))
+    val blocked = blockedDomains.foldLeft(lit(false)) { (acc, dom) =>
+      acc || col("host") === dom || col("host").endsWith(s".$dom")
+    }
+    val winners = withUrl.filter(!blocked)
+      .groupBy("canon_url")
+      .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"),
+        count(lit(1)).as("n_fetches"))
+      .select(col("canon_url"), col("n_fetches"),
+        col("w.doc_id").as("doc_id"), col("w.source").as("source"),
+        col("w.text").as("text"))
+    val pages = winners.select(col("doc_id"), col("canon_url"), col("n_fetches"),
+      Html.syntheticPage(col("text"), col("source")).as("html"))
+    val ext = Html.extractMainText(pages, col("html"), col("doc_id"),
+      carry = Seq(col("canon_url"), col("n_fetches")))
+    val nTok = when(col("main_text") === "", 0L)
+      .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
+    ext.select(col("doc_id"), col("canon_url"), col("n_fetches"),
+      col("kept_blocks"), nTok.as("n_tokens"),
+      when(nTok >= crawlMinTokens, "kept").otherwise(lit("thin")).as("verdict"))
+  }
+
   def txClean(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       TextAnalysis.cleaned(col("text")).as("clean_text"))
@@ -1596,6 +1633,55 @@ object DataOps {
       " '\\?(?:" + tp + ")=[^&#]*&', '?', 'g'),\n" +
       " '\\?(?:" + tp + ")=[^&#]*$', '', 'g'),\n" +
       """ '([^/:])/+(\?.*)?$', '\1\2', 'g')"""
+  }
+
+  /** The HTML extraction cascade (plans.HtmlExtract's documented
+    * stages) over any (doc_id, text, source) relation, as a
+    * parenthesized subquery yielding (doc_id, main_text, n_blocks,
+    * kept_blocks, n_links) — shared by tx_extract_html (over
+    * `documents`) and ds_crawl (over the URL-dedup winners). */
+  private def htmlExtractSql(docRel: String): String = {
+    val mt = graft.operators.Html.minKeepTokens
+    val inv = graft.operators.Html.linkDensityInv
+    s"""(WITH hx AS (SELECT doc_id,
+            '<html><head><script type="text/javascript">var t="' || source ||
+            '";</script><style>.m{color:#333}</style></head><body><!-- graft fixture -->' ||
+            '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/' ||
+            source || '">' || source || '</a></nav>' ||
+            replace(replace(regexp_replace(text, '((?:\\S+ ){11}\\S+) ', '<p>\\1</p>', 'g'),
+                    ' table ', ' <a href="#t">table</a> '),
+                    ' agg ', ' x &amp; y ') ||
+            '<footer>contact &amp; imprint <a href="/legal">legal</a></footer></body></html>'
+            AS html
+          FROM $docRel),
+        sx1 AS (SELECT doc_id, regexp_replace(html,
+                 '<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
+                 ' ', 'gs') AS t FROM hx),
+        sx2 AS (SELECT doc_id,
+                 regexp_replace(t, '</?(p|nav|footer|html|head|body)>', chr(10), 'g') AS t
+               FROM sx1),
+        bx AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS blk,
+                     generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM sx2),
+        cx AS (SELECT doc_id, pos,
+                len(regexp_extract_all(blk, '<a[ >]')) AS links,
+                trim(regexp_replace(
+                  replace(replace(replace(replace(replace(
+                    regexp_replace(blk, '<[^>]*>', ' ', 'g'),
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+                    '&amp;', '&'),
+                  '[ \\t\\n\\r\\f]+', ' ', 'g')) AS txt
+              FROM bx),
+        mx AS (SELECT doc_id, pos, links, txt,
+                CASE WHEN txt = '' THEN 0 ELSE len(string_split(txt, ' ')) END AS ntok
+              FROM cx),
+        kx AS (SELECT *, (ntok >= $mt AND links * $inv <= ntok) AS keep FROM mx)
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN keep THEN txt END, chr(10) ORDER BY pos), '')
+            AS main_text,
+          CAST(sum(CASE WHEN ntok > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+          CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
+          CAST(sum(CASE WHEN ntok > 0 THEN links ELSE 0 END) AS BIGINT) AS n_links
+        FROM kx GROUP BY doc_id)"""
   }
 
   /** Sign-bucket + norm CTEs over an arbitrary (vec_id, embedding)
@@ -3800,48 +3886,35 @@ object DataOps {
     // plans.HtmlExtract scaladoc): synth page → strip invisible
     // regions → block segmentation → per-block tag strip + link
     // count → entity decode → collapse → keep rule → ordered rejoin
-    "tx_extract_html" -> {
-      val mt = graft.operators.Html.minKeepTokens
-      val inv = graft.operators.Html.linkDensityInv
-      s"""WITH h AS (SELECT doc_id,
-              '<html><head><script type="text/javascript">var t="' || source ||
-              '";</script><style>.m{color:#333}</style></head><body><!-- graft fixture -->' ||
-              '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/' ||
-              source || '">' || source || '</a></nav>' ||
-              replace(replace(regexp_replace(text, '((?:\\S+ ){11}\\S+) ', '<p>\\1</p>', 'g'),
-                      ' table ', ' <a href="#t">table</a> '),
-                      ' agg ', ' x &amp; y ') ||
-              '<footer>contact &amp; imprint <a href="/legal">legal</a></footer></body></html>'
-              AS html
-            FROM documents),
-          s1 AS (SELECT doc_id, regexp_replace(html,
-                   '<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
-                   ' ', 'gs') AS t FROM h),
-          s2 AS (SELECT doc_id,
-                   regexp_replace(t, '</?(p|nav|footer|html|head|body)>', chr(10), 'g') AS t
-                 FROM s1),
-          b AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS blk,
-                       generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM s2),
-          c AS (SELECT doc_id, pos,
-                  len(regexp_extract_all(blk, '<a[ >]')) AS links,
-                  trim(regexp_replace(
-                    replace(replace(replace(replace(replace(
-                      regexp_replace(blk, '<[^>]*>', ' ', 'g'),
-                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-                      '&amp;', '&'),
-                    '[ \\t\\n\\r\\f]+', ' ', 'g')) AS txt
-                FROM b),
-          m AS (SELECT doc_id, pos, links, txt,
-                  CASE WHEN txt = '' THEN 0 ELSE len(string_split(txt, ' ')) END AS ntok
-                FROM c),
-          k AS (SELECT *, (ntok >= $mt AND links * $inv <= ntok) AS keep FROM m)
-          SELECT doc_id,
-            coalesce(string_agg(CASE WHEN keep THEN txt END, chr(10) ORDER BY pos), '')
-              AS main_text,
-            CAST(sum(CASE WHEN ntok > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
-            CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
-            CAST(sum(CASE WHEN ntok > 0 THEN links ELSE 0 END) AS BIGINT) AS n_links
-          FROM k GROUP BY doc_id"""
+    "tx_extract_html" ->
+      s"""SELECT doc_id, main_text, n_blocks, kept_blocks, n_links
+          FROM ${htmlExtractSql("documents")} e""",
+    // the crawl front door COMPOSED in one plan: URL canon →
+    // blocklist → keep-first (payload rides the min-struct through
+    // the one shuffle — no corpus join-back) → HTML extraction over
+    // the winners → thin-content verdict
+    "ds_crawl" -> {
+      val notBlocked = blockedDomains.map(d =>
+        s"NOT (host = '$d' OR host LIKE '%.$d')").mkString(" AND ")
+      s"""WITH $urlSynthCte,
+          cu AS (SELECT d.doc_id, d.text, d.source,
+                   ${urlCanonSqlExpr("u.url")} AS canon_url
+                 FROM u JOIN documents d ON u.doc_id = d.doc_id),
+          hh AS (SELECT *, regexp_extract(canon_url,
+                   '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host FROM cu),
+          w AS (SELECT canon_url, min(doc_id) AS doc_id,
+                       CAST(count(*) AS BIGINT) AS n_fetches
+                FROM hh WHERE $notBlocked GROUP BY canon_url),
+          wd AS (SELECT w.canon_url, w.n_fetches, d.doc_id, d.text, d.source
+                 FROM w JOIN documents d ON w.doc_id = d.doc_id)
+          SELECT e.doc_id, wd.canon_url, wd.n_fetches, e.kept_blocks,
+                 CAST(CASE WHEN e.main_text = '' THEN 0
+                      ELSE len(string_split_regex(e.main_text, '[ \\n]')) END
+                   AS BIGINT) AS n_tokens,
+                 CASE WHEN (CASE WHEN e.main_text = '' THEN 0
+                            ELSE len(string_split_regex(e.main_text, '[ \\n]')) END)
+                        >= ${crawlMinTokens} THEN 'kept' ELSE 'thin' END AS verdict
+          FROM ${htmlExtractSql("wd")} e JOIN wd ON e.doc_id = wd.doc_id"""
     },
     "ds_split" ->
       """WITH s AS (SELECT doc_id,
@@ -4282,6 +4355,7 @@ object DataOps {
     "tx_extract_html" -> txExtractHtml _,
     "tx_url_canon" -> txUrlCanon _,
     "dd_url_dedup" -> ddUrlDedup _,
+    "ds_crawl" -> dsCrawl _,
     "ds_split" -> dsSplit _,
     "ds_split_safe" -> dsSplitSafe _,
     "dd_cluster_sizes" -> ddClusterSizes _,

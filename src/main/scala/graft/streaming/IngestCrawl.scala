@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+import graft.operators.{Html, Urls}
+
+/** Continuous crawl ingestion: the streaming twin of the ds_crawl
+  * composite — the front door a live crawler actually runs. Each
+  * micro-batch of raw fetches (doc_id, url, html) is:
+  *
+  *  1. URL-canonicalized and domain-blocklisted (stateless codegen'd
+  *     projections — Urls.canonicalize);
+  *  2. keep-FIRST deduplicated on the canonical URL against three
+  *     scopes, mirroring IngestDedup's discipline: (a) the SETTLED
+  *     url frontier (an immutable artifact of the previous pipeline
+  *     run), (b) itself (min doc_id wins within the batch), and
+  *     (c) every URL this stream has already admitted — a re-fetch
+  *     in a later batch can never re-admit a page;
+  *  3. main-text extracted (the shuffle-free graft_html_extract
+  *     kernel) and thin-content gated.
+  *
+  * Survivors land under `survivorDir/batch_<id>` with per-batch
+  * overwrite, so foreachBatch's at-least-once retries are idempotent
+  * — the admitted-URL state IS the sink, no side ledger.
+  *
+  * Cross-batch semantics note: "keep-first" here is first ARRIVAL
+  * (processing order), the only meaningful order a stream has; batch
+  * ds_crawl's min-doc_id tiebreak applies within one batch. Scale
+  * shape: scope (c) probes only this run's admitted delta (one
+  * ingestion window), which a periodic frontier refresh folds back
+  * into (a) — the base+delta posture of the persisted dedup index. */
+object IngestCrawl {
+
+  def crawledIngest(fetches: DataFrame, settledUrls: Option[DataFrame],
+                    survivorDir: String, blockedDomains: Seq[String],
+                    minTokens: Int = graft.queries.DataOps.crawlMinTokens)
+      : StreamingQuery =
+    fetches.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val canon = batch.toDF()
+          .withColumn("canon_url", Urls.canonicalize(col("url")))
+          .withColumn("host", Urls.hostOf(col("canon_url")))
+        val blocked = blockedDomains.foldLeft(lit(false)) { (acc, d) =>
+          acc || col("host") === d || col("host").endsWith(s".$d")
+        }
+        val firstInBatch = canon.filter(!blocked)
+          .groupBy("canon_url")
+          .agg(min(struct(col("doc_id"), col("html"))).as("w"))
+          .select(col("canon_url"), col("w.doc_id").as("doc_id"),
+            col("w.html").as("html"))
+        // admitted frontier: settled run artifact + this run's EARLIER
+        // batches (the current id excluded — a retry must not
+        // anti-join its own partial output, see BatchLayout)
+        val prevUrls = BatchLayout.earlierBatches(spark, survivorDir, batchId)
+          .map(paths => spark.read.parquet(paths: _*).select("canon_url"))
+        val seen = (settledUrls.map(_.select("canon_url")).toSeq ++ prevUrls.toSeq)
+          .reduceOption(_ unionByName _)
+        val fresh = seen match {
+          case Some(sn) =>
+            firstInBatch.join(sn.distinct(), Seq("canon_url"), "left_anti")
+          case None => firstInBatch
+        }
+        val ext = Html.extractMainText(fresh, col("html"), col("doc_id"),
+          carry = Seq(col("canon_url")))
+        val nTok = when(col("main_text") === "", 0L)
+          .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
+        ext.select(col("doc_id"), col("canon_url"), col("main_text"),
+            col("kept_blocks"), nTok.as("n_tokens"))
+          .filter(col("n_tokens") >= minTokens)
+          .write.mode("overwrite").parquet(s"$survivorDir/batch_$batchId")
+      }
+      .outputMode(OutputMode.Append())
+      .start()
+}

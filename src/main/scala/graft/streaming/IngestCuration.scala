@@ -51,8 +51,10 @@ object IngestCuration {
         val quality = flagged.filter(!col("rep_fail") && !col("lm_fail"))
           .select(col("doc_id"), col("__text").as("text"))
         val vsCorpus = Dedup.incremental(index, quality, text, id, n, threshold)
-        val accepted = scala.util.Try(
-            spark.read.parquet(s"$outDir/accepted/batch_*")).toOption match {
+        // earlier batches only (current id excluded — replay-safe,
+        // see BatchLayout)
+        val accepted = BatchLayout.earlierBatches(spark, s"$outDir/accepted",
+            batchId).map(paths => spark.read.parquet(paths: _*)) match {
           case Some(prev) =>
             Dedup.incremental(prev.select("doc_id", "text"), vsCorpus,
               text, id, n, threshold)

@@ -37,10 +37,12 @@ object IngestDedup {
         val text = col("text")
         val id = col("doc_id")
         val vsCorpus = Dedup.incremental(index, batch.toDF(), text, id, n, threshold)
-        // earlier batches' survivors act as settled corpus too;
-        // glob misses ⇒ first batch of the run
-        val out = scala.util.Try(spark.read.parquet(s"$survivorDir/batch_*"))
-          .toOption match {
+        // earlier batches' survivors act as settled corpus too (the
+        // CURRENT batch id excluded — an at-least-once retry must not
+        // dedup the batch against its own partial output, which would
+        // empty it on replay; see BatchLayout); None ⇒ first batch
+        val out = BatchLayout.earlierBatches(spark, survivorDir, batchId)
+          .map(paths => spark.read.parquet(paths: _*)) match {
           case Some(prev) =>
             Dedup.incremental(prev.select(batch.columns.map(col): _*),
               vsCorpus, text, id, n, threshold)

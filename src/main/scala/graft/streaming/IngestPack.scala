@@ -36,8 +36,13 @@ object IngestPack {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         if (!batch.isEmpty) {
-          val settled = scala.util.Try(
-            spark.read.parquet(s"$shardDir/_assign/batch_*")).toOption
+          // earlier batches only: a retry of batch N must see the
+          // boundary the FIRST attempt saw — N's own partial assign
+          // would inflate the offset and trip the monotone-key
+          // require against its own keys (see BatchLayout)
+          val settled = BatchLayout.earlierBatches(spark,
+              s"$shardDir/_assign", batchId)
+            .map(paths => spark.read.parquet(paths: _*))
           // 1-row boundary probe, the same legitimacy class as the
           // JDBC bounds probe: (settled token total, highest key)
           val (offset, maxKey) = settled match {
