@@ -660,14 +660,13 @@ object Rehearsal {
       "crawl" -> { () =>
         import graft.operators.{Html, Urls}
         val d = docsR.repartition(32)
-        val withUrl = d.select(col("doc_id"), col("source"), col("text"),
+        val winners = d
+          .select(col("doc_id"), col("source"), col("text"),
             Urls.canonicalize(
               Urls.syntheticUrl(col("doc_id"), col("source"))).as("canon_url"))
           .withColumn("host", Urls.hostOf(col("canon_url")))
-        val blocked = graft.queries.DataOps.blockedDomains
-          .foldLeft(lit(false))((acc, dom) =>
-            acc || col("host") === dom || col("host").endsWith(s".$dom"))
-        val winners = withUrl.filter(!blocked)
+          .filter(!Urls.hostBlocked(col("host"),
+            graft.queries.DataOps.blockedDomains))
           .groupBy("canon_url")
           .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"))
           .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"),

@@ -821,14 +821,14 @@ object DataOps {
     * is a projection. */
   def dsCrawl(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{Html, Urls}
-    val withUrl = docs(s, d).select(col("doc_id"), col("source"), col("text"),
+    // the inlined-alias cascade copies are CSE-collapsed at runtime;
+    // see Urls.dedupByUrl's plan-shape note for the measured A/B
+    val winners = docs(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
         Urls.canonicalize(
           Urls.syntheticUrl(col("doc_id"), col("source"))).as("canon_url"))
       .withColumn("host", Urls.hostOf(col("canon_url")))
-    val blocked = blockedDomains.foldLeft(lit(false)) { (acc, dom) =>
-      acc || col("host") === dom || col("host").endsWith(s".$dom")
-    }
-    val winners = withUrl.filter(!blocked)
+      .filter(!Urls.hostBlocked(col("host"), blockedDomains))
       .groupBy("canon_url")
       .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"),
         count(lit(1)).as("n_fetches"))

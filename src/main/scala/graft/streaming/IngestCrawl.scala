@@ -40,13 +40,13 @@ object IngestCrawl {
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val canon = batch.toDF()
-          .withColumn("canon_url", Urls.canonicalize(col("url")))
+        // projected-alias shape: the inlined cascade copies are
+        // CSE-collapsed at runtime (Urls.dedupByUrl's plan-shape note)
+        val firstInBatch = batch.toDF()
+          .select(col("doc_id"), col("html"),
+            Urls.canonicalize(col("url")).as("canon_url"))
           .withColumn("host", Urls.hostOf(col("canon_url")))
-        val blocked = blockedDomains.foldLeft(lit(false)) { (acc, d) =>
-          acc || col("host") === d || col("host").endsWith(s".$d")
-        }
-        val firstInBatch = canon.filter(!blocked)
+          .filter(!Urls.hostBlocked(col("host"), blockedDomains))
           .groupBy("canon_url")
           .agg(min(struct(col("doc_id"), col("html"))).as("w"))
           .select(col("canon_url"), col("w.doc_id").as("doc_id"),

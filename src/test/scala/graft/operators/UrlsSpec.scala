@@ -107,5 +107,11 @@ class UrlsSpec extends SparkSpec {
       s"URL dedup should shuffle exactly once:\n$plan")
     assert(plan.contains("partial_min") || plan.contains("partial"),
       s"keep-first must combine map-side:\n$plan")
+    // NOTE the plan TEXT shows the cascade inlined several times
+    // (CollapseProject substitutes the canon/host aliases into the
+    // filter); that is fine — the copies are identical unconditional
+    // subtrees in one codegen stage and subexpression elimination
+    // evaluates the cascade once. See Urls.dedupByUrl's plan-shape
+    // note for the measured A/B against the "cheap gate" rewrite.
   }
 }
