@@ -678,6 +678,16 @@ object Rehearsal {
             sum(length(col("main_text"))))
           .collect()(0).getLong(0)
       },
+      // attribution probe for html_extract: the page-furniture
+      // synthesis alone (3 regex passes + concat, consumed via
+      // length-sum) — subtracting this from html_extract isolates
+      // the kernel's own share of the decade row
+      "html_synth" -> { () =>
+        val pages = docsR.repartition(32).select(col("doc_id"),
+          graft.operators.Html.syntheticPage(col("text"), col("source")).as("html"))
+        pages.agg(count(lit(1)), sum(length(col("html"))))
+          .collect()(0).getLong(0)
+      },
       // URL canonicalize + keep-first dedup: the cascade is a
       // projection; the ONE shuffle is the keep-first groupBy on the
       // canonical URL with map-side min/count partials — expected
