@@ -61,6 +61,28 @@ class UrlsSpec extends SparkSpec {
     }
   }
 
+  test("canonicalization is idempotent (canon∘canon == canon)") {
+    // the defining law of a canonical form: a second pass must be a
+    // no-op, on every adversarial fixture AND the registered corpus
+    // fixture — a rule that re-fires on its own output (e.g. a port
+    // strip exposing a new match) would silently split dedup groups
+    // between single- and double-canonicalized producers
+    val adversarial = Seq(
+      "HTTP://WWW.Example.COM:80/Path/?utm_source=f&id=2#frag",
+      "https://a.com:443/x///", "http://a.com:8080/?ref=r",
+      "  ftp://www.a.com/x ", "not a url", "http://a.com/x?utm_a=1&utm_b=2")
+    import spark.implicits._
+    val df = adversarial.toDF("url")
+      .unionByName(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(Urls.syntheticUrl(col("doc_id"), col("source")).as("url")))
+    val got = df.select(
+        Urls.canonicalize(col("url")).as("once"),
+        Urls.canonicalize(Urls.canonicalize(col("url"))).as("twice"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"canon not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'"))
+  }
+
   test("keep-first URL dedup recovers planted collisions; blocklist gates pre-group") {
     val df = Seq(
       (10L, "HTTP://www.A.com:80/p/?utm_source=x"), // canon: http://a.com/p
