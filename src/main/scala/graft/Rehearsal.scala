@@ -645,7 +645,8 @@ object Rehearsal {
       "html_extract" -> { () =>
         val pages = docsR.repartition(32).select(col("doc_id"),
           graft.operators.Html.syntheticPage(col("text"), col("source")).as("html"))
-        graft.operators.Html.extractMainText(pages, col("html"), col("doc_id"))
+        graft.operators.Html.extractMainText(pages, col("html"), col("doc_id"),
+            dropNullHtml = false) // synth html: non-null by construction
           .agg(count(lit(1)),
             sum(col("kept_blocks") + col("n_blocks") + col("n_links")),
             sum(length(col("main_text"))))
@@ -673,7 +674,8 @@ object Rehearsal {
             col("w.text").as("text"))
         val pages = winners.select(col("doc_id"),
           Html.syntheticPage(col("text"), col("source")).as("html"))
-        Html.extractMainText(pages, col("html"), col("doc_id"))
+        Html.extractMainText(pages, col("html"), col("doc_id"),
+            dropNullHtml = false) // synth html: non-null by construction
           .agg(count(lit(1)), sum(col("kept_blocks")),
             sum(length(col("main_text"))))
           .collect()(0).getLong(0)

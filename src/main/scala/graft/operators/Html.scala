@@ -37,16 +37,29 @@ object Html {
 
   /** Kernel path: one codegen'd projection per page. `carry` columns
     * ride through unchanged (composites keep their URL/fetch columns
-    * without a join-back). */
+    * without a join-back).
+    *
+    * `dropNullHtml` (default true) drops null pages — mirroring the
+    * staged path, where a null html explodes into zero block rows.
+    * Pass FALSE when `html` is an in-plan DERIVED expression that is
+    * non-null by construction (e.g. a concat of non-null inputs):
+    * the null gate is a predicate on `html`, and Catalyst pushes it
+    * down by CLONING html's whole defining expression into the
+    * filter — measured on the 100× rehearsal, the clone landed in a
+    * broadcast-nested-loop join CONDITION (interpreted, outside any
+    * codegen stage, no subexpression sharing with the projection)
+    * and re-ran the page-synthesis regex chain per row: 29 s vs 10 s
+    * for the identical result. Same family as the scan-filter
+    * kernel-substitution trap (Dedup short-doc gate), one operator
+    * further up. */
   def extractMainText(df: DataFrame, html: Column, id: Column,
                       minTokens: Int = minKeepTokens,
                       densityInv: Int = linkDensityInv,
-                      carry: Seq[Column] = Nil): DataFrame = {
+                      carry: Seq[Column] = Nil,
+                      dropNullHtml: Boolean = true): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
-    // null pages yield no row — mirrors the staged path, where a null
-    // html explodes into zero block rows
-    df.filter(html.isNotNull)
-      .select(id.as("doc_id") +: call_function("graft_html_extract", html,
+    val in = if (dropNullHtml) df.filter(html.isNotNull) else df
+    in.select(id.as("doc_id") +: call_function("graft_html_extract", html,
         lit(minTokens), lit(densityInv)).as("__e") +: carry: _*)
       .withColumn("main_text", col("__e.main_text"))
       .withColumn("n_blocks", col("__e.n_blocks"))

@@ -90,6 +90,12 @@ object HtmlExtract {
     c == ' ' || c == '\t' || c == '\r' || c == '\f'
 
   private def blockTagAt(s: String, i: Int): Boolean = {
+    // dispatch on the char after '<' — most '<' in real markup are
+    // links/inline tags and must exit in one comparison
+    if (i + 1 >= s.length) return false
+    val c1 = s.charAt(i + 1)
+    if (c1 != '/' && c1 != 'p' && c1 != 'n' && c1 != 'f' &&
+        c1 != 'h' && c1 != 'b') return false
     var t = 0
     while (t < blockTags.length) {
       if (s.startsWith(blockTags(t), i)) return true
@@ -104,10 +110,14 @@ object HtmlExtract {
     * exists. Mirrors the regex alternation: an unterminated construct
     * does not match and the '<' falls through to tag handling. */
   private def s1SkipLen(s: String, i: Int): Int = {
-    if (s.startsWith("<!--", i)) {
+    if (i + 1 >= s.length) return -1
+    val c1 = s.charAt(i + 1) // dispatch: only '!'/'s' can start S1
+    if (c1 == '!') {
+      if (!s.startsWith("<!--", i)) return -1
       val j = s.indexOf("-->", i + 4)
       return if (j >= 0) j + 3 - i else -1
     }
+    if (c1 != 's') return -1
     var open: String = null
     var close: String = null
     if (s.startsWith("<script", i)) { open = "<script"; close = "</script>" }
@@ -127,26 +137,33 @@ object HtmlExtract {
     i + 2 < s.length && s.charAt(i) == '<' && s.charAt(i + 1) == 'a' &&
       (s.charAt(i + 2) == ' ' || s.charAt(i + 2) == '>')
 
-  def compute(in: UTF8String, minTokens: Int, linkDensityInv: Int): InternalRow = {
-    val s = in.toString
-    val n = s.length
-    val out = new java.lang.StringBuilder()
-    val blk = new java.lang.StringBuilder()
-    var pendingSpace = false
-    var blkTokens = 0
-    var blkLinks = 0
-    var nBlocks = 0L
-    var keptBlocks = 0L
-    var nLinks = 0L
+  def compute(in: UTF8String, minTokens: Int, linkDensityInv: Int): InternalRow =
+    new Walker(in.toString, minTokens, linkDensityInv).run()
 
-    def emit(c: Char): Unit = {
+  /** One extraction walk. A class, not nested defs: helpers closing
+    * over mutable locals would make Scala box every counter into a
+    * heap Ref object and tax every character of the corpus — plain
+    * fields measured 2.7× faster on the synthesized-page profile
+    * (24.7 → 9 µs/page, see BASELINE.md#html_extract@100x notes). */
+  private final class Walker(s: String, minTokens: Int, linkDensityInv: Int) {
+    private val n = s.length
+    private val out = new java.lang.StringBuilder(n / 2)
+    private val blk = new java.lang.StringBuilder(64)
+    private var pendingSpace = false
+    private var blkTokens = 0
+    private var blkLinks = 0
+    private var nBlocks = 0L
+    private var keptBlocks = 0L
+    private var nLinks = 0L
+
+    private def emit(c: Char): Unit = {
       if (pendingSpace && blk.length > 0) blk.append(' ')
       if (pendingSpace || blk.length == 0) blkTokens += 1
       pendingSpace = false
       blk.append(c)
     }
 
-    def endBlock(): Unit = {
+    private def endBlock(): Unit = {
       if (blkTokens > 0) {
         nBlocks += 1
         nLinks += blkLinks
@@ -162,64 +179,66 @@ object HtmlExtract {
       pendingSpace = false
     }
 
-    var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if (c == '\n') { endBlock(); i += 1 }
-      else if (isWs(c)) { pendingSpace = true; i += 1 }
-      else if (c == '<') {
-        val skip = s1SkipLen(s, i)
-        if (skip > 0) { pendingSpace = true; i += skip } // S1 → ' '
-        else if (blockTagAt(s, i)) { // S2 → '\n'
-          endBlock()
-          i = s.indexOf('>', i) + 1
-        } else {
-          // generic tag (S3): lookahead for the closing '>' of
-          // `<[^>]*>` within THIS block — jumping embedded S1
-          // constructs (already ' ' in the staged string) and
-          // aborting at a block boundary ('\n' or a block tag, both
-          // already '\n' there). Links are counted over the scanned
-          // range only if the tag is consumed; on abort the '<' is
-          // literal text and the inner chars re-process normally.
-          var tmpLinks = if (linkAt(s, i)) 1 else 0
-          var j = i + 1
-          var end = -1 // exclusive end of the consumed tag
-          var aborted = false
-          while (!aborted && end < 0 && j < n) {
-            val cj = s.charAt(j)
-            if (cj == '>') end = j + 1
-            else if (cj == '\n') aborted = true
-            else if (cj == '<') {
-              val sk = s1SkipLen(s, j)
-              if (sk > 0) j += sk
-              else if (blockTagAt(s, j)) aborted = true
-              else { if (linkAt(s, j)) tmpLinks += 1; j += 1 }
-            } else j += 1
+    def run(): InternalRow = {
+      var i = 0
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '\n') { endBlock(); i += 1 }
+        else if (isWs(c)) { pendingSpace = true; i += 1 }
+        else if (c == '<') {
+          val skip = s1SkipLen(s, i)
+          if (skip > 0) { pendingSpace = true; i += skip } // S1 → ' '
+          else if (blockTagAt(s, i)) { // S2 → '\n'
+            endBlock()
+            i = s.indexOf('>', i) + 1
+          } else {
+            // generic tag (S3): lookahead for the closing '>' of
+            // `<[^>]*>` within THIS block — jumping embedded S1
+            // constructs (already ' ' in the staged string) and
+            // aborting at a block boundary ('\n' or a block tag, both
+            // already '\n' there). Links are counted over the scanned
+            // range only if the tag is consumed; on abort the '<' is
+            // literal text and the inner chars re-process normally.
+            var tmpLinks = if (linkAt(s, i)) 1 else 0
+            var j = i + 1
+            var end = -1 // exclusive end of the consumed tag
+            var aborted = false
+            while (!aborted && end < 0 && j < n) {
+              val cj = s.charAt(j)
+              if (cj == '>') end = j + 1
+              else if (cj == '\n') aborted = true
+              else if (cj == '<') {
+                val sk = s1SkipLen(s, j)
+                if (sk > 0) j += sk
+                else if (blockTagAt(s, j)) aborted = true
+                else { if (linkAt(s, j)) tmpLinks += 1; j += 1 }
+              } else j += 1
+            }
+            if (end >= 0) { // tag consumed → ' '
+              blkLinks += tmpLinks
+              pendingSpace = true
+              i = end
+            } else { // no '>' in this block → the '<' is literal text
+              if (linkAt(s, i)) blkLinks += 1
+              emit('<')
+              i += 1
+            }
           }
-          if (end >= 0) { // tag consumed → ' '
-            blkLinks += tmpLinks
-            pendingSpace = true
-            i = end
-          } else { // no '>' in this block → the '<' is literal text
-            if (linkAt(s, i)) blkLinks += 1
-            emit('<')
-            i += 1
-          }
-        }
-      } else if (c == '&') {
-        // S4 single-pass entity decode, &amp; first (≡ cascade
-        // lt/gt/quot/#39 then amp — see scaladoc)
-        if (s.startsWith("&amp;", i)) { emit('&'); i += 5 }
-        else if (s.startsWith("&lt;", i)) { emit('<'); i += 4 }
-        else if (s.startsWith("&gt;", i)) { emit('>'); i += 4 }
-        else if (s.startsWith("&quot;", i)) { emit('"'); i += 6 }
-        else if (s.startsWith("&#39;", i)) { emit('\''); i += 5 }
-        else { emit('&'); i += 1 }
-      } else { emit(c); i += 1 }
-    }
-    endBlock()
+        } else if (c == '&') {
+          // S4 single-pass entity decode, &amp; first (≡ cascade
+          // lt/gt/quot/#39 then amp — see scaladoc)
+          if (s.startsWith("&amp;", i)) { emit('&'); i += 5 }
+          else if (s.startsWith("&lt;", i)) { emit('<'); i += 4 }
+          else if (s.startsWith("&gt;", i)) { emit('>'); i += 4 }
+          else if (s.startsWith("&quot;", i)) { emit('"'); i += 6 }
+          else if (s.startsWith("&#39;", i)) { emit('\''); i += 5 }
+          else { emit('&'); i += 1 }
+        } else { emit(c); i += 1 }
+      }
+      endBlock()
 
-    new GenericInternalRow(Array[Any](
-      UTF8String.fromString(out.toString), nBlocks, keptBlocks, nLinks))
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(out.toString), nBlocks, keptBlocks, nLinks))
+    }
   }
 }

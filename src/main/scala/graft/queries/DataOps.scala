@@ -780,9 +780,17 @@ object DataOps {
     * with in-paragraph links and entities — Html.syntheticPage) —
     * the kernel path: one codegen'd projection, no shuffle. */
   def txExtractHtml(s: SparkSession, d: String): DataFrame = {
-    val pages = docs(s, d).select(col("doc_id"),
-      graft.operators.Html.syntheticPage(col("text"), col("source")).as("html"))
-    graft.operators.Html.extractMainText(pages, col("html"), col("doc_id"))
+    // cheap RAW-column null gate (pushes to the scan as attribute
+    // IsNotNulls); the synthesized html is then non-null by
+    // construction, so the operator's own null gate — a predicate on
+    // the derived html whose pushdown CLONES the synth chain — is
+    // skipped (Html.extractMainText scaladoc)
+    val pages = docs(s, d)
+      .filter(col("text").isNotNull && col("source").isNotNull)
+      .select(col("doc_id"),
+        graft.operators.Html.syntheticPage(col("text"), col("source")).as("html"))
+    graft.operators.Html.extractMainText(pages, col("html"), col("doc_id"),
+      dropNullHtml = false)
   }
 
   /** Domain blocklist for the URL-dedup gate (2 of the 20 synthetic
@@ -838,7 +846,8 @@ object DataOps {
     val pages = winners.select(col("doc_id"), col("canon_url"), col("n_fetches"),
       Html.syntheticPage(col("text"), col("source")).as("html"))
     val ext = Html.extractMainText(pages, col("html"), col("doc_id"),
-      carry = Seq(col("canon_url"), col("n_fetches")))
+      carry = Seq(col("canon_url"), col("n_fetches")),
+      dropNullHtml = false) // synth over corpus columns: non-null by construction
     val nTok = when(col("main_text") === "", 0L)
       .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
     ext.select(col("doc_id"), col("canon_url"), col("n_fetches"),
