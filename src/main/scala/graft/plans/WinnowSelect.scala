@@ -75,14 +75,18 @@ object WinnowSelect {
     val dq = new Array[Int](m)
     var head = 0
     var tail = 0 // exclusive
-    def push(i: Int): Unit = {
+    // the deque push is inlined at both sites: a nested def closing
+    // over the mutable head/tail would box them into heap IntRefs and
+    // tax every fingerprint of the corpus (the HtmlExtract walker
+    // lesson, r13)
+    var i = 0
+    val firstEnd = math.min(w, m) // exclusive end of window 0
+    while (i < firstEnd) {
       while (tail > head && h(dq(tail - 1)) >= h(i)) tail -= 1
       dq(tail) = i
       tail += 1
+      i += 1
     }
-    var i = 0
-    val firstEnd = math.min(w, m) // exclusive end of window 0
-    while (i < firstEnd) { push(i); i += 1 }
     val out = new Array[Any](cnt)
     var n = 0
     var lastP = -1
@@ -90,7 +94,11 @@ object WinnowSelect {
     while (j < cnt) {
       if (j > 0) {
         val e = j + w - 1
-        if (e < m) push(e)
+        if (e < m) {
+          while (tail > head && h(dq(tail - 1)) >= h(e)) tail -= 1
+          dq(tail) = e
+          tail += 1
+        }
         while (dq(head) < j) head += 1
       }
       val p = dq(head)
