@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *
   * The extraction contract is the five-stage cascade documented on
   * [[graft.plans.HtmlExtract]]: strip comments/scripts/styles →
-  * block segmentation on exact block tags + newlines → per-block
+  * block segmentation on the HTML5 block-tag set (attributed or
+  * bare — `<div class="c">` delimits like `<p>`) + newlines → per-block
   * generic-tag strip + link count → entity decode → whitespace
   * collapse → keep a block iff it has ≥ `minTokens` tokens and link
   * density ≤ 1/`linkDensityInv` (integer-exact:
@@ -89,7 +90,7 @@ object Html {
                             densityInv: Int = linkDensityInv): DataFrame = {
     val s1 = regexp_replace(html,
       "(?s)<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
-    val s2 = regexp_replace(s1, "</?(p|nav|footer|html|head|body)>", "\n")
+    val s2 = regexp_replace(s1, graft.plans.HtmlExtract.blockTagRegex, "\n")
     val blocks = df.select(id.as("doc_id"),
       posexplode(split(s2, "\n", -1)).as(Seq("pos", "blk")))
     val links = size(regexp_extract_all(col("blk"), lit("<a[ >]"), lit(0)))
@@ -134,9 +135,9 @@ object Html {
       lit("\";</script><style>.m{color:#333}</style></head>" +
         "<body><!-- graft fixture -->" +
         "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> <a href=\"/"),
-      source, lit("\">"), source, lit("</a></nav>"),
+      source, lit("\">"), source, lit("</a></nav><div class=\"content\">"),
       ent,
-      lit("<footer>contact &amp; imprint <a href=\"/legal\">legal</a>" +
-        "</footer></body></html>"))
+      lit("</div><footer>contact &amp; imprint<br/>" +
+        "<a href=\"/legal\">legal</a></footer></body></html>"))
   }
 }

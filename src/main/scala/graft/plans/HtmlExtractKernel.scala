@@ -22,10 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *      `<!--.*?-->` | `<script[^>]*>.*?</script>` |
   *      `<style[^>]*>.*?</style>` → ' ' (dotall; an unterminated
   *      construct does not match and its text falls through).
-  *  S2  segment into blocks: the exact lowercase tags `<p> </p>
-  *      <nav> </nav> <footer> </footer> <html> </html> <head>
-  *      </head> <body> </body>` → '\n'; physical newlines delimit
-  *      too (line-blocks, the text-density-extractor convention).
+  *  S2  segment into blocks: lowercase block-level tags (the HTML5
+  *      block set in [[HtmlExtract.blockTagNames]]), open or close,
+  *      WITH OR WITHOUT attributes — `</?(name)(?:[ /][^>]*)?>` →
+  *      '\n' (so `<div class="c">`, `<br/>`, `</p>` all delimit;
+  *      `<pre>`-style non-block names and prefix collisions like
+  *      `<divx>` fall through to the generic strip). Physical
+  *      newlines delimit too (line-blocks, the
+  *      text-density-extractor convention).
   *  S3  per block: links = occurrences of `<a[ >]`; then strip
   *      `<[^>]*>` → ' ' (a tag never crosses a block boundary).
   *  S4  decode the five entities `&lt; &gt; &quot; &#39;` then
@@ -82,26 +86,74 @@ case class HtmlExtract(child: Expression, minTokens: Int, linkDensityInv: Int)
 
 object HtmlExtract {
 
-  private val blockTags: Array[String] = Array(
-    "<p>", "</p>", "<nav>", "</nav>", "<footer>", "</footer>",
-    "<html>", "</html>", "<head>", "</head>", "<body>", "</body>")
+  /** The HTML5 block-level tag set whose open/close (attributed or
+    * bare) delimits blocks — the SINGLE source the staged Spark regex
+    * and the DuckDB oracle both generate their S2 pattern from. */
+  val blockTagNames: Seq[String] = Seq(
+    "p", "div", "br", "hr", "nav", "footer", "header", "main", "aside",
+    "article", "section", "ul", "ol", "li", "blockquote",
+    "h1", "h2", "h3", "h4", "h5", "h6",
+    "table", "thead", "tbody", "tr", "td", "th",
+    "html", "head", "body", "title")
+
+  /** The S2 segmentation regex, generated from [[blockTagNames]]. */
+  val blockTagRegex: String =
+    s"</?(?:${blockTagNames.mkString("|")})(?:[ /][^>]*)?>"
+
+  // names grouped by first char — dispatch so the '<a href' / '<b>'
+  // hot cases exit in one comparison
+  private val namesByFirst: Array[Array[String]] = {
+    val m = new Array[Array[String]](26)
+    blockTagNames.groupBy(_.charAt(0)).foreach { case (c, ns) =>
+      m(c - 'a') = ns.toArray
+    }
+    m
+  }
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\r' || c == '\f'
 
-  private def blockTagAt(s: String, i: Int): Boolean = {
-    // dispatch on the char after '<' — most '<' in real markup are
-    // links/inline tags and must exit in one comparison
-    if (i + 1 >= s.length) return false
-    val c1 = s.charAt(i + 1)
-    if (c1 != '/' && c1 != 'p' && c1 != 'n' && c1 != 'f' &&
-        c1 != 'h' && c1 != 'b') return false
+  /** Exclusive end of the S2 block tag starting at `i` ('<'), or -1.
+    * Mirrors the regex `</?(name)(?:[ /][^>]*)?>` on the POST-S1
+    * string: the attribute scan jumps embedded VALID S1 constructs
+    * (already ' ' there) and an unterminated tag fails the match. */
+  private def blockTagEnd(s: String, i: Int): Int = {
+    val n = s.length
+    var j = i + 1
+    if (j < n && s.charAt(j) == '/') j += 1
+    if (j >= n) return -1
+    val c0 = s.charAt(j)
+    if (c0 < 'a' || c0 > 'z') return -1
+    val cands = namesByFirst(c0 - 'a')
+    if (cands == null) return -1
     var t = 0
-    while (t < blockTags.length) {
-      if (s.startsWith(blockTags(t), i)) return true
+    while (t < cands.length) {
+      val name = cands(t)
+      if (s.startsWith(name, j)) {
+        val k = j + name.length
+        if (k < n) {
+          val c = s.charAt(k)
+          if (c == '>') return k + 1
+          if (c == ' ' || c == '/') {
+            var a = k + 1
+            while (a < n) {
+              val ca = s.charAt(a)
+              if (ca == '>') return a + 1
+              if (ca == '<') {
+                val sk = s1SkipLen(s, a)
+                a += (if (sk > 0) sk else 1)
+              } else a += 1
+            }
+            // unterminated: this alternative fails, and a LONGER name
+            // sharing the prefix can't rescue it (its boundary char
+            // would be a letter) — not a block tag
+            return -1
+          }
+        }
+      }
       t += 1
     }
-    false
+    -1
   }
 
   /** Length of the S1 construct starting at `i`, or -1 if none: a
@@ -188,10 +240,12 @@ object HtmlExtract {
         else if (c == '<') {
           val skip = s1SkipLen(s, i)
           if (skip > 0) { pendingSpace = true; i += skip } // S1 → ' '
-          else if (blockTagAt(s, i)) { // S2 → '\n'
-            endBlock()
-            i = s.indexOf('>', i) + 1
-          } else {
+          else {
+            val bte = blockTagEnd(s, i)
+            if (bte >= 0) { // S2 → '\n'
+              endBlock()
+              i = bte
+            } else {
             // generic tag (S3): lookahead for the closing '>' of
             // `<[^>]*>` within THIS block — jumping embedded S1
             // constructs (already ' ' in the staged string) and
@@ -210,7 +264,7 @@ object HtmlExtract {
               else if (cj == '<') {
                 val sk = s1SkipLen(s, j)
                 if (sk > 0) j += sk
-                else if (blockTagAt(s, j)) aborted = true
+                else if (blockTagEnd(s, j) >= 0) aborted = true
                 else { if (linkAt(s, j)) tmpLinks += 1; j += 1 }
               } else j += 1
             }
@@ -222,6 +276,7 @@ object HtmlExtract {
               if (linkAt(s, i)) blkLinks += 1
               emit('<')
               i += 1
+            }
             }
           }
         } else if (c == '&') {

@@ -1656,18 +1656,19 @@ object DataOps {
             '<html><head><script type="text/javascript">var t="' || source ||
             '";</script><style>.m{color:#333}</style></head><body><!-- graft fixture -->' ||
             '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/' ||
-            source || '">' || source || '</a></nav>' ||
+            source || '">' || source || '</a></nav><div class="content">' ||
             replace(replace(regexp_replace(text, '((?:\\S+ ){11}\\S+) ', '<p>\\1</p>', 'g'),
                     ' table ', ' <a href="#t">table</a> '),
                     ' agg ', ' x &amp; y ') ||
-            '<footer>contact &amp; imprint <a href="/legal">legal</a></footer></body></html>'
+            '</div><footer>contact &amp; imprint<br/><a href="/legal">legal</a></footer></body></html>'
             AS html
           FROM $docRel),
         sx1 AS (SELECT doc_id, regexp_replace(html,
                  '<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
                  ' ', 'gs') AS t FROM hx),
         sx2 AS (SELECT doc_id,
-                 regexp_replace(t, '</?(p|nav|footer|html|head|body)>', chr(10), 'g') AS t
+                 regexp_replace(t, '${graft.plans.HtmlExtract.blockTagRegex}',
+                   chr(10), 'g') AS t
                FROM sx1),
         bx AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS blk,
                      generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM sx2),

@@ -49,7 +49,19 @@ class HtmlExtractSpec extends SparkSpec {
       // block with links exactly at the density boundary: 1 link, 5 tokens
       (8L, "<p>a b c d <a href=\"#\">e</a></p>"),
       // nested block tags back to back and a bare '<' in text
-      (9L, "<p></p><p>only</p><body>q w e r t y < u</body>"))
+      (9L, "<p></p><p>only</p><body>q w e r t y < u</body>"),
+      // attributed block tags delimit; prefix-collisions don't
+      (10L, "<div class=\"c\">one two three four five six</div>" +
+        "<pre>not a block v w x y z</pre>" +
+        "<divx>alpha beta gamma delta epsilon</divx>"),
+      // self-closing br splits a block; header vs head vs h1 resolve
+      (11L, "<header>hh</header><p>a b c d e<br/>f g h i j</p>" +
+        "<h1>one two three four five</h1>"),
+      // a truly unterminated attributed div (no '>' anywhere after)
+      // is NOT a block boundary: its text stays literal. NB with any
+      // later '>' the regex's [^>]* runs to it — the div would then
+      // terminate there and delimit, swallowing the middle
+      (12L, "<p>x1 x2 x3 x4 x5</p><div class=unclosed n o p q r"))
       .toDF("doc_id", "html")
     parity(docs)
     val k = rows(Html.extractMainText(docs, col("html"), col("doc_id")))
@@ -69,6 +81,15 @@ class HtmlExtractSpec extends SparkSpec {
     assert(k(8L) == (("a b c d e", 1L, 1L, 1L)))
     assert(k(6L) == (("", 0L, 0L, 0L)))
     assert(!k.contains(7L), "null html yields no row on either path")
+    // doc 10: attributed div delimits; <pre> is inline (its text joins
+    // the following <divx> text in one block — both tags strip generic)
+    assert(k(10L)._1 == "one two three four five six\n" +
+      "not a block v w x y z alpha beta gamma delta epsilon")
+    // doc 11: <br/> splits the paragraph into two five-token blocks
+    assert(k(11L)._1 == "a b c d e\nf g h i j\none two three four five")
+    // doc 12: the unterminated attributed div stays literal text
+    // (7 tokens, so its block passes the keep rule)
+    assert(k(12L)._1 == "x1 x2 x3 x4 x5\n<div class=unclosed n o p q r")
   }
 
   test("kernel == staged cascade on adversarial markup soup (fuzz)") {
