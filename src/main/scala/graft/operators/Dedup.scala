@@ -132,16 +132,20 @@ object Dedup {
     * directional ratios: c_a = |A∩B|/|A| is "how much of A is inside
     * B".
     *
-    * Cap posture (deliberate): the DEFAULT stays the exact uncapped
-    * join, because capping changes semantics — a capped run can only
-    * DROP pairs, and this operator is the confirmation tool whose
-    * verdict callers trust to be exact. At corpus scale the cap is
-    * mandatory (a boilerplate shingle's posting list squares the pair
-    * volume); production passes maxPostingLen explicitly — the
-    * rehearsal's `containment` case prices that posture at 2000, the
-    * mutual/semdedup skew-cap discipline (BASELINE.md#containment). */
+    * Cap posture (r14 flip): the DEFAULT is the capped join at
+    * [[containmentDefaultCap]] — the library's measured production
+    * posture (BASELINE.md#containment prices it; the uncapped join
+    * "would not survive a dense corpus at any heap": a boilerplate
+    * shingle's posting list squares the pair volume). A capped run
+    * can only DROP pairs whose shared shingle is corpus-stopword-hot
+    * (ContainmentSpec's subset law), never invent one; callers that
+    * want the exact quadratic confirmation on a corpus they KNOW is
+    * sparse opt in with `maxPostingLen = Int.MaxValue`. */
+  val containmentDefaultCap = 2000
+
   def containmentPairs(df: DataFrame, text: Column, id: Column, n: Int,
-                       threshold: Double, maxPostingLen: Int = Int.MaxValue): DataFrame =
+                       threshold: Double,
+                       maxPostingLen: Int = containmentDefaultCap): DataFrame =
     shingleOverlap(df, text, id, n, maxPostingLen)
       .withColumn("c_a", round(col("common").cast("double") / col("size_a"), 6))
       .withColumn("c_b", round(col("common").cast("double") / col("size_b"), 6))

@@ -36,6 +36,19 @@ object Html {
   val minKeepTokens = 5
   val linkDensityInv = 5
 
+  /** The numeric-entity gauntlet the fixture plants over ' stream '
+    * tokens — one specimen per S4 decode branch: decimal and hex refs
+    * (NBSP twice over, an em dash), the named `&nbsp;`, a non-BMP
+    * codepoint (surrogate-pair emission), and the four invalid
+    * classes that must fall through as literal text (lone surrogate,
+    * beyond U+10FFFF, over-long digit run, codepoint zero), closing
+    * with a decoded `&#10;` that must collapse to a space rather than
+    * split the block. Pure ASCII so both engines plant identical
+    * bytes. */
+  val entityGauntlet: String =
+    " s&#160;t &#x2014; u&nbsp;v &#x1F600; &#xD800; &#1114112; " +
+      "&#99999999; &#x0; w&#10;x "
+
   /** Kernel path: one codegen'd projection per page. `carry` columns
     * ride through unchanged (composites keep their URL/fetch columns
     * without a join-back).
@@ -59,25 +72,66 @@ object Html {
                       carry: Seq[Column] = Nil,
                       dropNullHtml: Boolean = true): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    // the output schema's names are a CONTRACT — a carry column named
+    // main_text would be silently clobbered by the struct expansion
+    // below, so collisions (and carry-vs-carry duplicates) fail loudly
+    val eTmp = "__graft_html_e"
+    val outCols = Seq("doc_id", "main_text", "n_blocks", "kept_blocks",
+      "n_links", eTmp)
+    val carryNames = carry.map(c => df.select(c).columns.head)
+    require(carryNames.toSet.intersect(outCols.toSet).isEmpty,
+      s"extractMainText: carry column(s) ${
+        carryNames.filter(outCols.contains)
+          .mkString("'", "', '", "'")} collide with the output schema " +
+        s"(reserved: ${outCols.mkString(", ")}) — alias them first")
+    require(carryNames.distinct == carryNames,
+      s"extractMainText: duplicate carry column names $carryNames")
     val in = if (dropNullHtml) df.filter(html.isNotNull) else df
     in.select(id.as("doc_id") +: call_function("graft_html_extract", html,
-        lit(minTokens), lit(densityInv)).as("__e") +: carry: _*)
-      .withColumn("main_text", col("__e.main_text"))
-      .withColumn("n_blocks", col("__e.n_blocks"))
-      .withColumn("kept_blocks", col("__e.kept_blocks"))
-      .withColumn("n_links", col("__e.n_links"))
-      .drop("__e")
+        lit(minTokens), lit(densityInv)).as(eTmp) +: carry: _*)
+      .withColumn("main_text", col(s"$eTmp.main_text"))
+      .withColumn("n_blocks", col(s"$eTmp.n_blocks"))
+      .withColumn("kept_blocks", col(s"$eTmp.kept_blocks"))
+      .withColumn("n_links", col(s"$eTmp.n_links"))
+      .drop(eTmp)
   }
 
-  /** The five decoded entities, cascade order: lt/gt/quot/#39 first,
-    * &amp; LAST (so `&amp;lt;` lands on the literal text `&lt;`) —
-    * equivalent to the kernel's single pass with &amp; first. */
+  /** S4 single-pass entity decode, relational form: split on '&' and
+    * decode each piece's LEADING entity — named (`amp lt gt quot
+    * nbsp`) or numeric character reference (`#d{1,7};` decimal,
+    * `#[xX]h{1,6};` hex; decoded iff 1 ≤ cp ≤ 0x10FFFF and not a
+    * surrogate), else the '&' was literal text. Exactly the kernel's
+    * one pass (decode output is never re-parsed: a former replace()
+    * CASCADE would re-match what an earlier stage produced —
+    * `&#38;#x41;` must stay the literal text `&#x41;`, not become
+    * 'A'). Codepoint → string is `reflect(java.lang.Character,
+    * toString, cp)` — the staged path is the interpreted reference,
+    * not the scale path, so a reflective per-piece call is fine. */
   private def decodeEntities(c: Column): Column = {
-    val steps = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&amp;" -> "&")
-    steps.foldLeft(c) { case (acc, (from, to)) =>
-      replace(acc, lit(from), lit(to))
+    val pieces = split(c, "&", -1)
+    def rest(p: Column, after: Column): Column = p.substr(after, length(p))
+    def decodePiece(p: Column): Column = {
+      val decDig = regexp_extract(p, "^#([0-9]{1,7});", 1)
+      val hexDig = regexp_extract(p, "^#[xX]([0-9a-fA-F]{1,6});", 1)
+      val cp = when(decDig =!= "", decDig.cast("long"))
+        .when(hexDig =!= "", conv(hexDig, 16, 10).cast("long"))
+        .otherwise(lit(-1L))
+      val cpOk = cp >= 1L && cp <= 0x10FFFFL && !(cp >= 0xD800L && cp <= 0xDFFFL)
+      val entEnd = when(decDig =!= "", length(decDig) + lit(3))
+        .otherwise(length(hexDig) + lit(4)) // '#x' + digits + ';' + 1
+      val cpStr = call_function("reflect", lit("java.lang.Character"),
+        lit("toString"), cp.cast("int"))
+      when(p.startsWith("amp;"), concat(lit("&"), rest(p, lit(5))))
+        .when(p.startsWith("lt;"), concat(lit("<"), rest(p, lit(4))))
+        .when(p.startsWith("gt;"), concat(lit(">"), rest(p, lit(4))))
+        .when(p.startsWith("quot;"), concat(lit("\""), rest(p, lit(6))))
+        .when(p.startsWith("nbsp;"), concat(lit("\u00A0"), rest(p, lit(6))))
+        .when(cpOk, concat(cpStr, rest(p, entEnd)))
+        .otherwise(concat(lit("&"), p))
     }
+    concat(element_at(pieces, 1),
+      array_join(transform(slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0))),
+        decodePiece(_)), ""))
   }
 
   /** Staged relational reference: the cascade stage by stage, with a
@@ -121,22 +175,24 @@ object Html {
     * ops), so extraction can be oracle-checked end to end on the
     * `documents` table: a tracking script, a stylesheet, a comment,
     * a 3-link nav, 12-token paragraphs with 'table' tokens promoted
-    * to in-paragraph links and 'agg' tokens to an `&amp;` entity
-    * phrase, and a linked footer. Nav/footer fail the keep rule
-    * (short + link-dense), paragraphs mostly pass, link-heavy ones
-    * data-dependently fail — the fixture exercises every branch. */
+    * to in-paragraph links, 'agg' tokens to an `&amp;` entity phrase
+    * and 'stream' tokens to the [[entityGauntlet]], and a linked
+    * footer. Nav/footer fail the keep rule (short + link-dense),
+    * paragraphs mostly pass, link-heavy ones data-dependently fail —
+    * the fixture exercises every branch. */
   def syntheticPage(text: Column, source: Column): Column = {
     val para = regexp_replace(text, "((?:\\S+ ){11}\\S+) ", "<p>$1</p>")
     val linked = replace(para, lit(" table "),
       lit(" <a href=\"#t\">table</a> "))
     val ent = replace(linked, lit(" agg "), lit(" x &amp; y "))
+    val gaunt = replace(ent, lit(" stream "), lit(entityGauntlet))
     concat(
       lit("<html><head><script type=\"text/javascript\">var t=\""), source,
       lit("\";</script><style>.m{color:#333}</style></head>" +
         "<body><!-- graft fixture -->" +
         "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> <a href=\"/"),
       source, lit("\">"), source, lit("</a></nav><div class=\"content\">"),
-      ent,
+      gaunt,
       lit("</div><footer>contact &amp; imprint<br/>" +
         "<a href=\"/legal\">legal</a></footer></body></html>"))
   }

@@ -1099,9 +1099,11 @@ object Similarity {
     * itself leaves every table registered under some name (final,
     * `__old` aside, or `__new` temp) with both generations' files on
     * disk — recovery is a catalog rename, never a retrain, and the
-    * next call performs it AUTOMATICALLY on entry (an unbound final
-    * name with a live `__old` aside is renamed back in before the
-    * existence check); the only residual window is a final name being
+    * next call performs it AUTOMATICALLY on entry, generation-aware
+    * ([[recoverInterruptedSwap]]: the whole table SET rolls forward
+    * to the fully-built new generation or back to the old one —
+    * never a per-table rename that could serve PQ codes against the
+    * wrong generation's centroids); the only residual window is a final name being
     * briefly unbound between its two renames, during which concurrent
     * readers of that one table see transient table-not-found. Generations ping-pong between
     * `$root/gen_a` and `$root/gen_b` so the overwrite never touches
@@ -1114,22 +1116,93 @@ object Similarity {
     * one |B|·kc broadcast-centroid assignment. The per-cell frame is
     * kc rows — model-sized driver state, the same boundary the
     * centroid tables already cross. */
+  /** GENERATION-AWARE recovery from a crash inside the per-table swap
+    * loop, run on entry to every refresh. The naive per-table form —
+    * "an unbound final with a live `__old` aside is renamed back in" —
+    * could silently serve a MIXED-generation model: with the loop
+    * order (cents, books, codes), a crash after cents fully swapped
+    * and books renamed-aside leaves cents already NEW-generation;
+    * renaming books' OLD aside back in then passes the existence
+    * require with PQ codes querying the wrong generation's centroids.
+    *
+    * A table's generation is its location's parent directory (all
+    * three tables of one generation live under one root — `$root`,
+    * `$root/gen_a` or `$root/gen_b`). Recovery only engages when the
+    * swap provably STARTED (an unbound final, or bound finals in
+    * mixed generations — a merely-stranded partial `__new` build with
+    * a healthy uniform serving set is NOT touched; the next drifted
+    * refresh drops and rebuilds it). It then rolls the whole set the
+    * same way:
+    *  - FORWARD when every table has the new generation available
+    *    (under its final or `__new` name) — completing each table
+    *    with the same rename-aside → rename-in → drop-aside steps,
+    *    so a crash inside recovery lands back in a recoverable state;
+    *  - otherwise BACK, renaming `__old` asides in (only possible
+    *    when no table already serves the new generation — mixed
+    *    finals always have their `__new`s, because temps are all
+    *    built before the first rename);
+    *  - and fails loudly when neither generation is complete rather
+    *    than serve a mixed model. */
+  private def recoverInterruptedSwap(spark: org.apache.spark.sql.SparkSession,
+                                     tables: Seq[String], tag: String): Unit = {
+    def aside(fin: String) = fin.stripSuffix(s"_$tag") + s"_${tag}__old"
+    def temp(fin: String) = fin.stripSuffix(s"_$tag") + s"_${tag}__new"
+    def locOf(t: String): Option[String] =
+      if (!spark.catalog.tableExists(t)) None
+      else Some(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location.toString)
+    def genOf(loc: String): String = {
+      val l = loc.stripSuffix("/")
+      l.substring(0, math.max(l.lastIndexOf('/'), 0))
+    }
+    val finGen = tables.map(t => t -> locOf(t).map(genOf)).toMap
+    val tmpGen = tables.map(t => t -> locOf(temp(t)).map(genOf)).toMap
+    val boundGens = finGen.values.flatten.toSeq.distinct
+    val unbound = tables.filter(t => finGen(t).isEmpty &&
+      (spark.catalog.tableExists(aside(t)) || tmpGen(t).nonEmpty))
+    if (unbound.isEmpty && boundGens.size <= 1) return // healthy
+    val newGen = tmpGen.values.flatten.toSeq.distinct match {
+      case Seq(g) => Some(g)
+      case Seq() =>
+        // no temps anywhere: only a pure rename-aside crash state is
+        // reachable (mixed finals imply live temps) — roll back
+        None
+      case gs => throw new IllegalStateException(
+        s"IVFADC swap recovery: __new temps span generations $gs for " +
+          s"tag '$tag' — manual cleanup required")
+    }
+    newGen match {
+      case Some(ng) if tables.forall(t =>
+          finGen(t).contains(ng) || tmpGen(t).contains(ng)) =>
+        tables.foreach { fin =>
+          if (!finGen(fin).contains(ng)) {
+            spark.sql(s"DROP TABLE IF EXISTS ${aside(fin)}")
+            if (finGen(fin).nonEmpty)
+              spark.sql(s"ALTER TABLE $fin RENAME TO ${aside(fin)}")
+            spark.sql(s"ALTER TABLE ${temp(fin)} RENAME TO $fin")
+          }
+          spark.sql(s"DROP TABLE IF EXISTS ${aside(fin)}")
+          spark.sql(s"DROP TABLE IF EXISTS ${temp(fin)}")
+        }
+      case None if tables.forall(t => finGen(t).nonEmpty ||
+          spark.catalog.tableExists(aside(t))) && boundGens.size <= 1 =>
+        tables.foreach { fin =>
+          if (finGen(fin).isEmpty)
+            spark.sql(s"ALTER TABLE ${aside(fin)} RENAME TO $fin")
+        }
+      case _ => throw new IllegalStateException(
+        s"IVFADC swap recovery: neither generation is complete for tag " +
+          s"'$tag' (finals: $finGen, temps: $tmpGen) — manual cleanup required")
+    }
+  }
+
   def refreshIvfPqIfDrifted(spark: org.apache.spark.sql.SparkSession, root: String,
                             tag: String, corpus: => DataFrame, batch: DataFrame,
                             maxShareGap: Double, kc: Int, coarseIters: Int,
                             m: Int, k: Int, iters: Int, nBuckets: Int = 8)
       : (DataFrame, DataFrame, DataFrame, Boolean) = {
     val tables = Seq(s"ivfpq_cents_$tag", s"ivfpq_books_$tag", s"ivfpq_codes_$tag")
-    // automatic crash-between-renames recovery: a crash after
-    // rename-aside but before rename-in leaves a final name unbound
-    // with the model live only under its __old aside — rename it back
-    // in BEFORE the existence require, so the documented "recovery is
-    // a catalog rename" happens here, not by operator intervention
-    tables.foreach { fin =>
-      val aside = fin.stripSuffix(s"_$tag") + s"_${tag}__old"
-      if (!spark.catalog.tableExists(fin) && spark.catalog.tableExists(aside))
-        spark.sql(s"ALTER TABLE $aside RENAME TO $fin")
-    }
+    recoverInterruptedSwap(spark, tables, tag)
     require(tables.forall(spark.catalog.tableExists),
       s"no stored IVFADC model under tag '$tag' — build with ensureIvfPqModel first")
     val cents = spark.table(tables.head)

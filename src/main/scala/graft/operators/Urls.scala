@@ -10,22 +10,31 @@ import org.apache.spark.sql.functions._
   * crawl stage; this belongs to the LLM-training-data surface the
   * library claims, like operators/Html.)
   *
-  * The canonicalization CONTRACT is a closed-form regex cascade —
-  * pure codegen'd projections, oracle-replayable, no UDF:
+  * The canonicalization CONTRACT is a closed-form cascade — pure
+  * projections (regex + array ops), oracle-replayable, no UDF:
   *
   *  1. trim surrounding whitespace
-  *  2. lowercase the `scheme://authority` prefix (path/query stay
+  *  2. normalize percent-escapes: decode `%XX` when XX is an RFC 3986
+  *     UNRESERVED codepoint (ALPHA / DIGIT / `-._~`), uppercase the
+  *     hex of every other escape (`%3f` → `%3F`); `%` followed by
+  *     non-hex stays literal. Decoding runs FIRST so a decoded letter
+  *     flows through the case-folding below (idempotence: a second
+  *     pass must find nothing left to decode or re-case)
+  *  3. lowercase the `scheme://authority` prefix (path/query stay
   *     case-sensitive per RFC 3986)
-  *  3. strip a leading `www.` from http(s) hosts
-  *  4. strip the fragment (`#…`)
-  *  5. strip the scheme's default port (`:80` for http, `:443` for
+  *  4. strip a leading `www.` from http(s) hosts
+  *  5. strip the fragment (`#…`)
+  *  6. strip the scheme's default port (`:80` for http, `:443` for
   *     https — a default port on the OTHER scheme is meaningful and
   *     kept)
-  *  6. strip tracking parameters (`utm_*`, `gclid`, `fbclid`,
+  *  7. strip tracking parameters (`utm_*`, `gclid`, `fbclid`,
   *     `ref`), wherever they sit in the query string, dropping the
   *     `?` when nothing survives
-  *  7. strip trailing `/` runs at the end of the URL or directly
+  *  8. strip trailing `/` runs at the end of the URL or directly
   *     before the query
+  *  9. sort query parameters byte-lexicographically (`?b=2&a=1` and
+  *     `?a=1&b=2` are the same resource); an EMPTY query (`…?`)
+  *     canonicalizes to no `?` at all
   *
   * Scale shape: canonicalization is a projection over the crawl
   * manifest (no shuffle); [[dedupByUrl]] then pays exactly ONE
@@ -40,8 +49,48 @@ object Urls {
   /** Query parameters that never identify content. */
   val trackingParamsRe = "utm_[a-z0-9_]*|gclid|fbclid|ref"
 
+  /** Step 2: percent-escape normalization — split on '%', decode or
+    * re-case each piece's leading escape. The per-piece dispatch is a
+    * higher-order `transform` (interpreted, not codegen'd) — fine
+    * here because canonicalization runs over the crawl MANIFEST (one
+    * short string per fetch), not over page bytes, and the cascade's
+    * cost is already dominated by its regex passes; measured at sf0.1
+    * the dd_url_dedup row stayed inside its r13 envelope. */
+  private def percentNormalize(u: Column): Column = {
+    val pieces = split(u, "%", -1)
+    def norm(p: Column): Column = {
+      val hx = upper(substring(p, 1, 2))
+      val rest = p.substr(lit(3), length(p))
+      val cp = conv(hx, 16, 10).cast("int")
+      val unreserved = (cp >= 48 && cp <= 57) || (cp >= 65 && cp <= 90) ||
+        (cp >= 97 && cp <= 122) || cp === 45 || cp === 46 ||
+        cp === 95 || cp === 126
+      when(hx.rlike("^[0-9A-F]{2}$"),
+        when(unreserved, concat(call_function("char", cp), rest))
+          .otherwise(concat(lit("%"), hx, rest)))
+        .otherwise(concat(lit("%"), p))
+    }
+    concat(element_at(pieces, 1),
+      array_join(transform(slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0))),
+        norm(_)), ""))
+  }
+
+  /** Step 9: byte-lexicographic query-parameter sort; `…?` → no '?'. */
+  private def sortQueryParams(u: Column): Column = {
+    val base = substring_index(u, "?", 1)
+    val query = u.substr(length(base) + 2, length(u))
+    // concat-topped, not CaseWhen-topped: the cascade is inlined into
+    // several plan positions and a conditional ROOT would exclude the
+    // shared tree from codegen subexpression elimination (the r13
+    // "cheap gate" 2.5× regression — see dedupByUrl's plan-shape note)
+    concat(base,
+      when(query === "", lit(""))
+        .otherwise(concat(lit("?"),
+          array_join(array_sort(split(query, "&", -1)), "&"))))
+  }
+
   def canonicalize(url: Column): Column = {
-    val t = trim(url)
+    val t = percentNormalize(trim(url))
     // lowercase scheme://authority, leave path/query/fragment as-is
     val prefix = regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val c1 = concat(lower(prefix),
@@ -55,7 +104,7 @@ object Urls {
     val c6 = regexp_replace(c5, s"&(?:$trackingParamsRe)=[^&#]*", "")
     val c7 = regexp_replace(c6, s"\\?(?:$trackingParamsRe)=[^&#]*&", "?")
     val c8 = regexp_replace(c7, s"\\?(?:$trackingParamsRe)=[^&#]*$$", "")
-    regexp_replace(c8, "([^/:])/+(\\?.*)?$", "$1$2")
+    sortQueryParams(regexp_replace(c8, "([^/:])/+(\\?.*)?$", "$1$2"))
   }
 
   /** Host of an already-canonical URL ('' when there is none). */
@@ -103,24 +152,46 @@ object Urls {
     * is exercised data-dependently: mixed-case schemes/hosts, www
     * prefixes, default and non-default ports on both schemes,
     * trailing slashes, tracking-only / mixed / clean query strings,
-    * fragments. All variation moduli divide 300, so doc d and d+300
+    * fragments, percent-escape variants and flipped parameter
+    * orders. All variation moduli divide 300, so doc d and d+300
     * canonicalize identically — the planted URL-dup structure
-    * dd_url_dedup must recover. */
+    * dd_url_dedup must recover. The `flip` term (the 300-block's
+    * parity) rotates the SURFACE FORM between the d and d+300
+    * twins without changing the canonical value: the twins carry
+    * opposite query-parameter orders and rotated `~`/`%7E`/`%7e`
+    * (and `%3F`/`%3f`) path spellings, so recovering the pair
+    * requires the sort and percent rules, not just case-folding. */
   def syntheticUrl(docId: Column, source: Column): Column = {
     val m = (k: Int) => pmod(docId, lit(k.toLong))
     val ms = (k: Int) => m(k).cast("string")
+    val flip = pmod(floor(docId / lit(300)).cast("long"), lit(2L))
     val scheme = when(m(4) === 0, "HTTP").when(m(4) === 1, "https")
       .when(m(4) === 2, "Http").otherwise(lit("HTTPS"))
     val www = when(m(2) === 0, "www.").otherwise(lit(""))
     val host = when(m(4) < 2, upper(source)).otherwise(source)
     val port = when(m(5) === 0, ":80").when(m(5) === 1, ":443")
       .when(m(5) === 2, ":8080").otherwise(lit(""))
+    // percent gauntlet: m6∈{0,1,2} rotate ~ / %7E / %7e (decode +
+    // hex-case rules unify), m6∈{3,4} flip %3F / %3f (reserved '?'
+    // stays encoded, hex uppercases), m6=5 is the plain control.
+    // 6 = lcm(2,3): two docs differing mod 6 differ mod 2 or mod 3,
+    // which scheme parity / the query branch already distinguish —
+    // the segment can never unify docs the other terms keep apart.
+    val rep3 = pmod(m(6) + flip, lit(3L))
+    val tilde = when(rep3 === 0, "~").when(rep3 === 1, "%7E").otherwise(lit("%7e"))
+    val pct3f = when(pmod(m(6) + flip, lit(2L)) === 1, "%3F").otherwise(lit("%3f"))
+    val pathSeg = when(m(6) < 3, concat(lit("/t"), tilde, lit("x")))
+      .when(m(6) < 5, concat(lit("/t"), pct3f, lit("x")))
+      .otherwise(lit("/tx"))
     val slash = when(m(2) === 0, "/").otherwise(lit(""))
+    val pair = when(flip === 0,
+        concat(lit("?id="), ms(5), lit("&cat="), ms(4)))
+      .otherwise(concat(lit("?cat="), ms(4), lit("&id="), ms(5)))
     val query = when(m(3) === 0, lit("?utm_source=feed"))
-      .when(m(3) === 1, concat(lit("?id="), ms(5)))
+      .when(m(3) === 1, pair)
       .otherwise(concat(lit("?utm_campaign=x&id="), ms(5)))
     val frag = when(m(2) === 1, concat(lit("#sec"), ms(3))).otherwise(lit(""))
     concat(scheme, lit("://"), www, host, lit(".example.com"), port,
-      lit("/articles/"), ms(150), slash, query, frag)
+      lit("/articles/"), ms(150), pathSeg, slash, query, frag)
   }
 }

@@ -32,9 +32,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *      text-density-extractor convention).
   *  S3  per block: links = occurrences of `<a[ >]`; then strip
   *      `<[^>]*>` → ' ' (a tag never crosses a block boundary).
-  *  S4  decode the five entities `&lt; &gt; &quot; &#39;` then
-  *      `&amp;` (cascade order; single-pass-with-&amp;-first is
-  *      equivalent and is what this kernel does).
+  *  S4  entity decode, one pass over each '&'-initiated run: the
+  *      named entities `&amp; &lt; &gt; &quot; &nbsp;`, plus numeric
+  *      character references — `&#d{1,7};` (decimal) and
+  *      `&#x h{1,6};` (hex, case-insensitive 'x' and digits) decode
+  *      to their codepoint when 1 ≤ cp ≤ 0x10FFFF and cp is not a
+  *      surrogate; anything else (`&bad;`, over-long digits,
+  *      out-of-range, surrogate, bare '&') falls through as literal
+  *      text. A decoded whitespace char (' ' \t \n \r \f) behaves as
+  *      S5 whitespace — in particular `&#10;` never splits a block
+  *      (decode runs after segmentation). The staged reference and
+  *      the DuckDB oracle implement the SAME per-'&' dispatch by
+  *      splitting on '&' and decoding each piece's leading entity,
+  *      which is equivalent to this kernel's single pass because a
+  *      decode consumes through its ';' and never produces a new
+  *      '&'-run (e.g. `&amp;#160;` is the literal text `&#160;` on
+  *      both paths — decode output is never re-parsed).
   *  S5  collapse `[ \t\n\r\f]+` → ' ', trim.
   *  S6  keep a block iff tokens ≥ minTokens AND
   *      links·linkDensityInv ≤ tokens (the jusText-style
@@ -134,8 +147,17 @@ object HtmlExtract {
         if (k < n) {
           val c = s.charAt(k)
           if (c == '>') return k + 1
-          if (c == ' ' || c == '/') {
-            var a = k + 1
+          // the name boundary is ' ' or '/' — or a TERMINATED S1
+          // construct, which the staged cascade has already turned
+          // into ' ' before S2 runs (`<div<!--x-->>` segments there,
+          // so it must segment here; raw-char comparison alone
+          // diverged on incomplete-tag markup soup)
+          val bSkip =
+            if (c == ' ' || c == '/') 1
+            else if (c == '<') { val sk = s1SkipLen(s, k); if (sk > 0) sk else -1 }
+            else -1
+          if (bSkip > 0) {
+            var a = k + bSkip
             while (a < n) {
               val ca = s.charAt(a)
               if (ca == '>') return a + 1
@@ -184,10 +206,51 @@ object HtmlExtract {
     if (end < 0) -1 else end + close.length - i
   }
 
-  /** Is `<a[ >]` at position i (the link-count pattern)? */
+  /** Is `<a[ >]` at position i (the link-count pattern)? Matched on
+    * POST-S1 semantics like everything in S2/S3: a terminated S1
+    * construct right after the 'a' is the ' ' the staged cascade put
+    * there (`<a<!--x-->href>` counts a link on both paths). */
   private def linkAt(s: String, i: Int): Boolean =
     i + 2 < s.length && s.charAt(i) == '<' && s.charAt(i + 1) == 'a' &&
-      (s.charAt(i + 2) == ' ' || s.charAt(i + 2) == '>')
+      (s.charAt(i + 2) == ' ' || s.charAt(i + 2) == '>' ||
+        (s.charAt(i + 2) == '<' && s1SkipLen(s, i + 2) > 0))
+
+  /** Numeric character reference at `i` ('&'): `(len << 32) | cp` for
+    * a valid `&#d{1,7};` / `&#x h{1,6};`, else -1. Mirrors the staged
+    * regexes `^#([0-9]{1,7});` / `^#[xX]([0-9a-fA-F]{1,6});` — the
+    * terminator must follow within the digit budget (8+ digits never
+    * match however the regex backtracks, because ';' must directly
+    * follow a digit run capped at the budget) — plus the shared
+    * validity gate: 1 ≤ cp ≤ 0x10FFFF and not a surrogate. */
+  private def numericEntity(s: String, i: Int): Long = {
+    val n = s.length
+    if (i + 2 >= n || s.charAt(i + 1) != '#') return -1L
+    var j = i + 2
+    val hex = s.charAt(j) == 'x' || s.charAt(j) == 'X'
+    if (hex) j += 1
+    val d0 = j
+    var cp = 0L
+    if (hex) {
+      while (j < n && j - d0 <= 6 && isHexDigit(s.charAt(j))) {
+        cp = cp * 16 + hexVal(s.charAt(j)); j += 1
+      }
+      if (j - d0 < 1 || j - d0 > 6) return -1L
+    } else {
+      while (j < n && j - d0 <= 7 && s.charAt(j) >= '0' && s.charAt(j) <= '9') {
+        cp = cp * 10 + (s.charAt(j) - '0'); j += 1
+      }
+      if (j - d0 < 1 || j - d0 > 7) return -1L
+    }
+    if (j >= n || s.charAt(j) != ';') return -1L
+    if (cp < 1 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) return -1L
+    ((j + 1 - i).toLong << 32) | cp
+  }
+
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def hexVal(c: Char): Int =
+    if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
 
   def compute(in: UTF8String, minTokens: Int, linkDensityInv: Int): InternalRow =
     new Walker(in.toString, minTokens, linkDensityInv).run()
@@ -213,6 +276,21 @@ object HtmlExtract {
       if (pendingSpace || blk.length == 0) blkTokens += 1
       pendingSpace = false
       blk.append(c)
+    }
+
+    /** Emit a decoded codepoint: S5-collapsible whitespace becomes a
+      * pending space (staged decodes first, then collapses — `&#10;`
+      * is a space, never a block break), anything else is literal
+      * text; non-BMP codepoints append their surrogate pair inside
+      * the same token run. */
+    private def emitCp(cp: Int): Unit = {
+      if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == '\f')
+        pendingSpace = true
+      else if (cp < 0x10000) emit(cp.toChar)
+      else {
+        emit(Character.highSurrogate(cp))
+        blk.append(Character.lowSurrogate(cp))
+      }
     }
 
     private def endBlock(): Unit = {
@@ -280,14 +358,19 @@ object HtmlExtract {
             }
           }
         } else if (c == '&') {
-          // S4 single-pass entity decode, &amp; first (≡ cascade
-          // lt/gt/quot/#39 then amp — see scaladoc)
+          // S4 single-pass entity decode (≡ the staged per-'&' piece
+          // dispatch — see scaladoc): named entities, then numeric
+          // character references, else the '&' is literal text
           if (s.startsWith("&amp;", i)) { emit('&'); i += 5 }
           else if (s.startsWith("&lt;", i)) { emit('<'); i += 4 }
           else if (s.startsWith("&gt;", i)) { emit('>'); i += 4 }
           else if (s.startsWith("&quot;", i)) { emit('"'); i += 6 }
-          else if (s.startsWith("&#39;", i)) { emit('\''); i += 5 }
-          else { emit('&'); i += 1 }
+          else if (s.startsWith("&nbsp;", i)) { emit('\u00A0'); i += 6 }
+          else {
+            val e = numericEntity(s, i) // (len << 32 | cp), or -1
+            if (e >= 0) { emitCp((e & 0xFFFFFFFFL).toInt); i += (e >>> 32).toInt }
+            else { emit('&'); i += 1 }
+          }
         } else { emit(c); i += 1 }
       }
       endBlock()

@@ -1603,7 +1603,9 @@ object DataOps {
     * float-rounded weights — the hash is deterministic, so both
     * engines dot against identical planes), plus the norm table.
     * Yields `bk(vec_id, bucket)` and `nrm(vec_id, nrm)`. */
-  /** The URL fixture CTE — mirrors Urls.syntheticUrl verbatim. */
+  /** The URL fixture CTE — mirrors Urls.syntheticUrl verbatim
+    * (including the 300-block `flip` that rotates the d / d+300
+    * twins' parameter order and percent spellings). */
   private val urlSynthCte: String =
     """u AS (SELECT doc_id,
            (CASE doc_id % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
@@ -1614,22 +1616,62 @@ object DataOps {
            || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
                     WHEN 2 THEN ':8080' ELSE '' END)
            || '/articles/' || CAST(doc_id % 150 AS VARCHAR)
+           || (CASE WHEN doc_id % 6 < 3 THEN '/t' ||
+                      (CASE (doc_id % 6 + (doc_id // 300) % 2) % 3
+                            WHEN 0 THEN '~' WHEN 1 THEN '%7E' ELSE '%7e' END) || 'x'
+                    WHEN doc_id % 6 < 5 THEN '/t' ||
+                      (CASE WHEN (doc_id % 6 + (doc_id // 300) % 2) % 2 = 1
+                            THEN '%3F' ELSE '%3f' END) || 'x'
+                    ELSE '/tx' END)
            || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
            || (CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed'
-                    WHEN 1 THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                    WHEN 1 THEN (CASE WHEN (doc_id // 300) % 2 = 0
+                      THEN '?id=' || CAST(doc_id % 5 AS VARCHAR)
+                           || '&cat=' || CAST(doc_id % 4 AS VARCHAR)
+                      ELSE '?cat=' || CAST(doc_id % 4 AS VARCHAR)
+                           || '&id=' || CAST(doc_id % 5 AS VARCHAR) END)
                     ELSE '?utm_campaign=x&id=' || CAST(doc_id % 5 AS VARCHAR) END)
            || (CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
                     ELSE '' END) AS url
          FROM documents)"""
 
-  /** Urls.canonicalize replayed as one nested DuckDB expression over
-    * the SQL expression `in` — the same cascade, RE2 '\1' backrefs
-    * instead of Java '$1'. */
+  /** Step 2 of Urls.canonicalize — percent-escape normalization —
+    * over the SQL expression `in`: split on '%', decode an unreserved
+    * leading escape, uppercase the hex of any other. */
+  private def percentNormSqlExpr(in: String): String = {
+    val cp = "CAST(('0x' || substr(p, 1, 2)) AS BIGINT)"
+    val unres = s"($cp BETWEEN 48 AND 57 OR $cp BETWEEN 65 AND 90 OR " +
+      s"$cp BETWEEN 97 AND 122 OR $cp IN (45, 46, 95, 126))"
+    s"""((string_split($in, '%'))[1] ||
+        coalesce(list_aggr(list_transform((string_split($in, '%'))[2:], p ->
+          CASE WHEN regexp_matches(substr(p, 1, 2), '^[0-9a-fA-F]{2}$$')
+               THEN CASE WHEN $unres THEN chr(CAST($cp AS INT)) || substr(p, 3)
+                         ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3) END
+               ELSE '%' || p END), 'string_agg', ''), ''))"""
+  }
+
+  /** Step 9 of Urls.canonicalize — query-parameter sort — over the
+    * SQL expression `in` (keep `in` a bare column: it is repeated).
+    * An empty query (`…?`) canonicalizes to no '?' at all. */
+  private def sortParamsSqlExpr(in: String): String =
+    s"""(CASE WHEN strpos($in, '?') = 0 THEN $in
+          WHEN substr($in, strpos($in, '?') + 1) = ''
+            THEN substr($in, 1, strpos($in, '?') - 1)
+          ELSE substr($in, 1, strpos($in, '?') - 1) || '?' ||
+            array_to_string(list_sort(string_split(
+              substr($in, strpos($in, '?') + 1), '&')), '&') END)"""
+
+  /** Urls.canonicalize steps 1–8 replayed as one nested DuckDB
+    * expression over the SQL expression `in` — the same cascade, RE2
+    * '\1' backrefs instead of Java '$1'. Callers stage this into a
+    * CTE column and wrap it with [[sortParamsSqlExpr]] (step 9),
+    * keeping the repeated operand of the sort a bare column. */
   private def urlCanonSqlExpr(in: String): String = {
+    val pn = percentNormSqlExpr(s"trim($in)")
     val prefix =
-      "regexp_extract(trim(" + in + "), '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
-    val lowered = "(lower(" + prefix + ") || substr(trim(" + in +
-      "), length(" + prefix + ") + 1))"
+      "regexp_extract(" + pn + ", '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)"
+    val lowered = "(lower(" + prefix + ") || substr(" + pn +
+      ", length(" + prefix + ") + 1))"
     val tp = graft.operators.Urls.trackingParamsRe
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
@@ -1642,6 +1684,31 @@ object DataOps {
       " '\\?(?:" + tp + ")=[^&#]*&', '?', 'g'),\n" +
       " '\\?(?:" + tp + ")=[^&#]*$', '', 'g'),\n" +
       """ '([^/:])/+(\?.*)?$', '\1\2', 'g')"""
+  }
+
+  /** S4 entity decode as a CASE over one '&'-piece `p` (the text
+    * after a '&'): the same single-pass per-piece dispatch as
+    * Html.decodeEntities and the kernel — named entities, then
+    * decimal/hex numeric refs under the shared validity gate
+    * (1..0x10FFFF, no surrogates), else literal '&'. */
+  private val entityDecodeSqlCase: String = {
+    val dec = "regexp_extract(p, '^#([0-9]{1,7});', 1)"
+    val hex = "regexp_extract(p, '^#[xX]([0-9a-fA-F]{1,6});', 1)"
+    val decCp = s"CAST($dec AS BIGINT)"
+    val hexCp = s"CAST(('0x' || $hex) AS BIGINT)"
+    def valid(cp: String) =
+      s"$cp BETWEEN 1 AND 1114111 AND $cp NOT BETWEEN 55296 AND 57343"
+    s"""CASE
+          WHEN p LIKE 'amp;%' THEN '&' || substr(p, 5)
+          WHEN p LIKE 'lt;%' THEN '<' || substr(p, 4)
+          WHEN p LIKE 'gt;%' THEN '>' || substr(p, 4)
+          WHEN p LIKE 'quot;%' THEN '"' || substr(p, 6)
+          WHEN p LIKE 'nbsp;%' THEN chr(160) || substr(p, 6)
+          WHEN $dec <> '' AND ${valid(decCp)}
+            THEN chr(CAST($decCp AS INT)) || substr(p, length($dec) + 3)
+          WHEN $hex <> '' AND ${valid(hexCp)}
+            THEN chr(CAST($hexCp AS INT)) || substr(p, length($hex) + 4)
+          ELSE '&' || p END"""
   }
 
   /** The HTML extraction cascade (plans.HtmlExtract's documented
@@ -1657,9 +1724,11 @@ object DataOps {
             '";</script><style>.m{color:#333}</style></head><body><!-- graft fixture -->' ||
             '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/' ||
             source || '">' || source || '</a></nav><div class="content">' ||
-            replace(replace(regexp_replace(text, '((?:\\S+ ){11}\\S+) ', '<p>\\1</p>', 'g'),
+            replace(replace(replace(
+                    regexp_replace(text, '((?:\\S+ ){11}\\S+) ', '<p>\\1</p>', 'g'),
                     ' table ', ' <a href="#t">table</a> '),
-                    ' agg ', ' x &amp; y ') ||
+                    ' agg ', ' x &amp; y '),
+                    ' stream ', '${graft.operators.Html.entityGauntlet}') ||
             '</div><footer>contact &amp; imprint<br/><a href="/legal">legal</a></footer></body></html>'
             AS html
           FROM $docRel),
@@ -1672,15 +1741,16 @@ object DataOps {
                FROM sx1),
         bx AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS blk,
                      generate_subscripts(string_split(t, chr(10)), 1) AS pos FROM sx2),
-        cx AS (SELECT doc_id, pos,
+        c0 AS (SELECT doc_id, pos,
                 len(regexp_extract_all(blk, '<a[ >]')) AS links,
-                trim(regexp_replace(
-                  replace(replace(replace(replace(replace(
-                    regexp_replace(blk, '<[^>]*>', ' ', 'g'),
-                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-                    '&amp;', '&'),
-                  '[ \\t\\n\\r\\f]+', ' ', 'g')) AS txt
+                string_split(regexp_replace(blk, '<[^>]*>', ' ', 'g'), '&') AS pc
               FROM bx),
+        cx AS (SELECT doc_id, pos, links,
+                trim(regexp_replace(
+                  pc[1] || coalesce(list_aggr(list_transform(pc[2:], p ->
+                    $entityDecodeSqlCase), 'string_agg', ''), ''),
+                  '[ \\t\\n\\r\\f]+', ' ', 'g')) AS txt
+              FROM c0),
         mx AS (SELECT doc_id, pos, links, txt,
                 CASE WHEN txt = '' THEN 0 ELSE len(string_split(txt, ' ')) END AS ntok
               FROM cx),
@@ -3380,10 +3450,17 @@ object DataOps {
             AND doc_id NOT IN (SELECT doc_id FROM losers)""",
     "dd_lsh_pairs" -> s"WITH $lshPairsCte SELECT id_a, id_b FROM pairs",
     "dd_containment" ->
+      // mirrors containmentPairs' DEFAULT capped posture: shingles
+      // hotter than containmentDefaultCap docs carry no blocking
+      // information and are excluded from the pair generator
       s"""WITH $shingleCte,
           sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+          sc AS (SELECT s.* FROM s JOIN (
+                   SELECT shingle FROM s GROUP BY shingle
+                   HAVING count(*) <= ${graft.operators.Dedup.containmentDefaultCap}
+                 ) ok ON s.shingle = ok.shingle),
           c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-                FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                FROM sc a JOIN sc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
           SELECT id_a, id_b, common,
                  round(common * 1.0 / x.n, 6) AS c_a,
@@ -3876,13 +3953,15 @@ object DataOps {
                      '\s+', ' ', 'g')) AS clean_text
          FROM documents""",
     "tx_url_canon" ->
-      s"""WITH $urlSynthCte
-          SELECT doc_id, url, ${urlCanonSqlExpr("url")} AS canon_url FROM u""",
+      s"""WITH $urlSynthCte,
+          c8 AS (SELECT doc_id, url, ${urlCanonSqlExpr("url")} AS cu FROM u)
+          SELECT doc_id, url, ${sortParamsSqlExpr("cu")} AS canon_url FROM c8""",
     "dd_url_dedup" -> {
       val notBlocked = blockedDomains.map(d =>
         s"NOT (host = '$d' OR host LIKE '%.$d')").mkString(" AND ")
       s"""WITH $urlSynthCte,
-          c AS (SELECT doc_id, ${urlCanonSqlExpr("url")} AS canon_url FROM u),
+          c8 AS (SELECT doc_id, ${urlCanonSqlExpr("url")} AS cu FROM u),
+          c AS (SELECT doc_id, ${sortParamsSqlExpr("cu")} AS canon_url FROM c8),
           h AS (SELECT doc_id, canon_url,
                   regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
                     AS host
@@ -3907,9 +3986,11 @@ object DataOps {
       val notBlocked = blockedDomains.map(d =>
         s"NOT (host = '$d' OR host LIKE '%.$d')").mkString(" AND ")
       s"""WITH $urlSynthCte,
-          cu AS (SELECT d.doc_id, d.text, d.source,
-                   ${urlCanonSqlExpr("u.url")} AS canon_url
+          cu8 AS (SELECT d.doc_id, d.text, d.source,
+                   ${urlCanonSqlExpr("u.url")} AS cu
                  FROM u JOIN documents d ON u.doc_id = d.doc_id),
+          cu AS (SELECT doc_id, text, source,
+                   ${sortParamsSqlExpr("cu")} AS canon_url FROM cu8),
           hh AS (SELECT *, regexp_extract(canon_url,
                    '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host FROM cu),
           w AS (SELECT canon_url, min(doc_id) AS doc_id,

@@ -61,7 +61,22 @@ class HtmlExtractSpec extends SparkSpec {
       // is NOT a block boundary: its text stays literal. NB with any
       // later '>' the regex's [^>]* runs to it — the div would then
       // terminate there and delimit, swallowing the middle
-      (12L, "<p>x1 x2 x3 x4 x5</p><div class=unclosed n o p q r"))
+      (12L, "<p>x1 x2 x3 x4 x5</p><div class=unclosed n o p q r"),
+      // a terminated S1 construct at the tag-name boundary IS the
+      // ' ' boundary (S1 runs before S2 in the staged cascade):
+      // <div<!--x-->> segments — two blocks, not one generic tag
+      (13L, "a b c d e<div<!--x-->>f g h i j k"),
+      // numeric character references: decimal/hex/nbsp decode (NBSP
+      // glues tokens), non-BMP emits a surrogate pair, the invalid
+      // classes (surrogate, out-of-range, 8-digit run, zero) stay
+      // literal, and a decoded &#10; is a space — never a block break
+      (14L, "<p>pre s&#160;t &#x2014; u&nbsp;v &#x1F600; &#xD800; " +
+        "&#1114112; &#99999999; &#x0; w&#10;x post</p>"),
+      // single-pass law: a decoded '&' is never re-parsed
+      (15L, "<p>q1 q2 q3 q4 &#38;#x41; z</p>"),
+      // an S1 construct right after '<a' is the staged ' ' — the
+      // link-density gate must count it on both paths
+      (16L, "<p>k1 <a<!--c-->href=\"#\">k2</a> k3</p>"))
       .toDF("doc_id", "html")
     parity(docs)
     val k = rows(Html.extractMainText(docs, col("html"), col("doc_id")))
@@ -90,6 +105,16 @@ class HtmlExtractSpec extends SparkSpec {
     // doc 12: the unterminated attributed div stays literal text
     // (7 tokens, so its block passes the keep rule)
     assert(k(12L)._1 == "x1 x2 x3 x4 x5\n<div class=unclosed n o p q r")
+    // doc 13: the advisor repro — S1-at-boundary segments on both paths
+    assert(k(13L) == (("a b c d e\nf g h i j k", 2L, 2L, 0L)))
+    // doc 14: every numeric-entity branch; tokens glue across NBSP
+    assert(k(14L)._1 == "pre s\u00A0t \u2014 u\u00A0v \uD83D\uDE00 " +
+      "&#xD800; &#1114112; &#99999999; &#x0; w x post")
+    // doc 15: &#38; -> '&', and the following '#x41;' stays literal
+    assert(k(15L)._1 == "q1 q2 q3 q4 &#x41; z")
+    // doc 16: 1 link counted through the S1 boundary; 3 tokens with a
+    // link fail the density gate (1*5 > 3) -> block counted, not kept
+    assert(k(16L) == (("", 1L, 0L, 1L)))
   }
 
   test("kernel == staged cascade on adversarial markup soup (fuzz)") {
@@ -100,8 +125,15 @@ class HtmlExtractSpec extends SparkSpec {
       "<style>", "</style>", "<!--", "-->", "<a href=\"#\">", "<a>", "</a>",
       "<div>", "<div class=\"c\">", "<", ">", "&amp;", "&lt;", "&gt;",
       "&quot;", "&#39;", "&bad;", "&", "word", "tok", "x", "\n", "\t", " ",
-      "  ", "é", "日本")
-    val docs = (0L until 200L).map { i =>
+      "  ", "é", "日本",
+      // INCOMPLETE tag fragments — real crawled markup soup: composed
+      // with the terminated pieces above they put S1 constructs at
+      // tag-name boundaries, inside attribute scans, and after '<a'
+      "<div", "<p", "<script", "<a", "<!--x-->", "<th", "<thead>",
+      // numeric/named entity fragments, valid and broken
+      "&#160;", "&#x2014;", "&nbsp;", "&#x1F600;", "&#xD800;", "&#10;",
+      "&#1114112;", "&#99999999;", "&#x0;", "&#", ";", "&#38;", "&#xG;")
+    val docs = (0L until 300L).map { i =>
       (i, (0 until rng.nextInt(40))
         .map(_ => pieces(rng.nextInt(pieces.size)))
         .mkString(if (rng.nextBoolean()) " " else ""))
@@ -114,6 +146,24 @@ class HtmlExtractSpec extends SparkSpec {
       .select(col("doc_id"),
         Html.syntheticPage(col("text"), col("source")).as("html"))
     parity(docs)
+  }
+
+  test("carry columns colliding with the output schema fail loudly") {
+    val docs = Seq((0L, "<p>a b c d e</p>", "x")).toDF("doc_id", "html", "main_text")
+    val e = intercept[IllegalArgumentException] {
+      Html.extractMainText(docs, col("html"), col("doc_id"),
+        carry = Seq(col("main_text")))
+    }
+    assert(e.getMessage.contains("main_text"))
+    intercept[IllegalArgumentException] {
+      Html.extractMainText(docs, col("html"), col("doc_id"),
+        carry = Seq(col("html"), col("html")))
+    }
+    // an aliased carry passes and rides through unchanged
+    val ok = Html.extractMainText(docs, col("html"), col("doc_id"),
+      carry = Seq(col("main_text").as("carried")))
+    assert(ok.columns.contains("carried") && ok.select("carried")
+      .collect().head.getString(0) == "x")
   }
 
   test("extraction is a shuffle-free projection (the staged path is not)") {

@@ -151,6 +151,47 @@ class IndexLifecycleSpec extends SparkSpec {
       "recovery renames the aside back in; it must not leave a copy")
   }
 
+  test("a mid-loop crash recovers to ONE generation, never a mixed model") {
+    val (kc, ci, m, k, it) = params
+    val tag = "lc_mixed"
+    val r = root(tag)
+    val corpus = cloud(200, 29).toDF("vec_id", "embedding")
+    Similarity.ensureIvfPqModel(spark, r, tag, corpus, kc, ci, m, k, it, 2)
+    // build the replacement generation exactly as a drifted refresh
+    // does: temp names, non-serving generation dir
+    val drifted = cloud(200, 29, shift = 3f).toDF("vec_id", "embedding")
+    Similarity.ensureIvfPqModel(spark, s"$r/gen_a", s"${tag}__new", drifted,
+      kc, ci, m, k, it, 2)
+    val newBooks = spark.table(s"ivfpq_books_${tag}__new").collect().toSet
+    // simulate the advisor's crash point mid swap-loop: cents fully
+    // swapped (aside dropped), books renamed-aside only, codes untouched
+    spark.sql(s"ALTER TABLE ivfpq_cents_$tag RENAME TO ivfpq_cents_${tag}__old")
+    spark.sql(s"ALTER TABLE ivfpq_cents_${tag}__new RENAME TO ivfpq_cents_$tag")
+    spark.sql(s"DROP TABLE ivfpq_cents_${tag}__old")
+    spark.sql(s"ALTER TABLE ivfpq_books_$tag RENAME TO ivfpq_books_${tag}__old")
+    // the next call must complete the swap FORWARD (cents already
+    // serves the new generation; renaming books' OLD aside back in
+    // would quietly serve codes against the wrong centroids)
+    val (_, _, books, refreshed) = Similarity.refreshIvfPqIfDrifted(
+      spark, r, tag,
+      { throw new IllegalStateException("recovery must not retrain") },
+      drifted, maxShareGap = 0.9, kc, ci, m, k, it, 2)
+    assert(!refreshed)
+    assert(books.collect().toSet == newBooks,
+      "recovery must serve the NEW generation's books, not the old aside")
+    // one generation end to end: all three finals share a parent dir
+    val gens = Seq("cents", "books", "codes").map { t =>
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"ivfpq_${t}_$tag"))
+        .location.toString.stripSuffix("/")
+      loc.substring(0, loc.lastIndexOf('/'))
+    }
+    assert(gens.distinct.size == 1, s"mixed-generation serving set: $gens")
+    for (t <- Seq("cents", "books", "codes"); suf <- Seq("__new", "__old"))
+      assert(!spark.catalog.tableExists(s"ivfpq_${t}_$tag$suf"),
+        s"recovery stranded ivfpq_${t}_$tag$suf")
+  }
+
   test("a tag repeating a table-name word still derives correct swap names") {
     // tag "cents" makes the serving table ivfpq_cents_cents — the old
     // first-occurrence replace() derived ivfpq_cents__new_cents and

@@ -54,7 +54,23 @@ class UrlsSpec extends SparkSpec {
       "http://wwwx.a.com/x" -> "http://wwwx.a.com/x",
       // whitespace trim; schemeless input passes through case-intact
       "  http://a.com/x " -> "http://a.com/x",
-      "not a url" -> "not a url")
+      "not a url" -> "not a url",
+      // query parameters sort byte-lexicographically; values keep
+      // their internal order ('&'-pieces sort as whole strings)
+      "http://a.com/x?b=2&a=1" -> "http://a.com/x?a=1&b=2",
+      "http://a.com/x?b=2&utm_source=f&a=1" -> "http://a.com/x?a=1&b=2",
+      "http://a.com/x?a=2&a=1" -> "http://a.com/x?a=1&a=2",
+      // an empty query is no query
+      "http://a.com/x?" -> "http://a.com/x",
+      // percent-escapes: unreserved decode (either hex case), other
+      // escapes uppercase their hex, '%' + non-hex stays literal
+      "http://a.com/%7Efoo" -> "http://a.com/~foo",
+      "http://a.com/%7efoo" -> "http://a.com/~foo",
+      "http://a.com/a%3fb" -> "http://a.com/a%3Fb",
+      "http://a.com/%zz%4" -> "http://a.com/%zz%4",
+      // decode runs BEFORE case-folding: a hidden host letter decodes
+      // and then lowercases (idempotence demands this order)
+      "http://EX%41MPLE.com/x" -> "http://example.com/x")
     val got = canon(cases.map(_._1))
     cases.foreach { case (in, want) =>
       assert(got(in) == want, s"canon('$in') = '${got(in)}', want '$want'")
@@ -70,7 +86,12 @@ class UrlsSpec extends SparkSpec {
     val adversarial = Seq(
       "HTTP://WWW.Example.COM:80/Path/?utm_source=f&id=2#frag",
       "https://a.com:443/x///", "http://a.com:8080/?ref=r",
-      "  ftp://www.a.com/x ", "not a url", "http://a.com/x?utm_a=1&utm_b=2")
+      "  ftp://www.a.com/x ", "not a url", "http://a.com/x?utm_a=1&utm_b=2",
+      // the new rules' re-fire candidates: a decoded letter must not
+      // re-case, a sorted query must not re-sort, a kept escape must
+      // not re-decode, a dropped bare '?' must stay dropped
+      "http://EX%41MPLE.com:80/%7e/?b=1&a=2#f", "http://a.com/%7E?",
+      "http://a.com/x?b=2&a=1&utm_b=3", "http://a.com/a%3fb%25?z=1&y=2")
     import spark.implicits._
     val df = adversarial.toDF("url")
       .unionByName(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
