@@ -680,6 +680,51 @@ object Rehearsal {
             sum(length(col("main_text"))))
           .collect()(0).getLong(0)
       },
+      // the crawl front door as a STREAM: 50 micro-batches replayed
+      // through IngestCrawl against its own settled frontier
+      // (settleEvery=16 → three folds inside the run). The shape
+      // under test is the per-batch admitted-delta probe: before the
+      // frontier settle it read EVERY earlier batch dir (O(#batches)
+      // per batch, O(N²) per run); now it must stay flat — late
+      // batches no slower than early ones, with the fold cost landing
+      // only on the settle batches. Per-batch wall-clocks go to
+      // stderr; the case returns the admitted corpus size.
+      "crawl_stream" -> { () =>
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.operators.{Html, Urls}
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val nBatches = 50
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_crawl_stream_m$mult").toString
+        // driver-staged batch payloads (the stream's input is by
+        // nature driver-fed here); url/html synthesize IN-PLAN
+        val staged = docsR.select(col("doc_id"), col("source"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        val slice = math.max(1, (staged.length + nBatches - 1) / nBatches)
+        val input = MemoryStream[(Long, String, String)]
+        val fetches = input.toDF().toDF("doc_id", "source", "text")
+          .select(col("doc_id"),
+            Urls.syntheticUrl(col("doc_id"), col("source")).as("url"),
+            Html.syntheticPage(col("text"), col("source")).as("html"))
+        val q = graft.streaming.IngestCrawl.crawledIngest(fetches, None, dir,
+          graft.queries.DataOps.blockedDomains, settleEvery = 16)
+        val perBatch =
+          try staged.grouped(slice).zipWithIndex.map { case (b, i) =>
+            val t0 = System.nanoTime()
+            input.addData(b.toIndexedSeq: _*)
+            q.processAllAvailable()
+            val dt = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"REHEARSAL crawl_stream batch=$i sec=$dt%.2f")
+            dt
+          }.toVector
+          finally q.stop()
+        val early = perBatch.slice(2, 10)
+        val late = perBatch.slice(perBatch.size - 8, perBatch.size)
+        System.err.println(f"REHEARSAL crawl_stream early_mean=${
+          early.sum / early.size}%.2f late_mean=${late.sum / late.size}%.2f")
+        graft.streaming.Frontier.readLayered(spark, dir).count()
+      },
       // attribution probe for html_extract: the page-furniture
       // synthesis alone (3 regex passes + concat, consumed via
       // length-sum) — subtracting this from html_extract isolates

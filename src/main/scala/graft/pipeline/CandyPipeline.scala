@@ -139,17 +139,25 @@ object CandyPipeline {
       .foreach(f => Sinks.singleFileCsv(f, out, "sales_profit_forecast.csv"))
   }
 
+  /** Per-day transaction paths: the reference ingests one collection
+    * per day in its MONGO_START_DATE..MONGO_END_DATE window
+    * (src/main.py:29-40); `days = None` is the take-everything glob. */
+  def transactionPaths(dataDir: String, days: Option[Seq[String]]): Seq[String] =
+    days.map(_.map(d => s"$dataDir/transactions_$d.json"))
+      .getOrElse(Seq(s"$dataDir/transactions_*.json"))
+
   def run(spark: SparkSession, dataDir: String, outputDir: Option[String] = None,
           reloadDaily: Boolean = false, forecastHorizon: Int = 1,
           forecastModel: () => graft.forecast.Forecaster =
-            () => new graft.forecast.LinearTrendForecaster()): Result = {
+            () => new graft.forecast.LinearTrendForecaster(),
+          days: Option[Seq[String]] = None): Result = {
     // S1/S3 parity: the customers table is loaded but feeds no
     // computation in the reference either (SURVEY §1.1) — it is part
     // of the ingest surface, exposed on the Result.
     val customers = CsvSource(s"$dataDir/customers.csv", Model.customerSchema).load(spark)
     val products = CsvSource(s"$dataDir/products.csv", Model.productSchema).load(spark)
     val transactions = JsonSource(
-      Seq(s"$dataDir/transactions_*.json"), Model.transactionSchema).load(spark)
+      transactionPaths(dataDir, days), Model.transactionSchema).load(spark)
 
     val lines = allocateLines(enrich(normalize(transactions), products), reloadDaily).cache()
     val (orders, orderLineItems, dailySummary, productsUpdated) =

@@ -18,7 +18,8 @@ object CandyStages {
     * (src/candy_store_dag.py:76-116). The normalize runs here so the
     * allocation sequence key (file day / row / item position) is
     * captured before the data ever leaves its source files. */
-  def ingest(spark: SparkSession, dataDir: String, ckpt: String): Unit = {
+  def ingest(spark: SparkSession, dataDir: String, ckpt: String,
+             days: Option[Seq[String]] = None): Unit = {
     Sinks.parquet(
       CsvSource(s"$dataDir/customers.csv", Model.customerSchema).load(spark),
       s"$ckpt/customers")
@@ -27,7 +28,8 @@ object CandyStages {
       s"$ckpt/products")
     Sinks.parquet(
       CandyPipeline.normalize(
-        JsonSource(Seq(s"$dataDir/transactions_*.json"), Model.transactionSchema)
+        JsonSource(CandyPipeline.transactionPaths(dataDir, days),
+            Model.transactionSchema)
           .load(spark)),
       s"$ckpt/items")
   }

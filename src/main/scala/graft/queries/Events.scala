@@ -72,6 +72,29 @@ object Events {
             + (col("cxy") / col("vx")) * (col("mx") + 1), 2).as("forecasted_sales"))
   }
 
+  /** F2's second model, driver-checkable: seasonal-naive one-step
+    * forecast over the same deterministic daily series — exactly
+    * SeasonalNaiveForecaster.predict(1) (the value one period before
+    * the series end, last observation when the series is shorter than
+    * a period), expressed relationally so DuckDB replays it. The
+    * global window rides a DAILY aggregate — one row per calendar
+    * day, bounded by the date range, never by the fact table — so the
+    * single-partition rank is over a calendar-sized frame. */
+  val seasonalPeriod = 7
+
+  def fcSeasonalSales(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("y"))
+    val byDayDesc = Window.orderBy(col("day").desc)
+    daily.withColumn("rn", row_number().over(byDayDesc))
+      .agg(
+        date_add(max(when(col("rn") === 1, col("day"))), 1).as("forecast_date"),
+        round(coalesce(
+          max(when(col("rn") === seasonalPeriod, col("y"))),
+          max(when(col("rn") === 1, col("y")))), 2).as("forecasted_sales"))
+  }
+
   /** As-of join: enrich every event with the user's most recent
     * error event at-or-before it (operators.AsOfJoin — union + merge
     * window, one shuffle; DuckDB's native ASOF JOIN is the oracle). */
@@ -270,7 +293,8 @@ object Events {
     "ev_pivot" -> evPivot _,
     "ev_resample" -> evResample _,
     "ev_scd2" -> evScd2 _,
-    "fc_linear_sales" -> fcLinearSales _)
+    "fc_linear_sales" -> fcLinearSales _,
+    "fc_seasonal_sales" -> fcSeasonalSales _)
 
   /** Shared CTE: the gap-sessionization in SQL (µs precision). */
   private val sessionsCte: String =
@@ -413,5 +437,17 @@ object Events {
                        max(x) AS mx, max(day) AS last_day FROM d2)
           SELECT CAST(last_day + INTERVAL 1 DAY AS DATE) AS forecast_date,
                  round(ic + slope * (mx + 1), 2) AS forecasted_sales
-          FROM f""")
+          FROM f""",
+    "fc_seasonal_sales" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                                sum(o_totalprice) AS y
+                         FROM orders GROUP BY 1),
+          r AS (SELECT day, y, row_number() OVER (ORDER BY day DESC) AS rn
+                FROM daily)
+          SELECT CAST(max(CASE WHEN rn = 1 THEN day END) + INTERVAL 1 DAY
+                   AS DATE) AS forecast_date,
+                 round(coalesce(max(CASE WHEN rn = $seasonalPeriod THEN y END),
+                                max(CASE WHEN rn = 1 THEN y END)), 2)
+                   AS forecasted_sales
+          FROM r""")
 }

@@ -14,21 +14,18 @@ import org.apache.spark.sql.SparkSession
   * boundary probe rejects its own keys. Excluding the CURRENT batch
   * id restores true replay idempotence: the retry sees exactly the
   * state the first attempt saw, and the overwrite lands the identical
-  * result. */
+  * result.
+  *
+  * The listing is [[Frontier]]-aware: once a stream settles, the scope
+  * is the latest `frontier_<m>` dir plus the live tail deltas —
+  * O(settleEvery) paths however long the stream has run, instead of
+  * every batch dir ever written. */
 private[streaming] object BatchLayout {
 
-  /** Paths of `dir/batch_<k>` outputs for k ≠ batchId, None when no
-    * earlier batch has landed (first batch of the run). */
+  /** Admitted-state paths for batch `batchId` (settled frontier +
+    * `dir/batch_<k>` deltas, k ≠ batchId), None when nothing has
+    * landed yet (first batch of the run). */
   def earlierBatches(spark: SparkSession, dir: String,
-                     batchId: Long): Option[Seq[String]] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return None
-    val kids = fs.listStatus(path)
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("batch_") &&
-        st.getPath.getName != s"batch_$batchId")
-      .map(_.getPath.toString).toSeq
-    if (kids.isEmpty) None else Some(kids)
-  }
+                     batchId: Long): Option[Seq[String]] =
+    Frontier.scopePaths(spark, dir, batchId)
 }

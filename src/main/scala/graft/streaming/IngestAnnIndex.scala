@@ -28,22 +28,31 @@ import graft.operators.Similarity
 object IngestAnnIndex {
 
   /** Start the maintenance stream: vectors (vec_id, embedding) →
-    * per-batch index fragments under `indexDir/batch_<id>`. */
+    * per-batch index fragments under `indexDir/batch_<id>`, with the
+    * fragments periodically folded into one compacted frontier
+    * ([[Frontier.maybeSettle]]) so a long-running stream's serving
+    * read opens O(settleEvery) dirs, not one per batch ever written —
+    * and the nightly base rebuild folds ONE compacted delta, not a
+    * pile of small files. */
   def indexedIngest(vectors: DataFrame, indexDir: String,
-                    nPlanes: Int = Similarity.lshPlanes): StreamingQuery =
+                    nPlanes: Int = Similarity.lshPlanes,
+                    settleEvery: Int = 16): StreamingQuery =
     vectors.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         Similarity.annIndexFrame(batch.toDF(), nPlanes)
           .write.mode("overwrite").parquet(s"$indexDir/batch_$batchId")
+        Frontier.maybeSettle(batch.sparkSession, indexDir, batchId,
+          Seq("vec_id"), settleEvery)
+        ()
       }
       .outputMode(OutputMode.Append())
       .start()
 
-  /** The queryable index: settled base ∪ this run's delta fragments.
-    * Missing glob ⇒ no batches have landed yet. */
+  /** The queryable index: settled base ∪ this run's delta fragments
+    * (frontier + live batch dirs). Nothing landed yet ⇒ base only. */
   def servingIndex(spark: SparkSession, base: Option[DataFrame],
                    indexDir: String): DataFrame = {
-    val delta = scala.util.Try(spark.read.parquet(s"$indexDir/batch_*")).toOption
+    val delta = scala.util.Try(Frontier.readLayered(spark, indexDir)).toOption
     (base, delta) match {
       case (Some(b), Some(d)) => b.unionByName(d)
       case (Some(b), None)    => b

@@ -28,14 +28,19 @@ import graft.operators.{Html, Urls}
   * Cross-batch semantics note: "keep-first" here is first ARRIVAL
   * (processing order), the only meaningful order a stream has; batch
   * ds_crawl's min-doc_id tiebreak applies within one batch. Scale
-  * shape: scope (c) probes only this run's admitted delta (one
-  * ingestion window), which a periodic frontier refresh folds back
-  * into (a) — the base+delta posture of the persisted dedup index. */
+  * shape: scope (c) probes the latest settled [[Frontier]] plus at
+  * most `settleEvery` tail deltas — every `settleEvery` batches the
+  * deltas fold into one compacted `frontier_<m>` dir, so the
+  * per-batch probe cost is flat in the number of batches (the
+  * base+delta posture of the persisted dedup index, applied to the
+  * stream's own output; BASELINE.md#crawl_stream prices it).
+  * Consumers read the full corpus via [[Frontier.readLayered]]. */
 object IngestCrawl {
 
   def crawledIngest(fetches: DataFrame, settledUrls: Option[DataFrame],
                     survivorDir: String, blockedDomains: Seq[String],
-                    minTokens: Int = graft.queries.DataOps.crawlMinTokens)
+                    minTokens: Int = graft.queries.DataOps.crawlMinTokens,
+                    settleEvery: Int = 16)
       : StreamingQuery =
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -71,6 +76,11 @@ object IngestCrawl {
             col("kept_blocks"), nTok.as("n_tokens"))
           .filter(col("n_tokens") >= minTokens)
           .write.mode("overwrite").parquet(s"$survivorDir/batch_$batchId")
+        // fold accumulated deltas into the settled frontier (never
+        // the in-flight batch — replay safety, see Frontier)
+        Frontier.maybeSettle(spark, survivorDir, batchId,
+          Seq("canon_url"), settleEvery)
+        ()
       }
       .outputMode(OutputMode.Append())
       .start()

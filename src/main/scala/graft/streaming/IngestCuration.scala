@@ -14,7 +14,9 @@ import graft.operators.{Dedup, LanguageModel, TextAnalysis}
   * (stateless per-document work, so they cost nothing across batch
   * boundaries), then the survivors dedup against (a) the settled
   * corpus index, (b) themselves, and (c) every earlier batch this
-  * stream accepted — the same three scopes as [[IngestDedup]].
+  * stream accepted — the same three scopes as [[IngestDedup]], with
+  * scope (c) served as the settled [[Frontier]] plus at most
+  * `settleEvery` tail deltas (flat per-batch probe cost).
   * The LM rides along as its single count table (`bigramLm`'s
   * "persisting the model is persisting this one frame"), loaded once
   * outside the stream — scoring inside the batch is two equi-keyed
@@ -31,7 +33,8 @@ object IngestCuration {
   def curatedIngest(docs: DataFrame, index: Dedup.CorpusIndex, lm: DataFrame,
                     outDir: String, n: Int = 3, threshold: Double = 0.3,
                     maxTop2: Double = 0.2, maxDup5: Double = 0.6,
-                    maxAvgNll: Double = 3.65): StreamingQuery =
+                    maxAvgNll: Double = 3.65,
+                    settleEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -71,6 +74,11 @@ object IngestCuration {
               .when(col("__ok").isNull, lit("duplicate"))
               .otherwise(lit("kept")).as("verdict"))
           .write.mode("overwrite").parquet(s"$outDir/audit/batch_$batchId")
+        // settle the ACCEPTED corpus (the per-batch probe scope); the
+        // audit trail is an append-only log nothing reads per batch
+        Frontier.maybeSettle(spark, s"$outDir/accepted", batchId,
+          Seq("doc_id"), settleEvery)
+        ()
       }
       .outputMode(OutputMode.Append())
       .start()

@@ -21,16 +21,20 @@ import graft.operators.Dedup
   * IS the sink, no side ledger to reconcile.
   *
   * Scale shape: scope (a) is the batch-driven persisted-index probe
-  * (cost ∝ |batch|); scope (c) probes only this run's accepted delta,
-  * which a daily index refresh folds back into (a) — the standard
-  * base+delta index posture, so the in-flight state never grows past
-  * one ingestion window.
+  * (cost ∝ |batch|); scope (c) probes the latest settled [[Frontier]]
+  * plus at most `settleEvery` tail deltas — every `settleEvery`
+  * batches the accepted deltas fold into one compacted
+  * `frontier_<m>` dir, so the per-batch probe reads O(1) sources
+  * however long the stream has run (the same base+delta posture as
+  * scope (a), applied to the stream's own output). Consumers read
+  * the accepted corpus via [[Frontier.readLayered]].
   */
 object IngestDedup {
 
   def dedupedIngest(docs: DataFrame, index: Dedup.CorpusIndex,
                     survivorDir: String, n: Int = 3,
-                    threshold: Double = 0.3): StreamingQuery =
+                    threshold: Double = 0.3,
+                    settleEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -49,6 +53,9 @@ object IngestDedup {
           case None => vsCorpus
         }
         out.write.mode("overwrite").parquet(s"$survivorDir/batch_$batchId")
+        Frontier.maybeSettle(spark, survivorDir, batchId,
+          Seq("doc_id"), settleEvery)
+        ()
       }
       .outputMode(OutputMode.Append())
       .start()

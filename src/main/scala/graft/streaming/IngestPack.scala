@@ -31,7 +31,7 @@ object IngestPack {
 
   def packedIngest(docs: DataFrame, orderKey: String, tokens: Column,
                    shardDir: String, budget: Long,
-                   blockSize: Long): StreamingQuery =
+                   blockSize: Long, settleEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -62,6 +62,12 @@ object IngestPack {
             .withColumn("shard_id", expr(s"(cum - n_tokens) div $budget"))
             .write.mode("overwrite")
             .parquet(s"$shardDir/_assign/batch_$batchId")
+          // fold settled assignment deltas — the boundary probe then
+          // aggregates one compacted frontier + a short delta tail
+          // instead of every batch dir ever written
+          Frontier.maybeSettle(spark, s"$shardDir/_assign", batchId,
+            Seq(orderKey), settleEvery)
+          ()
         }
       }
       .outputMode(OutputMode.Append())

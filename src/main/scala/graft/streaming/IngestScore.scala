@@ -29,14 +29,21 @@ object IngestScore {
 
   /** Start the scoring stream: documents (doc_id, text) → per-batch
     * (doc_id, weight_micro) fragments under `scoreDir/batch_<id>`,
-    * scored against the stored model `tag`. */
-  def scoredIngest(docs: DataFrame, tag: String,
-                   scoreDir: String): StreamingQuery = {
+    * scored against the stored model `tag`. Fragments fold into one
+    * compacted frontier every `settleEvery` batches
+    * ([[Frontier.maybeSettle]]) so the downstream selection job reads
+    * O(settleEvery) dirs via [[Frontier.readLayered]], not one per
+    * batch ever written. */
+  def scoredIngest(docs: DataFrame, tag: String, scoreDir: String,
+                   settleEvery: Int = 16): StreamingQuery = {
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         Dsir.weightsPersisted(batch.sparkSession, tag, batch.toDF(),
             col("text"), col("doc_id"))
           .write.mode("overwrite").parquet(s"$scoreDir/batch_$batchId")
+        Frontier.maybeSettle(batch.sparkSession, scoreDir, batchId,
+          Seq("doc_id"), settleEvery)
+        ()
       }
       .outputMode(OutputMode.Append())
       .start()

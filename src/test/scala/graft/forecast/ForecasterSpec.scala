@@ -28,6 +28,21 @@ class ForecasterSpec extends SparkSpec {
     assert(new LinearTrendForecaster().fit(Array(42.0)).predict(2).toSeq == Seq(42.0, 42.0))
   }
 
+  test("fc_seasonal_sales (relational) == SeasonalNaiveForecaster.predict(1)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val series = graft.Tables(spark, sfDir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("y"))
+      .orderBy("day").collect().map(_.getDouble(1))
+    val want = new SeasonalNaiveForecaster(graft.queries.Events.seasonalPeriod)
+      .fit(series).predict(1)(0)
+    val got = graft.queries.Events.fcSeasonalSales(spark, sfDir)
+      .collect()(0).getDouble(1)
+    assert(got == math.rint(want * 100) / 100,
+      s"relational seasonal forecast $got != forecaster ${want}")
+  }
+
   test("MLlib normal-solver regression matches closed-form OLS on a trend") {
     val m = new MllibForecaster(spark).fit(linear)
     val pred = m.predict(1)

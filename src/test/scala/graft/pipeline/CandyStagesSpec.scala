@@ -25,4 +25,36 @@ class CandyStagesSpec extends SparkSpec {
     assert(rows(stagedSummary) == rows(single.dailySummary))
     assert(rows(stagedStock) == rows(single.productsUpdated))
   }
+
+  test("a .env fixture configures the run: dates, output path, reload flag") {
+    val work = Files.createTempDirectory("candy_env").toString
+    val envFile = s"$work/.env"
+    // the reference's config surface (src/main.py:59-86) — the Mongo
+    // endpoint keys are accepted and unused (file-backed sources),
+    // the window/output/reload keys drive the run
+    Files.writeString(java.nio.file.Paths.get(envFile),
+      s"""# candy pipeline config
+         |MONGODB_URI="mongodb://example.invalid:27017"
+         |MONGO_START_DATE=20240201
+         |export MONGO_END_DATE='20240203'
+         |OUTPUT_PATH=$work/out
+         |RELOAD_INVENTORY_DAILY=True
+         |""".stripMargin)
+    val cfg = graft.CandyMain.resolve(Array(dataDir, "--env", envFile))
+    assert(cfg.outDir == s"$work/out" && cfg.reloadDaily)
+    assert(cfg.days.contains(Seq("20240201", "20240202", "20240203")))
+    // CLI wins over the env file
+    val cli = graft.CandyMain.resolve(
+      Array(dataDir, s"$work/cli_out", "--env", envFile))
+    assert(cli.outDir == s"$work/cli_out")
+    // and the window actually narrows ingestion: 3 of the 10 day
+    // files land in the items checkpoint
+    val ckpt = s"$work/_stages"
+    CandyStages.ingest(spark, dataDir, ckpt, cfg.days)
+    val days = spark.read.parquet(s"$ckpt/items")
+      .select("day").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(days == Seq(20240201, 20240202, 20240203),
+      s"ingested days: $days")
+  }
 }

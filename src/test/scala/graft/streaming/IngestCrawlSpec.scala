@@ -62,6 +62,47 @@ class IngestCrawlSpec extends SparkSpec {
     assert(ntok2 == 30L)
   }
 
+  test("the frontier settles: O(1) scope paths and anti-joins still hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_crawl_settle").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, dir, Nil,
+      settleEvery = 2)
+    try {
+      input.addData((1L, "http://a.com/1", page("a", 30)),
+        (2L, "http://a.com/2", page("b", 30)))
+      q.processAllAvailable() // batch 0
+      input.addData((3L, "http://a.com/3", page("c", 30)),
+        (4L, "http://a.com/1", page("d", 30))) // re-fetch vs batch 0
+      q.processAllAvailable() // batch 1
+      input.addData((5L, "http://a.com/4", page("e", 30)))
+      q.processAllAvailable() // batch 2: settles batches 0,1 → frontier_1
+      // re-fetch of a FRONTIER url and of a live-delta url — the
+      // settled layout must still reject both
+      input.addData((6L, "http://a.com/2", page("f", 30)),
+        (7L, "http://a.com/4", page("g", 30)),
+        (8L, "http://a.com/5", page("h", 30)))
+      q.processAllAvailable() // batch 3
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    assert(names == Set("frontier_1", "batch_2", "batch_3"),
+      s"expected one settled frontier + tail deltas, got $names")
+    // the next batch's admitted-state scope is O(settleEvery) paths,
+    // not one per batch ever written
+    assert(Frontier.scopePaths(spark, dir, 4L).get.size == 3)
+    val admitted = Frontier.readLayered(spark, dir)
+      .select("doc_id", "canon_url").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(admitted == Map(1L -> "http://a.com/1", 2L -> "http://a.com/2",
+      3L -> "http://a.com/3", 5L -> "http://a.com/4", 8L -> "http://a.com/5"),
+      s"admitted = $admitted")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -51,6 +51,40 @@ class IngestPackSpec extends SparkSpec {
     assert(streamed == want && streamed.size == 7)
   }
 
+  test("assignments survive a settle bit-for-bit; the boundary probe holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_pack_settle").toString
+    val batches = Seq(
+      Seq((1L, toks(40)), (2L, toks(70))), Seq((3L, toks(10))),
+      Seq((4L, toks(95))), Seq((5L, toks(5)), (6L, toks(100))),
+      Seq((7L, toks(1))))
+    val input = MemoryStream[(Long, String)]
+    val q = IngestPack.packedIngest(input.toDF().toDF("doc_id", "text"),
+      "doc_id", size(split(col("text"), " ")), dir,
+      budget = 100L, blockSize = 2L, settleEvery = 2)
+    try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    // deltas folded along the way, and the running token boundary
+    // carried through every settle: the result still equals batch mode
+    val streamed = Frontier.readLayered(spark, s"$dir/_assign")
+      .select("doc_id", "cum", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = batches.flatten.toDF("doc_id", "text")
+    val want = Sharding.packShards(all, "doc_id",
+        size(split(col("text"), " ")), budget = 100L, blockSize = 2L)
+      .select("doc_id", "cum", "shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == want && streamed.size == 7)
+    val names = new org.apache.hadoop.fs.Path(s"$dir/_assign")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/_assign"))
+      .map(_.getPath.getName).toSet
+    assert(names.count(_.startsWith("frontier_")) == 1,
+      s"expected a settled frontier in $names")
+    assert(names.count(_.startsWith("batch_")) <= 2, s"tail too long: $names")
+  }
+
   test("out-of-order keys are rejected, monotone keys accepted") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
