@@ -49,14 +49,36 @@ object Urls {
   /** Query parameters that never identify content. */
   val trackingParamsRe = "utm_[a-z0-9_]*|gclid|fbclid|ref"
 
-  /** Step 2: percent-escape normalization — split on '%', decode or
-    * re-case each piece's leading escape. The per-piece dispatch is a
-    * higher-order `transform` (interpreted, not codegen'd) — fine
-    * here because canonicalization runs over the crawl MANIFEST (one
-    * short string per fetch), not over page bytes, and the cascade's
-    * cost is already dominated by its regex passes; measured at sf0.1
-    * the dd_url_dedup row stayed inside its r13 envelope. */
+  /** Step 2: percent-escape normalization — the `graft_url_pct`
+    * byte-walk kernel ([[graft.plans.UrlPercentNorm]]). The first r14
+    * form was a split + higher-order `transform` — interpreted
+    * (CodegenFallback), and because the cascade is INLINED several
+    * times in the dedup plan (see [[dedupByUrl]]'s plan-shape note)
+    * the fallback broke whole-stage-codegen subexpression elimination
+    * across the whole cascade: the quiet sf0.1 sweep measured
+    * dd_url_dedup 2.4 → 8.8 s and ds_crawl 6.0 → 10.4 s. As a plain
+    * codegen'd call the cascade is CSE-eligible end to end again
+    * (both rows back in their r13 envelopes — the same HOF→kernel
+    * lesson as minhash/hash-embed). */
   private def percentNormalize(u: Column): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_url_pct", u)
+  }
+
+  /** Step 9: byte-lexicographic query-parameter sort; `…?` → no '?'
+    * (`graft_url_qsort`, [[graft.plans.UrlQuerySort]] — kernel for
+    * the same CSE reason as step 2). */
+  private def sortQueryParams(u: Column): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_url_qsort", u)
+  }
+
+  /** Relational references for the two kernel steps — the shapes the
+    * DuckDB oracle mirrors, retained as the living spec: UrlsSpec's
+    * parity law fuzzes kernel ≡ staged on adversarial inputs. */
+  private[operators] def percentNormalizeStaged(u: Column): Column = {
     val pieces = split(u, "%", -1)
     def norm(p: Column): Column = {
       val hx = upper(substring(p, 1, 2))
@@ -75,14 +97,9 @@ object Urls {
         norm(_)), ""))
   }
 
-  /** Step 9: byte-lexicographic query-parameter sort; `…?` → no '?'. */
-  private def sortQueryParams(u: Column): Column = {
+  private[operators] def sortQueryParamsStaged(u: Column): Column = {
     val base = substring_index(u, "?", 1)
     val query = u.substr(length(base) + 2, length(u))
-    // concat-topped, not CaseWhen-topped: the cascade is inlined into
-    // several plan positions and a conditional ROOT would exclude the
-    // shared tree from codegen subexpression elimination (the r13
-    // "cheap gate" 2.5× regression — see dedupByUrl's plan-shape note)
     concat(base,
       when(query === "", lit(""))
         .otherwise(concat(lit("?"),

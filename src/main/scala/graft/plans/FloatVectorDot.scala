@@ -75,6 +75,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.hashEmbedDescriptor)
     ext.injectFunction(GraftFunctions.minhashDescriptor)
     ext.injectFunction(GraftFunctions.simhashDescriptor)
+    ext.injectFunction(GraftFunctions.urlPctDescriptor)
+    ext.injectFunction(GraftFunctions.urlQsortDescriptor)
     ext.injectOptimizerRule(_ => RewriteVectorDot)
   }
 }
@@ -202,6 +204,16 @@ object GraftFunctions {
           s"must be integer literals, got $other")
     }
 
+  val urlPctDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_url_pct"),
+    new ExpressionInfo(classOf[UrlPercentNorm].getName, "graft_url_pct"),
+    (children: Seq[Expression]) => UrlPercentNorm(children(0)))
+
+  val urlQsortDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_url_qsort"),
+    new ExpressionInfo(classOf[UrlQuerySort].getName, "graft_url_qsort"),
+    (children: Seq[Expression]) => UrlQuerySort(children(0)))
+
   val entropyDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_entropy"),
     new ExpressionInfo(classOf[TextEntropy].getName, "graft_entropy"),
@@ -237,6 +249,10 @@ object GraftFunctions {
       "graft_simhash", mkSimhash, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_html_extract", mkHtmlExtract, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_url_pct", cs => UrlPercentNorm(cs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_url_qsort", cs => UrlQuerySort(cs(0)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorDot

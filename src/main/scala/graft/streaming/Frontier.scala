@@ -80,15 +80,23 @@ object Frontier {
     Layout(latest, live.sortBy(_._1), staleBatches.map(_._2) ++ staleFrontiers)
   }
 
-  /** The admitted-state scope batch `batchId` must anti-join against:
-    * the latest settled frontier plus the live deltas — the CURRENT
-    * batch id excluded (a retry must not probe its own partial
-    * output). None ⇒ nothing admitted yet. */
+  /** The admitted-state scope for batch `batchId`, split into its two
+    * layers: the latest settled frontier (folded-through id + path)
+    * and the live delta paths — the CURRENT batch id excluded (a
+    * retry must not probe its own partial output). */
+  def scopeParts(spark: SparkSession, dir: String,
+                 batchId: Long): (Option[(Long, String)], Seq[String]) = {
+    val l = scan(spark, dir)
+    (l.frontier.map { case (m, p) => (m, p.toString) },
+      l.deltas.collect { case (id, p) if id != batchId => p.toString })
+  }
+
+  /** [[scopeParts]] flattened to one path list (frontier first).
+    * None ⇒ nothing admitted yet. */
   def scopePaths(spark: SparkSession, dir: String,
                  batchId: Long): Option[Seq[String]] = {
-    val l = scan(spark, dir)
-    val paths = l.frontier.map(_._2.toString).toSeq ++
-      l.deltas.collect { case (id, p) if id != batchId => p.toString }
+    val (front, deltas) = scopeParts(spark, dir, batchId)
+    val paths = front.map(_._2).toSeq ++ deltas
     if (paths.isEmpty) None else Some(paths)
   }
 

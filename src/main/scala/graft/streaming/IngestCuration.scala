@@ -54,15 +54,21 @@ object IngestCuration {
         val quality = flagged.filter(!col("rep_fail") && !col("lm_fail"))
           .select(col("doc_id"), col("__text").as("text"))
         val vsCorpus = Dedup.incremental(index, quality, text, id, n, threshold)
-        // earlier batches only (current id excluded — replay-safe,
-        // see BatchLayout)
-        val accepted = BatchLayout.earlierBatches(spark, s"$outDir/accepted",
-            batchId).map(paths => spark.read.parquet(paths: _*)) match {
-          case Some(prev) =>
-            Dedup.incremental(prev.select("doc_id", "text"), vsCorpus,
-              text, id, n, threshold)
+        // earlier batches only (current id excluded — replay-safe, see
+        // BatchLayout/Frontier); settled frontier via its persisted
+        // index, tail deltas in-plan (FrontierIndex — per-batch
+        // compute flat in the accepted corpus)
+        val (frontIdx, tailPaths) = FrontierIndex.dedupScope(
+          spark, s"$outDir/accepted", batchId, text, id, n)
+        val vsFrontier = frontIdx match {
+          case Some(fi) => Dedup.incremental(fi, vsCorpus, text, id, n, threshold)
           case None => vsCorpus
         }
+        val accepted =
+          if (tailPaths.isEmpty) vsFrontier
+          else Dedup.incremental(
+            spark.read.parquet(tailPaths: _*).select("doc_id", "text"),
+            vsFrontier, text, id, n, threshold)
         accepted.write.mode("overwrite")
           .parquet(s"$outDir/accepted/batch_$batchId")
         flagged

@@ -41,17 +41,25 @@ object IngestDedup {
         val text = col("text")
         val id = col("doc_id")
         val vsCorpus = Dedup.incremental(index, batch.toDF(), text, id, n, threshold)
-        // earlier batches' survivors act as settled corpus too (the
-        // CURRENT batch id excluded — an at-least-once retry must not
-        // dedup the batch against its own partial output, which would
-        // empty it on replay; see BatchLayout); None ⇒ first batch
-        val out = BatchLayout.earlierBatches(spark, survivorDir, batchId)
-          .map(paths => spark.read.parquet(paths: _*)) match {
-          case Some(prev) =>
-            Dedup.incremental(prev.select(batch.columns.map(col): _*),
-              vsCorpus, text, id, n, threshold)
+        // earlier survivors act as settled corpus too (the CURRENT
+        // batch id excluded — an at-least-once retry must not dedup
+        // the batch against its own partial output, which would empty
+        // it on replay; see BatchLayout/Frontier). The settled
+        // frontier probes through its PERSISTED index (built once per
+        // settle window — FrontierIndex); only the short un-settled
+        // tail is indexed in-plan, so per-batch compute is
+        // ∝ |batch| + |tail|, flat in the accepted corpus.
+        val (frontIdx, tailPaths) = FrontierIndex.dedupScope(
+          spark, survivorDir, batchId, text, id, n)
+        val vsFrontier = frontIdx match {
+          case Some(fi) => Dedup.incremental(fi, vsCorpus, text, id, n, threshold)
           case None => vsCorpus
         }
+        val out =
+          if (tailPaths.isEmpty) vsFrontier
+          else Dedup.incremental(
+            spark.read.parquet(tailPaths: _*).select(batch.columns.map(col): _*),
+            vsFrontier, text, id, n, threshold)
         out.write.mode("overwrite").parquet(s"$survivorDir/batch_$batchId")
         Frontier.maybeSettle(spark, survivorDir, batchId,
           Seq("doc_id"), settleEvery)

@@ -104,6 +104,37 @@ class UrlsSpec extends SparkSpec {
       s"canon not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'"))
   }
 
+  test("pct/qsort kernels == relational references (adversarial fuzz)") {
+    import spark.implicits._
+    // piece pool biased toward the kernels' edges: escapes in every
+    // case/validity class, bare and doubled '%', multi-byte text,
+    // empty params, repeated '?', '&' runs
+    val pieces = Vector("%7E", "%7e", "%3f", "%3F", "%41", "%zz", "%4", "%",
+      "%%41", "?", "&", "a=1", "b=2", "A=3", "=", "", "x", "é", "日本", "~",
+      "%C3%A9", "%e9", "?b=2&a=1", "#f", "/p")
+    val rng = new scala.util.Random(7)
+    val urls = (0 until 400).map(_ =>
+      "http://h.com/" + (0 until rng.nextInt(8))
+        .map(_ => pieces(rng.nextInt(pieces.size))).mkString) :+
+      "" :+ "?" :+ "%" :+ "a?b?c&d"
+    val df = urls.toDF("u")
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val rows = df.select(col("u"),
+        call_function("graft_url_pct", col("u")).as("kp"),
+        Urls.percentNormalizeStaged(col("u")).as("sp"),
+        call_function("graft_url_qsort", col("u")).as("kq"),
+        Urls.sortQueryParamsStaged(col("u")).as("sq"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"pct mismatch on '${r.getString(0)}': " +
+          s"kernel='${r.getString(1)}' staged='${r.getString(2)}'")
+      assert(r.getString(3) == r.getString(4),
+        s"qsort mismatch on '${r.getString(0)}': " +
+          s"kernel='${r.getString(3)}' staged='${r.getString(4)}'")
+    }
+  }
+
   test("keep-first URL dedup recovers planted collisions; blocklist gates pre-group") {
     val df = Seq(
       (10L, "HTTP://www.A.com:80/p/?utm_source=x"), // canon: http://a.com/p

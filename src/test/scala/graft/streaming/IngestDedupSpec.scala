@@ -44,6 +44,41 @@ class IngestDedupSpec extends SparkSpec {
     assert(survivors == Set(11L, 22L))
   }
 
+  test("the settled frontier probes via its persisted index, same verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_dedup_settle").toString
+    val corpus = Seq((100L, text("z"))).toDF("doc_id", "text")
+    val index = Dedup.indexCorpus(corpus, col("text"), col("doc_id"), 3)
+
+    val input = MemoryStream[(Long, String)]
+    val q = IngestDedup.dedupedIngest(
+      input.toDF().toDF("doc_id", "text"), index, dir, settleEvery = 2)
+    try {
+      input.addData((1L, text("b")))
+      q.processAllAvailable() // batch 0
+      input.addData((2L, text("c")))
+      q.processAllAvailable() // batch 1
+      input.addData((3L, text("d")))
+      q.processAllAvailable() // batch 2: settles 0,1 → frontier_1
+      input.addData(
+        (10L, text("b")),                       // exact dup of a FRONTIER doc
+        (11L, text("c").replace("c40", "qq")),  // near dup of a frontier doc
+        (12L, text("d")),                       // exact dup of the TAIL delta
+        (13L, text("e")))                       // novel
+      q.processAllAvailable() // batch 3: probes frontier INDEX + tail
+    } finally q.stop()
+
+    val survivors = Frontier.readLayered(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L, 13L), s"survivors: $survivors")
+    // the frontier generation's index tables exist in the catalog
+    // (built once per settle window, probed batch-driven thereafter)
+    val t = FrontierIndex.tag(dir, 1L)
+    for (pre <- Seq("ci_md5_", "ci_bkt_", "ci_sh_"))
+      assert(spark.catalog.tableExists(s"$pre$t"), s"missing $pre$t")
+  }
+
   test("near-duplicates of earlier survivors are dropped too (LSH + verify scope)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
