@@ -170,6 +170,17 @@ object Html {
         .cast("long").as("n_links"))
   }
 
+  /** Outbound link hrefs of a page, document order — the discovery
+    * half of a crawl loop (extraction keeps pages; THIS feeds the
+    * frontier). The contract is the anchor-tag pattern
+    * `<a[^>]* href="…"` (one codegen'd regexp_extract_all — no HOF,
+    * no kernel needed: the regex engine is the per-byte walk), which
+    * deliberately reads only double-quoted hrefs on `<a` tags — the
+    * deterministic subset both engines replay; resolution against the
+    * page's own URL is [[Urls.resolveHref]]. */
+  def linkHrefs(html: Column): Column =
+    regexp_extract_all(html, lit("<a[^>]* href=\"([^\"]*)\""), lit(1))
+
   /** Deterministic page furniture around a plain-text corpus — the
     * fixture both engines derive identically (closed-form string
     * ops), so extraction can be oracle-checked end to end on the

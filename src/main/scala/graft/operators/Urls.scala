@@ -128,6 +128,56 @@ object Urls {
   def hostOf(canonUrl: Column): Column =
     regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
 
+  /** Resolve an anchor href against its page's (already-canonical)
+    * base URL — the RFC 3986 reference-resolution subset a frontier
+    * needs, closed-form so the oracle replays it:
+    *
+    *  - absolute (`scheme://…`) → as-is
+    *  - protocol-relative (`//host/…`) → base's scheme + `:` + href
+    *  - root-relative (`/p`) → base's origin + href
+    *  - fragment-only (`#…`) or empty → NULL (a self-link, never a
+    *    frontier candidate)
+    *  - otherwise path-relative → base's directory (through its last
+    *    `/` after the authority; the origin + `/` when the base has
+    *    a bare authority) + href. No `..`/`.` segment folding — the
+    *    canonicalizer's trailing-slash rule and keep-first dedup make
+    *    dot-segment aliases a recall, not correctness, concern.
+    *
+    * The result is RAW (resolution only); feed it through
+    * [[canonicalize]] before any frontier membership test. */
+  def resolveHref(base: Column, href: Column): Column = {
+    val origin = regexp_extract(base, "^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    val scheme = regexp_extract(base, "^([a-z][a-z0-9+.-]*)://", 1)
+    val dir = regexp_extract(regexp_replace(base, "[?#].*$", ""),
+      "^([a-z][a-z0-9+.-]*://.*/)", 1)
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+      .when(href.startsWith("#") || href === "", lit(null))
+      .otherwise(concat(
+        when(dir === "", concat(origin, lit("/"))).otherwise(dir), href))
+  }
+
+  /** Politeness scheduling: assign frontier candidates to fetch WAVES
+    * such that no host appears more than `perHostPerWave` times in a
+    * wave — the per-host rate cap every real crawler enforces, as a
+    * plan: one window keyed on the host (the natural partition axis —
+    * depth of a host's queue is the scale dimension, never the corpus
+    * width), candidates ranked by (priority desc, url) inside their
+    * host, wave = rank div perHostPerWave. Waves are dense from 0 per
+    * host, so a scheduler drains wave k completely before k+1 and the
+    * per-wave host multiplicity is the cap by construction. */
+  def politeWaves(df: DataFrame, url: Column, priority: Column,
+                  perHostPerWave: Int = 1): DataFrame = {
+    require(perHostPerWave >= 1, s"perHostPerWave must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("priority").desc, col("url").asc)
+    df.select(url.as("url"), priority.as("priority"))
+      .withColumn("host", hostOf(col("url")))
+      .withColumn("wave",
+        ((row_number().over(w) - 1) / perHostPerWave).cast("long"))
+  }
+
   /** Blocklist predicate over a host column/expression: exact match
     * or dot-suffix (`example.com` blocks `a.example.com`). */
   def hostBlocked(host: Column, blockedDomains: Seq[String]): Column =

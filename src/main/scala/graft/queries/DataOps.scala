@@ -855,6 +855,71 @@ object DataOps {
       when(nTok >= crawlMinTokens, "kept").otherwise(lit("thin")).as("verdict"))
   }
 
+  /** Link extraction + resolution: every anchor href of every
+    * synthesized page, resolved absolute against the page's own
+    * canonical URL — the discovery half of the crawl loop
+    * (Html.linkHrefs + Urls.resolveHref, both closed-form). */
+  def txExtractLinks(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Html, Urls}
+    val pages = docs(s, d).select(col("doc_id"),
+      Urls.canonicalize(
+        Urls.syntheticUrl(col("doc_id"), col("source"))).as("base"),
+      Html.syntheticPage(col("text"), col("source")).as("html"))
+    pages
+      .select(col("doc_id"), col("base"),
+        posexplode(Html.linkHrefs(col("html"))).as(Seq("pos", "href")))
+      .select(col("doc_id"), col("pos"), col("href"),
+        Urls.resolveHref(col("base"), col("href")).as("abs_url"))
+  }
+
+  /** The crawl frontier: outbound links of the fetched winners,
+    * resolved, canonicalized, blocklisted and anti-joined against
+    * everything already crawled — the next wave's candidates with
+    * their in-link evidence. Frontier growth is link-volume keyed on
+    * the canonical URL: one explode (bounded by links-per-page), one
+    * keep-first-style aggregate, one anti-join against the crawled
+    * set — no corpus join-back, same scale posture as ds_crawl.
+    * Fragment-only/empty hrefs are gated on the CHEAP raw-href
+    * predicate before resolution, so the resolve+canon chain never
+    * clones into a pushed-down null filter (the measured
+    * filter-pushdown trap — see Html.extractMainText's scaladoc). */
+  def dsCrawlFrontier(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Html, Urls}
+    val crawled = docs(s, d)
+      .select(Urls.canonicalize(
+        Urls.syntheticUrl(col("doc_id"), col("source"))).as("canon_url"))
+      .withColumn("host", Urls.hostOf(col("canon_url")))
+      .filter(!Urls.hostBlocked(col("host"), blockedDomains))
+      .select("canon_url").distinct()
+    val pages = docs(s, d).select(col("doc_id"),
+      Urls.canonicalize(
+        Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
+      Html.syntheticPage(col("text"), col("source")).as("html"))
+    pages
+      .select(col("referrer"), explode(Html.linkHrefs(col("html"))).as("href"))
+      .filter(!col("href").startsWith("#") && col("href") =!= "")
+      .select(col("referrer"),
+        Urls.canonicalize(
+          Urls.resolveHref(col("referrer"), col("href"))).as("url"))
+      .withColumn("host", Urls.hostOf(col("url")))
+      .filter(!Urls.hostBlocked(col("host"), blockedDomains))
+      .join(crawled.withColumnRenamed("canon_url", "url"), Seq("url"), "left_anti")
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("referrer")).as("n_referrers"),
+        min(col("referrer")).as("first_referrer"))
+  }
+
+  /** Politeness scheduling over the frontier: fetch waves capped at
+    * `crawlPerHostPerWave` URLs per host per wave (Urls.politeWaves —
+    * one host-keyed window; queue depth per host is the scale axis,
+    * never the frontier width), priority = in-link count. */
+  val crawlPerHostPerWave = 2
+
+  def dsCrawlSchedule(s: SparkSession, d: String): DataFrame =
+    graft.operators.Urls.politeWaves(
+      dsCrawlFrontier(s, d), col("url"), col("n_refs"), crawlPerHostPerWave)
+
   def txClean(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       TextAnalysis.cleaned(col("text")).as("clean_text"))
@@ -1716,21 +1781,87 @@ object DataOps {
     * parenthesized subquery yielding (doc_id, main_text, n_blocks,
     * kept_blocks, n_links) — shared by tx_extract_html (over
     * `documents`) and ds_crawl (over the URL-dedup winners). */
+  /** Urls.resolveHref mirrored over SQL expressions `base`/`href`
+    * (keep both bare columns — they repeat). */
+  private def resolveHrefSqlExpr(base: String, href: String): String = {
+    val origin = s"regexp_extract($base, '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1)"
+    val scheme = s"regexp_extract($base, '^([a-z][a-z0-9+.-]*)://', 1)"
+    val dir = s"regexp_extract(regexp_replace($base, '[?#].*$$', ''), " +
+      "'^([a-z][a-z0-9+.-]*://.*/)', 1)"
+    s"""(CASE WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN $href
+          WHEN $href LIKE '//%' THEN $scheme || ':' || $href
+          WHEN $href LIKE '/%' THEN $origin || $href
+          WHEN $href LIKE '#%' OR $href = '' THEN NULL
+          ELSE (CASE WHEN $dir = '' THEN $origin || '/' ELSE $dir END) || $href
+        END)"""
+  }
+
+  /** The link-extraction CTE chain: synthesized pages → per-page
+    * hrefs (document order) with the page's canonical base URL —
+    * yields `lk(doc_id, base, pos, href)`. */
+  // lazy: refers to pageSynthSqlExpr declared below (object-init order)
+  private lazy val linkCtes: String =
+    s"""$urlSynthCte,
+        cb8 AS (SELECT u.doc_id, d.text, d.source,
+                  ${urlCanonSqlExpr("u.url")} AS cu
+                FROM u JOIN documents d ON u.doc_id = d.doc_id),
+        cb AS (SELECT doc_id, text, source,
+                 ${sortParamsSqlExpr("cu")} AS base FROM cb8),
+        pg AS (SELECT doc_id, base, $pageSynthSqlExpr AS html FROM cb),
+        lk AS (SELECT doc_id, base,
+                 generate_subscripts(regexp_extract_all(html,
+                   '<a[^>]* href="([^"]*)"', 1), 1) - 1 AS pos,
+                 unnest(regexp_extract_all(html,
+                   '<a[^>]* href="([^"]*)"', 1)) AS href
+               FROM pg)"""
+
+  /** dsCrawlFrontier mirrored: winners' outbound links → resolve →
+    * canonicalize → blocklist → anti-join crawled → in-link rollup.
+    * (Lazy: composes the lazy linkCtes.) */
+  private lazy val crawlFrontierSql: String = {
+    def notBlockedOver(hostExpr: String) = blockedDomains.map(d =>
+      s"NOT ($hostExpr = '$d' OR $hostExpr LIKE '%.$d')").mkString(" AND ")
+    val notBlocked = notBlockedOver("host")
+    s"""WITH $linkCtes,
+        cw AS (SELECT DISTINCT base AS canon_url FROM cb
+               WHERE ${notBlockedOver(
+                 "regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)")}),
+        rh AS (SELECT base AS referrer, href FROM lk
+               WHERE NOT href LIKE '#%' AND href <> ''),
+        rv AS (SELECT referrer,
+                 ${resolveHrefSqlExpr("referrer", "href")} AS abs_url FROM rh),
+        rc8 AS (SELECT referrer, ${urlCanonSqlExpr("abs_url")} AS cu FROM rv),
+        rc AS (SELECT referrer, ${sortParamsSqlExpr("cu")} AS url FROM rc8),
+        rcb AS (SELECT referrer, url,
+                  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                    AS host FROM rc),
+        fr AS (SELECT referrer, url FROM rcb
+               WHERE $notBlocked AND url NOT IN (SELECT canon_url FROM cw))
+        SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
+               CAST(count(DISTINCT referrer) AS BIGINT) AS n_referrers,
+               min(referrer) AS first_referrer
+        FROM fr GROUP BY url"""
+  }
+
+  /** Html.syntheticPage mirrored as one SQL expression over the
+    * columns `text`/`source` — shared by the extraction cascade and
+    * the link-discovery queries. */
+  private val pageSynthSqlExpr: String =
+    s"""'<html><head><script type="text/javascript">var t="' || source ||
+        '";</script><style>.m{color:#333}</style></head><body><!-- graft fixture -->' ||
+        '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/' ||
+        source || '">' || source || '</a></nav><div class="content">' ||
+        replace(replace(replace(
+                regexp_replace(text, '((?:\\S+ ){11}\\S+) ', '<p>\\1</p>', 'g'),
+                ' table ', ' <a href="#t">table</a> '),
+                ' agg ', ' x &amp; y '),
+                ' stream ', '${graft.operators.Html.entityGauntlet}') ||
+        '</div><footer>contact &amp; imprint<br/><a href="/legal">legal</a></footer></body></html>'"""
+
   private def htmlExtractSql(docRel: String): String = {
     val mt = graft.operators.Html.minKeepTokens
     val inv = graft.operators.Html.linkDensityInv
-    s"""(WITH hx AS (SELECT doc_id,
-            '<html><head><script type="text/javascript">var t="' || source ||
-            '";</script><style>.m{color:#333}</style></head><body><!-- graft fixture -->' ||
-            '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/' ||
-            source || '">' || source || '</a></nav><div class="content">' ||
-            replace(replace(replace(
-                    regexp_replace(text, '((?:\\S+ ){11}\\S+) ', '<p>\\1</p>', 'g'),
-                    ' table ', ' <a href="#t">table</a> '),
-                    ' agg ', ' x &amp; y '),
-                    ' stream ', '${graft.operators.Html.entityGauntlet}') ||
-            '</div><footer>contact &amp; imprint<br/><a href="/legal">legal</a></footer></body></html>'
-            AS html
+    s"""(WITH hx AS (SELECT doc_id, $pageSynthSqlExpr AS html
           FROM $docRel),
         sx1 AS (SELECT doc_id, regexp_replace(html,
                  '<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
@@ -3971,6 +4102,29 @@ object DataOps {
           FROM h WHERE $notBlocked
           GROUP BY canon_url"""
     },
+    // link discovery: synth page → anchor hrefs (document order) →
+    // RFC 3986 reference resolution against the page's canonical base
+    "tx_extract_links" ->
+      s"""WITH $linkCtes
+          SELECT doc_id, CAST(pos AS INT) AS pos, href,
+                 ${resolveHrefSqlExpr("base", "href")} AS abs_url
+          FROM lk""",
+    // the crawl frontier: winners' outbound links resolved +
+    // canonicalized, blocklisted, anti-joined against the crawled
+    // set, grouped with their in-link evidence
+    "ds_crawl_frontier" -> crawlFrontierSql,
+    // politeness scheduling: frontier → per-host fetch waves capped
+    // at crawlPerHostPerWave, priority = in-link count
+    "ds_crawl_schedule" ->
+      s"""WITH f AS ($crawlFrontierSql)
+          SELECT url, regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                   AS host,
+                 n_refs AS priority,
+                 (row_number() OVER (PARTITION BY
+                    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                    ORDER BY n_refs DESC, url) - 1) // $crawlPerHostPerWave
+                   AS wave
+          FROM f""",
     // the full extraction cascade replayed stage by stage (see
     // plans.HtmlExtract scaladoc): synth page → strip invisible
     // regions → block segmentation → per-block tag strip + link
@@ -4444,6 +4598,9 @@ object DataOps {
     "dq_ref_integrity" -> dqRefIntegrity _, // corpus-vs-embeddings id audit
     "tx_clean" -> txClean _,
     "tx_extract_html" -> txExtractHtml _,
+    "tx_extract_links" -> txExtractLinks _,
+    "ds_crawl_frontier" -> dsCrawlFrontier _,
+    "ds_crawl_schedule" -> dsCrawlSchedule _,
     "tx_url_canon" -> txUrlCanon _,
     "dd_url_dedup" -> ddUrlDedup _,
     "ds_crawl" -> dsCrawl _,

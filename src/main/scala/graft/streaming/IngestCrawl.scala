@@ -25,6 +25,24 @@ import graft.operators.{Html, Urls}
   * overwrite, so foreachBatch's at-least-once retries are idempotent
   * — the admitted-URL state IS the sink, no side ledger.
   *
+  * With `discoveredDir` set, each batch ALSO emits its pages'
+  * outbound links (Html.linkHrefs → Urls.resolveHref → canonicalize →
+  * blocklist, minus the admitted scope) under
+  * `discoveredDir/batch_<id>` — the crawl loop's discovery half,
+  * continuously. The next wave's input is then
+  * `Frontier.readLayered(discoveredDir)` minus
+  * `readLayered(survivorDir)`'s URLs, scheduled with
+  * `Urls.politeWaves` — fetch → extract → discover → schedule, closed.
+  * Discovery is a pure per-batch projection of the batch's own pages
+  * against the same replay-safe scope as admission (its own overwrite
+  * is idempotent for the same reason), additionally excluding this
+  * batch's own fetches; per-URL dedup of the discovered set happens
+  * at scheduling time, not per batch. One documented looseness: the
+  * admitted scope is the SURVIVOR corpus, so a link to a page fetched
+  * earlier but gated as thin can re-enter the frontier — candidates
+  * are fetch-or-refetch work, which a production ledger of fetched
+  * (not just kept) URLs would tighten.
+  *
   * Cross-batch semantics note: "keep-first" here is first ARRIVAL
   * (processing order), the only meaningful order a stream has; batch
   * ds_crawl's min-doc_id tiebreak applies within one batch. Scale
@@ -40,7 +58,8 @@ object IngestCrawl {
   def crawledIngest(fetches: DataFrame, settledUrls: Option[DataFrame],
                     survivorDir: String, blockedDomains: Seq[String],
                     minTokens: Int = graft.queries.DataOps.crawlMinTokens,
-                    settleEvery: Int = 16)
+                    settleEvery: Int = 16,
+                    discoveredDir: Option[String] = None)
       : StreamingQuery =
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -76,6 +95,32 @@ object IngestCrawl {
             col("kept_blocks"), nTok.as("n_tokens"))
           .filter(col("n_tokens") >= minTokens)
           .write.mode("overwrite").parquet(s"$survivorDir/batch_$batchId")
+        // discovery half (optional): this batch's outbound links as
+        // next-wave candidates — raw-href gate BEFORE the resolve
+        // chain (the filter-pushdown clone trap), blocklist before
+        // the write, already-admitted URLs excluded via the same
+        // replay-safe scope as admission
+        discoveredDir.foreach { dd =>
+          val links = fresh
+            .select(col("canon_url").as("referrer"),
+              explode(Html.linkHrefs(col("html"))).as("href"))
+            .filter(!col("href").startsWith("#") && col("href") =!= "")
+            .select(col("referrer"), Urls.canonicalize(
+              Urls.resolveHref(col("referrer"), col("href"))).as("url"))
+            .withColumn("h", Urls.hostOf(col("url")))
+            .filter(!Urls.hostBlocked(col("h"), blockedDomains))
+            .select("url", "referrer")
+          val notAdmitted = seen match {
+            case Some(sn) => links.join(
+              sn.distinct().withColumnRenamed("canon_url", "url"),
+              Seq("url"), "left_anti")
+            case None => links
+          }
+          notAdmitted
+            .join(firstInBatch.select(col("canon_url").as("url")),
+              Seq("url"), "left_anti")
+            .write.mode("overwrite").parquet(s"$dd/batch_$batchId")
+        }
         // fold accumulated deltas into the settled frontier (never
         // the in-flight batch — replay safety, see Frontier)
         Frontier.maybeSettle(spark, survivorDir, batchId,

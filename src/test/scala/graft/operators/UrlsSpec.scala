@@ -104,6 +104,77 @@ class UrlsSpec extends SparkSpec {
       s"canon not idempotent: '${r.getString(0)}' -> '${r.getString(1)}'"))
   }
 
+  test("resolveHref: the RFC 3986 reference-resolution subset") {
+    import spark.implicits._
+    val cases = Seq(
+      // absolute passes through; scheme case preserved (canonicalize
+      // runs AFTER resolution)
+      ("http://a.com/x/y?q=1", "HTTPS://b.com/z", "HTTPS://b.com/z"),
+      // protocol-relative takes the base's scheme
+      ("https://a.com/x", "//b.com/z", "https://b.com/z"),
+      // root-relative takes the origin — port included
+      ("http://a.com:8080/x/y?q=1#f", "/z", "http://a.com:8080/z"),
+      // fragment-only and empty are self-links → null
+      ("http://a.com/x", "#sec", null),
+      ("http://a.com/x", "", null),
+      // path-relative resolves against the base's directory, query
+      // and fragment stripped first
+      ("http://a.com/x/y?q=1", "z.html", "http://a.com/x/z.html"),
+      ("http://a.com/x/", "z", "http://a.com/x/z"),
+      // bare-authority base: directory is origin + '/'
+      ("http://a.com", "z", "http://a.com/z"))
+    val got = cases.zipWithIndex
+      .map { case ((b, h, _), i) => (i, b, h) }.toDF("i", "base", "href")
+      .select(col("i"), Urls.resolveHref(col("base"), col("href")).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((b, h, want), i) =>
+      assert(got(i) == want, s"resolveHref('$b', '$h') = '${got(i)}', want '$want'")
+    }
+  }
+
+  test("politeWaves: per-host per-wave cap, dense waves, priority order") {
+    import spark.implicits._
+    val urls = (1 to 7).map(i => (s"http://a.com/$i", i.toLong)) ++
+      Seq(("http://b.com/1", 5L), ("http://b.com/2", 5L), ("http://c.com/1", 1L))
+    val out = Urls.politeWaves(urls.toDF("url", "n_refs"),
+        col("url"), col("n_refs"), perHostPerWave = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    // cap: never more than 2 URLs of one host in one wave
+    out.groupBy(t => (t._3, t._4)).foreach { case (hw, g) =>
+      assert(g.size <= 2, s"wave overfull at $hw: $g")
+    }
+    // dense: host a (7 urls) fills waves 0..3, b fills 0, c fills 0
+    val byHost = out.groupBy(_._3).view.mapValues(_.map(_._4).toSet).toMap
+    assert(byHost("a.com") == Set(0L, 1L, 2L, 3L))
+    assert(byHost("b.com") == Set(0L) && byHost("c.com") == Set(0L))
+    // priority: a.com's two highest-n_refs urls are in wave 0
+    val aWave0 = out.filter(t => t._3 == "a.com" && t._4 == 0L).map(_._1).toSet
+    assert(aWave0 == Set("http://a.com/7", "http://a.com/6"), s"$aWave0")
+    // ties break on url: b.com's equal-priority urls order 1 then 2
+    assert(out.filter(_._3 == "b.com").sortBy(_._1).map(_._4).toSeq == Seq(0L, 0L))
+  }
+
+  test("frontier composition: discovered links already crawled are excluded") {
+    import spark.implicits._
+    // two fetched pages on one host: page 1 links to page 2 (already
+    // crawled — must NOT re-enter the frontier) and to a novel page
+    val pages = Seq(
+      ("http://a.com/p1",
+        "<p><a href=\"/p2\">two</a> <a href=\"new.html\">n</a></p>"),
+      ("http://a.com/p2", "<p>no links here</p>"))
+      .toDF("canon_url", "html")
+    val crawled = pages.select(col("canon_url"))
+    val frontier = pages
+      .select(col("canon_url").as("referrer"),
+        explode(Html.linkHrefs(col("html"))).as("href"))
+      .select(Urls.canonicalize(
+        Urls.resolveHref(col("referrer"), col("href"))).as("url"))
+      .join(crawled.withColumnRenamed("canon_url", "url"), Seq("url"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    assert(frontier == Set("http://a.com/new.html"), s"frontier: $frontier")
+  }
+
   test("pct/qsort kernels == relational references (adversarial fuzz)") {
     import spark.implicits._
     // piece pool biased toward the kernels' edges: escapes in every

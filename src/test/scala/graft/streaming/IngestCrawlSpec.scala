@@ -103,6 +103,45 @@ class IngestCrawlSpec extends SparkSpec {
       s"admitted = $admitted")
   }
 
+  test("discovery sink: outbound links minus admitted/fetched, per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_crawl_disc").toString
+    val disc = java.nio.file.Files.createTempDirectory("ingest_crawl_disc_d").toString
+    // page 1 links to /next (novel) and to page 2's URL (fetched in
+    // the same batch — excluded); page 3 in batch 2 links to page 1's
+    // URL (admitted earlier — excluded) and to /next again
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, dir, Seq("bad.com"),
+      discoveredDir = Some(disc))
+    try {
+      input.addData(
+        (1L, "http://a.com/p1", pageWith("a",
+          "<a href=\"/next\">n</a><a href=\"http://a.com/p2\">p2</a>" +
+            "<a href=\"http://ads.bad.com/x\">ad</a><a href=\"#s\">s</a>")),
+        (2L, "http://a.com/p2", pageWith("b", "")))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "http://a.com/p3", pageWith("c",
+          "<a href=\"http://a.com/p1\">back</a><a href=\"/next\">n</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val d0 = spark.read.parquet(s"$disc/batch_0")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // novel /next discovered; same-batch p2, blocked ad and the
+    // fragment self-link all excluded
+    assert(d0 == Set(("http://a.com/next", "http://a.com/p1")), s"d0: $d0")
+    val d1 = spark.read.parquet(s"$disc/batch_1")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // back-link to the ADMITTED p1 excluded; /next rediscovered (the
+    // scheduler dedups the layered discovered set, not the batches)
+    assert(d1 == Set(("http://a.com/next", "http://a.com/p3")), s"d1: $d1")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
