@@ -725,6 +725,39 @@ object Rehearsal {
           early.sum / early.size}%.2f late_mean=${late.sum / late.size}%.2f")
         graft.streaming.Frontier.readLayered(spark, dir).count()
       },
+      // the discovery half at scale (ds_crawl_frontier's shape over
+      // the replicated corpus): synth pages → link explode (bounded
+      // by links/page) → resolve+canon projection → blocklist →
+      // anti-join against the crawled set → in-link rollup. Expected
+      // ≲ linear per decade: the explode is link-volume, the
+      // anti-join and rollup key on the canonical URL
+      "crawl_frontier" -> { () =>
+        import graft.operators.{Html, Urls}
+        val d = docsR.repartition(32)
+        val crawled = d.select(Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
+          .withColumn("h", Urls.hostOf(col("url")))
+          .filter(!Urls.hostBlocked(col("h"),
+            graft.queries.DataOps.blockedDomains))
+          .select("url").distinct()
+        val frontier = d.select(
+            Urls.canonicalize(
+              Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
+            Html.syntheticPage(col("text"), col("source")).as("html"))
+          .select(col("referrer"),
+            explode(Html.linkHrefs(col("html"))).as("href"))
+          .filter(!col("href").startsWith("#") && col("href") =!= "")
+          .select(col("referrer"), Urls.canonicalize(
+            Urls.resolveHref(col("referrer"), col("href"))).as("url"))
+          .withColumn("h", Urls.hostOf(col("url")))
+          .filter(!Urls.hostBlocked(col("h"),
+            graft.queries.DataOps.blockedDomains))
+          .join(crawled, Seq("url"), "left_anti")
+          .groupBy("url")
+          .agg(count(lit(1)).as("n_refs"), min(col("referrer")).as("fr"))
+        frontier.agg(count(lit(1)), sum(col("n_refs")),
+          sum(length(col("fr")))).collect()(0).getLong(0)
+      },
       // attribution probe for html_extract: the page-furniture
       // synthesis alone (3 regex passes + concat, consumed via
       // length-sum) — subtracting this from html_extract isolates

@@ -158,6 +158,65 @@ object Urls {
         when(dir === "", concat(origin, lit("/"))).otherwise(dir), href))
   }
 
+  /** robots.txt Disallow rules for the wildcard agent — the access
+    * half of crawl politeness (politeWaves is the rate half). The
+    * deterministic subset both engines replay:
+    *
+    *  - lines are '#'-comment-stripped and trimmed;
+    *  - each `User-agent:` line starts a GROUP (consecutive agent
+    *    lines therefore form singleton groups — the documented
+    *    simplification of the spec's shared-group rule);
+    *  - `Disallow:` lines bind to their group; groups whose agent is
+    *    `*` contribute their non-empty prefixes (an empty Disallow
+    *    means allow-all and yields no rule); directive names match
+    *    case-insensitively, prefix VALUES stay case-sensitive;
+    *  - Allow lines and wildcards inside paths are ignored — prefix
+    *    semantics only.
+    *
+    * Relational shape: one line explode per robots body, a per-host
+    * running count over line position assigns groups (the
+    * sessionization pattern), one group join — robots bodies are
+    * KB-sized and one-per-host, so the explode is bounded by hosts,
+    * never by the frontier. */
+  def robotsDisallows(df: DataFrame, host: Column, body: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("pos")
+    val lines = df.select(host.as("host"),
+        posexplode(split(body, "\n", -1)).as(Seq("pos", "raw")))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .withColumn("is_agent",
+        lower(col("line")).startsWith("user-agent:"))
+      .withColumn("grp", sum(col("is_agent").cast("long")).over(w))
+    val agents = lines.filter(col("is_agent"))
+      .select(col("host"), col("grp"),
+        trim(substring_index(col("line"), ":", -1)).as("agent"))
+    lines
+      .filter(lower(col("line")).startsWith("disallow:"))
+      .select(col("host"), col("grp"),
+        trim(expr("substring(line, length('disallow:') + 1)")).as("prefix"))
+      .filter(col("prefix") =!= "")
+      .join(agents.filter(col("agent") === "*"), Seq("host", "grp"), "left_semi")
+      .select("host", "prefix").distinct()
+  }
+
+  /** Filter frontier candidates through robots rules: a candidate is
+    * dropped when ANY of its host's Disallow prefixes starts its
+    * canonical path+query (the part after the authority — '' for a
+    * root URL, so `Disallow: /` blocks every pathed URL but not the
+    * bare origin: matching is on the canonical form, documented).
+    * One host-keyed join against a rules table bounded by hosts ×
+    * rules-per-host — never frontier-sized on the build side. */
+  def robotsFilter(candidates: DataFrame, url: Column,
+                   rules: DataFrame): DataFrame = {
+    val withHost = candidates.withColumn("__h", hostOf(url))
+      .withColumn("__p",
+        regexp_replace(url, "^[a-z][a-z0-9+.-]*://[^/?#]+", ""))
+    withHost
+      .join(rules.as("r"), col("__h") === col("r.host") &&
+        col("__p").startsWith(col("r.prefix")), "left_anti")
+      .drop("__h", "__p")
+  }
+
   /** Politeness scheduling: assign frontier candidates to fetch WAVES
     * such that no host appears more than `perHostPerWave` times in a
     * wave — the per-host rate cap every real crawler enforces, as a
@@ -212,6 +271,24 @@ object Urls {
       .groupBy("canon_url")
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_fetches"))
+
+  /** Deterministic robots.txt fixture per host, derived from the
+    * source string — both engines plant identical bytes, so parsing
+    * and filtering are oracle-checkable. Every parser branch is
+    * exercised: a comment header, a non-`*` group whose `Disallow: /`
+    * must NOT apply, case-varied directive names, an inline comment
+    * on a rule value, an empty Disallow (allow-all, no rule), and a
+    * rule-free `*` group. */
+  def syntheticRobots(source: Column): Column = {
+    val m = pmod(length(source), lit(4))
+    concat(
+      lit("# robots for "), source,
+      lit("\nUser-agent: bot\nDisallow: /\n"),
+      when(m === 0, "User-agent: *\nDisallow: /legal\nDisallow:\n")
+        .when(m === 1, "user-agent: *\nDISALLOW: /a\n")
+        .when(m === 2, "User-agent: *\nDisallow: /articles/ # keep shop\n")
+        .otherwise(lit("User-agent: *\n")))
+  }
 
   /** Deterministic URL fixture derived from (doc_id, source) — both
     * engines compute it identically, so canonicalization and dedup

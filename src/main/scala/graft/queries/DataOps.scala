@@ -901,6 +901,13 @@ object DataOps {
       .select(col("referrer"),
         Urls.canonicalize(
           Urls.resolveHref(col("referrer"), col("href"))).as("url"))
+      // NOT re-projected through a barrier: an A/B with a
+      // repartition(url) exchange placed here (suspecting the
+      // CaseWhen-topped resolveHref forced the host/filter/join
+      // aliases to re-evaluate the chain) measured NO win — 6.5 s
+      // plain vs 7.2 s with the barrier at sf0.1. The cost is one
+      // honest resolve+canon evaluation per link (~120 µs of regex
+      // work), not duplication; measure before "fixing" CSE.
       .withColumn("host", Urls.hostOf(col("url")))
       .filter(!Urls.hostBlocked(col("host"), blockedDomains))
       .join(crawled.withColumnRenamed("canon_url", "url"), Seq("url"), "left_anti")
@@ -919,6 +926,28 @@ object DataOps {
   def dsCrawlSchedule(s: SparkSession, d: String): DataFrame =
     graft.operators.Urls.politeWaves(
       dsCrawlFrontier(s, d), col("url"), col("n_refs"), crawlPerHostPerWave)
+
+  /** The per-host robots rule table over the corpus's hosts (the
+    * deterministic Urls.syntheticRobots bodies — bounded by hosts,
+    * one KB-sized body each, never by the frontier). */
+  private def crawlRobotsRules(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val hosts = docs(s, d)
+      .select(concat(lower(col("source")), lit(".example.com")).as("host"),
+        col("source")).distinct()
+    Urls.robotsDisallows(hosts, col("host"),
+      Urls.syntheticRobots(col("source")))
+  }
+
+  def txRobotsRules(s: SparkSession, d: String): DataFrame =
+    crawlRobotsRules(s, d)
+
+  /** The frontier under robots: candidates whose canonical path+query
+    * a wildcard-agent Disallow prefix starts are dropped — the access
+    * half of politeness over the discovery output. */
+  def dsCrawlRobots(s: SparkSession, d: String): DataFrame =
+    graft.operators.Urls.robotsFilter(
+      dsCrawlFrontier(s, d), col("url"), crawlRobotsRules(s, d))
 
   def txClean(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
@@ -1842,6 +1871,44 @@ object DataOps {
                min(referrer) AS first_referrer
         FROM fr GROUP BY url"""
   }
+
+  /** Urls.robotsDisallows over the Urls.syntheticRobots fixture,
+    * mirrored: per-host line explode → comment strip → running
+    * user-agent count assigns groups → '*'-group non-empty Disallow
+    * prefixes. Yields `rules(host, prefix)`. */
+  private val robotsRulesCtes: String =
+    """rh AS (SELECT DISTINCT lower(source) || '.example.com' AS host, source
+              FROM documents),
+       rb AS (SELECT host,
+                '# robots for ' || source ||
+                chr(10) || 'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10) ||
+                (CASE length(source) % 4
+                   WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /legal'
+                               || chr(10) || 'Disallow:' || chr(10)
+                   WHEN 1 THEN 'user-agent: *' || chr(10) || 'DISALLOW: /a' || chr(10)
+                   WHEN 2 THEN 'User-agent: *' || chr(10)
+                               || 'Disallow: /articles/ # keep shop' || chr(10)
+                   ELSE 'User-agent: *' || chr(10) END) AS body
+              FROM rh),
+       rl0 AS (SELECT host,
+                 generate_subscripts(string_split(body, chr(10)), 1) AS pos,
+                 unnest(string_split(body, chr(10))) AS raw
+               FROM rb),
+       rl AS (SELECT host, pos,
+                trim(regexp_replace(raw, '#.*$', '')) AS line FROM rl0),
+       rg AS (SELECT host, pos, line,
+                lower(line) LIKE 'user-agent:%' AS is_agent,
+                sum(CASE WHEN lower(line) LIKE 'user-agent:%' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY host ORDER BY pos) AS grp
+              FROM rl),
+       ra AS (SELECT host, grp, trim(substr(line, strpos(line, ':') + 1)) AS agent
+              FROM rg WHERE is_agent),
+       rules AS (SELECT DISTINCT d.host, d.prefix FROM
+                 (SELECT host, grp, trim(substr(line, 10)) AS prefix
+                  FROM rg WHERE lower(line) LIKE 'disallow:%'
+                    AND trim(substr(line, 10)) <> '') d
+                 JOIN ra ON d.host = ra.host AND d.grp = ra.grp
+                 WHERE ra.agent = '*')"""
 
   /** Html.syntheticPage mirrored as one SQL expression over the
     * columns `text`/`source` — shared by the extraction cascade and
@@ -4113,6 +4180,24 @@ object DataOps {
     // canonicalized, blocklisted, anti-joined against the crawled
     // set, grouped with their in-link evidence
     "ds_crawl_frontier" -> crawlFrontierSql,
+    // robots parsing: the wildcard-agent Disallow rule table
+    "tx_robots_rules" ->
+      s"""WITH $robotsRulesCtes
+          SELECT host, prefix FROM rules""",
+    // the frontier under robots: drop candidates whose canonical
+    // path+query a '*'-group Disallow prefix starts
+    "ds_crawl_robots" ->
+      s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes,
+          fp AS (SELECT f.*,
+                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                     AS fhost,
+                   regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]+', '')
+                     AS fpath
+                 FROM f)
+          SELECT url, n_refs, n_referrers, first_referrer FROM fp
+          WHERE NOT EXISTS (SELECT 1 FROM rules r
+                            WHERE r.host = fp.fhost
+                              AND substr(fp.fpath, 1, length(r.prefix)) = r.prefix)""",
     // politeness scheduling: frontier → per-host fetch waves capped
     // at crawlPerHostPerWave, priority = in-link count
     "ds_crawl_schedule" ->
@@ -4601,6 +4686,8 @@ object DataOps {
     "tx_extract_links" -> txExtractLinks _,
     "ds_crawl_frontier" -> dsCrawlFrontier _,
     "ds_crawl_schedule" -> dsCrawlSchedule _,
+    "tx_robots_rules" -> txRobotsRules _,
+    "ds_crawl_robots" -> dsCrawlRobots _,
     "tx_url_canon" -> txUrlCanon _,
     "dd_url_dedup" -> ddUrlDedup _,
     "ds_crawl" -> dsCrawl _,

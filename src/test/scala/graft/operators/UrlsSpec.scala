@@ -155,6 +155,51 @@ class UrlsSpec extends SparkSpec {
     assert(out.filter(_._3 == "b.com").sortBy(_._1).map(_._4).toSeq == Seq(0L, 0L))
   }
 
+  test("robotsDisallows: group binding, case, comments, empty rules") {
+    import spark.implicits._
+    val body =
+      """# header comment
+        |User-agent: bot
+        |Disallow: /private
+        |user-agent: *
+        |DISALLOW: /a   # inline comment
+        |Disallow: /b
+        |Disallow:
+        |User-agent: *
+        |User-agent: other
+        |Disallow: /c
+        |""".stripMargin
+    val rules = Urls.robotsDisallows(
+        Seq(("h.com", body)).toDF("host", "body"), col("host"), col("body"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // bot's /private never applies; the '*' group contributes /a and
+    // /b (case-insensitive directives, inline comment stripped, empty
+    // Disallow yields nothing); /c binds to 'other' — each User-agent
+    // line starts its OWN group (the documented simplification), so
+    // the second '*' group is rule-free
+    assert(rules == Set(("h.com", "/a"), ("h.com", "/b")), s"rules: $rules")
+  }
+
+  test("robotsFilter: prefix semantics on the canonical path+query") {
+    import spark.implicits._
+    val rules = Seq(("a.com", "/a"), ("a.com", "/legal"), ("b.com", "/"))
+      .toDF("host", "prefix")
+    val cands = Seq(
+      "http://a.com/about",      // blocked: /a prefixes /about
+      "http://a.com/legal?x=1",  // blocked: query rides the path
+      "http://a.com/ok",         // kept
+      "http://a.com",            // kept: '' path, no prefix starts it
+      "http://b.com/anything",   // blocked: Disallow /
+      "http://b.com",            // kept: bare origin ('' path) — the
+                                 // documented canonical-form quirk
+      "http://c.com/a")          // kept: no rules for c.com
+      .map(Tuple1(_)).toDF("url")
+    val kept = Urls.robotsFilter(cands, col("url"), rules)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("http://a.com/ok", "http://a.com",
+      "http://b.com", "http://c.com/a"), s"kept: $kept")
+  }
+
   test("frontier composition: discovered links already crawled are excluded") {
     import spark.implicits._
     // two fetched pages on one host: page 1 links to page 2 (already
