@@ -734,16 +734,17 @@ object Rehearsal {
       "crawl_frontier" -> { () =>
         import graft.operators.{Html, Urls}
         val d = docsR.repartition(32)
-        val crawled = d.select(Urls.canonicalize(
-            Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
+        val pagesF = d.select(
+          Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
+          Html.syntheticPage(col("text"), col("source")).as("html"))
+        // crawled = distinct referrers (pruning drops the synth here)
+        val crawled = pagesF.select(col("referrer").as("url"))
           .withColumn("h", Urls.hostOf(col("url")))
           .filter(!Urls.hostBlocked(col("h"),
             graft.queries.DataOps.blockedDomains))
           .select("url").distinct()
-        val frontier = d.select(
-            Urls.canonicalize(
-              Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
-            Html.syntheticPage(col("text"), col("source")).as("html"))
+        val frontier = pagesF
           .select(col("referrer"),
             explode(Html.linkHrefs(col("html"))).as("href"))
           .filter(!col("href").startsWith("#") && col("href") =!= "")

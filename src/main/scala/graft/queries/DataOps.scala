@@ -885,16 +885,18 @@ object DataOps {
     * filter-pushdown trap — see Html.extractMainText's scaladoc). */
   def dsCrawlFrontier(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{Html, Urls}
-    val crawled = docs(s, d)
-      .select(Urls.canonicalize(
-        Urls.syntheticUrl(col("doc_id"), col("source"))).as("canon_url"))
-      .withColumn("host", Urls.hostOf(col("canon_url")))
-      .filter(!Urls.hostBlocked(col("host"), blockedDomains))
-      .select("canon_url").distinct()
     val pages = docs(s, d).select(col("doc_id"),
       Urls.canonicalize(
         Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
       Html.syntheticPage(col("text"), col("source")).as("html"))
+    // the crawled set IS the distinct referrers — derived from the
+    // same projection (column pruning drops the html synthesis on
+    // this branch), not a second canonicalize pass over the manifest
+    val crawled = pages
+      .select(col("referrer").as("url"))
+      .withColumn("host", Urls.hostOf(col("url")))
+      .filter(!Urls.hostBlocked(col("host"), blockedDomains))
+      .select("url").distinct()
     pages
       .select(col("referrer"), explode(Html.linkHrefs(col("html"))).as("href"))
       .filter(!col("href").startsWith("#") && col("href") =!= "")
@@ -910,7 +912,7 @@ object DataOps {
       // work), not duplication; measure before "fixing" CSE.
       .withColumn("host", Urls.hostOf(col("url")))
       .filter(!Urls.hostBlocked(col("host"), blockedDomains))
-      .join(crawled.withColumnRenamed("canon_url", "url"), Seq("url"), "left_anti")
+      .join(crawled, Seq("url"), "left_anti")
       .groupBy("url")
       .agg(count(lit(1)).as("n_refs"),
         countDistinct(col("referrer")).as("n_referrers"),
