@@ -95,6 +95,46 @@ object Events {
           max(when(col("rn") === 1, col("y")))), 2).as("forecasted_sales"))
   }
 
+  /** Trailing-window anomaly days over the daily sales series — the
+    * monitoring sibling of the F-family: flag day d when its sales
+    * sit more than `anomalySigma` trailing standard deviations from
+    * the previous `anomalyWindowDays` days' mean. ALL-INTEGER so the
+    * σ verdict is exact in both engines — no float σ, no rounding
+    * boundary to flip: z² > k² ⇔ (n·y − S)² > k²·(n·Q − S²) with
+    * S/Q the trailing sum / sum of squares. The unit is FLOOR
+    * dollars of exact cents (`round(sum·100) div 100`): daily sums
+    * of 2-decimal prices are exact cent multiples, so rounding at
+    * the cent never sits on a half — where rounding float dollars
+    * could land within an ulp of .50 and flip between engines.
+    * Exactness bound: n·Q must fit a long (≈$3B/day weekly volume —
+    * beyond that, promote to DECIMAL). The window is strictly
+    * PRECEDING rows (an outlier must not shade its own baseline),
+    * flagged only when the full baseline exists; it rides the DAILY
+    * aggregate — one row per calendar day, the same calendar-bounded
+    * frame as fc_seasonal_sales. */
+  val anomalyWindowDays = 7
+  val anomalySigma = 3
+
+  def fcAnomalyDays(s: SparkSession, d: String): DataFrame = {
+    val n = anomalyWindowDays
+    val k2 = anomalySigma * anomalySigma
+    val daily = Tables(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("sum_raw"))
+      .select(col("day"),
+        expr("cast(round(sum_raw * 100) as bigint) div 100").as("y"))
+    val win = Window.orderBy("day").rowsBetween(-n, -1)
+    daily
+      .withColumn("n_baseline", count(col("y")).over(win))
+      .withColumn("s", sum(col("y")).over(win))
+      .withColumn("q", sum(col("y") * col("y")).over(win))
+      .select(col("day"), col("y"), col("n_baseline"),
+        (col("n_baseline") === n &&
+          (lit(n) * col("y") - col("s")) * (lit(n) * col("y") - col("s"))
+            > lit(k2) * (lit(n) * col("q") - col("s") * col("s")))
+          .as("is_anomaly"))
+  }
+
   /** As-of join: enrich every event with the user's most recent
     * error event at-or-before it (operators.AsOfJoin — union + merge
     * window, one shuffle; DuckDB's native ASOF JOIN is the oracle). */
@@ -294,7 +334,8 @@ object Events {
     "ev_resample" -> evResample _,
     "ev_scd2" -> evScd2 _,
     "fc_linear_sales" -> fcLinearSales _,
-    "fc_seasonal_sales" -> fcSeasonalSales _)
+    "fc_seasonal_sales" -> fcSeasonalSales _,
+    "fc_anomaly_days" -> fcAnomalyDays _)
 
   /** Shared CTE: the gap-sessionization in SQL (µs precision). */
   private val sessionsCte: String =
@@ -449,5 +490,21 @@ object Events {
                  round(coalesce(max(CASE WHEN rn = $seasonalPeriod THEN y END),
                                 max(CASE WHEN rn = 1 THEN y END)), 2)
                    AS forecasted_sales
-          FROM r""")
+          FROM r""",
+    "fc_anomaly_days" ->
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                  CAST(round(sum(o_totalprice) * 100) AS BIGINT) // 100 AS y
+                  FROM orders GROUP BY 1),
+          w AS (SELECT day, y,
+                  count(*) OVER win AS n_baseline,
+                  sum(y) OVER win AS s, sum(y*y) OVER win AS q
+                FROM daily WINDOW win AS
+                  (ORDER BY day ROWS BETWEEN $anomalyWindowDays PRECEDING
+                                         AND 1 PRECEDING))
+          SELECT day, y, n_baseline,
+                 (n_baseline = $anomalyWindowDays AND
+                  ($anomalyWindowDays*y - s)*($anomalyWindowDays*y - s)
+                    > ${anomalySigma * anomalySigma}*($anomalyWindowDays*q - s*s))
+                   AS is_anomaly
+          FROM w""")
 }

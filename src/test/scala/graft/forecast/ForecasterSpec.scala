@@ -28,6 +28,32 @@ class ForecasterSpec extends SparkSpec {
     assert(new LinearTrendForecaster().fit(Array(42.0)).predict(2).toSeq == Seq(42.0, 42.0))
   }
 
+  test("fc_anomaly_days == a direct trailing-z reference (exact integers)") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Events.{anomalyWindowDays => n, anomalySigma => k}
+    val sfDir = "/root/testdata/sf0.001"
+    val daily = graft.Tables(spark, sfDir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("sr"))
+      .select(col("day").cast("string"),
+        expr("cast(round(sr * 100) as bigint) div 100").as("y"))
+      .orderBy("day").collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = daily.indices.map { i =>
+      val base = daily.slice(math.max(0, i - n), i).map(_._2)
+      val flag = base.length == n && {
+        val s = base.sum; val q = base.map(v => v * v).sum
+        val d = n * daily(i)._2 - s
+        d * d > k.toLong * k * (n * q - s * s)
+      }
+      daily(i)._1 -> flag
+    }.toMap
+    val got = graft.queries.Events.fcAnomalyDays(spark, sfDir)
+      .select(col("day").cast("string"), col("is_anomaly"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got == want)
+    assert(got.values.count(identity) > 0, "the fixture must flag some days")
+  }
+
   test("fc_seasonal_sales (relational) == SeasonalNaiveForecaster.predict(1)") {
     import org.apache.spark.sql.functions._
     val sfDir = "/root/testdata/sf0.001"
