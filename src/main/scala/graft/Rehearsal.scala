@@ -697,22 +697,29 @@ object Rehearsal {
         val nBatches = 50
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft_crawl_stream_m$mult").toString
-        // driver-staged batch payloads (the stream's input is by
-        // nature driver-fed here); url/html synthesize IN-PLAN
-        val staged = docsR.select(col("doc_id"), col("source"), col("text"))
-          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-        val slice = math.max(1, (staged.length + nBatches - 1) / nBatches)
-        val input = MemoryStream[(Long, String, String)]
-        val fetches = input.toDF().toDF("doc_id", "source", "text")
+        // batch payloads staged ONCE as b=…-partitioned parquet; the
+        // stream carries only batch ids and a stream-static join
+        // prunes each micro-batch to its slice (PartitionFilters on
+        // b) — the r14 form collected every (doc_id, source, text)
+        // tuple to the driver, ~5 GB at the 1000× decade. url/html
+        // still synthesize IN-PLAN
+        val stage = java.nio.file.Files
+          .createTempDirectory(s"graft_crawl_stage_m$mult").toString
+        docsR.select(col("doc_id"), col("source"), col("text"),
+            pmod(col("doc_id"), lit(nBatches.toLong)).as("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(stage)
+        val input = MemoryStream[Int]
+        val fetches = input.toDF().toDF("b")
+          .join(spark.read.parquet(stage), Seq("b"))
           .select(col("doc_id"),
             Urls.syntheticUrl(col("doc_id"), col("source")).as("url"),
             Html.syntheticPage(col("text"), col("source")).as("html"))
         val q = graft.streaming.IngestCrawl.crawledIngest(fetches, None, dir,
           graft.queries.DataOps.blockedDomains, settleEvery = 16)
         val perBatch =
-          try staged.grouped(slice).zipWithIndex.map { case (b, i) =>
+          try (0 until nBatches).map { i =>
             val t0 = System.nanoTime()
-            input.addData(b.toIndexedSeq: _*)
+            input.addData(i)
             q.processAllAvailable()
             val dt = (System.nanoTime() - t0) / 1e9
             System.err.println(f"REHEARSAL crawl_stream batch=$i sec=$dt%.2f")

@@ -32,7 +32,13 @@ final class ProphetLikeForecaster(spark: SparkSession,
                                   seasonPeriod: Int = 7,
                                   harmonics: Int = 3,
                                   maxChangepoints: Int = 25,
-                                  ridge: Double = 0.01) extends Forecaster {
+                                  ridge: Double = 0.01,
+                                  // pin changepoint locations (the oracle
+                                  // row's ⌊0.4n⌋ quantization; ForecasterSpec
+                                  // parity law) instead of the default
+                                  // uniform placement
+                                  changepointOverride: Option[Array[Double]] = None)
+    extends Forecaster {
 
   private var yTrain: Array[Double] = Array.empty
   private var model: LinearRegressionModel = _
@@ -57,7 +63,8 @@ final class ProphetLikeForecaster(spark: SparkSession,
     // of the window; count scales down with short series so the design
     // matrix stays overdetermined.
     val nCp = math.max(0, math.min(maxChangepoints, (0.8 * n).toInt - 2))
-    changepoints = Array.tabulate(nCp)(j => 0.8 * n * (j + 1).toDouble / (nCp + 1))
+    changepoints = changepointOverride.getOrElse(
+      Array.tabulate(nCp)(j => 0.8 * n * (j + 1).toDouble / (nCp + 1)))
     import spark.implicits._
     val df = y.zipWithIndex.map { case (v, t) => (v, features(t)) }
       .toSeq.toDF("label", "features")

@@ -43,6 +43,81 @@ final case class ParquetSource(path: String) extends TableSource {
   def load(spark: SparkSession): DataFrame = spark.read.parquet(path)
 }
 
+/** S2/S4 live-FORMAT twin — MongoDB extended JSON, the bytes
+  * `mongoexport` actually emits (NDJSON, one document per line, with
+  * type wrappers: `{"$date": "…"}`, `{"$numberLong": "…"}`,
+  * `{"$numberInt"}`, `{"$numberDouble"}`, `{"$oid"}`). The reference
+  * reads live collections through the mongo-spark connector
+  * (src/main.py:20, src/data_processor.py:195-222); in a zero-egress
+  * deployment the standard hand-off is a mongoexport dump, and a
+  * plain `JsonSource` mis-reads it (every wrapped leaf parses as a
+  * struct, not its value). This source takes the TARGET schema and
+  * unwraps by schema-driven mapping: each line is parsed twice —
+  * once against the wrapper-shaped schema, once against the plain
+  * shape — and each leaf coalesces wrapped-then-plain, so mixed
+  * exports (canonical numbers + relaxed ints in one file) load
+  * identically. Ingest-boundary cost: two `from_json` per line, one
+  * data pass, no inference scan; the array unwrap is a `zip_with`
+  * (interpreted HOF — fine here, this is the ingest edge, never a
+  * per-query kernel). Canonical epoch dates
+  * (`{"$date":{"$numberLong":…}}`) are out of contract — extend
+  * the wrapper mapping if an archive carries them. */
+final case class MongoExtJsonSource(paths: Seq[String], schema: StructType)
+    extends TableSource {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  private def wrapperType(dt: DataType): DataType = dt match {
+    case LongType => StructType(Seq(StructField("$numberLong", StringType)))
+    case IntegerType => StructType(Seq(StructField("$numberInt", StringType)))
+    case DoubleType => StructType(Seq(StructField("$numberDouble", StringType)))
+    case TimestampType => StructType(Seq(StructField("$date", StringType)))
+    case StringType => StructType(Seq(StructField("$oid", StringType),
+      StructField("$date", StringType)))
+    case ArrayType(e, n) => ArrayType(wrapperType(e), n)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = wrapperType(f.dataType))))
+    case other => other
+  }
+
+  private def plainType(dt: DataType): DataType = dt match {
+    case TimestampType => StringType
+    case ArrayType(e, n) => ArrayType(plainType(e), n)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = plainType(f.dataType))))
+    case other => other
+  }
+
+  private def unwrap(w: Column, p: Column, dt: DataType): Column = dt match {
+    case LongType => coalesce(w.getField("$numberLong").cast(LongType), p)
+    case IntegerType => coalesce(w.getField("$numberInt").cast(IntegerType), p)
+    case DoubleType => coalesce(w.getField("$numberDouble").cast(DoubleType), p)
+    case TimestampType =>
+      coalesce(to_timestamp(w.getField("$date")), to_timestamp(p))
+    case StringType =>
+      coalesce(w.getField("$oid"), w.getField("$date"), p)
+    case ArrayType(e, _) => zip_with(w, p, (we, pe) => unwrap(we, pe, e))
+    case st: StructType =>
+      when(w.isNotNull || p.isNotNull, struct(st.fields.toSeq.map(f =>
+        unwrap(w.getField(f.name), p.getField(f.name), f.dataType)
+          .as(f.name)): _*))
+    case _ => p
+  }
+
+  def load(spark: SparkSession): DataFrame = {
+    val ws = wrapperType(schema).asInstanceOf[StructType]
+    val ps = plainType(schema).asInstanceOf[StructType]
+    spark.read.text(paths: _*)
+      .filter(trim(col("value")) =!= "")
+      .select(from_json(col("value"), ws).as("__w"),
+        from_json(col("value"), ps).as("__p"))
+      .select(schema.fields.toSeq.map(f =>
+        unwrap(col("__w").getField(f.name), col("__p").getField(f.name),
+          f.dataType).as(f.name)): _*)
+  }
+}
+
 /** S1/S3 live form — a JDBC table scan. The reference reads its MySQL
   * tables through a single connection (src/data_processor.py:179-193),
   * which serializes a 100 TB-adjacent ingest through one task; this

@@ -185,7 +185,10 @@ object Html {
     * fixture both engines derive identically (closed-form string
     * ops), so extraction can be oracle-checked end to end on the
     * `documents` table: a tracking script, a stylesheet, a comment,
-    * a 3-link nav, 12-token paragraphs with 'table' tokens promoted
+    * a 5-link nav (including a `../up` relative href that exercises
+    * dot-segment folding downstream and a `mailto:` href that must
+    * resolve to NULL, never a frontier candidate), 12-token
+    * paragraphs with 'table' tokens promoted
     * to in-paragraph links, 'agg' tokens to an `&amp;` entity phrase
     * and 'stream' tokens to the [[entityGauntlet]], and a linked
     * footer. Nav/footer fail the keep rule (short + link-dense),
@@ -201,7 +204,9 @@ object Html {
       lit("<html><head><script type=\"text/javascript\">var t=\""), source,
       lit("\";</script><style>.m{color:#333}</style></head>" +
         "<body><!-- graft fixture -->" +
-        "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> <a href=\"/"),
+        "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+        "<a href=\"../up\">up</a> <a href=\"mailto:ed@example.com\">mail</a> " +
+        "<a href=\"/"),
       source, lit("\">"), source, lit("</a></nav><div class=\"content\">"),
       gaunt,
       lit("</div><footer>contact &amp; imprint<br/>" +

@@ -106,6 +106,22 @@ object Urls {
           array_join(array_sort(split(query, "&", -1)), "&"))))
   }
 
+  /** Step 8.5: RFC 3986 remove_dot_segments over the PATH portion
+    * only (`graft_url_dotfold`, [[graft.plans.UrlDotFold]] — a
+    * segment-stack byte walk; kernel for the same CSE reason as
+    * steps 2 and 9, and because a fixpoint fold has no closed
+    * regex form). `/./` collapses, `/seg/../` pops, `..` above the
+    * root is a no-op, and a trailing `/.`|`/..` keeps the directory
+    * slash — so `/a/./b`, `/x/../a/b` and `/a/b` are one resource.
+    * Idempotent by construction (a folded path has no dot segments
+    * left). Runs BEFORE the trailing-slash strip so `/a/..` → `/a/`
+    * → `/a` composes. */
+  private def foldDotSegments(u: Column): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_url_dotfold", u)
+  }
+
   def canonicalize(url: Column): Column = {
     val t = percentNormalize(trim(url))
     // lowercase scheme://authority, leave path/query/fragment as-is
@@ -121,7 +137,28 @@ object Urls {
     val c6 = regexp_replace(c5, s"&(?:$trackingParamsRe)=[^&#]*", "")
     val c7 = regexp_replace(c6, s"\\?(?:$trackingParamsRe)=[^&#]*&", "?")
     val c8 = regexp_replace(c7, s"\\?(?:$trackingParamsRe)=[^&#]*$$", "")
-    sortQueryParams(regexp_replace(c8, "([^/:])/+(\\?.*)?$", "$1$2"))
+    val folded = foldDotSegments(c8)
+    sortQueryParams(regexp_replace(folded, "([^/:])/+(\\?.*)?$", "$1$2"))
+  }
+
+  /** Relational reference for step 8.5 — the segment-stack walk as a
+    * higher-order `aggregate` (interpreted; spec-only, the living
+    * semantics UrlsSpec fuzzes the kernel against). */
+  private[operators] def foldDotSegmentsStaged(u: Column): Column = {
+    val pre = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = u.substr(length(pre) + 1, length(u))
+    val path = regexp_extract(rest, "^([^?#]*)", 1)
+    val tail = rest.substr(length(path) + 1, length(rest))
+    val segs = split(path.substr(lit(2), length(path)), "/", -1)
+    val folded = aggregate(segs, array().cast("array<string>"), (acc, s) =>
+      when(s === ".", acc)
+        .when(s === "..", slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+        .otherwise(concat(acc, array(s))))
+    val last = element_at(segs, -1)
+    val withTrail = when(last === "." || last === "..",
+      concat(folded, array(lit("")))).otherwise(folded)
+    when(pre === "" || !path.startsWith("/"), u)
+      .otherwise(concat(pre, lit("/"), array_join(withTrail, "/"), tail))
   }
 
   /** Host of an already-canonical URL ('' when there is none). */
@@ -133,15 +170,19 @@ object Urls {
     * needs, closed-form so the oracle replays it:
     *
     *  - absolute (`scheme://…`) → as-is
+    *  - non-hierarchical scheme (`mailto:`, `javascript:`, `tel:`,
+    *    `data:` — a scheme prefix without `//`) → NULL (never a
+    *    fetchable page; resolving it path-relatively would mint
+    *    garbage candidates like `https://host/dir/mailto:x`)
     *  - protocol-relative (`//host/…`) → base's scheme + `:` + href
     *  - root-relative (`/p`) → base's origin + href
     *  - fragment-only (`#…`) or empty → NULL (a self-link, never a
     *    frontier candidate)
     *  - otherwise path-relative → base's directory (through its last
     *    `/` after the authority; the origin + `/` when the base has
-    *    a bare authority) + href. No `..`/`.` segment folding — the
-    *    canonicalizer's trailing-slash rule and keep-first dedup make
-    *    dot-segment aliases a recall, not correctness, concern.
+    *    a bare authority) + href. `..`/`.` segments in the result are
+    *    folded by [[canonicalize]] step 8.5, not here — resolution
+    *    stays a pure string splice.
     *
     * The result is RAW (resolution only); feed it through
     * [[canonicalize]] before any frontier membership test. */
@@ -151,6 +192,7 @@ object Urls {
     val dir = regexp_extract(regexp_replace(base, "[?#].*$", ""),
       "^([a-z][a-z0-9+.-]*://.*/)", 1)
     when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+      .when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
       .when(href.startsWith("/"), concat(origin, href))
       .when(href.startsWith("#") || href === "", lit(null))
@@ -158,62 +200,129 @@ object Urls {
         when(dir === "", concat(origin, lit("/"))).otherwise(dir), href))
   }
 
-  /** robots.txt Disallow rules for the wildcard agent — the access
-    * half of crawl politeness (politeWaves is the rate half). The
-    * deterministic subset both engines replay:
-    *
-    *  - lines are '#'-comment-stripped and trimmed;
-    *  - each `User-agent:` line starts a GROUP (consecutive agent
-    *    lines therefore form singleton groups — the documented
-    *    simplification of the spec's shared-group rule);
-    *  - `Disallow:` lines bind to their group; groups whose agent is
-    *    `*` contribute their non-empty prefixes (an empty Disallow
-    *    means allow-all and yields no rule); directive names match
-    *    case-insensitively, prefix VALUES stay case-sensitive;
-    *  - Allow lines and wildcards inside paths are ignored — prefix
-    *    semantics only.
-    *
-    * Relational shape: one line explode per robots body, a per-host
-    * running count over line position assigns groups (the
-    * sessionization pattern), one group join — robots bodies are
-    * KB-sized and one-per-host, so the explode is bounded by hosts,
-    * never by the frontier. */
-  def robotsDisallows(df: DataFrame, host: Column, body: Column): DataFrame = {
+  /** Cheap RAW-href gate, exactly "[[resolveHref]] yields a frontier
+    * candidate": drops fragment-only, empty and non-hierarchical
+    * (`mailto:`/`javascript:`/`tel:`/`data:` — scheme without `//`)
+    * hrefs BEFORE the resolve+canonicalize chain. Gating on the raw
+    * href keeps the expensive cascade out of any pushed-down filter
+    * (the measured filter-pushdown clone trap) — never post-filter
+    * the resolved column for these cases. */
+  def hrefIsCandidate(href: Column): Column =
+    !href.startsWith("#") && href =!= "" &&
+      (!href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:") ||
+        href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"))
+
+  /** The robots.txt line/group frame shared by [[robotsRules]] and
+    * [[robotsDelays]]: '#'-comment-stripped trimmed lines with their
+    * RFC 9309 group id. CONSECUTIVE `User-agent:` lines form ONE
+    * shared group (`User-agent: *` + `User-agent: other` +
+    * `Disallow: /x` binds /x to both agents — the spec's stacked
+    * form), so a group starts at an agent line NOT directly preceded
+    * by another agent line; the running count of group-starts over
+    * line position is the group id (the sessionization pattern).
+    * Robots bodies are KB-sized and one-per-host, so the explode is
+    * bounded by hosts, never by the frontier. */
+  private def robotsLines(df: DataFrame, host: Column,
+                          body: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("pos")
-    val lines = df.select(host.as("host"),
+    df.select(host.as("host"),
         posexplode(split(body, "\n", -1)).as(Seq("pos", "raw")))
       .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
       .withColumn("is_agent",
         lower(col("line")).startsWith("user-agent:"))
-      .withColumn("grp", sum(col("is_agent").cast("long")).over(w))
-    val agents = lines.filter(col("is_agent"))
-      .select(col("host"), col("grp"),
-        trim(substring_index(col("line"), ":", -1)).as("agent"))
-    lines
-      .filter(lower(col("line")).startsWith("disallow:"))
-      .select(col("host"), col("grp"),
-        trim(expr("substring(line, length('disallow:') + 1)")).as("prefix"))
-      .filter(col("prefix") =!= "")
-      .join(agents.filter(col("agent") === "*"), Seq("host", "grp"), "left_semi")
-      .select("host", "prefix").distinct()
+      .withColumn("starts_group", col("is_agent") &&
+        !coalesce(lag(col("is_agent"), 1).over(w), lit(false)))
+      .withColumn("grp", sum(col("starts_group").cast("long")).over(w))
   }
 
-  /** Filter frontier candidates through robots rules: a candidate is
-    * dropped when ANY of its host's Disallow prefixes starts its
-    * canonical path+query (the part after the authority — '' for a
-    * root URL, so `Disallow: /` blocks every pathed URL but not the
-    * bare origin: matching is on the canonical form, documented).
-    * One host-keyed join against a rules table bounded by hosts ×
-    * rules-per-host — never frontier-sized on the build side. */
+  /** The wildcard-agent groups (host, grp) of each robots body. */
+  private def starGroups(lines: DataFrame): DataFrame =
+    lines.filter(col("is_agent"))
+      .select(col("host"), col("grp"),
+        trim(substring_index(col("line"), ":", -1)).as("agent"))
+      .filter(col("agent") === "*")
+      .select("host", "grp").distinct()
+
+  /** robots.txt access rules for the wildcard agent — Disallow AND
+    * Allow prefixes (RFC 9309 §2.2.2), the access half of crawl
+    * politeness ([[politeWaves]] / [[robotsDelays]] are the rate
+    * half). The deterministic subset both engines replay:
+    *
+    *  - lines are '#'-comment-stripped and trimmed; groups per
+    *    [[robotsLines]] (consecutive agent lines share one group);
+    *  - `Disallow:` / `Allow:` lines bind to their group; groups
+    *    containing agent `*` contribute their non-empty prefixes (an
+    *    empty value means no rule); directive names match
+    *    case-insensitively, prefix VALUES stay case-sensitive;
+    *  - wildcards inside paths are ignored — prefix semantics only.
+    *
+    * Yields (host, prefix, allow); [[robotsFilter]] applies the
+    * longest-match precedence. */
+  def robotsRules(df: DataFrame, host: Column, body: Column): DataFrame = {
+    val lines = robotsLines(df, host, body)
+    lines
+      .filter(lower(col("line")).rlike("^(disallow|allow):"))
+      .select(col("host"), col("grp"),
+        lower(col("line")).startsWith("allow:").as("allow"),
+        trim(expr("substring(line, instr(line, ':') + 1)")).as("prefix"))
+      .filter(col("prefix") =!= "")
+      .join(starGroups(lines), Seq("host", "grp"), "left_semi")
+      .select("host", "prefix", "allow").distinct()
+  }
+
+  /** Wildcard-agent `Crawl-delay` per host, in whole seconds — the
+    * de-facto rate directive (not in RFC 9309 but emitted by ~10% of
+    * sites and honored by every major crawler). Non-numeric values
+    * are ignored; multiple wildcard groups keep the MAX (the polite
+    * reading). Yields (host, delay_s) — hosts without a delay are
+    * absent (callers supply the default). */
+  def robotsDelays(df: DataFrame, host: Column, body: Column): DataFrame = {
+    val lines = robotsLines(df, host, body)
+    lines
+      .filter(lower(col("line")).startsWith("crawl-delay:"))
+      .select(col("host"), col("grp"),
+        trim(expr("substring(line, instr(line, ':') + 1)")).as("v"))
+      .filter(col("v").rlike("^[0-9]+$"))
+      .join(starGroups(lines), Seq("host", "grp"), "left_semi")
+      .groupBy("host").agg(max(col("v").cast("long")).as("delay_s"))
+  }
+
+  /** Filter frontier candidates through robots rules with RFC 9309
+    * §2.2.2 precedence: among the rules whose prefix starts the
+    * candidate's canonical path+query (the part after the authority —
+    * '' for a root URL, so `Disallow: /` blocks every pathed URL but
+    * not the bare origin: matching is on the canonical form,
+    * documented), the LONGEST prefix wins; at equal length Allow
+    * wins. No matching rule ⇒ allowed. So `Disallow: /a` +
+    * `Allow: /articles/` blocks `/ax` but keeps the whole
+    * `/articles/` carve-out — under match-any-Disallow the carve-out
+    * is lost entirely (a recall, not politeness, bug).
+    *
+    * Shape: one host-keyed theta-join against the rules table
+    * (bounded by hosts × rules-per-host — broadcast, never
+    * frontier-sized), a verdict aggregate keyed on the matched
+    * candidates' (host, path) — map-side combined, volume bounded by
+    * candidates-with-any-match — and one anti-join against the
+    * blocked keys. Candidates matching no rule never shuffle. */
   def robotsFilter(candidates: DataFrame, url: Column,
                    rules: DataFrame): DataFrame = {
     val withHost = candidates.withColumn("__h", hostOf(url))
       .withColumn("__p",
         regexp_replace(url, "^[a-z][a-z0-9+.-]*://[^/?#]+", ""))
+    // best matching rule per (host, path) as ONE integer — length*2
+    // + allow-bit orders exactly like (length, allow) lexicographic
+    // (allow ∈ {0,1}), and the encoding replays verbatim in SQL
+    val blocked = withHost
+      .join(broadcast(rules.as("r")), col("__h") === col("r.host") &&
+        col("__p").startsWith(col("r.prefix")), "inner")
+      .groupBy(col("__h"), col("__p"))
+      .agg(max(length(col("r.prefix")) * 2 +
+        col("r.allow").cast("int")).as("best"))
+      .filter(col("best") % 2 === 0)
+      .select(col("__h"), col("__p"))
     withHost
-      .join(rules.as("r"), col("__h") === col("r.host") &&
-        col("__p").startsWith(col("r.prefix")), "left_anti")
+      .join(blocked, Seq("__h", "__p"), "left_anti")
       .drop("__h", "__p")
   }
 
@@ -235,6 +344,32 @@ object Urls {
       .withColumn("host", hostOf(col("url")))
       .withColumn("wave",
         ((row_number().over(w) - 1) / perHostPerWave).cast("long"))
+  }
+
+  /** [[politeWaves]] with a PER-HOST cap frame instead of one global
+    * cap — the `Crawl-delay` path: a host demanding a d-second gap
+    * gets `cap = max(1, wavePeriod / d)` fetches per wave (callers
+    * derive the cap frame, e.g. from [[robotsDelays]]). `hostCaps`
+    * is (host, cap), bounded by hosts — broadcast onto the
+    * candidates; hosts absent from it get `defaultCap`. Same single
+    * host-keyed window as the global form; the cap only changes the
+    * divisor, so waves stay dense from 0 per host and the per-wave
+    * host multiplicity is the cap by construction. */
+  def politeWavesCapped(df: DataFrame, url: Column, priority: Column,
+                        hostCaps: DataFrame,
+                        defaultCap: Int = 1): DataFrame = {
+    require(defaultCap >= 1, s"defaultCap must be >= 1, got $defaultCap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("priority").desc, col("url").asc)
+    df.select(url.as("url"), priority.as("priority"))
+      .withColumn("host", hostOf(col("url")))
+      .join(broadcast(hostCaps.select(col("host"), col("cap"))),
+        Seq("host"), "left")
+      .withColumn("cap",
+        greatest(coalesce(col("cap"), lit(defaultCap.toLong)), lit(1L)))
+      .withColumn("wave",
+        floor((row_number().over(w) - 1) / col("cap")).cast("long"))
+      .select("url", "priority", "host", "cap", "wave")
   }
 
   /** Blocklist predicate over a host column/expression: exact match
@@ -275,19 +410,27 @@ object Urls {
   /** Deterministic robots.txt fixture per host, derived from the
     * source string — both engines plant identical bytes, so parsing
     * and filtering are oracle-checkable. Every parser branch is
-    * exercised: a comment header, a non-`*` group whose `Disallow: /`
-    * must NOT apply, case-varied directive names, an inline comment
-    * on a rule value, an empty Disallow (allow-all, no rule), and a
-    * rule-free `*` group. */
+    * exercised: a comment header; a non-`*` group whose `Disallow: /`
+    * and `Crawl-delay: 9` must NOT apply; case-varied directive
+    * names; an inline comment on a rule value; an empty Disallow
+    * (allow-all, no rule); an `Allow` carve-out UNDER a broader
+    * Disallow (`Disallow: /a` + `allow: /articles/` — longest-match
+    * keeps the carve-out); STACKED `User-agent` lines sharing one
+    * group; wildcard `Crawl-delay` values (and a non-numeric one
+    * that must be ignored). */
   def syntheticRobots(source: Column): Column = {
     val m = pmod(length(source), lit(4))
     concat(
       lit("# robots for "), source,
-      lit("\nUser-agent: bot\nDisallow: /\n"),
-      when(m === 0, "User-agent: *\nDisallow: /legal\nDisallow:\n")
-        .when(m === 1, "user-agent: *\nDISALLOW: /a\n")
-        .when(m === 2, "User-agent: *\nDisallow: /articles/ # keep shop\n")
-        .otherwise(lit("User-agent: *\n")))
+      lit("\nUser-agent: bot\nDisallow: /\nCrawl-delay: 9\n"),
+      when(m === 0,
+        "User-agent: *\nDisallow: /legal\nDisallow:\nCrawl-delay: 1\n")
+        .when(m === 1,
+          "user-agent: *\nDISALLOW: /a\nallow: /articles/\nCrawl-delay: 2\n")
+        .when(m === 2,
+          "User-agent: *\nDisallow: /articles/ # keep shop\nCrawl-delay: soon\n")
+        .otherwise(lit(
+          "User-agent: *\nUser-agent: other\nDisallow: /x\nCrawl-delay: 4\n")))
   }
 
   /** Deterministic URL fixture derived from (doc_id, source) — both
@@ -304,7 +447,11 @@ object Urls {
     * twins without changing the canonical value: the twins carry
     * opposite query-parameter orders and rotated `~`/`%7E`/`%7e`
     * (and `%3F`/`%3f`) path spellings, so recovering the pair
-    * requires the sort and percent rules, not just case-folding. */
+    * requires the sort and percent rules, not just case-folding.
+    * The `dot3` term rotates the /articles/ prefix through its
+    * dot-segment spellings (`/./articles/`, `/p/../articles/`) the
+    * same twin-safe way — recovering those pairs requires step 8.5's
+    * remove_dot_segments. */
   def syntheticUrl(docId: Column, source: Column): Column = {
     val m = (k: Int) => pmod(docId, lit(k.toLong))
     val ms = (k: Int) => m(k).cast("string")
@@ -335,7 +482,11 @@ object Urls {
       .when(m(3) === 1, pair)
       .otherwise(concat(lit("?utm_campaign=x&id="), ms(5)))
     val frag = when(m(2) === 1, concat(lit("#sec"), ms(3))).otherwise(lit(""))
+    val dot3 = pmod(m(12) + flip, lit(3L))
+    val art = when(dot3 === 0, "/articles/")
+      .when(dot3 === 1, "/./articles/")
+      .otherwise(lit("/p/../articles/"))
     concat(scheme, lit("://"), www, host, lit(".example.com"), port,
-      lit("/articles/"), ms(150), pathSeg, slash, query, frag)
+      art, ms(150), pathSeg, slash, query, frag)
   }
 }

@@ -77,6 +77,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.simhashDescriptor)
     ext.injectFunction(GraftFunctions.urlPctDescriptor)
     ext.injectFunction(GraftFunctions.urlQsortDescriptor)
+    ext.injectFunction(GraftFunctions.urlDotFoldDescriptor)
     ext.injectOptimizerRule(_ => RewriteVectorDot)
   }
 }
@@ -214,6 +215,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[UrlQuerySort].getName, "graft_url_qsort"),
     (children: Seq[Expression]) => UrlQuerySort(children(0)))
 
+  val urlDotFoldDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_url_dotfold"),
+    new ExpressionInfo(classOf[UrlDotFold].getName, "graft_url_dotfold"),
+    (children: Seq[Expression]) => UrlDotFold(children(0)))
+
   val entropyDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_entropy"),
     new ExpressionInfo(classOf[TextEntropy].getName, "graft_entropy"),
@@ -253,6 +259,8 @@ object GraftFunctions {
       "graft_url_pct", cs => UrlPercentNorm(cs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_url_qsort", cs => UrlQuerySort(cs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_url_dotfold", cs => UrlDotFold(cs(0)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorDot

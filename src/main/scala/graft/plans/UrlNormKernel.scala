@@ -67,6 +67,29 @@ case class UrlQuerySort(child: Expression) extends UrlByteKernel {
     copy(child = newChild)
 }
 
+/** Cascade step 8.5 (`graft_url_dotfold`): RFC 3986
+  * remove_dot_segments over the URL's PATH portion — `/./` collapses,
+  * `/seg/../` pops, `..` above the root is a no-op, and a trailing
+  * `/.`|`/..` keeps the directory slash (so `/a/b/..` → `/a/`,
+  * composing with the cascade's trailing-slash strip to `/a`). A
+  * segment-stack walk has no closed regex form (the fold is a
+  * fixpoint), and as a higher-order `aggregate` it would be
+  * interpreted — the same CodegenFallback/CSE break the pct/qsort
+  * kernels exist to avoid. Query and fragment are untouched; inputs
+  * without a `scheme://authority/` prefix return unchanged. The
+  * relational reference (the living spec UrlsSpec fuzzes this
+  * against) is Urls.foldDotSegmentsStaged. */
+case class UrlDotFold(child: Expression) extends UrlByteKernel {
+  override protected def nullSafeEval(in: Any): Any =
+    UrlNorm.dotFold(in.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.UrlNorm.dotFold($c);")
+  override def prettyName: String = "graft_url_dotfold"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object UrlNorm {
 
   private def isHex(b: Byte): Boolean =
@@ -96,6 +119,71 @@ object UrlNorm {
         i += 3
       } else { out(o) = b(i); o += 1; i += 1 }
     }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  /** remove_dot_segments over the path of a hierarchical URL: the
+    * path is [first '/' after `://`'s authority, first '?' or '#');
+    * its '/'-separated segments run through a stack — `.` skipped,
+    * `..` pops, anything else (empty segments included: `//` is
+    * preserved) pushed — and a final `.`|`..` segment re-appends the
+    * directory slash (RFC 3986 §5.2.4's replace-vs-remove split).
+    * Fast path: a path without the byte pair "/." returns the input
+    * array untouched. */
+  def dotFold(in: UTF8String): UTF8String = {
+    val b = in.getBytes
+    // locate "://", then the authority's end — the path start
+    var i = 0
+    while (i + 2 < b.length &&
+      !(b(i) == ':' && b(i + 1) == '/' && b(i + 2) == '/')) i += 1
+    if (i + 2 >= b.length) return in
+    var p = i + 3
+    while (p < b.length && b(p) != '/' && b(p) != '?' && b(p) != '#') p += 1
+    if (p >= b.length || b(p) != '/') return in
+    var q = p
+    while (q < b.length && b(q) != '?' && b(q) != '#') q += 1
+    // fast path: no "/." anywhere in [p, q)
+    var k = p
+    var hasDot = false
+    while (k + 1 < q && !hasDot) {
+      if (b(k) == '/' && b(k + 1) == '.') hasDot = true
+      k += 1
+    }
+    if (!hasDot) return in
+    // stack of (start, end) segment spans over b, path = [p, q)
+    val starts = new Array[Int](q - p)
+    val ends = new Array[Int](q - p)
+    var top = 0
+    var s = p + 1
+    var lastWasDots = false
+    var j = p + 1
+    while (j <= q) {
+      if (j == q || b(j) == '/') {
+        val len = j - s
+        val isDot = len == 1 && b(s) == '.'
+        val isDotDot = len == 2 && b(s) == '.' && b(s + 1) == '.'
+        if (isDot) ()                      // skip
+        else if (isDotDot) { if (top > 0) top -= 1 }
+        else { starts(top) = s; ends(top) = j; top += 1 }
+        lastWasDots = (isDot || isDotDot) && j == q
+        s = j + 1
+      }
+      j += 1
+    }
+    val out = new Array[Byte](b.length)
+    System.arraycopy(b, 0, out, 0, p)
+    var o = p
+    var t = 0
+    while (t < top) {
+      out(o) = '/'; o += 1
+      val len = ends(t) - starts(t)
+      System.arraycopy(b, starts(t), out, o, len)
+      o += len
+      t += 1
+    }
+    if (top == 0 || lastWasDots) { out(o) = '/'; o += 1 }
+    System.arraycopy(b, q, out, o, b.length - q)
+    o += b.length - q
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
   }
 

@@ -899,7 +899,7 @@ object DataOps {
       .select("url").distinct()
     pages
       .select(col("referrer"), explode(Html.linkHrefs(col("html"))).as("href"))
-      .filter(!col("href").startsWith("#") && col("href") =!= "")
+      .filter(Urls.hrefIsCandidate(col("href")))
       .select(col("referrer"),
         Urls.canonicalize(
           Urls.resolveHref(col("referrer"), col("href"))).as("url"))
@@ -929,27 +929,58 @@ object DataOps {
     graft.operators.Urls.politeWaves(
       dsCrawlFrontier(s, d), col("url"), col("n_refs"), crawlPerHostPerWave)
 
-  /** The per-host robots rule table over the corpus's hosts (the
-    * deterministic Urls.syntheticRobots bodies — bounded by hosts,
-    * one KB-sized body each, never by the frontier). */
-  private def crawlRobotsRules(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Urls
-    val hosts = docs(s, d)
+  /** The corpus's (host, source) frame — robots bodies are bounded
+    * by hosts, one KB-sized body each, never by the frontier. */
+  private def crawlHosts(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(concat(lower(col("source")), lit(".example.com")).as("host"),
         col("source")).distinct()
-    Urls.robotsDisallows(hosts, col("host"),
-      Urls.syntheticRobots(col("source")))
+
+  /** The per-host robots rule table (Disallow AND Allow, RFC 9309)
+    * over the deterministic Urls.syntheticRobots bodies. */
+  private def crawlRobotsRules(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val hosts = crawlHosts(s, d)
+    Urls.robotsRules(hosts, col("host"), Urls.syntheticRobots(col("source")))
   }
 
   def txRobotsRules(s: SparkSession, d: String): DataFrame =
     crawlRobotsRules(s, d)
 
-  /** The frontier under robots: candidates whose canonical path+query
-    * a wildcard-agent Disallow prefix starts are dropped — the access
-    * half of politeness over the discovery output. */
+  /** Wildcard-agent Crawl-delay per host over the same bodies. */
+  def txRobotsDelays(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val hosts = crawlHosts(s, d)
+    Urls.robotsDelays(hosts, col("host"), Urls.syntheticRobots(col("source")))
+  }
+
+  /** The frontier under robots with RFC 9309 longest-match
+    * precedence: the longest matching prefix decides, Allow winning
+    * length ties — so the fixture's `Disallow: /a` + `allow:
+    * /articles/` carve-out provably survives. The access half of
+    * politeness over the discovery output. */
   def dsCrawlRobots(s: SparkSession, d: String): DataFrame =
     graft.operators.Urls.robotsFilter(
       dsCrawlFrontier(s, d), col("url"), crawlRobotsRules(s, d))
+
+  /** Wave period backing the Crawl-delay → per-host-cap mapping: a
+    * host demanding a d-second gap gets max(1, period/d) fetches per
+    * wave. */
+  val crawlWavePeriodSec = 4
+
+  /** Crawl-delay-aware politeness scheduling: per-host wave caps from
+    * the robots delay table ([[crawlWavePeriodSec]] over the delay,
+    * [[crawlPerHostPerWave]] for hosts that publish none), applied by
+    * Urls.politeWavesCapped — the same single host-keyed window as
+    * ds_crawl_schedule, with a broadcast cap join in front. */
+  def dsCrawlDelay(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val caps = txRobotsDelays(s, d).select(col("host"),
+      greatest(lit(1L),
+        floor(lit(crawlWavePeriodSec) / col("delay_s"))).as("cap"))
+    Urls.politeWavesCapped(dsCrawlFrontier(s, d), col("url"), col("n_refs"),
+      caps, crawlPerHostPerWave)
+  }
 
   def txClean(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
@@ -1711,7 +1742,10 @@ object DataOps {
            || '.example.com'
            || (CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
                     WHEN 2 THEN ':8080' ELSE '' END)
-           || '/articles/' || CAST(doc_id % 150 AS VARCHAR)
+           || (CASE (doc_id % 12 + (doc_id // 300) % 2) % 3
+                    WHEN 0 THEN '/articles/' WHEN 1 THEN '/./articles/'
+                    ELSE '/p/../articles/' END)
+           || CAST(doc_id % 150 AS VARCHAR)
            || (CASE WHEN doc_id % 6 < 3 THEN '/t' ||
                       (CASE (doc_id % 6 + (doc_id // 300) % 2) % 3
                             WHEN 0 THEN '~' WHEN 1 THEN '%7E' ELSE '%7e' END) || 'x'
@@ -1762,6 +1796,22 @@ object DataOps {
     * '\1' backrefs instead of Java '$1'. Callers stage this into a
     * CTE column and wrap it with [[sortParamsSqlExpr]] (step 9),
     * keeping the repeated operand of the sort a bare column. */
+  /** Step 8.5 (remove_dot_segments) — the FIXTURE-BOUNDED mirror of
+    * the graft_url_dotfold kernel's general stack walk: the synthetic
+    * URLs and resolved hrefs carry at most one dot segment per value
+    * and never a '/' (let alone '/.') inside a query string, so two
+    * applications of each rewrite reach the fixpoint, and whole-string
+    * replacement is path-equivalent. `/./` collapses; `/seg/../` pops
+    * a non-dot segment. (DuckDB's RE2 has no lookahead, hence the
+    * explicit non-dot segment class.) */
+  private def dotFoldSqlExpr(in: String): String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      in + ",\n" +
+      """ '/\./', '/', 'g'),""" + "\n" +
+      """ '/\./', '/', 'g'),""" + "\n" +
+      """ '/([^/.?][^/?]*)/\.\./', '/', 'g'),""" + "\n" +
+      """ '/([^/.?][^/?]*)/\.\./', '/', 'g')"""
+
   private def urlCanonSqlExpr(in: String): String = {
     val pn = percentNormSqlExpr(s"trim($in)")
     val prefix =
@@ -1769,16 +1819,18 @@ object DataOps {
     val lowered = "(lower(" + prefix + ") || substr(" + pn +
       ", length(" + prefix + ") + 1))"
     val tp = graft.operators.Urls.trackingParamsRe
-    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+    val steps17 =
       "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-      lowered + ",\n" +
-      """ '^(https?://)www\.', '\1', 'g'),""" + "\n" +
-      """ '#.*$', '', 'g'),""" + "\n" +
-      """ '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2', 'g'),""" + "\n" +
-      """ '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),""" + "\n" +
-      " '&(?:" + tp + ")=[^&#]*', '', 'g'),\n" +
-      " '\\?(?:" + tp + ")=[^&#]*&', '?', 'g'),\n" +
-      " '\\?(?:" + tp + ")=[^&#]*$', '', 'g'),\n" +
+        "regexp_replace(regexp_replace(regexp_replace(" +
+        lowered + ",\n" +
+        """ '^(https?://)www\.', '\1', 'g'),""" + "\n" +
+        """ '#.*$', '', 'g'),""" + "\n" +
+        """ '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2', 'g'),""" + "\n" +
+        """ '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),""" + "\n" +
+        " '&(?:" + tp + ")=[^&#]*', '', 'g'),\n" +
+        " '\\?(?:" + tp + ")=[^&#]*&', '?', 'g'),\n" +
+        " '\\?(?:" + tp + ")=[^&#]*$', '', 'g')"
+    "regexp_replace(" + dotFoldSqlExpr(steps17) + ",\n" +
       """ '([^/:])/+(\?.*)?$', '\1\2', 'g')"""
   }
 
@@ -1820,6 +1872,7 @@ object DataOps {
     val dir = s"regexp_extract(regexp_replace($base, '[?#].*$$', ''), " +
       "'^([a-z][a-z0-9+.-]*://.*/)', 1)"
     s"""(CASE WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.-]*://') THEN $href
+          WHEN regexp_matches($href, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
           WHEN $href LIKE '//%' THEN $scheme || ':' || $href
           WHEN $href LIKE '/%' THEN $origin || $href
           WHEN $href LIKE '#%' OR $href = '' THEN NULL
@@ -1858,7 +1911,9 @@ object DataOps {
                WHERE ${notBlockedOver(
                  "regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)")}),
         rh AS (SELECT base AS referrer, href FROM lk
-               WHERE NOT href LIKE '#%' AND href <> ''),
+               WHERE NOT href LIKE '#%' AND href <> ''
+                 AND (NOT regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*:')
+                      OR regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://'))),
         rv AS (SELECT referrer,
                  ${resolveHrefSqlExpr("referrer", "href")} AS abs_url FROM rh),
         rc8 AS (SELECT referrer, ${urlCanonSqlExpr("abs_url")} AS cu FROM rv),
@@ -1874,23 +1929,34 @@ object DataOps {
         FROM fr GROUP BY url"""
   }
 
-  /** Urls.robotsDisallows over the Urls.syntheticRobots fixture,
-    * mirrored: per-host line explode → comment strip → running
-    * user-agent count assigns groups → '*'-group non-empty Disallow
-    * prefixes. Yields `rules(host, prefix)`. */
+  /** Urls.robotsRules / robotsDelays over the Urls.syntheticRobots
+    * fixture, mirrored: per-host line explode → comment strip → RFC
+    * 9309 group assignment (consecutive User-agent lines share ONE
+    * group: a group starts at an agent line not directly preceded by
+    * another agent line — the same lag + running-sum both engines
+    * run) → '*'-group non-empty Disallow/Allow prefixes and numeric
+    * Crawl-delay values. Yields `rules(host, prefix, allow)` and
+    * `delays(host, delay_s)`. */
   private val robotsRulesCtes: String =
     """rh AS (SELECT DISTINCT lower(source) || '.example.com' AS host, source
               FROM documents),
        rb AS (SELECT host,
                 '# robots for ' || source ||
-                chr(10) || 'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10) ||
+                chr(10) || 'User-agent: bot' || chr(10) || 'Disallow: /'
+                || chr(10) || 'Crawl-delay: 9' || chr(10) ||
                 (CASE length(source) % 4
                    WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /legal'
                                || chr(10) || 'Disallow:' || chr(10)
-                   WHEN 1 THEN 'user-agent: *' || chr(10) || 'DISALLOW: /a' || chr(10)
+                               || 'Crawl-delay: 1' || chr(10)
+                   WHEN 1 THEN 'user-agent: *' || chr(10) || 'DISALLOW: /a'
+                               || chr(10) || 'allow: /articles/' || chr(10)
+                               || 'Crawl-delay: 2' || chr(10)
                    WHEN 2 THEN 'User-agent: *' || chr(10)
                                || 'Disallow: /articles/ # keep shop' || chr(10)
-                   ELSE 'User-agent: *' || chr(10) END) AS body
+                               || 'Crawl-delay: soon' || chr(10)
+                   ELSE 'User-agent: *' || chr(10) || 'User-agent: other'
+                        || chr(10) || 'Disallow: /x' || chr(10)
+                        || 'Crawl-delay: 4' || chr(10) END) AS body
               FROM rh),
        rl0 AS (SELECT host,
                  generate_subscripts(string_split(body, chr(10)), 1) AS pos,
@@ -1898,19 +1964,35 @@ object DataOps {
                FROM rb),
        rl AS (SELECT host, pos,
                 trim(regexp_replace(raw, '#.*$', '')) AS line FROM rl0),
-       rg AS (SELECT host, pos, line,
-                lower(line) LIKE 'user-agent:%' AS is_agent,
-                sum(CASE WHEN lower(line) LIKE 'user-agent:%' THEN 1 ELSE 0 END)
+       rg0 AS (SELECT host, pos, line,
+                 lower(line) LIKE 'user-agent:%' AS is_agent
+               FROM rl),
+       rg1 AS (SELECT host, pos, line, is_agent,
+                 (is_agent AND NOT coalesce(
+                    lag(is_agent) OVER (PARTITION BY host ORDER BY pos),
+                    false)) AS starts_group
+               FROM rg0),
+       rg AS (SELECT host, pos, line, is_agent,
+                sum(CASE WHEN starts_group THEN 1 ELSE 0 END)
                   OVER (PARTITION BY host ORDER BY pos) AS grp
-              FROM rl),
-       ra AS (SELECT host, grp, trim(substr(line, strpos(line, ':') + 1)) AS agent
-              FROM rg WHERE is_agent),
-       rules AS (SELECT DISTINCT d.host, d.prefix FROM
-                 (SELECT host, grp, trim(substr(line, 10)) AS prefix
-                  FROM rg WHERE lower(line) LIKE 'disallow:%'
-                    AND trim(substr(line, 10)) <> '') d
+              FROM rg1),
+       ra AS (SELECT DISTINCT host, grp FROM rg
+              WHERE is_agent
+                AND trim(substr(line, strpos(line, ':') + 1)) = '*'),
+       rules AS (SELECT DISTINCT d.host, d.prefix, d.allow FROM
+                 (SELECT host, grp,
+                    lower(line) LIKE 'allow:%' AS allow,
+                    trim(substr(line, strpos(line, ':') + 1)) AS prefix
+                  FROM rg WHERE regexp_matches(lower(line), '^(disallow|allow):')) d
                  JOIN ra ON d.host = ra.host AND d.grp = ra.grp
-                 WHERE ra.agent = '*')"""
+                 WHERE d.prefix <> ''),
+       delays AS (SELECT d.host, max(CAST(d.v AS BIGINT)) AS delay_s FROM
+                  (SELECT host, grp,
+                     trim(substr(line, strpos(line, ':') + 1)) AS v
+                   FROM rg WHERE lower(line) LIKE 'crawl-delay:%') d
+                  JOIN ra ON d.host = ra.host AND d.grp = ra.grp
+                  WHERE regexp_matches(d.v, '^[0-9]+$')
+                  GROUP BY d.host)"""
 
   /** Html.syntheticPage mirrored as one SQL expression over the
     * columns `text`/`source` — shared by the extraction cascade and
@@ -1918,7 +2000,9 @@ object DataOps {
   private val pageSynthSqlExpr: String =
     s"""'<html><head><script type="text/javascript">var t="' || source ||
         '";</script><style>.m{color:#333}</style></head><body><!-- graft fixture -->' ||
-        '<nav><a href="/">home</a> <a href="/about">about</a> <a href="/' ||
+        '<nav><a href="/">home</a> <a href="/about">about</a> ' ||
+        '<a href="../up">up</a> <a href="mailto:ed@example.com">mail</a> ' ||
+        '<a href="/' ||
         source || '">' || source || '</a></nav><div class="content">' ||
         replace(replace(replace(
                 regexp_replace(text, '((?:\\S+ ){11}\\S+) ', '<p>\\1</p>', 'g'),
@@ -4182,12 +4266,20 @@ object DataOps {
     // canonicalized, blocklisted, anti-joined against the crawled
     // set, grouped with their in-link evidence
     "ds_crawl_frontier" -> crawlFrontierSql,
-    // robots parsing: the wildcard-agent Disallow rule table
+    // robots parsing: the wildcard-agent Disallow AND Allow rule
+    // table (RFC 9309 §2.2.2 — shared agent groups, case-varied
+    // directives, inline comments, an Allow carve-out)
     "tx_robots_rules" ->
       s"""WITH $robotsRulesCtes
-          SELECT host, prefix FROM rules""",
-    // the frontier under robots: drop candidates whose canonical
-    // path+query a '*'-group Disallow prefix starts
+          SELECT host, prefix, allow FROM rules""",
+    // wildcard-agent Crawl-delay per host (numeric values only, max
+    // across groups; other agents' delays must not leak in)
+    "tx_robots_delays" ->
+      s"""WITH $robotsRulesCtes
+          SELECT host, delay_s FROM delays""",
+    // the frontier under robots with LONGEST-MATCH precedence: among
+    // the matching prefixes the longest wins, Allow winning length
+    // ties — encoded as max(length*2 + allow_bit) per candidate path
     "ds_crawl_robots" ->
       s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes,
           fp AS (SELECT f.*,
@@ -4195,11 +4287,39 @@ object DataOps {
                      AS fhost,
                    regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]+', '')
                      AS fpath
-                 FROM f)
+                 FROM f),
+          blk AS (SELECT fhost, fpath FROM
+                  (SELECT fp.fhost, fp.fpath,
+                     max(length(r.prefix) * 2 +
+                         CASE WHEN r.allow THEN 1 ELSE 0 END) AS best
+                   FROM fp JOIN rules r ON r.host = fp.fhost
+                     AND substr(fp.fpath, 1, length(r.prefix)) = r.prefix
+                   GROUP BY fp.fhost, fp.fpath)
+                  WHERE best % 2 = 0)
           SELECT url, n_refs, n_referrers, first_referrer FROM fp
-          WHERE NOT EXISTS (SELECT 1 FROM rules r
-                            WHERE r.host = fp.fhost
-                              AND substr(fp.fpath, 1, length(r.prefix)) = r.prefix)""",
+          WHERE NOT EXISTS (SELECT 1 FROM blk
+                            WHERE blk.fhost = fp.fhost
+                              AND blk.fpath = fp.fpath)""",
+    // Crawl-delay-aware scheduling: per-host wave caps derived from
+    // the delay table (cap = max(1, wavePeriod / delay), default
+    // crawlPerHostPerWave when a host publishes no delay)
+    "ds_crawl_delay" ->
+      s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes,
+          caps AS (SELECT host,
+                     greatest(1, $crawlWavePeriodSec // delay_s) AS cap
+                   FROM delays),
+          c AS (SELECT url, n_refs AS priority,
+                  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                    AS host
+                FROM f),
+          j AS (SELECT c.url, c.priority, c.host,
+                  greatest(coalesce(caps.cap, $crawlPerHostPerWave), 1) AS cap
+                FROM c LEFT JOIN caps ON c.host = caps.host)
+          SELECT url, priority, host, cap,
+                 CAST((row_number() OVER (PARTITION BY host
+                        ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
+                   AS wave
+          FROM j""",
     // politeness scheduling: frontier → per-host fetch waves capped
     // at crawlPerHostPerWave, priority = in-link count
     "ds_crawl_schedule" ->
@@ -4689,7 +4809,9 @@ object DataOps {
     "ds_crawl_frontier" -> dsCrawlFrontier _,
     "ds_crawl_schedule" -> dsCrawlSchedule _,
     "tx_robots_rules" -> txRobotsRules _,
+    "tx_robots_delays" -> txRobotsDelays _,
     "ds_crawl_robots" -> dsCrawlRobots _,
+    "ds_crawl_delay" -> dsCrawlDelay _,
     "tx_url_canon" -> txUrlCanon _,
     "dd_url_dedup" -> ddUrlDedup _,
     "ds_crawl" -> dsCrawl _,

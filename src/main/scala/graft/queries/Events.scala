@@ -135,6 +135,180 @@ object Events {
           .as("is_anomaly"))
   }
 
+  /** The ProphetLike model's normal-equation solve as SHARED SQL text
+    * — one generator emits the aggregate exprs and staged formula
+    * levels that BOTH engines run verbatim (Spark `selectExpr`, DuckDB
+    * CTE chain), so the solve is the same IEEE operation sequence on
+    * both sides and the 6dp micro-unit pin cannot sit on a rounding
+    * boundary.
+    *
+    * Model (forecast/ProphetLikeForecaster.scala, oracle config):
+    * y ≈ β₀ + β₁t + γ·max(0,t−s) + Σ_{k≤3} aₖsin(2πkt/7)+bₖcos(2πkt/7),
+    * ridge-fit exactly as MLlib's normal solver does with
+    * standardization=false: center features and label, solve
+    * (Zᵀ Z + (λ·n/σ_y)·I) β = Zᵀ ỹ  (the λ·n/σ_y diagonal is MLlib's
+    * measured convention — pinned by ForecasterSpec's parity law),
+    * intercept = ȳ − βᵀx̄. Oracle quantizations, both documented and
+    * mirrored in the spec law: ONE changepoint at s = ⌊0.4n⌋ (integer,
+    * so the hinge stays in exact integer arithmetic; Prophet's
+    * default uniform placement, floored) and Fourier features read
+    * from 7 shared residue literals (period 7 divides integer t, so
+    * sin(2πkt/7) has exactly 7 values — both engines consume the SAME
+    * double constants instead of each calling libm).
+    *
+    * Determinism ladder: (1) every Gram sum is an exact integer
+    * (or exact DECIMAL for Σy²) aggregated per residue class —
+    * association-free; (2) residue sums combine with the shared
+    * literals in fixed textual order; (3) the 8×8 elimination +
+    * back-substitution formulas are the same text both sides. Long
+    * bounds (the fc_anomaly discipline): Σt·y_cents must fit int64 —
+    * ≈ $40B/day over a 30-year daily series; Σy² rides DECIMAL(38).
+    *
+    * Scale shape: the distributed plan ends at the daily aggregate
+    * (calendar-bounded, the F1 boundary); everything after is a
+    * one-row frame of scalars. */
+  private[queries] object ProphetRel {
+    val harmonics = 3
+    val period = 7
+    val ridge = 0.01
+    private val P = 2 + 2 * harmonics // t, hinge, K sin/cos pairs
+
+    private def lit(d: Double): String = {
+      val s = java.lang.Double.toString(d)
+      if (s.startsWith("-")) s"($s)" else s
+    }
+
+    /** Feature f (2..P-1) at residue r — the shared constants. */
+    private def fval(f: Int, r: Int): Double = {
+      val k = (f - 2) / 2 + 1
+      val w = 2 * math.Pi * k * r / period
+      if ((f - 2) % 2 == 0) math.sin(w) else math.cos(w)
+    }
+
+    private def residues: Range = 0 until period
+
+    /** Fixed-order combine of per-residue integer columns with the
+      * shared literals: Σ_r coef(r)·col_r. */
+    private def dot(col: String, coef: Int => Double): String =
+      residues.map(r => s"${lit(coef(r))} * $col$r").mkString("(", " + ", ")")
+
+    private def tot(col: String): String =
+      residues.map(r => s"$col$r").mkString("cast(", " + ", " as double)")
+
+    /** Aggregate exprs over (t, h, r, y, n_days, s_cp, last_day):
+      * per-residue exact-integer sums + the DECIMAL Σy². */
+    val sumExprs: Seq[String] = {
+      def per(name: String, e: String) = residues.map(r =>
+        s"cast(sum(case when r = $r then $e else 0 end) as bigint) as $name$r")
+      per("cnt_", "1") ++ per("st_", "t") ++ per("st2_", "t * t") ++
+        per("sh_", "h") ++ per("sh2_", "h * h") ++ per("sth_", "t * h") ++
+        per("sy_", "y") ++ per("sty_", "t * y") ++ per("shy_", "h * y") ++
+        Seq("cast(sum(cast(y as decimal(19,0)) * cast(y as decimal(19,0)))" +
+              " as double) as sy2",
+          "max(n_days) as n_days", "max(s_cp) as s_cp",
+          "max(last_day) as last_day")
+    }
+
+    private def an(i: Int, j: Int, k: Int): String =
+      if (k == 0) s"a${i}_$j" else s"a${i}_${j}_$k"
+    private def bn(i: Int, k: Int): String =
+      if (k == 0) s"b$i" else s"b${i}_$k"
+
+    /** The staged formula levels: each level's exprs reference only
+      * earlier levels' names, so both engines evaluate the identical
+      * DAG (Spark: one selectExpr per level — CollapseProject keeps
+      * multiply-referenced non-cheap aliases staged; DuckDB: one CTE
+      * per level). */
+    val levels: Seq[Seq[(String, String)]] = {
+      def sx(i: Int) = i match {
+        case 0 => "cast(" + residues.map(r => s"st_$r").mkString(" + ") + " as double)"
+        case 1 => "cast(" + residues.map(r => s"sh_$r").mkString(" + ") + " as double)"
+        case f => dot("cnt_", fval(f, _))
+      }
+      def sxx(i: Int, j: Int) = (i, j) match {
+        case (0, 0) => tot("st2_")
+        case (0, 1) => tot("sth_")
+        case (1, 1) => tot("sh2_")
+        case (0, f) => dot("st_", fval(f, _))
+        case (1, f) => dot("sh_", fval(f, _))
+        case (f, g) => dot("cnt_", r => fval(f, r) * fval(g, r))
+      }
+      def sxy(i: Int) = i match {
+        case 0 => tot("sty_")
+        case 1 => tot("shy_")
+        case f => dot("sy_", fval(f, _))
+      }
+      val moments: Seq[(String, String)] =
+        Seq("nn" -> "cast(n_days as double)",
+          "sy_tot" -> tot("sy_")) ++
+          (0 until P).map(i => s"sx$i" -> sx(i)) ++
+          (for { i <- 0 until P; j <- i until P } yield s"sxx${i}_$j" -> sxx(i, j)) ++
+          (0 until P).map(i => s"sxy$i" -> sxy(i))
+      val spread: Seq[(String, String)] = Seq(
+        "ystd" -> "sqrt(sy2 / nn - (sy_tot / nn) * (sy_tot / nn))")
+      val centered: Seq[(String, String)] =
+        (for { i <- 0 until P; j <- i until P } yield
+          an(i, j, 0) -> (s"sxx${i}_$j - sx$i * sx$j / nn" +
+            (if (i == j) s" + $ridge * nn / ystd" else ""))) ++
+          (0 until P).map(i => bn(i, 0) -> s"sxy$i - sx$i * sy_tot / nn")
+      val elim: Seq[Seq[(String, String)]] = (0 until P - 1).flatMap { k =>
+        val ratios = ((k + 1) until P).map(i =>
+          s"l_${k}_$i" -> s"${an(k, i, k)} / ${an(k, k, k)}")
+        val updates =
+          (for { i <- (k + 1) until P; j <- i until P } yield
+            an(i, j, k + 1) -> s"${an(i, j, k)} - l_${k}_$i * ${an(k, j, k)}") ++
+            ((k + 1) until P).map(i =>
+              bn(i, k + 1) -> s"${bn(i, k)} - l_${k}_$i * ${bn(k, k)}")
+        Seq(ratios, updates)
+      }
+      val backsub: Seq[Seq[(String, String)]] = (P - 1 to 0 by -1).map { i =>
+        val tail = ((i + 1) until P).map(j => s" - ${an(i, j, i)} * x$j").mkString
+        Seq(s"x$i" -> s"(${bn(i, i)}$tail) / ${an(i, i, i)}")
+      }
+      val predict: Seq[Seq[(String, String)]] = Seq(
+        Seq("icpt" -> ("(sy_tot - (" +
+          (0 until P).map(i => s"x$i * sx$i").mkString(" + ") + ")) / nn"),
+          "tp" -> "cast(n_days as double)",
+          "hp" -> "greatest(0.0, cast(n_days - s_cp as double))") ++
+          (2 until P).map(f => s"fp$f" ->
+            ("case n_days % 7" + residues.map(r =>
+              s" when $r then ${lit(fval(f, r))}").mkString + " end")),
+        Seq("yhat_cents" -> ("icpt + x0 * tp + x1 * hp + " +
+          (2 until P).map(f => s"x$f * fp$f").mkString(" + "))),
+        Seq("forecast_micro" ->
+          "cast(round(yhat_cents * 10000.0) as bigint)"))
+      Seq(moments, spread, centered) ++ elim ++ backsub ++ predict
+    }
+  }
+
+  /** F2's flagship model, driver-checkable: the ProphetLike
+    * changepoint + Fourier ridge forecast over the daily sales
+    * series, one step ahead, in integer micro-dollars — the shared
+    * [[ProphetRel]] solve (see its scaladoc for the oracle config
+    * and the determinism ladder). ForecasterSpec's parity law pins
+    * this plan to ProphetLikeForecaster.predict(1) under the same
+    * config. */
+  def fcProphetSales(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables(s, d, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("sum_raw"))
+      .select(col("day"),
+        expr("cast(round(sum_raw * 100) as bigint)").as("y"))
+    val w = Window.orderBy("day")
+    val idx = daily.select(col("day"), col("y"),
+      (row_number().over(w) - 1).cast("long").as("t"))
+    val meta = idx.agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"))
+      .selectExpr("*", "cast(floor((2 * n_days) / 5.0) as bigint) as s_cp")
+    val base = idx.crossJoin(broadcast(meta))
+      .selectExpr("y", "t", "greatest(0, t - s_cp) as h",
+        "cast(t % 7 as int) as r", "n_days", "s_cp", "last_day")
+    val solved = ProphetRel.levels.foldLeft(
+        base.selectExpr(ProphetRel.sumExprs: _*))((df, lvl) =>
+      df.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*))
+    solved.select(date_add(col("last_day"), 1).as("forecast_date"),
+      col("forecast_micro"))
+  }
+
   /** As-of join: enrich every event with the user's most recent
     * error event at-or-before it (operators.AsOfJoin — union + merge
     * window, one shuffle; DuckDB's native ASOF JOIN is the oracle). */
@@ -335,7 +509,8 @@ object Events {
     "ev_scd2" -> evScd2 _,
     "fc_linear_sales" -> fcLinearSales _,
     "fc_seasonal_sales" -> fcSeasonalSales _,
-    "fc_anomaly_days" -> fcAnomalyDays _)
+    "fc_anomaly_days" -> fcAnomalyDays _,
+    "fc_prophetlike_sales" -> fcProphetSales _)
 
   /** Shared CTE: the gap-sessionization in SQL (µs precision). */
   private val sessionsCte: String =
@@ -479,6 +654,31 @@ object Events {
           SELECT CAST(last_day + INTERVAL 1 DAY AS DATE) AS forecast_date,
                  round(ic + slope * (mx + 1), 2) AS forecasted_sales
           FROM f""",
+    "fc_prophetlike_sales" -> {
+      val lvls = ProphetRel.levels.zipWithIndex.map { case (lvl, i) =>
+        s"l$i AS (SELECT *, " +
+          lvl.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+          s" FROM ${if (i == 0) "sums" else s"l${i - 1}"})"
+      }.mkString(",\n")
+      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS y
+                  FROM orders GROUP BY 1),
+          idx AS (SELECT day, y,
+                    CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+                  FROM daily),
+          meta AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                          max(day) AS last_day,
+                          CAST(floor((2 * count(*)) / 5.0) AS BIGINT) AS s_cp
+                   FROM idx),
+          base AS (SELECT y, t, greatest(0, t - s_cp) AS h,
+                          CAST(t % 7 AS INT) AS r, n_days, s_cp, last_day
+                   FROM idx CROSS JOIN meta),
+          sums AS (SELECT ${ProphetRel.sumExprs.mkString(", ")} FROM base),
+          $lvls
+          SELECT CAST(last_day + INTERVAL 1 DAY AS DATE) AS forecast_date,
+                 forecast_micro
+          FROM l${ProphetRel.levels.size - 1}"""
+    },
     "fc_seasonal_sales" ->
       s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
                                 sum(o_totalprice) AS y

@@ -2,6 +2,8 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /** Settled-frontier layout for the per-batch-overwrite streams: the
   * base+delta posture the persisted dedup index already uses, applied
@@ -31,17 +33,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    a crash between the frontier commit and the delta deletion can
   *    momentarily duplicate rows on disk but never in a read;
   *  - deletion is therefore pure GC, retried opportunistically on
-  *    every later settle check.
+  *    every later settle check;
+  *  - a batch id AT OR BELOW the settled frontier id is a protocol
+  *    violation (a stream restarted with a wiped checkpoint over an
+  *    existing output dir restarts ids at 0): [[scopeParts]] and
+  *    [[maybeSettle]] fail loudly instead of letting the next settle
+  *    silently GC the new run's freshly-admitted batch dirs.
   *
-  * At deployment scale the anti-join right side still re-shuffles the
-  * frontier keys each batch; a nightly job can additionally register
-  * the frontier as a bucketed table on the admission key
-  * (Bucketing.writeBucketed) to make that probe co-partitioned — the
-  * layout here is the prerequisite either way.
+  * The fold is DETERMINISTIC latest-wins: every input dir is tagged
+  * with its generation id (the frontier with its folded-through id,
+  * each delta with its batch id) and the row from the HIGHEST
+  * generation wins per key. For the anti-joined streams (crawl /
+  * dedup / curation) deltas are key-disjoint by construction and this
+  * changes nothing; for re-submittable streams (a doc re-scored in a
+  * later batch, a vec_id re-ingested with an updated embedding) it
+  * pins the fold to the newest row, so consumer-visible state is the
+  * same before and after a settle given consumers read latest-wins.
+  * Within ONE batch dir keys are unique by each producer's contract
+  * (every Ingest* twin writes an aggregated or deduped frame).
+  *
+  * With `buckets > 0` the fold additionally lands the frontier as a
+  * catalog-registered parquet table BUCKETED AND SORTED on `key`
+  * (same dir, same `_SUCCESS` commit, same crash story — the catalog
+  * entry is just metadata over `frontier_<m>`). A per-batch anti-join
+  * probe that reads the frontier through [[frontierFrame]] is then
+  * co-partitioned: the scan satisfies the join's distribution AND
+  * ordering, so the frontier side needs NO exchange and NO sort —
+  * only the (small) batch side shuffles. Without this, the probe
+  * re-shuffles the whole admitted corpus every micro-batch — the one
+  * per-batch cost term that grows without bound over a long crawl.
   *
   * Public surface: [[readLayered]] is the consumer entry (the
-  * stream's full admitted output), [[scopePaths]]/[[maybeSettle]]
-  * the per-batch protocol the Ingest* twins run. */
+  * stream's full admitted output), [[scopeParts]]/[[maybeSettle]]
+  * the per-batch protocol the Ingest* twins run, [[frontierFrame]]
+  * the probe-side read. */
 object Frontier {
 
   /** Target compacted-file size for a settled frontier. */
@@ -49,6 +74,16 @@ object Frontier {
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dirHash(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** Catalog name of the bucketed settled-frontier table for
+    * generation `m` of `dir` (only exists when the settle that wrote
+    * `frontier_<m>` ran with `buckets > 0`). */
+  def tableName(dir: String, m: Long): String =
+    s"graft_frontier_${dirHash(dir)}_$m"
 
   private final case class Layout(frontier: Option[(Long, Path)],
                                   deltas: Seq[(Long, Path)],
@@ -80,6 +115,21 @@ object Frontier {
     Layout(latest, live.sortBy(_._1), staleBatches.map(_._2) ++ staleFrontiers)
   }
 
+  /** Fail loudly when `batchId` is at or below the settled frontier
+    * id: ids below m only arise when a restarted stream's checkpoint
+    * was wiped while the output dir survived — continuing would let
+    * the next settle GC the new run's output as "already folded". */
+  private def guardRestart(l: Layout, dir: String, batchId: Long): Unit =
+    l.frontier.foreach { case (m, _) =>
+      require(batchId > m,
+        s"batch id $batchId is at or below the settled frontier id $m " +
+          s"under $dir — the stream's checkpoint restarted below its " +
+          "output dir's history (wiped checkpoint over a kept output " +
+          "dir?); refusing to run: the next settle would silently GC " +
+          "this run's batches. Point the stream at a fresh output dir " +
+          "or restore the checkpoint.")
+    }
+
   /** The admitted-state scope for batch `batchId`, split into its two
     * layers: the latest settled frontier (folded-through id + path)
     * and the live delta paths — the CURRENT batch id excluded (a
@@ -87,6 +137,7 @@ object Frontier {
   def scopeParts(spark: SparkSession, dir: String,
                  batchId: Long): (Option[(Long, String)], Seq[String]) = {
     val l = scan(spark, dir)
+    guardRestart(l, dir, batchId)
     (l.frontier.map { case (m, p) => (m, p.toString) },
       l.deltas.collect { case (id, p) if id != batchId => p.toString })
   }
@@ -100,44 +151,102 @@ object Frontier {
     if (paths.isEmpty) None else Some(paths)
   }
 
+  /** The settled frontier for the PROBE side of a per-batch join:
+    * the bucketed catalog table when generation `m` was settled with
+    * `buckets > 0` in this session (scan co-partitioned and
+    * pre-sorted on the key — zero exchange above it in an equi-join),
+    * the plain path read otherwise (a restarted session loses the
+    * in-memory catalog entry; the next settle re-registers it). */
+  def frontierFrame(spark: SparkSession, dir: String, m: Long,
+                    path: String): DataFrame =
+    if (spark.catalog.tableExists(tableName(dir, m))) spark.table(tableName(dir, m))
+    else spark.read.parquet(path)
+
   /** Everything this stream has admitted — for consumers and serving
-    * layers (frontier + every live delta, nothing excluded). */
+    * layers (frontier + every live delta, nothing excluded). The read
+    * tolerates files GC'd between path resolution and scan
+    * (`ignoreMissingFiles`): a concurrent settle deletes folded delta
+    * dirs after its frontier commit, and the dir-name rule already
+    * guarantees a re-list never duplicates rows — so a serving reader
+    * racing a settle skips the vanished files instead of dying
+    * mid-scan on FileNotFoundException. */
   def readLayered(spark: SparkSession, dir: String): DataFrame = {
     val l = scan(spark, dir)
     val paths = l.frontier.map(_._2.toString).toSeq ++ l.deltas.map(_._2.toString)
     require(paths.nonEmpty, s"no settled frontier or batch deltas under $dir")
-    spark.read.parquet(paths: _*)
+    spark.read.option("ignoreMissingFiles", "true").parquet(paths: _*)
   }
 
   /** Settle check, called at the end of each foreachBatch body: GC
     * stale dirs, and when ≥ `every` deltas with id < `batchId` have
     * accumulated, fold frontier + those deltas into `frontier_<m>`
     * (m = highest folded id — strictly below the in-flight batch) and
-    * delete them. `key` names the row identity for the fold's safety
-    * dedup; rows are key-disjoint by construction (each delta was
-    * anti-joined against the scope that produced it), so the
-    * dropDuplicates rides the fold's own key shuffle and never
-    * changes a healthy fold's content. Returns whether it settled. */
+    * delete them. `key` names the row identity; the fold keeps the
+    * row from the HIGHEST generation per key (deterministic
+    * latest-wins — see the object scaladoc), riding the fold's own
+    * key shuffle: for key-disjoint deltas (the anti-joined streams)
+    * this never changes a healthy fold's content. With `buckets > 0`
+    * the frontier lands as a bucketed+sorted catalog table (see the
+    * object scaladoc) with exactly `buckets` files; otherwise file
+    * count is sized by bytes toward [[targetFileBytes]]. Returns
+    * whether it settled. */
   def maybeSettle(spark: SparkSession, dir: String, batchId: Long,
-                  key: Seq[String], every: Int): Boolean = {
+                  key: Seq[String], every: Int, buckets: Int = 0): Boolean = {
     require(every >= 1, s"settleEvery must be >= 1, got $every")
     val l = scan(spark, dir)
+    guardRestart(l, dir, batchId)
     val fs = fsOf(spark, dir)
     l.stale.foreach(p => fs.delete(p, true))
     val foldable = l.deltas.filter(_._1 < batchId)
     if (foldable.size < every) return false
     val m = foldable.map(_._1).max
-    val in = l.frontier.map(_._2).toSeq ++ foldable.map(_._2)
-    val bytes = in.map(p => fs.getContentSummary(p).getLength).sum
-    val nFiles = math.max(1L,
-      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    import org.apache.spark.sql.functions.col
-    spark.read.parquet(in.map(_.toString): _*)
+    val in = l.frontier.toSeq ++ foldable
+    val bytes = in.map { case (_, p) => fs.getContentSummary(p).getLength }.sum
+    val nFiles = if (buckets > 0) buckets
+      else math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // deterministic latest-wins: tag each input dir with its
+    // generation id, keep the max-generation row per key. One
+    // exchange (reused by the window) + one sort — the same shuffle
+    // the old dropDuplicates paid, now with a pinned winner.
+    val tagged = in.map { case (gen, p) =>
+      spark.read.parquet(p.toString).withColumn("__gen", lit(gen))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(key.map(col): _*).orderBy(col("__gen").desc)
+    val folded = tagged
       .repartition(nFiles, key.map(col): _*)
-      .dropDuplicates(key)
-      .write.mode("overwrite").parquet(s"$dir/frontier_$m")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__gen", "__rk")
+    if (buckets > 0)
+      // repartition(buckets, key) aligns task ↔ bucket (same
+      // murmur3-pmod), so each bucket is ONE file and the scan
+      // reports its sort order — the Bucketing.writeBucketed layout,
+      // inlined here to share the fold's single exchange
+      folded.write.mode("overwrite")
+        .option("path", s"$dir/frontier_$m")
+        .bucketBy(buckets, key.head, key.tail: _*)
+        .sortBy(key.head, key.tail: _*)
+        .format("parquet")
+        .saveAsTable(tableName(dir, m))
+    else
+      folded.write.mode("overwrite").parquet(s"$dir/frontier_$m")
     foldable.foreach { case (_, p) => fs.delete(p, true) }
     l.frontier.foreach { case (_, p) => fs.delete(p, true) }
+    dropSupersededTables(spark, dir, m)
     true
+  }
+
+  /** GC catalog entries of superseded frontier generations (their
+    * dirs are deleted above; a dangling table would break a later
+    * `tableExists`-guarded read). */
+  private def dropSupersededTables(spark: SparkSession, dir: String,
+                                   m: Long): Unit = {
+    val marker = s"graft_frontier_${dirHash(dir)}_"
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(marker))
+      .foreach { t =>
+        val gen = scala.util.Try(t.stripPrefix(marker).toLong)
+        if (gen.toOption.exists(_ < m)) spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
   }
 }

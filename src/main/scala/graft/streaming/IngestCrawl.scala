@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
@@ -23,25 +23,28 @@ import graft.operators.{Html, Urls}
   *
   * Survivors land under `survivorDir/batch_<id>` with per-batch
   * overwrite, so foreachBatch's at-least-once retries are idempotent
-  * — the admitted-URL state IS the sink, no side ledger.
+  * — the admitted-URL state IS the sink, no side ledger for
+  * ADMISSION. With `fetchedDir` set, each batch additionally lands a
+  * fetched-URL LEDGER row (canon_url, verdict ∈ kept|thin) for every
+  * gated fetch — thin pages included — in a sibling dir sharing the
+  * same settle protocol: the ledger is the "have we fetched this"
+  * truth that admission (kept-only) cannot answer, and DISCOVERY
+  * scopes against it, so a link to a page fetched earlier but gated
+  * as thin is never re-emitted as a frontier candidate (without the
+  * ledger it re-enters — wasted refetch work; enable `fetchedDir`
+  * from the run's first batch so the ledger covers every fetch).
   *
   * With `discoveredDir` set, each batch ALSO emits its pages'
   * outbound links (Html.linkHrefs → Urls.resolveHref → canonicalize →
-  * blocklist, minus the admitted scope) under
-  * `discoveredDir/batch_<id>` — the crawl loop's discovery half,
-  * continuously. The next wave's input is then
-  * `Frontier.readLayered(discoveredDir)` minus
-  * `readLayered(survivorDir)`'s URLs, scheduled with
-  * `Urls.politeWaves` — fetch → extract → discover → schedule, closed.
-  * Discovery is a pure per-batch projection of the batch's own pages
-  * against the same replay-safe scope as admission (its own overwrite
-  * is idempotent for the same reason), additionally excluding this
-  * batch's own fetches; per-URL dedup of the discovered set happens
-  * at scheduling time, not per batch. One documented looseness: the
-  * admitted scope is the SURVIVOR corpus, so a link to a page fetched
-  * earlier but gated as thin can re-enter the frontier — candidates
-  * are fetch-or-refetch work, which a production ledger of fetched
-  * (not just kept) URLs would tighten.
+  * blocklist, minus the fetched — or, ledger-less, admitted — scope)
+  * under `discoveredDir/batch_<id>` — the crawl loop's discovery
+  * half, continuously. [[nextWave]] then closes the loop: discovered
+  * minus fetched, politely scheduled. Discovery is a pure per-batch
+  * projection of the batch's own pages against the same replay-safe
+  * scope as admission (its own overwrite is idempotent for the same
+  * reason), additionally excluding this batch's own fetches; per-URL
+  * dedup of the discovered set happens at scheduling time, not per
+  * batch.
   *
   * Cross-batch semantics note: "keep-first" here is first ARRIVAL
   * (processing order), the only meaningful order a stream has; batch
@@ -49,17 +52,49 @@ import graft.operators.{Html, Urls}
   * shape: scope (c) probes the latest settled [[Frontier]] plus at
   * most `settleEvery` tail deltas — every `settleEvery` batches the
   * deltas fold into one compacted `frontier_<m>` dir, so the
-  * per-batch probe cost is flat in the number of batches (the
-  * base+delta posture of the persisted dedup index, applied to the
-  * stream's own output; BASELINE.md#crawl_stream prices it).
-  * Consumers read the full corpus via [[Frontier.readLayered]]. */
+  * per-batch probe cost is flat in the number of BATCHES; and the
+  * settle lands the frontier as a table BUCKETED AND SORTED on
+  * `canon_url` (`frontierBuckets`), so the anti-join probe is
+  * co-partitioned — the frontier side of the join needs NO exchange
+  * and NO sort, only the batch side shuffles. Without the bucketed
+  * layout the probe re-shuffled the whole admitted corpus every
+  * micro-batch: per-batch cost growing with the CORPUS for the life
+  * of a run, the engine's one unbounded per-batch term
+  * (BASELINE.md#crawl_stream prices the layout). Consumers read the
+  * full corpus via [[Frontier.readLayered]]. */
 object IngestCrawl {
+
+  /** Anti-join `left` against the admitted scope of `dir` for
+    * `batchId` on `canon_url` (left key `keyCol`): the settled
+    * frontier probed through its bucketed table when present — zero
+    * exchange above the frontier scan — then the short tail of live
+    * deltas. No `.distinct()` on any probe side: an anti-join needs
+    * only existence, and a distinct would put an exchange back above
+    * the frontier scan. */
+  private def antiAdmitted(spark: SparkSession, left: DataFrame,
+                           keyCol: String, dir: String,
+                           batchId: Long): DataFrame = {
+    val (front, deltas) = Frontier.scopeParts(spark, dir, batchId)
+    val afterFrontier = front match {
+      case Some((m, p)) => left.join(
+        Frontier.frontierFrame(spark, dir, m, p)
+          .select(col("canon_url").as(keyCol)),
+        Seq(keyCol), "left_anti")
+      case None => left
+    }
+    if (deltas.isEmpty) afterFrontier
+    else afterFrontier.join(
+      spark.read.parquet(deltas: _*).select(col("canon_url").as(keyCol)),
+      Seq(keyCol), "left_anti")
+  }
 
   def crawledIngest(fetches: DataFrame, settledUrls: Option[DataFrame],
                     survivorDir: String, blockedDomains: Seq[String],
                     minTokens: Int = graft.queries.DataOps.crawlMinTokens,
                     settleEvery: Int = 16,
-                    discoveredDir: Option[String] = None)
+                    discoveredDir: Option[String] = None,
+                    fetchedDir: Option[String] = None,
+                    frontierBuckets: Int = 32)
       : StreamingQuery =
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -77,56 +112,89 @@ object IngestCrawl {
             col("w.html").as("html"))
         // admitted frontier: settled run artifact + this run's EARLIER
         // batches (the current id excluded — a retry must not
-        // anti-join its own partial output, see BatchLayout)
-        val prevUrls = BatchLayout.earlierBatches(spark, survivorDir, batchId)
-          .map(paths => spark.read.parquet(paths: _*).select("canon_url"))
-        val seen = (settledUrls.map(_.select("canon_url")).toSeq ++ prevUrls.toSeq)
-          .reduceOption(_ unionByName _)
-        val fresh = seen match {
+        // anti-join its own partial output, see BatchLayout / Frontier)
+        val afterOwn = antiAdmitted(spark, firstInBatch, "canon_url",
+          survivorDir, batchId)
+        val fresh = settledUrls match {
           case Some(sn) =>
-            firstInBatch.join(sn.distinct(), Seq("canon_url"), "left_anti")
-          case None => firstInBatch
+            afterOwn.join(sn.select("canon_url"), Seq("canon_url"), "left_anti")
+          case None => afterOwn
         }
         val ext = Html.extractMainText(fresh, col("html"), col("doc_id"),
           carry = Seq(col("canon_url")))
         val nTok = when(col("main_text") === "", 0L)
           .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
-        ext.select(col("doc_id"), col("canon_url"), col("main_text"),
+        val gated = ext.select(col("doc_id"), col("canon_url"), col("main_text"),
             col("kept_blocks"), nTok.as("n_tokens"))
-          .filter(col("n_tokens") >= minTokens)
+          .withColumn("verdict",
+            when(col("n_tokens") >= minTokens, "kept").otherwise(lit("thin")))
+        // the batch is bounded: stage it so the survivor write and
+        // the ledger write don't each re-run extraction + the probe
+        // anti-joins (discovery reads `fresh` pre-extraction — links
+        // come from ALL gated fetches, thin included)
+        val staged = if (fetchedDir.isDefined) gated.persist() else gated
+        staged.filter(col("verdict") === "kept").drop("verdict")
           .write.mode("overwrite").parquet(s"$survivorDir/batch_$batchId")
+        // fetched-URL ledger: EVERY gated fetch, thin included — the
+        // discovery scope's truth (same per-batch-overwrite replay
+        // contract: `staged` derives from the replay-stable scope)
+        fetchedDir.foreach { fd =>
+          staged.select(col("canon_url"), col("verdict"))
+            .write.mode("overwrite").parquet(s"$fd/batch_$batchId")
+        }
         // discovery half (optional): this batch's outbound links as
         // next-wave candidates — raw-href gate BEFORE the resolve
         // chain (the filter-pushdown clone trap), blocklist before
-        // the write, already-admitted URLs excluded via the same
-        // replay-safe scope as admission
+        // the write, already-FETCHED (ledger-less: already-admitted)
+        // URLs excluded via the same replay-safe scope as admission
         discoveredDir.foreach { dd =>
           val links = fresh
             .select(col("canon_url").as("referrer"),
               explode(Html.linkHrefs(col("html"))).as("href"))
-            .filter(!col("href").startsWith("#") && col("href") =!= "")
+            .filter(Urls.hrefIsCandidate(col("href")))
             .select(col("referrer"), Urls.canonicalize(
               Urls.resolveHref(col("referrer"), col("href"))).as("url"))
             .withColumn("h", Urls.hostOf(col("url")))
             .filter(!Urls.hostBlocked(col("h"), blockedDomains))
             .select("url", "referrer")
-          val notAdmitted = seen match {
-            case Some(sn) => links.join(
-              sn.distinct().withColumnRenamed("canon_url", "url"),
-              Seq("url"), "left_anti")
-            case None => links
+          val scopeDir = fetchedDir.getOrElse(survivorDir)
+          val notSeen = antiAdmitted(spark, links, "url", scopeDir, batchId)
+          val notExternal = settledUrls match {
+            case Some(sn) => notSeen.join(
+              sn.select(col("canon_url").as("url")), Seq("url"), "left_anti")
+            case None => notSeen
           }
-          notAdmitted
+          notExternal
             .join(firstInBatch.select(col("canon_url").as("url")),
               Seq("url"), "left_anti")
             .write.mode("overwrite").parquet(s"$dd/batch_$batchId")
         }
-        // fold accumulated deltas into the settled frontier (never
-        // the in-flight batch — replay safety, see Frontier)
+        // fold accumulated deltas into the settled frontiers (never
+        // the in-flight batch — replay safety, see Frontier); the
+        // survivor + ledger frontiers land bucketed on the probe key
         Frontier.maybeSettle(spark, survivorDir, batchId,
-          Seq("canon_url"), settleEvery)
+          Seq("canon_url"), settleEvery, frontierBuckets)
+        fetchedDir.foreach(fd => Frontier.maybeSettle(spark, fd, batchId,
+          Seq("canon_url"), settleEvery, frontierBuckets))
+        if (staged ne gated) staged.unpersist()
         ()
       }
       .outputMode(OutputMode.Append())
       .start()
+
+  /** Close the crawl loop: the next fetch wave's candidates — every
+    * discovered URL minus every URL already fetched (the ledger when
+    * the stream ran with `fetchedDir`; pass the survivor dir for a
+    * ledger-less run) — with in-link evidence, politely scheduled
+    * (Urls.politeWaves). The fetched probe reads the settled frontier
+    * through its bucketed table when present, so the big anti-join's
+    * frontier side scans exchange-free. */
+  def nextWave(spark: SparkSession, discoveredDir: String,
+               fetchedDir: String,
+               perHostPerWave: Int = 2): DataFrame = {
+    val cand = Frontier.readLayered(spark, discoveredDir)
+      .groupBy("url").agg(count(lit(1)).as("n_refs"))
+    val scoped = antiAdmitted(spark, cand, "url", fetchedDir, Long.MaxValue)
+    Urls.politeWaves(scoped, col("url"), col("n_refs"), perHostPerWave)
+  }
 }

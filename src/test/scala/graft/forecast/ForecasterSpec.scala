@@ -69,6 +69,31 @@ class ForecasterSpec extends SparkSpec {
       s"relational seasonal forecast $got != forecaster ${want}")
   }
 
+  test("fc_prophetlike_sales (relational solve) == ProphetLikeForecaster.predict(1)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    // the same exact-cents daily series the plan aggregates
+    val series = graft.Tables(spark, sfDir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("sum_raw"))
+      .selectExpr("day", "cast(round(sum_raw * 100) as bigint) as y")
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = series.length
+    val sCp = (2L * n) / 5 // the oracle row's ⌊0.4n⌋ quantization
+    val want = new ProphetLikeForecaster(spark,
+        seasonPeriod = 7, harmonics = 3, maxChangepoints = 1, ridge = 0.01,
+        changepointOverride = Some(Array(sCp.toDouble)))
+      .fit(series).predict(1)(0) // cents
+    val got = graft.queries.Events.fcProphetSales(spark, sfDir)
+      .collect()(0).getLong(1) / 10000.0 // micro-dollars → cents
+    // MLlib solves the standardized system by Cholesky; the relational
+    // twin runs the shared-text elimination on the centered system —
+    // same normal equations (incl. the λ·n/σ_y diagonal convention),
+    // different but exact-arithmetic-free paths: agree to float noise
+    assert(math.abs(got - want) <= 1e-6 * math.max(1.0, math.abs(want)),
+      s"relational prophet forecast $got cents != forecaster $want cents")
+  }
+
   test("MLlib normal-solver regression matches closed-form OLS on a trend") {
     val m = new MllibForecaster(spark).fit(linear)
     val pred = m.predict(1)

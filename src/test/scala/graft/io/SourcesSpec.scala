@@ -58,4 +58,36 @@ class SourcesSpec extends SparkSpec {
     val df = CsvSource(dir, base, Map("mode" -> "FAILFAST")).load(spark)
     intercept[org.apache.spark.SparkException] { df.collect() }
   }
+
+  test("MongoExtJsonSource: wrapped/plain/mixed export round-trips to the target schema") {
+    val dir = java.nio.file.Files.createTempDirectory("mongo_ext").toString
+    // a mongoexport-shaped NDJSON fixture: canonical $numberLong ids,
+    // relaxed plain ints, $date timestamps, an $oid the schema skips,
+    // a null qty (the candy data's cancelled-line shape), and one
+    // all-plain document (relaxed export) — one reader handles all
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "transactions_20240201.json"),
+      ("""{"_id":{"$oid":"65bc0a"},"transaction_id":{"$numberLong":"101"},"customer_id":7,"timestamp":{"$date":"2024-02-01T07:11:31.354001"},"items":[{"product_id":{"$numberLong":"3"},"product_name":"choc","qty":{"$numberLong":"2"}},{"product_id":4,"product_name":"gum","qty":null}]}""" +
+        "\n" +
+        """{"transaction_id":202,"customer_id":{"$numberLong":"9"},"timestamp":"2024-02-01T08:00:00.000000","items":[{"product_id":5,"product_name":"mint","qty":1}]}""" +
+        "\n").getBytes)
+    val df = MongoExtJsonSource(
+      Seq(s"$dir/transactions_*.json"), graft.pipeline.Model.transactionSchema)
+      .load(spark)
+    // drop-in contract: the loaded frame has EXACTLY the declared
+    // schema, so the candy pipeline runs from it unchanged
+    assert(df.schema == graft.pipeline.Model.transactionSchema, df.schema.treeString)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getSeq[org.apache.spark.sql.Row](3).map(i =>
+        (i.getLong(0), i.getString(1), if (i.isNullAt(2)) null else i.getLong(2))))).toSeq
+    assert(rows.toSet == Set(
+      (101L, 7L, "2024-02-01T07:11:31.354001",
+        Seq((3L, "choc", 2L), (4L, "gum", null))),
+      (202L, 9L, "2024-02-01T08:00:00.000000",
+        Seq((5L, "mint", 1L)))), rows.mkString("\n"))
+    // and the pipeline's first stage consumes it as-is: explode +
+    // null-filter behave exactly as over the JsonSource form
+    val items = graft.pipeline.CandyPipeline.normalize(df)
+    assert(items.count() == 2, // null-qty line dropped by T3
+      items.collect().mkString(";"))
+  }
 }

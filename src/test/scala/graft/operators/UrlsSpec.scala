@@ -70,7 +70,23 @@ class UrlsSpec extends SparkSpec {
       "http://a.com/%zz%4" -> "http://a.com/%zz%4",
       // decode runs BEFORE case-folding: a hidden host letter decodes
       // and then lowercases (idempotence demands this order)
-      "http://EX%41MPLE.com/x" -> "http://example.com/x")
+      "http://EX%41MPLE.com/x" -> "http://example.com/x",
+      // dot segments (step 8.5): '/./' collapses, '/seg/../' pops,
+      // '..' above root no-ops, trailing dots keep the directory
+      // slash and then the trailing-slash strip composes
+      "http://a.com/./x/y" -> "http://a.com/x/y",
+      "http://a.com/p/../x" -> "http://a.com/x",
+      "http://a.com/a/b/../../x" -> "http://a.com/x",
+      "http://a.com/../x" -> "http://a.com/x",
+      "http://a.com/x/.." -> "http://a.com",
+      "http://a.com/x/y/." -> "http://a.com/x/y",
+      "http://a.com/a/../x?b=2&a=1" -> "http://a.com/x?a=1&b=2",
+      // %2E decodes to '.' FIRST, then folds — the escape must not
+      // hide a dot segment
+      "http://a.com/%2E%2E/x" -> "http://a.com/x",
+      "http://a.com/a//../x" -> "http://a.com/a/x",
+      // a dotted NAME is not a dot segment
+      "http://a.com/a./..b/x" -> "http://a.com/a./..b/x")
     val got = canon(cases.map(_._1))
     cases.foreach { case (in, want) =>
       assert(got(in) == want, s"canon('$in') = '${got(in)}', want '$want'")
@@ -89,9 +105,12 @@ class UrlsSpec extends SparkSpec {
       "  ftp://www.a.com/x ", "not a url", "http://a.com/x?utm_a=1&utm_b=2",
       // the new rules' re-fire candidates: a decoded letter must not
       // re-case, a sorted query must not re-sort, a kept escape must
-      // not re-decode, a dropped bare '?' must stay dropped
+      // not re-decode, a dropped bare '?' must stay dropped, a folded
+      // path must not re-fold (and %2E must not resurface a dot)
       "http://EX%41MPLE.com:80/%7e/?b=1&a=2#f", "http://a.com/%7E?",
-      "http://a.com/x?b=2&a=1&utm_b=3", "http://a.com/a%3fb%25?z=1&y=2")
+      "http://a.com/x?b=2&a=1&utm_b=3", "http://a.com/a%3fb%25?z=1&y=2",
+      "http://a.com/./p/../x/..", "http://a.com/%2E%2E/%2E/x/",
+      "http://a.com/a/../../b/./c?b=2&a=1#f")
     import spark.implicits._
     val df = adversarial.toDF("url")
       .unionByName(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -117,10 +136,22 @@ class UrlsSpec extends SparkSpec {
       // fragment-only and empty are self-links → null
       ("http://a.com/x", "#sec", null),
       ("http://a.com/x", "", null),
+      // non-hierarchical schemes are never fetchable pages → null
+      // (NOT spliced into garbage like http://a.com/x/mailto:e)
+      ("http://a.com/x/", "mailto:e@b.com", null),
+      ("http://a.com/x/", "javascript:void(0)", null),
+      ("http://a.com/x/", "tel:+1-555", null),
+      ("http://a.com/x/", "data:text/plain;base64,aGk=", null),
       // path-relative resolves against the base's directory, query
       // and fragment stripped first
       ("http://a.com/x/y?q=1", "z.html", "http://a.com/x/z.html"),
       ("http://a.com/x/", "z", "http://a.com/x/z"),
+      // a relative name WITH a colon later stays path-relative per
+      // the scheme grammar (first segment only)
+      ("http://a.com/x/", "z:1/y", null), // scheme-shaped: 'z:' parses
+                                          // as a scheme → null
+      // dot-segment hrefs splice raw; canonicalize folds them later
+      ("http://a.com/x/y", "../z", "http://a.com/x/../z"),
       // bare-authority base: directory is origin + '/'
       ("http://a.com", "z", "http://a.com/z"))
     val got = cases.zipWithIndex
@@ -155,7 +186,7 @@ class UrlsSpec extends SparkSpec {
     assert(out.filter(_._3 == "b.com").sortBy(_._1).map(_._4).toSeq == Seq(0L, 0L))
   }
 
-  test("robotsDisallows: group binding, case, comments, empty rules") {
+  test("robotsRules: shared agent groups, case, comments, Allow, empty rules") {
     import spark.implicits._
     val body =
       """# header comment
@@ -164,40 +195,98 @@ class UrlsSpec extends SparkSpec {
         |user-agent: *
         |DISALLOW: /a   # inline comment
         |Disallow: /b
+        |Allow: /a/pub
         |Disallow:
+        |Allow:
         |User-agent: *
         |User-agent: other
         |Disallow: /c
         |""".stripMargin
-    val rules = Urls.robotsDisallows(
+    val rules = Urls.robotsRules(
         Seq(("h.com", body)).toDF("host", "body"), col("host"), col("body"))
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    // bot's /private never applies; the '*' group contributes /a and
-    // /b (case-insensitive directives, inline comment stripped, empty
-    // Disallow yields nothing); /c binds to 'other' — each User-agent
-    // line starts its OWN group (the documented simplification), so
-    // the second '*' group is rule-free
-    assert(rules == Set(("h.com", "/a"), ("h.com", "/b")), s"rules: $rules")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    // bot's /private never applies; the '*' group contributes /a, /b
+    // and the /a/pub Allow (case-insensitive directives, inline
+    // comment stripped, empty values yield nothing); /c binds to the
+    // STACKED 'User-agent: *' + 'User-agent: other' group — per RFC
+    // 9309 consecutive agent lines share ONE group, so /c IS a
+    // wildcard rule
+    assert(rules == Set(("h.com", "/a", false), ("h.com", "/b", false),
+      ("h.com", "/a/pub", true), ("h.com", "/c", false)), s"rules: $rules")
   }
 
-  test("robotsFilter: prefix semantics on the canonical path+query") {
+  test("robotsDelays: wildcard groups only, numeric only, max across groups") {
     import spark.implicits._
-    val rules = Seq(("a.com", "/a"), ("a.com", "/legal"), ("b.com", "/"))
-      .toDF("host", "prefix")
+    val body =
+      """User-agent: bot
+        |Crawl-delay: 99
+        |User-agent: *
+        |Crawl-delay: 3
+        |Crawl-delay: soon
+        |User-agent: *
+        |Crawl-delay: 5
+        |""".stripMargin
+    val delays = Urls.robotsDelays(
+        Seq(("h.com", body), ("none.com", "User-agent: *\nDisallow: /x\n"))
+          .toDF("host", "body"), col("host"), col("body"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // bot's 99 never leaks; 'soon' ignored; max(3, 5) = 5 across the
+    // two '*' groups; a host without a delay is absent
+    assert(delays == Map("h.com" -> 5L), s"delays: $delays")
+  }
+
+  test("robotsFilter: longest-match precedence, Allow wins length ties") {
+    import spark.implicits._
+    val rules = Seq(
+      ("a.com", "/a", false), ("a.com", "/legal", false),
+      ("a.com", "/articles/", true),   // carve-out UNDER Disallow /a
+      ("b.com", "/", false),
+      ("c.com", "/t", false), ("c.com", "/t", true)) // exact tie → Allow
+      .toDF("host", "prefix", "allow")
     val cands = Seq(
-      "http://a.com/about",      // blocked: /a prefixes /about
-      "http://a.com/legal?x=1",  // blocked: query rides the path
-      "http://a.com/ok",         // kept
-      "http://a.com",            // kept: '' path, no prefix starts it
-      "http://b.com/anything",   // blocked: Disallow /
-      "http://b.com",            // kept: bare origin ('' path) — the
-                                 // documented canonical-form quirk
-      "http://c.com/a")          // kept: no rules for c.com
+      "http://a.com/about",         // blocked: /a prefixes /about
+      "http://a.com/articles/x",    // KEPT: Allow /articles/ is longer
+                                    // than Disallow /a (RFC 9309 carve-out)
+      "http://a.com/legal?x=1",     // blocked: query rides the path
+      "http://a.com/ok",            // kept: no matching rule
+      "http://a.com",               // kept: '' path, no prefix starts it
+      "http://b.com/anything",      // blocked: Disallow /
+      "http://b.com",               // kept: bare origin ('' path) — the
+                                    // documented canonical-form quirk
+      "http://c.com/tx",            // kept: equal-length tie → Allow
+      "http://d.com/a")             // kept: no rules for d.com
       .map(Tuple1(_)).toDF("url")
     val kept = Urls.robotsFilter(cands, col("url"), rules)
       .collect().map(_.getString(0)).toSet
-    assert(kept == Set("http://a.com/ok", "http://a.com",
-      "http://b.com", "http://c.com/a"), s"kept: $kept")
+    assert(kept == Set("http://a.com/articles/x", "http://a.com/ok",
+      "http://a.com", "http://b.com", "http://c.com/tx", "http://d.com/a"),
+      s"kept: $kept")
+  }
+
+  test("politeWavesCapped: per-host caps, default for capless hosts") {
+    import spark.implicits._
+    val urls = (1 to 6).map(i => (s"http://a.com/$i", i.toLong)) ++
+      (1 to 4).map(i => (s"http://b.com/$i", 5L)) ++
+      Seq(("http://c.com/1", 1L), ("http://c.com/2", 1L))
+    val caps = Seq(("a.com", 3L), ("b.com", 1L)).toDF("host", "cap")
+    val out = Urls.politeWavesCapped(urls.toDF("url", "n_refs"),
+        col("url"), col("n_refs"), caps, defaultCap = 2)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // per-host per-wave multiplicity == that host's cap
+    out.groupBy(t => (t._2, t._4)).foreach { case ((h, w), g) =>
+      val cap = Map("a.com" -> 3, "b.com" -> 1).getOrElse(h, 2)
+      assert(g.size <= cap, s"wave $w overfull for $h: $g")
+    }
+    // a: 6 urls / cap 3 → waves {0,1}; b: 4 / 1 → {0,1,2,3}; c
+    // (capless): 2 / default 2 → {0}
+    val byHost = out.groupBy(_._2).view.mapValues(_.map(_._4).toSet).toMap
+    assert(byHost("a.com") == Set(0L, 1L), s"$byHost")
+    assert(byHost("b.com") == Set(0L, 1L, 2L, 3L), s"$byHost")
+    assert(byHost("c.com") == Set(0L), s"$byHost")
+    // the joined cap column reports what applied
+    assert(out.filter(_._2 == "c.com").forall(_._3 == 2L))
   }
 
   test("frontier composition: discovered links already crawled are excluded") {
@@ -249,6 +338,52 @@ class UrlsSpec extends SparkSpec {
         s"qsort mismatch on '${r.getString(0)}': " +
           s"kernel='${r.getString(3)}' staged='${r.getString(4)}'")
     }
+  }
+
+  test("dotfold kernel == relational stack walk (adversarial fuzz)") {
+    import spark.implicits._
+    // segment pool biased toward the fold's edges: dots in every
+    // position, dotted names, empty segments, deep pops past the
+    // root, query/fragment text that must stay untouched
+    val segs = Vector(".", "..", "...", "a", "b.", ".c", "a.b", "", "x")
+    val rng = new scala.util.Random(11)
+    val urls = (0 until 400).map { _ =>
+      val path = (0 until rng.nextInt(7)).map(_ =>
+        "/" + segs(rng.nextInt(segs.size))).mkString
+      val tail = rng.nextInt(4) match {
+        case 0 => "?q=/./x&a=1" // dot segments in a QUERY stay put
+        case 1 => "?b=2&a=1"
+        case 2 => "#/../f"      // and in a fragment
+        case _ => ""
+      }
+      s"http://h.com$path$tail"
+    } ++ Seq("http://h.com", "http://h.com/", "no-scheme/./x", "",
+      "http://h.com/..", "http://h.com/.", "mailto:x@y")
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val rows = urls.toDF("u").select(col("u"),
+        call_function("graft_url_dotfold", col("u")).as("k"),
+        Urls.foldDotSegmentsStaged(col("u")).as("s"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"dotfold mismatch on '${r.getString(0)}': " +
+          s"kernel='${r.getString(1)}' staged='${r.getString(2)}'")
+    }
+  }
+
+  test("hrefIsCandidate ≡ resolveHref yields a candidate (the cheap-gate law)") {
+    import spark.implicits._
+    val hrefs = Seq("#f", "", "mailto:x@y", "javascript:void(0)", "tel:+1",
+      "data:,hi", "http://b.com/x", "HTTPS://b.com", "//b.com/x", "/p",
+      "p/q", "../up", "z:1/y", "a:b://c", "p?q=1", "#", "./x")
+    val rows = hrefs.map(("http://a.com/d/", _)).toDF("base", "href")
+      .select(col("href"),
+        Urls.hrefIsCandidate(col("href")).as("gate"),
+        Urls.resolveHref(col("base"), col("href")).isNotNull.as("resolved"))
+      .collect()
+    rows.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2),
+      s"gate/resolve disagree on '${r.getString(0)}': " +
+        s"gate=${r.getBoolean(1)} resolved=${r.getBoolean(2)}"))
   }
 
   test("keep-first URL dedup recovers planted collisions; blocklist gates pre-group") {

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 /** The settled-frontier protocol: scope excludes the in-flight batch,
   * a settle folds only strictly-earlier deltas (so a retry across the
@@ -80,6 +81,87 @@ class FrontierSpec extends SparkSpec {
     assert(Frontier.maybeSettle(spark, dir, 2L, Seq("canon_url"), every = 2))
     assert(f.exists(new Path(s"$dir/frontier_1/_SUCCESS")))
     assert(urls(Frontier.scopePaths(spark, dir, 2L).get) == Set("u1", "u2"))
+  }
+
+  test("the fold is deterministic latest-wins on re-submitted keys") {
+    val dir = java.nio.file.Files.createTempDirectory("frontier_lw").toString
+    // the same key lands in batches 0 and 2 with different payloads
+    // (the IngestScore / IngestAnnIndex re-submission shape): the
+    // fold must keep batch 2's row, not an arbitrary one
+    Seq((1L, "k", "v0")).toDF("doc_id", "canon_url", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_0")
+    Seq((2L, "other", "x")).toDF("doc_id", "canon_url", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_1")
+    Seq((3L, "k", "v2")).toDF("doc_id", "canon_url", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_2")
+    assert(Frontier.maybeSettle(spark, dir, 3L, Seq("canon_url"), every = 3))
+    val got = Frontier.readLayered(spark, dir)
+      .collect().map(r => r.getString(1) -> (r.getLong(0), r.getString(2))).toMap
+    assert(got == Map("k" -> ((3L, "v2")), "other" -> ((2L, "x"))),
+      s"latest batch must win per key, got $got")
+    // and a LATER delta supersedes the settled frontier row too
+    Seq((4L, "k", "v3")).toDF("doc_id", "canon_url", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_3")
+    Seq((5L, "pad", "p")).toDF("doc_id", "canon_url", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_4")
+    Seq((6L, "pad2", "p")).toDF("doc_id", "canon_url", "payload")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_5")
+    assert(Frontier.maybeSettle(spark, dir, 6L, Seq("canon_url"), every = 3))
+    val got2 = Frontier.readLayered(spark, dir)
+      .filter(col("canon_url") === "k")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got2 == Seq((4L, "v3")), s"frontier row must lose to a newer delta: $got2")
+  }
+
+  test("a batch id at or below the settled frontier id fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("frontier_guard").toString
+    writeBatch(dir, 0, Seq(1))
+    writeBatch(dir, 1, Seq(2))
+    assert(Frontier.maybeSettle(spark, dir, 2L, Seq("canon_url"), every = 2))
+    // a restart with a wiped checkpoint restarts ids at 0 — the old
+    // behavior silently GC'd the new run's output as "already folded"
+    intercept[IllegalArgumentException] {
+      Frontier.scopePaths(spark, dir, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Frontier.maybeSettle(spark, dir, 1L, Seq("canon_url"), every = 2)
+    }
+    // the frontier id itself is also too low (ids must be ABOVE it)
+    intercept[IllegalArgumentException] {
+      Frontier.scopePaths(spark, dir, 1L)
+    }
+    // and the normal continuation is untouched
+    assert(urls(Frontier.scopePaths(spark, dir, 2L).get) == Set("u1", "u2"))
+  }
+
+  test("bucketed settle: catalog table over the frontier dir, probe reads it") {
+    val dir = java.nio.file.Files.createTempDirectory("frontier_bk").toString
+    writeBatch(dir, 0, Seq(1, 2))
+    writeBatch(dir, 1, Seq(3))
+    assert(Frontier.maybeSettle(spark, dir, 2L, Seq("canon_url"), every = 2,
+      buckets = 4))
+    // same dir layout and commit marker as the plain settle
+    val names = fs(dir).listStatus(new Path(dir)).map(_.getPath.getName).toSet
+    assert(names == Set("frontier_1"), s"layout: $names")
+    assert(fs(dir).exists(new Path(s"$dir/frontier_1/_SUCCESS")))
+    // the catalog entry exists and frontierFrame serves it
+    assert(spark.catalog.tableExists(Frontier.tableName(dir, 1L)))
+    val (front, _) = Frontier.scopeParts(spark, dir, 2L)
+    val (m, path) = front.get
+    val viaTable = Frontier.frontierFrame(spark, dir, m, path)
+    assert(viaTable.select("canon_url").collect().map(_.getString(0)).toSet ==
+      Set("u1", "u2", "u3"))
+    // plain readers still work on the same files
+    assert(Frontier.readLayered(spark, dir).count() == 3)
+    // a second settle supersedes: new generation's table, old one dropped
+    writeBatch(dir, 2, Seq(4))
+    writeBatch(dir, 3, Seq(5))
+    assert(Frontier.maybeSettle(spark, dir, 4L, Seq("canon_url"), every = 2,
+      buckets = 4))
+    assert(spark.catalog.tableExists(Frontier.tableName(dir, 3L)))
+    assert(!spark.catalog.tableExists(Frontier.tableName(dir, 1L)),
+      "superseded generation's catalog entry must be dropped")
+    assert(Frontier.readLayered(spark, dir).count() == 5)
   }
 
   test("successive settles supersede: one frontier, monotone id, older GC'd") {

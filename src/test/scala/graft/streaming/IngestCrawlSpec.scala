@@ -142,6 +142,96 @@ class IngestCrawlSpec extends SparkSpec {
     assert(d1 == Set(("http://a.com/next", "http://a.com/p3")), s"d1: $d1")
   }
 
+  test("settled frontier probe is co-partitioned: zero exchange above the frontier scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ingest_crawl_bk").toString
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, dir, Nil,
+      settleEvery = 2, frontierBuckets = 4)
+    try {
+      input.addData((1L, "http://a.com/1", page("a", 30)),
+        (2L, "http://a.com/2", page("b", 30)))
+      q.processAllAvailable() // batch 0
+      input.addData((3L, "http://a.com/3", page("c", 30)))
+      q.processAllAvailable() // batch 1
+      input.addData((4L, "http://a.com/4", page("d", 30)))
+      q.processAllAvailable() // batch 2: settles 0,1 → bucketed frontier_1
+    } finally q.stop()
+    val (front, _) = Frontier.scopeParts(spark, dir, 100L)
+    val (m, path) = front.get
+    assert(spark.catalog.tableExists(Frontier.tableName(dir, m)))
+    // the per-batch probe shape: batch keys anti-joined against the
+    // settled frontier — the frontier scan must satisfy the join's
+    // distribution AND ordering from its bucketed+sorted layout
+    val leftDir = java.nio.file.Files.createTempDirectory("ic_left").toString
+    Seq("http://a.com/1", "http://a.com/9").toDF("canon_url")
+      .write.mode("overwrite").parquet(leftDir)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = spark.read.parquet(leftDir).join(
+        Frontier.frontierFrame(spark, dir, m, path).select("canon_url"),
+        Seq("canon_url"), "left_anti")
+      assert(probe.collect().map(_.getString(0)).toSeq == Seq("http://a.com/9"))
+      // AQE prints Final + Initial sections; judge the executed one
+      val p = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("SortMergeJoin"), s"plan:\n$p")
+      // exactly ONE exchange (the small batch side); the frontier
+      // side reads its buckets co-partitioned — nothing above its
+      // scan re-shuffles the admitted corpus
+      assert(p.split("Exchange").length - 1 == 1, s"plan:\n$p")
+      assert(p.contains("Bucketed: true"), s"plan:\n$p")
+      // and only the batch side sorts: the frontier files are
+      // bucket-sorted with one file per bucket
+      assert(p.split("\\bSort \\[").length - 1 == 1, s"plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("fetched ledger: a thin page's URL is never re-emitted as a candidate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_lg_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_lg_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_lg_f").toString
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched))
+    try {
+      // batch 0: a THIN page is fetched (gated, not admitted)
+      input.addData((1L, "http://a.com/thin", page("a", 5)))
+      q.processAllAvailable()
+      // batch 1: a page links to the thin page and to a novel one
+      input.addData((2L, "http://a.com/p", pageWith("b",
+        "<a href=\"/thin\">t</a><a href=\"/next\">n</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the ledger recorded BOTH fetches with their verdicts
+    val ledger = spark.read.parquet(s"$fetched/batch_*")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ledger == Map("http://a.com/thin" -> "thin",
+      "http://a.com/p" -> "kept"), s"ledger: $ledger")
+    // discovery scoped against FETCHED, not kept: /thin (fetched,
+    // thin) is excluded; /next (never fetched) is emitted
+    val d1 = spark.read.parquet(s"$disc/batch_1")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d1 == Set(("http://a.com/next", "http://a.com/p")), s"d1: $d1")
+    // and the loop closes: the next wave is the discovered-not-yet-
+    // fetched set (the thin page's own nav links included — they ARE
+    // fetch work), with the fetched pair excluded
+    val wave = IngestCrawl.nextWave(spark, disc, fetched)
+      .collect().map(_.getString(0)).toSet
+    assert(wave.contains("http://a.com/next"), s"wave: $wave")
+    assert(!wave.contains("http://a.com/thin") && !wave.contains("http://a.com/p"),
+      s"fetched URLs must never re-enter a wave: $wave")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
