@@ -56,30 +56,43 @@ final case class ParquetSource(path: String) extends TableSource {
   * once against the wrapper-shaped schema, once against the plain
   * shape — and each leaf coalesces wrapped-then-plain, so mixed
   * exports (canonical numbers + relaxed ints in one file) load
-  * identically. Ingest-boundary cost: two `from_json` per line, one
-  * data pass, no inference scan; the array unwrap is a `zip_with`
+  * identically. Ingest-boundary cost: three `from_json` per line
+  * (canonical-wrapped, relaxed-wrapped, plain — PERMISSIVE partial
+  * results keep each parse's per-LEAF nulls independent), one data
+  * pass, no inference scan; the array unwrap is a `zip_with`
   * (interpreted HOF — fine here, this is the ingest edge, never a
   * per-query kernel). Canonical epoch dates
-  * (`{"$date":{"$numberLong":…}}`) are out of contract — extend
-  * the wrapper mapping if an archive carries them. */
+  * (`{"$date":{"$numberLong":"<epoch millis>"}}` — what
+  * `mongoexport` without `--jsonFormat=relaxed` emits, r16) unwrap
+  * through the canonical parse, coalescing canonical → relaxed ISO
+  * → plain per timestamp leaf. */
 final case class MongoExtJsonSource(paths: Seq[String], schema: StructType)
     extends TableSource {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types._
 
-  private def wrapperType(dt: DataType): DataType = dt match {
-    case LongType => StructType(Seq(StructField("$numberLong", StringType)))
-    case IntegerType => StructType(Seq(StructField("$numberInt", StringType)))
-    case DoubleType => StructType(Seq(StructField("$numberDouble", StringType)))
-    case TimestampType => StructType(Seq(StructField("$date", StringType)))
-    case StringType => StructType(Seq(StructField("$oid", StringType),
-      StructField("$date", StringType)))
-    case ArrayType(e, n) => ArrayType(wrapperType(e), n)
-    case StructType(fs) =>
-      StructType(fs.map(f => f.copy(dataType = wrapperType(f.dataType))))
-    case other => other
-  }
+  private val epochWrap =
+    StructType(Seq(StructField("$numberLong", StringType)))
+
+  /** Relaxed wrapper shape; with `canonicalDates`, the canonical one
+    * (they differ only at timestamp leaves — `$date` carries the
+    * epoch STRUCT instead of an ISO string). */
+  private def wrapperType(dt: DataType, canonicalDates: Boolean): DataType =
+    dt match {
+      case LongType => StructType(Seq(StructField("$numberLong", StringType)))
+      case IntegerType => StructType(Seq(StructField("$numberInt", StringType)))
+      case DoubleType => StructType(Seq(StructField("$numberDouble", StringType)))
+      case TimestampType =>
+        if (canonicalDates) StructType(Seq(StructField("$date", epochWrap)))
+        else StructType(Seq(StructField("$date", StringType)))
+      case StringType => StructType(Seq(StructField("$oid", StringType),
+        StructField("$date", StringType)))
+      case ArrayType(e, n) => ArrayType(wrapperType(e, canonicalDates), n)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = wrapperType(f.dataType, canonicalDates))))
+      case other => other
+    }
 
   private def plainType(dt: DataType): DataType = dt match {
     case TimestampType => StringType
@@ -89,32 +102,44 @@ final case class MongoExtJsonSource(paths: Seq[String], schema: StructType)
     case other => other
   }
 
-  private def unwrap(w: Column, p: Column, dt: DataType): Column = dt match {
-    case LongType => coalesce(w.getField("$numberLong").cast(LongType), p)
-    case IntegerType => coalesce(w.getField("$numberInt").cast(IntegerType), p)
-    case DoubleType => coalesce(w.getField("$numberDouble").cast(DoubleType), p)
-    case TimestampType =>
-      coalesce(to_timestamp(w.getField("$date")), to_timestamp(p))
-    case StringType =>
-      coalesce(w.getField("$oid"), w.getField("$date"), p)
-    case ArrayType(e, _) => zip_with(w, p, (we, pe) => unwrap(we, pe, e))
-    case st: StructType =>
-      when(w.isNotNull || p.isNotNull, struct(st.fields.toSeq.map(f =>
-        unwrap(w.getField(f.name), p.getField(f.name), f.dataType)
-          .as(f.name)): _*))
-    case _ => p
-  }
+  private def unwrap(c: Column, w: Column, p: Column, dt: DataType): Column =
+    dt match {
+      case LongType => coalesce(w.getField("$numberLong").cast(LongType), p)
+      case IntegerType => coalesce(w.getField("$numberInt").cast(IntegerType), p)
+      case DoubleType => coalesce(w.getField("$numberDouble").cast(DoubleType), p)
+      case TimestampType => coalesce(
+        timestamp_millis(c.getField("$date").getField("$numberLong")
+          .cast(LongType)),
+        to_timestamp(w.getField("$date")), to_timestamp(p))
+      case StringType =>
+        coalesce(w.getField("$oid"), w.getField("$date"), p)
+      case ArrayType(e, _) =>
+        // zip_with is binary: fold (c, w) into a struct array first,
+        // then zip that with p — three aligned element streams
+        zip_with(
+          zip_with(c, w, (ce, we) => struct(ce.as("c"), we.as("w"))),
+          p, (cw, pe) =>
+            unwrap(cw.getField("c"), cw.getField("w"), pe, e))
+      case st: StructType =>
+        when(c.isNotNull || w.isNotNull || p.isNotNull,
+          struct(st.fields.toSeq.map(f =>
+            unwrap(c.getField(f.name), w.getField(f.name),
+              p.getField(f.name), f.dataType).as(f.name)): _*))
+      case _ => p
+    }
 
   def load(spark: SparkSession): DataFrame = {
-    val ws = wrapperType(schema).asInstanceOf[StructType]
+    val cs = wrapperType(schema, canonicalDates = true).asInstanceOf[StructType]
+    val ws = wrapperType(schema, canonicalDates = false).asInstanceOf[StructType]
     val ps = plainType(schema).asInstanceOf[StructType]
     spark.read.text(paths: _*)
       .filter(trim(col("value")) =!= "")
-      .select(from_json(col("value"), ws).as("__w"),
+      .select(from_json(col("value"), cs).as("__c"),
+        from_json(col("value"), ws).as("__w"),
         from_json(col("value"), ps).as("__p"))
       .select(schema.fields.toSeq.map(f =>
-        unwrap(col("__w").getField(f.name), col("__p").getField(f.name),
-          f.dataType).as(f.name)): _*)
+        unwrap(col("__c").getField(f.name), col("__w").getField(f.name),
+          col("__p").getField(f.name), f.dataType).as(f.name)): _*)
   }
 }
 

@@ -217,11 +217,16 @@ object Urls {
     * RFC 9309 group id. CONSECUTIVE `User-agent:` lines form ONE
     * shared group (`User-agent: *` + `User-agent: other` +
     * `Disallow: /x` binds /x to both agents — the spec's stacked
-    * form), so a group starts at an agent line NOT directly preceded
-    * by another agent line; the running count of group-starts over
-    * line position is the group id (the sessionization pattern).
-    * Robots bodies are KB-sized and one-per-host, so the explode is
-    * bounded by hosts, never by the frontier. */
+    * form), so a group starts at an agent line whose last NON-EMPTY
+    * predecessor is not another agent line — RFC 9309's grammar lets
+    * blank and comment-only lines sit between stacked agent lines, so
+    * empty lines are dropped BEFORE the lag window (an
+    * immediately-preceding test would split the stack and silently
+    * drop the wildcard group's rules — a fetch-disallowed bug); the
+    * running count of group-starts over line position is the group id
+    * (the sessionization pattern). Robots bodies are KB-sized and
+    * one-per-host, so the explode is bounded by hosts, never by the
+    * frontier. */
   private def robotsLines(df: DataFrame, host: Column,
                           body: Column): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -229,6 +234,7 @@ object Urls {
     df.select(host.as("host"),
         posexplode(split(body, "\n", -1)).as(Seq("pos", "raw")))
       .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .filter(col("line") =!= "")
       .withColumn("is_agent",
         lower(col("line")).startsWith("user-agent:"))
       .withColumn("starts_group", col("is_agent") &&
@@ -255,10 +261,13 @@ object Urls {
     *    containing agent `*` contribute their non-empty prefixes (an
     *    empty value means no rule); directive names match
     *    case-insensitively, prefix VALUES stay case-sensitive;
-    *  - wildcards inside paths are ignored — prefix semantics only.
+    *  - values may carry RFC 9309 §2.2.3 wildcards: `*` matches any
+    *    character run, a trailing `$` anchors the match at the path
+    *    end (a `$` anywhere else is literal). The rule VALUE is
+    *    emitted as written; [[robotsFilter]] compiles it.
     *
     * Yields (host, prefix, allow); [[robotsFilter]] applies the
-    * longest-match precedence. */
+    * most-specific-match precedence. */
   def robotsRules(df: DataFrame, host: Column, body: Column): DataFrame = {
     val lines = robotsLines(df, host, body)
     lines
@@ -289,17 +298,28 @@ object Urls {
   }
 
   /** Filter frontier candidates through robots rules with RFC 9309
-    * §2.2.2 precedence: among the rules whose prefix starts the
+    * §2.2.2/§2.2.3 precedence: among the rules matching the
     * candidate's canonical path+query (the part after the authority —
     * '' for a root URL, so `Disallow: /` blocks every pathed URL but
     * not the bare origin: matching is on the canonical form,
-    * documented), the LONGEST prefix wins; at equal length Allow
-    * wins. No matching rule ⇒ allowed. So `Disallow: /a` +
-    * `Allow: /articles/` blocks `/ax` but keeps the whole
-    * `/articles/` carve-out — under match-any-Disallow the carve-out
-    * is lost entirely (a recall, not politeness, bug).
+    * documented), the MOST SPECIFIC rule wins — specificity = octet
+    * length of the rule value as written, wildcards included (the
+    * RFC's most-octets reading); at equal length Allow wins. No
+    * matching rule ⇒ allowed. So `Disallow: /a` + `Allow:
+    * /articles/` blocks `/ax` but keeps the whole `/articles/`
+    * carve-out — under match-any-Disallow the carve-out is lost
+    * entirely (a recall, not politeness, bug).
     *
-    * Shape: one host-keyed theta-join against the rules table
+    * Wildcard values (§2.2.3): `*` matches any character run and a
+    * trailing `$` anchors at the path end; both compile to ONE SQL
+    * LIKE pattern (escape `\`/`%`/`_`, `*` → `%`, `$`-anchored drops
+    * the trailing `%`) — the same compilation the DuckDB twin
+    * replays, and prefix matching is its wildcard-free special case.
+    * Rules WITHOUT wildcards keep the codegen'd `startsWith` path;
+    * only the (rare) wildcard rules pay the per-row LIKE compile,
+    * and only against candidates of their own host.
+    *
+    * Shape: two host-keyed theta-joins against the split rules table
     * (bounded by hosts × rules-per-host — broadcast, never
     * frontier-sized), a verdict aggregate keyed on the matched
     * candidates' (host, path) — map-side combined, volume bounded by
@@ -313,12 +333,31 @@ object Urls {
     // best matching rule per (host, path) as ONE integer — length*2
     // + allow-bit orders exactly like (length, allow) lexicographic
     // (allow ∈ {0,1}), and the encoding replays verbatim in SQL
-    val blocked = withHost
-      .join(broadcast(rules.as("r")), col("__h") === col("r.host") &&
-        col("__p").startsWith(col("r.prefix")), "inner")
+    val spec = length(col("r.prefix")) * 2 + col("r.allow").cast("int")
+    val hasWild = col("prefix").contains("*") || col("prefix").endsWith("$")
+    val anchored = col("prefix").endsWith("$")
+    val body = when(anchored,
+      col("prefix").substr(lit(1), length(col("prefix")) - 1))
+      .otherwise(col("prefix"))
+    val likePat = concat(
+      replace(replace(replace(body,
+          lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_"))
+        .cast("string"),
+      when(anchored, lit("")).otherwise(lit("%")))
+    val wildPat = rules.filter(hasWild)
+      .withColumn("__pat", regexp_replace(likePat, "\\*", "%"))
+    val plainMatches = withHost
+      .join(broadcast(rules.filter(!hasWild).as("r")),
+        col("__h") === col("r.host") &&
+          col("__p").startsWith(col("r.prefix")), "inner")
+      .select(col("__h"), col("__p"), spec.as("__spec"))
+    val wildMatches = withHost
+      .join(broadcast(wildPat.as("r")), col("__h") === col("r.host") &&
+        like(col("__p"), col("r.__pat")), "inner")
+      .select(col("__h"), col("__p"), spec.as("__spec"))
+    val blocked = plainMatches.unionByName(wildMatches)
       .groupBy(col("__h"), col("__p"))
-      .agg(max(length(col("r.prefix")) * 2 +
-        col("r.allow").cast("int")).as("best"))
+      .agg(max(col("__spec")).as("best"))
       .filter(col("best") % 2 === 0)
       .select(col("__h"), col("__p"))
     withHost
@@ -416,21 +455,26 @@ object Urls {
     * (allow-all, no rule); an `Allow` carve-out UNDER a broader
     * Disallow (`Disallow: /a` + `allow: /articles/` — longest-match
     * keeps the carve-out); STACKED `User-agent` lines sharing one
-    * group; wildcard `Crawl-delay` values (and a non-numeric one
-    * that must be ignored). */
+    * group ACROSS a blank and a comment-only line (RFC 9309 lets
+    * them interleave — a directly-preceded group test drops the
+    * wildcard stack here, r16); a LIVE star+anchor wildcard value
+    * (the m=0 branch's `Disallow:` of star + `bout` + dollar blocks
+    * the fixture's `/about` frontier candidates, §2.2.3); wildcard
+    * `Crawl-delay`
+    * values (and a non-numeric one that must be ignored). */
   def syntheticRobots(source: Column): Column = {
     val m = pmod(length(source), lit(4))
     concat(
       lit("# robots for "), source,
       lit("\nUser-agent: bot\nDisallow: /\nCrawl-delay: 9\n"),
       when(m === 0,
-        "User-agent: *\nDisallow: /legal\nDisallow:\nCrawl-delay: 1\n")
+        "User-agent: *\nDisallow: /legal\nDisallow:\nDisallow: /*bout$\nCrawl-delay: 1\n")
         .when(m === 1,
           "user-agent: *\nDISALLOW: /a\nallow: /articles/\nCrawl-delay: 2\n")
         .when(m === 2,
           "User-agent: *\nDisallow: /articles/ # keep shop\nCrawl-delay: soon\n")
         .otherwise(lit(
-          "User-agent: *\nUser-agent: other\nDisallow: /x\nCrawl-delay: 4\n")))
+          "User-agent: *\n\n# both bots\nUser-agent: other\nDisallow: /x\nCrawl-delay: 4\n")))
   }
 
   /** Deterministic URL fixture derived from (doc_id, source) — both

@@ -982,6 +982,51 @@ object DataOps {
       caps, crawlPerHostPerWave)
   }
 
+  /** Wave-density invariant twin over [[dsCrawlDelay]]'s schedule —
+    * the scheduled-output CONTRACT as a driver-visible row: per
+    * (host, cap), the URL total, wave count, max wave, fullest-wave
+    * size, and the two invariants a scheduler regression would flip —
+    * `dense` (waves run 0..n_waves-1 with no holes, so draining wave
+    * k before k+1 never starves) and `capped` (no wave exceeds the
+    * host's delay-derived cap). Both engines derive these from their
+    * OWN schedule replay, so a broken window (hole, overfull wave,
+    * wrong divisor) diverges the hash instead of only a spec. */
+  def dsCrawlWaves(s: SparkSession, d: String): DataFrame =
+    dsCrawlDelay(s, d)
+      .groupBy(col("host"), col("cap"), col("wave"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("host"), col("cap"))
+      .agg(sum(col("n")).as("n_urls"), count(lit(1)).as("n_waves"),
+        max(col("wave")).as("max_wave"), max(col("n")).as("max_per_wave"))
+      .withColumn("dense", col("max_wave") === col("n_waves") - 1)
+      .withColumn("capped", col("max_per_wave") <= col("cap"))
+
+  /** The WHOLE politeness front door as one plan — what a scheduler
+    * actually drains: discovery ([[dsCrawlFrontier]]) → robots access
+    * filter (most-specific-match, wildcards — Urls.robotsFilter) →
+    * Crawl-delay-derived per-host wave caps (Urls.politeWavesCapped,
+    * [[crawlPerHostPerWave]] default). The three sibling rows
+    * (ds_crawl_robots / ds_crawl_schedule / ds_crawl_delay) each
+    * price one stage and so each recompute the frontier; composed,
+    * the frontier is staged ONCE (GraftBridge.stageLocal — the
+    * robots filter's match/verdict branch, its keep anti-join and
+    * the scheduling window all read the same materialized frame;
+    * staging is safe here because the frontier is bounded by host ×
+    * path VARIETY, not corpus volume — 432 rows at every rehearsal
+    * decade — the stage-only-bounded-frames rule). */
+  def dsCrawlPolite(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val frontier = org.apache.spark.sql.GraftBridge.stageLocal(
+      dsCrawlFrontier(s, d))
+    val caps = txRobotsDelays(s, d).select(col("host"),
+      greatest(lit(1L),
+        floor(lit(crawlWavePeriodSec) / col("delay_s"))).as("cap"))
+    val allowed = Urls.robotsFilter(frontier, col("url"),
+      crawlRobotsRules(s, d))
+    Urls.politeWavesCapped(allowed, col("url"), col("n_refs"),
+      caps, crawlPerHostPerWave)
+  }
+
   def txClean(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       TextAnalysis.cleaned(col("text")).as("clean_text"))
@@ -1802,15 +1847,27 @@ object DataOps {
     * and never a '/' (let alone '/.') inside a query string, so two
     * applications of each rewrite reach the fixpoint, and whole-string
     * replacement is path-equivalent. `/./` collapses; `/seg/../` pops
-    * a non-dot segment. (DuckDB's RE2 has no lookahead, hence the
-    * explicit non-dot segment class.) */
-  private def dotFoldSqlExpr(in: String): String =
+    * a poppable segment — any segment that is not itself '.' or '..'
+    * (the three-alternative class; DuckDB's RE2 has no lookahead) —
+    * and a LEADING '/../' (nothing to pop: an href resolved against a
+    * bare-authority base) is the RFC's above-root no-op, rewritten
+    * BEFORE each pop pass — the pop regex cannot know the first path
+    * slash from the '//' of the authority, so an unhandled leading
+    * '/../' would let a pop eat the HOST as if it were a segment
+    * ('http://h/../up' → 'http://up'); clearing it first keeps every
+    * pop inside the real path, and the interleaved root pass also
+    * catches a pop that empties the path ('/a/../../b', r16 — both
+    * shapes previously diverged silently from the kernel). */
+  private def dotFoldSqlExpr(in: String): String = {
+    val root = """'^([a-z][a-z0-9+.-]*://[^/?#]*)/\.\./', '\1/', 'g')"""
+    val pop = """'/(\.\.[^/?]+|\.[^/?.][^/?]*|[^/?.][^/?]*)/\.\./', '/', 'g')"""
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(regexp_replace(" +
       in + ",\n" +
       """ '/\./', '/', 'g'),""" + "\n" +
       """ '/\./', '/', 'g'),""" + "\n" +
-      """ '/([^/.?][^/?]*)/\.\./', '/', 'g'),""" + "\n" +
-      """ '/([^/.?][^/?]*)/\.\./', '/', 'g')"""
+      s" $root,\n $pop,\n $root,\n $pop,\n $root"
+  }
 
   private def urlCanonSqlExpr(in: String): String = {
     val pn = percentNormSqlExpr(s"trim($in)")
@@ -1930,13 +1987,18 @@ object DataOps {
   }
 
   /** Urls.robotsRules / robotsDelays over the Urls.syntheticRobots
-    * fixture, mirrored: per-host line explode → comment strip → RFC
-    * 9309 group assignment (consecutive User-agent lines share ONE
-    * group: a group starts at an agent line not directly preceded by
-    * another agent line — the same lag + running-sum both engines
-    * run) → '*'-group non-empty Disallow/Allow prefixes and numeric
-    * Crawl-delay values. Yields `rules(host, prefix, allow)` and
-    * `delays(host, delay_s)`. */
+    * fixture, mirrored: per-host line explode → comment strip →
+    * empty-line drop (blank/comment-only lines may interleave a
+    * stacked agent group, r16) → RFC 9309 group assignment
+    * (consecutive non-empty User-agent lines share ONE group: a group
+    * starts at an agent line whose last non-empty predecessor is not
+    * an agent line — the same lag + running-sum both engines run) →
+    * '*'-group non-empty Disallow/Allow values and numeric
+    * Crawl-delay values. Yields `rules(host, prefix, allow)`,
+    * `delays(host, delay_s)` and `rpat` — `rules` with each value
+    * compiled to its LIKE pattern (escape, `*` → `%`, trailing-`$`
+    * anchor; Urls.robotsFilter's compilation mirrored; match with
+    * ESCAPE '\'). */
   private val robotsRulesCtes: String =
     """rh AS (SELECT DISTINCT lower(source) || '.example.com' AS host, source
               FROM documents),
@@ -1947,6 +2009,7 @@ object DataOps {
                 (CASE length(source) % 4
                    WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /legal'
                                || chr(10) || 'Disallow:' || chr(10)
+                               || 'Disallow: /*bout$' || chr(10)
                                || 'Crawl-delay: 1' || chr(10)
                    WHEN 1 THEN 'user-agent: *' || chr(10) || 'DISALLOW: /a'
                                || chr(10) || 'allow: /articles/' || chr(10)
@@ -1954,7 +2017,8 @@ object DataOps {
                    WHEN 2 THEN 'User-agent: *' || chr(10)
                                || 'Disallow: /articles/ # keep shop' || chr(10)
                                || 'Crawl-delay: soon' || chr(10)
-                   ELSE 'User-agent: *' || chr(10) || 'User-agent: other'
+                   ELSE 'User-agent: *' || chr(10) || chr(10) || '# both bots'
+                        || chr(10) || 'User-agent: other'
                         || chr(10) || 'Disallow: /x' || chr(10)
                         || 'Crawl-delay: 4' || chr(10) END) AS body
               FROM rh),
@@ -1962,8 +2026,10 @@ object DataOps {
                  generate_subscripts(string_split(body, chr(10)), 1) AS pos,
                  unnest(string_split(body, chr(10))) AS raw
                FROM rb),
-       rl AS (SELECT host, pos,
-                trim(regexp_replace(raw, '#.*$', '')) AS line FROM rl0),
+       rl AS (SELECT * FROM
+                (SELECT host, pos,
+                   trim(regexp_replace(raw, '#.*$', '')) AS line FROM rl0)
+              WHERE line <> ''),
        rg0 AS (SELECT host, pos, line,
                  lower(line) LIKE 'user-agent:%' AS is_agent
                FROM rl),
@@ -1992,7 +2058,16 @@ object DataOps {
                    FROM rg WHERE lower(line) LIKE 'crawl-delay:%') d
                   JOIN ra ON d.host = ra.host AND d.grp = ra.grp
                   WHERE regexp_matches(d.v, '^[0-9]+$')
-                  GROUP BY d.host)"""
+                  GROUP BY d.host),
+       rpat AS (SELECT host, prefix, allow,
+                  replace(replace(replace(replace(
+                    CASE WHEN substr(prefix, length(prefix), 1) = '$'
+                         THEN substr(prefix, 1, length(prefix) - 1)
+                         ELSE prefix END,
+                    '\', '\\'), '%', '\%'), '_', '\_'), '*', '%')
+                  || CASE WHEN substr(prefix, length(prefix), 1) = '$'
+                          THEN '' ELSE '%' END AS pat
+                FROM rules)"""
 
   /** Html.syntheticPage mirrored as one SQL expression over the
     * columns `text`/`source` — shared by the extraction cascade and
@@ -4292,8 +4367,8 @@ object DataOps {
                   (SELECT fp.fhost, fp.fpath,
                      max(length(r.prefix) * 2 +
                          CASE WHEN r.allow THEN 1 ELSE 0 END) AS best
-                   FROM fp JOIN rules r ON r.host = fp.fhost
-                     AND substr(fp.fpath, 1, length(r.prefix)) = r.prefix
+                   FROM fp JOIN rpat r ON r.host = fp.fhost
+                     AND fp.fpath LIKE r.pat ESCAPE '\\'
                    GROUP BY fp.fhost, fp.fpath)
                   WHERE best % 2 = 0)
           SELECT url, n_refs, n_referrers, first_referrer FROM fp
@@ -4320,6 +4395,69 @@ object DataOps {
                         ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
                    AS wave
           FROM j""",
+    // the composed politeness front door: frontier → robots access
+    // filter (most-specific-match, wildcards) → delay-derived wave
+    // caps — ONE replay of the chain the three sibling rows price
+    // stage by stage
+    "ds_crawl_polite" ->
+      s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes,
+          fp AS (SELECT f.*,
+                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                     AS fhost,
+                   regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]+', '')
+                     AS fpath
+                 FROM f),
+          blk AS (SELECT fhost, fpath FROM
+                  (SELECT fp.fhost, fp.fpath,
+                     max(length(r.prefix) * 2 +
+                         CASE WHEN r.allow THEN 1 ELSE 0 END) AS best
+                   FROM fp JOIN rpat r ON r.host = fp.fhost
+                     AND fp.fpath LIKE r.pat ESCAPE '\\'
+                   GROUP BY fp.fhost, fp.fpath)
+                  WHERE best % 2 = 0),
+          keep AS (SELECT fp.url, fp.n_refs, fp.fhost FROM fp
+                   WHERE NOT EXISTS (SELECT 1 FROM blk
+                                     WHERE blk.fhost = fp.fhost
+                                       AND blk.fpath = fp.fpath)),
+          caps AS (SELECT host,
+                     greatest(1, $crawlWavePeriodSec // delay_s) AS cap
+                   FROM delays),
+          j AS (SELECT k.url, k.n_refs AS priority, k.fhost AS host,
+                  greatest(coalesce(caps.cap, $crawlPerHostPerWave), 1) AS cap
+                FROM keep k LEFT JOIN caps ON k.fhost = caps.host)
+          SELECT url, priority, host, cap,
+                 CAST((row_number() OVER (PARTITION BY host
+                        ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
+                   AS wave
+          FROM j""",
+    // wave-density invariant twin: per (host, cap) histogram of the
+    // delay schedule + the dense/capped invariants, derived by each
+    // engine from its OWN schedule replay
+    "ds_crawl_waves" ->
+      s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes,
+          caps AS (SELECT host,
+                     greatest(1, $crawlWavePeriodSec // delay_s) AS cap
+                   FROM delays),
+          c AS (SELECT url, n_refs AS priority,
+                  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                    AS host
+                FROM f),
+          j AS (SELECT c.url, c.priority, c.host,
+                  greatest(coalesce(caps.cap, $crawlPerHostPerWave), 1) AS cap
+                FROM c LEFT JOIN caps ON c.host = caps.host),
+          sched AS (SELECT url, priority, host, cap,
+                      CAST((row_number() OVER (PARTITION BY host
+                             ORDER BY priority DESC, url) - 1) // cap
+                        AS BIGINT) AS wave
+                    FROM j),
+          pw AS (SELECT host, cap, wave, count(*) AS n FROM sched
+                 GROUP BY host, cap, wave)
+          SELECT host, cap, CAST(sum(n) AS BIGINT) AS n_urls,
+                 CAST(count(*) AS BIGINT) AS n_waves,
+                 max(wave) AS max_wave, CAST(max(n) AS BIGINT) AS max_per_wave,
+                 (max(wave) = count(*) - 1) AS dense,
+                 (max(n) <= cap) AS capped
+          FROM pw GROUP BY host, cap""",
     // politeness scheduling: frontier → per-host fetch waves capped
     // at crawlPerHostPerWave, priority = in-link count
     "ds_crawl_schedule" ->
@@ -4812,6 +4950,8 @@ object DataOps {
     "tx_robots_delays" -> txRobotsDelays _,
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
+    "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan
+    "ds_crawl_waves" -> dsCrawlWaves _, // wave-density invariant twin
     "tx_url_canon" -> txUrlCanon _,
     "dd_url_dedup" -> ddUrlDedup _,
     "ds_crawl" -> dsCrawl _,

@@ -244,8 +244,16 @@ object Events {
           (0 until P).map(i => s"sx$i" -> sx(i)) ++
           (for { i <- 0 until P; j <- i until P } yield s"sxx${i}_$j" -> sxx(i, j)) ++
           (0 until P).map(i => s"sxy$i" -> sxy(i))
+      // clamped twice (shared text, both engines): float cancellation
+      // can push the variance operand epsilon-negative (sqrt → NaN),
+      // and a CONSTANT daily series has true variance 0 — the inner
+      // greatest stops the NaN, the outer keeps the ridge diagonal's
+      // `ridge·nn/ystd` finite (a near-zero ystd makes the ridge term
+      // dominate, driving every coefficient to ~0 and the forecast to
+      // the series mean — the sane degenerate answer)
       val spread: Seq[(String, String)] = Seq(
-        "ystd" -> "sqrt(sy2 / nn - (sy_tot / nn) * (sy_tot / nn))")
+        "ystd" -> ("greatest(sqrt(greatest(" +
+          "sy2 / nn - (sy_tot / nn) * (sy_tot / nn), 0.0)), 1e-9)"))
       val centered: Seq[(String, String)] =
         (for { i <- 0 until P; j <- i until P } yield
           an(i, j, 0) -> (s"sxx${i}_$j - sx$i * sx$j / nn" +
@@ -265,20 +273,26 @@ object Events {
         val tail = ((i + 1) until P).map(j => s" - ${an(i, j, i)} * x$j").mkString
         Seq(s"x$i" -> s"(${bn(i, i)}$tail) / ${an(i, i, i)}")
       }
-      val predict: Seq[Seq[(String, String)]] = Seq(
-        Seq("icpt" -> ("(sy_tot - (" +
-          (0 until P).map(i => s"x$i * sx$i").mkString(" + ") + ")) / nn"),
-          "tp" -> "cast(n_days as double)",
-          "hp" -> "greatest(0.0, cast(n_days - s_cp as double))") ++
-          (2 until P).map(f => s"fp$f" ->
-            ("case n_days % 7" + residues.map(r =>
-              s" when $r then ${lit(fval(f, r))}").mkString + " end")),
-        Seq("yhat_cents" -> ("icpt + x0 * tp + x1 * hp + " +
-          (2 until P).map(f => s"x$f * fp$f").mkString(" + "))),
-        Seq("forecast_micro" ->
-          "cast(round(yhat_cents * 10000.0) as bigint)"))
-      Seq(moments, spread, centered) ++ elim ++ backsub ++ predict
+      Seq(moments, spread, centered) ++ elim ++ backsub
     }
+
+    /** The prediction levels over the solved frame, parameterized on
+      * the integer FUTURE-INDEX expression `ti` (0-based series
+      * index): `n_days` is one step ahead; a stepped spine passes
+      * `(n_days + j - 1)` for step j. Same formula text both engines,
+      * any horizon. */
+    def predictLevels(ti: String): Seq[Seq[(String, String)]] = Seq(
+      Seq("icpt" -> ("(sy_tot - (" +
+        (0 until P).map(i => s"x$i * sx$i").mkString(" + ") + ")) / nn"),
+        "tp" -> s"cast($ti as double)",
+        "hp" -> s"greatest(0.0, cast($ti - s_cp as double))") ++
+        (2 until P).map(f => s"fp$f" ->
+          (s"case $ti % 7" + residues.map(r =>
+            s" when $r then ${lit(fval(f, r))}").mkString + " end")),
+      Seq("yhat_cents" -> ("icpt + x0 * tp + x1 * hp + " +
+        (2 until P).map(f => s"x$f * fp$f").mkString(" + "))),
+      Seq("forecast_micro" ->
+        "cast(round(yhat_cents * 10000.0) as bigint)"))
   }
 
   /** F2's flagship model, driver-checkable: the ProphetLike
@@ -288,7 +302,11 @@ object Events {
     * and the determinism ladder). ForecasterSpec's parity law pins
     * this plan to ProphetLikeForecaster.predict(1) under the same
     * config. */
-  def fcProphetSales(s: SparkSession, d: String): DataFrame = {
+  /** The shared ProphetLike SOLVE: daily series → per-residue sums →
+    * normal-equation elimination + back-substitution. One row of
+    * scalars (x0..x{P-1}, sums, n_days, s_cp, last_day) — everything
+    * after the calendar-bounded daily aggregate is scalar algebra. */
+  private def prophetSolved(s: SparkSession, d: String): DataFrame = {
     val daily = Tables(s, d, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice")).as("sum_raw"))
@@ -302,11 +320,36 @@ object Events {
     val base = idx.crossJoin(broadcast(meta))
       .selectExpr("y", "t", "greatest(0, t - s_cp) as h",
         "cast(t % 7 as int) as r", "n_days", "s_cp", "last_day")
-    val solved = ProphetRel.levels.foldLeft(
+    ProphetRel.levels.foldLeft(
         base.selectExpr(ProphetRel.sumExprs: _*))((df, lvl) =>
       df.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*))
-    solved.select(date_add(col("last_day"), 1).as("forecast_date"),
+  }
+
+  def fcProphetSales(s: SparkSession, d: String): DataFrame = {
+    val out = ProphetRel.predictLevels("n_days").foldLeft(
+        prophetSolved(s, d))((df, lvl) =>
+      df.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*))
+    out.select(date_add(col("last_day"), 1).as("forecast_date"),
       col("forecast_micro"))
+  }
+
+  /** The multi-step horizon the reference surface allows
+    * (forecast_days, reference src/data_processor.py:442,512): the
+    * solved 1-row frame cross-joined with a step spine j = 1..h, the
+    * SAME prediction text evaluated at future index n_days + j - 1 —
+    * the h-row forecast costs h scalar-row evaluations, never a
+    * second solve or another pass over the series. */
+  val prophetHorizon = 7
+
+  def fcProphetMulti(s: SparkSession, d: String): DataFrame = {
+    val spine = s.range(1, prophetHorizon + 1L).select(col("id").as("j"))
+    val stepped = prophetSolved(s, d).crossJoin(broadcast(spine))
+    val out = ProphetRel.predictLevels("(n_days + j - 1)").foldLeft(stepped)(
+      (df, lvl) =>
+        df.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*))
+    out.select(
+      date_add(col("last_day"), col("j").cast("int")).as("forecast_date"),
+      col("j").as("step"), col("forecast_micro"))
   }
 
   /** As-of join: enrich every event with the user's most recent
@@ -510,7 +553,51 @@ object Events {
     "fc_linear_sales" -> fcLinearSales _,
     "fc_seasonal_sales" -> fcSeasonalSales _,
     "fc_anomaly_days" -> fcAnomalyDays _,
-    "fc_prophetlike_sales" -> fcProphetSales _)
+    "fc_prophetlike_sales" -> fcProphetSales _,
+    "fc_prophetlike_multi" -> fcProphetMulti _)
+
+  /** The ProphetLike oracle SQL: shared daily-series + solve CTEs,
+    * then [[ProphetRel.predictLevels]] at future index `predictTi`
+    * reading from a `solved` CTE (`solvedCte` lets the multi-step
+    * twin splice its step spine between solve and predict), closed
+    * by `finalSelect` over the last predict CTE. */
+  private def prophetSql(predictTi: String, solvedCte: String,
+                         finalSelect: String): String = {
+    val solve = ProphetRel.levels.zipWithIndex.map { case (lvl, i) =>
+      s"l$i AS (SELECT *, " +
+        lvl.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+        s" FROM ${if (i == 0) "sums" else s"l${i - 1}"})"
+    }.mkString(",\n")
+    val last = s"l${ProphetRel.levels.size - 1}"
+    val solvedAlias =
+      if (solvedCte == "solved") s"solved AS (SELECT * FROM $last)"
+      else s"solved0 AS (SELECT * FROM $last),\n          $solvedCte"
+    val pl = ProphetRel.predictLevels(predictTi)
+    val predict = pl.zipWithIndex.map { case (lvl, i) =>
+      s"p$i AS (SELECT *, " +
+        lvl.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
+        s" FROM ${if (i == 0) "solved" else s"p${i - 1}"})"
+    }.mkString(",\n")
+    s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+                       CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS y
+                FROM orders GROUP BY 1),
+        idx AS (SELECT day, y,
+                  CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+                FROM daily),
+        meta AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                        max(day) AS last_day,
+                        CAST(floor((2 * count(*)) / 5.0) AS BIGINT) AS s_cp
+                 FROM idx),
+        base AS (SELECT y, t, greatest(0, t - s_cp) AS h,
+                        CAST(t % 7 AS INT) AS r, n_days, s_cp, last_day
+                 FROM idx CROSS JOIN meta),
+        sums AS (SELECT ${ProphetRel.sumExprs.mkString(", ")} FROM base),
+        $solve,
+        $solvedAlias,
+        $predict
+        $finalSelect
+        FROM p${pl.size - 1}"""
+  }
 
   /** Shared CTE: the gap-sessionization in SQL (µs precision). */
   private val sessionsCte: String =
@@ -654,31 +741,17 @@ object Events {
           SELECT CAST(last_day + INTERVAL 1 DAY AS DATE) AS forecast_date,
                  round(ic + slope * (mx + 1), 2) AS forecasted_sales
           FROM f""",
-    "fc_prophetlike_sales" -> {
-      val lvls = ProphetRel.levels.zipWithIndex.map { case (lvl, i) =>
-        s"l$i AS (SELECT *, " +
-          lvl.map { case (n, e) => s"$e AS $n" }.mkString(", ") +
-          s" FROM ${if (i == 0) "sums" else s"l${i - 1}"})"
-      }.mkString(",\n")
-      s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
-                         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS y
-                  FROM orders GROUP BY 1),
-          idx AS (SELECT day, y,
-                    CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS t
-                  FROM daily),
-          meta AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
-                          max(day) AS last_day,
-                          CAST(floor((2 * count(*)) / 5.0) AS BIGINT) AS s_cp
-                   FROM idx),
-          base AS (SELECT y, t, greatest(0, t - s_cp) AS h,
-                          CAST(t % 7 AS INT) AS r, n_days, s_cp, last_day
-                   FROM idx CROSS JOIN meta),
-          sums AS (SELECT ${ProphetRel.sumExprs.mkString(", ")} FROM base),
-          $lvls
-          SELECT CAST(last_day + INTERVAL 1 DAY AS DATE) AS forecast_date,
-                 forecast_micro
-          FROM l${ProphetRel.levels.size - 1}"""
-    },
+    "fc_prophetlike_sales" -> prophetSql(
+      predictTi = "n_days", solvedCte = "solved",
+      finalSelect = """SELECT CAST(last_day + INTERVAL 1 DAY AS DATE)
+                         AS forecast_date, forecast_micro"""),
+    "fc_prophetlike_multi" -> prophetSql(
+      predictTi = "(n_days + j - 1)",
+      solvedCte = s"""spine AS (SELECT CAST(range AS BIGINT) AS j
+                                FROM range(1, ${prophetHorizon + 1})),
+          solved AS (SELECT * FROM solved0 CROSS JOIN spine)""",
+      finalSelect = """SELECT CAST(last_day + CAST(j AS INT) AS DATE)
+                         AS forecast_date, j AS step, forecast_micro"""),
     "fc_seasonal_sales" ->
       s"""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
                                 sum(o_totalprice) AS y

@@ -38,7 +38,13 @@ import graft.operators.{Html, Urls}
   * outbound links (Html.linkHrefs → Urls.resolveHref → canonicalize →
   * blocklist, minus the fetched — or, ledger-less, admitted — scope)
   * under `discoveredDir/batch_<id>` — the crawl loop's discovery
-  * half, continuously. [[nextWave]] then closes the loop: discovered
+  * half, continuously. With `robotsRules` set (host, prefix, allow —
+  * [[graft.operators.Urls.robotsRules]] over the hosts' robots.txt
+  * bodies), discovered candidates are additionally gated through
+  * [[graft.operators.Urls.robotsFilter]] before landing — the batch
+  * path provably blocks disallowed URLs (ds_crawl_robots) and the
+  * continuous twin must not fetch what batch would refuse.
+  * [[nextWave]] then closes the loop: discovered
   * minus fetched, politely scheduled. Discovery is a pure per-batch
   * projection of the batch's own pages against the same replay-safe
   * scope as admission (its own overwrite is idempotent for the same
@@ -94,7 +100,8 @@ object IngestCrawl {
                     settleEvery: Int = 16,
                     discoveredDir: Option[String] = None,
                     fetchedDir: Option[String] = None,
-                    frontierBuckets: Int = 32)
+                    frontierBuckets: Int = 32,
+                    robotsRules: Option[DataFrame] = None)
       : StreamingQuery =
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -131,8 +138,11 @@ object IngestCrawl {
         // the batch is bounded: stage it so the survivor write and
         // the ledger write don't each re-run extraction + the probe
         // anti-joins (discovery reads `fresh` pre-extraction — links
-        // come from ALL gated fetches, thin included)
-        val staged = if (fetchedDir.isDefined) gated.persist() else gated
+        // come from ALL gated fetches, thin included). persist()
+        // returns `this`, so track the cache with a flag — an
+        // identity check never fires and the cache outlives the batch
+        val cacheBatch = fetchedDir.isDefined
+        val staged = if (cacheBatch) gated.persist() else gated
         staged.filter(col("verdict") === "kept").drop("verdict")
           .write.mode("overwrite").parquet(s"$survivorDir/batch_$batchId")
         // fetched-URL ledger: EVERY gated fetch, thin included — the
@@ -164,10 +174,18 @@ object IngestCrawl {
               sn.select(col("canon_url").as("url")), Seq("url"), "left_anti")
             case None => notSeen
           }
-          notExternal
+          val notOwn = notExternal
             .join(firstInBatch.select(col("canon_url").as("url")),
               Seq("url"), "left_anti")
-            .write.mode("overwrite").parquet(s"$dd/batch_$batchId")
+          // robots gate LAST (fewest candidates left): a disallowed
+          // URL is never EMITTED as a candidate, so no later stage —
+          // nextWave, an external scheduler draining the dir — can
+          // fetch it. The batch path's dsCrawlRobots posture, live.
+          val polite = robotsRules match {
+            case Some(r) => Urls.robotsFilter(notOwn, col("url"), r)
+            case None => notOwn
+          }
+          polite.write.mode("overwrite").parquet(s"$dd/batch_$batchId")
         }
         // fold accumulated deltas into the settled frontiers (never
         // the in-flight batch — replay safety, see Frontier); the
@@ -176,7 +194,7 @@ object IngestCrawl {
           Seq("canon_url"), settleEvery, frontierBuckets)
         fetchedDir.foreach(fd => Frontier.maybeSettle(spark, fd, batchId,
           Seq("canon_url"), settleEvery, frontierBuckets))
-        if (staged ne gated) staged.unpersist()
+        if (cacheBatch) staged.unpersist()
         ()
       }
       .outputMode(OutputMode.Append())
@@ -185,16 +203,39 @@ object IngestCrawl {
   /** Close the crawl loop: the next fetch wave's candidates — every
     * discovered URL minus every URL already fetched (the ledger when
     * the stream ran with `fetchedDir`; pass the survivor dir for a
-    * ledger-less run) — with in-link evidence, politely scheduled
-    * (Urls.politeWaves). The fetched probe reads the settled frontier
-    * through its bucketed table when present, so the big anti-join's
-    * frontier side scans exchange-free. */
+    * ledger-less run) — with in-link evidence, politely scheduled.
+    * The fetched probe reads the settled frontier through its
+    * bucketed table when present, so the big anti-join's frontier
+    * side scans exchange-free.
+    *
+    * Robots posture (r16): `robotsRules` re-filters the candidates at
+    * scheduling time — belt to discovery's suspenders: rules may have
+    * been refreshed since a candidate was discovered, and a run that
+    * streamed WITHOUT the discovery-side gate still schedules
+    * politely. `hostCaps` (host, cap — e.g. derived from
+    * [[graft.operators.Urls.robotsDelays]] as max(1, wavePeriod /
+    * delay)) switches the schedule to [[graft.operators.Urls
+    * .politeWavesCapped]]: each host's per-wave multiplicity is ITS
+    * cap (`perHostPerWave` for hosts publishing none), and the output
+    * carries the applied `cap` column; capless runs keep the global
+    * [[graft.operators.Urls.politeWaves]] shape. */
   def nextWave(spark: SparkSession, discoveredDir: String,
                fetchedDir: String,
-               perHostPerWave: Int = 2): DataFrame = {
+               perHostPerWave: Int = 2,
+               robotsRules: Option[DataFrame] = None,
+               hostCaps: Option[DataFrame] = None): DataFrame = {
     val cand = Frontier.readLayered(spark, discoveredDir)
       .groupBy("url").agg(count(lit(1)).as("n_refs"))
     val scoped = antiAdmitted(spark, cand, "url", fetchedDir, Long.MaxValue)
-    Urls.politeWaves(scoped, col("url"), col("n_refs"), perHostPerWave)
+    val allowed = robotsRules match {
+      case Some(r) => Urls.robotsFilter(scoped, col("url"), r)
+      case None => scoped
+    }
+    hostCaps match {
+      case Some(caps) => Urls.politeWavesCapped(allowed, col("url"),
+        col("n_refs"), caps, perHostPerWave)
+      case None =>
+        Urls.politeWaves(allowed, col("url"), col("n_refs"), perHostPerWave)
+    }
   }
 }

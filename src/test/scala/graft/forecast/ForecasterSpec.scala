@@ -94,6 +94,42 @@ class ForecasterSpec extends SparkSpec {
       s"relational prophet forecast $got cents != forecaster $want cents")
   }
 
+  test("fc_prophetlike_multi (stepped spine) == ProphetLikeForecaster.predict(h)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val series = graft.Tables(spark, sfDir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("sum_raw"))
+      .selectExpr("day", "cast(round(sum_raw * 100) as bigint) as y")
+      .orderBy("day").collect().map(_.getLong(1).toDouble)
+    val n = series.length
+    val sCp = (2L * n) / 5
+    val h = graft.queries.Events.prophetHorizon
+    val want = new ProphetLikeForecaster(spark,
+        seasonPeriod = 7, harmonics = 3, maxChangepoints = 1, ridge = 0.01,
+        changepointOverride = Some(Array(sCp.toDouble)))
+      .fit(series).predict(h) // cents, steps 1..h
+    val rows = graft.queries.Events.fcProphetMulti(spark, sfDir)
+      .orderBy("step").collect()
+    assert(rows.length == h, s"expected $h steps, got ${rows.length}")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) == i + 1L)
+      val got = r.getLong(2) / 10000.0
+      assert(math.abs(got - want(i)) <= 1e-6 * math.max(1.0, math.abs(want(i))),
+        s"step ${i + 1}: relational $got cents != forecaster ${want(i)} cents")
+    }
+    // the spine's forecast dates advance one calendar day per step
+    val dates = rows.map(_.getDate(0).toLocalDate)
+    dates.sliding(2).foreach { case Array(a, b) =>
+      assert(b == a.plusDays(1), s"date spine hole: $a -> $b")
+    }
+    // step 1 agrees with the one-step flagship row
+    val one = graft.queries.Events.fcProphetSales(spark, sfDir).collect()(0)
+    assert(rows(0).getLong(2) == one.getLong(1) &&
+      rows(0).getDate(0) == one.getDate(0),
+      "multi step 1 must equal the one-step row")
+  }
+
   test("MLlib normal-solver regression matches closed-form OLS on a trend") {
     val m = new MllibForecaster(spark).fit(linear)
     val pred = m.predict(1)

@@ -90,4 +90,38 @@ class SourcesSpec extends SparkSpec {
     assert(items.count() == 2, // null-qty line dropped by T3
       items.collect().mkString(";"))
   }
+
+  test("MongoExtJsonSource: canonical epoch $date unwraps alongside relaxed " +
+      "ISO — per-leaf, even mixed inside one document") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("mongo_canon").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("tags", ArrayType(StructType(Seq(
+        StructField("t", TimestampType), StructField("n", LongType)))))))
+    // epoch 1706771491000 ms == 2024-02-01T07:11:31Z — rows 1/2/4's
+    // timestamps are the SAME instant spelled three ways; row 4 mixes
+    // canonical and relaxed leaves in ONE document (each parse's
+    // partial result must keep the other's leaves independent)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "canon.json"),
+      ("""{"id":{"$numberLong":"1"},"ts":{"$date":{"$numberLong":"1706771491000"}},"tags":[{"t":{"$date":{"$numberLong":"1706771491000"}},"n":{"$numberLong":"5"}}]}""" +
+        "\n" +
+        """{"id":2,"ts":{"$date":"2024-02-01T07:11:31Z"},"tags":[{"t":{"$date":"2024-02-01T07:11:31Z"},"n":6}]}""" +
+        "\n" +
+        """{"id":{"$numberLong":"4"},"ts":{"$date":{"$numberLong":"1706771491000"}},"tags":[{"t":{"$date":"2024-02-01T07:11:31Z"},"n":7}]}""" +
+        "\n").getBytes)
+    val df = MongoExtJsonSource(Seq(s"$dir/canon.json"), schema).load(spark)
+    assert(df.schema == schema, df.schema.treeString)
+    val rows = df.collect().map(r => (r.getLong(0), r.getTimestamp(1),
+      r.getSeq[org.apache.spark.sql.Row](2).map(i =>
+        (i.getTimestamp(0), i.getLong(1))))).sortBy(_._1)
+    val want = rows.head._2 // one instant, three spellings
+    assert(want != null)
+    rows.foreach { case (id, ts, tags) =>
+      assert(ts == want, s"row $id: ts=$ts want=$want")
+      tags.foreach { case (t, _) => assert(t == want, s"row $id tag ts=$t") }
+    }
+    assert(rows.toSeq.map(t => (t._1, t._3.map(_._2))) ==
+      Seq((1L, Seq(5L)), (2L, Seq(6L)), (4L, Seq(7L))), rows.mkString("\n"))
+  }
 }

@@ -264,6 +264,58 @@ class UrlsSpec extends SparkSpec {
       s"kept: $kept")
   }
 
+  test("robotsRules: stacked agent lines survive blank and comment-only " +
+      "interleaves (RFC 9309 grammar)") {
+    import spark.implicits._
+    val body =
+      """User-agent: *
+        |
+        |# comment between stacked agents
+        |User-agent: other
+        |Disallow: /x
+        |""".stripMargin
+    val rules = Urls.robotsRules(
+        Seq(("h.com", body)).toDF("host", "body"), col("host"), col("body"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    // the blank line and the comment-only line sit INSIDE the agent
+    // stack — a directly-preceded group test starts a second group at
+    // 'User-agent: other' and silently drops /x from the wildcard
+    // agent (the crawler then fetches a disallowed path)
+    assert(rules == Set(("h.com", "/x", false)), s"rules: $rules")
+  }
+
+  test("robotsFilter: RFC 9309 §2.2.3 wildcards — '*' runs, '$' anchor, " +
+      "specificity includes wildcards, LIKE metachars stay literal") {
+    import spark.implicits._
+    val rules = Seq(
+      ("a.com", "/*.pdf$", false),   // classic: block every pdf
+      ("a.com", "/pub*", true),      // wildcard Allow, longer than /p…
+      ("a.com", "/p", false),
+      ("b.com", "/d$", false),       // anchor: exactly /d, not /dx
+      ("c.com", "/100%_a*", false))  // literal % and _ in a WILDCARD
+                                     // rule — rides the LIKE path
+      .toDF("host", "prefix", "allow")
+    val cands = Seq(
+      "http://a.com/docs/file.pdf",  // blocked: /*.pdf$ matches via *
+      "http://a.com/docs/file.pdfx", // kept: $ anchors — .pdfx no match
+      "http://a.com/pub/file.pdf",   // blocked: /*.pdf$ (7 octets) beats
+                                     // Allow /pub* (5 octets) — most
+                                     // octets wins, wildcards counted
+      "http://a.com/pubx",           // kept: Allow /pub* (5) beats /p (2)
+      "http://b.com/d",              // blocked: exact anchored match
+      "http://b.com/dx",             // kept: anchor rejects the suffix
+      "http://c.com/100%_ab",        // blocked: % and _ matched literally
+      "http://c.com/100xya")         // kept: unescaped, LIKE '/100%_a%'
+                                     // WOULD match it (%→'x', _→'y')
+      .map(Tuple1(_)).toDF("url")
+    val kept = Urls.robotsFilter(cands, col("url"), rules)
+      .collect().map(_.getString(0)).toSet
+    val want = Set("http://a.com/docs/file.pdfx", "http://a.com/pubx",
+      "http://b.com/dx", "http://c.com/100xya")
+    assert(kept == want, s"kept: $kept")
+  }
+
   test("politeWavesCapped: per-host caps, default for capless hosts") {
     import spark.implicits._
     val urls = (1 to 6).map(i => (s"http://a.com/$i", i.toLong)) ++

@@ -49,4 +49,57 @@ class CrawlSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
       s"no join-back: the payload rides the min-struct:\n$plan")
   }
+
+  test("dsCrawlPolite composes its stages: robots-kept URLs, capped dense waves") {
+    val polite = DataOps.dsCrawlPolite(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val robotsKept = DataOps.dsCrawlRobots(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(polite.map(_._1).toSet == robotsKept,
+      "the composite must schedule exactly the robots-kept frontier")
+    // the delay caps bind per host, waves dense from 0
+    polite.groupBy(_._2).foreach { case (host, g) =>
+      val cap = g.head._3
+      assert(g.forall(_._3 == cap), s"host $host: mixed caps")
+      val byWave = g.groupBy(_._4).view.mapValues(_.size)
+      byWave.foreach { case (w, n) =>
+        assert(n <= cap, s"host $host wave $w overfull: $n > $cap")
+      }
+      val waves = byWave.keySet
+      assert(waves == (0L until waves.size.toLong).toSet,
+        s"host $host waves not dense: $waves")
+    }
+  }
+
+  test("dsCrawlPolite stages the frontier ONCE: the scheduled plan reads a " +
+      "materialized frame, never the canon cascade") {
+    val qe = DataOps.dsCrawlPolite(spark, sf).queryExecution
+    val plan = qe.executedPlan.toString
+    // the frontier (link explode + resolve + canonicalize) lives
+    // behind GraftBridge.stageLocal — were it inlined, the robots
+    // verdict branch and its keep anti-join would each replay the
+    // cascade; the staged plan shows the kernel exactly zero times
+    assert(!plan.contains("graft_url_pct"),
+      s"canon cascade leaked into the scheduled plan:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"expected the staged frontier's LogicalRDD scan:\n$plan")
+  }
+
+  test("dsCrawlWaves invariants hold and reconcile with the schedule") {
+    val waves = DataOps.dsCrawlWaves(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+        r.getBoolean(7)))
+    assert(waves.nonEmpty)
+    waves.foreach { case (host, cap, nUrls, nWaves, maxWave, maxPer, dense, capped) =>
+      assert(dense && capped, s"host $host: dense=$dense capped=$capped")
+      assert(maxWave == nWaves - 1 && maxPer <= cap)
+      // the histogram reconciles: rank-div-cap fills every wave but
+      // possibly the last completely
+      assert(nUrls > (nWaves - 1) * cap && nUrls <= nWaves * cap,
+        s"host $host: $nUrls urls cannot fill $nWaves waves at cap $cap")
+    }
+    assert(waves.map(_._3).sum == DataOps.dsCrawlDelay(spark, sf).count())
+  }
 }

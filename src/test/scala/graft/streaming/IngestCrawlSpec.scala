@@ -232,6 +232,84 @@ class IngestCrawlSpec extends SparkSpec {
       s"fetched URLs must never re-enter a wave: $wave")
   }
 
+  test("robots in the stream: a disallowed URL is never emitted nor scheduled") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_rb_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_rb_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_rb_f").toString
+    val rules = Seq(("a.com", "/private", false), ("a.com", "/*.pdf$", false))
+      .toDF("host", "prefix", "allow")
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched),
+      robotsRules = Some(rules))
+    try {
+      input.addData((1L, "http://a.com/p", pageWith("a",
+        "<a href=\"/private/x\">p</a><a href=\"/doc.pdf\">d</a>" +
+          "<a href=\"/ok\">o</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the disallowed prefix AND the wildcard rule both bite at
+    // discovery: neither URL ever lands as a candidate
+    val d0 = spark.read.parquet(s"$disc/batch_0")
+      .collect().map(_.getString(0)).toSet
+    assert(d0 == Set("http://a.com/ok"), s"discovered: $d0")
+    // and the loop stays clean: the wave schedules only the survivor
+    val wave = IngestCrawl.nextWave(spark, disc, fetched,
+        robotsRules = Some(rules))
+      .collect().map(_.getString(0)).toSet
+    assert(wave == Set("http://a.com/ok"), s"wave: $wave")
+  }
+
+  test("nextWave: scheduling-time robots refilter + per-host delay caps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_nw_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_nw_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_nw_f").toString
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    // the stream runs WITHOUT robots (rules arrived later — the
+    // refresh-between-discovery-and-schedule case)
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched))
+    try {
+      input.addData((1L, "http://a.com/p", pageWith("a",
+        (1 to 5).map(i => s"<a href=\"/w$i\">w</a>").mkString +
+          "<a href=\"http://b.com/x1\">b</a><a href=\"http://b.com/x2\">b</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rules = Seq(("a.com", "/w5", false)).toDF("host", "prefix", "allow")
+    val caps = Seq(("a.com", 2L)).toDF("host", "cap")
+    val wave = IngestCrawl.nextWave(spark, disc, fetched,
+        perHostPerWave = 1, robotsRules = Some(rules), hostCaps = Some(caps))
+      .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // /w5 was DISCOVERED rules-less, but scheduling refilters it out
+    assert(!wave.exists(_._1 == "http://a.com/w5"), s"wave: $wave")
+    // per-host per-wave multiplicity == that host's delay-derived cap
+    // (default for capless hosts), waves dense from 0
+    val byHostWave = wave.groupBy(t => (t._2, t._4)).view.mapValues(_.size)
+    byHostWave.foreach { case ((h, w), n) =>
+      val cap = if (h == "a.com") 2 else 1
+      assert(n <= cap, s"wave $w overfull for $h: $n > $cap")
+    }
+    val aWaves = wave.filter(_._2 == "a.com").map(_._4).toSet
+    val bWaves = wave.filter(_._2 == "b.com").map(_._4).toSet
+    assert(aWaves == Set(0L, 1L), s"a.com waves: $aWaves") // 4 urls / cap 2
+    assert(bWaves == Set(0L, 1L), s"b.com waves: $bWaves") // 2 urls / cap 1
+    assert(wave.filter(_._2 == "a.com").forall(_._3 == 2L))
+    assert(wave.filter(_._2 == "b.com").forall(_._3 == 1L))
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
