@@ -33,4 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // ad-hoc -D passthrough for conf A/Bs (e.g. codegen knobs):
+  // SPARK_GRAFT_JAVA_OPTS="-Dspark.sql.codegen.methodSplitThreshold=256"
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

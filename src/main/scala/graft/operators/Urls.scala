@@ -412,11 +412,17 @@ object Urls {
   }
 
   /** Blocklist predicate over a host column/expression: exact match
-    * or dot-suffix (`example.com` blocks `a.example.com`). */
+    * or dot-suffix (`example.com` blocks `a.example.com`). ONE regex
+    * referencing `host` once — the folded `=== || endsWith` form
+    * referenced it 2·|domains| times, and every reference inlines the
+    * whole upstream canon cascade when the filter collapses into the
+    * keep-first aggregate stage (r16: a clone site in the generated
+    * code of the crawl family's hottest stage). */
   def hostBlocked(host: Column, blockedDomains: Seq[String]): Column =
-    blockedDomains.foldLeft(lit(false)) { (acc, d) =>
-      acc || host === d || host.endsWith(s".$d")
-    }
+    if (blockedDomains.isEmpty) lit(false)
+    else host.rlike(blockedDomains
+      .map(java.util.regex.Pattern.quote)
+      .mkString("(\\A|\\.)(", "|", ")\\z"))
 
   /** Exact-URL keep-first + domain blocklist: one row per surviving
     * canonical URL with the smallest id (the crawl's first fetch) and
