@@ -40,6 +40,16 @@ object Rehearsal {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Run a case with whole-stage codegen OFF — the crawl family's
+    * measured production posture (GraftSession.noFuseSession's
+    * scaladoc has the r16 A/B); mirrors what the registered queries
+    * do via the child session so the decade rows price the shipped
+    * configuration. */
+  private def noFuse[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try f finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   /** df × range(mult) with per-replica rewrites. */
   private def replicate(df: DataFrame, mult: Int)(rewrite: DataFrame => DataFrame): DataFrame =
     rewrite(df.crossJoin(df.sparkSession.range(mult).select(col("id").as("__rep"))))
@@ -658,18 +668,20 @@ object Rehearsal {
       // Map-side partial min keeps one payload per canon URL per
       // task, so shuffle volume ≈ distinct URLs × page size — the
       // posture a corpus join-back (two payload shuffles) would lose
-      "crawl" -> { () =>
+      "crawl" -> { () => noFuse(spark) {
         import graft.operators.{Html, Urls}
         val d = docsR.repartition(32)
         val winners = d
           .select(col("doc_id"), col("source"), col("text"),
-            Urls.canonicalize(
-              Urls.syntheticUrl(col("doc_id"), col("source"))).as("canon_url"))
-          .withColumn("host", Urls.hostOf(col("canon_url")))
-          .filter(!Urls.hostBlocked(col("host"),
+            Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
             graft.queries.DataOps.blockedDomains))
+          .select(col("doc_id"), col("source"), col("text"),
+            Urls.canonicalize(col("url")).as("canon_url"))
           .groupBy("canon_url")
           .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+            graft.queries.DataOps.blockedDomains))
           .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"),
             col("w.text").as("text"))
         val pages = winners.select(col("doc_id"),
@@ -679,7 +691,7 @@ object Rehearsal {
           .agg(count(lit(1)), sum(col("kept_blocks")),
             sum(length(col("main_text"))))
           .collect()(0).getLong(0)
-      },
+      }},
       // the crawl front door as a STREAM: 50 micro-batches replayed
       // through IngestCrawl against its own settled frontier
       // (settleEvery=16 → three folds inside the run). The shape
@@ -689,7 +701,7 @@ object Rehearsal {
       // batches no slower than early ones, with the fold cost landing
       // only on the settle batches. Per-batch wall-clocks go to
       // stderr; the case returns the admitted corpus size.
-      "crawl_stream" -> { () =>
+      "crawl_stream" -> { () => noFuse(spark) {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.operators.{Html, Urls}
         import spark.implicits._
@@ -731,41 +743,85 @@ object Rehearsal {
         System.err.println(f"REHEARSAL crawl_stream early_mean=${
           early.sum / early.size}%.2f late_mean=${late.sum / late.size}%.2f")
         graft.streaming.Frontier.readLayered(spark, dir).count()
-      },
+      }},
       // the discovery half at scale (ds_crawl_frontier's shape over
       // the replicated corpus): synth pages → link explode (bounded
       // by links/page) → resolve+canon projection → blocklist →
       // anti-join against the crawled set → in-link rollup. Expected
       // ≲ linear per decade: the explode is link-volume, the
       // anti-join and rollup key on the canonical URL
-      "crawl_frontier" -> { () =>
+      "crawl_frontier" -> { () => noFuse(spark) {
         import graft.operators.{Html, Urls}
         val d = docsR.repartition(32)
         val pagesF = d.select(
           Urls.canonicalize(
             Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
           Html.syntheticPage(col("text"), col("source")).as("html"))
-        // crawled = distinct referrers (pruning drops the synth here)
-        val crawled = pagesF.select(col("referrer").as("url"))
-          .withColumn("h", Urls.hostOf(col("url")))
-          .filter(!Urls.hostBlocked(col("h"),
-            graft.queries.DataOps.blockedDomains))
-          .select("url").distinct()
+        // crawled = distinct referrers (pruning drops the synth here;
+        // r16: unfiltered — the post-agg host gate absorbs it)
+        val crawled = pagesF.select(col("referrer").as("url")).distinct()
         val frontier = pagesF
           .select(col("referrer"),
             explode(Html.linkHrefs(col("html"))).as("href"))
-          .filter(!col("href").startsWith("#") && col("href") =!= "")
-          .select(col("referrer"), Urls.canonicalize(
-            Urls.resolveHref(col("referrer"), col("href"))).as("url"))
-          .withColumn("h", Urls.hostOf(col("url")))
-          .filter(!Urls.hostBlocked(col("h"),
+          .filter(Urls.hrefIsCandidate(col("href")))
+          .select(col("referrer"),
+            Urls.resolveHref(col("referrer"), col("href")).as("raw_url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("raw_url")),
             graft.queries.DataOps.blockedDomains))
+          .select(col("referrer"), Urls.canonicalize(col("raw_url")).as("url"))
           .join(crawled, Seq("url"), "left_anti")
           .groupBy("url")
           .agg(count(lit(1)).as("n_refs"), min(col("referrer")).as("fr"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("url")),
+            graft.queries.DataOps.blockedDomains))
         frontier.agg(count(lit(1)), sum(col("n_refs")),
           sum(length(col("fr")))).collect()(0).getLong(0)
-      },
+      }},
+      // the composed politeness front door at scale (ds_crawl_polite's
+      // shape): the frontier of crawl_frontier STAGED once (bounded by
+      // host × path variety — structural, not volumetric), robots
+      // rules parsed from the per-host synthetic bodies (bounded by
+      // hosts), access-filtered, then delay-capped waves. Expected:
+      // the decade lands entirely in the frontier derivation; the
+      // staged gate + window run over the structural candidate set
+      "crawl_polite" -> { () => noFuse(spark) {
+        import graft.operators.{Html, Urls}
+        val d = docsR.repartition(32)
+        val pagesF = d.select(
+          Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
+          Html.syntheticPage(col("text"), col("source")).as("html"))
+        val crawled = pagesF.select(col("referrer").as("url")).distinct()
+        val frontier = pagesF
+          .select(col("referrer"),
+            explode(Html.linkHrefs(col("html"))).as("href"))
+          .filter(Urls.hrefIsCandidate(col("href")))
+          .select(col("referrer"),
+            Urls.resolveHref(col("referrer"), col("href")).as("raw_url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("raw_url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("referrer"), Urls.canonicalize(col("raw_url")).as("url"))
+          .join(crawled, Seq("url"), "left_anti")
+          .groupBy("url").agg(count(lit(1)).as("n_refs"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("url")),
+            graft.queries.DataOps.blockedDomains))
+        val staged = org.apache.spark.sql.GraftBridge.stageLocal(frontier)
+        val hosts = d.select(concat(lower(col("source")),
+            lit(".example.com")).as("host"), col("source")).distinct()
+        val rules = Urls.robotsRules(hosts, col("host"),
+          Urls.syntheticRobots(col("source")))
+        val caps = Urls.robotsDelays(hosts, col("host"),
+            Urls.syntheticRobots(col("source")))
+          .select(col("host"), greatest(lit(1L),
+            floor(lit(graft.queries.DataOps.crawlWavePeriodSec) /
+              col("delay_s"))).as("cap"))
+        val polite = Urls.politeWavesCapped(
+          Urls.robotsFilter(staged, col("url"), rules),
+          col("url"), col("n_refs"), caps,
+          graft.queries.DataOps.crawlPerHostPerWave)
+        polite.agg(count(lit(1)), sum(col("wave")), max(col("cap")))
+          .collect()(0).getLong(0)
+      }},
       // attribution probe for html_extract: the page-furniture
       // synthesis alone (3 regex passes + concat, consumed via
       // length-sum) — subtracting this from html_extract isolates
@@ -780,11 +836,26 @@ object Rehearsal {
       // projection; the ONE shuffle is the keep-first groupBy on the
       // canonical URL with map-side min/count partials — expected
       // ≲ linear per decade (shuffle rows ≈ distinct URLs/task)
-      "url_dedup" -> { () =>
+      "url_dedup" -> { () => noFuse(spark) {
         val urls = docsR.repartition(32).select(col("doc_id"),
           graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
         graft.operators.Urls.dedupByUrl(urls, col("url"), col("doc_id"),
           graft.queries.DataOps.blockedDomains).count()
+      }},
+      // attribution probes for url_dedup: the synth+canon projection
+      // alone (consumed via length-sum so pruning can't skip it), and
+      // synth alone — their difference isolates the cascade's cost
+      // outside any aggregate stage
+      "url_canon_probe" -> { () => noFuse(spark) {
+        val urls = docsR.repartition(32).select(col("doc_id"),
+          graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+        urls.select(graft.operators.Urls.canonicalize(col("url")).as("c"))
+          .agg(sum(length(col("c")))).collect()(0).getLong(0)
+      }},
+      "url_synth_probe" -> { () =>
+        docsR.repartition(32).select(
+            graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+          .agg(sum(length(col("url")))).collect()(0).getLong(0)
       },
       "simhash_32_8" -> { () =>
         Dedup.simhashPairs(docsR, col("text"), col("doc_id")).count()

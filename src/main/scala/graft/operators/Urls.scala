@@ -424,33 +424,52 @@ object Urls {
       .map(java.util.regex.Pattern.quote)
       .mkString("(\\A|\\.)(", "|", ")\\z"))
 
+  /** Lowered, www?-stripped host of a RAW (un-canonicalized) URL —
+    * the cheap CONSERVATIVE pre-gate key: [[hostBlocked]] over this
+    * value implies [[hostBlocked]] over the canonical host, so a
+    * raw-host gate may run BEFORE the canon cascade and drop only
+    * rows the canonical gate would drop anyway. Proof sketch: the
+    * canonical host differs from this value only by (a) an optional
+    * `www.` strip this regex already mirrors, which preserves
+    * dot-suffix matching either way, and (b) percent-decoding — but a
+    * raw host that still MATCHES the blocklist regex contains no
+    * escapes inside the matched suffix (the blocklist is literal), so
+    * decoding leaves the matched suffix intact. The reverse direction
+    * does NOT hold (an escaped spelling of a blocked host slips the
+    * raw gate), which is why the exact canonical gate must still run
+    * downstream. A failed extract ('' on whitespace-led or schemeless
+    * input) matches nothing → conservatively kept. */
+  def rawHostLower(url: Column): Column =
+    lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[Ww]{3}\\.)?([^/?#:]+)", 1))
+
   /** Exact-URL keep-first + domain blocklist: one row per surviving
     * canonical URL with the smallest id (the crawl's first fetch) and
-    * the fetch count. Blocklist gate BEFORE the one exchange.
+    * the fetch count.
     *
-    * Plan-shape note (measured, r13): the filter references the
-    * PROJECTED canon/host aliases, so Catalyst's CollapseProject
-    * inlines the full cascade into the filter — the plan TEXT shows
-    * the cascade ~5×. That duplication is free at runtime: all the
-    * copies are identical UNCONDITIONAL subtrees inside one
-    * whole-stage-codegen stage, and subexpression elimination
-    * evaluates the cascade once. The "obvious" cheap-gate rewrite —
-    * a raw-url host derivation topped by a `when(scheme-is-http,
-    * strip-www)` conditional — measured 2.5× SLOWER at 100×
-    * (21.7 s vs 8.5 s A/B in one JVM): CaseWhen-topped trees are
-    * excluded from codegen subexpression elimination, so the 4
-    * blocklist references each re-ran the host regexes. Alias
-    * duplication in plan text is fine for unconditional trees;
-    * a conditional at the TOP of a multiply-referenced expression
-    * is what actually defeats CSE. */
+    * Gate placement (re-measured r16; supersedes the r13 note): the
+    * conservative [[rawHostLower]] gate runs BEFORE the one exchange
+    * — it references only the raw input column, so bulk blocked fetch
+    * volume never shuffles and the canon cascade never clones into a
+    * filter — and the EXACT canonical-host gate runs AFTER the
+    * aggregate, over one row per distinct URL instead of one per
+    * fetch. The r13-era shape (exact gate before the exchange,
+    * filtering on the projected canon alias) inlined the cascade into
+    * the keep-first stage's filter: with r15's dotfold step that
+    * stage's generated consume method grew pathological — 2× the
+    * whole query at the 100× decade (15.9 s vs 7.4 s per-operator
+    * A/B; fused it had stopped compiling outright). Equivalence:
+    * host is a function of canon_url, so the exact filter commutes
+    * with the url-keyed aggregate, and the raw gate drops only rows
+    * whose whole group the exact gate drops. */
   def dedupByUrl(df: DataFrame, url: Column, id: Column,
                  blockedDomains: Seq[String]): DataFrame =
-    df.select(id.as("doc_id"), canonicalize(url).as("canon_url"))
-      .withColumn("host", hostOf(col("canon_url")))
-      .filter(!hostBlocked(col("host"), blockedDomains))
+    df.filter(!hostBlocked(rawHostLower(url), blockedDomains))
+      .select(id.as("doc_id"), canonicalize(url).as("canon_url"))
       .groupBy("canon_url")
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_fetches"))
+      .filter(!hostBlocked(hostOf(col("canon_url")), blockedDomains))
 
   /** Deterministic robots.txt fixture per host, derived from the
     * source string — both engines plant identical bytes, so parsing

@@ -800,22 +800,26 @@ object DataOps {
   /** URL canonicalization over the deterministic per-doc URL fixture
     * (Urls.syntheticUrl) — a pure projection, every rule of the
     * cascade exercised data-dependently. */
-  def txUrlCanon(s: SparkSession, d: String): DataFrame =
+  def txUrlCanon(sParent: SparkSession, d: String): DataFrame = {
+    val s = graft.GraftSession.noFuseSession(sParent)
     docs(s, d)
       .select(col("doc_id"),
         graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
       .select(col("doc_id"), col("url"),
         graft.operators.Urls.canonicalize(col("url")).as("canon_url"))
+  }
 
   /** Exact-URL keep-first + domain blocklist over the same fixture:
     * all variation moduli divide 300, so docs d and d+300 carry the
     * same canonical URL — the planted dup structure the gate must
     * recover (300 canon groups at sf0.01; 30 blocked). */
-  def ddUrlDedup(s: SparkSession, d: String): DataFrame =
+  def ddUrlDedup(sParent: SparkSession, d: String): DataFrame = {
+    val s = graft.GraftSession.noFuseSession(sParent)
     graft.operators.Urls.dedupByUrl(
       docs(s, d).select(col("doc_id"),
         graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url")),
       col("url"), col("doc_id"), blockedDomains)
+  }
 
   /** Thin-content cut for the crawl composite. */
   val crawlMinTokens = 20
@@ -827,19 +831,24 @@ object DataOps {
     * extraction over the winners (shuffle-free kernel) → thin-content
     * verdict. Everything downstream of the single keep-first exchange
     * is a projection. */
-  def dsCrawl(s: SparkSession, d: String): DataFrame = {
+  def dsCrawl(sParent: SparkSession, d: String): DataFrame = {
     import graft.operators.{Html, Urls}
-    // the inlined-alias cascade copies are CSE-collapsed at runtime;
-    // see Urls.dedupByUrl's plan-shape note for the measured A/B
+    val s = graft.GraftSession.noFuseSession(sParent)
+    // gate placement per Urls.dedupByUrl's r16 note: conservative
+    // raw-host gate before the exchange, exact canonical gate after
+    // the aggregate (one row per distinct URL, not per fetch)
     val winners = docs(s, d)
       .select(col("doc_id"), col("source"), col("text"),
-        Urls.canonicalize(
-          Urls.syntheticUrl(col("doc_id"), col("source"))).as("canon_url"))
-      .withColumn("host", Urls.hostOf(col("canon_url")))
-      .filter(!Urls.hostBlocked(col("host"), blockedDomains))
+        Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+      .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+        blockedDomains))
+      .select(col("doc_id"), col("source"), col("text"),
+        Urls.canonicalize(col("url")).as("canon_url"))
       .groupBy("canon_url")
       .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"),
         count(lit(1)).as("n_fetches"))
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+        blockedDomains))
       .select(col("canon_url"), col("n_fetches"),
         col("w.doc_id").as("doc_id"), col("w.source").as("source"),
         col("w.text").as("text"))
@@ -859,8 +868,9 @@ object DataOps {
     * synthesized page, resolved absolute against the page's own
     * canonical URL — the discovery half of the crawl loop
     * (Html.linkHrefs + Urls.resolveHref, both closed-form). */
-  def txExtractLinks(s: SparkSession, d: String): DataFrame = {
+  def txExtractLinks(sParent: SparkSession, d: String): DataFrame = {
     import graft.operators.{Html, Urls}
+    val s = graft.GraftSession.noFuseSession(sParent)
     val pages = docs(s, d).select(col("doc_id"),
       Urls.canonicalize(
         Urls.syntheticUrl(col("doc_id"), col("source"))).as("base"),
@@ -883,26 +893,32 @@ object DataOps {
     * predicate before resolution, so the resolve+canon chain never
     * clones into a pushed-down null filter (the measured
     * filter-pushdown trap — see Html.extractMainText's scaladoc). */
-  def dsCrawlFrontier(s: SparkSession, d: String): DataFrame = {
+  def dsCrawlFrontier(sParent: SparkSession, d: String): DataFrame = {
     import graft.operators.{Html, Urls}
+    val s = graft.GraftSession.noFuseSession(sParent)
     val pages = docs(s, d).select(col("doc_id"),
       Urls.canonicalize(
         Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
       Html.syntheticPage(col("text"), col("source")).as("html"))
     // the crawled set IS the distinct referrers — derived from the
     // same projection (column pruning drops the html synthesis on
-    // this branch), not a second canonicalize pass over the manifest
-    val crawled = pages
-      .select(col("referrer").as("url"))
-      .withColumn("host", Urls.hostOf(col("url")))
-      .filter(!Urls.hostBlocked(col("host"), blockedDomains))
-      .select("url").distinct()
+    // this branch), not a second canonicalize pass over the manifest.
+    // r16: deliberately UNFILTERED — a blocked referrer URL in the
+    // probe side only anti-joins away candidates the post-agg host
+    // gate would drop anyway, and dropping the filter removes one
+    // cascade reference from the probe branch
+    val crawled = pages.select(col("referrer").as("url")).distinct()
     pages
       .select(col("referrer"), explode(Html.linkHrefs(col("html"))).as("href"))
       .filter(Urls.hrefIsCandidate(col("href")))
       .select(col("referrer"),
-        Urls.canonicalize(
-          Urls.resolveHref(col("referrer"), col("href"))).as("url"))
+        Urls.resolveHref(col("referrer"), col("href")).as("raw_url"))
+      // conservative raw-host gate on the RESOLVED (pre-canon) form:
+      // bulk blocked link volume never reaches the cascade, the join,
+      // or the exchange (Urls.rawHostLower's safety argument)
+      .filter(!Urls.hostBlocked(Urls.rawHostLower(col("raw_url")),
+        blockedDomains))
+      .select(col("referrer"), Urls.canonicalize(col("raw_url")).as("url"))
       // NOT re-projected through a barrier: an A/B with a
       // repartition(url) exchange placed here (suspecting the
       // CaseWhen-topped resolveHref forced the host/filter/join
@@ -910,13 +926,14 @@ object DataOps {
       // plain vs 7.2 s with the barrier at sf0.1. The cost is one
       // honest resolve+canon evaluation per link (~120 µs of regex
       // work), not duplication; measure before "fixing" CSE.
-      .withColumn("host", Urls.hostOf(col("url")))
-      .filter(!Urls.hostBlocked(col("host"), blockedDomains))
       .join(crawled, Seq("url"), "left_anti")
       .groupBy("url")
       .agg(count(lit(1)).as("n_refs"),
         countDistinct(col("referrer")).as("n_referrers"),
         min(col("referrer")).as("first_referrer"))
+      // EXACT canonical gate, post-aggregate: one row per distinct
+      // candidate (host is a function of url — commutes with the agg)
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), blockedDomains))
   }
 
   /** Politeness scheduling over the frontier: fetch waves capped at

@@ -106,15 +106,21 @@ object IngestCrawl {
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // projected-alias shape: the inlined cascade copies are
-        // CSE-collapsed at runtime (Urls.dedupByUrl's plan-shape note)
+        // gate placement per Urls.dedupByUrl's r16 note: conservative
+        // raw-host gate before the exchange (references only the raw
+        // url column — bulk blocked volume never shuffles), exact
+        // canonical gate after the keep-first aggregate (one row per
+        // distinct URL; host is a function of canon_url, so the
+        // filter commutes with the aggregate)
         val firstInBatch = batch.toDF()
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+            blockedDomains))
           .select(col("doc_id"), col("html"),
             Urls.canonicalize(col("url")).as("canon_url"))
-          .withColumn("host", Urls.hostOf(col("canon_url")))
-          .filter(!Urls.hostBlocked(col("host"), blockedDomains))
           .groupBy("canon_url")
           .agg(min(struct(col("doc_id"), col("html"))).as("w"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+            blockedDomains))
           .select(col("canon_url"), col("w.doc_id").as("doc_id"),
             col("w.html").as("html"))
         // admitted frontier: settled run artifact + this run's EARLIER
