@@ -297,6 +297,22 @@ object Urls {
       .groupBy("host").agg(max(col("v").cast("long")).as("delay_s"))
   }
 
+  /** `Sitemap:` references per host (RFC 9309 §2.3 / sitemaps.org):
+    * unlike Allow/Disallow, sitemap lines are NOT group-scoped — they
+    * apply regardless of which User-agent group they sit in — so no
+    * group join here, just the comment-stripped line scan. Values are
+    * absolute URLs by spec and kept verbatim (a crawl loop seeds its
+    * frontier from them — the complement of link discovery for pages
+    * nothing links to yet). Yields (host, sitemap_url), bounded by
+    * hosts × sitemaps-per-host. */
+  def robotsSitemaps(df: DataFrame, host: Column, body: Column): DataFrame =
+    robotsLines(df, host, body)
+      .filter(lower(col("line")).startsWith("sitemap:"))
+      .select(col("host"),
+        trim(expr("substring(line, instr(line, ':') + 1)")).as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
+
   /** Filter frontier candidates through robots rules with RFC 9309
     * §2.2.2/§2.2.3 precedence: among the rules matching the
     * candidate's canonical path+query (the part after the authority —
@@ -486,7 +502,11 @@ object Urls {
     * (the m=0 branch's `Disallow:` of star + `bout` + dollar blocks
     * the fixture's `/about` frontier candidates, §2.2.3); wildcard
     * `Crawl-delay`
-    * values (and a non-numeric one that must be ignored). */
+    * values (and a non-numeric one that must be ignored); `Sitemap:`
+    * references at the body tail (r16) — one per host plus a
+    * case-varied, inline-commented second on m=1 hosts, sitting
+    * INSIDE the last agent group to prove the directive is parsed
+    * group-UNSCOPED. */
   def syntheticRobots(source: Column): Column = {
     val m = pmod(length(source), lit(4))
     concat(
@@ -499,7 +519,10 @@ object Urls {
         .when(m === 2,
           "User-agent: *\nDisallow: /articles/ # keep shop\nCrawl-delay: soon\n")
         .otherwise(lit(
-          "User-agent: *\n\n# both bots\nUser-agent: other\nDisallow: /x\nCrawl-delay: 4\n")))
+          "User-agent: *\n\n# both bots\nUser-agent: other\nDisallow: /x\nCrawl-delay: 4\n")),
+      lit("Sitemap: https://"), lower(source), lit(".example.com/sitemap.xml\n"),
+      when(m === 1, concat(lit("sitemap: https://"), lower(source),
+        lit(".example.com/news.xml # primary\n"))).otherwise(lit("")))
   }
 
   /** Deterministic URL fixture derived from (doc_id, source) — both

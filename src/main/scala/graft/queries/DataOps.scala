@@ -964,6 +964,15 @@ object DataOps {
   def txRobotsRules(s: SparkSession, d: String): DataFrame =
     crawlRobotsRules(s, d)
 
+  /** Sitemap references per host over the same bodies (group-UNscoped
+    * per RFC 9309 §2.3 — the frontier-seeding complement of link
+    * discovery). */
+  def txRobotsSitemaps(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val hosts = crawlHosts(s, d)
+    Urls.robotsSitemaps(hosts, col("host"), Urls.syntheticRobots(col("source")))
+  }
+
   /** Wildcard-agent Crawl-delay per host over the same bodies. */
   def txRobotsDelays(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Urls
@@ -2045,7 +2054,13 @@ object DataOps {
                    ELSE 'User-agent: *' || chr(10) || chr(10) || '# both bots'
                         || chr(10) || 'User-agent: other'
                         || chr(10) || 'Disallow: /x' || chr(10)
-                        || 'Crawl-delay: 4' || chr(10) END) AS body
+                        || 'Crawl-delay: 4' || chr(10) END)
+                || 'Sitemap: https://' || lower(source)
+                || '.example.com/sitemap.xml' || chr(10)
+                || (CASE WHEN length(source) % 4 = 1
+                    THEN 'sitemap: https://' || lower(source)
+                         || '.example.com/news.xml # primary' || chr(10)
+                    ELSE '' END) AS body
               FROM rh),
        rl0 AS (SELECT host,
                  generate_subscripts(string_split(body, chr(10)), 1) AS pos,
@@ -2084,6 +2099,10 @@ object DataOps {
                   JOIN ra ON d.host = ra.host AND d.grp = ra.grp
                   WHERE regexp_matches(d.v, '^[0-9]+$')
                   GROUP BY d.host),
+       sitemaps AS (SELECT DISTINCT host,
+                      trim(substr(line, strpos(line, ':') + 1)) AS sitemap_url
+                    FROM rl WHERE lower(line) LIKE 'sitemap:%'
+                      AND trim(substr(line, strpos(line, ':') + 1)) <> ''),
        rpat AS (SELECT host, prefix, allow,
                   replace(replace(replace(replace(
                     CASE WHEN substr(prefix, length(prefix), 1) = '$'
@@ -4377,6 +4396,11 @@ object DataOps {
     "tx_robots_delays" ->
       s"""WITH $robotsRulesCtes
           SELECT host, delay_s FROM delays""",
+    // Sitemap references: group-UNscoped (RFC 9309 §2.3), comment-
+    // stripped, case-insensitive directive, value kept verbatim
+    "tx_robots_sitemaps" ->
+      s"""WITH $robotsRulesCtes
+          SELECT host, sitemap_url FROM sitemaps""",
     // the frontier under robots with LONGEST-MATCH precedence: among
     // the matching prefixes the longest wins, Allow winning length
     // ties — encoded as max(length*2 + allow_bit) per candidate path
@@ -4973,6 +4997,7 @@ object DataOps {
     "ds_crawl_schedule" -> dsCrawlSchedule _,
     "tx_robots_rules" -> txRobotsRules _,
     "tx_robots_delays" -> txRobotsDelays _,
+    "tx_robots_sitemaps" -> txRobotsSitemaps _, // group-UNscoped refs
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan

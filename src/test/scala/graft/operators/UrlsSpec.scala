@@ -316,6 +316,59 @@ class UrlsSpec extends SparkSpec {
     assert(kept == want, s"kept: $kept")
   }
 
+  test("robotsSitemaps: group-unscoped, case-insensitive, comments stripped, " +
+      "empty values ignored") {
+    import spark.implicits._
+    val body =
+      """User-agent: bot
+        |Disallow: /
+        |Sitemap: https://h.com/a.xml
+        |User-agent: *
+        |Disallow: /x
+        |sitemap: https://h.com/b.xml # primary
+        |SITEMAP:
+        |""".stripMargin
+    val maps = Urls.robotsSitemaps(
+        Seq(("h.com", body)).toDF("host", "body"), col("host"), col("body"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a.xml sits inside the bot group, b.xml inside '*' — BOTH apply
+    // (RFC 9309 §2.3: sitemap lines are not group-scoped); the
+    // case-varied directive parses, the inline comment strips, the
+    // empty value yields nothing
+    assert(maps == Set(("h.com", "https://h.com/a.xml"),
+      ("h.com", "https://h.com/b.xml")), s"sitemaps: $maps")
+  }
+
+  test("rawHostLower is a SAFE pre-gate: raw-blocked implies canonical-blocked") {
+    import spark.implicits._
+    val blocked = Seq("bad.com", "ads.example.com")
+    // adversarial spellings: case, www, ports, percent-escapes in and
+    // around the matched suffix, whitespace, schemeless, dot-segments
+    val urls = Seq(
+      "http://bad.com/x", "HTTPS://WWW.BAD.COM:443/y", "http://a.bad.com/z",
+      "http://xbad.com/ok", "http://bad.com.evil.org/ok",
+      "http://b%61d.com/escaped-host", "http://www.ads.example.com/p?q=1",
+      "  http://bad.com/leading-ws", "bad.com/schemeless",
+      "http://sub.ads.example.com/../up", "ftp://www.bad.com/nonhttp",
+      "http://ads.example.com%2Ffake/ok", "http://good.com/bad.com")
+      .toDF("url")
+    val rows = urls.select(col("url"),
+        Urls.hostBlocked(Urls.rawHostLower(col("url")), blocked).as("raw_b"),
+        Urls.hostBlocked(Urls.hostOf(Urls.canonicalize(col("url"))), blocked)
+          .as("canon_b"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    rows.foreach { case (u, rawB, canonB) =>
+      assert(!rawB || canonB,
+        s"'$u': raw gate dropped a row the canonical gate keeps")
+    }
+    // and the gate is not vacuous: it catches the plain spellings
+    assert(rows.count(_._2) >= 4, rows.mkString("\n"))
+    // the escaped-host spelling slips the raw gate but NOT the exact
+    // canonical gate — the reason the downstream gate must stay
+    val esc = rows.find(_._1.contains("%61")).get
+    assert(!esc._2 && esc._3, s"escaped-host: $esc")
+  }
+
   test("politeWavesCapped: per-host caps, default for capless hosts") {
     import spark.implicits._
     val urls = (1 to 6).map(i => (s"http://a.com/$i", i.toLong)) ++
