@@ -313,6 +313,27 @@ object Urls {
       .filter(col("sitemap_url") =!= "")
       .distinct()
 
+  /** `<loc>` entries of a sitemaps.org XML body, in document order —
+    * the content half of sitemap seeding ([[robotsSitemaps]] yields
+    * the references; fetching them yields these bodies). Closed-form:
+    * one `regexp_extract_all` (whitespace inside the element is
+    * insignificant per the protocol and trimmed by the pattern) plus
+    * the XML 1.0 predefined-entity decode the protocol REQUIRES for
+    * URLs in XML (`&amp;` etc.) — `&amp;` is replaced LAST so
+    * `&amp;lt;` decodes to the literal `&lt;` (one pass, not a
+    * fixpoint), matching a conforming XML parser. Feed results
+    * through [[canonicalize]] + [[robotsFilter]] before scheduling,
+    * exactly like discovered links. */
+  def sitemapLocs(xml: Column): Column = {
+    val raw = regexp_extract_all(xml,
+      lit("<loc>\\s*([^<]*?)\\s*</loc>"), lit(1))
+    transform(raw, u =>
+      replace(replace(replace(replace(replace(u,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+        lit("&amp;"), lit("&")))
+  }
+
   /** Filter frontier candidates through robots rules with RFC 9309
     * §2.2.2/§2.2.3 precedence: among the rules matching the
     * candidate's canonical path+query (the part after the authority —
@@ -524,6 +545,28 @@ object Urls {
       when(m === 1, concat(lit("sitemap: https://"), lower(source),
         lit(".example.com/news.xml # primary\n"))).otherwise(lit("")))
   }
+
+  /** Deterministic sitemaps.org XML fixture per host — both engines
+    * plant identical bytes, so `<loc>` extraction and entity decode
+    * are oracle-checkable. Exercises: a plain loc; whitespace-padded
+    * element content (insignificant per the protocol); an uppercase
+    * scheme/host/port spelling (canonicalization fodder downstream —
+    * extraction keeps it raw); and the XML-entity gauntlet
+    * (`&amp;` in a query string, `&apos;`, and the `&amp;amp;`
+    * double-escape whose one-pass decode must yield a literal
+    * `&amp;`, not `&`). */
+  def syntheticSitemap(source: Column): Column =
+    concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<url><loc>https://"), lower(source),
+      lit(".example.com/</loc><lastmod>2024-02-01</lastmod></url>\n" +
+        "<url><loc>\n   https://"), lower(source),
+      lit(".example.com/articles/7?a=1&amp;b=2\n   </loc></url>\n" +
+        "<url><loc>HTTPS://WWW."), upper(source),
+      lit(".EXAMPLE.COM:443/articles/9</loc></url>\n" +
+        "<url><loc>https://"), lower(source),
+      lit(".example.com/o&apos;brien&amp;amp;sons</loc></url>\n</urlset>\n"))
 
   /** Deterministic URL fixture derived from (doc_id, source) — both
     * engines compute it identically, so canonicalization and dedup

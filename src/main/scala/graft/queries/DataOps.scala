@@ -973,6 +973,16 @@ object DataOps {
     Urls.robotsSitemaps(hosts, col("host"), Urls.syntheticRobots(col("source")))
   }
 
+  /** `<loc>` extraction + XML-entity decode over the deterministic
+    * per-host sitemap bodies (Urls.syntheticSitemap) — the content
+    * half of sitemap seeding, in document order. */
+  def txSitemapLocs(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    crawlHosts(s, d).select(col("host"),
+      posexplode(Urls.sitemapLocs(Urls.syntheticSitemap(col("source"))))
+        .as(Seq("pos", "loc_url")))
+  }
+
   /** Wildcard-agent Crawl-delay per host over the same bodies. */
   def txRobotsDelays(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Urls
@@ -4401,6 +4411,39 @@ object DataOps {
     "tx_robots_sitemaps" ->
       s"""WITH $robotsRulesCtes
           SELECT host, sitemap_url FROM sitemaps""",
+    // sitemap CONTENT: <loc> extraction (whitespace-insensitive,
+    // document order) + one-pass XML predefined-entity decode, &amp;
+    // last so &amp;amp; yields a literal &amp;
+    "tx_sitemap_locs" ->
+      s"""WITH rh AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
+                             source FROM documents),
+          sb AS (SELECT host,
+                   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+                   '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                   || chr(10) ||
+                   '<url><loc>https://' || lower(source) ||
+                   '.example.com/</loc><lastmod>2024-02-01</lastmod></url>'
+                   || chr(10) ||
+                   '<url><loc>' || chr(10) || '   https://' || lower(source) ||
+                   '.example.com/articles/7?a=1&amp;b=2' || chr(10) ||
+                   '   </loc></url>' || chr(10) ||
+                   '<url><loc>HTTPS://WWW.' || upper(source) ||
+                   '.EXAMPLE.COM:443/articles/9</loc></url>' || chr(10) ||
+                   '<url><loc>https://' || lower(source) ||
+                   '.example.com/o&apos;brien&amp;amp;sons</loc></url>'
+                   || chr(10) || '</urlset>' || chr(10) AS xml
+                 FROM rh),
+          lx AS (SELECT host,
+                   generate_subscripts(regexp_extract_all(xml,
+                     '<loc>\\s*([^<]*?)\\s*</loc>', 1), 1) - 1 AS pos,
+                   unnest(regexp_extract_all(xml,
+                     '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS raw
+                 FROM sb)
+          SELECT host, CAST(pos AS INT) AS pos,
+                 replace(replace(replace(replace(replace(raw,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&apos;', ''''), '&amp;', '&') AS loc_url
+          FROM lx""",
     // the frontier under robots with LONGEST-MATCH precedence: among
     // the matching prefixes the longest wins, Allow winning length
     // ties — encoded as max(length*2 + allow_bit) per candidate path
@@ -4998,6 +5041,7 @@ object DataOps {
     "tx_robots_rules" -> txRobotsRules _,
     "tx_robots_delays" -> txRobotsDelays _,
     "tx_robots_sitemaps" -> txRobotsSitemaps _, // group-UNscoped refs
+    "tx_sitemap_locs" -> txSitemapLocs _, // <loc> + XML entity decode
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan

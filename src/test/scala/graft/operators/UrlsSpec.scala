@@ -339,6 +339,30 @@ class UrlsSpec extends SparkSpec {
       ("h.com", "https://h.com/b.xml")), s"sitemaps: $maps")
   }
 
+  test("sitemapLocs: document order, whitespace-insensitive, one-pass XML " +
+      "entity decode with &amp; last") {
+    import spark.implicits._
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>https://h.com/</loc><lastmod>2024-01-01</lastmod></url>
+        |<url><loc>
+        |   https://h.com/a?x=1&amp;y=2
+        |</loc></url>
+        |<url><loc>https://h.com/o&apos;brien&amp;amp;sons</loc></url>
+        |<url><loc>https://h.com/&quot;q&quot;&lt;b&gt;</loc></url>
+        |</urlset>""".stripMargin
+    val locs = Seq(Tuple1(xml)).toDF("xml")
+      .select(Urls.sitemapLocs(col("xml")).as("locs"))
+      .collect()(0).getSeq[String](0)
+    assert(locs == Seq(
+      "https://h.com/",
+      "https://h.com/a?x=1&y=2",
+      // &amp;amp; one-pass-decodes to a LITERAL &amp; (conforming XML),
+      // never all the way to '&'
+      "https://h.com/o'brien&amp;sons",
+      "https://h.com/\"q\"<b>"), locs)
+  }
+
   test("rawHostLower is a SAFE pre-gate: raw-blocked implies canonical-blocked") {
     import spark.implicits._
     val blocked = Seq("bad.com", "ads.example.com")
