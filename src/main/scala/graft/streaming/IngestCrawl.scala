@@ -229,9 +229,24 @@ object IngestCrawl {
                fetchedDir: String,
                perHostPerWave: Int = 2,
                robotsRules: Option[DataFrame] = None,
-               hostCaps: Option[DataFrame] = None): DataFrame = {
-    val cand = Frontier.readLayered(spark, discoveredDir)
+               hostCaps: Option[DataFrame] = None,
+               seeds: Option[DataFrame] = None): DataFrame = {
+    // seeds: already-canonical URLs from OUTSIDE link discovery —
+    // typically sitemap locs (Urls.robotsSitemaps → fetch →
+    // Urls.sitemapLocs → canonicalize), the only way pages nothing
+    // links to yet enter the loop. They join the candidate pool at
+    // in-link evidence 0 (a discovered link always outranks a bare
+    // listing within its host) and flow through the SAME fetched
+    // scope, robots refilter and politeness window as discoveries —
+    // a sitemap is a hint, never a bypass.
+    val disc = Frontier.readLayered(spark, discoveredDir)
       .groupBy("url").agg(count(lit(1)).as("n_refs"))
+    val cand = seeds match {
+      case Some(sd) => disc.unionByName(
+          sd.select(col("url"), lit(0L).as("n_refs")))
+        .groupBy("url").agg(max(col("n_refs")).as("n_refs"))
+      case None => disc
+    }
     val scoped = antiAdmitted(spark, cand, "url", fetchedDir, Long.MaxValue)
     val allowed = robotsRules match {
       case Some(r) => Urls.robotsFilter(scoped, col("url"), r)

@@ -310,6 +310,43 @@ class IngestCrawlSpec extends SparkSpec {
     assert(wave.filter(_._2 == "b.com").forall(_._3 == 1L))
   }
 
+  test("nextWave: sitemap seeds join at zero evidence through the same " +
+      "fetched scope and robots gate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_sd_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_sd_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_sd_f").toString
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched))
+    try {
+      input.addData((1L, "http://a.com/p", pageWith("a",
+        "<a href=\"/w1\">w</a><a href=\"/w2\">w</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val seeds = Seq(
+      "http://a.com/w1",        // also discovered → keeps evidence 1
+      "http://a.com/new1",      // sitemap-only → enters at evidence 0
+      "http://a.com/p",         // already fetched → excluded
+      "http://a.com/private/x") // robots-blocked → excluded
+      .toDF("url")
+    val rules = Seq(("a.com", "/private", false)).toDF("host", "prefix", "allow")
+    val wave = IngestCrawl.nextWave(spark, disc, fetched,
+        robotsRules = Some(rules), seeds = Some(seeds))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wave.keySet == Set("http://a.com/w1", "http://a.com/w2",
+      "http://a.com/new1"), s"wave: $wave")
+    assert(wave("http://a.com/new1") == 0L,
+      "a sitemap-only seed enters at zero in-link evidence")
+    assert(wave("http://a.com/w1") == 1L,
+      "a seed that is also discovered keeps its discovery evidence")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
