@@ -43,7 +43,10 @@ import graft.operators.{Html, Urls}
   * bodies), discovered candidates are additionally gated through
   * [[graft.operators.Urls.robotsFilter]] before landing — the batch
   * path provably blocks disallowed URLs (ds_crawl_robots) and the
-  * continuous twin must not fetch what batch would refuse.
+  * continuous twin must not fetch what batch would refuse. The rules
+  * frame is a PLAN, re-executed every micro-batch: back it with a
+  * file path and a robots refresh lands on the next batch with no
+  * restart.
   * [[nextWave]] then closes the loop: discovered
   * minus fetched, politely scheduled. Discovery is a pure per-batch
   * projection of the batch's own pages against the same replay-safe
