@@ -864,6 +864,26 @@ object DataOps {
       when(nTok >= crawlMinTokens, "kept").otherwise(lit("thin")).as("verdict"))
   }
 
+  /** Domain-level quality gate — the C4/RefinedWeb "domain filtering"
+    * step: per-host stats of the crawl front door's verdicts (pages,
+    * kept, fetches, token volume) and the keep-rate gate as an
+    * INTEGER comparison (2·kept ≥ pages ⇔ rate ≥ 50%), so the verdict
+    * has no float boundary to flip between engines. A pretraining
+    * pipeline drops `!quality_ok` hosts wholesale — spam and template
+    * farms fail at the DOMAIN level long before per-doc filters see
+    * them. Scale shape: rides [[dsCrawl]]'s one exchange, then one
+    * host-keyed aggregate over winners (bounded by distinct URLs). */
+  def dsHostQuality(s: SparkSession, d: String): DataFrame =
+    dsCrawl(s, d)
+      .select(graft.operators.Urls.hostOf(col("canon_url")).as("host"),
+        col("n_fetches"), col("n_tokens"),
+        when(col("verdict") === "kept", 1L).otherwise(0L).as("k"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"),
+        sum(col("n_fetches")).as("n_fetches"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("quality_ok", col("n_kept") * 2 >= col("n_pages"))
+
   /** Link extraction + resolution: every anchor href of every
     * synthesized page, resolved absolute against the page's own
     * canonical URL — the discovery half of the crawl loop
@@ -1999,6 +2019,34 @@ object DataOps {
                  unnest(regexp_extract_all(html,
                    '<a[^>]* href="([^"]*)"', 1)) AS href
                FROM pg)"""
+
+  /** dsCrawl mirrored in full — the front-door composite shared by
+    * the ds_crawl oracle entry and the host-stats twin. */
+  private lazy val crawlCompositeSql: String = {
+    val notBlocked = blockedDomains.map(d =>
+      s"NOT (host = '$d' OR host LIKE '%.$d')").mkString(" AND ")
+    s"""WITH $urlSynthCte,
+        cu8 AS (SELECT d.doc_id, d.text, d.source,
+                 ${urlCanonSqlExpr("u.url")} AS cu
+               FROM u JOIN documents d ON u.doc_id = d.doc_id),
+        cu AS (SELECT doc_id, text, source,
+                 ${sortParamsSqlExpr("cu")} AS canon_url FROM cu8),
+        hh AS (SELECT *, regexp_extract(canon_url,
+                 '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host FROM cu),
+        w AS (SELECT canon_url, min(doc_id) AS doc_id,
+                     CAST(count(*) AS BIGINT) AS n_fetches
+              FROM hh WHERE $notBlocked GROUP BY canon_url),
+        wd AS (SELECT w.canon_url, w.n_fetches, d.doc_id, d.text, d.source
+               FROM w JOIN documents d ON w.doc_id = d.doc_id)
+        SELECT e.doc_id, wd.canon_url, wd.n_fetches, e.kept_blocks,
+               CAST(CASE WHEN e.main_text = '' THEN 0
+                    ELSE len(string_split_regex(e.main_text, '[ \\n]')) END
+                 AS BIGINT) AS n_tokens,
+               CASE WHEN (CASE WHEN e.main_text = '' THEN 0
+                          ELSE len(string_split_regex(e.main_text, '[ \\n]')) END)
+                      >= ${crawlMinTokens} THEN 'kept' ELSE 'thin' END AS verdict
+        FROM ${htmlExtractSql("wd")} e JOIN wd ON e.doc_id = wd.doc_id"""
+  }
 
   /** dsCrawlFrontier mirrored: winners' outbound links → resolve →
     * canonicalize → blocklist → anti-join crawled → in-link rollup.
@@ -4572,32 +4620,25 @@ object DataOps {
     // the crawl front door COMPOSED in one plan: URL canon →
     // blocklist → keep-first (payload rides the min-struct through
     // the one shuffle — no corpus join-back) → HTML extraction over
-    // the winners → thin-content verdict
-    "ds_crawl" -> {
-      val notBlocked = blockedDomains.map(d =>
-        s"NOT (host = '$d' OR host LIKE '%.$d')").mkString(" AND ")
-      s"""WITH $urlSynthCte,
-          cu8 AS (SELECT d.doc_id, d.text, d.source,
-                   ${urlCanonSqlExpr("u.url")} AS cu
-                 FROM u JOIN documents d ON u.doc_id = d.doc_id),
-          cu AS (SELECT doc_id, text, source,
-                   ${sortParamsSqlExpr("cu")} AS canon_url FROM cu8),
-          hh AS (SELECT *, regexp_extract(canon_url,
-                   '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host FROM cu),
-          w AS (SELECT canon_url, min(doc_id) AS doc_id,
-                       CAST(count(*) AS BIGINT) AS n_fetches
-                FROM hh WHERE $notBlocked GROUP BY canon_url),
-          wd AS (SELECT w.canon_url, w.n_fetches, d.doc_id, d.text, d.source
-                 FROM w JOIN documents d ON w.doc_id = d.doc_id)
-          SELECT e.doc_id, wd.canon_url, wd.n_fetches, e.kept_blocks,
-                 CAST(CASE WHEN e.main_text = '' THEN 0
-                      ELSE len(string_split_regex(e.main_text, '[ \\n]')) END
-                   AS BIGINT) AS n_tokens,
-                 CASE WHEN (CASE WHEN e.main_text = '' THEN 0
-                            ELSE len(string_split_regex(e.main_text, '[ \\n]')) END)
-                        >= ${crawlMinTokens} THEN 'kept' ELSE 'thin' END AS verdict
-          FROM ${htmlExtractSql("wd")} e JOIN wd ON e.doc_id = wd.doc_id"""
-    },
+    // the winners → thin-content verdict (shared with the host-stats
+    // twin below)
+    "ds_crawl" -> crawlCompositeSql,
+    // domain-level quality gate (the C4/RefinedWeb "domain filtering"
+    // step): per-host crawl verdict stats + an INTEGER-exact keep-rate
+    // gate (2·kept >= pages ⇔ rate >= 50% — no float boundary to flip)
+    "ds_host_quality" ->
+      s"""WITH c AS ($crawlCompositeSql),
+          h AS (SELECT regexp_extract(canon_url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+                  n_fetches, n_tokens,
+                  CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END AS k
+                FROM c)
+          SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+                 CAST(sum(k) AS BIGINT) AS n_kept,
+                 CAST(sum(n_fetches) AS BIGINT) AS n_fetches,
+                 CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                 (2 * sum(k) >= count(*)) AS quality_ok
+          FROM h GROUP BY host""",
     "ds_split" ->
       """WITH s AS (SELECT doc_id,
                  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -5046,6 +5087,7 @@ object DataOps {
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan
     "ds_crawl_waves" -> dsCrawlWaves _, // wave-density invariant twin
+    "ds_host_quality" -> dsHostQuality _, // domain-level keep-rate gate
     "tx_url_canon" -> txUrlCanon _,
     "dd_url_dedup" -> ddUrlDedup _,
     "ds_crawl" -> dsCrawl _,

@@ -86,6 +86,27 @@ class CrawlSpec extends SparkSpec {
       s"expected the staged frontier's LogicalRDD scan:\n$plan")
   }
 
+  test("dsHostQuality: gate identity per host, stats reconcile with verdicts") {
+    val crawl = DataOps.dsCrawl(spark, sf)
+      .select("canon_url", "n_tokens", "verdict").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val byHost = crawl.groupBy(t =>
+      t._1.replaceAll("^[a-z][a-z0-9+.-]*://", "").takeWhile(c =>
+        c != '/' && c != '?' && c != '#' && c != ':'))
+    val hq = DataOps.dsHostQuality(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(hq.keySet == byHost.keySet, s"${hq.keySet} vs ${byHost.keySet}")
+    byHost.foreach { case (host, rows) =>
+      val (nPages, nKept, sumTok, ok) = hq(host)
+      assert(nPages == rows.size.toLong, s"$host pages")
+      assert(nKept == rows.count(_._3 == "kept").toLong, s"$host kept")
+      assert(sumTok == rows.map(_._2).sum, s"$host tokens")
+      // the gate IS the integer identity — no float rate anywhere
+      assert(ok == (2 * nKept >= nPages), s"$host gate identity")
+    }
+  }
+
   test("dsCrawlWaves invariants hold and reconcile with the schedule") {
     val waves = DataOps.dsCrawlWaves(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
