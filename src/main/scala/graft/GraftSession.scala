@@ -59,29 +59,4 @@ object GraftSession {
     graft.plans.GraftFunctions.ensureRegistered(child)
     child
   }
-
-  /** Child session with WHOLE-STAGE codegen disabled — for queries
-    * whose hot stage fuses a very large derived expression (the URL
-    * canon cascade) under a keyed aggregate or filter. Measured (r16,
-    * same box): the fused keep-first stage compiles into a ~1,400-line
-    * consume method that runs 4–5× SLOWER than per-operator execution
-    * at the 100× decade (url_dedup 32.4 s fused vs 7.4 s split) and is
-    * slower even at sf0.1 (dd_url_dedup 0.66 vs 0.48, frontier 2.19
-    * vs 1.58) — JIT optimizes the many small generated classes of the
-    * per-operator path far better than one huge method, and the
-    * per-operator Project materializes the cascade ONCE into a row
-    * buffer that the aggregate then reads as a column. (Before r16 the
-    * same stages exceeded the 64 KB method limit outright and paid a
-    * FAILED janino compile per run on top.) Per-expression codegen and
-    * Tungsten remain on — only operator fusion is off, and only for
-    * plans built through this session. */
-  def noFuseSession(parent: SparkSession): SparkSession =
-    if (parent.conf.getOption("spark.sql.codegen.wholeStage").contains("false"))
-      parent
-    else {
-      val child = parent.newSession()
-      child.conf.set("spark.sql.codegen.wholeStage", "false")
-      graft.plans.GraftFunctions.ensureRegistered(child)
-      child
-    }
 }

@@ -40,16 +40,6 @@ object Rehearsal {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Run a case with whole-stage codegen OFF — the crawl family's
-    * measured production posture (GraftSession.noFuseSession's
-    * scaladoc has the r16 A/B); mirrors what the registered queries
-    * do via the child session so the decade rows price the shipped
-    * configuration. */
-  private def noFuse[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try f finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
-  }
-
   /** df × range(mult) with per-replica rewrites. */
   private def replicate(df: DataFrame, mult: Int)(rewrite: DataFrame => DataFrame): DataFrame =
     rewrite(df.crossJoin(df.sparkSession.range(mult).select(col("id").as("__rep"))))
@@ -668,7 +658,7 @@ object Rehearsal {
       // Map-side partial min keeps one payload per canon URL per
       // task, so shuffle volume ≈ distinct URLs × page size — the
       // posture a corpus join-back (two payload shuffles) would lose
-      "crawl" -> { () => noFuse(spark) {
+      "crawl" -> { () => {
         import graft.operators.{Html, Urls}
         val d = docsR.repartition(32)
         val winners = d
@@ -701,7 +691,7 @@ object Rehearsal {
       // batches no slower than early ones, with the fold cost landing
       // only on the settle batches. Per-batch wall-clocks go to
       // stderr; the case returns the admitted corpus size.
-      "crawl_stream" -> { () => noFuse(spark) {
+      "crawl_stream" -> { () => {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import graft.operators.{Html, Urls}
         import spark.implicits._
@@ -750,7 +740,7 @@ object Rehearsal {
       // anti-join against the crawled set → in-link rollup. Expected
       // ≲ linear per decade: the explode is link-volume, the
       // anti-join and rollup key on the canonical URL
-      "crawl_frontier" -> { () => noFuse(spark) {
+      "crawl_frontier" -> { () => {
         import graft.operators.{Html, Urls}
         val d = docsR.repartition(32)
         val pagesF = d.select(
@@ -784,7 +774,7 @@ object Rehearsal {
       // hosts), access-filtered, then delay-capped waves. Expected:
       // the decade lands entirely in the frontier derivation; the
       // staged gate + window run over the structural candidate set
-      "crawl_polite" -> { () => noFuse(spark) {
+      "crawl_polite" -> { () => {
         import graft.operators.{Html, Urls}
         val d = docsR.repartition(32)
         val pagesF = d.select(
@@ -836,7 +826,7 @@ object Rehearsal {
       // projection; the ONE shuffle is the keep-first groupBy on the
       // canonical URL with map-side min/count partials — expected
       // ≲ linear per decade (shuffle rows ≈ distinct URLs/task)
-      "url_dedup" -> { () => noFuse(spark) {
+      "url_dedup" -> { () => {
         val urls = docsR.repartition(32).select(col("doc_id"),
           graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
         graft.operators.Urls.dedupByUrl(urls, col("url"), col("doc_id"),
@@ -846,7 +836,7 @@ object Rehearsal {
       // alone (consumed via length-sum so pruning can't skip it), and
       // synth alone — their difference isolates the cascade's cost
       // outside any aggregate stage
-      "url_canon_probe" -> { () => noFuse(spark) {
+      "url_canon_probe" -> { () => {
         val urls = docsR.repartition(32).select(col("doc_id"),
           graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
         urls.select(graft.operators.Urls.canonicalize(col("url")).as("c"))

@@ -122,7 +122,27 @@ object Urls {
     call_function("graft_url_dotfold", u)
   }
 
+  /** The whole cascade as ONE codegen'd byte-walk kernel
+    * (`graft_url_canon`, [[graft.plans.UrlCanon]]). Why not the staged
+    * regex cascade: it is INLINED per reference in the crawl family's
+    * hottest stages (filter + group key both cite the canon alias),
+    * and at the r15 cascade width whole-stage codegen either exceeded
+    * the 64 KB method limit or JIT-inverted once it compiled (4–5×
+    * slower fused at the 100× decade — the r16 root-cause log in
+    * BASELINE.md). As one short call per reference, fusion is
+    * JIT-friendly again and the r16 no-fuse child session is deleted.
+    * [[canonicalizeStaged]] is the retained relational spec; the
+    * UrlsSpec full-cascade fuzz law pins kernel ≡ staged bit-equality. */
   def canonicalize(url: Column): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_url_canon", url)
+  }
+
+  /** Relational reference for the whole cascade — the shape the
+    * DuckDB oracle mirrors, retained as the living spec the
+    * full-cascade kernel is fuzzed against (UrlsSpec). */
+  private[operators] def canonicalizeStaged(url: Column): Column = {
     val t = percentNormalize(trim(url))
     // lowercase scheme://authority, leave path/query/fragment as-is
     val prefix = regexp_extract(t, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)

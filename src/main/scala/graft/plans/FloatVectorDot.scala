@@ -220,6 +220,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[UrlDotFold].getName, "graft_url_dotfold"),
     (children: Seq[Expression]) => UrlDotFold(children(0)))
 
+  val urlCanonDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_url_canon"),
+    new ExpressionInfo(classOf[UrlCanon].getName, "graft_url_canon"),
+    (children: Seq[Expression]) => UrlCanon(children(0)))
+
   val entropyDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_entropy"),
     new ExpressionInfo(classOf[TextEntropy].getName, "graft_entropy"),
@@ -261,6 +266,8 @@ object GraftFunctions {
       "graft_url_qsort", cs => UrlQuerySort(cs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_url_dotfold", cs => UrlDotFold(cs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_url_canon", cs => UrlCanon(cs(0)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorDot

@@ -90,6 +90,48 @@ case class UrlDotFold(child: Expression) extends UrlByteKernel {
     copy(child = newChild)
 }
 
+/** The WHOLE canonicalization cascade (`graft_url_canon`) — trim,
+  * percent normalization, scheme/authority lowering, www strip,
+  * fragment strip, default-port strip, tracking-param strips, dot-
+  * segment fold, trailing-slash strip, query sort — as ONE codegen'd
+  * byte walk.
+  *
+  * Why one kernel and not the staged cascade of ~7 regex expressions
+  * plus the three sub-step kernels: the cascade is INLINED per
+  * REFERENCE in the crawl family's hottest stages (filter + group key
+  * both cite the canon alias), and at that width whole-stage codegen
+  * either exceeded the 64 KB JVM method limit (silently per-operator
+  * since r15) or, once it compiled, JIT-inverted — the fused ~1,400-
+  * line consume method ran 4–5× slower than per-operator at the 100×
+  * decade (BASELINE.md r16 root-cause log). r16 shipped the symptom
+  * fix (whole-stage codegen disabled for the family via a child
+  * session); this kernel is the root fix — the cascade is one short
+  * call per reference, fusion is JIT-friendly again, and the special-
+  * case session is deleted. Same pattern as minhash / simhash /
+  * html_extract / dsir.
+  *
+  * Semantics are bit-identical to the staged cascade retained as
+  * [[graft.operators.Urls.canonicalizeStaged]] (the living spec —
+  * UrlsSpec fuzzes kernel ≡ staged on adversarial inputs, and the
+  * DuckDB oracle replays the same staged shape). The staged steps are
+  * java.util.regex expressions, whose `.` and `$` treat line
+  * terminators (\n, \r, U+0085, U+2028, U+2029) specially — real URLs
+  * never contain them, so the byte walk handles the terminator-free
+  * case and a terminator-bearing input falls back to a literal
+  * java.util.regex replay of the staged steps (the same engine
+  * Catalyst's RegExpReplace uses, so the fallback is exact by
+  * construction). */
+case class UrlCanon(child: Expression) extends UrlByteKernel {
+  override protected def nullSafeEval(in: Any): Any =
+    UrlNorm.canon(in.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.UrlNorm.canon($c);")
+  override def prettyName: String = "graft_url_canon"
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object UrlNorm {
 
   private def isHex(b: Byte): Boolean =
@@ -185,6 +227,294 @@ object UrlNorm {
     System.arraycopy(b, q, out, o, b.length - q)
     o += b.length - q
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  // ---- full-cascade kernel (graft_url_canon) -------------------------
+
+  /** Tracking-parameter name grammar, shared by the kernel's byte
+    * matcher and the slow-path regexes: `utm_[a-z0-9_]*`, `gclid`,
+    * `fbclid`, `ref` — each followed by '='. Mirrors
+    * Urls.trackingParamsRe verbatim. */
+  private val trackingAlt = "utm_[a-z0-9_]*|gclid|fbclid|ref"
+
+  // the staged cascade's regexes, compiled once — the slow path AND
+  // the executable documentation of what each byte walk implements
+  private val P_PREFIX =
+    java.util.regex.Pattern.compile("^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)")
+  private val P_WWW = java.util.regex.Pattern.compile("^(https?://)www\\.")
+  private val P_FRAG = java.util.regex.Pattern.compile("#.*$")
+  private val P_P80 =
+    java.util.regex.Pattern.compile("^(http://[^/?#:]*):80([/?#].*)?$")
+  private val P_P443 =
+    java.util.regex.Pattern.compile("^(https://[^/?#:]*):443([/?#].*)?$")
+  private val P_T1 = java.util.regex.Pattern.compile(s"&(?:$trackingAlt)=[^&#]*")
+  private val P_T2 = java.util.regex.Pattern.compile(s"\\?(?:$trackingAlt)=[^&#]*&")
+  private val P_T3 = java.util.regex.Pattern.compile(s"\\?(?:$trackingAlt)=[^&#]*$$")
+  private val P_SLASH = java.util.regex.Pattern.compile("([^/:])/+(\\?.*)?$")
+
+  /** The whole cascade. Bit-equal to Urls.canonicalizeStaged — the
+    * UrlsSpec full-cascade fuzz law is the proof obligation of every
+    * edit here. */
+  def canon(in: UTF8String): UTF8String = {
+    val t = percentNorm(in.trim())            // steps 1–2 (shared kernels)
+    var b = t.getBytes                        // fresh array (percentNorm copies)
+    if (hasLineTerminator(b)) return slowCanon(t)
+    b = lowerPrefix(b)                        // step 3
+    b = stripWww(b)                           // step 4
+    b = stripFragment(b)                      // step 5
+    b = stripDefaultPort(b)                   // step 6
+    b = stripTrackingAmp(b)                   // step 7a: &t=v anywhere
+    b = stripTrackingQAmp(b)                  // step 7b: ?t=v& → ?
+    b = stripTrackingQEnd(b)                  // step 7c: ?t=v$ → ''
+    val folded = dotFold(UTF8String.fromBytes(b)) // step 8.5
+    b = stripTrailingSlashes(folded.getBytes)     // step 8
+    querySort(UTF8String.fromBytes(b))            // step 9
+  }
+
+  /** Java-regex line terminators (the chars `.`/`$` special-case):
+    * \n, \r, U+0085 (C2 85), U+2028/U+2029 (E2 80 A8/A9). */
+  private def hasLineTerminator(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c == 0x0A || c == 0x0D) return true
+      if (c == 0xC2.toByte && i + 1 < b.length && b(i + 1) == 0x85.toByte)
+        return true
+      if (c == 0xE2.toByte && i + 2 < b.length && b(i + 1) == 0x80.toByte &&
+          (b(i + 2) == 0xA8.toByte || b(i + 2) == 0xA9.toByte)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Terminator-bearing input: literal replay of the staged regex
+    * steps with the same java.util.regex engine Catalyst uses —
+    * exactness by construction, speed irrelevant (garbage inputs). */
+  private def slowCanon(t: UTF8String): UTF8String = {
+    val s0 = t.toString
+    val m = P_PREFIX.matcher(s0)
+    val prefix = if (m.find()) m.group(1) else ""
+    val c1 = UTF8String.fromString(prefix).toLowerCase.toString +
+      s0.substring(prefix.length)
+    val c2 = P_WWW.matcher(c1).replaceAll("$1")
+    val c3 = P_FRAG.matcher(c2).replaceAll("")
+    val c4 = P_P80.matcher(c3).replaceAll("$1$2")
+    val c5 = P_P443.matcher(c4).replaceAll("$1$2")
+    val c6 = P_T1.matcher(c5).replaceAll("")
+    val c7 = P_T2.matcher(c6).replaceAll("?")
+    val c8 = P_T3.matcher(c7).replaceAll("")
+    val folded = dotFold(UTF8String.fromString(c8))
+    val c9 = P_SLASH.matcher(folded.toString).replaceAll("$1$2")
+    querySort(UTF8String.fromString(c9))
+  }
+
+  private def isAlphaB(c: Byte): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  private def isSchemeB(c: Byte): Boolean =
+    isAlphaB(c) || (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+
+  /** End of the `^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*` prefix in bytes;
+    * 0 when it doesn't match. Byte-for-char safe: every class byte is
+    * ASCII and UTF-8 continuation bytes are ≥ 0x80. */
+  private def prefixEnd(b: Array[Byte]): Int = {
+    if (b.length == 0 || !isAlphaB(b(0))) return 0
+    var i = 1
+    while (i < b.length && isSchemeB(b(i))) i += 1
+    if (i + 3 > b.length || b(i) != ':' || b(i + 1) != '/' || b(i + 2) != '/')
+      return 0
+    i += 3
+    while (i < b.length && b(i) != '/' && b(i) != '?' && b(i) != '#') i += 1
+    i
+  }
+
+  /** Step 3: lowercase [0, prefixEnd). ASCII in place; a non-ASCII
+    * authority delegates to UTF8String.toLowerCase — the exact
+    * function Spark's `lower` applies. */
+  private def lowerPrefix(b: Array[Byte]): Array[Byte] = {
+    val pe = prefixEnd(b)
+    if (pe == 0) return b
+    var ascii = true
+    var i = 0
+    while (i < pe) { if (b(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      i = 0
+      while (i < pe) {
+        if (b(i) >= 'A' && b(i) <= 'Z') b(i) = (b(i) + 32).toByte
+        i += 1
+      }
+      b
+    } else {
+      val low = UTF8String.fromBytes(b, 0, pe).toLowerCase.getBytes
+      val out = new Array[Byte](low.length + b.length - pe)
+      System.arraycopy(low, 0, out, 0, low.length)
+      System.arraycopy(b, pe, out, low.length, b.length - pe)
+      out
+    }
+  }
+
+  private def startsWithB(b: Array[Byte], p: String): Boolean = {
+    if (b.length < p.length) return false
+    var i = 0
+    while (i < p.length) { if (b(i) != p.charAt(i).toByte) return false; i += 1 }
+    true
+  }
+
+  private def remove(b: Array[Byte], at: Int, n: Int): Array[Byte] = {
+    val out = new Array[Byte](b.length - n)
+    System.arraycopy(b, 0, out, 0, at)
+    System.arraycopy(b, at + n, out, at, b.length - at - n)
+    out
+  }
+
+  /** Step 4: `^(https?://)www\.` → `$1`. */
+  private def stripWww(b: Array[Byte]): Array[Byte] =
+    if (startsWithB(b, "http://www.")) remove(b, 7, 4)
+    else if (startsWithB(b, "https://www.")) remove(b, 8, 4)
+    else b
+
+  /** Step 5: truncate at the first '#' (`#.*$` → '', terminator-free). */
+  private def stripFragment(b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '#') return java.util.Arrays.copyOf(b, i)
+      i += 1
+    }
+    b
+  }
+
+  /** Step 6: `^(http://[^/?#:]*):80([/?#].*)?$` → `$1$2` (and the
+    * https/:443 twin) — the authority run is forced maximal (':' is
+    * excluded from the class, so the regex cannot backtrack into it). */
+  private def stripDefaultPort(b: Array[Byte]): Array[Byte] = {
+    val (hs, port) =
+      if (startsWithB(b, "http://")) (7, ":80")
+      else if (startsWithB(b, "https://")) (8, ":443")
+      else return b
+    var i = hs
+    while (i < b.length && b(i) != '/' && b(i) != '?' && b(i) != '#' &&
+      b(i) != ':') i += 1
+    if (i >= b.length || b(i) != ':') return b
+    if (i + port.length > b.length) return b
+    var k = 0
+    while (k < port.length) {
+      if (b(i + k) != port.charAt(k).toByte) return b
+      k += 1
+    }
+    val e = i + port.length
+    if (e == b.length || b(e) == '/' || b(e) == '?' || b(e) == '#')
+      remove(b, i, port.length)
+    else b
+  }
+
+  /** `(?:utm_[a-z0-9_]*|gclid|fbclid|ref)=` at position p: index
+    * after the '=', or -1. No backtracking ambiguity: '=' is not a
+    * name byte and the alternatives have distinct first letters. */
+  private def matchTrack(b: Array[Byte], p: Int): Int = {
+    val n = b.length
+    if (p + 4 <= n && b(p) == 'u' && b(p + 1) == 't' && b(p + 2) == 'm' &&
+        b(p + 3) == '_') {
+      var q = p + 4
+      while (q < n && ((b(q) >= 'a' && b(q) <= 'z') ||
+        (b(q) >= '0' && b(q) <= '9') || b(q) == '_')) q += 1
+      if (q < n && b(q) == '=') q + 1 else -1
+    } else if (regionEq(b, p, "gclid=")) p + 6
+    else if (regionEq(b, p, "fbclid=")) p + 7
+    else if (regionEq(b, p, "ref=")) p + 4
+    else -1
+  }
+
+  private def regionEq(b: Array[Byte], p: Int, s: String): Boolean = {
+    if (p + s.length > b.length) return false
+    var i = 0
+    while (i < s.length) {
+      if (b(p + i) != s.charAt(i).toByte) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Value run of a matched tracking param: `[^&#]*` from e. */
+  private def valueEnd(b: Array[Byte], e: Int): Int = {
+    var j = e
+    while (j < b.length && b(j) != '&' && b(j) != '#') j += 1
+    j
+  }
+
+  /** Step 7a: every `&name=value` removed; the terminating '&' (if
+    * any) is re-examined as the next match's start — replaceAll
+    * continues at match end. */
+  private def stripTrackingAmp(b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](b.length)
+    var o = 0
+    var i = 0
+    while (i < b.length) {
+      var consumed = false
+      if (b(i) == '&') {
+        val e = matchTrack(b, i + 1)
+        if (e >= 0) { i = valueEnd(b, e); consumed = true }
+      }
+      if (!consumed) { out(o) = b(i); o += 1; i += 1 }
+    }
+    if (o == b.length) b else java.util.Arrays.copyOf(out, o)
+  }
+
+  /** Step 7b: `?name=value&` → `?`, scanning resuming after the '&'. */
+  private def stripTrackingQAmp(b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](b.length)
+    var o = 0
+    var i = 0
+    while (i < b.length) {
+      var consumed = false
+      if (b(i) == '?') {
+        val e = matchTrack(b, i + 1)
+        if (e >= 0) {
+          val j = valueEnd(b, e)
+          if (j < b.length && b(j) == '&') {
+            out(o) = '?'; o += 1
+            i = j + 1
+            consumed = true
+          }
+        }
+      }
+      if (!consumed) { out(o) = b(i); o += 1; i += 1 }
+    }
+    if (o == b.length) b else java.util.Arrays.copyOf(out, o)
+  }
+
+  /** Step 7c: leftmost `?name=value` whose value runs to the end of
+    * the string → truncate from the '?'. */
+  private def stripTrackingQEnd(b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '?') {
+        val e = matchTrack(b, i + 1)
+        if (e >= 0 && valueEnd(b, e) == b.length)
+          return java.util.Arrays.copyOf(b, i)
+      }
+      i += 1
+    }
+    b
+  }
+
+  /** Step 8: `([^/:])/+(\?.*)?$` → `$1$2` — leftmost non-/,: byte
+    * whose following slash run ends at a '?' or at the end; at most
+    * one match ('$'-anchored). */
+  private def stripTrailingSlashes(b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i + 1 < b.length) {
+      if (b(i) != '/' && b(i) != ':' && b(i + 1) == '/') {
+        var r = i + 2
+        while (r < b.length && b(r) == '/') r += 1
+        if (r == b.length || b(r) == '?') {
+          val out = new Array[Byte](b.length - (r - i - 1))
+          System.arraycopy(b, 0, out, 0, i + 1)
+          System.arraycopy(b, r, out, i + 1, b.length - r)
+          return out
+        }
+      }
+      i += 1
+    }
+    b
   }
 
   def querySort(in: UTF8String): UTF8String = {

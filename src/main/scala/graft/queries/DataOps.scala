@@ -800,8 +800,7 @@ object DataOps {
   /** URL canonicalization over the deterministic per-doc URL fixture
     * (Urls.syntheticUrl) — a pure projection, every rule of the
     * cascade exercised data-dependently. */
-  def txUrlCanon(sParent: SparkSession, d: String): DataFrame = {
-    val s = graft.GraftSession.noFuseSession(sParent)
+  def txUrlCanon(s: SparkSession, d: String): DataFrame = {
     docs(s, d)
       .select(col("doc_id"),
         graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
@@ -813,8 +812,7 @@ object DataOps {
     * all variation moduli divide 300, so docs d and d+300 carry the
     * same canonical URL — the planted dup structure the gate must
     * recover (300 canon groups at sf0.01; 30 blocked). */
-  def ddUrlDedup(sParent: SparkSession, d: String): DataFrame = {
-    val s = graft.GraftSession.noFuseSession(sParent)
+  def ddUrlDedup(s: SparkSession, d: String): DataFrame = {
     graft.operators.Urls.dedupByUrl(
       docs(s, d).select(col("doc_id"),
         graft.operators.Urls.syntheticUrl(col("doc_id"), col("source")).as("url")),
@@ -831,9 +829,8 @@ object DataOps {
     * extraction over the winners (shuffle-free kernel) → thin-content
     * verdict. Everything downstream of the single keep-first exchange
     * is a projection. */
-  def dsCrawl(sParent: SparkSession, d: String): DataFrame = {
+  def dsCrawl(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{Html, Urls}
-    val s = graft.GraftSession.noFuseSession(sParent)
     // gate placement per Urls.dedupByUrl's r16 note: conservative
     // raw-host gate before the exchange, exact canonical gate after
     // the aggregate (one row per distinct URL, not per fetch)
@@ -888,9 +885,8 @@ object DataOps {
     * synthesized page, resolved absolute against the page's own
     * canonical URL — the discovery half of the crawl loop
     * (Html.linkHrefs + Urls.resolveHref, both closed-form). */
-  def txExtractLinks(sParent: SparkSession, d: String): DataFrame = {
+  def txExtractLinks(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{Html, Urls}
-    val s = graft.GraftSession.noFuseSession(sParent)
     val pages = docs(s, d).select(col("doc_id"),
       Urls.canonicalize(
         Urls.syntheticUrl(col("doc_id"), col("source"))).as("base"),
@@ -913,9 +909,8 @@ object DataOps {
     * predicate before resolution, so the resolve+canon chain never
     * clones into a pushed-down null filter (the measured
     * filter-pushdown trap — see Html.extractMainText's scaladoc). */
-  def dsCrawlFrontier(sParent: SparkSession, d: String): DataFrame = {
+  def dsCrawlFrontier(s: SparkSession, d: String): DataFrame = {
     import graft.operators.{Html, Urls}
-    val s = graft.GraftSession.noFuseSession(sParent)
     val pages = docs(s, d).select(col("doc_id"),
       Urls.canonicalize(
         Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),

@@ -500,6 +500,79 @@ class UrlsSpec extends SparkSpec {
     }
   }
 
+  test("full-cascade kernel == staged cascade (adversarial fuzz + corpus)") {
+    import spark.implicits._
+    // piece pool spanning EVERY cascade rule's edges at once: schemes
+    // in all cases (valid, missing, scheme-shaped garbage), www and
+    // near-www hosts, default/other ports with and without paths,
+    // percent escapes in every validity class, dot segments in every
+    // position, tracking params in every slot (leading/middle/sole/
+    // repeated/prefix-named), empty and repeated '?', '&' runs, slash
+    // runs before query and end, fragments carrying separators,
+    // multi-byte text, whitespace padding
+    val scheme = Vector("http://", "HTTPS://", "hTtp://", "ftp://", "", "a+b://",
+      "1http://", "http:/", "http:")
+    val host = Vector("a.com", "WWW.A.com", "www.a.com", "wwwx.a.com",
+      "EX%41MPLE.com", "h%2Fost.com", "日本.jp", "", "www.")
+    val port = Vector("", ":80", ":443", ":8080", ":", ":80x", ":0080")
+    val path = Vector("", "/", "//", "/x", "/x/", "/x///", "/./x", "/a/../x",
+      "/../x", "/x/..", "/a//../x", "/%2E%2E/x", "/a./..b", "/%7Efoo",
+      "/%7e/%3f/%zz/%4", "/t~x", "/é/日本", "/.", "/..")
+    val query = Vector("", "?", "??", "?b=2&a=1", "?utm_source=f",
+      "?utm_a=1&utm_b=2", "?id=2&utm_source=f&z=9", "?ref=r&ref=s&b=2",
+      "?referrer=keep", "?gclid=g", "?fbclid=z&fbclid=y", "?utm_=1&utm=2",
+      "?a=1&&b=2", "?=", "?a", "?ref=", "?utm_x=%26&a=1", "?a=1?b=2",
+      "?REF=up", "?a=1&ref=x")
+    val frag = Vector("", "#f", "#frag?fake=1&z=2", "##", "#/../x")
+    val pad = Vector("", " ", "  ")
+    val rng = new scala.util.Random(17)
+    def pick(v: Vector[String]) = v(rng.nextInt(v.size))
+    val urls = (0 until 1200).map { _ =>
+      pick(pad) + pick(scheme) + pick(host) + pick(port) + pick(path) +
+        pick(query) + pick(frag) + pick(pad)
+    } ++ Seq("", " ", "not a url", "http://", "https://www.", "?utm_a=1",
+      "&gclid=x", "a?b?c&d", "http://a.com/x?utm_a=1&utm_b=2&utm_c=3",
+      "http://a.com:80?utm_source=f#f", "HTTP://WWW.EX%41MPLE.COM:80/./a/../b//?b=&a&utm_b=1#z")
+    val df = urls.toDF("u")
+    val rows = df.select(col("u"),
+        Urls.canonicalize(col("u")).as("k"),
+        Urls.canonicalizeStaged(col("u")).as("s"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"canon kernel mismatch on '${r.getString(0)}': " +
+          s"kernel='${r.getString(1)}' staged='${r.getString(2)}'")
+    }
+    // and over the registered corpus fixture (the shape the oracle
+    // replays at sf0.01)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Urls.syntheticUrl(col("doc_id"), col("source")).as("u"))
+      .select(col("u"), Urls.canonicalize(col("u")).as("k"),
+        Urls.canonicalizeStaged(col("u")).as("s"))
+      .collect()
+    corpus.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"corpus canon mismatch on '${r.getString(0)}'"))
+  }
+
+  test("full-cascade kernel: line-terminator inputs replay the staged regexes") {
+    import spark.implicits._
+    // java.util.regex '.'/'$' special-case line terminators; the
+    // kernel's slow path must stay bit-equal there too
+    val urls = Seq("http://a.com/x#f\nrest", "http://a.com:80\n/x",
+      "http://a.com/x?utm_a=1\n&b=2", "http://a.com/x/\n", "http://a.com/x#f\n",
+      "http://a\u2028.com/x#f", "http://a.com/x?a=\u00852&b=1#f\r\n",
+      "\nhttp://a.com/x", "http://a.com/x?b=2&a=1\r")
+    val rows = urls.toDF("u").select(col("u"),
+        Urls.canonicalize(col("u")).as("k"),
+        Urls.canonicalizeStaged(col("u")).as("s"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"slow-path mismatch on '${r.getString(0).replace("\n", "\\n")}': " +
+          s"kernel='${r.getString(1)}' staged='${r.getString(2)}'")
+    }
+  }
+
   test("hrefIsCandidate ≡ resolveHref yields a candidate (the cheap-gate law)") {
     import spark.implicits._
     val hrefs = Seq("#f", "", "mailto:x@y", "javascript:void(0)", "tel:+1",
