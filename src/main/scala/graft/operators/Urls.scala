@@ -354,6 +354,31 @@ object Urls {
         lit("&amp;"), lit("&")))
   }
 
+  /** File-level kind of a sitemaps.org body: 'index' when the body is
+    * a `<sitemapindex>` (its `<loc>` entries are CHILD SITEMAPS to
+    * fetch as sitemaps — the shape any site past the protocol's
+    * 50k-URL-per-file cap serves), 'urlset' otherwise (entries are
+    * page candidates). The protocol forbids mixing `<url>` and
+    * `<sitemap>` entries in one file, so kind is a property of the
+    * BODY, not of each entry — which keeps the parse closed-form (no
+    * per-entry parent tracking; [[sitemapLocs]] stays one extract)
+    * and the routing decision one predicate. Routing an index child
+    * into the page frontier mints fetch candidates that are XML
+    * files, and the pages it lists are never discovered. */
+  def sitemapKind(xml: Column): Column =
+    when(xml.rlike("<sitemapindex[\\s>]"), "index").otherwise(lit("urlset"))
+
+  /** `<loc>` entries of fetched sitemap bodies with their body's
+    * file-level [[sitemapKind]] and document position: (host, kind,
+    * pos, loc_url), loc_url entity-decoded verbatim (canonicalize
+    * downstream). 'urlset' rows are page candidates; 'index' rows are
+    * child sitemaps — [[graft.streaming.IngestCrawl.sitemapSeeds]]
+    * routes the two. Bounded by hosts × locs-per-body. */
+  def sitemapEntries(bodies: DataFrame, host: Column,
+                     xml: Column): DataFrame =
+    bodies.select(host.as("host"), sitemapKind(xml).as("kind"),
+      posexplode(sitemapLocs(xml)).as(Seq("pos", "loc_url")))
+
   /** Filter frontier candidates through robots rules with RFC 9309
     * §2.2.2/§2.2.3 precedence: among the rules matching the
     * candidate's canonical path+query (the part after the authority —
@@ -587,6 +612,24 @@ object Urls {
       lit(".EXAMPLE.COM:443/articles/9</loc></url>\n" +
         "<url><loc>https://"), lower(source),
       lit(".example.com/o&apos;brien&amp;amp;sons</loc></url>\n</urlset>\n"))
+
+  /** Deterministic `<sitemapindex>` fixture per host — the nested
+    * shape [[sitemapKind]] must route: every `<loc>` here is a CHILD
+    * SITEMAP reference, never a page. Exercises the same extraction
+    * edges as [[syntheticSitemap]] (whitespace-padded element content,
+    * an uppercase spelling, an `&amp;` entity in a query string) plus
+    * a `lastmod` sibling inside a `<sitemap>` entry. */
+  def syntheticSitemapIndex(source: Column): Column =
+    concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<sitemap><loc>https://"), lower(source),
+      lit(".example.com/pages-1.xml</loc>" +
+        "<lastmod>2024-02-01</lastmod></sitemap>\n" +
+        "<sitemap><loc>\n   https://"), lower(source),
+      lit(".example.com/pages-2.xml?v=1&amp;rev=2\n   </loc></sitemap>\n" +
+        "<sitemap><loc>HTTPS://WWW."), upper(source),
+      lit(".EXAMPLE.COM:443/news.xml</loc></sitemap>\n</sitemapindex>\n"))
 
   /** Deterministic URL fixture derived from (doc_id, source) — both
     * engines compute it identically, so canonicalization and dedup

@@ -998,6 +998,23 @@ object DataOps {
         .as(Seq("pos", "loc_url")))
   }
 
+  /** Sitemap-index routing: hosts alternate between a flat `<urlset>`
+    * body and a `<sitemapindex>` body (the shape any site past the
+    * protocol's 50k-URL cap serves). Kind is detected at the FILE
+    * level (the protocol forbids mixing entry kinds) and every
+    * `<loc>` inherits it — 'urlset' locs seed the page frontier,
+    * 'index' locs are CHILD SITEMAPS to fetch as sitemaps
+    * (IngestCrawl.sitemapSeeds routes the two; scheduling an index
+    * child as a page was the silently mis-routed pre-r17 shape). */
+  def txSitemapIndex(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val bodies = crawlHosts(s, d).select(col("host"),
+      when(pmod(length(col("source")), lit(2)) === 0,
+        Urls.syntheticSitemap(col("source")))
+        .otherwise(Urls.syntheticSitemapIndex(col("source"))).as("xml"))
+    Urls.sitemapEntries(bodies, col("host"), col("xml"))
+  }
+
   /** Wildcard-agent Crawl-delay per host over the same bodies. */
   def txRobotsDelays(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Urls
@@ -4487,6 +4504,57 @@ object DataOps {
                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                    '&apos;', ''''), '&amp;', '&') AS loc_url
           FROM lx""",
+    // sitemap-index routing: even-length sources serve the flat
+    // <urlset> fixture, odd-length the <sitemapindex> fixture; kind is
+    // a FILE-level property (the protocol forbids mixing entry kinds)
+    // inherited by every <loc>
+    "tx_sitemap_index" ->
+      s"""WITH rh AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
+                             source FROM documents),
+          sb AS (SELECT host,
+                   CASE WHEN length(source) % 2 = 0 THEN
+                   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+                   '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                   || chr(10) ||
+                   '<url><loc>https://' || lower(source) ||
+                   '.example.com/</loc><lastmod>2024-02-01</lastmod></url>'
+                   || chr(10) ||
+                   '<url><loc>' || chr(10) || '   https://' || lower(source) ||
+                   '.example.com/articles/7?a=1&amp;b=2' || chr(10) ||
+                   '   </loc></url>' || chr(10) ||
+                   '<url><loc>HTTPS://WWW.' || upper(source) ||
+                   '.EXAMPLE.COM:443/articles/9</loc></url>' || chr(10) ||
+                   '<url><loc>https://' || lower(source) ||
+                   '.example.com/o&apos;brien&amp;amp;sons</loc></url>'
+                   || chr(10) || '</urlset>' || chr(10)
+                   ELSE
+                   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+                   '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                   || chr(10) ||
+                   '<sitemap><loc>https://' || lower(source) ||
+                   '.example.com/pages-1.xml</loc>' ||
+                   '<lastmod>2024-02-01</lastmod></sitemap>' || chr(10) ||
+                   '<sitemap><loc>' || chr(10) || '   https://' || lower(source) ||
+                   '.example.com/pages-2.xml?v=1&amp;rev=2' || chr(10) ||
+                   '   </loc></sitemap>' || chr(10) ||
+                   '<sitemap><loc>HTTPS://WWW.' || upper(source) ||
+                   '.EXAMPLE.COM:443/news.xml</loc></sitemap>' || chr(10) ||
+                   '</sitemapindex>' || chr(10)
+                   END AS xml
+                 FROM rh),
+          lx AS (SELECT host,
+                   CASE WHEN regexp_matches(xml, '<sitemapindex[\\s>]')
+                        THEN 'index' ELSE 'urlset' END AS kind,
+                   generate_subscripts(regexp_extract_all(xml,
+                     '<loc>\\s*([^<]*?)\\s*</loc>', 1), 1) - 1 AS pos,
+                   unnest(regexp_extract_all(xml,
+                     '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS raw
+                 FROM sb)
+          SELECT host, kind, CAST(pos AS INT) AS pos,
+                 replace(replace(replace(replace(replace(raw,
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&apos;', ''''), '&amp;', '&') AS loc_url
+          FROM lx""",
     // the frontier under robots with LONGEST-MATCH precedence: among
     // the matching prefixes the longest wins, Allow winning length
     // ties — encoded as max(length*2 + allow_bit) per candidate path
@@ -5078,6 +5146,7 @@ object DataOps {
     "tx_robots_delays" -> txRobotsDelays _,
     "tx_robots_sitemaps" -> txRobotsSitemaps _, // group-UNscoped refs
     "tx_sitemap_locs" -> txSitemapLocs _, // <loc> + XML entity decode
+    "tx_sitemap_index" -> txSitemapIndex _, // urlset/index kind routing
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan

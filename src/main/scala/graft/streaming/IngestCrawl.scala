@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
@@ -228,6 +228,35 @@ object IngestCrawl {
     * cap (`perHostPerWave` for hosts publishing none), and the output
     * carries the applied `cap` column; capless runs keep the global
     * [[graft.operators.Urls.politeWaves]] shape. */
+  /** Route fetched sitemap BODIES (host, xml) into the two scopes the
+    * protocol defines — the step between "fetch what robotsSitemaps
+    * lists" and "seed [[nextWave]]":
+    *
+    *  - a `<urlset>` body's locs are PAGE candidates → returned first,
+    *    canonicalized, as `seeds` for [[nextWave]];
+    *  - a `<sitemapindex>` body's locs are CHILD SITEMAPS (any site
+    *    past the protocol's 50k-URL cap serves an index at its root)
+    *    → returned second as (host, sitemap_url) for the caller's
+    *    sitemap-FETCH loop; their bodies route through here again.
+    *
+    * Kind is detected at the FILE level ([[graft.operators.Urls
+    * .sitemapKind]] — the protocol forbids mixing entry kinds), so an
+    * index child is never scheduled as a page: fetching it as a page
+    * would admit an XML file into the corpus and lose every page it
+    * lists. Recursion is driver-side by design — sitemap trees are
+    * hosts-bounded and at most a few levels; each level is one
+    * bounded frame, never a corpus-sized plan. */
+  def sitemapSeeds(bodies: DataFrame, host: Column,
+                   xml: Column): (DataFrame, DataFrame) = {
+    val entries = Urls.sitemapEntries(bodies, host, xml)
+    val pages = entries.filter(col("kind") === "urlset")
+      .select(Urls.canonicalize(col("loc_url")).as("url")).distinct()
+    val children = entries.filter(col("kind") === "index")
+      .select(col("host"),
+        Urls.canonicalize(col("loc_url")).as("sitemap_url")).distinct()
+    (pages, children)
+  }
+
   def nextWave(spark: SparkSession, discoveredDir: String,
                fetchedDir: String,
                perHostPerWave: Int = 2,
@@ -236,8 +265,10 @@ object IngestCrawl {
                seeds: Option[DataFrame] = None): DataFrame = {
     // seeds: already-canonical URLs from OUTSIDE link discovery —
     // typically sitemap locs (Urls.robotsSitemaps → fetch →
-    // Urls.sitemapLocs → canonicalize), the only way pages nothing
-    // links to yet enter the loop. They join the candidate pool at
+    // [[sitemapSeeds]], whose page half lands here after index
+    // bodies are routed back to the sitemap-fetch loop), the only way
+    // pages nothing links to yet enter the loop. They join the
+    // candidate pool at
     // in-link evidence 0 (a discovered link always outranks a bare
     // listing within its host) and flow through the SAME fetched
     // scope, robots refilter and politeness window as discoveries —

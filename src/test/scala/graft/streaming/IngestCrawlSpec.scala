@@ -347,6 +347,67 @@ class IngestCrawlSpec extends SparkSpec {
       "a seed that is also discovered keeps its discovery evidence")
   }
 
+  test("sitemapSeeds: an index child is fetched as a sitemap, never " +
+      "scheduled as a page") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, concat}
+    // host a serves a <sitemapindex> at its root (any site past the
+    // protocol's 50k-URL cap does); host b a flat <urlset>
+    val bodies = Seq(
+      ("a.com",
+        """<?xml version="1.0"?>
+          |<sitemapindex>
+          |<sitemap><loc>https://a.com/pages-1.xml</loc></sitemap>
+          |<sitemap><loc>
+          |  HTTPS://WWW.A.COM:443/pages-2.xml
+          |</loc></sitemap>
+          |</sitemapindex>""".stripMargin),
+      ("b.com",
+        """<?xml version="1.0"?>
+          |<urlset>
+          |<url><loc>https://b.com/p1</loc></url>
+          |<url><loc>https://b.com/p2?x=1&amp;y=2</loc></url>
+          |</urlset>""".stripMargin))
+      .toDF("host", "xml")
+    val (pages, children) = IngestCrawl.sitemapSeeds(
+      bodies, col("host"), col("xml"))
+    val pageSet = pages.collect().map(_.getString(0)).toSet
+    val childSet = children.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // the index children are in the sitemap-fetch scope, canonical
+    assert(childSet == Set(("a.com", "https://a.com/pages-1.xml"),
+      ("a.com", "https://a.com/pages-2.xml")), s"children: $childSet")
+    // and NOT in the page-seed frame; the urlset locs are
+    assert(pageSet == Set("https://b.com/p1", "https://b.com/p2?x=1&y=2"),
+      s"pages: $pageSet")
+    // close the loop: fetching a child body as a sitemap yields ITS
+    // pages as seeds on the next level
+    val childBody = Seq(("a.com",
+      "<urlset><url><loc>https://a.com/deep/1</loc></url></urlset>"))
+      .toDF("host", "xml")
+    val (deepPages, deepChildren) = IngestCrawl.sitemapSeeds(
+      childBody, col("host"), col("xml"))
+    assert(deepChildren.isEmpty)
+    assert(deepPages.collect().map(_.getString(0)).toSet ==
+      Set("https://a.com/deep/1"))
+    // and the page half schedules through nextWave with NO index
+    // child ever entering the page frontier
+    val disc = java.nio.file.Files.createTempDirectory("ic_si_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_si_f").toString
+    Seq(("https://b.com/p1", "https://b.com/ref"))
+      .toDF("url", "referrer")
+      .write.parquet(s"$disc/batch_0")
+    spark.createDataFrame(Seq.empty[(String, String)])
+      .toDF("canon_url", "verdict").write.parquet(s"$fetched/batch_0")
+    val wave = IngestCrawl.nextWave(spark, disc, fetched,
+        seeds = Some(pages))
+      .collect().map(_.getString(0)).toSet
+    assert(wave == Set("https://b.com/p1", "https://b.com/p2?x=1&y=2"),
+      s"wave: $wave")
+    assert(!wave.exists(_.endsWith(".xml")),
+      "no sitemap file may be scheduled as a page fetch")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
