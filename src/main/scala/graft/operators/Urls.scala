@@ -270,6 +270,40 @@ object Urls {
       .filter(col("agent") === "*")
       .select("host", "grp").distinct()
 
+  /** RFC 9309 §2.2.1 group selection: the groups a crawler with
+    * `productToken` must obey, per host. A group's agent token
+    * matches case-insensitively when it is the product token or a
+    * PREFIX of it (the hierarchical-product-token reading — group
+    * `graftbot` binds products `graftbot-news` and `graftbot`; a
+    * token that is merely a substring, like `bot` for `graftbot`,
+    * does NOT match). Among matching tokens the LONGEST wins (most
+    * specific), every group carrying that winning token contributes,
+    * and the chosen groups REPLACE the wildcard groups — they never
+    * union with them. Hosts with no matching token fall back to
+    * their `*` groups. `None` = wildcard-only (the anonymous-crawler
+    * default every pre-r17 row uses). Bounded by hosts × agent
+    * lines; one host-keyed max + semi-join, broadcast-sized. */
+  private def chosenGroups(lines: DataFrame,
+                           productToken: Option[String]): DataFrame =
+    productToken match {
+      case None => starGroups(lines)
+      case Some(a) =>
+        val p = a.toLowerCase
+        val toks = lines.filter(col("is_agent"))
+          .select(col("host"), col("grp"),
+            lower(trim(substring_index(col("line"), ":", -1))).as("tok"))
+        val matched = toks.filter(col("tok") =!= "*" && col("tok") =!= "" &&
+          lit(p).startsWith(col("tok")))
+        val best = matched.groupBy("host")
+          .agg(max(length(col("tok"))).as("blen"))
+        val specific = matched.join(best, Seq("host"))
+          .filter(length(col("tok")) === col("blen"))
+          .select("host", "grp").distinct()
+        specific.unionByName(
+          starGroups(lines).join(specific.select("host").distinct(),
+            Seq("host"), "left_anti"))
+    }
+
   /** robots.txt access rules for the wildcard agent — Disallow AND
     * Allow prefixes (RFC 9309 §2.2.2), the access half of crawl
     * politeness ([[politeWaves]] / [[robotsDelays]] are the rate
@@ -287,8 +321,15 @@ object Urls {
     *    emitted as written; [[robotsFilter]] compiles it.
     *
     * Yields (host, prefix, allow); [[robotsFilter]] applies the
-    * most-specific-match precedence. */
-  def robotsRules(df: DataFrame, host: Column, body: Column): DataFrame = {
+    * most-specific-match precedence.
+    *
+    * `agent` (r17): a crawler's product token — groups are chosen per
+    * RFC 9309 §2.2.1 ([[chosenGroups]]: longest case-insensitive
+    * token-prefix match wins and REPLACES the wildcard group; no
+    * match falls back to `*`). Default `None` keeps the wildcard-only
+    * reading. */
+  def robotsRules(df: DataFrame, host: Column, body: Column,
+                  agent: Option[String] = None): DataFrame = {
     val lines = robotsLines(df, host, body)
     lines
       .filter(lower(col("line")).rlike("^(disallow|allow):"))
@@ -296,7 +337,7 @@ object Urls {
         lower(col("line")).startsWith("allow:").as("allow"),
         trim(expr("substring(line, instr(line, ':') + 1)")).as("prefix"))
       .filter(col("prefix") =!= "")
-      .join(starGroups(lines), Seq("host", "grp"), "left_semi")
+      .join(chosenGroups(lines, agent), Seq("host", "grp"), "left_semi")
       .select("host", "prefix", "allow").distinct()
   }
 
@@ -305,15 +346,19 @@ object Urls {
     * sites and honored by every major crawler). Non-numeric values
     * are ignored; multiple wildcard groups keep the MAX (the polite
     * reading). Yields (host, delay_s) — hosts without a delay are
-    * absent (callers supply the default). */
-  def robotsDelays(df: DataFrame, host: Column, body: Column): DataFrame = {
+    * absent (callers supply the default). `agent`: same RFC 9309
+    * §2.2.1 group choice as [[robotsRules]] — the delay BINDS to the
+    * chosen group, so a crawler obeying a specific group's rules
+    * obeys that group's delay too, never the wildcard's. */
+  def robotsDelays(df: DataFrame, host: Column, body: Column,
+                   agent: Option[String] = None): DataFrame = {
     val lines = robotsLines(df, host, body)
     lines
       .filter(lower(col("line")).startsWith("crawl-delay:"))
       .select(col("host"), col("grp"),
         trim(expr("substring(line, instr(line, ':') + 1)")).as("v"))
       .filter(col("v").rlike("^[0-9]+$"))
-      .join(starGroups(lines), Seq("host", "grp"), "left_semi")
+      .join(chosenGroups(lines, agent), Seq("host", "grp"), "left_semi")
       .groupBy("host").agg(max(col("v").cast("long")).as("delay_s"))
   }
 
@@ -572,7 +617,11 @@ object Urls {
     * references at the body tail (r16) — one per host plus a
     * case-varied, inline-commented second on m=1 hosts, sitting
     * INSIDE the last agent group to prove the directive is parsed
-    * group-UNSCOPED. */
+    * group-UNSCOPED; specific-agent groups for the §2.2.1
+    * product-token choice (r17) — `graftbot-news` on m=1, a
+    * `graftbot` + `graftbot-news` pair on m=2 (longest match must
+    * win), neither on m∈{0,3} (the `*` fallback, with the top `bot`
+    * group proving substring-but-not-prefix tokens never match). */
   def syntheticRobots(source: Column): Column = {
     val m = pmod(length(source), lit(4))
     concat(
@@ -588,7 +637,24 @@ object Urls {
           "User-agent: *\n\n# both bots\nUser-agent: other\nDisallow: /x\nCrawl-delay: 4\n")),
       lit("Sitemap: https://"), lower(source), lit(".example.com/sitemap.xml\n"),
       when(m === 1, concat(lit("sitemap: https://"), lower(source),
-        lit(".example.com/news.xml # primary\n"))).otherwise(lit("")))
+        lit(".example.com/news.xml # primary\n"))).otherwise(lit("")),
+      // r17: specific-agent groups for the §2.2.1 product-token rows.
+      // m=1 hosts carry ONLY the most-specific group (its rules must
+      // REPLACE the '*' group's /a + /articles/ carve-out wholesale);
+      // m=2 hosts carry BOTH a shorter prefix-matching group and the
+      // specific one (longest token must win; the /g rule must not
+      // leak). m∈{0,3} hosts carry neither — for product
+      // 'graftbot-news' they exercise the '*' fallback, and the 'bot'
+      // group up top proves a substring-but-not-prefix token never
+      // matches.
+      when(m === 1, lit(
+        "User-agent: graftbot-news\nDisallow: /news-archive\n" +
+          "Allow: /news-archive/today\nCrawl-delay: 7\n"))
+        .when(m === 2, lit(
+          "User-agent: graftbot\nDisallow: /g\n" +
+            "User-agent: graftbot-news\nDisallow: /news-archive\n" +
+            "Allow: /news-archive/today\nCrawl-delay: 7\n"))
+        .otherwise(lit("")))
   }
 
   /** Deterministic sitemaps.org XML fixture per host — both engines

@@ -979,6 +979,28 @@ object DataOps {
   def txRobotsRules(s: SparkSession, d: String): DataFrame =
     crawlRobotsRules(s, d)
 
+  /** RFC 9309 §2.2.1 group choice for [[crawlProductToken]]: m=1/m=2
+    * hosts' specific groups REPLACE their `*` rules (m=2 additionally
+    * proves longest-token-wins over the shorter `graftbot` group);
+    * m∈{0,3} hosts fall back to `*` — and the top `bot` group, a
+    * substring but not a prefix of the product token, never binds. */
+  def txRobotsAgentRules(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val hosts = crawlHosts(s, d)
+    Urls.robotsRules(hosts, col("host"), Urls.syntheticRobots(col("source")),
+      agent = Some(crawlProductToken))
+  }
+
+  /** Crawl-delay under the same §2.2.1 group choice — the delay binds
+    * to the CHOSEN group (7 on m∈{1,2} hosts, the `*` delays on the
+    * fallback hosts). */
+  def txRobotsAgentDelays(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val hosts = crawlHosts(s, d)
+    Urls.robotsDelays(hosts, col("host"), Urls.syntheticRobots(col("source")),
+      agent = Some(crawlProductToken))
+  }
+
   /** Sitemap references per host over the same bodies (group-UNscoped
     * per RFC 9309 §2.3 — the frontier-seeding complement of link
     * discovery). */
@@ -2130,7 +2152,19 @@ object DataOps {
                 || (CASE WHEN length(source) % 4 = 1
                     THEN 'sitemap: https://' || lower(source)
                          || '.example.com/news.xml # primary' || chr(10)
-                    ELSE '' END) AS body
+                    ELSE '' END)
+                || (CASE length(source) % 4
+                      WHEN 1 THEN 'User-agent: graftbot-news' || chr(10)
+                        || 'Disallow: /news-archive' || chr(10)
+                        || 'Allow: /news-archive/today' || chr(10)
+                        || 'Crawl-delay: 7' || chr(10)
+                      WHEN 2 THEN 'User-agent: graftbot' || chr(10)
+                        || 'Disallow: /g' || chr(10)
+                        || 'User-agent: graftbot-news' || chr(10)
+                        || 'Disallow: /news-archive' || chr(10)
+                        || 'Allow: /news-archive/today' || chr(10)
+                        || 'Crawl-delay: 7' || chr(10)
+                      ELSE '' END) AS body
               FROM rh),
        rl0 AS (SELECT host,
                  generate_subscripts(string_split(body, chr(10)), 1) AS pos,
@@ -2182,6 +2216,48 @@ object DataOps {
                   || CASE WHEN substr(prefix, length(prefix), 1) = '$'
                           THEN '' ELSE '%' END AS pat
                 FROM rules)"""
+
+  /** The engine's crawler product token — the §2.2.1 group-choice
+    * rows bind to it. The fixture's `bot` group is a substring but
+    * not a prefix of it (must never match); `graftbot` (m=2 hosts) is
+    * a shorter prefix (must lose to `graftbot-news`). */
+  val crawlProductToken = "graftbot-news"
+
+  /** RFC 9309 §2.2.1 group choice mirrored in SQL (appended after
+    * [[robotsRulesCtes]]): agent tokens per group → case-insensitive
+    * token-prefix matches against the product token → longest token
+    * wins per host, chosen groups REPLACE the wildcard groups,
+    * no-match hosts fall back to `ra` (the `*` groups). `arules` /
+    * `adelays` are the agent-scoped twins of `rules` / `delays`. */
+  private val robotsAgentCtes: String =
+    s"""rt AS (SELECT DISTINCT host, grp,
+                 lower(trim(substr(line, strpos(line, ':') + 1))) AS tok
+               FROM rg WHERE is_agent),
+        rm AS (SELECT host, grp, tok FROM rt
+               WHERE tok <> '*' AND tok <> ''
+                 AND starts_with('$crawlProductToken', tok)),
+        rmb AS (SELECT host, max(length(tok)) AS blen FROM rm GROUP BY host),
+        rsel AS (SELECT DISTINCT rm.host, rm.grp
+                 FROM rm JOIN rmb ON rm.host = rmb.host
+                 WHERE length(rm.tok) = rmb.blen
+                 UNION
+                 SELECT ra.host, ra.grp FROM ra
+                 WHERE ra.host NOT IN (SELECT host FROM rmb)),
+        arules AS (SELECT DISTINCT d.host, d.prefix, d.allow FROM
+                   (SELECT host, grp,
+                      lower(line) LIKE 'allow:%' AS allow,
+                      trim(substr(line, strpos(line, ':') + 1)) AS prefix
+                    FROM rg
+                    WHERE regexp_matches(lower(line), '^(disallow|allow):')) d
+                   JOIN rsel ON d.host = rsel.host AND d.grp = rsel.grp
+                   WHERE d.prefix <> ''),
+        adelays AS (SELECT d.host, max(CAST(d.v AS BIGINT)) AS delay_s FROM
+                    (SELECT host, grp,
+                       trim(substr(line, strpos(line, ':') + 1)) AS v
+                     FROM rg WHERE lower(line) LIKE 'crawl-delay:%') d
+                    JOIN rsel ON d.host = rsel.host AND d.grp = rsel.grp
+                    WHERE regexp_matches(d.v, '^[0-9]+$$')
+                    GROUP BY d.host)"""
 
   /** Html.syntheticPage mirrored as one SQL expression over the
     * columns `text`/`source` — shared by the extraction cascade and
@@ -4471,6 +4547,15 @@ object DataOps {
     "tx_robots_sitemaps" ->
       s"""WITH $robotsRulesCtes
           SELECT host, sitemap_url FROM sitemaps""",
+    // RFC 9309 §2.2.1 product-token group choice: longest matching
+    // token-prefix wins and REPLACES the wildcard group; substring
+    // non-matches and no-match hosts fall back to '*'
+    "tx_robots_agent_rules" ->
+      s"""WITH $robotsRulesCtes, $robotsAgentCtes
+          SELECT host, prefix, allow FROM arules""",
+    "tx_robots_agent_delays" ->
+      s"""WITH $robotsRulesCtes, $robotsAgentCtes
+          SELECT host, delay_s FROM adelays""",
     // sitemap CONTENT: <loc> extraction (whitespace-insensitive,
     // document order) + one-pass XML predefined-entity decode, &amp;
     // last so &amp;amp; yields a literal &amp;
@@ -5145,6 +5230,8 @@ object DataOps {
     "tx_robots_rules" -> txRobotsRules _,
     "tx_robots_delays" -> txRobotsDelays _,
     "tx_robots_sitemaps" -> txRobotsSitemaps _, // group-UNscoped refs
+    "tx_robots_agent_rules" -> txRobotsAgentRules _, // §2.2.1 group choice
+    "tx_robots_agent_delays" -> txRobotsAgentDelays _, // delay per chosen group
     "tx_sitemap_locs" -> txSitemapLocs _, // <loc> + XML entity decode
     "tx_sitemap_index" -> txSitemapIndex _, // urlset/index kind routing
     "ds_crawl_robots" -> dsCrawlRobots _,

@@ -216,6 +216,66 @@ class UrlsSpec extends SparkSpec {
       ("h.com", "/a/pub", true), ("h.com", "/c", false)), s"rules: $rules")
   }
 
+  test("robotsRules/Delays with a product token: RFC 9309 §2.2.1 group " +
+      "choice — longest prefix match REPLACES '*', substring non-matches " +
+      "fall back, delay binds to the chosen group") {
+    import spark.implicits._
+    val bodies = Seq(
+      // h1: specific + shorter-prefix + '*' — the LONGEST matching
+      // token (graftbot-news) must win; graftbot's /g and the '*'
+      // rules must not leak; delay = the chosen group's 7, not 2
+      ("h1.com",
+        """User-agent: *
+          |Disallow: /a
+          |Allow: /articles/
+          |Crawl-delay: 2
+          |User-agent: graftbot
+          |Disallow: /g
+          |Crawl-delay: 4
+          |User-agent: GraftBot-News
+          |Disallow: /news-archive
+          |Allow: /news-archive/today
+          |Crawl-delay: 7
+          |""".stripMargin),
+      // h2: 'bot' is a SUBSTRING of graftbot-news but not a prefix —
+      // never matches; the host falls back to '*'
+      ("h2.com",
+        """User-agent: bot
+          |Disallow: /
+          |Crawl-delay: 9
+          |User-agent: *
+          |Disallow: /x
+          |Crawl-delay: 3
+          |""".stripMargin),
+      // h3: a matching group REPLACES '*' even when it RELAXES — the
+      // chosen group has an empty Disallow (allow-all) and no delay,
+      // so the host yields NO rules and NO delay despite '*' having
+      // both
+      ("h3.com",
+        """User-agent: *
+          |Disallow: /
+          |Crawl-delay: 5
+          |User-agent: graftbot-news
+          |Disallow:
+          |""".stripMargin))
+      .toDF("host", "body")
+    val agent = Some("graftbot-news")
+    val rules = Urls.robotsRules(bodies, col("host"), col("body"), agent)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    assert(rules == Set(
+      ("h1.com", "/news-archive", false), ("h1.com", "/news-archive/today", true),
+      ("h2.com", "/x", false)), s"rules: $rules")
+    val delays = Urls.robotsDelays(bodies, col("host"), col("body"), agent)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(delays == Map("h1.com" -> 7L, "h2.com" -> 3L), s"delays: $delays")
+    // the default (None) keeps the wildcard-only reading
+    val star = Urls.robotsRules(bodies, col("host"), col("body"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(star == Set(("h1.com", "/a"), ("h1.com", "/articles/"),
+      ("h2.com", "/x"), ("h3.com", "/")), s"star: $star")
+  }
+
   test("robotsDelays: wildcard groups only, numeric only, max across groups") {
     import spark.implicits._
     val body =
