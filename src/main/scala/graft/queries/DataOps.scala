@@ -822,6 +822,11 @@ object DataOps {
   /** Thin-content cut for the crawl composite. */
   val crawlMinTokens = 20
 
+  /** Domain-gate keep-rate bar (percent) for the gate-first curation
+    * composite — corpus-calibrated so both gate branches are live at
+    * the oracle scale. */
+  val domainKeepPct = 90
+
   /** The crawl front door COMPOSED (C4's opening stages in one plan):
     * URL canonicalize → domain blocklist → exact-URL keep-first —
     * with the page PAYLOAD riding the min-struct through the one
@@ -880,6 +885,48 @@ object DataOps {
         sum(col("n_fetches")).as("n_fetches"),
         sum(col("n_tokens")).as("sum_tokens"))
       .withColumn("quality_ok", col("n_kept") * 2 >= col("n_pages"))
+
+  /** The C4/RefinedWeb curation order COMPOSED — domain gate BEFORE
+    * per-doc filters: crawl front door → per-host keep-rate gate
+    * (dsHostQuality's integer verdict, computed here as ONE host-keyed
+    * window over the winners so the front door runs once per branch
+    * instead of twice via a dsCrawl+dsHostQuality join) → repetition /
+    * LM / dedup audit over the survivors only. Gate-first is
+    * semantics, not just cost: a spam-domain page never competes in
+    * dedup, so it cannot suppress the clean copy of its text on a
+    * quality domain as 'duplicate'. Per-doc drop accounting makes
+    * `domain` a first-class verdict stage:
+    * domain | thin | repetition | lm | duplicate | kept.
+    *
+    * The gate bar is [[domainKeepPct]]% as an integer comparison
+    * (n_kept·100 ≥ n_pages·pct — no float boundary to flip between
+    * engines), calibrated to this corpus like curateMaxNll: 90 splits
+    * the synthetic hosts (the thin-rate varies per source), where
+    * dsHostQuality's 50% audit bar passes everyone. */
+  def dsCurateDomain(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    import org.apache.spark.sql.expressions.Window
+    val hw = Window.partitionBy("host")
+    val g = dsCrawl(s, d)
+      .withColumn("host", Urls.hostOf(col("canon_url")))
+      .withColumn("domain_ok",
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).over(hw) * 100 >=
+          count(lit(1)).over(hw) * domainKeepPct)
+      .select(col("doc_id"), col("host"),
+        col("verdict").as("page_verdict"), col("domain_ok"))
+    val survivors = docs(s, d)
+      .join(g.filter(col("domain_ok") && col("page_verdict") === "kept")
+        .select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val cur = Curation.audit(survivors, col("text"), col("doc_id"), lmRef(s, d),
+        3, jaccardThreshold, curateMaxTop2, curateMaxDup5, curateMaxNll)
+      .withColumnRenamed("verdict", "cur_verdict")
+    g.join(cur, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"),
+        when(!col("domain_ok"), "domain")
+          .when(col("page_verdict") === "thin", "thin")
+          .otherwise(col("cur_verdict")).as("verdict"))
+  }
 
   /** Link extraction + resolution: every anchor href of every
     * synthesized page, resolved absolute against the page's own
@@ -3473,8 +3520,8 @@ object DataOps {
 
   /** Full tx_rep_ngrams / tx_lm_score statements, shared so the
     * curation composite can nest them as scoped sub-CTEs. */
-  private val repNgramsSql =
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private def repNgramsSqlOver(rel: String) =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel),
          base AS (SELECT doc_id, list_sum(list_transform(toks, t -> length(t))) AS total_chars FROM d),
          t2 AS (SELECT doc_id, cnt * (length(gram) - 1) AS num
                 FROM (SELECT doc_id, gram, count(*) AS cnt
@@ -3518,8 +3565,13 @@ object DataOps {
               LEFT JOIN t4 USING (doc_id) LEFT JOIN h5 USING (doc_id)
               LEFT JOIN h10 USING (doc_id)"""
 
-  private val lmScoreSql =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+  private val repNgramsSql = repNgramsSqlOver("documents")
+
+  // the LM always TRAINS on the full corpus' trusted slice (the Scala
+  // twin passes lmRef(s, d) regardless of the scored subset); only the
+  // scored relation is parameterized
+  private def lmScoreSqlOver(rel: String) =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel),
           r AS (SELECT string_split(text, ' ') AS toks FROM documents
                 WHERE source IN ($lmRefSourcesSql)),
           rb AS (SELECT toks[i] AS ctx, toks[i+1] AS nxt
@@ -3539,16 +3591,20 @@ object DataOps {
           SELECT d.doc_id, coalesce(g.n_bigrams, 0) AS n_bigrams, g.avg_nll
           FROM d LEFT JOIN g ON d.doc_id = g.doc_id"""
 
-  /** Shared curate-verdict SQL (per-doc verdict) — reused by the
-    * end-to-end pipeline oracle. */
-  private val curateVerdictSql: String =
-    s"""WITH rep AS ($repNgramsSql),
-          lmsc AS ($lmScoreSql),
+  private val lmScoreSql = lmScoreSqlOver("documents")
+
+  /** Shared curate-verdict SQL (per-doc verdict over `rel`) — reused
+    * by the end-to-end pipeline oracle ("documents") and the domain
+    * composite (the crawl survivors; dedup then competes only inside
+    * the gated set — the C4 gate-first order). */
+  private def curateVerdictSqlOver(rel: String): String =
+    s"""WITH rep AS (${repNgramsSqlOver(rel)}),
+          lmsc AS (${lmScoreSqlOver(rel)}),
           flags AS (SELECT dd.doc_id, dd.text,
                       (r.top_2gram_frac > $curateMaxTop2
                         OR r.dup_5gram_frac > $curateMaxDup5) AS rep_fail,
                       (sc.avg_nll IS NULL OR sc.avg_nll > $curateMaxNll) AS lm_fail
-                    FROM documents dd JOIN rep r ON dd.doc_id = r.doc_id
+                    FROM $rel dd JOIN rep r ON dd.doc_id = r.doc_id
                          JOIN lmsc sc ON dd.doc_id = sc.doc_id),
           quality AS (SELECT doc_id, text FROM flags WHERE NOT rep_fail AND NOT lm_fail),
           ${lshPairsCteOver("quality")},
@@ -3571,6 +3627,8 @@ object DataOps {
                       WHEN k.doc_id IS NULL THEN 'duplicate'
                       ELSE 'kept' END AS verdict
           FROM flags f LEFT JOIN kept k ON f.doc_id = k.doc_id"""
+
+  private val curateVerdictSql: String = curateVerdictSqlOver("documents")
 
   /** DSIR replay: same gram stream (unigrams + bigrams), same md5
     * bucket hash, same add-one bucket model, same micro-nat rounding
@@ -4787,6 +4845,36 @@ object DataOps {
                  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
                  (2 * sum(k) >= count(*)) AS quality_ok
           FROM h GROUP BY host""",
+    // the C4 gate-first curation composite: crawl front door →
+    // per-host integer keep-rate gate → repetition/LM/dedup audit over
+    // the SURVIVORS only (dedup competes inside the gated set);
+    // verdicts: domain | thin | repetition | lm | duplicate | kept
+    "ds_curate_domain" ->
+      // outer CTE names are deliberately collision-free vs the names
+      // NESTED inside the spliced curation SQL (d/s/g/rep/…): DuckDB
+      // 1.0's binder mis-resolves a same-name CTE across nesting
+      // levels here (reported as a bogus circular-reference error)
+      s"""WITH cdc AS MATERIALIZED ($crawlCompositeSql),
+          cdw AS (SELECT cdc.*, regexp_extract(canon_url,
+                  '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host
+                FROM cdc),
+          cdh AS (SELECT host,
+                   (100 * sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+                      >= $domainKeepPct * count(*)) AS domain_ok
+                 FROM cdw GROUP BY host),
+          cdg AS MATERIALIZED (SELECT cdw.doc_id, cdw.host,
+                       cdw.verdict AS page_verdict, cdh.domain_ok
+                FROM cdw JOIN cdh ON cdw.host = cdh.host),
+          cdsurv AS MATERIALIZED (SELECT dd0.doc_id, dd0.text
+                   FROM documents dd0
+                   JOIN cdg ON dd0.doc_id = cdg.doc_id
+                   WHERE cdg.domain_ok AND cdg.page_verdict = 'kept'),
+          cdcur AS (${curateVerdictSqlOver("cdsurv")})
+          SELECT cdg.doc_id, cdg.host,
+                 CASE WHEN NOT cdg.domain_ok THEN 'domain'
+                      WHEN cdg.page_verdict = 'thin' THEN 'thin'
+                      ELSE cdcur.verdict END AS verdict
+          FROM cdg LEFT JOIN cdcur ON cdg.doc_id = cdcur.doc_id""",
     "ds_split" ->
       """WITH s AS (SELECT doc_id,
                  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -5239,6 +5327,7 @@ object DataOps {
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan
     "ds_crawl_waves" -> dsCrawlWaves _, // wave-density invariant twin
     "ds_host_quality" -> dsHostQuality _, // domain-level keep-rate gate
+    "ds_curate_domain" -> dsCurateDomain _, // gate-first curation composite
     "tx_url_canon" -> txUrlCanon _,
     "dd_url_dedup" -> ddUrlDedup _,
     "ds_crawl" -> dsCrawl _,

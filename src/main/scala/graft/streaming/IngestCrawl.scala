@@ -228,6 +228,25 @@ object IngestCrawl {
     * cap (`perHostPerWave` for hosts publishing none), and the output
     * carries the applied `cap` column; capless runs keep the global
     * [[graft.operators.Urls.politeWaves]] shape. */
+  /** Per-host quality over the fetched LEDGER — the streaming twin of
+    * the batch domain gate (DataOps.dsCurateDomain), same integer
+    * keep-rate verdict: (host, n_pages, n_kept, quality_ok). Reads
+    * the ledger LAYERED (settled frontier + live batch deltas), so
+    * each evaluation sees every verdict landed so far — the stats
+    * refresh as batches land and compact at each settle; a plan built
+    * here and handed to [[nextWave]] prices one hosts-bounded
+    * aggregate over the ledger. */
+  def hostQuality(spark: SparkSession, fetchedDir: String,
+                  keepPct: Int = graft.queries.DataOps.domainKeepPct)
+      : DataFrame =
+    Frontier.readLayered(spark, fetchedDir)
+      .select(Urls.hostOf(col("canon_url")).as("host"),
+        when(col("verdict") === "kept", 1L).otherwise(0L).as("k"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"))
+      .withColumn("quality_ok",
+        col("n_kept") * 100 >= col("n_pages") * keepPct)
+
   /** Route fetched sitemap BODIES (host, xml) into the two scopes the
     * protocol defines — the step between "fetch what robotsSitemaps
     * lists" and "seed [[nextWave]]":
@@ -262,7 +281,8 @@ object IngestCrawl {
                perHostPerWave: Int = 2,
                robotsRules: Option[DataFrame] = None,
                hostCaps: Option[DataFrame] = None,
-               seeds: Option[DataFrame] = None): DataFrame = {
+               seeds: Option[DataFrame] = None,
+               hostQuality: Option[DataFrame] = None): DataFrame = {
     // seeds: already-canonical URLs from OUTSIDE link discovery —
     // typically sitemap locs (Urls.robotsSitemaps → fetch →
     // [[sitemapSeeds]], whose page half lands here after index
@@ -286,11 +306,27 @@ object IngestCrawl {
       case Some(r) => Urls.robotsFilter(scoped, col("url"), r)
       case None => scoped
     }
+    // domain-quality gate (r17): candidates on hosts the fetched
+    // ledger has CONDEMNED (`!quality_ok` — [[hostQuality]]) are
+    // dropped before scheduling; hosts with no verdict evidence yet
+    // stay schedulable (a gate can't condemn without evidence). The
+    // C4 order live: a spam host stops being crawled as soon as its
+    // verdict stats land, without waiting for per-doc filters to
+    // reject each fetch one by one. Broadcast: bounded by hosts.
+    val gated = hostQuality match {
+      case Some(hq) => allowed
+        .withColumn("__h", Urls.hostOf(col("url")))
+        .join(broadcast(hq.select(col("host").as("__h"), col("quality_ok"))),
+          Seq("__h"), "left")
+        .filter(coalesce(col("quality_ok"), lit(true)))
+        .drop("__h", "quality_ok")
+      case None => allowed
+    }
     hostCaps match {
-      case Some(caps) => Urls.politeWavesCapped(allowed, col("url"),
+      case Some(caps) => Urls.politeWavesCapped(gated, col("url"),
         col("n_refs"), caps, perHostPerWave)
       case None =>
-        Urls.politeWaves(allowed, col("url"), col("n_refs"), perHostPerWave)
+        Urls.politeWaves(gated, col("url"), col("n_refs"), perHostPerWave)
     }
   }
 }

@@ -347,6 +347,62 @@ class IngestCrawlSpec extends SparkSpec {
       "a seed that is also discovered keeps its discovery evidence")
   }
 
+  test("hostQuality gate: a host that turns low-quality stops being " +
+      "scheduled; evidence-less hosts stay schedulable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_hq_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_hq_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_hq_f").toString
+    def richPage(links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"w$i").mkString(" ") + "</p></div></body></html>"
+    val thinPage = "<html><body><div><p>tiny</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    // settle every batch so the gate's refresh-at-settle path runs
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      settleEvery = 1, discoveredDir = Some(disc), fetchedDir = Some(fetched))
+    try {
+      // batch 0: host a is healthy (2 kept pages, links to more)
+      input.addData(
+        (1L, "http://a.com/p1", richPage("<a href=\"/n1\">n</a>")),
+        (2L, "http://a.com/p2", richPage("<a href=\"/n2\">n</a>")))
+      q.processAllAvailable()
+      val hq0 = IngestCrawl.hostQuality(spark, fetched, keepPct = 60)
+        .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+      assert(hq0 == Map("a.com" -> true), s"hq0: $hq0")
+      val wave0 = IngestCrawl.nextWave(spark, disc, fetched,
+          hostQuality = Some(IngestCrawl.hostQuality(spark, fetched, 60)))
+        .collect().map(_.getString(0)).toSet
+      assert(wave0 == Set("http://a.com/n1", "http://a.com/n2"),
+        s"wave0: $wave0")
+      // batch 1: host a turns into a thin-content farm (3 thin
+      // fetches flip its keep rate under 60%); host b arrives healthy
+      input.addData(
+        (3L, "http://a.com/t1", thinPage), (4L, "http://a.com/t2", thinPage),
+        (5L, "http://a.com/t3", thinPage),
+        (6L, "http://b.com/p1", richPage("<a href=\"/m1\">m</a>" +
+          "<a href=\"http://c.com/x\">c</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hq = IngestCrawl.hostQuality(spark, fetched, keepPct = 60)
+    val verdicts = hq.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // a: 5 pages, 2 kept → condemned; b: 1/1 → ok
+    assert(verdicts("a.com") == ((5L, 2L, false)), s"verdicts: $verdicts")
+    assert(verdicts("b.com") == ((1L, 1L, true)), s"verdicts: $verdicts")
+    val wave1 = IngestCrawl.nextWave(spark, disc, fetched,
+        hostQuality = Some(hq))
+      .collect().map(_.getString(0)).toSet
+    // a's still-unfetched candidates are GONE; b's discovery is
+    // scheduled; c.com (no fetch evidence) stays schedulable
+    assert(wave1 == Set("http://b.com/m1", "http://c.com/x"),
+      s"wave1: $wave1")
+  }
+
   test("sitemapSeeds: an index child is fetched as a sitemap, never " +
       "scheduled as a page") {
     import spark.implicits._
