@@ -1172,6 +1172,59 @@ object DataOps {
       caps, crawlPerHostPerWave)
   }
 
+  /** The batch crawl's seed frame — the surface [[graft.streaming
+    * .IngestCrawl.nextWave]] already has, for the batch twin: the
+    * hosts' sitemap `<loc>`s, canonicalized, PLUS one planted
+    * already-fetched URL per host (each source's min-doc canonical
+    * URL — by construction in the crawled corpus) so the fetched-seed
+    * exclusion branch is live and oracle-checked. */
+  def crawlSeeds(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val locs = crawlHosts(s, d)
+      .select(explode(
+        Urls.sitemapLocs(Urls.syntheticSitemap(col("source")))).as("loc"))
+      .select(Urls.canonicalize(col("loc")).as("url")).distinct()
+    val planted = docs(s, d).groupBy(col("source"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(Urls.canonicalize(
+        Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
+    locs.unionByName(planted)
+  }
+
+  /** [[dsCrawlPolite]] with the sitemap-seed surface nextWave already
+    * has — the batch/streaming twin symmetry closed: seeds join the
+    * candidate pool at in-link evidence 0 (a seed that is ALSO
+    * discovered keeps its discovery evidence — the sitemap root URL
+    * is, live: every page links "/"), are excluded when already
+    * fetched, and flow through the SAME robots + Crawl-delay wave
+    * gates as discoveries.
+    *
+    * The fetched-scope exclusion costs NO corpus exchange: the seed
+    * set is hosts-bounded, so the corpus scan SEMI-joins against the
+    * broadcast seeds (output ≤ |seeds|) and the seeds anti-join that
+    * tiny result — the corpus is never shuffled for the seeds' sake. */
+  def dsCrawlPoliteSeeded(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val frontier = org.apache.spark.sql.GraftBridge.stageLocal(
+      dsCrawlFrontier(s, d).select("url", "n_refs"))
+    val seeds = crawlSeeds(s, d)
+    val corpusUrls = docs(s, d).select(Urls.canonicalize(
+      Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
+    val fetchedSeeds = corpusUrls
+      .join(broadcast(seeds), Seq("url"), "left_semi").distinct()
+    val live = seeds.join(fetchedSeeds, Seq("url"), "left_anti")
+    val cand = frontier
+      .unionByName(live.select(col("url"), lit(0L).as("n_refs")))
+      .groupBy("url").agg(max(col("n_refs")).as("n_refs"))
+    val caps = txRobotsDelays(s, d).select(col("host"),
+      greatest(lit(1L),
+        floor(lit(crawlWavePeriodSec) / col("delay_s"))).as("cap"))
+    val allowed = Urls.robotsFilter(cand, col("url"),
+      crawlRobotsRules(s, d))
+    Urls.politeWavesCapped(allowed, col("url"), col("n_refs"),
+      caps, crawlPerHostPerWave)
+  }
+
   def txClean(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       TextAnalysis.cleaned(col("text")).as("clean_text"))
@@ -1923,9 +1976,12 @@ object DataOps {
   /** The URL fixture CTE — mirrors Urls.syntheticUrl verbatim
     * (including the 300-block `flip` that rotates the d / d+300
     * twins' parameter order and percent spellings). */
-  private val urlSynthCte: String =
-    """u AS (SELECT doc_id,
-           (CASE doc_id % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+  /** Urls.syntheticUrl mirrored as one SQL expression over bare
+    * `doc_id` / `source` columns — shared by [[urlSynthCte]] and the
+    * planted-seed CTEs (which synthesize over a one-row-per-source
+    * subset). */
+  private val urlSynthSqlExpr: String =
+    """((CASE doc_id % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
                  WHEN 2 THEN 'Http' ELSE 'HTTPS' END)
            || '://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END)
            || (CASE WHEN doc_id % 4 < 2 THEN upper(source) ELSE source END)
@@ -1952,8 +2008,10 @@ object DataOps {
                            || '&id=' || CAST(doc_id % 5 AS VARCHAR) END)
                     ELSE '?utm_campaign=x&id=' || CAST(doc_id % 5 AS VARCHAR) END)
            || (CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
-                    ELSE '' END) AS url
-         FROM documents)"""
+                    ELSE '' END))"""
+
+  private val urlSynthCte: String =
+    s"u AS (SELECT doc_id, $urlSynthSqlExpr AS url FROM documents)"
 
   /** Step 2 of Urls.canonicalize — percent-escape normalization —
     * over the SQL expression `in`: split on '%', decode an unreserved
@@ -2263,6 +2321,25 @@ object DataOps {
                   || CASE WHEN substr(prefix, length(prefix), 1) = '$'
                           THEN '' ELSE '%' END AS pat
                 FROM rules)"""
+
+  /** Urls.syntheticSitemap mirrored as one SQL expression over a bare
+    * `source` column — shared by tx_sitemap_locs, tx_sitemap_index
+    * and the seeded politeness composite. */
+  private val sitemapBodySqlExpr: String =
+    """('<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+       '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+       || chr(10) ||
+       '<url><loc>https://' || lower(source) ||
+       '.example.com/</loc><lastmod>2024-02-01</lastmod></url>'
+       || chr(10) ||
+       '<url><loc>' || chr(10) || '   https://' || lower(source) ||
+       '.example.com/articles/7?a=1&amp;b=2' || chr(10) ||
+       '   </loc></url>' || chr(10) ||
+       '<url><loc>HTTPS://WWW.' || upper(source) ||
+       '.EXAMPLE.COM:443/articles/9</loc></url>' || chr(10) ||
+       '<url><loc>https://' || lower(source) ||
+       '.example.com/o&apos;brien&amp;amp;sons</loc></url>'
+       || chr(10) || '</urlset>' || chr(10))"""
 
   /** The engine's crawler product token — the §2.2.1 group-choice
     * rows bind to it. The fixture's `bot` group is a substring but
@@ -4620,22 +4697,7 @@ object DataOps {
     "tx_sitemap_locs" ->
       s"""WITH rh AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
                              source FROM documents),
-          sb AS (SELECT host,
-                   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
-                   '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-                   || chr(10) ||
-                   '<url><loc>https://' || lower(source) ||
-                   '.example.com/</loc><lastmod>2024-02-01</lastmod></url>'
-                   || chr(10) ||
-                   '<url><loc>' || chr(10) || '   https://' || lower(source) ||
-                   '.example.com/articles/7?a=1&amp;b=2' || chr(10) ||
-                   '   </loc></url>' || chr(10) ||
-                   '<url><loc>HTTPS://WWW.' || upper(source) ||
-                   '.EXAMPLE.COM:443/articles/9</loc></url>' || chr(10) ||
-                   '<url><loc>https://' || lower(source) ||
-                   '.example.com/o&apos;brien&amp;amp;sons</loc></url>'
-                   || chr(10) || '</urlset>' || chr(10) AS xml
-                 FROM rh),
+          sb AS (SELECT host, $sitemapBodySqlExpr AS xml FROM rh),
           lx AS (SELECT host,
                    generate_subscripts(regexp_extract_all(xml,
                      '<loc>\\s*([^<]*?)\\s*</loc>', 1), 1) - 1 AS pos,
@@ -4655,21 +4717,7 @@ object DataOps {
       s"""WITH rh AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
                              source FROM documents),
           sb AS (SELECT host,
-                   CASE WHEN length(source) % 2 = 0 THEN
-                   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
-                   '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-                   || chr(10) ||
-                   '<url><loc>https://' || lower(source) ||
-                   '.example.com/</loc><lastmod>2024-02-01</lastmod></url>'
-                   || chr(10) ||
-                   '<url><loc>' || chr(10) || '   https://' || lower(source) ||
-                   '.example.com/articles/7?a=1&amp;b=2' || chr(10) ||
-                   '   </loc></url>' || chr(10) ||
-                   '<url><loc>HTTPS://WWW.' || upper(source) ||
-                   '.EXAMPLE.COM:443/articles/9</loc></url>' || chr(10) ||
-                   '<url><loc>https://' || lower(source) ||
-                   '.example.com/o&apos;brien&amp;amp;sons</loc></url>'
-                   || chr(10) || '</urlset>' || chr(10)
+                   CASE WHEN length(source) % 2 = 0 THEN $sitemapBodySqlExpr
                    ELSE
                    '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
                    '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
@@ -4753,6 +4801,64 @@ object DataOps {
                    regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]+', '')
                      AS fpath
                  FROM f),
+          blk AS (SELECT fhost, fpath FROM
+                  (SELECT fp.fhost, fp.fpath,
+                     max(length(r.prefix) * 2 +
+                         CASE WHEN r.allow THEN 1 ELSE 0 END) AS best
+                   FROM fp JOIN rpat r ON r.host = fp.fhost
+                     AND fp.fpath LIKE r.pat ESCAPE '\\'
+                   GROUP BY fp.fhost, fp.fpath)
+                  WHERE best % 2 = 0),
+          keep AS (SELECT fp.url, fp.n_refs, fp.fhost FROM fp
+                   WHERE NOT EXISTS (SELECT 1 FROM blk
+                                     WHERE blk.fhost = fp.fhost
+                                       AND blk.fpath = fp.fpath)),
+          caps AS (SELECT host,
+                     greatest(1, $crawlWavePeriodSec // delay_s) AS cap
+                   FROM delays),
+          j AS (SELECT k.url, k.n_refs AS priority, k.fhost AS host,
+                  greatest(coalesce(caps.cap, $crawlPerHostPerWave), 1) AS cap
+                FROM keep k LEFT JOIN caps ON k.fhost = caps.host)
+          SELECT url, priority, host, cap,
+                 CAST((row_number() OVER (PARTITION BY host
+                        ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
+                   AS wave
+          FROM j""",
+    // the seeded politeness composite: sitemap locs (canonicalized) +
+    // one planted already-fetched URL per host join the frontier at
+    // evidence 0, fetched seeds excluded, then the same robots + caps
+    // tail as ds_crawl_polite over the merged candidate pool
+    "ds_crawl_polite_seeded" ->
+      s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes,
+          sdb AS (SELECT host, $sitemapBodySqlExpr AS xml FROM rh),
+          sdl AS (SELECT unnest(regexp_extract_all(xml,
+                    '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS raw FROM sdb),
+          sdd AS (SELECT replace(replace(replace(replace(replace(raw,
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&apos;', ''''), '&amp;', '&') AS loc FROM sdl),
+          sd8 AS (SELECT ${urlCanonSqlExpr("loc")} AS cu FROM sdd),
+          sdc AS (SELECT DISTINCT ${sortParamsSqlExpr("cu")} AS url FROM sd8),
+          sdm AS (SELECT min(doc_id) AS doc_id, source FROM documents
+                  GROUP BY source),
+          sdu AS (SELECT $urlSynthSqlExpr AS url FROM sdm),
+          sdp8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM sdu),
+          sdp AS (SELECT ${sortParamsSqlExpr("cu")} AS url FROM sdp8),
+          sds AS (SELECT url FROM sdc UNION SELECT url FROM sdp),
+          sco8 AS (SELECT ${urlCanonSqlExpr("u2.url")} AS cu FROM
+                   (SELECT $urlSynthSqlExpr AS url FROM documents) u2),
+          sco AS (SELECT DISTINCT ${sortParamsSqlExpr("cu")} AS url FROM sco8),
+          sdlive AS (SELECT url FROM sds
+                     WHERE url NOT IN (SELECT url FROM sco)),
+          scand AS (SELECT url, CAST(max(n_refs) AS BIGINT) AS n_refs FROM
+                    (SELECT url, n_refs FROM f
+                     UNION ALL SELECT url, 0 AS n_refs FROM sdlive)
+                    GROUP BY url),
+          fp AS (SELECT scand.*,
+                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                     AS fhost,
+                   regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]+', '')
+                     AS fpath
+                 FROM scand),
           blk AS (SELECT fhost, fpath FROM
                   (SELECT fp.fhost, fp.fpath,
                      max(length(r.prefix) * 2 +
@@ -5325,6 +5431,7 @@ object DataOps {
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan
+    "ds_crawl_polite_seeded" -> dsCrawlPoliteSeeded _, // + sitemap seeds at evidence 0
     "ds_crawl_waves" -> dsCrawlWaves _, // wave-density invariant twin
     "ds_host_quality" -> dsHostQuality _, // domain-level keep-rate gate
     "ds_curate_domain" -> dsCurateDomain _, // gate-first curation composite
