@@ -320,9 +320,34 @@ object Events {
     val base = idx.crossJoin(broadcast(meta))
       .selectExpr("y", "t", "greatest(0, t - s_cp) as h",
         "cast(t % 7 as int) as r", "n_days", "s_cp", "last_day")
-    ProphetRel.levels.foldLeft(
-        base.selectExpr(ProphetRel.sumExprs: _*))((df, lvl) =>
-      df.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*))
+    // The 67-accumulator one-shot aggregate was the engine's last
+    // known whole-stage-codegen fallback: its generated consume
+    // method exceeded the 64 KB JVM limit on every run (ERROR
+    // CodeGenerator, then interpreted execution). Split it into two
+    // ~33-column halves over the STAGED daily frame — base is
+    // calendar-bounded (≤ one row per day, the stage-only-bounded-
+    // frames rule), so staging costs one tiny materialization and the
+    // orders-side daily aggregate runs once, not twice. Values are
+    // bit-identical by construction: every per-residue sum is an
+    // exact integer (association-free) and Σy² rides DECIMAL — the
+    // shared-text determinism ladder only constrains the DOUBLE
+    // algebra downstream, which is untouched.
+    val staged = org.apache.spark.sql.GraftBridge.stageLocal(base)
+    val (halfA, halfB) = ProphetRel.sumExprs.splitAt(
+      ProphetRel.sumExprs.size / 2)
+    val sums = staged.selectExpr(halfA: _*)
+      .crossJoin(staged.selectExpr(halfB: _*))
+    // barrier per level: collapsed/fused, the 25 levels' formulas land
+    // in ONE generated consume method and overflow the same 64 KB
+    // limit the aggregate did. Each level's frame is ONE row of
+    // scalars, so a lazy local checkpoint per level costs microseconds
+    // and pins exactly the per-level IEEE evaluation order the
+    // shared-text ladder requires (each level computes from the
+    // previous level's MATERIALIZED doubles on both engines — DuckDB's
+    // CTE chain is the same shape).
+    ProphetRel.levels.foldLeft(sums)((df, lvl) =>
+      org.apache.spark.sql.GraftBridge.stageLocal(
+        df.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*)))
   }
 
   def fcProphetSales(s: SparkSession, d: String): DataFrame = {
