@@ -812,6 +812,100 @@ object Rehearsal {
         polite.agg(count(lit(1)), sum(col("wave")), max(col("cap")))
           .collect()(0).getLong(0)
       }},
+      // the domain-quality gate at scale (ds_host_quality's shape):
+      // the full crawl front door, then ONE host-keyed aggregate over
+      // the winners. Host cardinality is structural (sources), so the
+      // expected decade curve is the crawl composite's plus ~ε — the
+      // row prices the gate where it actually runs
+      "host_quality" -> { () => {
+        import graft.operators.{Html, Urls}
+        val d = docsR.repartition(32)
+        val winners = d
+          .select(col("doc_id"), col("source"), col("text"),
+            Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("doc_id"), col("source"), col("text"),
+            Urls.canonicalize(col("url")).as("canon_url"))
+          .groupBy("canon_url")
+          .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"),
+            count(lit(1)).as("n_fetches"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("canon_url"), col("n_fetches"),
+            col("w.doc_id").as("doc_id"), col("w.source").as("source"),
+            col("w.text").as("text"))
+        val pages = winners.select(col("doc_id"), col("canon_url"),
+          col("n_fetches"),
+          Html.syntheticPage(col("text"), col("source")).as("html"))
+        val ext = Html.extractMainText(pages, col("html"), col("doc_id"),
+          carry = Seq(col("canon_url"), col("n_fetches")),
+          dropNullHtml = false)
+        val nTok = when(col("main_text") === "", 0L)
+          .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
+        val hq = ext.select(
+            Urls.hostOf(col("canon_url")).as("host"), col("n_fetches"),
+            nTok.as("n_tokens"),
+            when(nTok >= graft.queries.DataOps.crawlMinTokens, 1L)
+              .otherwise(0L).as("k"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"),
+            sum(col("n_fetches")).as("nf"), sum(col("n_tokens")).as("st"))
+          .withColumn("quality_ok", col("n_kept") * 2 >= col("n_pages"))
+        hq.agg(count(lit(1)), sum(col("nf")), sum(col("st")),
+            sum(when(col("quality_ok"), 1L).otherwise(0L)))
+          .collect()(0).getLong(0)
+      }},
+      // the gate-first curation composite at scale (ds_curate_domain's
+      // shape): crawl verdicts → host-window domain gate → the full
+      // repetition/LM/dedup audit over the SURVIVORS. Expected: the
+      // audit dominates (it is the pipeline case's cost over a gated
+      // subset); the gate itself adds one host window
+      "curate_domain" -> { () => {
+        import graft.operators.{Html, Urls, Curation}
+        import org.apache.spark.sql.expressions.Window
+        val d = docsR.repartition(32)
+        val winners = d
+          .select(col("doc_id"), col("source"), col("text"),
+            Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("doc_id"), col("source"), col("text"),
+            Urls.canonicalize(col("url")).as("canon_url"))
+          .groupBy("canon_url")
+          .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("canon_url"), col("w.doc_id").as("doc_id"),
+            col("w.source").as("source"), col("w.text").as("text"))
+        val pages = winners.select(col("doc_id"), col("canon_url"),
+          Html.syntheticPage(col("text"), col("source")).as("html"))
+        val ext = Html.extractMainText(pages, col("html"), col("doc_id"),
+          carry = Seq(col("canon_url")), dropNullHtml = false)
+        val nTok = when(col("main_text") === "", 0L)
+          .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
+        val hw = Window.partitionBy("host")
+        val g = ext.select(col("doc_id"),
+            Urls.hostOf(col("canon_url")).as("host"),
+            when(nTok >= graft.queries.DataOps.crawlMinTokens, 1L)
+              .otherwise(0L).as("k"))
+          .withColumn("domain_ok",
+            sum(col("k")).over(hw) * 100 >=
+              count(lit(1)).over(hw) * graft.queries.DataOps.domainKeepPct)
+        val survivors = d
+          .join(g.filter(col("domain_ok") && col("k") === 1L)
+            .select("doc_id"), Seq("doc_id"))
+          .select(col("doc_id"), col("text"))
+        val ref = d.filter(col("source")
+          .isin(graft.queries.DataOps.lmRefSources: _*))
+        Curation.audit(survivors, col("text"), col("doc_id"), ref, 3,
+            graft.queries.DataOps.jaccardThreshold,
+            graft.queries.DataOps.curateMaxTop2,
+            graft.queries.DataOps.curateMaxDup5,
+            graft.queries.DataOps.curateMaxNll)
+          .groupBy("verdict").agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)), sum(col("n"))).collect()(0).getLong(0)
+      }},
       // attribution probe for html_extract: the page-furniture
       // synthesis alone (3 regex passes + concat, consumed via
       // length-sum) — subtracting this from html_extract isolates
