@@ -58,10 +58,13 @@ final case class ParquetSource(path: String) extends TableSource {
   * exports (canonical numbers + relaxed ints in one file) load
   * identically. Ingest-boundary cost: three `from_json` per line
   * (canonical-wrapped, relaxed-wrapped, plain — PERMISSIVE partial
-  * results keep each parse's per-LEAF nulls independent), one data
-  * pass, no inference scan; the array unwrap is a `zip_with`
-  * (interpreted HOF — fine here, this is the ingest edge, never a
-  * per-query kernel). Canonical epoch dates
+  * results keep each parse's per-LEAF nulls independent; `load`
+  * REQUIRES the flag, r17), one data
+  * pass, no inference scan; the array unwrap walks the three element
+  * streams by index (interpreted HOF — fine here, this is the ingest
+  * edge, never a per-query kernel) so a side whose array parse
+  * nulled cannot erase another side's successful parse.
+  * Canonical epoch dates
   * (`{"$date":{"$numberLong":"<epoch millis>"}}` — what
   * `mongoexport` without `--jsonFormat=relaxed` emits, r16) unwrap
   * through the canonical parse, coalescing canonical → relaxed ISO
@@ -114,12 +117,21 @@ final case class MongoExtJsonSource(paths: Seq[String], schema: StructType)
       case StringType =>
         coalesce(w.getField("$oid"), w.getField("$date"), p)
       case ArrayType(e, _) =>
-        // zip_with is binary: fold (c, w) into a struct array first,
-        // then zip that with p — three aligned element streams
-        zip_with(
-          zip_with(c, w, (ce, we) => struct(ce.as("c"), we.as("w"))),
-          p, (cw, pe) =>
-            unwrap(cw.getField("c"), cw.getField("w"), pe, e))
+        // three aligned element streams, walked by INDEX rather than
+        // zip_with: zip_with nulls its whole result when EITHER input
+        // array is null, so one parse shape failing on a line (its
+        // root or array nulled) would erase the other shapes'
+        // successful parse. The size driver takes the first non-null
+        // side (greatest skips nulls); try_element_at yields null —
+        // never an ANSI error — for the sides that failed.
+        val sz = greatest(
+          when(c.isNotNull, size(c)), when(w.isNotNull, size(w)),
+          when(p.isNotNull, size(p)))
+        when(sz.isNull, lit(null).cast(dt))
+          .when(sz === 0, array().cast(dt))
+          .otherwise(transform(sequence(lit(1), sz), i =>
+            unwrap(try_element_at(c, i), try_element_at(w, i),
+              try_element_at(p, i), e)))
       case st: StructType =>
         when(c.isNotNull || w.isNotNull || p.isNotNull,
           struct(st.fields.toSeq.map(f =>
@@ -129,6 +141,14 @@ final case class MongoExtJsonSource(paths: Seq[String], schema: StructType)
     }
 
   def load(spark: SparkSession): DataFrame = {
+    // the three-shape coalesce depends on each parse nulling only the
+    // LEAVES it cannot bind (PERMISSIVE partial results) — with the
+    // flag off, one mismatched leaf nulls that parse's whole row and
+    // mixed exports silently lose fields. Fail loudly instead.
+    require(spark.conf.get("spark.sql.json.enablePartialResults",
+        "true").toBoolean,
+      "MongoExtJsonSource requires spark.sql.json.enablePartialResults=true " +
+        "(the per-shape parses must null independently per leaf)")
     val cs = wrapperType(schema, canonicalDates = true).asInstanceOf[StructType]
     val ws = wrapperType(schema, canonicalDates = false).asInstanceOf[StructType]
     val ps = plainType(schema).asInstanceOf[StructType]

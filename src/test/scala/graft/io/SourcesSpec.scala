@@ -124,4 +124,16 @@ class SourcesSpec extends SparkSpec {
     assert(rows.toSeq.map(t => (t._1, t._3.map(_._2))) ==
       Seq((1L, Seq(5L)), (2L, Seq(6L)), (4L, Seq(7L))), rows.mkString("\n"))
   }
+
+  test("MongoExtJsonSource refuses to load without PERMISSIVE partial " +
+      "results (the per-leaf-null contract the coalesce depends on)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val child = spark.newSession()
+    child.conf.set("spark.sql.json.enablePartialResults", "false")
+    val e = intercept[IllegalArgumentException] {
+      MongoExtJsonSource(Seq("/nonexistent.json"), schema).load(child)
+    }
+    assert(e.getMessage.contains("enablePartialResults"), e.getMessage)
+  }
 }
