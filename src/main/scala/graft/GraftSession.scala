@@ -29,6 +29,18 @@ object GraftSession {
       // Bucketing.writeBucketed guarantees — and it's what removes the
       // per-bucket re-sort from co-located sort-merge joins.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // Fuse only what the JVM will actually JIT: HotSpot never
+      // compiles methods over 8000 bytecode bytes (-XX:HugeMethodLimit),
+      // so a fused consume method past that limit runs INTERPRETED —
+      // silently, with no CodeGenerator error. Spark's default here
+      // (65535) only guards the classfile limit; aligning it with the
+      // JIT limit makes Spark fall back to per-operator execution for
+      // exactly the stages fusion would de-optimize. Measured on the
+      // 100x url_dedup keep-first (the r16/r17 inversion case): fused
+      // 12.0 s, per-operator 8.5 s, this setting 8.3 s — the fallback
+      // picks the fast posture per stage, engine-wide, instead of the
+      // per-family no-fuse session the r16 workaround hand-maintained.
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -337,17 +337,22 @@ object Events {
       ProphetRel.sumExprs.size / 2)
     val sums = staged.selectExpr(halfA: _*)
       .crossJoin(staged.selectExpr(halfB: _*))
-    // barrier per level: collapsed/fused, the 25 levels' formulas land
-    // in ONE generated consume method and overflow the same 64 KB
-    // limit the aggregate did. Each level's frame is ONE row of
-    // scalars, so a lazy local checkpoint per level costs microseconds
-    // and pins exactly the per-level IEEE evaluation order the
-    // shared-text ladder requires (each level computes from the
-    // previous level's MATERIALIZED doubles on both engines — DuckDB's
-    // CTE chain is the same shape).
-    ProphetRel.levels.foldLeft(sums)((df, lvl) =>
+    // barrier every few levels: fully collapsed/fused, the 25 levels'
+    // formulas land in ONE generated consume method and overflow the
+    // same 64 KB janino limit the aggregate did. Values never needed
+    // the barriers (the r15/r16 barrier-free fold was hash-exact:
+    // fusion inlines column references but each expression TREE — and
+    // so its IEEE op order — is unchanged); they exist only to keep
+    // every generated method under the compile limit, so group the
+    // levels instead of staging each one — the first shipped form
+    // checkpointed per level and its 25 sequential one-row jobs cost
+    // a measured ~2.5 s per query (0.7 s → 3–4 s on the sf0.1 bench),
+    // a 4× regression the grouping claws back at the same
+    // CodeGenerator-clean posture.
+    ProphetRel.levels.grouped(4).foldLeft(sums)((df, grp) =>
       org.apache.spark.sql.GraftBridge.stageLocal(
-        df.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*)))
+        grp.foldLeft(df)((d, lvl) =>
+          d.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*))))
   }
 
   def fcProphetSales(s: SparkSession, d: String): DataFrame = {
