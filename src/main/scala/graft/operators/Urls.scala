@@ -392,12 +392,17 @@ object Urls {
   def sitemapLocs(xml: Column): Column = {
     val raw = regexp_extract_all(xml,
       lit("<loc>\\s*([^<]*?)\\s*</loc>"), lit(1))
-    transform(raw, u =>
-      replace(replace(replace(replace(replace(u,
-        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
-        lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
-        lit("&amp;"), lit("&")))
+    transform(raw, u => xmlEntityDecode(u))
   }
+
+  /** One-pass XML 1.0 predefined-entity decode — `&amp;` LAST so
+    * `&amp;lt;` yields the literal `&lt;` (not a fixpoint), matching
+    * a conforming XML parser. */
+  private def xmlEntityDecode(u: Column): Column =
+    replace(replace(replace(replace(replace(u,
+      lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+      lit("&amp;"), lit("&"))
 
   /** File-level kind of a sitemaps.org body: 'index' when the body is
     * a `<sitemapindex>` (its `<loc>` entries are CHILD SITEMAPS to
@@ -423,6 +428,31 @@ object Urls {
                      xml: Column): DataFrame =
     bodies.select(host.as("host"), sitemapKind(xml).as("kind"),
       posexplode(sitemapLocs(xml)).as(Seq("pos", "loc_url")))
+
+  /** [[sitemapEntries]] plus per-entry `<lastmod>` — the RECRAWL
+    * signal the protocol carries (sitemaps.org: lastmod is the
+    * file's last-modification time; a scheduler recrawls a listed
+    * URL when its lastmod postdates the last fetch, and skips it
+    * when nothing changed). Entries are parsed as whole
+    * `<url>`/`<sitemap>` blocks (one `(?s)` non-greedy extract —
+    * still closed-form, no per-entry parent tracking) so each
+    * lastmod binds to ITS OWN entry's loc; an entry without a
+    * lastmod yields NULL (the protocol makes every child element
+    * optional except loc). The value is kept as written — W3C
+    * datetime allows both dates and full timestamps; casting is the
+    * consumer's choice. Bounded by hosts × entries-per-body. */
+  def sitemapMeta(bodies: DataFrame, host: Column,
+                  xml: Column): DataFrame = {
+    val blocks = regexp_extract_all(xml,
+      lit("(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"), lit(1))
+    bodies.select(host.as("host"), sitemapKind(xml).as("kind"),
+        posexplode(blocks).as(Seq("pos", "blk")))
+      .select(col("host"), col("kind"), col("pos"),
+        xmlEntityDecode(regexp_extract(col("blk"),
+          "<loc>\\s*([^<]*?)\\s*</loc>", 1)).as("loc_url"),
+        nullif(regexp_extract(col("blk"),
+          "<lastmod>\\s*([^<]*?)\\s*</lastmod>", 1), lit("")).as("lastmod"))
+  }
 
   /** Filter frontier candidates through robots rules with RFC 9309
     * §2.2.2/§2.2.3 precedence: among the rules matching the

@@ -956,21 +956,25 @@ object DataOps {
     * predicate before resolution, so the resolve+canon chain never
     * clones into a pushed-down null filter (the measured
     * filter-pushdown trap — see Html.extractMainText's scaladoc). */
-  def dsCrawlFrontier(s: SparkSession, d: String): DataFrame = {
+  /** The discovery frames both frontier queries share: resolved,
+    * canonicalized, raw-host-gated outbound links of the fetched
+    * winners (`links(referrer, url)`) and the crawled set
+    * (`crawled(url)`). The crawled set IS the distinct referrers —
+    * derived from the same projection (column pruning drops the html
+    * synthesis on this branch), not a second canonicalize pass over
+    * the manifest; r16: deliberately UNFILTERED — a blocked referrer
+    * URL in the probe side only anti-joins away candidates the
+    * post-agg host gate would drop anyway, and dropping the filter
+    * removes one cascade reference from the probe branch. */
+  private def crawlLinkFrames(s: SparkSession,
+                              d: String): (DataFrame, DataFrame) = {
     import graft.operators.{Html, Urls}
     val pages = docs(s, d).select(col("doc_id"),
       Urls.canonicalize(
         Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
       Html.syntheticPage(col("text"), col("source")).as("html"))
-    // the crawled set IS the distinct referrers — derived from the
-    // same projection (column pruning drops the html synthesis on
-    // this branch), not a second canonicalize pass over the manifest.
-    // r16: deliberately UNFILTERED — a blocked referrer URL in the
-    // probe side only anti-joins away candidates the post-agg host
-    // gate would drop anyway, and dropping the filter removes one
-    // cascade reference from the probe branch
     val crawled = pages.select(col("referrer").as("url")).distinct()
-    pages
+    val links = pages
       .select(col("referrer"), explode(Html.linkHrefs(col("html"))).as("href"))
       .filter(Urls.hrefIsCandidate(col("href")))
       .select(col("referrer"),
@@ -981,6 +985,13 @@ object DataOps {
       .filter(!Urls.hostBlocked(Urls.rawHostLower(col("raw_url")),
         blockedDomains))
       .select(col("referrer"), Urls.canonicalize(col("raw_url")).as("url"))
+    (links, crawled)
+  }
+
+  def dsCrawlFrontier(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val (links, crawled) = crawlLinkFrames(s, d)
+    links
       // NOT re-projected through a barrier: an A/B with a
       // repartition(url) exchange placed here (suspecting the
       // CaseWhen-topped resolveHref forced the host/filter/join
@@ -1007,6 +1018,129 @@ object DataOps {
   def dsCrawlSchedule(s: SparkSession, d: String): DataFrame =
     graft.operators.Urls.politeWaves(
       dsCrawlFrontier(s, d), col("url"), col("n_refs"), crawlPerHostPerWave)
+
+  /** OPIC seed cash per crawled page (Abiteboul et al., WWW 2003 —
+    * "Adaptive On-Line Page Importance Computation"): integer so the
+    * floor-divided shares are exactly replayable in any engine. */
+  val opicCash = 1000L
+
+  /** OPIC-style frontier prioritization — raw in-link counts
+    * (`n_refs`, dsCrawlFrontier's priority) overweight link farms: a
+    * page with 1000 outlinks hands each target the same +1 evidence a
+    * focused 3-link page does. OPIC's one-round fix: every crawled
+    * page distributes its cash equally over its outlinks —
+    * `floor(opicCash / outdeg)` each, INTEGER division so both
+    * engines floor identically — and a candidate's priority is the
+    * cash it receives. Outdegree counts ALL the page's surviving
+    * resolved links (including links to already-crawled pages: their
+    * share is absorbed by the crawled side's ledger in a real OPIC
+    * loop, never redistributed); only uncrawled candidates are
+    * emitted. In the full algorithm rounds iterate with the crawl
+    * itself — each cycle rides exactly these two link-volume
+    * exchanges (outdeg keyed on referrer, receipts keyed on target),
+    * so one measured round IS the per-cycle cost at scale. The
+    * canonical host gate runs BEFORE the window so both engines count
+    * outdegree over the same schedulable link set (the page-link side
+    * is additionally raw-gated upstream — a strict subset of the
+    * canonical gate by the rawHostLower safety law, so the gated
+    * frames coincide).
+    *
+    * The synthetic page fixture gives every page the same nav shape,
+    * so page links alone would hand every candidate identical cash;
+    * [[hubLinks]] plants per-host catalog pages of VARYING outdegree
+    * (the crawlSeeds pattern) so the row demonstrates what OPIC is
+    * FOR: a hub target's share shrinks as its referrer's outdegree
+    * grows, page-discovered targets combine page + hub receipts, and
+    * blocked-host hubs are dropped by the same gate as page links. */
+  def dsFrontierOpic(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    import org.apache.spark.sql.expressions.Window
+    val (links, crawled) = crawlLinkFrames(s, d)
+    links.unionByName(hubLinks(s, d))
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), blockedDomains))
+      .withColumn("outdeg",
+        count(lit(1)).over(Window.partitionBy("referrer")))
+      .withColumn("cash", expr(s"${opicCash}L div outdeg"))
+      .join(crawled, Seq("url"), "left_anti")
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"), sum(col("cash")).as("cash"))
+  }
+
+  /** Planted per-host hub pages for the OPIC row — already-canonical
+    * by construction (lowercase https, no port/params/fragments, no
+    * trailing slash): every host's hub links the root, `/about` and
+    * `/legal`, plus 0–3 `/junk/i` targets (the source-length residue),
+    * so hub outdegree varies 3–6 per host and the floor-divided share
+    * a target receives varies with it. Bounded by hosts — the hub
+    * frame never scales with the corpus. */
+  private def hubLinks(s: SparkSession, d: String): DataFrame =
+    crawlHosts(s, d)
+      .select(col("host"),
+        explode(concat(
+          array(lit(""), lit("/about"), lit("/legal")),
+          slice(array(lit("/junk/0"), lit("/junk/1"), lit("/junk/2")),
+            lit(1), pmod(length(col("source")), lit(4)).cast("int"))))
+          .as("path"))
+      .select(
+        concat(lit("https://"), col("host"), lit("/hub")).as("referrer"),
+        concat(lit("https://"), col("host"), col("path")).as("url"))
+
+  /** Deterministic recrawl scheduling (the freshness half of a crawl
+    * loop; Cho & Garcia-Molina's change-rate estimation collapsed to
+    * an integer ladder both engines replay): per canonical URL, the
+    * fetch ledger's change evidence — `n_fetches` observations,
+    * `n_variants` distinct payloads (each engine counts distinct
+    * md5s of its OWN payload bytes, so only the COUNT crosses
+    * engines) — picks a recrawl interval in waves:
+    * 3+ variants → every wave (hot), 2 → every 4 (changing),
+    * 1 variant across 2+ fetches → every 64 (confirmed static),
+    * single observation → every 8 (unknown: explore). `due_wave`
+    * staggers first-due by `keeper_id mod interval` — a real
+    * scheduler load-levels recrawls instead of synchronizing every
+    * static URL onto the same wave. Scale shape: ONE keep-first-style
+    * exchange (count/count-distinct/min ride the same map-side
+    * partials as dd_url_dedup), bounded by distinct URLs.
+    *
+    * The corpus fixture's URL twins are always 2 fetches / 2 distinct
+    * payloads, so the hot (3+ variants) and confirmed-static
+    * (re-fetch, same bytes) rungs would be dead on corpus data alone;
+    * two PLANTED ledgers (the crawlSeeds pattern — constants both
+    * engines replay) keep all four rungs live: `/static` fetched
+    * twice with identical payload → interval 64, `/hot` with three
+    * distinct payloads → interval 1. */
+  def dsRecrawl(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    import s.implicits._
+    val planted = Seq(
+      (10000001L, "planted static payload", "https://plant.example.com/static"),
+      (10000002L, "planted static payload", "https://plant.example.com/static"),
+      (10000003L, "planted hot v1", "https://plant.example.com/hot"),
+      (10000004L, "planted hot v2", "https://plant.example.com/hot"),
+      (10000005L, "planted hot v3", "https://plant.example.com/hot"))
+      .toDF("doc_id", "text", "url")
+    val fetches = docs(s, d)
+      .select(col("doc_id"), col("text"),
+        Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+      .unionByName(planted)
+      .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+        blockedDomains))
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        Urls.canonicalize(col("url")).as("canon_url"))
+    fetches.groupBy("canon_url")
+      .agg(count(lit(1)).as("n_fetches"),
+        countDistinct(col("h")).as("n_variants"),
+        min(col("doc_id")).as("keeper_id"))
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+        blockedDomains))
+      .withColumn("interval_waves",
+        when(col("n_variants") >= 3, 1L)
+          .when(col("n_variants") === 2, 4L)
+          .when(col("n_fetches") >= 2, 64L)
+          .otherwise(8L))
+      .withColumn("due_wave",
+        lit(1L) + pmod(col("keeper_id"), col("interval_waves")))
+  }
 
   /** The corpus's (host, source) frame — robots bodies are bounded
     * by hosts, one KB-sized body each, never by the frontier. */
@@ -1082,6 +1216,20 @@ object DataOps {
         Urls.syntheticSitemap(col("source")))
         .otherwise(Urls.syntheticSitemapIndex(col("source"))).as("xml"))
     Urls.sitemapEntries(bodies, col("host"), col("xml"))
+  }
+
+  /** Per-entry sitemap metadata over the same alternating bodies —
+    * `<lastmod>` bound to ITS OWN entry's `<loc>` (block-scoped parse,
+    * Urls.sitemapMeta): the protocol's recrawl signal. The fixture
+    * keeps both branches live — first entries carry a lastmod, the
+    * rest yield NULL. */
+  def txSitemapMeta(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val bodies = crawlHosts(s, d).select(col("host"),
+      when(pmod(length(col("source")), lit(2)) === 0,
+        Urls.syntheticSitemap(col("source")))
+        .otherwise(Urls.syntheticSitemapIndex(col("source"))).as("xml"))
+    Urls.sitemapMeta(bodies, col("host"), col("xml"))
   }
 
   /** Wildcard-agent Crawl-delay per host over the same bodies. */
@@ -2190,11 +2338,16 @@ object DataOps {
   /** dsCrawlFrontier mirrored: winners' outbound links → resolve →
     * canonicalize → blocklist → anti-join crawled → in-link rollup.
     * (Lazy: composes the lazy linkCtes.) */
-  private lazy val crawlFrontierSql: String = {
-    def notBlockedOver(hostExpr: String) = blockedDomains.map(d =>
+  private def notBlockedOver(hostExpr: String): String =
+    blockedDomains.map(d =>
       s"NOT ($hostExpr = '$d' OR $hostExpr LIKE '%.$d')").mkString(" AND ")
-    val notBlocked = notBlockedOver("host")
-    s"""WITH $linkCtes,
+
+  /** The discovery chain both frontier oracles share (the SQL twin of
+    * [[crawlLinkFrames]]): `cw(canon_url)` the crawled set,
+    * `rcb(referrer, url, host)` the resolved, canonicalized,
+    * raw-gated candidate links. */
+  private lazy val crawlLinkSqlCtes: String =
+    s"""$linkCtes,
         cw AS (SELECT DISTINCT base AS canon_url FROM cb
                WHERE ${notBlockedOver(
                  "regexp_extract(base, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)")}),
@@ -2208,14 +2361,46 @@ object DataOps {
         rc AS (SELECT referrer, ${sortParamsSqlExpr("cu")} AS url FROM rc8),
         rcb AS (SELECT referrer, url,
                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
-                    AS host FROM rc),
+                    AS host FROM rc)"""
+
+  private lazy val crawlFrontierSql: String =
+    s"""WITH $crawlLinkSqlCtes,
         fr AS (SELECT referrer, url FROM rcb
-               WHERE $notBlocked AND url NOT IN (SELECT canon_url FROM cw))
+               WHERE ${notBlockedOver("host")}
+                 AND url NOT IN (SELECT canon_url FROM cw))
         SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
                CAST(count(DISTINCT referrer) AS BIGINT) AS n_referrers,
                min(referrer) AS first_referrer
         FROM fr GROUP BY url"""
-  }
+
+  /** OPIC one-round cash receipts (integer floor shares — the same
+    * `1000 div outdeg` both engines compute): window over ALL of a
+    * referrer's surviving links, receipts aggregated per uncrawled
+    * candidate. */
+  private lazy val frontierOpicSql: String =
+    s"""WITH $crawlLinkSqlCtes,
+        hubh AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
+                        source FROM documents),
+        hub AS (SELECT 'https://' || host || '/hub' AS referrer,
+                       'https://' || host || path AS url
+                FROM (SELECT host,
+                        unnest(list_concat(['', '/about', '/legal'],
+                          (['/junk/0', '/junk/1', '/junk/2'])
+                            [1:length(source) % 4])) AS path
+                      FROM hubh)),
+        au AS (SELECT referrer, url FROM rcb
+               UNION ALL SELECT referrer, url FROM hub),
+        fg AS (SELECT referrer, url FROM au
+               WHERE ${notBlockedOver(
+                 "regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)")}),
+        fo AS (SELECT referrer, url,
+                 $opicCash // count(*) OVER (PARTITION BY referrer) AS cash
+               FROM fg)
+        SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
+               CAST(sum(cash) AS BIGINT) AS cash
+        FROM fo
+        WHERE url NOT IN (SELECT canon_url FROM cw)
+        GROUP BY url"""
 
   /** Urls.robotsRules / robotsDelays over the Urls.syntheticRobots
     * fixture, mirrored: per-host line explode → comment strip →
@@ -2340,6 +2525,31 @@ object DataOps {
        '<url><loc>https://' || lower(source) ||
        '.example.com/o&apos;brien&amp;amp;sons</loc></url>'
        || chr(10) || '</urlset>' || chr(10))"""
+
+  /** The alternating sitemap-bodies fixture shared by
+    * tx_sitemap_index and tx_sitemap_meta: even-length sources serve
+    * the flat `<urlset>` ([[sitemapBodySqlExpr]]), odd-length the
+    * `<sitemapindex>` (Urls.syntheticSitemapIndex mirrored). */
+  private val sitemapAltBodiesCtes: String =
+    s"""rh AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
+                      source FROM documents),
+        sb AS (SELECT host,
+                 CASE WHEN length(source) % 2 = 0 THEN $sitemapBodySqlExpr
+                 ELSE
+                 '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+                 '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                 || chr(10) ||
+                 '<sitemap><loc>https://' || lower(source) ||
+                 '.example.com/pages-1.xml</loc>' ||
+                 '<lastmod>2024-02-01</lastmod></sitemap>' || chr(10) ||
+                 '<sitemap><loc>' || chr(10) || '   https://' || lower(source) ||
+                 '.example.com/pages-2.xml?v=1&amp;rev=2' || chr(10) ||
+                 '   </loc></sitemap>' || chr(10) ||
+                 '<sitemap><loc>HTTPS://WWW.' || upper(source) ||
+                 '.EXAMPLE.COM:443/news.xml</loc></sitemap>' || chr(10) ||
+                 '</sitemapindex>' || chr(10)
+                 END AS xml
+               FROM rh)"""
 
   /** The engine's crawler product token — the §2.2.1 group-choice
     * rows bind to it. The fixture's `bot` group is a substring but
@@ -4655,6 +4865,49 @@ object DataOps {
           FROM h WHERE $notBlocked
           GROUP BY canon_url"""
     },
+    // recrawl scheduling: change evidence per canonical URL (each
+    // engine md5s its OWN payload bytes — only the distinct COUNT
+    // crosses engines) -> integer interval ladder -> staggered due wave
+    "ds_recrawl" -> {
+      val notBlocked = blockedDomains.map(d =>
+        s"NOT (host = '$d' OR host LIKE '%.$d')").mkString(" AND ")
+      s"""WITH uf AS (SELECT doc_id, text, $urlSynthSqlExpr AS url
+                      FROM documents
+                      UNION ALL
+                      SELECT * FROM (VALUES
+                        (10000001, 'planted static payload',
+                         'https://plant.example.com/static'),
+                        (10000002, 'planted static payload',
+                         'https://plant.example.com/static'),
+                        (10000003, 'planted hot v1',
+                         'https://plant.example.com/hot'),
+                        (10000004, 'planted hot v2',
+                         'https://plant.example.com/hot'),
+                        (10000005, 'planted hot v3',
+                         'https://plant.example.com/hot'))
+                        AS p(doc_id, text, url)),
+          um AS (SELECT doc_id, md5(text) AS h, url FROM uf),
+          c8 AS (SELECT doc_id, h, ${urlCanonSqlExpr("url")} AS cu FROM um),
+          c AS (SELECT doc_id, h, ${sortParamsSqlExpr("cu")} AS canon_url
+                FROM c8),
+          hx AS (SELECT doc_id, h, canon_url,
+                   regexp_extract(canon_url,
+                     '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host
+                 FROM c),
+          g AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_fetches,
+                       CAST(count(DISTINCT h) AS BIGINT) AS n_variants,
+                       CAST(min(doc_id) AS BIGINT) AS keeper_id
+                FROM hx WHERE $notBlocked GROUP BY canon_url),
+          iv AS (SELECT *, CAST(CASE WHEN n_variants >= 3 THEN 1
+                                     WHEN n_variants = 2 THEN 4
+                                     WHEN n_fetches >= 2 THEN 64
+                                     ELSE 8 END AS BIGINT) AS interval_waves
+                 FROM g)
+          SELECT canon_url, n_fetches, n_variants, keeper_id,
+                 interval_waves,
+                 CAST(1 + keeper_id % interval_waves AS BIGINT) AS due_wave
+          FROM iv"""
+    },
     // link discovery: synth page → anchor hrefs (document order) →
     // RFC 3986 reference resolution against the page's canonical base
     "tx_extract_links" ->
@@ -4666,6 +4919,9 @@ object DataOps {
     // canonicalized, blocklisted, anti-joined against the crawled
     // set, grouped with their in-link evidence
     "ds_crawl_frontier" -> crawlFrontierSql,
+    // OPIC one-round frontier priority: integer floor-divided cash
+    // shares per referrer, receipts summed per uncrawled candidate
+    "ds_frontier_opic" -> frontierOpicSql,
     // robots parsing: the wildcard-agent Disallow AND Allow rule
     // table (RFC 9309 §2.2.2 — shared agent groups, case-varied
     // directives, inline comments, an Allow carve-out)
@@ -4714,25 +4970,7 @@ object DataOps {
     // a FILE-level property (the protocol forbids mixing entry kinds)
     // inherited by every <loc>
     "tx_sitemap_index" ->
-      s"""WITH rh AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
-                             source FROM documents),
-          sb AS (SELECT host,
-                   CASE WHEN length(source) % 2 = 0 THEN $sitemapBodySqlExpr
-                   ELSE
-                   '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
-                   '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
-                   || chr(10) ||
-                   '<sitemap><loc>https://' || lower(source) ||
-                   '.example.com/pages-1.xml</loc>' ||
-                   '<lastmod>2024-02-01</lastmod></sitemap>' || chr(10) ||
-                   '<sitemap><loc>' || chr(10) || '   https://' || lower(source) ||
-                   '.example.com/pages-2.xml?v=1&amp;rev=2' || chr(10) ||
-                   '   </loc></sitemap>' || chr(10) ||
-                   '<sitemap><loc>HTTPS://WWW.' || upper(source) ||
-                   '.EXAMPLE.COM:443/news.xml</loc></sitemap>' || chr(10) ||
-                   '</sitemapindex>' || chr(10)
-                   END AS xml
-                 FROM rh),
+      s"""WITH $sitemapAltBodiesCtes,
           lx AS (SELECT host,
                    CASE WHEN regexp_matches(xml, '<sitemapindex[\\s>]')
                         THEN 'index' ELSE 'urlset' END AS kind,
@@ -4746,6 +4984,28 @@ object DataOps {
                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                    '&apos;', ''''), '&amp;', '&') AS loc_url
           FROM lx""",
+    // per-entry sitemap metadata: whole <url>/<sitemap> blocks so
+    // each <lastmod> binds to ITS OWN entry's <loc>; entries without
+    // one yield NULL (every child element but loc is optional)
+    "tx_sitemap_meta" ->
+      s"""WITH $sitemapAltBodiesCtes,
+          bx AS (SELECT host,
+                   CASE WHEN regexp_matches(xml, '<sitemapindex[\\s>]')
+                        THEN 'index' ELSE 'urlset' END AS kind,
+                   generate_subscripts(regexp_extract_all(xml,
+                     '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1), 1)
+                     - 1 AS pos,
+                   unnest(regexp_extract_all(xml,
+                     '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)) AS blk
+                 FROM sb)
+          SELECT host, kind, CAST(pos AS INT) AS pos,
+                 replace(replace(replace(replace(replace(
+                   regexp_extract(blk, '<loc>\\s*([^<]*?)\\s*</loc>', 1),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&apos;', ''''), '&amp;', '&') AS loc_url,
+                 nullif(regexp_extract(blk,
+                   '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1), '') AS lastmod
+          FROM bx""",
     // the frontier under robots with LONGEST-MATCH precedence: among
     // the matching prefixes the longest wins, Allow winning length
     // ties — encoded as max(length*2 + allow_bit) per candidate path
@@ -5428,6 +5688,9 @@ object DataOps {
     "tx_robots_agent_delays" -> txRobotsAgentDelays _, // delay per chosen group
     "tx_sitemap_locs" -> txSitemapLocs _, // <loc> + XML entity decode
     "tx_sitemap_index" -> txSitemapIndex _, // urlset/index kind routing
+    "tx_sitemap_meta" -> txSitemapMeta _, // per-entry lastmod recrawl signal
+    "ds_frontier_opic" -> dsFrontierOpic _, // OPIC cash frontier priority
+    "ds_recrawl" -> dsRecrawl _, // change-rate recrawl interval ladder
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan

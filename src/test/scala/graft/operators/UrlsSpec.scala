@@ -423,6 +423,43 @@ class UrlsSpec extends SparkSpec {
       "https://h.com/\"q\"<b>"), locs)
   }
 
+  test("sitemapMeta: lastmod binds to ITS OWN entry, NULL when absent, " +
+      "loc order and kind agree with sitemapEntries") {
+    import spark.implicits._
+    val urlset =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>https://h.com/</loc><lastmod>2024-01-01</lastmod></url>
+        |<url><loc>
+        |   https://h.com/a?x=1&amp;y=2
+        |</loc></url>
+        |<url><lastmod>2024-03-05T12:00:00Z</lastmod>
+        |<loc>https://h.com/b</loc></url>
+        |</urlset>""".stripMargin
+    val index =
+      """<sitemapindex>
+        |<sitemap><loc>https://h.com/pages-1.xml</loc>
+        |<lastmod>2024-02-01</lastmod></sitemap>
+        |<sitemap><loc>https://h.com/pages-2.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val bodies = Seq(("u", urlset), ("i", index)).toDF("host", "xml")
+    val meta = Urls.sitemapMeta(bodies, col("host"), col("xml"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3), Option(r.getString(4)))).sortBy(t => (t._1, t._3))
+    assert(meta.toSeq == Seq(
+      // lastmod BEFORE loc inside an entry still binds to that entry
+      ("i", "index", 0, "https://h.com/pages-1.xml", Some("2024-02-01")),
+      ("i", "index", 1, "https://h.com/pages-2.xml", None),
+      ("u", "urlset", 0, "https://h.com/", Some("2024-01-01")),
+      ("u", "urlset", 1, "https://h.com/a?x=1&y=2", None),
+      ("u", "urlset", 2, "https://h.com/b", Some("2024-03-05T12:00:00Z"))),
+      meta.toSeq)
+    // loc values and kinds agree with the loc-only entry parse
+    val entries = Urls.sitemapEntries(bodies, col("host"), col("xml"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getString(3))).sortBy(t => (t._1, t._3))
+    assert(entries.toSeq == meta.map(m => (m._1, m._2, m._3, m._4)).toSeq)
+  }
+
   test("rawHostLower is a SAFE pre-gate: raw-blocked implies canonical-blocked") {
     import spark.implicits._
     val blocked = Seq("bad.com", "ads.example.com")

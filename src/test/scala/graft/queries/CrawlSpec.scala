@@ -123,4 +123,70 @@ class CrawlSpec extends SparkSpec {
     }
     assert(waves.map(_._3).sum == DataOps.dsCrawlDelay(spark, sf).count())
   }
+
+  test("dsFrontierOpic: covers the frontier with >= its evidence, floor " +
+      "shares shrink with hub outdegree, blocked hosts never receive cash") {
+    val opic = DataOps.dsFrontierOpic(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val frontier = DataOps.dsCrawlFrontier(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every frontier candidate receives cash, with in-link evidence at
+    // least the frontier's (hub links can only add)
+    frontier.foreach { case (url, nRefs) =>
+      assert(opic.contains(url), s"frontier url $url missing from opic")
+      assert(opic(url)._1 >= nRefs, s"$url lost evidence")
+      assert(opic(url)._2 > 0, s"$url received no cash")
+    }
+    // hub-only targets: share = opicCash div hub outdegree (3 + |source| % 4),
+    // strictly shrinking as the hub's junk fan-out grows
+    val hosts = graft.Tables(spark, sf, "documents")
+      .select(lower(col("source")).as("ls"), length(col("source")).as("n"))
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val junk = opic.keys.filter(_.contains("/junk/")).toSeq
+    assert(junk.nonEmpty, "fixture should mint hub-only junk targets")
+    junk.foreach { url =>
+      val ls = url.stripPrefix("https://").takeWhile(_ != '.')
+      val outdeg = 3 + hosts(ls) % 4
+      assert(opic(url) == (1L, DataOps.opicCash / outdeg),
+        s"$url: expected hub-only share ${DataOps.opicCash / outdeg}")
+    }
+    // the observed share populations are exactly the fixture's
+    // residue classes (plural at scales with >1 junk-bearing residue)
+    val expectedShares = hosts.values.map(n => 3 + n % 4)
+      .filter(_ > 3).map(DataOps.opicCash / _).toSet
+    assert(junk.map(u => opic(u)._2).toSet == expectedShares,
+      "hub shares should be exactly the fixture's outdegree classes")
+    DataOps.blockedDomains.foreach(d =>
+      assert(!opic.keys.exists(_.contains(d)), s"blocked host $d got cash"))
+  }
+
+  test("dsRecrawl: ladder recomputes from evidence, due waves stagger " +
+      "within the interval, ledger agrees with dd_url_dedup") {
+    val rows = DataOps.dsRecrawl(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (url, fetches, variants, keeper, interval, due) =>
+      assert(variants <= fetches && variants >= 1, s"$url: evidence order")
+      val expected =
+        if (variants >= 3) 1L
+        else if (variants == 2) 4L
+        else if (fetches >= 2) 64L
+        else 8L
+      assert(interval == expected, s"$url: ladder drifted")
+      assert(due == 1 + keeper % interval && due >= 1 && due <= interval,
+        s"$url: due wave outside its interval")
+    }
+    // planted ledgers keep the hot and confirmed-static rungs live
+    val byUrl = rows.map(r => r._1 -> r).toMap
+    assert(byUrl("https://plant.example.com/hot")._5 == 1L)
+    assert(byUrl("https://plant.example.com/static")._5 == 64L)
+    // the fetch ledger is dd_url_dedup's, with change evidence added
+    val dedup = DataOps.ddUrlDedup(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.filterNot(_._1.startsWith("https://plant.")).foreach {
+      case (url, fetches, _, keeper, _, _) =>
+        assert(dedup(url) == (keeper, fetches), s"$url: ledger drifted")
+    }
+  }
 }
