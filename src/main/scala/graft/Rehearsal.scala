@@ -767,6 +767,81 @@ object Rehearsal {
         frontier.agg(count(lit(1)), sum(col("n_refs")),
           sum(length(col("fr")))).collect()(0).getLong(0)
       }},
+      // OPIC one-round cash receipts at scale (ds_frontier_opic's
+      // shape): the same discovery chain plus ONE window keyed on the
+      // referrer (outdegree) and the receipts aggregate keyed on the
+      // target — both link-volume exchanges. Expected: ≈ the frontier
+      // case + the window's referrer-keyed exchange per decade; the
+      // hosts-bounded hub frame is noise at every scale
+      "frontier_opic" -> { () => {
+        import graft.operators.{Html, Urls}
+        import org.apache.spark.sql.expressions.Window
+        val d = docsR.repartition(32)
+        val pagesF = d.select(
+          Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
+          Html.syntheticPage(col("text"), col("source")).as("html"))
+        val crawled = pagesF.select(col("referrer").as("url")).distinct()
+        val hub = d
+          .select(concat(lower(col("source")), lit(".example.com")).as("host"),
+            col("source")).distinct()
+          .select(col("host"),
+            explode(concat(
+              array(lit(""), lit("/about"), lit("/legal")),
+              slice(array(lit("/junk/0"), lit("/junk/1"), lit("/junk/2")),
+                lit(1), pmod(length(col("source")), lit(4)).cast("int"))))
+              .as("path"))
+          .select(concat(lit("https://"), col("host"), lit("/hub")).as("referrer"),
+            concat(lit("https://"), col("host"), col("path")).as("url"))
+        val opic = pagesF
+          .select(col("referrer"),
+            explode(Html.linkHrefs(col("html"))).as("href"))
+          .filter(Urls.hrefIsCandidate(col("href")))
+          .select(col("referrer"),
+            Urls.resolveHref(col("referrer"), col("href")).as("raw_url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("raw_url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("referrer"), Urls.canonicalize(col("raw_url")).as("url"))
+          .unionByName(hub)
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("url")),
+            graft.queries.DataOps.blockedDomains))
+          .withColumn("outdeg",
+            count(lit(1)).over(Window.partitionBy("referrer")))
+          .withColumn("cash",
+            expr(s"${graft.queries.DataOps.opicCash}L div outdeg"))
+          .join(crawled, Seq("url"), "left_anti")
+          .groupBy("url")
+          .agg(count(lit(1)).as("n_refs"), sum(col("cash")).as("cash"))
+        opic.agg(count(lit(1)), sum(col("n_refs")), sum(col("cash")))
+          .collect()(0).getLong(0)
+      }},
+      // recrawl scheduling at scale (ds_recrawl's shape): the
+      // url_dedup exchange with a count-distinct-md5 riding the same
+      // map-side partials. Expected: ≈ url_dedup + the per-task
+      // distinct-hash state per decade
+      "recrawl" -> { () => {
+        import graft.operators.Urls
+        val fetches = docsR.repartition(32)
+          .select(col("doc_id"), col("text"),
+            Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+            Urls.canonicalize(col("url")).as("canon_url"))
+        val sched = fetches.groupBy("canon_url")
+          .agg(count(lit(1)).as("n_fetches"),
+            countDistinct(col("h")).as("n_variants"),
+            min(col("doc_id")).as("keeper_id"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+            graft.queries.DataOps.blockedDomains))
+          .withColumn("interval_waves",
+            when(col("n_variants") >= 3, 1L)
+              .when(col("n_variants") === 2, 4L)
+              .when(col("n_fetches") >= 2, 64L)
+              .otherwise(8L))
+        sched.agg(count(lit(1)), sum(col("interval_waves")),
+          sum(col("n_variants"))).collect()(0).getLong(0)
+      }},
       // the composed politeness front door at scale (ds_crawl_polite's
       // shape): the frontier of crawl_frontier STAGED once (bounded by
       // host × path variety — structural, not volumetric), robots
