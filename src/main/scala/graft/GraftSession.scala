@@ -40,7 +40,8 @@ object GraftSession {
       // 12.0 s, per-operator 8.5 s, this setting 8.3 s — the fallback
       // picks the fast posture per stage, engine-wide, instead of the
       // per-family no-fuse session the r16 workaround hand-maintained.
-      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
