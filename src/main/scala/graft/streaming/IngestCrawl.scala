@@ -25,7 +25,8 @@ import graft.operators.{Html, Urls}
   * overwrite, so foreachBatch's at-least-once retries are idempotent
   * — the admitted-URL state IS the sink, no side ledger for
   * ADMISSION. With `fetchedDir` set, each batch additionally lands a
-  * fetched-URL LEDGER row (canon_url, verdict ∈ kept|thin) for every
+  * fetched-URL LEDGER row (canon_url, verdict ∈ kept|thin, payload md5,
+  * cumulative n_fetches/n_changes, batch id — the recrawlDue inputs) for every
   * gated fetch — thin pages included — in a sibling dir sharing the
   * same settle protocol: the ledger is the "have we fetched this"
   * truth that admission (kept-only) cannot answer, and DISCOVERY
@@ -97,6 +98,66 @@ object IngestCrawl {
       Seq(keyCol), "left_anti")
   }
 
+  /** Latest ledger state per canonical URL from the replay-safe scope
+    * (settled frontier + deltas before `batchId`): (canon_url, h,
+    * n_fetches, n_changes, b). None ⇒ nothing admitted yet. Latest =
+    * max batch id per key — a URL refetched since the last settle has
+    * a frontier row AND a delta row, and only the delta's cumulative
+    * counters are current. The groupBy keys on `canon_url`, which the
+    * settled frontier is bucketed on, so the frontier side aggregates
+    * exchange-free; the delta tail is ≤ settleEvery batch dirs. */
+  private def ledgerState(spark: SparkSession, dir: String,
+                          batchId: Long): Option[DataFrame] = {
+    val (front, deltas) = Frontier.scopeParts(spark, dir, batchId)
+    val parts = front.map { case (m, p) =>
+      Frontier.frontierFrame(spark, dir, m, p) }.toSeq ++
+      (if (deltas.isEmpty) Nil else Seq(spark.read.parquet(deltas: _*)))
+    if (parts.isEmpty) None
+    else Some(parts.reduce(_ unionByName _)
+      .groupBy("canon_url")
+      .agg(max(struct(col("b"), col("h"),
+        col("n_fetches"), col("n_changes"))).as("w"))
+      .select(col("canon_url"), col("w.h").as("h"),
+        col("w.n_fetches").as("n_fetches"),
+        col("w.n_changes").as("n_changes"), col("w.b").as("b")))
+  }
+
+  /** Interval rungs shared by [[recrawlDue]] and its scaladoc'd
+    * contract — the streaming twin of DataOps.dsRecrawl's ladder,
+    * on OBSERVED transitions (`n_changes`: refetches whose payload
+    * differed from the previous copy — what a real crawler can see)
+    * instead of the batch path's distinct-payload count. */
+  private def intervalWaves(nFetches: Column, nChanges: Column): Column =
+    when(nChanges >= 2, 1L)
+      .when(nChanges === 1, 4L)
+      .when(nFetches >= 2, 64L)
+      .otherwise(8L)
+
+  /** The recrawl DUE set at `currentBatch` — the freshness half of
+    * the loop ([[nextWave]] schedules forward from discovery; this
+    * schedules BACK over the fetched ledger): URLs whose change-rate
+    * interval has elapsed since their last fetch. Cho &
+    * Garcia-Molina's estimator collapsed to the integer rung ladder
+    * of DataOps.dsRecrawl, over observed transitions: 2+ observed
+    * changes → every wave, 1 → every 4, static across 2+ fetches →
+    * every 64, single observation → every 8 (explore). Yields
+    * (canon_url, url, n_fetches, n_changes, b, interval_waves) —
+    * `url` aliased for [[nextWave]]'s surface. One hosts-free
+    * ledger aggregate; cost bounded by distinct fetched URLs. */
+  def recrawlDue(spark: SparkSession, fetchedDir: String,
+                 currentBatch: Long): DataFrame =
+    ledgerState(spark, fetchedDir, currentBatch)
+      .getOrElse(spark.emptyDataFrame
+        .select(lit("").as("canon_url"), lit("").as("h"),
+          lit(0L).as("n_fetches"), lit(0L).as("n_changes"),
+          lit(0L).as("b")).limit(0))
+      .withColumn("interval_waves",
+        intervalWaves(col("n_fetches"), col("n_changes")))
+      .filter(lit(currentBatch) - col("b") >= col("interval_waves"))
+      .select(col("canon_url"), col("canon_url").as("url"),
+        col("n_fetches"), col("n_changes"), col("b"),
+        col("interval_waves"))
+
   def crawledIngest(fetches: DataFrame, settledUrls: Option[DataFrame],
                     survivorDir: String, blockedDomains: Seq[String],
                     minTokens: Int = graft.queries.DataOps.crawlMinTokens,
@@ -104,8 +165,19 @@ object IngestCrawl {
                     discoveredDir: Option[String] = None,
                     fetchedDir: Option[String] = None,
                     frontierBuckets: Int = 32,
-                    robotsRules: Option[DataFrame] = None)
-      : StreamingQuery =
+                    robotsRules: Option[DataFrame] = None,
+                    recrawlScope: Option[DataFrame] = None)
+      : StreamingQuery = {
+    // Pin the recrawl scope EAGERLY at stream construction: the due
+    // set is typically a plan over the fetched ledger this very
+    // stream rewrites per batch ([[recrawlDue]]), so re-executing it
+    // lazily inside a batch would read files the batch's own ledger
+    // overwrite just deleted (measured as FAILED_READ_FILE on the
+    // batch-0 replay). The scope is a DECISION taken when the wave
+    // was planned, not a live view — one bounded materialization,
+    // blocks held for the stream's lifetime.
+    val recrawlPinned = recrawlScope.map(
+      _.select("canon_url").distinct().localCheckpoint())
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -136,7 +208,24 @@ object IngestCrawl {
             afterOwn.join(sn.select("canon_url"), Seq("canon_url"), "left_anti")
           case None => afterOwn
         }
-        val ext = Html.extractMainText(fresh, col("html"), col("doc_id"),
+        // recrawl scope (r17): URLs whose freshness interval has
+        // elapsed ([[recrawlDue]]) RE-ENTER admission past every
+        // fetched-scope exclusion — the refetch lands as a new
+        // survivor version (the survivor settle's latest-wins fold
+        // keeps the corpus at the newest copy) and increments the
+        // ledger's change evidence below. The scope contract: due
+        // URLs derive from the fetched ledger, so they are disjoint
+        // from `fresh` by construction; the anti-join enforces it
+        // against a caller handing never-fetched URLs (which must
+        // admit as fresh ONCE, not twice).
+        val admitted = recrawlPinned match {
+          case Some(due) => fresh.unionByName(
+            firstInBatch
+              .join(due, Seq("canon_url"), "left_semi")
+              .join(fresh.select("canon_url"), Seq("canon_url"), "left_anti"))
+          case None => fresh
+        }
+        val ext = Html.extractMainText(admitted, col("html"), col("doc_id"),
           carry = Seq(col("canon_url")))
         val nTok = when(col("main_text") === "", 0L)
           .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
@@ -156,9 +245,33 @@ object IngestCrawl {
           .write.mode("overwrite").parquet(s"$survivorDir/batch_$batchId")
         // fetched-URL ledger: EVERY gated fetch, thin included — the
         // discovery scope's truth (same per-batch-overwrite replay
-        // contract: `staged` derives from the replay-stable scope)
+        // contract: `staged` derives from the replay-stable scope).
+        // r17: rows carry cumulative change evidence — payload md5,
+        // fetch count, observed-transition count, batch id — the
+        // [[recrawlDue]] inputs. The settle's latest-wins fold keeps
+        // exactly the newest cumulative row per URL, so history
+        // survives compaction as counters, not as rows. The prev-state
+        // probe is one more co-partitioned join against the bucketed
+        // frontier per batch (batch side shuffles, ledger side
+        // doesn't); n_fetches/n_changes derive from the scope BEFORE
+        // this batch, so a batch retry recomputes identical rows.
         fetchedDir.foreach { fd =>
-          staged.select(col("canon_url"), col("verdict"))
+          val now = staged.select(col("canon_url"), col("verdict"),
+            md5(col("main_text").cast("binary")).as("h"))
+          val row = ledgerState(spark, fd, batchId) match {
+            case Some(prev) => now.join(
+                prev.select(col("canon_url"), col("h").as("__ph"),
+                  col("n_fetches").as("__pf"), col("n_changes").as("__pc")),
+                Seq("canon_url"), "left")
+              .select(col("canon_url"), col("verdict"), col("h"),
+                (coalesce(col("__pf"), lit(0L)) + 1L).as("n_fetches"),
+                (coalesce(col("__pc"), lit(0L)) +
+                  when(col("__ph").isNotNull && col("__ph") =!= col("h"), 1L)
+                    .otherwise(0L)).as("n_changes"))
+            case None => now.select(col("canon_url"), col("verdict"),
+              col("h"), lit(1L).as("n_fetches"), lit(0L).as("n_changes"))
+          }
+          row.withColumn("b", lit(batchId))
             .write.mode("overwrite").parquet(s"$fd/batch_$batchId")
         }
         // discovery half (optional): this batch's outbound links as
@@ -167,7 +280,7 @@ object IngestCrawl {
         // the write, already-FETCHED (ledger-less: already-admitted)
         // URLs excluded via the same replay-safe scope as admission
         discoveredDir.foreach { dd =>
-          val links = fresh
+          val links = admitted
             .select(col("canon_url").as("referrer"),
               explode(Html.linkHrefs(col("html"))).as("href"))
             .filter(Urls.hrefIsCandidate(col("href")))
@@ -208,6 +321,7 @@ object IngestCrawl {
       }
       .outputMode(OutputMode.Append())
       .start()
+  }
 
   /** Close the crawl loop: the next fetch wave's candidates — every
     * discovered URL minus every URL already fetched (the ledger when
@@ -282,7 +396,8 @@ object IngestCrawl {
                robotsRules: Option[DataFrame] = None,
                hostCaps: Option[DataFrame] = None,
                seeds: Option[DataFrame] = None,
-               hostQuality: Option[DataFrame] = None): DataFrame = {
+               hostQuality: Option[DataFrame] = None,
+               recrawl: Option[DataFrame] = None): DataFrame = {
     // seeds: already-canonical URLs from OUTSIDE link discovery —
     // typically sitemap locs (Urls.robotsSitemaps → fetch →
     // [[sitemapSeeds]], whose page half lands here after index
@@ -302,9 +417,24 @@ object IngestCrawl {
       case None => disc
     }
     val scoped = antiAdmitted(spark, cand, "url", fetchedDir, Long.MaxValue)
-    val allowed = robotsRules match {
-      case Some(r) => Urls.robotsFilter(scoped, col("url"), r)
+    // recrawl (r17): DUE fetched URLs ([[recrawlDue]]) re-enter the
+    // wave past the fetched-scope exclusion — due ⊆ fetched, so the
+    // union is disjoint from `scoped` by construction. A due URL's
+    // in-link evidence is 0 unless discovery happens to list it too
+    // (the discovery scope excludes fetched URLs, so it normally
+    // doesn't); robots, the domain gate and politeness below apply
+    // to refetches exactly as to first fetches — freshness is a
+    // hint, never a bypass.
+    val withDue = recrawl match {
+      case Some(due) => scoped.unionByName(
+        due.select("url").distinct()
+          .join(cand, Seq("url"), "left")
+          .select(col("url"), coalesce(col("n_refs"), lit(0L)).as("n_refs")))
       case None => scoped
+    }
+    val allowed = robotsRules match {
+      case Some(r) => Urls.robotsFilter(withDue, col("url"), r)
+      case None => withDue
     }
     // domain-quality gate (r17): candidates on hosts the fetched
     // ledger has CONDEMNED (`!quality_ok` — [[hostQuality]]) are

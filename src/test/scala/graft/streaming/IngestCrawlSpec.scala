@@ -464,6 +464,71 @@ class IngestCrawlSpec extends SparkSpec {
       "no sitemap file may be scheduled as a page fetch")
   }
 
+  test("recrawl: change evidence accrues in the ledger, due URLs re-enter " +
+      "the wave and re-admit as new versions, not-due URLs stay excluded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_rc_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_rc_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_rc_f").toString
+    val hot = "http://a.com/hot"
+    val cold = "http://a.com/cold"
+    val input = MemoryStream[(Long, String, String)]
+    // run 1: first fetches land change-evidence rows (n_fetches=1,
+    // n_changes=0, b=0 -> explore interval 8)
+    val q1 = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched))
+    try {
+      input.addData((1L, hot, page("a", 30)), (2L, cold, page("c", 30)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // due-ness follows the ladder: nothing due before the explore
+    // interval elapses, everything due after
+    assert(IngestCrawl.recrawlDue(spark, fetched, 3L).count() == 0)
+    val due8 = IngestCrawl.recrawlDue(spark, fetched, 8L)
+    assert(due8.collect().map(_.getString(0)).toSet == Set(hot, cold))
+    val dueHot = due8.filter(col("canon_url") === hot)
+    // a due URL re-enters the wave past the fetched exclusion; the
+    // not-due one stays out
+    val wave = IngestCrawl.nextWave(spark, disc, fetched,
+        recrawl = Some(dueHot))
+      .collect().map(_.getString(0)).toSet
+    assert(wave.contains(hot) && !wave.contains(cold), s"wave: $wave")
+    // run 2, recrawl scope = the due set: batch 0 replays identically
+    // (same offsets), then refetches land — hot (changed payload)
+    // re-admits as a new version and increments the transition count;
+    // cold is NOT in scope, so its refetch is dropped and its ledger
+    // row stays untouched. settleEvery=1 exercises the cumulative
+    // counters surviving the latest-wins fold.
+    val q2 = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      settleEvery = 1, discoveredDir = Some(disc),
+      fetchedDir = Some(fetched), recrawlScope = Some(dueHot))
+    try {
+      q2.processAllAvailable() // replay of batch 0
+      input.addData((10L, hot, page("x", 30)), (11L, cold, page("c", 30)))
+      q2.processAllAvailable() // batch 1
+      input.addData((20L, hot, page("y", 30)))
+      q2.processAllAvailable() // batch 2: prev state spans frontier+delta
+    } finally q2.stop()
+    val state = IngestCrawl.recrawlDue(spark, fetched, 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // hot: 3 processed fetches, 2 observed transitions, last at batch
+    // 2, hottest rung; cold: untouched since batch 0, explore rung
+    assert(state(hot) == (3L, 2L, 2L, 1L), s"hot state: ${state(hot)}")
+    assert(state(cold) == (1L, 0L, 0L, 8L), s"cold state: ${state(cold)}")
+    // the corpus carries hot's versions (latest-wins at each settle),
+    // and cold was admitted exactly once
+    val admitted = graft.streaming.Frontier.readLayered(spark, surv)
+      .select("canon_url", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(admitted.contains((hot, 20L)), s"newest hot version: $admitted")
+    assert(admitted.filter(_._1 == cold).map(_._2) == Set(2L),
+      s"cold must keep its single first fetch: $admitted")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
