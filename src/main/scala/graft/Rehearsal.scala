@@ -973,11 +973,17 @@ object Rehearsal {
           .select(col("doc_id"), col("text"))
         val ref = d.filter(col("source")
           .isin(graft.queries.DataOps.lmRefSources: _*))
+        // NLL cap disabled at scale like the `curate` case: add-one
+        // smoothing inflates NLL with the ×MULT salted vocabulary, so
+        // the corpus-calibrated cap would verdict every survivor 'lm'
+        // and the decade row would measure a one-branch plan (caught
+        // live: verdict classes collapsed to 1 at 1000×). The LM
+        // gate's scoring cost still runs in full.
         Curation.audit(survivors, col("text"), col("doc_id"), ref, 3,
             graft.queries.DataOps.jaccardThreshold,
             graft.queries.DataOps.curateMaxTop2,
             graft.queries.DataOps.curateMaxDup5,
-            graft.queries.DataOps.curateMaxNll)
+            maxAvgNll = 1e9)
           .groupBy("verdict").agg(count(lit(1)).as("n"))
           .agg(count(lit(1)), sum(col("n"))).collect()(0).getLong(0)
       }},
