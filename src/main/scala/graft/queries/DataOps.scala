@@ -1066,6 +1066,51 @@ object DataOps {
       .agg(count(lit(1)).as("n_refs"), sum(col("cash")).as("cash"))
   }
 
+  /** Trap fan-out bar — corpus-calibrated like domainKeepPct (the
+    * fixture's benign templates fan out 5 per host; the planted
+    * calendar traps 20): production crawls set this per their
+    * frontier volume. */
+  val trapMinUrls = 15L
+
+  /** Crawl-trap detection over the frontier — the classic crawler
+    * failure mode: infinite URL spaces (calendar pages, session ids,
+    * faceted search) that explode the frontier with near-identical
+    * candidates nothing else links to. The detector is URL TEMPLATE
+    * fan-out: collapse digit runs in the candidate's path+query to
+    * `N` and count distinct candidates per (host, template) — a
+    * template whose cardinality exceeds [[trapMinUrls]] is flagged,
+    * and a scheduler drops or down-prioritizes its candidates before
+    * fetching (the gate consumer; this row is the audit surface).
+    * `sum_refs` keeps the evidence mass so a genuinely popular
+    * template (many in-links) can be whitelisted downstream.
+    *
+    * The corpus fixture's templates fan out uniformly (5 per host),
+    * so PLANTED calendar candidates (`/cal?d=0..k`, k varying by the
+    * source-length residue — the crawlSeeds pattern) keep both
+    * verdict branches live. Scale shape: one keyed aggregate over
+    * frontier candidates, output bounded by hosts × templates. */
+  def dsCrawlTraps(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val planted = crawlHosts(s, d)
+      .select(col("host"),
+        (pmod(length(col("source")), lit(4)) * 20).cast("int").as("tn"))
+      .select(col("host"),
+        explode(when(col("tn") > 0, sequence(lit(0), col("tn") - 1))
+          .otherwise(array())).as("k"))
+      .select(concat(lit("https://"), col("host"), lit("/cal?d="),
+        col("k")).as("url"), lit(1L).as("n_refs"))
+    dsCrawlFrontier(s, d).select(col("url"), col("n_refs"))
+      .unionByName(planted)
+      .select(Urls.hostOf(col("url")).as("host"),
+        regexp_replace(
+          regexp_replace(col("url"), "^[a-z][a-z0-9+.-]*://[^/?#]+", ""),
+          "[0-9]+", "N").as("template"),
+        col("n_refs"))
+      .groupBy("host", "template")
+      .agg(count(lit(1)).as("n_urls"), sum(col("n_refs")).as("sum_refs"))
+      .withColumn("trap", col("n_urls") >= trapMinUrls)
+  }
+
   /** Planted per-host hub pages for the OPIC row — already-canonical
     * by construction (lowercase https, no port/params/fragments, no
     * trailing slash): every host's hub links the root, `/about` and
@@ -4922,6 +4967,29 @@ object DataOps {
     // OPIC one-round frontier priority: integer floor-divided cash
     // shares per referrer, receipts summed per uncrawled candidate
     "ds_frontier_opic" -> frontierOpicSql,
+    // crawl-trap detection: URL-template (digit runs -> N) fan-out
+    // per host over frontier + planted calendar candidates
+    "ds_crawl_traps" ->
+      s"""WITH f AS ($crawlFrontierSql),
+          th AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
+                        (length(source) % 4) * 20 AS tn FROM documents),
+          pl AS (SELECT 'https://' || host || '/cal?d=' ||
+                        CAST(x AS VARCHAR) AS url,
+                        CAST(1 AS BIGINT) AS n_refs
+                 FROM (SELECT host, unnest(range(0, tn)) AS x FROM th)),
+          au AS (SELECT url, n_refs FROM f
+                 UNION ALL SELECT url, n_refs FROM pl),
+          t AS (SELECT
+                  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                    AS host,
+                  regexp_replace(regexp_replace(url,
+                    '^[a-z][a-z0-9+.-]*://[^/?#]+', ''),
+                    '[0-9]+', 'N', 'g') AS template,
+                  n_refs FROM au)
+          SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+                 CAST(sum(n_refs) AS BIGINT) AS sum_refs,
+                 count(*) >= ${trapMinUrls} AS trap
+          FROM t GROUP BY host, template""",
     // robots parsing: the wildcard-agent Disallow AND Allow rule
     // table (RFC 9309 §2.2.2 — shared agent groups, case-varied
     // directives, inline comments, an Allow carve-out)
@@ -5690,6 +5758,7 @@ object DataOps {
     "tx_sitemap_index" -> txSitemapIndex _, // urlset/index kind routing
     "tx_sitemap_meta" -> txSitemapMeta _, // per-entry lastmod recrawl signal
     "ds_frontier_opic" -> dsFrontierOpic _, // OPIC cash frontier priority
+    "ds_crawl_traps" -> dsCrawlTraps _, // URL-template fan-out trap audit
     "ds_recrawl" -> dsRecrawl _, // change-rate recrawl interval ladder
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,

@@ -160,6 +160,31 @@ class CrawlSpec extends SparkSpec {
       assert(!opic.keys.exists(_.contains(d)), s"blocked host $d got cash"))
   }
 
+  test("dsCrawlTraps: the verdict recomputes from fan-out, planted calendar " +
+      "traps flag, frontier templates stay benign, evidence mass reconciles") {
+    val rows = DataOps.dsCrawlTraps(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (host, tpl, nUrls, sumRefs, trap) =>
+      assert(trap == (nUrls >= DataOps.trapMinUrls), s"$host $tpl: verdict")
+      assert(sumRefs >= nUrls, s"$host $tpl: every candidate has evidence")
+    }
+    val (traps, benign) = rows.partition(_._5)
+    assert(traps.nonEmpty && benign.nonEmpty, "both branches must be live")
+    // every trap is a planted calendar template with its host-class
+    // fan-out; no frontier-derived template reaches the bar
+    traps.foreach { case (host, tpl, nUrls, sumRefs, _) =>
+      assert(tpl == "/cal?d=N", s"$host: unexpected trap template $tpl")
+      assert(nUrls == 20 && sumRefs == 20, s"$host: planted fan-out drifted")
+    }
+    // the frontier's own candidates all appear, benign
+    val frontierHosts = DataOps.dsCrawlFrontier(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    assert(benign.exists(b => frontierHosts.exists(_.contains(b._1))),
+      "frontier templates must be represented")
+  }
+
   test("dsRecrawl: ladder recomputes from evidence, due waves stagger " +
       "within the interval, ledger agrees with dd_url_dedup") {
     val rows = DataOps.dsRecrawl(spark, sf)

@@ -266,6 +266,44 @@ class IngestCrawlSpec extends SparkSpec {
     assert(wave == Set("http://a.com/ok"), s"wave: $wave")
   }
 
+  test("per-agent robots compose into the stream: the chosen group's rules " +
+      "replace the wildcard's at discovery and scheduling") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_ag_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_ag_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_ag_f").toString
+    // one body, two readings: '*' disallows /ok; the specific group
+    // REPLACES it (RFC 9309 §2.2.1) — disallowing /private instead
+    val body = "User-agent: *\nDisallow: /ok\n\n" +
+      "User-agent: graftbot-news\nDisallow: /private\n"
+    val hosts = Seq(("a.com", body)).toDF("host", "body")
+    val agentRules = graft.operators.Urls.robotsRules(
+      hosts, col("host"), col("body"), agent = Some("graftbot-news"))
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched),
+      robotsRules = Some(agentRules))
+    try {
+      input.addData((1L, "http://a.com/p", pageWith("a",
+        "<a href=\"/private/x\">p</a><a href=\"/ok\">o</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the product token's group binds: /ok (wildcard-disallowed)
+    // flows, /private (agent-disallowed) never lands
+    val d0 = spark.read.parquet(s"$disc/batch_0")
+      .collect().map(_.getString(0)).toSet
+    assert(d0 == Set("http://a.com/ok"), s"discovered: $d0")
+    val wave = IngestCrawl.nextWave(spark, disc, fetched,
+        robotsRules = Some(agentRules))
+      .collect().map(_.getString(0)).toSet
+    assert(wave == Set("http://a.com/ok"), s"wave: $wave")
+  }
+
   test("nextWave: scheduling-time robots refilter + per-host delay caps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
