@@ -1091,7 +1091,48 @@ object DataOps {
     * frontier candidates, output bounded by hosts × templates. */
   def dsCrawlTraps(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Urls
-    val planted = crawlHosts(s, d)
+    dsCrawlFrontier(s, d).select(col("url"), col("n_refs"))
+      .unionByName(plantedCalCandidates(s, d))
+      .select(Urls.hostOf(col("url")).as("host"),
+        urlTemplate(col("url")).as("template"),
+        col("n_refs"))
+      .groupBy("host", "template")
+      .agg(count(lit(1)).as("n_urls"), sum(col("n_refs")).as("sum_refs"))
+      .withColumn("trap", col("n_urls") >= trapMinUrls)
+  }
+
+  /** The trap gate composed (audit → gate, batch path): frontier +
+    * planted calendar candidates MINUS every candidate whose (host,
+    * template) the [[dsCrawlTraps]] audit flags — what the scheduler
+    * actually fetches from. ONE anti-join against the traps frame
+    * (bounded by hosts × templates, broadcast); the template
+    * projection is the same regex both engines run, so the gate
+    * commutes with nothing and drops exactly the flagged fan-out.
+    * Streaming twin: `IngestCrawl.nextWave(traps = ...)`. */
+  def dsFrontierGated(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val cand = dsCrawlFrontier(s, d).select(col("url"), col("n_refs"))
+      .unionByName(plantedCalCandidates(s, d))
+    val traps = dsCrawlTraps(s, d).filter(col("trap"))
+      .select(col("host"), col("template"))
+    cand
+      .withColumn("host", Urls.hostOf(col("url")))
+      .withColumn("template", urlTemplate(col("url")))
+      .join(broadcast(traps), Seq("host", "template"), "left_anti")
+      .select(col("url"), col("n_refs"), col("host"))
+  }
+
+  /** Digit runs in the path+query collapsed to `N` — the trap
+    * template projection (host kept verbatim). */
+  def urlTemplate(url: Column): Column =
+    regexp_replace(
+      regexp_replace(url, "^[a-z][a-z0-9+.-]*://[^/?#]+", ""),
+      "[0-9]+", "N")
+
+  /** The planted calendar-trap candidates (shared by the audit and
+    * the gate rows): `/cal?d=0..k`, k by source-length residue. */
+  private def plantedCalCandidates(s: SparkSession, d: String): DataFrame =
+    crawlHosts(s, d)
       .select(col("host"),
         (pmod(length(col("source")), lit(4)) * 20).cast("int").as("tn"))
       .select(col("host"),
@@ -1099,17 +1140,6 @@ object DataOps {
           .otherwise(array())).as("k"))
       .select(concat(lit("https://"), col("host"), lit("/cal?d="),
         col("k")).as("url"), lit(1L).as("n_refs"))
-    dsCrawlFrontier(s, d).select(col("url"), col("n_refs"))
-      .unionByName(planted)
-      .select(Urls.hostOf(col("url")).as("host"),
-        regexp_replace(
-          regexp_replace(col("url"), "^[a-z][a-z0-9+.-]*://[^/?#]+", ""),
-          "[0-9]+", "N").as("template"),
-        col("n_refs"))
-      .groupBy("host", "template")
-      .agg(count(lit(1)).as("n_urls"), sum(col("n_refs")).as("sum_refs"))
-      .withColumn("trap", col("n_urls") >= trapMinUrls)
-  }
 
   /** Planted per-host hub pages for the OPIC row — already-canonical
     * by construction (lowercase https, no port/params/fragments, no
@@ -4990,6 +5020,31 @@ object DataOps {
                  CAST(sum(n_refs) AS BIGINT) AS sum_refs,
                  count(*) >= ${trapMinUrls} AS trap
           FROM t GROUP BY host, template""",
+    // the trap gate composed: candidates minus flagged templates
+    "ds_frontier_gated" ->
+      s"""WITH f AS ($crawlFrontierSql),
+          th AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
+                        (length(source) % 4) * 20 AS tn FROM documents),
+          pl AS (SELECT 'https://' || host || '/cal?d=' ||
+                        CAST(x AS VARCHAR) AS url,
+                        CAST(1 AS BIGINT) AS n_refs
+                 FROM (SELECT host, unnest(range(0, tn)) AS x FROM th)),
+          au AS (SELECT url, n_refs FROM f
+                 UNION ALL SELECT url, n_refs FROM pl),
+          t AS (SELECT url, n_refs,
+                  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                    AS host,
+                  regexp_replace(regexp_replace(url,
+                    '^[a-z][a-z0-9+.-]*://[^/?#]+', ''),
+                    '[0-9]+', 'N', 'g') AS template
+                FROM au),
+          tr AS (SELECT host, template FROM t
+                 GROUP BY host, template
+                 HAVING count(*) >= ${trapMinUrls})
+          SELECT url, n_refs, host FROM t
+          WHERE NOT EXISTS (SELECT 1 FROM tr
+                            WHERE tr.host = t.host
+                              AND tr.template = t.template)""",
     // robots parsing: the wildcard-agent Disallow AND Allow rule
     // table (RFC 9309 §2.2.2 — shared agent groups, case-varied
     // directives, inline comments, an Allow carve-out)
@@ -5759,6 +5814,7 @@ object DataOps {
     "tx_sitemap_meta" -> txSitemapMeta _, // per-entry lastmod recrawl signal
     "ds_frontier_opic" -> dsFrontierOpic _, // OPIC cash frontier priority
     "ds_crawl_traps" -> dsCrawlTraps _, // URL-template fan-out trap audit
+    "ds_frontier_gated" -> dsFrontierGated _, // trap audit -> gate composed
     "ds_recrawl" -> dsRecrawl _, // change-rate recrawl interval ladder
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,

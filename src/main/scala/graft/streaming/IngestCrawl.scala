@@ -397,7 +397,8 @@ object IngestCrawl {
                hostCaps: Option[DataFrame] = None,
                seeds: Option[DataFrame] = None,
                hostQuality: Option[DataFrame] = None,
-               recrawl: Option[DataFrame] = None): DataFrame = {
+               recrawl: Option[DataFrame] = None,
+               traps: Option[DataFrame] = None): DataFrame = {
     // seeds: already-canonical URLs from OUTSIDE link discovery —
     // typically sitemap locs (Urls.robotsSitemaps → fetch →
     // [[sitemapSeeds]], whose page half lands here after index
@@ -452,11 +453,25 @@ object IngestCrawl {
         .drop("__h", "quality_ok")
       case None => allowed
     }
+    // trap gate (r17): candidates whose (host, template) the trap
+    // audit flagged (DataOps.dsCrawlTraps' shape — digit runs in the
+    // path+query collapsed to N) never reach the politeness window —
+    // an infinite URL space can otherwise monopolize its host's wave
+    // slots forever. Broadcast anti-join, bounded by hosts×templates.
+    val trapGated = traps match {
+      case Some(tr) => gated
+        .withColumn("__h", Urls.hostOf(col("url")))
+        .withColumn("__t", graft.queries.DataOps.urlTemplate(col("url")))
+        .join(broadcast(tr.select(col("host").as("__h"),
+          col("template").as("__t"))), Seq("__h", "__t"), "left_anti")
+        .drop("__h", "__t")
+      case None => gated
+    }
     hostCaps match {
-      case Some(caps) => Urls.politeWavesCapped(gated, col("url"),
+      case Some(caps) => Urls.politeWavesCapped(trapGated, col("url"),
         col("n_refs"), caps, perHostPerWave)
       case None =>
-        Urls.politeWaves(gated, col("url"), col("n_refs"), perHostPerWave)
+        Urls.politeWaves(trapGated, col("url"), col("n_refs"), perHostPerWave)
     }
   }
 }

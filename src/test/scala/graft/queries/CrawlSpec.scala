@@ -185,6 +185,28 @@ class CrawlSpec extends SparkSpec {
       "frontier templates must be represented")
   }
 
+  test("dsFrontierGated: flagged templates' candidates never pass, benign " +
+      "candidates all pass with their evidence intact") {
+    val gated = DataOps.dsFrontierGated(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val traps = DataOps.dsCrawlTraps(spark, sf).filter(col("trap"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(traps.nonEmpty, "the planted calendar traps must flag")
+    gated.keys.foreach { url =>
+      val host = url.stripPrefix("https://").stripPrefix("http://")
+        .takeWhile(c => c != '/' && c != '?')
+      val tpl = url.replaceFirst("^[a-z][a-z0-9+.-]*://[^/?#]+", "")
+        .replaceAll("[0-9]+", "N")
+      assert(!traps.contains((host, tpl)), s"trapped candidate passed: $url")
+    }
+    // at this fixture every planted calendar candidate is trapped and
+    // every frontier candidate is benign: gated == frontier, evidence kept
+    val frontier = DataOps.dsCrawlFrontier(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gated == frontier,
+      "gate must pass exactly the benign frontier at this fixture")
+  }
+
   test("dsRecrawl: ladder recomputes from evidence, due waves stagger " +
       "within the interval, ledger agrees with dd_url_dedup") {
     val rows = DataOps.dsRecrawl(spark, sf)

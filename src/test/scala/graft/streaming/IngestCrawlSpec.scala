@@ -304,6 +304,38 @@ class IngestCrawlSpec extends SparkSpec {
     assert(wave == Set("http://a.com/ok"), s"wave: $wave")
   }
 
+  test("nextWave: trap gate drops flagged templates before the wave window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_tp_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_tp_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_tp_f").toString
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched))
+    try {
+      // a calendar trap (two digit-templated links) and a benign page
+      input.addData((1L, "http://a.com/p", pageWith("a",
+        "<a href=\"/cal?d=1\">c1</a><a href=\"/cal?d=2\">c2</a>" +
+          "<a href=\"/ok\">o</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val traps = Seq(("a.com", "/cal?d=N")).toDF("host", "template")
+    val wave = IngestCrawl.nextWave(spark, disc, fetched,
+        traps = Some(traps))
+      .collect().map(_.getString(0)).toSet
+    assert(wave == Set("http://a.com/ok"), s"wave: $wave")
+    // without the gate the calendar candidates would schedule
+    val ungated = IngestCrawl.nextWave(spark, disc, fetched)
+      .collect().map(_.getString(0)).toSet
+    assert(ungated == Set("http://a.com/ok", "http://a.com/cal?d=1",
+      "http://a.com/cal?d=2"), s"ungated: $ungated")
+  }
+
   test("nextWave: scheduling-time robots refilter + per-host delay caps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
