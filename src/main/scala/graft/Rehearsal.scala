@@ -815,6 +815,60 @@ object Rehearsal {
         opic.agg(count(lit(1)), sum(col("n_refs")), sum(col("cash")))
           .collect()(0).getLong(0)
       }},
+      // the trap audit + gate at scale (ds_crawl_traps +
+      // ds_frontier_gated's shape): the frontier chain + planted
+      // calendar candidates → (host, template) fan-out aggregate →
+      // broadcast anti-join gate. Expected: ≈ the frontier case +
+      // one hosts×templates-bounded aggregate per decade
+      "crawl_traps" -> { () => {
+        import graft.operators.{Html, Urls}
+        val d = docsR.repartition(32)
+        val pagesF = d.select(
+          Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
+          Html.syntheticPage(col("text"), col("source")).as("html"))
+        val crawled = pagesF.select(col("referrer").as("url")).distinct()
+        val frontier = pagesF
+          .select(col("referrer"),
+            explode(Html.linkHrefs(col("html"))).as("href"))
+          .filter(Urls.hrefIsCandidate(col("href")))
+          .select(col("referrer"),
+            Urls.resolveHref(col("referrer"), col("href")).as("raw_url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("raw_url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("referrer"), Urls.canonicalize(col("raw_url")).as("url"))
+          .join(crawled, Seq("url"), "left_anti")
+          .groupBy("url").agg(count(lit(1)).as("n_refs"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("url")),
+            graft.queries.DataOps.blockedDomains))
+        val planted = d
+          .select(concat(lower(col("source")), lit(".example.com")).as("host"),
+            col("source")).distinct()
+          .select(col("host"),
+            (pmod(length(col("source")), lit(4)) * 20).cast("int").as("tn"))
+          .select(col("host"),
+            explode(when(col("tn") > 0, sequence(lit(0), col("tn") - 1))
+              .otherwise(array())).as("k"))
+          .select(concat(lit("https://"), col("host"), lit("/cal?d="),
+            col("k")).as("url"), lit(1L).as("n_refs"))
+        // staged ONCE (candidates-bounded): the audit aggregate and
+        // the gate's left side both consume it — unstaged, the whole
+        // frontier derivation re-ran per consumer (15.5 s vs ~8 s at
+        // mult=1, the dsCrawlPolite lesson again)
+        val cand = org.apache.spark.sql.GraftBridge.stageLocal(
+          frontier.unionByName(planted)
+            .withColumn("host", Urls.hostOf(col("url")))
+            .withColumn("template",
+              graft.queries.DataOps.urlTemplate(col("url"))))
+        val traps = cand.groupBy("host", "template")
+          .agg(count(lit(1)).as("n_urls"))
+          .filter(col("n_urls") >= graft.queries.DataOps.trapMinUrls)
+          .select("host", "template")
+        val gated = cand.join(broadcast(traps),
+          Seq("host", "template"), "left_anti")
+        gated.agg(count(lit(1)), sum(col("n_refs")), sum(length(col("url"))))
+          .collect()(0).getLong(0)
+      }},
       // recrawl scheduling at scale (ds_recrawl's shape): the
       // url_dedup exchange with a count-distinct-md5 riding the same
       // map-side partials. Expected: ≈ url_dedup + the per-task

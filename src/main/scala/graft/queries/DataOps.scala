@@ -1108,16 +1108,26 @@ object DataOps {
     * (bounded by hosts × templates, broadcast); the template
     * projection is the same regex both engines run, so the gate
     * commutes with nothing and drops exactly the flagged fan-out.
-    * Streaming twin: `IngestCrawl.nextWave(traps = ...)`. */
+    * Streaming twin: `IngestCrawl.nextWave(traps = ...)`.
+    *
+    * Plan shape: the candidate frame is consumed TWICE (the fan-out
+    * aggregate and the gate's left side), so it is STAGED once —
+    * candidates-bounded, the dsCrawlPolite lesson — instead of
+    * re-deriving the whole frontier chain per consumer (measured at
+    * the rehearsal scale: the self-joined form re-ran the frontier
+    * derivation twice). */
   def dsFrontierGated(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Urls
-    val cand = dsCrawlFrontier(s, d).select(col("url"), col("n_refs"))
-      .unionByName(plantedCalCandidates(s, d))
-    val traps = dsCrawlTraps(s, d).filter(col("trap"))
-      .select(col("host"), col("template"))
+    val cand = org.apache.spark.sql.GraftBridge.stageLocal(
+      dsCrawlFrontier(s, d).select(col("url"), col("n_refs"))
+        .unionByName(plantedCalCandidates(s, d))
+        .withColumn("host", Urls.hostOf(col("url")))
+        .withColumn("template", urlTemplate(col("url"))))
+    val traps = cand.groupBy("host", "template")
+      .agg(count(lit(1)).as("n_urls"))
+      .filter(col("n_urls") >= trapMinUrls)
+      .select("host", "template")
     cand
-      .withColumn("host", Urls.hostOf(col("url")))
-      .withColumn("template", urlTemplate(col("url")))
       .join(broadcast(traps), Seq("host", "template"), "left_anti")
       .select(col("url"), col("n_refs"), col("host"))
   }
