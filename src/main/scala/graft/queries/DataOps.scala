@@ -1438,12 +1438,20 @@ object DataOps {
     * tiny result — the corpus is never shuffled for the seeds' sake. */
   def dsCrawlPoliteSeeded(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Urls
+    // the crawled set staged ONCE and reused (r17): the frontier's
+    // anti-join probe AND the seeds' fetched-scope exclusion both
+    // need it — deriving the seeds' exclusion from its own corpus
+    // projection paid a third corpus canon pass (matched min-of-3
+    // A/B at sf0.1: 4.83 s -> 4.18 s staged)
+    val (links, crawledRaw) = crawlLinkFrames(s, d)
+    val crawled = org.apache.spark.sql.GraftBridge.stageLocal(crawledRaw)
     val frontier = org.apache.spark.sql.GraftBridge.stageLocal(
-      dsCrawlFrontier(s, d).select("url", "n_refs"))
+      links
+        .join(crawled, Seq("url"), "left_anti")
+        .groupBy("url").agg(count(lit(1)).as("n_refs"))
+        .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), blockedDomains)))
     val seeds = crawlSeeds(s, d)
-    val corpusUrls = docs(s, d).select(Urls.canonicalize(
-      Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
-    val fetchedSeeds = corpusUrls
+    val fetchedSeeds = crawled
       .join(broadcast(seeds), Seq("url"), "left_semi").distinct()
     val live = seeds.join(fetchedSeeds, Seq("url"), "left_anti")
     val cand = frontier
