@@ -1466,6 +1466,76 @@ object DataOps {
       caps, crawlPerHostPerWave)
   }
 
+  /** THE production wave — every crawl-loop gate composed into ONE
+    * plan, in the order a real scheduler applies them:
+    *
+    *  discovery (frontier) ∪ sitemap seeds (evidence 0) ∪ trap-bait
+    *  candidates → trap gate (template fan-out audit → anti-join)
+    *  → domain-quality gate (fetch-ledger keep-rate per host at
+    *  [[domainKeepPct]]%, hosts without evidence stay schedulable)
+    *  → robots access filter under the PRODUCT TOKEN's §2.2.1 group
+    *  choice → per-host Crawl-delay wave caps from the SAME chosen
+    *  group.
+    *
+    * Plan economics: the crawled set and the candidate pool are each
+    * staged ONCE (candidates-bounded); the trap audit and its gate
+    * share the staged pool; the domain gate's ledger pass is the one
+    * honest corpus-extraction cost (a real wave consults the fetch
+    * ledger's verdicts); every gate frame — traps, bad hosts, robots
+    * rules, delay caps — is hosts- or template-bounded and
+    * broadcast. Ordering is cheap→expensive on the candidate side:
+    * traps and the domain gate shrink the pool before the
+    * rules-matching theta-join. */
+  def dsCrawlWave(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val (links, crawledRaw) = crawlLinkFrames(s, d)
+    val crawled = org.apache.spark.sql.GraftBridge.stageLocal(crawledRaw)
+    val frontier = links
+      .join(crawled, Seq("url"), "left_anti")
+      .groupBy("url").agg(count(lit(1)).as("n_refs"))
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), blockedDomains))
+    val seeds = crawlSeeds(s, d)
+    val fetchedSeeds = crawled
+      .join(broadcast(seeds), Seq("url"), "left_semi").distinct()
+    val live = seeds.join(fetchedSeeds, Seq("url"), "left_anti")
+    val cand = org.apache.spark.sql.GraftBridge.stageLocal(
+      frontier
+        .unionByName(live.select(col("url"), lit(0L).as("n_refs")))
+        .unionByName(plantedCalCandidates(s, d))
+        .groupBy("url").agg(max(col("n_refs")).as("n_refs"))
+        .withColumn("host", Urls.hostOf(col("url")))
+        .withColumn("template", urlTemplate(col("url"))))
+    val traps = cand.groupBy("host", "template")
+      .agg(count(lit(1)).as("n_urls"))
+      .filter(col("n_urls") >= trapMinUrls)
+      .select("host", "template")
+    val untrapped = cand
+      .join(broadcast(traps), Seq("host", "template"), "left_anti")
+    // fetch-ledger domain gate: hosts the verdicts CONDEMN at the
+    // curation bar; no-evidence hosts never appear -> stay schedulable
+    val badHosts = dsCrawl(s, d)
+      .select(Urls.hostOf(col("canon_url")).as("host"),
+        when(col("verdict") === "kept", 1L).otherwise(0L).as("k"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"))
+      .filter(col("n_kept") * 100 < col("n_pages") * domainKeepPct)
+      .select("host")
+    val gated = untrapped
+      .join(broadcast(badHosts), Seq("host"), "left_anti")
+      .select(col("url"), col("n_refs"))
+    val hosts = crawlHosts(s, d)
+    val arules = Urls.robotsRules(hosts, col("host"),
+      Urls.syntheticRobots(col("source")), agent = Some(crawlProductToken))
+    val allowed = Urls.robotsFilter(gated, col("url"), arules)
+    val caps = Urls.robotsDelays(hosts, col("host"),
+        Urls.syntheticRobots(col("source")), agent = Some(crawlProductToken))
+      .select(col("host"),
+        greatest(lit(1L),
+          floor(lit(crawlWavePeriodSec) / col("delay_s"))).as("cap"))
+    Urls.politeWavesCapped(allowed, col("url"), col("n_refs"),
+      caps, crawlPerHostPerWave)
+  }
+
   def txClean(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(col("doc_id"),
       TextAnalysis.cleaned(col("text")).as("clean_text"))
@@ -5283,6 +5353,104 @@ object DataOps {
                         ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
                    AS wave
           FROM j""",
+    // THE production wave: discovery + seeds + trap bait -> trap gate
+    // -> fetch-ledger domain gate -> agent-scoped robots -> agent
+    // Crawl-delay wave caps, one plan (w-prefixed CTEs are
+    // collision-free vs the shared robots/frontier names)
+    "ds_crawl_wave" ->
+      s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes, $robotsAgentCtes,
+          arpat AS (SELECT host, prefix, allow,
+                      replace(replace(replace(replace(
+                        CASE WHEN substr(prefix, length(prefix), 1) = '$$'
+                             THEN substr(prefix, 1, length(prefix) - 1)
+                             ELSE prefix END,
+                        '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+                      || CASE WHEN substr(prefix, length(prefix), 1) = '$$'
+                              THEN '' ELSE '%' END AS pat
+                    FROM arules),
+          sdb AS (SELECT host, $sitemapBodySqlExpr AS xml FROM rh),
+          sdl AS (SELECT unnest(regexp_extract_all(xml,
+                    '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS raw FROM sdb),
+          sdd AS (SELECT replace(replace(replace(replace(replace(raw,
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&apos;', \'\'\'\'), '&amp;', '&') AS loc FROM sdl),
+          sd8 AS (SELECT ${urlCanonSqlExpr("loc")} AS cu FROM sdd),
+          sdc AS (SELECT DISTINCT ${sortParamsSqlExpr("cu")} AS url FROM sd8),
+          sdm AS (SELECT min(doc_id) AS doc_id, source FROM documents
+                  GROUP BY source),
+          sdu AS (SELECT $urlSynthSqlExpr AS url FROM sdm),
+          sdp8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM sdu),
+          sdp AS (SELECT ${sortParamsSqlExpr("cu")} AS url FROM sdp8),
+          sds AS (SELECT url FROM sdc UNION SELECT url FROM sdp),
+          sco8 AS (SELECT ${urlCanonSqlExpr("u2.url")} AS cu FROM
+                   (SELECT $urlSynthSqlExpr AS url FROM documents) u2),
+          sco AS (SELECT DISTINCT ${sortParamsSqlExpr("cu")} AS url FROM sco8),
+          sdlive AS (SELECT url FROM sds
+                     WHERE url NOT IN (SELECT url FROM sco)),
+          wth AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
+                         (length(source) % 4) * 20 AS tn FROM documents),
+          wpl AS (SELECT 'https://' || host || '/cal?d=' ||
+                         CAST(x AS VARCHAR) AS url,
+                         CAST(1 AS BIGINT) AS n_refs
+                  FROM (SELECT host, unnest(range(0, tn)) AS x FROM wth)),
+          wcand AS (SELECT url, CAST(max(n_refs) AS BIGINT) AS n_refs FROM
+                    (SELECT url, n_refs FROM f
+                     UNION ALL SELECT url, 0 AS n_refs FROM sdlive
+                     UNION ALL SELECT url, n_refs FROM wpl)
+                    GROUP BY url),
+          wct AS (SELECT url, n_refs,
+                    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                      AS host,
+                    regexp_replace(regexp_replace(url,
+                      '^[a-z][a-z0-9+.-]*://[^/?#]+', ''),
+                      '[0-9]+', 'N', 'g') AS template
+                  FROM wcand),
+          wtr AS (SELECT host, template FROM wct
+                  GROUP BY host, template
+                  HAVING count(*) >= ${trapMinUrls}),
+          wut AS (SELECT wct.* FROM wct
+                  WHERE NOT EXISTS (SELECT 1 FROM wtr
+                                    WHERE wtr.host = wct.host
+                                      AND wtr.template = wct.template)),
+          wcv AS ($crawlCompositeSql),
+          wbad AS (SELECT host FROM
+                   (SELECT regexp_extract(canon_url,
+                      '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+                      CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END AS k
+                    FROM wcv) v
+                   GROUP BY host
+                   HAVING sum(k) * 100 < count(*) * ${domainKeepPct}),
+          wgt AS (SELECT url, n_refs FROM wut
+                  WHERE wut.host NOT IN (SELECT host FROM wbad)),
+          fp AS (SELECT wgt.*,
+                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                     AS fhost,
+                   regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]+', '')
+                     AS fpath
+                 FROM wgt),
+          blk AS (SELECT fhost, fpath FROM
+                  (SELECT fp.fhost, fp.fpath,
+                     max(length(r.prefix) * 2 +
+                         CASE WHEN r.allow THEN 1 ELSE 0 END) AS best
+                   FROM fp JOIN arpat r ON r.host = fp.fhost
+                     AND fp.fpath LIKE r.pat ESCAPE '\\'
+                   GROUP BY fp.fhost, fp.fpath)
+                  WHERE best % 2 = 0),
+          keep AS (SELECT fp.url, fp.n_refs, fp.fhost FROM fp
+                   WHERE NOT EXISTS (SELECT 1 FROM blk
+                                     WHERE blk.fhost = fp.fhost
+                                       AND blk.fpath = fp.fpath)),
+          caps AS (SELECT host,
+                     greatest(1, $crawlWavePeriodSec // delay_s) AS cap
+                   FROM adelays),
+          j AS (SELECT k.url, k.n_refs AS priority, k.fhost AS host,
+                  greatest(coalesce(caps.cap, $crawlPerHostPerWave), 1) AS cap
+                FROM keep k LEFT JOIN caps ON k.fhost = caps.host)
+          SELECT url, priority, host, cap,
+                 CAST((row_number() OVER (PARTITION BY host
+                        ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
+                   AS wave
+          FROM j""",
     // wave-density invariant twin: per (host, cap) histogram of the
     // delay schedule + the dense/capped invariants, derived by each
     // engine from its OWN schedule replay
@@ -5838,6 +6006,7 @@ object DataOps {
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan
     "ds_crawl_polite_seeded" -> dsCrawlPoliteSeeded _, // + sitemap seeds at evidence 0
+    "ds_crawl_wave" -> dsCrawlWave _, // THE production wave: every gate, one plan
     "ds_crawl_waves" -> dsCrawlWaves _, // wave-density invariant twin
     "ds_host_quality" -> dsHostQuality _, // domain-level keep-rate gate
     "ds_curate_domain" -> dsCurateDomain _, // gate-first curation composite

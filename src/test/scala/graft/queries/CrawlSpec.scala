@@ -207,6 +207,47 @@ class CrawlSpec extends SparkSpec {
       "gate must pass exactly the benign frontier at this fixture")
   }
 
+  test("dsCrawlWave: every gate bites — no trapped template, no condemned " +
+      "host, agent-rules-allowed only, seeds at zero evidence, dense waves") {
+    import graft.operators.Urls
+    val wave = DataOps.dsCrawlWave(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(wave.nonEmpty)
+    // trap gate: no calendar-template candidate is ever scheduled
+    assert(!wave.exists(_._1.contains("/cal?")), "trapped template scheduled")
+    // domain gate: hosts condemned at the curation bar never appear
+    val bad = DataOps.dsHostQuality(spark, sf)
+      .filter(col("n_kept") * 100 < col("n_pages") * DataOps.domainKeepPct)
+      .collect().map(_.getString(0)).toSet
+    assert(bad.nonEmpty, "the curation bar must condemn at least one host")
+    assert(!wave.exists(w => bad.contains(w._3)), "condemned host scheduled")
+    // robots under the product token: re-filtering the scheduled set
+    // through the agent rules is the identity
+    val hosts = graft.Tables(spark, sf, "documents")
+      .select(concat(lower(col("source")), lit(".example.com")).as("host"),
+        col("source")).distinct()
+    val arules = Urls.robotsRules(hosts, col("host"),
+      Urls.syntheticRobots(col("source")),
+      agent = Some(DataOps.crawlProductToken))
+    import spark.implicits._
+    val scheduled = wave.map(_._1).toSeq.toDF("url")
+    assert(Urls.robotsFilter(scheduled, col("url"), arules).count() ==
+      wave.length, "a scheduled URL violates the chosen agent group")
+    // sitemap seeds participate at zero evidence; waves stay dense
+    assert(wave.exists(_._2 == 0L), "no zero-evidence seed scheduled")
+    wave.groupBy(_._3).foreach { case (host, rows) =>
+      val cap = rows.head._4
+      val byWave = rows.groupBy(_._5).view.mapValues(_.size).toMap
+      val maxW = byWave.keys.max
+      (0L to maxW).foreach { w =>
+        val n = byWave.getOrElse(w, 0)
+        assert(n > 0 && n <= cap, s"$host wave $w density $n vs cap $cap")
+        if (w < maxW) assert(n == cap, s"$host wave $w not full")
+      }
+    }
+  }
+
   test("dsRecrawl: ladder recomputes from evidence, due waves stagger " +
       "within the interval, ledger agrees with dd_url_dedup") {
     val rows = DataOps.dsRecrawl(spark, sf)
