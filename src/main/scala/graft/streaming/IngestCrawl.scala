@@ -398,7 +398,8 @@ object IngestCrawl {
                seeds: Option[DataFrame] = None,
                hostQuality: Option[DataFrame] = None,
                recrawl: Option[DataFrame] = None,
-               traps: Option[DataFrame] = None): DataFrame = {
+               traps: Option[DataFrame] = None,
+               priority: Option[DataFrame] = None): DataFrame = {
     // seeds: already-canonical URLs from OUTSIDE link discovery —
     // typically sitemap locs (Urls.robotsSitemaps → fetch →
     // [[sitemapSeeds]], whose page half lands here after index
@@ -467,11 +468,24 @@ object IngestCrawl {
         .drop("__h", "__t")
       case None => gated
     }
+    // OPIC ranking (r17): when the caller provides cash receipts
+    // (DataOps.dsFrontierOpic's shape — (url, cash)), candidates rank
+    // by received cash instead of raw in-link count, so a link farm's
+    // thousand outlinks no longer outvote a focused page's three.
+    // Candidates without receipts (seeds, recrawls) fall back to
+    // their in-link evidence. The cash frame is frontier-sized, so
+    // this is a plain url-keyed left join, not a broadcast.
+    val (pool, prio) = priority match {
+      case Some(p) => (trapGated.join(
+          p.select(col("url"), col("cash")), Seq("url"), "left"),
+        coalesce(col("cash"), col("n_refs")))
+      case None => (trapGated, col("n_refs"))
+    }
     hostCaps match {
-      case Some(caps) => Urls.politeWavesCapped(trapGated, col("url"),
-        col("n_refs"), caps, perHostPerWave)
+      case Some(caps) => Urls.politeWavesCapped(pool, col("url"),
+        prio, caps, perHostPerWave)
       case None =>
-        Urls.politeWaves(trapGated, col("url"), col("n_refs"), perHostPerWave)
+        Urls.politeWaves(pool, col("url"), prio, perHostPerWave)
     }
   }
 }

@@ -336,6 +336,43 @@ class IngestCrawlSpec extends SparkSpec {
       "http://a.com/cal?d=2"), s"ungated: $ungated")
   }
 
+  test("nextWave: OPIC cash receipts re-rank within a host, fallback to " +
+      "in-link evidence for candidates without receipts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_op_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_op_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_op_f").toString
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched))
+    try {
+      // /a discovered twice (two referrer pages), /b once
+      input.addData(
+        (1L, "http://h.com/p1", pageWith("a",
+          "<a href=\"/a\">a</a><a href=\"/b\">b</a>")),
+        (2L, "http://h.com/p2", pageWith("b", "<a href=\"/a\">a</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // without receipts: /a (2 refs) leads wave 0
+    val plain = IngestCrawl.nextWave(spark, disc, fetched,
+        perHostPerWave = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(plain("http://h.com/a") == 0L && plain("http://h.com/b") == 1L,
+      s"plain: $plain")
+    // cash inverts the order; /a (no receipt) falls back to its refs
+    val cash = Seq(("http://h.com/b", 500L)).toDF("url", "cash")
+    val ranked = IngestCrawl.nextWave(spark, disc, fetched,
+        perHostPerWave = 1, priority = Some(cash))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ranked("http://h.com/b") == 0L && ranked("http://h.com/a") == 1L,
+      s"ranked: $ranked")
+  }
+
   test("nextWave: scheduling-time robots refilter + per-host delay caps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
