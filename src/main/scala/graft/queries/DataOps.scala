@@ -1317,6 +1317,40 @@ object DataOps {
     Urls.sitemapMeta(bodies, col("host"), col("xml"))
   }
 
+  /** Batch sitemap seeding WITH index recursion — the batch twin of
+    * IngestCrawl.sitemapSeeds' routing: level-0 bodies alternate
+    * urlset/index per host (the tx_sitemap_index fixture); a
+    * `<urlset>` body's locs become page seeds directly
+    * (via='urlset'), a `<sitemapindex>` body's locs are CHILD
+    * SITEMAPS — their (deterministic) bodies are fetched and THEIR
+    * locs become the page seeds (via='index'). The contract the
+    * routing proves: a child sitemap URL (an XML file) never appears
+    * as a page seed, and index-serving hosts still contribute their
+    * full page lists. Recursion is bounded by hosts × levels (the
+    * protocol allows one index level over 50k-URL files); each level
+    * is one hosts-bounded frame. */
+  def txSitemapSeedsRecursive(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val hosts = crawlHosts(s, d)
+    val flat = hosts.filter(pmod(length(col("source")), lit(2)) === 0)
+      .select(col("host"), lit("urlset").as("via"),
+        explode(Urls.sitemapLocs(
+          Urls.syntheticSitemap(col("source")))).as("loc"))
+    // index hosts: level-0 body lists child sitemaps; every child's
+    // fetched body is the host's flat sitemap (deterministic fixture)
+    val viaIndex = hosts.filter(pmod(length(col("source")), lit(2)) === 1)
+      .select(col("host"), col("source"),
+        explode(Urls.sitemapLocs(
+          Urls.syntheticSitemapIndex(col("source")))).as("child"))
+      .select(col("host"), lit("index").as("via"),
+        explode(Urls.sitemapLocs(
+          Urls.syntheticSitemap(col("source")))).as("loc"))
+    flat.unionByName(viaIndex)
+      .select(col("host"), col("via"),
+        Urls.canonicalize(col("loc")).as("url"))
+      .distinct()
+  }
+
   /** Wildcard-agent Crawl-delay per host over the same bodies. */
   def txRobotsDelays(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Urls
@@ -5217,6 +5251,33 @@ object DataOps {
                  nullif(regexp_extract(blk,
                    '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1), '') AS lastmod
           FROM bx""",
+    // batch sitemap seeding with index recursion: urlset locs seed
+    // directly; an index body's locs are CHILD sitemaps whose fetched
+    // bodies' locs seed instead — an XML child URL never seeds
+    "tx_sitemap_seeds_recursive" ->
+      s"""WITH $sitemapAltBodiesCtes,
+          fl AS (SELECT host, 'urlset' AS via,
+                   unnest(regexp_extract_all(xml,
+                     '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS raw
+                 FROM sb WHERE NOT regexp_matches(xml, '<sitemapindex[\\s>]')),
+          ic AS (SELECT rh.host, rh.source,
+                   unnest(regexp_extract_all(sb.xml,
+                     '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS child
+                 FROM sb JOIN rh USING (host)
+                 WHERE regexp_matches(sb.xml, '<sitemapindex[\\s>]')),
+          il AS (SELECT host, 'index' AS via,
+                   unnest(regexp_extract_all($sitemapBodySqlExpr,
+                     '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS raw
+                 FROM ic),
+          al AS (SELECT host, via, raw FROM fl
+                 UNION ALL SELECT host, via, raw FROM il),
+          dl AS (SELECT host, via,
+                   replace(replace(replace(replace(replace(raw,
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&apos;', ''''), '&amp;', '&') AS loc FROM al),
+          sc8 AS (SELECT host, via, ${urlCanonSqlExpr("loc")} AS cu FROM dl)
+          SELECT DISTINCT host, via, ${sortParamsSqlExpr("cu")} AS url
+          FROM sc8""",
     // the frontier under robots with LONGEST-MATCH precedence: among
     // the matching prefixes the longest wins, Allow winning length
     // ties — encoded as max(length*2 + allow_bit) per candidate path
@@ -5998,6 +6059,7 @@ object DataOps {
     "tx_sitemap_locs" -> txSitemapLocs _, // <loc> + XML entity decode
     "tx_sitemap_index" -> txSitemapIndex _, // urlset/index kind routing
     "tx_sitemap_meta" -> txSitemapMeta _, // per-entry lastmod recrawl signal
+    "tx_sitemap_seeds_recursive" -> txSitemapSeedsRecursive _, // batch index routing
     "ds_frontier_opic" -> dsFrontierOpic _, // OPIC cash frontier priority
     "ds_crawl_traps" -> dsCrawlTraps _, // URL-template fan-out trap audit
     "ds_frontier_gated" -> dsFrontierGated _, // trap audit -> gate composed
