@@ -225,6 +225,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[UrlCanon].getName, "graft_url_canon"),
     (children: Seq[Expression]) => UrlCanon(children(0)))
 
+  val prophetSolveDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_prophet_solve"),
+    new ExpressionInfo(classOf[ProphetSolve].getName, "graft_prophet_solve"),
+    (children: Seq[Expression]) => ProphetSolve(children(0)))
+
   val entropyDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_entropy"),
     new ExpressionInfo(classOf[TextEntropy].getName, "graft_entropy"),
@@ -268,6 +273,8 @@ object GraftFunctions {
       "graft_url_dotfold", cs => UrlDotFold(cs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_url_canon", cs => UrlCanon(cs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_prophet_solve", cs => ProphetSolve(cs(0)), "scala_udf")
     if (!spark.experimental.extraOptimizations.contains(RewriteVectorDot)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteVectorDot

@@ -168,10 +168,14 @@ object Events {
     * (calendar-bounded, the F1 boundary); everything after is a
     * one-row frame of scalars. */
   private[queries] object ProphetRel {
-    val harmonics = 3
-    val period = 7
-    val ridge = 0.01
-    private val P = 2 + 2 * harmonics // t, hinge, K sin/cos pairs
+    // ONE source of truth for the model constants: the whole-row
+    // solve kernel ([[graft.plans.ProphetSolveKernel]]) owns them and
+    // this object builds the shared SQL level text FROM them, so the
+    // compiled solve and the oracle text can never drift apart.
+    val harmonics: Int = graft.plans.ProphetSolveKernel.harmonics
+    val period: Int = graft.plans.ProphetSolveKernel.period
+    val ridge: Double = graft.plans.ProphetSolveKernel.ridge
+    private val P = graft.plans.ProphetSolveKernel.P
 
     private def lit(d: Double): String = {
       val s = java.lang.Double.toString(d)
@@ -179,11 +183,8 @@ object Events {
     }
 
     /** Feature f (2..P-1) at residue r — the shared constants. */
-    private def fval(f: Int, r: Int): Double = {
-      val k = (f - 2) / 2 + 1
-      val w = 2 * math.Pi * k * r / period
-      if ((f - 2) % 2 == 0) math.sin(w) else math.cos(w)
-    }
+    private def fval(f: Int, r: Int): Double =
+      graft.plans.ProphetSolveKernel.fval(f, r)
 
     private def residues: Range = 0 until period
 
@@ -306,7 +307,7 @@ object Events {
     * normal-equation elimination + back-substitution. One row of
     * scalars (x0..x{P-1}, sums, n_days, s_cp, last_day) — everything
     * after the calendar-bounded daily aggregate is scalar algebra. */
-  private def prophetSolved(s: SparkSession, d: String): DataFrame = {
+  private def prophetSums(s: SparkSession, d: String): DataFrame = {
     val daily = Tables(s, d, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice")).as("sum_raw"))
@@ -335,33 +336,60 @@ object Events {
     val staged = org.apache.spark.sql.GraftBridge.stageLocal(base)
     val (halfA, halfB) = ProphetRel.sumExprs.splitAt(
       ProphetRel.sumExprs.size / 2)
-    val sums = staged.selectExpr(halfA: _*)
+    staged.selectExpr(halfA: _*)
       .crossJoin(staged.selectExpr(halfB: _*))
-    // barrier every few levels: fully collapsed/fused, the 25 levels'
-    // formulas land in ONE generated consume method and overflow the
-    // same 64 KB janino limit the aggregate did. Values never needed
-    // the barriers (the r15/r16 barrier-free fold was hash-exact:
-    // fusion inlines column references but each expression TREE — and
-    // so its IEEE op order — is unchanged); they exist only to keep
-    // every generated method under the compile limit, so group the
-    // levels instead of staging each one — the first shipped form
-    // checkpointed per level and its 25 sequential one-row jobs cost
-    // a measured ~2.5 s per query (0.7 s → 3–4 s on the sf0.1 bench),
-    // a 4× regression the grouping claws back at the same
-    // CodeGenerator-clean posture.
-    ProphetRel.levels.grouped(4).foldLeft(sums)((df, grp) =>
-      org.apache.spark.sql.GraftBridge.stageLocal(
-        grp.foldLeft(df)((d, lvl) =>
-          d.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*))))
   }
 
-  def fcProphetSales(s: SparkSession, d: String): DataFrame = {
-    val out = ProphetRel.predictLevels("n_days").foldLeft(
-        prophetSolved(s, d))((df, lvl) =>
-      df.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*))
-    out.select(date_add(col("last_day"), 1).as("forecast_date"),
-      col("forecast_micro"))
+  /** The solved 1-row frame: the sums plus (icpt, x0..x7) from the
+    * whole-row [[graft.plans.ProphetSolve]] kernel — ONE compiled
+    * call evaluating the identical double DAG the shared level text
+    * spells out, with zero staging barriers. The r17 staged level
+    * fold ([[prophetSolvedStaged]]) shipped ~7 sequential one-row
+    * jobs per query to stay under janino's 64 KB method limit and
+    * cost a committed 2.7×/4.7× regression on the two ProphetLike
+    * queries; the kernel keeps the CodeGenerator-clean posture (the
+    * generated code is one static call) at in-plan cost ~zero.
+    * ProphetKernelSpec pins bit-equality of the two paths. */
+  private def prophetSolved(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    val k = graft.plans.ProphetSolveKernel
+    prophetSums(s, d)
+      .withColumn("__s", call_function("graft_prophet_solve",
+        struct(k.inputCols.map(col): _*)))
+      .select((col("*") +:
+        k.outputNames.map(n => col(s"__s.$n").as(n))): _*)
+      .drop("__s")
   }
+
+  /** The pre-kernel staged level fold — kept as the SPEC surface
+    * (ProphetKernelSpec replays it against [[prophetSolved]] and
+    * asserts bit-equal outputs), never on the query path: its ~7
+    * one-row stageLocal barriers per query are the measured r17
+    * regression the kernel removes. Values are bit-identical by
+    * construction — the kernel mirrors each level formula's IEEE op
+    * order (see ProphetSolveKernel's scaladoc). */
+  private[queries] def prophetSolvedStaged(s: SparkSession,
+                                           d: String): DataFrame =
+    ProphetRel.levels.grouped(4).foldLeft(prophetSums(s, d))((df, grp) =>
+      org.apache.spark.sql.GraftBridge.stageLocal(
+        grp.foldLeft(df)((d2, lvl) =>
+          d2.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*))))
+
+  /** Fold the prediction levels over a solved frame. The kernel path
+    * already carries `icpt` as a column, so the text's icpt formula
+    * (which references the moments the kernel internalized) is
+    * skipped unless `withIcpt` — the staged spec path, where the
+    * moments are live columns, folds the full text. */
+  private[queries] def predictFold(df: DataFrame, ti: String,
+                                   withIcpt: Boolean = false): DataFrame =
+    ProphetRel.predictLevels(ti).foldLeft(df)((d2, lvl) =>
+      d2.selectExpr(("*" +: lvl.collect {
+        case (n, e) if withIcpt || n != "icpt" => s"$e AS $n" }): _*))
+
+  def fcProphetSales(s: SparkSession, d: String): DataFrame =
+    predictFold(prophetSolved(s, d), "n_days")
+      .select(date_add(col("last_day"), 1).as("forecast_date"),
+        col("forecast_micro"))
 
   /** The multi-step horizon the reference surface allows
     * (forecast_days, reference src/data_processor.py:442,512): the
@@ -374,10 +402,7 @@ object Events {
   def fcProphetMulti(s: SparkSession, d: String): DataFrame = {
     val spine = s.range(1, prophetHorizon + 1L).select(col("id").as("j"))
     val stepped = prophetSolved(s, d).crossJoin(broadcast(spine))
-    val out = ProphetRel.predictLevels("(n_days + j - 1)").foldLeft(stepped)(
-      (df, lvl) =>
-        df.selectExpr(("*" +: lvl.map { case (n, e) => s"$e AS $n" }): _*))
-    out.select(
+    predictFold(stepped, "(n_days + j - 1)").select(
       date_add(col("last_day"), col("j").cast("int")).as("forecast_date"),
       col("j").as("step"), col("forecast_micro"))
   }
