@@ -273,12 +273,15 @@ object Urls {
   /** RFC 9309 §2.2.1 group selection: the groups a crawler with
     * `productToken` must obey, per host. A group's agent token
     * matches case-insensitively when it is the product token or a
-    * PREFIX of it (the hierarchical-product-token reading — group
-    * `graftbot` binds products `graftbot-news` and `graftbot`; a
-    * token that is merely a substring, like `bot` for `graftbot`,
-    * does NOT match). Among matching tokens the LONGEST wins (most
-    * specific), every group carrying that winning token contributes,
-    * and the chosen groups REPLACE the wildcard groups — they never
+    * TOKEN-BOUNDARY prefix of it (the hierarchical-product-token
+    * reading — group `graftbot` binds products `graftbot-news` and
+    * `graftbot` because the prefix ends at the `-` segment boundary;
+    * a substring like `bot`, or a MID-SEGMENT prefix like
+    * `graftbot-ne`, does NOT match — r18: the boundary check the
+    * pre-r18 plain-prefix match lacked, UrlsSpec's `graftbot-ne`
+    * case). Among matching tokens the LONGEST wins (most specific),
+    * every group carrying that winning token contributes, and the
+    * chosen groups REPLACE the wildcard groups — they never
     * union with them. Hosts with no matching token fall back to
     * their `*` groups. `None` = wildcard-only (the anonymous-crawler
     * default every pre-r17 row uses). Bounded by hosts × agent
@@ -292,8 +295,13 @@ object Urls {
         val toks = lines.filter(col("is_agent"))
           .select(col("host"), col("grp"),
             lower(trim(substring_index(col("line"), ":", -1))).as("tok"))
+        // boundary-prefix match: exact token, or a prefix whose next
+        // product-token character is the `-` separator (a token
+        // already ending in `-` carries its own boundary)
         val matched = toks.filter(col("tok") =!= "*" && col("tok") =!= "" &&
-          lit(p).startsWith(col("tok")))
+          (col("tok") === lit(p) ||
+            lit(p).startsWith(concat(col("tok"), lit("-"))) ||
+            (col("tok").endsWith("-") && lit(p).startsWith(col("tok")))))
         val best = matched.groupBy("host")
           .agg(max(length(col("tok"))).as("blen"))
         val specific = matched.join(best, Seq("host"))

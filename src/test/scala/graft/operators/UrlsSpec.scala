@@ -257,6 +257,18 @@ class UrlsSpec extends SparkSpec {
           |Crawl-delay: 5
           |User-agent: graftbot-news
           |Disallow:
+          |""".stripMargin),
+      // h4 (r18): 'graftbot-ne' is a PREFIX of graftbot-news but ends
+      // mid-segment — no token boundary, must NOT bind; 'graftbot-'
+      // carries its own boundary and must bind (and being longer than
+      // plain 'graftbot' would be, it is also the winner here)
+      ("h4.com",
+        """User-agent: graftbot-ne
+          |Disallow: /mid
+          |User-agent: graftbot-
+          |Disallow: /dash
+          |User-agent: *
+          |Disallow: /star
           |""".stripMargin))
       .toDF("host", "body")
     val agent = Some("graftbot-news")
@@ -265,7 +277,7 @@ class UrlsSpec extends SparkSpec {
       .toSet
     assert(rules == Set(
       ("h1.com", "/news-archive", false), ("h1.com", "/news-archive/today", true),
-      ("h2.com", "/x", false)), s"rules: $rules")
+      ("h2.com", "/x", false), ("h4.com", "/dash", false)), s"rules: $rules")
     val delays = Urls.robotsDelays(bodies, col("host"), col("body"), agent)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(delays == Map("h1.com" -> 7L, "h2.com" -> 3L), s"delays: $delays")
@@ -273,7 +285,7 @@ class UrlsSpec extends SparkSpec {
     val star = Urls.robotsRules(bodies, col("host"), col("body"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(star == Set(("h1.com", "/a"), ("h1.com", "/articles/"),
-      ("h2.com", "/x"), ("h3.com", "/")), s"star: $star")
+      ("h2.com", "/x"), ("h3.com", "/"), ("h4.com", "/star")), s"star: $star")
   }
 
   test("robotsDelays: wildcard groups only, numeric only, max across groups") {
