@@ -112,6 +112,21 @@ object IngestCrawl {
     val parts = front.map { case (m, p) =>
       Frontier.frontierFrame(spark, dir, m, p) }.toSeq ++
       (if (deltas.isEmpty) Nil else Seq(spark.read.parquet(deltas: _*)))
+    // fail FAST on a pre-change-evidence ledger (the r16 row format:
+    // canon_url + verdict only): a column-resolution error deep in
+    // the union/agg below names the missing attribute, not the cause
+    // — and silently backfilling defaults would mint fake evidence
+    // (n_fetches=1 for a URL fetched many times) that recrawlDue
+    // would then schedule on
+    val need = Seq("canon_url", "h", "n_fetches", "n_changes", "b")
+    parts.foreach { p =>
+      val missing = need.filterNot(p.columns.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"fetched ledger at $dir uses a pre-r17 row format (missing " +
+          s"columns: ${missing.mkString(", ")}); recrawl needs the " +
+          "change-evidence columns — restart the ledger dir, or migrate " +
+          "it offline (h=NULL, n_fetches=1, n_changes=0, b=<dir batch id>)")
+    }
     if (parts.isEmpty) None
     else Some(parts.reduce(_ unionByName _)
       .groupBy("canon_url")
@@ -141,22 +156,51 @@ object IngestCrawl {
     * of DataOps.dsRecrawl, over observed transitions: 2+ observed
     * changes → every wave, 1 → every 4, static across 2+ fetches →
     * every 64, single observation → every 8 (explore). Yields
-    * (canon_url, url, n_fetches, n_changes, b, interval_waves) —
-    * `url` aliased for [[nextWave]]'s surface. One hosts-free
-    * ledger aggregate; cost bounded by distinct fetched URLs. */
+    * (canon_url, url, n_fetches, n_changes, b, interval_waves,
+    * sitemap_due) — `url` aliased for [[nextWave]]'s surface. One
+    * hosts-free ledger aggregate; cost bounded by distinct fetched
+    * URLs.
+    *
+    * `sitemapDue` (r18): the sitemap `<lastmod>` signal, consumed —
+    * (canon_url, lastmod_batch) rows where `lastmod_batch` is the
+    * announced change instant on the CALLER's batch timeline (a
+    * sitemap-refresh loop maps each entry's W3C `lastmod` through its
+    * own wave clock — [[graft.operators.Urls.sitemapMeta]] yields the
+    * raw values). A URL whose announced change postdates its last
+    * fetch (`lastmod_batch > b`) is due NOW regardless of its ladder
+    * rung — the protocol signal OVERRIDES the estimator (the batch
+    * twin is DataOps.dsRecrawlLastmod); absent or stale announcements
+    * fall back to the ladder unchanged. The frame is folded to
+    * max(lastmod_batch) per URL first, so duplicate announcements
+    * (one per sitemap listing the URL) never duplicate due rows.
+    * Sitemap-announced URLs never fetched are nextWave seeds, not
+    * recrawls — the inner join scopes the signal to the ledger. */
   def recrawlDue(spark: SparkSession, fetchedDir: String,
-                 currentBatch: Long): DataFrame =
-    ledgerState(spark, fetchedDir, currentBatch)
+                 currentBatch: Long,
+                 sitemapDue: Option[DataFrame] = None): DataFrame = {
+    val state = ledgerState(spark, fetchedDir, currentBatch)
       .getOrElse(spark.emptyDataFrame
         .select(lit("").as("canon_url"), lit("").as("h"),
           lit(0L).as("n_fetches"), lit(0L).as("n_changes"),
           lit(0L).as("b")).limit(0))
       .withColumn("interval_waves",
         intervalWaves(col("n_fetches"), col("n_changes")))
-      .filter(lit(currentBatch) - col("b") >= col("interval_waves"))
+    val announced = sitemapDue match {
+      case Some(sd) => state.join(
+        broadcast(sd.groupBy("canon_url")
+          .agg(max(col("lastmod_batch")).as("__lmb"))),
+        Seq("canon_url"), "left")
+      case None => state.withColumn("__lmb", lit(null).cast("long"))
+    }
+    announced
+      .withColumn("sitemap_due",
+        coalesce(col("__lmb") > col("b"), lit(false)))
+      .filter(col("sitemap_due") ||
+        lit(currentBatch) - col("b") >= col("interval_waves"))
       .select(col("canon_url"), col("canon_url").as("url"),
         col("n_fetches"), col("n_changes"), col("b"),
-        col("interval_waves"))
+        col("interval_waves"), col("sitemap_due"))
+  }
 
   def crawledIngest(fetches: DataFrame, settledUrls: Option[DataFrame],
                     survivorDir: String, blockedDomains: Seq[String],
@@ -174,10 +218,21 @@ object IngestCrawl {
     // lazily inside a batch would read files the batch's own ledger
     // overwrite just deleted (measured as FAILED_READ_FILE on the
     // batch-0 replay). The scope is a DECISION taken when the wave
-    // was planned, not a live view — one bounded materialization,
-    // blocks held for the stream's lifetime.
-    val recrawlPinned = recrawlScope.map(
-      _.select("canon_url").distinct().localCheckpoint())
+    // was planned, not a live view. r18: pinned ON THE DRIVER (collect
+    // + re-create), not as an eager localCheckpoint — checkpoint
+    // blocks live only on executors, so on a long-running stream one
+    // executor loss would make the due set unrecoverable and fail
+    // every subsequent batch. The set is bounded by distinct DUE
+    // fetched URLs — wave-sized, the same order as the politeness
+    // window's output; a deployment recrawling beyond driver memory
+    // should hand a dir-backed snapshot frame instead.
+    val recrawlPinned = recrawlScope.map { scope =>
+      val spark = scope.sparkSession
+      import spark.implicits._
+      val urls = scope.select("canon_url").distinct()
+        .as[String].collect().toSeq
+      urls.toDF("canon_url")
+    }
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
@@ -349,13 +404,26 @@ object IngestCrawl {
     * each evaluation sees every verdict landed so far — the stats
     * refresh as batches land and compact at each settle; a plan built
     * here and handed to [[nextWave]] prices one hosts-bounded
-    * aggregate over the ledger. */
+    * aggregate over the ledger.
+    *
+    * r18: the ledger is folded to the LATEST row per canon_url (max
+    * batch id — the same latest-wins fold the settle applies) BEFORE
+    * the keep rate, so `n_pages` counts distinct URLs and each URL
+    * votes its newest verdict exactly once. Unfolded, a refetched URL
+    * had one row per fetch across the live deltas but one after the
+    * settle's compaction — a host's verdict could flip across a
+    * settle boundary with no new evidence, and refetched URLs were
+    * weighted more than once-fetched ones. This matches the batch
+    * per-page semantics (DataOps.dsCurateDomain) regardless of settle
+    * timing. */
   def hostQuality(spark: SparkSession, fetchedDir: String,
                   keepPct: Int = graft.queries.DataOps.domainKeepPct)
       : DataFrame =
     Frontier.readLayered(spark, fetchedDir)
+      .groupBy("canon_url")
+      .agg(max(struct(col("b"), col("verdict"))).as("w"))
       .select(Urls.hostOf(col("canon_url")).as("host"),
-        when(col("verdict") === "kept", 1L).otherwise(0L).as("k"))
+        when(col("w.verdict") === "kept", 1L).otherwise(0L).as("k"))
       .groupBy("host")
       .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"))
       .withColumn("quality_ok",
@@ -474,10 +542,17 @@ object IngestCrawl {
     // thousand outlinks no longer outvote a focused page's three.
     // Candidates without receipts (seeds, recrawls) fall back to
     // their in-link evidence. The cash frame is frontier-sized, so
-    // this is a plain url-keyed left join, not a broadcast.
+    // this is a plain url-keyed left join, not a broadcast. r18: the
+    // receipts are aggregated per url FIRST (max cash) — nothing
+    // enforces uniqueness on a caller's priority frame (unlike
+    // dsFrontierOpic's grouped output), and a duplicate url would
+    // otherwise duplicate candidate rows through the left join,
+    // double-scheduling the URL and breaking the per-host
+    // wave-density/cap invariant.
     val (pool, prio) = priority match {
       case Some(p) => (trapGated.join(
-          p.select(col("url"), col("cash")), Seq("url"), "left"),
+          p.groupBy("url").agg(max(col("cash")).as("cash")),
+          Seq("url"), "left"),
         coalesce(col("cash"), col("n_refs")))
       case None => (trapGated, col("n_refs"))
     }
