@@ -1227,6 +1227,55 @@ object DataOps {
         lit(1L) + pmod(col("keeper_id"), col("interval_waves")))
   }
 
+  /** [[dsRecrawl]] with the sitemap `<lastmod>` signal CONSUMED — the
+    * r17 gap closed: [[graft.operators.Urls.sitemapMeta]] extracted
+    * the protocol's recrawl signal but nothing scheduled on it, so a
+    * static-rung URL (every-64-waves) stayed stale even when its site
+    * explicitly announced a change. The protocol signal OVERRIDES the
+    * estimator: a URL whose lastmod postdates its last fetch is due
+    * at the NEXT wave (`due_wave_eff` = 1) regardless of its ladder
+    * rung; an absent or stale lastmod falls back to the observed
+    * change-rate ladder unchanged.
+    *
+    * Signal sources, both live: the hosts' alternating sitemap bodies
+    * through the real [[graft.operators.Urls.sitemapMeta]] parse
+    * (protocol surface — its root-URL lastmods never match ledger
+    * URLs, by fixture construction), plus PLANTED per-host article
+    * lastmods (each host's min-doc canonical URL announced changed on
+    * 2024-02-01 — the crawlSeeds pattern: ledger URLs and sitemap
+    * locs are disjoint namespaces in the synthetic fixture, so the
+    * overlap is planted). `last_fetch` is the deterministic per-host
+    * fetch date (host-length parity picks Jan 15 / Feb 14), keeping
+    * the override (fresh lastmod) AND fallback (stale lastmod, no
+    * lastmod) branches live on both engines.
+    *
+    * Scale shape: the lastmod frame is bounded by sitemap entries
+    * (hosts × locs) — broadcast against the ladder, never a corpus
+    * exchange. */
+  def dsRecrawlLastmod(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val meta = txSitemapMeta(s, d)
+      .filter(col("kind") === "urlset" && col("lastmod").isNotNull)
+      .select(Urls.canonicalize(col("loc_url")).as("canon_url"),
+        col("lastmod").cast("date").as("lastmod"))
+    val planted = docs(s, d).groupBy(col("source"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(Urls.canonicalize(
+          Urls.syntheticUrl(col("doc_id"), col("source"))).as("canon_url"),
+        lit("2024-02-01").cast("date").as("lastmod"))
+    val lm = meta.unionByName(planted)
+      .groupBy("canon_url").agg(max(col("lastmod")).as("lastmod"))
+    dsRecrawl(s, d)
+      .join(broadcast(lm), Seq("canon_url"), "left")
+      .withColumn("last_fetch",
+        when(length(Urls.hostOf(col("canon_url"))) % 2 === 0,
+          lit("2024-01-15")).otherwise(lit("2024-02-14")).cast("date"))
+      .withColumn("due_now",
+        col("lastmod").isNotNull && col("lastmod") > col("last_fetch"))
+      .withColumn("due_wave_eff",
+        when(col("due_now"), lit(1L)).otherwise(col("due_wave")))
+  }
+
   /** The corpus's (host, source) frame — robots bodies are bounded
     * by hosts, one KB-sized body each, never by the frontier. */
   private def crawlHosts(s: SparkSession, d: String): DataFrame =
@@ -2754,6 +2803,47 @@ object DataOps {
     * a shorter prefix (must lose to `graftbot-news`). */
   val crawlProductToken = "graftbot-news"
 
+  /** The recrawl ladder CTE chain (`uf` … `iv`) shared by ds_recrawl
+    * and ds_recrawl_lastmod: fetched-ledger fixture (synthetic URLs +
+    * the planted static/hot ledgers) → canonical fold → per-URL
+    * change evidence → interval rung. */
+  private lazy val recrawlLadderCtes: String = {
+    val notBlocked = blockedDomains.map(d =>
+      s"NOT (host = '$d' OR host LIKE '%.$d')").mkString(" AND ")
+    s"""uf AS (SELECT doc_id, text, $urlSynthSqlExpr AS url
+              FROM documents
+              UNION ALL
+              SELECT * FROM (VALUES
+                (10000001, 'planted static payload',
+                 'https://plant.example.com/static'),
+                (10000002, 'planted static payload',
+                 'https://plant.example.com/static'),
+                (10000003, 'planted hot v1',
+                 'https://plant.example.com/hot'),
+                (10000004, 'planted hot v2',
+                 'https://plant.example.com/hot'),
+                (10000005, 'planted hot v3',
+                 'https://plant.example.com/hot'))
+                AS p(doc_id, text, url)),
+          um AS (SELECT doc_id, md5(text) AS h, url FROM uf),
+          c8 AS (SELECT doc_id, h, ${urlCanonSqlExpr("url")} AS cu FROM um),
+          c AS (SELECT doc_id, h, ${sortParamsSqlExpr("cu")} AS canon_url
+                FROM c8),
+          hx AS (SELECT doc_id, h, canon_url,
+                   regexp_extract(canon_url,
+                     '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host
+                 FROM c),
+          g AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_fetches,
+                       CAST(count(DISTINCT h) AS BIGINT) AS n_variants,
+                       CAST(min(doc_id) AS BIGINT) AS keeper_id
+                FROM hx WHERE $notBlocked GROUP BY canon_url),
+          iv AS (SELECT *, CAST(CASE WHEN n_variants >= 3 THEN 1
+                                     WHEN n_variants = 2 THEN 4
+                                     WHEN n_fetches >= 2 THEN 64
+                                     ELSE 8 END AS BIGINT) AS interval_waves
+                 FROM g)"""
+  }
+
   /** RFC 9309 §2.2.1 group choice mirrored in SQL (appended after
     * [[robotsRulesCtes]]): agent tokens per group → case-insensitive
     * token-prefix matches against the product token → longest token
@@ -2766,7 +2856,10 @@ object DataOps {
                FROM rg WHERE is_agent),
         rm AS (SELECT host, grp, tok FROM rt
                WHERE tok <> '*' AND tok <> ''
-                 AND starts_with('$crawlProductToken', tok)),
+                 AND (tok = '$crawlProductToken'
+                      OR starts_with('$crawlProductToken', tok || '-')
+                      OR (ends_with(tok, '-')
+                          AND starts_with('$crawlProductToken', tok)))),
         rmb AS (SELECT host, max(length(tok)) AS blen FROM rm GROUP BY host),
         rsel AS (SELECT DISTINCT rm.host, rm.grp
                  FROM rm JOIN rmb ON rm.host = rmb.host
@@ -5065,46 +5158,61 @@ object DataOps {
     // recrawl scheduling: change evidence per canonical URL (each
     // engine md5s its OWN payload bytes — only the distinct COUNT
     // crosses engines) -> integer interval ladder -> staggered due wave
-    "ds_recrawl" -> {
-      val notBlocked = blockedDomains.map(d =>
-        s"NOT (host = '$d' OR host LIKE '%.$d')").mkString(" AND ")
-      s"""WITH uf AS (SELECT doc_id, text, $urlSynthSqlExpr AS url
-                      FROM documents
-                      UNION ALL
-                      SELECT * FROM (VALUES
-                        (10000001, 'planted static payload',
-                         'https://plant.example.com/static'),
-                        (10000002, 'planted static payload',
-                         'https://plant.example.com/static'),
-                        (10000003, 'planted hot v1',
-                         'https://plant.example.com/hot'),
-                        (10000004, 'planted hot v2',
-                         'https://plant.example.com/hot'),
-                        (10000005, 'planted hot v3',
-                         'https://plant.example.com/hot'))
-                        AS p(doc_id, text, url)),
-          um AS (SELECT doc_id, md5(text) AS h, url FROM uf),
-          c8 AS (SELECT doc_id, h, ${urlCanonSqlExpr("url")} AS cu FROM um),
-          c AS (SELECT doc_id, h, ${sortParamsSqlExpr("cu")} AS canon_url
-                FROM c8),
-          hx AS (SELECT doc_id, h, canon_url,
-                   regexp_extract(canon_url,
-                     '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host
-                 FROM c),
-          g AS (SELECT canon_url, CAST(count(*) AS BIGINT) AS n_fetches,
-                       CAST(count(DISTINCT h) AS BIGINT) AS n_variants,
-                       CAST(min(doc_id) AS BIGINT) AS keeper_id
-                FROM hx WHERE $notBlocked GROUP BY canon_url),
-          iv AS (SELECT *, CAST(CASE WHEN n_variants >= 3 THEN 1
-                                     WHEN n_variants = 2 THEN 4
-                                     WHEN n_fetches >= 2 THEN 64
-                                     ELSE 8 END AS BIGINT) AS interval_waves
-                 FROM g)
+    "ds_recrawl" ->
+      s"""WITH $recrawlLadderCtes
           SELECT canon_url, n_fetches, n_variants, keeper_id,
                  interval_waves,
                  CAST(1 + keeper_id % interval_waves AS BIGINT) AS due_wave
-          FROM iv"""
-    },
+          FROM iv""",
+    // the sitemap <lastmod> signal consumed: a fresh lastmod makes
+    // the URL due at the NEXT wave regardless of its ladder rung;
+    // absent/stale lastmod falls back to the observed-change ladder
+    "ds_recrawl_lastmod" ->
+      s"""WITH $recrawlLadderCtes,
+          $sitemapAltBodiesCtes,
+          bx AS (SELECT host,
+                   CASE WHEN regexp_matches(xml, '<sitemapindex[\\s>]')
+                        THEN 'index' ELSE 'urlset' END AS kind,
+                   unnest(regexp_extract_all(xml,
+                     '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)) AS blk
+                 FROM sb),
+          sm AS (SELECT kind,
+                   replace(replace(replace(replace(replace(
+                     regexp_extract(blk, '<loc>\\s*([^<]*?)\\s*</loc>', 1),
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&apos;', ''''), '&amp;', '&') AS loc_url,
+                   nullif(regexp_extract(blk,
+                     '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1), '') AS lastmod
+                 FROM bx),
+          smu AS (SELECT ${urlCanonSqlExpr("loc_url")} AS cu,
+                         CAST(lastmod AS DATE) AS lastmod
+                  FROM sm WHERE kind = 'urlset' AND lastmod IS NOT NULL),
+          smf AS (SELECT ${sortParamsSqlExpr("cu")} AS canon_url, lastmod
+                  FROM smu),
+          pl0 AS (SELECT source, min(doc_id) AS doc_id FROM documents
+                  GROUP BY source),
+          plu AS (SELECT $urlSynthSqlExpr AS url FROM pl0),
+          plc8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM plu),
+          plc AS (SELECT ${sortParamsSqlExpr("cu")} AS canon_url,
+                         DATE '2024-02-01' AS lastmod FROM plc8),
+          lmu AS (SELECT * FROM smf UNION ALL SELECT * FROM plc),
+          lm AS (SELECT canon_url, max(lastmod) AS lastmod FROM lmu
+                 GROUP BY canon_url),
+          ld AS (SELECT iv.*, lm.lastmod,
+                   CASE WHEN length(regexp_extract(iv.canon_url,
+                          '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)) % 2 = 0
+                        THEN DATE '2024-01-15'
+                        ELSE DATE '2024-02-14' END AS last_fetch
+                 FROM iv LEFT JOIN lm ON iv.canon_url = lm.canon_url),
+          lf AS (SELECT *, (lastmod IS NOT NULL AND lastmod > last_fetch)
+                   AS due_now,
+                   CAST(1 + keeper_id % interval_waves AS BIGINT) AS due_wave
+                 FROM ld)
+          SELECT canon_url, n_fetches, n_variants, keeper_id,
+                 interval_waves, due_wave, lastmod, last_fetch, due_now,
+                 CAST(CASE WHEN due_now THEN 1 ELSE due_wave END AS BIGINT)
+                   AS due_wave_eff
+          FROM lf""",
     // link discovery: synth page → anchor hrefs (document order) →
     // RFC 3986 reference resolution against the page's canonical base
     "tx_extract_links" ->
@@ -6064,6 +6172,7 @@ object DataOps {
     "ds_crawl_traps" -> dsCrawlTraps _, // URL-template fan-out trap audit
     "ds_frontier_gated" -> dsFrontierGated _, // trap audit -> gate composed
     "ds_recrawl" -> dsRecrawl _, // change-rate recrawl interval ladder
+    "ds_recrawl_lastmod" -> dsRecrawlLastmod _, // sitemap lastmod override
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan

@@ -277,4 +277,31 @@ class CrawlSpec extends SparkSpec {
         assert(dedup(url) == (keeper, fetches), s"$url: ledger drifted")
     }
   }
+
+  test("dsRecrawlLastmod: a fresh lastmod forces due NOW, stale/absent " +
+      "falls back to the ladder, every branch live") {
+    val base = DataOps.dsRecrawl(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(4), r.getLong(5))).toMap // interval, due_wave
+    val rows = DataOps.dsRecrawlLastmod(spark, sf).collect().map { r =>
+      (r.getString(0), r.getLong(4), r.getLong(5),
+        Option(r.getDate(6)), r.getDate(7), r.getBoolean(8), r.getLong(9))
+    }
+    assert(rows.map(_._1).toSet == base.keySet,
+      "lastmod view covers exactly the ladder")
+    rows.foreach { case (url, interval, due, lastmod, lastFetch, dueNow, eff) =>
+      assert((interval, due) == base(url), s"$url: ladder drifted")
+      val expectNow = lastmod.exists(lm => lm.after(lastFetch))
+      assert(dueNow == expectNow, s"$url: due_now drifted")
+      assert(eff == (if (dueNow) 1L else due), s"$url: override drifted")
+    }
+    // all three branches live: fresh lastmod overrides a NON-hot rung,
+    // stale lastmod falls back, absent lastmod falls back
+    assert(rows.exists(r => r._6 && r._2 > 1 && r._3 != 1),
+      "a planted fresh lastmod must override a later ladder wave")
+    assert(rows.exists(r => r._4.isDefined && !r._6),
+      "a stale lastmod must fall back to the ladder")
+    assert(rows.exists(r => r._4.isEmpty),
+      "URLs without an announcement keep the ladder")
+  }
 }

@@ -636,6 +636,93 @@ class IngestCrawlSpec extends SparkSpec {
       s"cold must keep its single first fetch: $admitted")
   }
 
+  test("recrawlDue: a fresh sitemap lastmod overrides the ladder rung; " +
+      "stale or never-fetched announcements change nothing") {
+    import spark.implicits._
+    val fetched = java.nio.file.Files.createTempDirectory("ic_lm").toString
+    // static.com/x: confirmed static (2 fetches, 0 changes → rung 64)
+    // other.com/y: same rung, no announcement
+    Seq(("http://static.com/x", "kept", 2L, 0L, 0L),
+      ("http://other.com/y", "kept", 2L, 0L, 0L))
+      .toDF("canon_url", "verdict", "n_fetches", "n_changes", "b")
+      .withColumn("h", md5(col("canon_url").cast("binary")))
+      .write.parquet(s"$fetched/batch_0")
+    // ladder alone: nothing due at batch 5 (64-wave rung)
+    assert(IngestCrawl.recrawlDue(spark, fetched, 5L).count() == 0)
+    val ann = Seq(
+      ("http://static.com/x", 3L),  // announced AFTER the b=0 fetch
+      ("http://static.com/x", 2L),  // duplicate listing — must fold
+      ("http://other.com/y", 0L),   // stale: not after the fetch
+      ("http://never.com/z", 4L))   // never fetched: a seed, not a recrawl
+      .toDF("canon_url", "lastmod_batch")
+    val due = IngestCrawl.recrawlDue(spark, fetched, 5L, Some(ann))
+      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(due == Map("http://static.com/x" -> true),
+      s"only the freshly-announced static URL is due: $due")
+    // and the ladder path still reports sitemap_due = false
+    val due64 = IngestCrawl.recrawlDue(spark, fetched, 64L, Some(ann))
+      .collect().map(r => r.getString(0) -> r.getBoolean(6)).toMap
+    assert(due64 == Map("http://static.com/x" -> true,
+      "http://other.com/y" -> false), s"due64: $due64")
+  }
+
+  test("hostQuality folds the ledger to the latest row per URL: each " +
+      "URL votes its newest verdict once, across settle boundaries") {
+    import spark.implicits._
+    val fetched = java.nio.file.Files.createTempDirectory("ic_hqf").toString
+    def ledgerRows(rows: Seq[(String, String, Long, Long, Long)], b: Long)
+        : Unit =
+      rows.toDF("canon_url", "verdict", "n_fetches", "n_changes", "b")
+        .withColumn("h", md5(col("canon_url").cast("binary")))
+        .write.parquet(s"$fetched/batch_$b")
+    // batch 0: p1 kept, p2 kept; batch 1: p1 REFETCHED as thin (its
+    // newest verdict) — live deltas, no settle
+    ledgerRows(Seq(("http://a.com/p1", "kept", 1L, 0L, 0L),
+      ("http://a.com/p2", "kept", 1L, 0L, 0L)), 0L)
+    ledgerRows(Seq(("http://a.com/p1", "thin", 2L, 1L, 1L)), 1L)
+    val hq = IngestCrawl.hostQuality(spark, fetched, keepPct = 60)
+      .collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // unfolded, the host would read 3 pages / 2 kept (67% → ok);
+    // folded to latest-per-URL it is 2 pages / 1 kept (50% → gone) —
+    // the same verdict a post-settle read would produce
+    assert(hq("a.com") == ((2L, 1L, false)), s"hq: $hq")
+  }
+
+  test("ledger reads fail fast on the pre-change-evidence row format") {
+    import spark.implicits._
+    val fetched = java.nio.file.Files.createTempDirectory("ic_lgc").toString
+    Seq(("http://a.com/x", "kept")).toDF("canon_url", "verdict")
+      .write.parquet(s"$fetched/batch_0")
+    val e = intercept[IllegalStateException] {
+      IngestCrawl.recrawlDue(spark, fetched, 10L).collect()
+    }
+    assert(e.getMessage.contains("pre-r17"), e.getMessage)
+    assert(e.getMessage.contains("n_changes"), e.getMessage)
+  }
+
+  test("nextWave tolerates duplicate urls in the priority frame: " +
+      "candidates never duplicate, wave density holds") {
+    import spark.implicits._
+    val disc = java.nio.file.Files.createTempDirectory("ic_pd_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_pd_f").toString
+    Seq(("http://h.com/a", "http://h.com/p1"),
+      ("http://h.com/b", "http://h.com/p1"))
+      .toDF("url", "referrer").write.parquet(s"$disc/batch_0")
+    // a caller's un-grouped receipts frame lists /b twice
+    val cash = Seq(("http://h.com/b", 500L), ("http://h.com/b", 300L))
+      .toDF("url", "cash")
+    val wave = IngestCrawl.nextWave(spark, disc, fetched,
+        perHostPerWave = 1, priority = Some(cash))
+      .collect().map(r => r.getString(0) -> r.getLong(3))
+    assert(wave.length == 2, s"each candidate exactly once: ${wave.toSeq}")
+    val m = wave.toMap
+    // /b ranks first on max(cash)=500; /a falls back to in-link refs
+    assert(m("http://h.com/b") == 0L && m("http://h.com/a") == 1L,
+      s"wave: $m")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
