@@ -734,6 +734,54 @@ object Rehearsal {
           early.sum / early.size}%.2f late_mean=${late.sum / late.size}%.2f")
         graft.streaming.Frontier.readLayered(spark, dir).count()
       }},
+      // the streaming loop WITH the r18 OPIC cash ledger: the same
+      // 50-batch replay, each batch additionally distributing every
+      // admitted page's cash over its outlinks and folding CUMULATIVE
+      // receipts through the settle protocol. The shape under test is
+      // the per-batch cash term: one more co-partitioned state probe
+      // + one link-keyed aggregate — per-batch cost must stay FLAT in
+      // run length (the accumulated ledger is read through the
+      // bucketed settled frontier, never rescanned delta-by-delta)
+      "crawl_stream_cash" -> { () => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.operators.{Html, Urls}
+        import spark.implicits._
+        implicit val sqlCtx = spark.sqlContext
+        val nBatches = 50
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_cs_cash_m$mult").toString
+        val cashDir = java.nio.file.Files
+          .createTempDirectory(s"graft_cs_cashledger_m$mult").toString
+        val stage = java.nio.file.Files
+          .createTempDirectory(s"graft_cs_cashstage_m$mult").toString
+        docsR.select(col("doc_id"), col("source"), col("text"),
+            pmod(col("doc_id"), lit(nBatches.toLong)).as("b"))
+          .write.mode("overwrite").partitionBy("b").parquet(stage)
+        val input = MemoryStream[Int]
+        val fetches = input.toDF().toDF("b")
+          .join(spark.read.parquet(stage), Seq("b"))
+          .select(col("doc_id"),
+            Urls.syntheticUrl(col("doc_id"), col("source")).as("url"),
+            Html.syntheticPage(col("text"), col("source")).as("html"))
+        val q = graft.streaming.IngestCrawl.crawledIngest(fetches, None, dir,
+          graft.queries.DataOps.blockedDomains, settleEvery = 16,
+          cashDir = Some(cashDir))
+        val perBatch =
+          try (0 until nBatches).map { i =>
+            val t0 = System.nanoTime()
+            input.addData(i)
+            q.processAllAvailable()
+            val dt = (System.nanoTime() - t0) / 1e9
+            System.err.println(f"REHEARSAL crawl_stream_cash batch=$i sec=$dt%.2f")
+            dt
+          }.toVector
+          finally q.stop()
+        val early = perBatch.slice(2, 10)
+        val late = perBatch.slice(perBatch.size - 8, perBatch.size)
+        System.err.println(f"REHEARSAL crawl_stream_cash early_mean=${
+          early.sum / early.size}%.2f late_mean=${late.sum / late.size}%.2f")
+        graft.streaming.IngestCrawl.cashReceipts(spark, cashDir).count()
+      }},
       // the discovery half at scale (ds_crawl_frontier's shape over
       // the replicated corpus): synth pages → link explode (bounded
       // by links/page) → resolve+canon projection → blocklist →
@@ -1043,6 +1091,65 @@ object Rehearsal {
               col("delay_s"))).as("cap"))
         val polite = Urls.politeWavesCapped(
           Urls.robotsFilter(staged, col("url"), rules),
+          col("url"), col("n_refs"), caps,
+          graft.queries.DataOps.crawlPerHostPerWave)
+        polite.agg(count(lit(1)), sum(col("wave")), max(col("cap")))
+          .collect()(0).getLong(0)
+      }},
+      // the seeded politeness composite at scale (dsCrawlPoliteSeeded
+      // 's shape): crawl_polite PLUS the staged crawled set, the
+      // sitemap-seed union at evidence 0 and the fetched-seed
+      // exclusion. The claim under test: the seed machinery costs ~ε
+      // over crawl_polite — seeds are hosts-bounded (structural, not
+      // volumetric), and the exclusion SEMI-joins the corpus against
+      // the broadcast seed set instead of shuffling the corpus
+      "crawl_polite_seeded" -> { () => {
+        import graft.operators.{Html, Urls}
+        val blocked = graft.queries.DataOps.blockedDomains
+        val d = docsR.repartition(32)
+        val pagesF = d.select(
+          Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
+          Html.syntheticPage(col("text"), col("source")).as("html"))
+        val crawled = org.apache.spark.sql.GraftBridge.stageLocal(
+          pagesF.select(col("referrer").as("url")).distinct())
+        val frontier = org.apache.spark.sql.GraftBridge.stageLocal(pagesF
+          .select(col("referrer"),
+            explode(Html.linkHrefs(col("html"))).as("href"))
+          .filter(Urls.hrefIsCandidate(col("href")))
+          .select(col("referrer"),
+            Urls.resolveHref(col("referrer"), col("href")).as("raw_url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("raw_url")),
+            blocked))
+          .select(col("referrer"), Urls.canonicalize(col("raw_url")).as("url"))
+          .join(crawled, Seq("url"), "left_anti")
+          .groupBy("url").agg(count(lit(1)).as("n_refs"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), blocked)))
+        val hosts = d.select(concat(lower(col("source")),
+            lit(".example.com")).as("host"), col("source")).distinct()
+        val locs = hosts.select(explode(
+            Urls.sitemapLocs(Urls.syntheticSitemap(col("source")))).as("loc"))
+          .select(Urls.canonicalize(col("loc")).as("url")).distinct()
+        val planted = d.groupBy(col("source"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
+        val seeds = locs.unionByName(planted)
+        val fetchedSeeds = crawled
+          .join(broadcast(seeds), Seq("url"), "left_semi").distinct()
+        val live = seeds.join(fetchedSeeds, Seq("url"), "left_anti")
+        val cand = frontier
+          .unionByName(live.select(col("url"), lit(0L).as("n_refs")))
+          .groupBy("url").agg(max(col("n_refs")).as("n_refs"))
+        val rules = Urls.robotsRules(hosts, col("host"),
+          Urls.syntheticRobots(col("source")))
+        val caps = Urls.robotsDelays(hosts, col("host"),
+            Urls.syntheticRobots(col("source")))
+          .select(col("host"), greatest(lit(1L),
+            floor(lit(graft.queries.DataOps.crawlWavePeriodSec) /
+              col("delay_s"))).as("cap"))
+        val polite = Urls.politeWavesCapped(
+          Urls.robotsFilter(cand, col("url"), rules),
           col("url"), col("n_refs"), caps,
           graft.queries.DataOps.crawlPerHostPerWave)
         polite.agg(count(lit(1)), sum(col("wave")), max(col("cap")))

@@ -530,6 +530,40 @@ object Urls {
       .drop("__h", "__p")
   }
 
+  /** One deterministic redirect hop of the zero-egress fixture: a URL
+    * whose path begins with `/old/` 301s to the same URL with that
+    * path segment stripped; anything else is final (NULL = no
+    * redirect). Chains compose — `/old/old/x` hops to `/old/x` hops
+    * to `/x` — the shape [[followRedirects]] walks. A real deployment
+    * replaces this with the fetcher's observed (requested →
+    * Location) records; the fixture is the deterministic stand-in
+    * both engines replay, like syntheticRobots/syntheticSitemap. */
+  def redirectHop(url: Column): Column =
+    when(url.rlike("^[a-z][a-z0-9+.-]*://[^/?#]+/old/"),
+      regexp_replace(url,
+        "^([a-z][a-z0-9+.-]*://[^/?#]+)/old/", "$1/"))
+      .otherwise(lit(null).cast("string"))
+
+  /** Follow [[redirectHop]] to its fixed point, at most `maxHops`
+    * (the loop guard every real fetcher applies — curl's
+    * --max-redirs). Yields (final_url, n_hops); a chain still
+    * redirecting at the cap is left at its last location. The cap is
+    * a compile-time unroll — `maxHops` cheap codegen'd projections,
+    * no iteration state. Feed a CANONICAL url; stripping a whole
+    * path segment preserves canonical form, but callers re-canon the
+    * result anyway (both engines, shared text) so the alias key rule
+    * is audit-proof. */
+  def followRedirects(url: Column, maxHops: Int = 3): (Column, Column) = {
+    var cur = url
+    var hops: Column = lit(0L)
+    (1 to maxHops).foreach { _ =>
+      val h = redirectHop(cur)
+      hops = hops + when(h.isNotNull, 1L).otherwise(0L)
+      cur = coalesce(h, cur)
+    }
+    (cur, hops)
+  }
+
   /** Politeness scheduling: assign frontier candidates to fetch WAVES
     * such that no host appears more than `perHostPerWave` times in a
     * wave — the per-host rate cap every real crawler enforces, as a

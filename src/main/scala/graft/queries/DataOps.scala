@@ -1072,6 +1072,14 @@ object DataOps {
     * frontier volume. */
   val trapMinUrls = 15L
 
+  /** Trap WHITELIST bar (r18): a high-fan-out template whose average
+    * in-link evidence is at least this many refs per URL is popular
+    * CONTENT (a heavily-linked paginated archive), not a trap —
+    * calendar/session spaces explode with candidates nothing links
+    * to, so their evidence-per-URL stays ~1. Integer comparison
+    * (`sum_refs ≥ n_urls · bar`), engine-exact. */
+  val trapWhitelistRefs = 2L
+
   /** Crawl-trap detection over the frontier — the classic crawler
     * failure mode: infinite URL spaces (calendar pages, session ids,
     * faceted search) that explode the frontier with near-identical
@@ -1093,12 +1101,18 @@ object DataOps {
     import graft.operators.Urls
     dsCrawlFrontier(s, d).select(col("url"), col("n_refs"))
       .unionByName(plantedCalCandidates(s, d))
+      .unionByName(plantedArchiveCandidates(s, d))
       .select(Urls.hostOf(col("url")).as("host"),
         urlTemplate(col("url")).as("template"),
         col("n_refs"))
       .groupBy("host", "template")
       .agg(count(lit(1)).as("n_urls"), sum(col("n_refs")).as("sum_refs"))
       .withColumn("trap", col("n_urls") >= trapMinUrls)
+      // r18: the whitelist term the r17 row promised but no consumer
+      // used — high fan-out AND high evidence-per-URL is an archive,
+      // not a trap; the gates drop only (trap AND NOT whitelisted)
+      .withColumn("whitelisted",
+        col("trap") && col("sum_refs") >= col("n_urls") * trapWhitelistRefs)
   }
 
   /** The trap gate composed (audit → gate, batch path): frontier +
@@ -1121,11 +1135,16 @@ object DataOps {
     val cand = org.apache.spark.sql.GraftBridge.stageLocal(
       dsCrawlFrontier(s, d).select(col("url"), col("n_refs"))
         .unionByName(plantedCalCandidates(s, d))
+        .unionByName(plantedArchiveCandidates(s, d))
         .withColumn("host", Urls.hostOf(col("url")))
         .withColumn("template", urlTemplate(col("url"))))
+    // r18: the whitelist term live — a flagged template with average
+    // evidence >= trapWhitelistRefs per URL survives (the planted
+    // heavily-linked /archive?page=N pagination must pass the gate)
     val traps = cand.groupBy("host", "template")
-      .agg(count(lit(1)).as("n_urls"))
-      .filter(col("n_urls") >= trapMinUrls)
+      .agg(count(lit(1)).as("n_urls"), sum(col("n_refs")).as("sum_refs"))
+      .filter(col("n_urls") >= trapMinUrls &&
+        col("sum_refs") < col("n_urls") * trapWhitelistRefs)
       .select("host", "template")
     cand
       .join(broadcast(traps), Seq("host", "template"), "left_anti")
@@ -1150,6 +1169,24 @@ object DataOps {
           .otherwise(array())).as("k"))
       .select(concat(lit("https://"), col("host"), lit("/cal?d="),
         col("k")).as("url"), lit(1L).as("n_refs"))
+
+  /** Planted heavily-LINKED paginated archives (r18, the whitelist
+    * bait): `/archive?page=0..k` at evidence 3 per URL — fan-out
+    * varies by the source-length residue (0 / 10 / 20 pages), so
+    * hosts carry an over-the-fan-out-bar template that the evidence
+    * bar must SPARE (residue 2), an under-the-bar one that was never
+    * flagged anyway (residue 1), and none (residue 0). The
+    * calendar plants stay at evidence 1 — trapped as before. */
+  private def plantedArchiveCandidates(s: SparkSession,
+                                       d: String): DataFrame =
+    crawlHosts(s, d)
+      .select(col("host"),
+        (pmod(length(col("source")), lit(3)) * 10).cast("int").as("an"))
+      .select(col("host"),
+        explode(when(col("an") > 0, sequence(lit(0), col("an") - 1))
+          .otherwise(array())).as("k"))
+      .select(concat(lit("https://"), col("host"), lit("/archive?page="),
+        col("k")).as("url"), lit(trapWhitelistRefs + 1).as("n_refs"))
 
   /** Planted per-host hub pages for the OPIC row — already-canonical
     * by construction (lowercase https, no port/params/fragments, no
@@ -1274,6 +1311,67 @@ object DataOps {
         col("lastmod").isNotNull && col("lastmod") > col("last_fetch"))
       .withColumn("due_wave_eff",
         when(col("due_now"), lit(1L)).otherwise(col("due_wave")))
+  }
+
+  /** Redirect aliasing — the crawl loop's missing 301 notion (r18):
+    * a fetch can land on a DIFFERENT final URL, and a loop keyed only
+    * on the requested URL re-schedules redirect sources and admits
+    * the same page under two keys. This row is the ALIAS LEDGER +
+    * admit-once audit over planted redirect chains
+    * ([[graft.operators.Urls.redirectHop]] — the deterministic
+    * zero-egress stand-in for observed `Location:` records, the
+    * robots/sitemap fixture pattern): per host, (a) the min-doc
+    * article URL behind `/old/` — its final lands on ALREADY-CRAWLED
+    * content, verdict `dup_fetched`; (b) `/old/fresh` and (c) the
+    * 2-hop `/old/old/fresh` — both land on the same UNcrawled
+    * `/fresh`, so exactly one (`min(requested_canon)` per final) is
+    * `admitted` and the other is `dup_alias`. Dedup is keyed on the
+    * FINAL canonical URL throughout; chains prove multi-hop folding.
+    *
+    * Scale shape: requests are hosts-bounded (3/host); the crawled
+    * membership probe SEMI-joins the corpus against the broadcast
+    * request set (output ≤ |requests|, the dsCrawlPoliteSeeded
+    * posture) — the corpus is never shuffled for the redirects' sake.
+    * Streaming twin: `IngestCrawl.crawledIngest` with a `final_url`
+    * fetch column — admission keys on the final canon, the ledger
+    * records alias rows, discovery and nextWave exclude alias
+    * sources. */
+  def dsCrawlRedirects(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    import org.apache.spark.sql.expressions.Window
+    val crawled = crawlLinkFrames(s, d)._2
+    val minDoc = docs(s, d).groupBy(col("source"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(Urls.canonicalize(
+        Urls.syntheticUrl(col("doc_id"), col("source"))).as("target"))
+    val hosts = crawlHosts(s, d)
+    val reqs = minDoc.select(regexp_replace(col("target"),
+        "^([a-z][a-z0-9+.-]*://[^/?#]+)/", "$1/old/").as("requested"))
+      .unionByName(hosts.select(concat(lit("https://"), col("host"),
+        lit("/old/fresh")).as("requested")))
+      .unionByName(hosts.select(concat(lit("https://"), col("host"),
+        lit("/old/old/fresh")).as("requested")))
+      .select(Urls.canonicalize(col("requested")).as("requested_canon"))
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("requested_canon")),
+        blockedDomains))
+    val (fin, hops) = Urls.followRedirects(col("requested_canon"))
+    val t = org.apache.spark.sql.GraftBridge.stageLocal(
+      reqs.select(col("requested_canon"),
+        Urls.canonicalize(fin).as("final_canon"), hops.as("n_hops")))
+    val fetchedFinals = crawled
+      .join(broadcast(t.select(col("final_canon").as("url"))),
+        Seq("url"), "left_semi")
+      .select(col("url").as("final_canon")).distinct()
+    t.join(broadcast(fetchedFinals.withColumn("__f", lit(true))),
+        Seq("final_canon"), "left")
+      .withColumn("__minreq",
+        min(col("requested_canon")).over(Window.partitionBy("final_canon")))
+      .withColumn("verdict",
+        when(coalesce(col("__f"), lit(false)), "dup_fetched")
+          .when(col("requested_canon") === col("__minreq"), "admitted")
+          .otherwise(lit("dup_alias")))
+      .select(col("requested_canon"), col("final_canon"), col("n_hops"),
+        col("verdict"))
   }
 
   /** The corpus's (host, source) frame — robots bodies are bounded
@@ -1585,12 +1683,17 @@ object DataOps {
       frontier
         .unionByName(live.select(col("url"), lit(0L).as("n_refs")))
         .unionByName(plantedCalCandidates(s, d))
+        .unionByName(plantedArchiveCandidates(s, d))
         .groupBy("url").agg(max(col("n_refs")).as("n_refs"))
         .withColumn("host", Urls.hostOf(col("url")))
         .withColumn("template", urlTemplate(col("url"))))
+    // trap gate with the r18 whitelist term: high fan-out is dropped
+    // only when evidence-per-URL stays under the bar — the planted
+    // heavily-linked archive pagination must survive into the wave
     val traps = cand.groupBy("host", "template")
-      .agg(count(lit(1)).as("n_urls"))
-      .filter(col("n_urls") >= trapMinUrls)
+      .agg(count(lit(1)).as("n_urls"), sum(col("n_refs")).as("sum_refs"))
+      .filter(col("n_urls") >= trapMinUrls &&
+        col("sum_refs") < col("n_urls") * trapWhitelistRefs)
       .select("host", "template")
     val untrapped = cand
       .join(broadcast(traps), Seq("host", "template"), "left_anti")
@@ -5164,6 +5267,70 @@ object DataOps {
                  interval_waves,
                  CAST(1 + keeper_id % interval_waves AS BIGINT) AS due_wave
           FROM iv""",
+    // redirect aliasing: planted /old/ 301 chains follow to their
+    // final canonical URL; a final already crawled is dup_fetched,
+    // an uncrawled final admits exactly once (min requested wins)
+    "ds_crawl_redirects" -> {
+      val hopGuard = "^[a-z][a-z0-9+.-]*://[^/?#]+/old/"
+      val hopRe = "^([a-z][a-z0-9+.-]*://[^/?#]+)/old/"
+      // MATERIALIZED: each hop level references the previous level's
+      // `cur` five times (guard + replace + coalesce); inlined, the
+      // base canon cascade would clone ~5^3-fold and blow the planner
+      // (measured: DuckDB OOM at sf0.001) — the SQL twin of the
+      // engine's filter-pushdown clone trap
+      def hopLevel(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (SELECT requested_canon,
+                 coalesce(hop, cur) AS cur,
+                 n + CASE WHEN hop IS NULL THEN 0 ELSE 1 END AS n
+               FROM (SELECT *, CASE WHEN regexp_matches(cur, '$hopGuard')
+                       THEN regexp_replace(cur, '$hopRe', '\\1/') END AS hop
+                     FROM $prev))"""
+      s"""WITH t0 AS (SELECT source, min(doc_id) AS doc_id FROM documents
+                      GROUP BY source),
+          t1 AS (SELECT $urlSynthSqlExpr AS url FROM t0),
+          t2 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM t1),
+          tg AS MATERIALIZED (SELECT ${sortParamsSqlExpr("cu")} AS target
+                              FROM t2),
+          hh AS (SELECT DISTINCT lower(source) || '.example.com' AS host
+                 FROM documents),
+          rq0 AS (SELECT regexp_replace(target,
+                    '^([a-z][a-z0-9+.-]*://[^/?#]+)/', '\\1/old/')
+                    AS requested FROM tg
+                  UNION ALL
+                  SELECT 'https://' || host || '/old/fresh' FROM hh
+                  UNION ALL
+                  SELECT 'https://' || host || '/old/old/fresh' FROM hh),
+          rqc8 AS (SELECT ${urlCanonSqlExpr("requested")} AS cu FROM rq0),
+          rg AS MATERIALIZED (SELECT requested_canon FROM
+                   (SELECT ${sortParamsSqlExpr("cu")} AS requested_canon
+                    FROM rqc8)
+                 WHERE ${notBlockedOver(
+                   "regexp_extract(requested_canon, " +
+                     "'^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)")}),
+          s0 AS (SELECT requested_canon, requested_canon AS cur, 0 AS n
+                 FROM rg),
+          ${hopLevel("s0", "s1")},
+          ${hopLevel("s1", "s2")},
+          ${hopLevel("s2", "s3")},
+          fc8 AS (SELECT requested_canon, n, ${urlCanonSqlExpr("cur")} AS cu
+                  FROM s3),
+          ff AS (SELECT requested_canon,
+                   ${sortParamsSqlExpr("cu")} AS final_canon,
+                   CAST(n AS BIGINT) AS n_hops FROM fc8),
+          cw0 AS (SELECT $urlSynthSqlExpr AS url FROM documents),
+          cw8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM cw0),
+          cwx AS MATERIALIZED (SELECT DISTINCT
+                   ${sortParamsSqlExpr("cu")} AS url FROM cw8),
+          j AS (SELECT ff.*,
+                  (ff.final_canon IN (SELECT url FROM cwx)) AS f FROM ff),
+          m AS (SELECT *, min(requested_canon)
+                  OVER (PARTITION BY final_canon) AS minreq FROM j)
+          SELECT requested_canon, final_canon, n_hops,
+                 CASE WHEN f THEN 'dup_fetched'
+                      WHEN requested_canon = minreq THEN 'admitted'
+                      ELSE 'dup_alias' END AS verdict
+          FROM m"""
+    },
     // the sitemap <lastmod> signal consumed: a fresh lastmod makes
     // the URL due at the NEXT wave regardless of its ladder rung;
     // absent/stale lastmod falls back to the observed-change ladder
@@ -5232,11 +5399,17 @@ object DataOps {
     "ds_crawl_traps" ->
       s"""WITH f AS ($crawlFrontierSql),
           th AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
-                        (length(source) % 4) * 20 AS tn FROM documents),
+                        (length(source) % 4) * 20 AS tn,
+                        (length(source) % 3) * 10 AS an FROM documents),
           pl AS (SELECT 'https://' || host || '/cal?d=' ||
                         CAST(x AS VARCHAR) AS url,
                         CAST(1 AS BIGINT) AS n_refs
-                 FROM (SELECT host, unnest(range(0, tn)) AS x FROM th)),
+                 FROM (SELECT host, unnest(range(0, tn)) AS x FROM th)
+                 UNION ALL
+                 SELECT 'https://' || host || '/archive?page=' ||
+                        CAST(x AS VARCHAR) AS url,
+                        CAST(${trapWhitelistRefs + 1} AS BIGINT) AS n_refs
+                 FROM (SELECT host, unnest(range(0, an)) AS x FROM th)),
           au AS (SELECT url, n_refs FROM f
                  UNION ALL SELECT url, n_refs FROM pl),
           t AS (SELECT
@@ -5248,17 +5421,28 @@ object DataOps {
                   n_refs FROM au)
           SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
                  CAST(sum(n_refs) AS BIGINT) AS sum_refs,
-                 count(*) >= ${trapMinUrls} AS trap
+                 count(*) >= ${trapMinUrls} AS trap,
+                 (count(*) >= ${trapMinUrls} AND
+                  sum(n_refs) >= count(*) * ${trapWhitelistRefs})
+                   AS whitelisted
           FROM t GROUP BY host, template""",
-    // the trap gate composed: candidates minus flagged templates
+    // the trap gate composed: candidates minus flagged templates —
+    // flagged = high fan-out AND evidence-per-URL under the
+    // whitelist bar (a heavily-linked archive pagination survives)
     "ds_frontier_gated" ->
       s"""WITH f AS ($crawlFrontierSql),
           th AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
-                        (length(source) % 4) * 20 AS tn FROM documents),
+                        (length(source) % 4) * 20 AS tn,
+                        (length(source) % 3) * 10 AS an FROM documents),
           pl AS (SELECT 'https://' || host || '/cal?d=' ||
                         CAST(x AS VARCHAR) AS url,
                         CAST(1 AS BIGINT) AS n_refs
-                 FROM (SELECT host, unnest(range(0, tn)) AS x FROM th)),
+                 FROM (SELECT host, unnest(range(0, tn)) AS x FROM th)
+                 UNION ALL
+                 SELECT 'https://' || host || '/archive?page=' ||
+                        CAST(x AS VARCHAR) AS url,
+                        CAST(${trapWhitelistRefs + 1} AS BIGINT) AS n_refs
+                 FROM (SELECT host, unnest(range(0, an)) AS x FROM th)),
           au AS (SELECT url, n_refs FROM f
                  UNION ALL SELECT url, n_refs FROM pl),
           t AS (SELECT url, n_refs,
@@ -5270,7 +5454,8 @@ object DataOps {
                 FROM au),
           tr AS (SELECT host, template FROM t
                  GROUP BY host, template
-                 HAVING count(*) >= ${trapMinUrls})
+                 HAVING count(*) >= ${trapMinUrls}
+                    AND sum(n_refs) < count(*) * ${trapWhitelistRefs})
           SELECT url, n_refs, host FROM t
           WHERE NOT EXISTS (SELECT 1 FROM tr
                             WHERE tr.host = t.host
@@ -5557,11 +5742,17 @@ object DataOps {
           sdlive AS (SELECT url FROM sds
                      WHERE url NOT IN (SELECT url FROM sco)),
           wth AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
-                         (length(source) % 4) * 20 AS tn FROM documents),
+                         (length(source) % 4) * 20 AS tn,
+                         (length(source) % 3) * 10 AS an FROM documents),
           wpl AS (SELECT 'https://' || host || '/cal?d=' ||
                          CAST(x AS VARCHAR) AS url,
                          CAST(1 AS BIGINT) AS n_refs
-                  FROM (SELECT host, unnest(range(0, tn)) AS x FROM wth)),
+                  FROM (SELECT host, unnest(range(0, tn)) AS x FROM wth)
+                  UNION ALL
+                  SELECT 'https://' || host || '/archive?page=' ||
+                         CAST(x AS VARCHAR) AS url,
+                         CAST(${trapWhitelistRefs + 1} AS BIGINT) AS n_refs
+                  FROM (SELECT host, unnest(range(0, an)) AS x FROM wth)),
           wcand AS (SELECT url, CAST(max(n_refs) AS BIGINT) AS n_refs FROM
                     (SELECT url, n_refs FROM f
                      UNION ALL SELECT url, 0 AS n_refs FROM sdlive
@@ -5576,7 +5767,8 @@ object DataOps {
                   FROM wcand),
           wtr AS (SELECT host, template FROM wct
                   GROUP BY host, template
-                  HAVING count(*) >= ${trapMinUrls}),
+                  HAVING count(*) >= ${trapMinUrls}
+                     AND sum(n_refs) < count(*) * ${trapWhitelistRefs}),
           wut AS (SELECT wct.* FROM wct
                   WHERE NOT EXISTS (SELECT 1 FROM wtr
                                     WHERE wtr.host = wct.host
@@ -6173,6 +6365,7 @@ object DataOps {
     "ds_frontier_gated" -> dsFrontierGated _, // trap audit -> gate composed
     "ds_recrawl" -> dsRecrawl _, // change-rate recrawl interval ladder
     "ds_recrawl_lastmod" -> dsRecrawlLastmod _, // sitemap lastmod override
+    "ds_crawl_redirects" -> dsCrawlRedirects _, // 301 alias ledger, admit-once
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan

@@ -137,6 +137,34 @@ object IngestCrawl {
         col("w.n_changes").as("n_changes"), col("w.b").as("b")))
   }
 
+  /** Latest accumulated OPIC cash per url from the cash ledger's
+    * replay-safe scope — same latest-wins read as [[ledgerState]]
+    * (each batch lands CUMULATIVE rows, so the newest row per url is
+    * the whole state and the settle folds history away). */
+  private def cashState(spark: SparkSession, dir: String,
+                        batchId: Long): Option[DataFrame] = {
+    val (front, deltas) = Frontier.scopeParts(spark, dir, batchId)
+    val parts = front.map { case (m, p) =>
+      Frontier.frontierFrame(spark, dir, m, p) }.toSeq ++
+      (if (deltas.isEmpty) Nil else Seq(spark.read.parquet(deltas: _*)))
+    if (parts.isEmpty) None
+    else Some(parts.reduce(_ unionByName _)
+      .groupBy("url")
+      .agg(max(struct(col("b"), col("cash"))).as("w"))
+      .select(col("url"), col("w.cash").as("cash")))
+  }
+
+  /** The accumulated-cash priority frame for [[nextWave]]'s
+    * `priority` input: (url, cash) — every candidate's OPIC receipts
+    * accumulated across ALL waves so far (r18: the actual Abiteboul
+    * iteration converging with the crawl, where the pre-r18 loop
+    * re-derived one-round cash each wave). Run the stream with
+    * `cashDir` to maintain the ledger. */
+  def cashReceipts(spark: SparkSession, cashDir: String): DataFrame =
+    cashState(spark, cashDir, Long.MaxValue)
+      .getOrElse(spark.emptyDataFrame
+        .select(lit("").as("url"), lit(0L).as("cash")).limit(0))
+
   /** Interval rungs shared by [[recrawlDue]] and its scaladoc'd
     * contract — the streaming twin of DataOps.dsRecrawl's ladder,
     * on OBSERVED transitions (`n_changes`: refetches whose payload
@@ -210,7 +238,9 @@ object IngestCrawl {
                     fetchedDir: Option[String] = None,
                     frontierBuckets: Int = 32,
                     robotsRules: Option[DataFrame] = None,
-                    recrawlScope: Option[DataFrame] = None)
+                    recrawlScope: Option[DataFrame] = None,
+                    cashDir: Option[String] = None,
+                    opicInit: Long = graft.queries.DataOps.opicCash)
       : StreamingQuery = {
     // Pin the recrawl scope EAGERLY at stream construction: the due
     // set is typically a plan over the fetched ledger this very
@@ -236,23 +266,47 @@ object IngestCrawl {
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
+        // redirect awareness (r18): a fetch frame may carry a
+        // `final_url` column — the fetcher's observed post-redirect
+        // location (empty/null = no redirect). Admission then keys on
+        // the FINAL canonical URL (the same page behind two requested
+        // URLs admits once), and the (requested → final) pairs land
+        // in the fetched ledger as `alias` rows below, so discovery
+        // and nextWave never re-schedule a known redirect source.
+        val hasFinal = batch.columns.contains("final_url")
+        val eff =
+          if (hasFinal) coalesce(nullif(col("final_url"), lit("")), col("url"))
+          else col("url")
         // gate placement per Urls.dedupByUrl's r16 note: conservative
         // raw-host gate before the exchange (references only the raw
         // url column — bulk blocked volume never shuffles), exact
         // canonical gate after the keep-first aggregate (one row per
         // distinct URL; host is a function of canon_url, so the
         // filter commutes with the aggregate)
-        val firstInBatch = batch.toDF()
+        val gatedRaw = batch.toDF()
           .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
             blockedDomains))
+        val firstInBatch = gatedRaw
           .select(col("doc_id"), col("html"),
-            Urls.canonicalize(col("url")).as("canon_url"))
+            Urls.canonicalize(eff).as("canon_url"))
           .groupBy("canon_url")
           .agg(min(struct(col("doc_id"), col("html"))).as("w"))
           .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
             blockedDomains))
           .select(col("canon_url"), col("w.doc_id").as("doc_id"),
             col("w.html").as("html"))
+        // the batch's (requested_canon → final_canon) alias pairs —
+        // batch-content-only, so replay-stable like firstInBatch;
+        // bounded by the batch's redirected fetches
+        val aliasPairs =
+          if (!hasFinal) None
+          else Some(gatedRaw
+            .select(Urls.canonicalize(col("url")).as("src"),
+              Urls.canonicalize(eff).as("dst"))
+            .filter(col("src") =!= col("dst"))
+            .filter(!Urls.hostBlocked(Urls.hostOf(col("src")),
+              blockedDomains))
+            .distinct())
         // admitted frontier: settled run artifact + this run's EARLIER
         // batches (the current id excluded — a retry must not
         // anti-join its own partial output, see BatchLayout / Frontier)
@@ -311,8 +365,22 @@ object IngestCrawl {
         // doesn't); n_fetches/n_changes derive from the scope BEFORE
         // this batch, so a batch retry recomputes identical rows.
         fetchedDir.foreach { fd =>
-          val now = staged.select(col("canon_url"), col("verdict"),
+          // alias rows (r18): one ledger row per redirect SOURCE,
+          // verdict 'alias', h = md5 of the final canonical URL — so
+          // the change-evidence counters track the TARGET: a source
+          // whose redirect later points elsewhere counts an observed
+          // change, and recrawlDue re-checks it like any other URL.
+          // Discovery's ledger scope then excludes alias sources the
+          // same way it excludes thin pages.
+          val contentNow = staged.select(col("canon_url"), col("verdict"),
             md5(col("main_text").cast("binary")).as("h"))
+          val now = aliasPairs match {
+            case Some(ap) => contentNow.unionByName(
+              ap.select(col("src").as("canon_url"),
+                lit("alias").as("verdict"),
+                md5(col("dst").cast("binary")).as("h")))
+            case None => contentNow
+          }
           val row = ledgerState(spark, fd, batchId) match {
             case Some(prev) => now.join(
                 prev.select(col("canon_url"), col("h").as("__ph"),
@@ -334,8 +402,13 @@ object IngestCrawl {
         // chain (the filter-pushdown clone trap), blocklist before
         // the write, already-FETCHED (ledger-less: already-admitted)
         // URLs excluded via the same replay-safe scope as admission
-        discoveredDir.foreach { dd =>
-          val links = admitted
+        // the batch's canon-gated outbound-link frame, shared by the
+        // discovery sink and the OPIC cash distribution; persisted
+        // when BOTH consume it so the admission anti-joins + link
+        // explode run once per batch, not twice
+        val linksNeeded = discoveredDir.isDefined || cashDir.isDefined
+        val linksCached = if (!linksNeeded) None else {
+          val l = admitted
             .select(col("canon_url").as("referrer"),
               explode(Html.linkHrefs(col("html"))).as("href"))
             .filter(Urls.hrefIsCandidate(col("href")))
@@ -344,6 +417,11 @@ object IngestCrawl {
             .withColumn("h", Urls.hostOf(col("url")))
             .filter(!Urls.hostBlocked(col("h"), blockedDomains))
             .select("url", "referrer")
+          Some(if (discoveredDir.isDefined && cashDir.isDefined) l.persist()
+               else l)
+        }
+        discoveredDir.foreach { dd =>
+          val links = linksCached.get
           val scopeDir = fetchedDir.getOrElse(survivorDir)
           val notSeen = antiAdmitted(spark, links, "url", scopeDir, batchId)
           val notExternal = settledUrls match {
@@ -351,9 +429,17 @@ object IngestCrawl {
               sn.select(col("canon_url").as("url")), Seq("url"), "left_anti")
             case None => notSeen
           }
-          val notOwn = notExternal
+          val notOwn0 = notExternal
             .join(firstInBatch.select(col("canon_url").as("url")),
               Seq("url"), "left_anti")
+          // this batch's own alias SOURCES are fetched too (their
+          // ledger rows land below this batch) — a page linking to a
+          // just-redirected URL must not re-emit it as a candidate
+          val notOwn = aliasPairs match {
+            case Some(ap) => notOwn0.join(
+              ap.select(col("src").as("url")), Seq("url"), "left_anti")
+            case None => notOwn0
+          }
           // robots gate LAST (fewest candidates left): a disallowed
           // URL is never EMITTED as a candidate, so no later stage —
           // nextWave, an external scheduler draining the dir — can
@@ -364,6 +450,56 @@ object IngestCrawl {
           }
           polite.write.mode("overwrite").parquet(s"$dd/batch_$batchId")
         }
+        // OPIC cash ledger (r18 — the Abiteboul iteration riding the
+        // crawl itself, not a per-wave one-round recompute): each
+        // admitted page distributes its cash — the initial allotment
+        // plus everything it ACCUMULATED as a candidate — in integer
+        // floor shares over its outlinks (dsFrontierOpic's share
+        // rule); receipts accrue per target as CUMULATIVE rows (the
+        // fetch ledger's counter pattern, so the settle's latest-wins
+        // fold keeps exactly the newest total), and a distributing
+        // page's own balance resets to zero — cash MOVES, a recrawl
+        // can never redistribute the same receipts twice. Cost: one
+        // more co-partitioned state probe + one link-keyed aggregate
+        // per batch; [[cashReceipts]] is the read surface nextWave
+        // ranks on. Replay-safe: state reads scope to batches < this
+        // one, so a retry recomputes identical rows.
+        cashDir.foreach { cd =>
+          val lk = linksCached.get
+          val prev = cashState(spark, cd, batchId)
+          val withAcc = prev match {
+            case Some(st) => lk.join(st.select(col("url").as("referrer"),
+                col("cash").as("__acc")), Seq("referrer"), "left")
+            case None => lk.withColumn("__acc", lit(null).cast("long"))
+          }
+          val shares = withAcc
+            .withColumn("__outdeg", count(lit(1)).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("referrer")))
+            .withColumn("__share",
+              expr(s"(${opicInit}L + coalesce(__acc, 0L)) div __outdeg"))
+          val received = shares.groupBy("url")
+            .agg(sum(col("__share")).as("__recv"))
+          // reset rows only for distributing pages that actually HAD
+          // a balance — a first-fetch page spent only its initial
+          // allotment, which was never in the ledger
+          val spentUrls = (prev match {
+            case Some(st) => lk.select(col("referrer").as("url")).distinct()
+              .join(st.select("url"), Seq("url"), "left_semi")
+            case None => spark.emptyDataFrame
+              .select(lit("").as("url")).limit(0)
+          }).withColumn("__spent", lit(true))
+          val changed = received.join(spentUrls, Seq("url"), "full_outer")
+          val row = (prev match {
+            case Some(st) => changed.join(
+              st.select(col("url"), col("cash").as("__pc")), Seq("url"), "left")
+            case None => changed.withColumn("__pc", lit(null).cast("long"))
+          }).select(col("url"),
+            (coalesce(col("__recv"), lit(0L)) +
+              when(coalesce(col("__spent"), lit(false)), 0L)
+                .otherwise(coalesce(col("__pc"), lit(0L)))).as("cash"))
+          row.withColumn("b", lit(batchId))
+            .write.mode("overwrite").parquet(s"$cd/batch_$batchId")
+        }
         // fold accumulated deltas into the settled frontiers (never
         // the in-flight batch — replay safety, see Frontier); the
         // survivor + ledger frontiers land bucketed on the probe key
@@ -371,7 +507,11 @@ object IngestCrawl {
           Seq("canon_url"), settleEvery, frontierBuckets)
         fetchedDir.foreach(fd => Frontier.maybeSettle(spark, fd, batchId,
           Seq("canon_url"), settleEvery, frontierBuckets))
+        cashDir.foreach(cd => Frontier.maybeSettle(spark, cd, batchId,
+          Seq("url"), settleEvery, frontierBuckets))
         if (cacheBatch) staged.unpersist()
+        linksCached.foreach(l =>
+          if (discoveredDir.isDefined && cashDir.isDefined) l.unpersist())
         ()
       }
       .outputMode(OutputMode.Append())
@@ -420,6 +560,9 @@ object IngestCrawl {
                   keepPct: Int = graft.queries.DataOps.domainKeepPct)
       : DataFrame =
     Frontier.readLayered(spark, fetchedDir)
+      // alias rows are redirect observations, not pages — a host of
+      // moved URLs is not thereby a low-quality host
+      .filter(col("verdict") =!= "alias")
       .groupBy("canon_url")
       .agg(max(struct(col("b"), col("verdict"))).as("w"))
       .select(Urls.hostOf(col("canon_url")).as("host"),

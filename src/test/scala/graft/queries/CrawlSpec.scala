@@ -161,23 +161,39 @@ class CrawlSpec extends SparkSpec {
   }
 
   test("dsCrawlTraps: the verdict recomputes from fan-out, planted calendar " +
-      "traps flag, frontier templates stay benign, evidence mass reconciles") {
+      "traps flag, the heavily-linked archive whitelists, frontier " +
+      "templates stay benign, evidence mass reconciles") {
     val rows = DataOps.dsCrawlTraps(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3), r.getBoolean(4)))
+        r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
     assert(rows.nonEmpty)
-    rows.foreach { case (host, tpl, nUrls, sumRefs, trap) =>
+    rows.foreach { case (host, tpl, nUrls, sumRefs, trap, wl) =>
       assert(trap == (nUrls >= DataOps.trapMinUrls), s"$host $tpl: verdict")
+      assert(wl == (trap &&
+        sumRefs >= nUrls * DataOps.trapWhitelistRefs),
+        s"$host $tpl: whitelist verdict")
       assert(sumRefs >= nUrls, s"$host $tpl: every candidate has evidence")
     }
     val (traps, benign) = rows.partition(_._5)
     assert(traps.nonEmpty && benign.nonEmpty, "both branches must be live")
-    // every trap is a planted calendar template with its host-class
-    // fan-out; no frontier-derived template reaches the bar
-    traps.foreach { case (host, tpl, nUrls, sumRefs, _) =>
-      assert(tpl == "/cal?d=N", s"$host: unexpected trap template $tpl")
-      assert(nUrls == 20 && sumRefs == 20, s"$host: planted fan-out drifted")
+    // flagged fan-out splits on evidence: calendar plants (evidence 1
+    // per URL) stay trapped, the heavily-linked archive pagination
+    // (evidence 3 per URL) whitelists — both classes must be live
+    traps.foreach { case (host, tpl, nUrls, sumRefs, _, wl) =>
+      assert(Set("/cal?d=N", "/archive?page=N").contains(tpl),
+        s"$host: unexpected trap template $tpl")
+      if (tpl == "/cal?d=N")
+        assert(!wl && nUrls == 20 && sumRefs == 20,
+          s"$host: calendar plant drifted")
+      else
+        assert(wl && nUrls == 20 && sumRefs == 60,
+          s"$host: archive plant drifted")
     }
+    assert(traps.exists(!_._6) && traps.exists(_._6),
+      "trapped AND whitelisted templates must both be live")
+    // the under-fan-out archive hosts (10 pages) stay benign
+    assert(benign.exists(b => b._2 == "/archive?page=N" && b._3 == 10),
+      "an under-the-bar archive must exist, benign")
     // the frontier's own candidates all appear, benign
     val frontierHosts = DataOps.dsCrawlFrontier(spark, sf)
       .collect().map(_.getString(0)).toSet
@@ -185,26 +201,32 @@ class CrawlSpec extends SparkSpec {
       "frontier templates must be represented")
   }
 
-  test("dsFrontierGated: flagged templates' candidates never pass, benign " +
-      "candidates all pass with their evidence intact") {
+  test("dsFrontierGated: flagged templates' candidates never pass, " +
+      "whitelisted archives survive, benign candidates keep their evidence") {
     val gated = DataOps.dsFrontierGated(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val traps = DataOps.dsCrawlTraps(spark, sf).filter(col("trap"))
+    val flagged = DataOps.dsCrawlTraps(spark, sf)
+      .filter(col("trap") && !col("whitelisted"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(traps.nonEmpty, "the planted calendar traps must flag")
+    assert(flagged.nonEmpty, "the planted calendar traps must flag")
     gated.keys.foreach { url =>
       val host = url.stripPrefix("https://").stripPrefix("http://")
         .takeWhile(c => c != '/' && c != '?')
       val tpl = url.replaceFirst("^[a-z][a-z0-9+.-]*://[^/?#]+", "")
         .replaceAll("[0-9]+", "N")
-      assert(!traps.contains((host, tpl)), s"trapped candidate passed: $url")
+      assert(!flagged.contains((host, tpl)), s"trapped candidate passed: $url")
     }
-    // at this fixture every planted calendar candidate is trapped and
-    // every frontier candidate is benign: gated == frontier, evidence kept
+    // the whitelist branch is LIVE in the gate: every planted archive
+    // candidate (both the whitelisted 20-page and the under-bar
+    // 10-page hosts) passes with its evidence
+    val archive = gated.filter(_._1.contains("/archive?page="))
+    assert(archive.nonEmpty && archive.values.forall(_ == 3L),
+      s"whitelisted archive candidates must survive: ${archive.take(3)}")
+    // at this fixture: gated == benign frontier + every archive plant
     val frontier = DataOps.dsCrawlFrontier(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(gated == frontier,
-      "gate must pass exactly the benign frontier at this fixture")
+    assert(gated == frontier ++ archive,
+      "gate must pass exactly the benign frontier plus the archives")
   }
 
   test("dsCrawlWave: every gate bites — no trapped template, no condemned " +
@@ -214,8 +236,11 @@ class CrawlSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
         r.getLong(3), r.getLong(4)))
     assert(wave.nonEmpty)
-    // trap gate: no calendar-template candidate is ever scheduled
+    // trap gate: no calendar-template candidate is ever scheduled —
+    // but the whitelisted heavily-linked archive pagination IS
     assert(!wave.exists(_._1.contains("/cal?")), "trapped template scheduled")
+    assert(wave.exists(_._1.contains("/archive?page=")),
+      "whitelisted archive candidates must reach the wave")
     // domain gate: hosts condemned at the curation bar never appear
     val bad = DataOps.dsHostQuality(spark, sf)
       .filter(col("n_kept") * 100 < col("n_pages") * DataOps.domainKeepPct)

@@ -636,6 +636,142 @@ class IngestCrawlSpec extends SparkSpec {
       s"cold must keep its single first fetch: $admitted")
   }
 
+  test("OPIC cash persists across settles: receipts accumulate, a " +
+      "distributing page's balance resets, and accumulated cash " +
+      "re-ranks a host's wave order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_cs_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_cs_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_cs_f").toString
+    val cash = java.nio.file.Files.createTempDirectory("ic_cs_c").toString
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    def junk(prefix: String): String =
+      (0 until 5).map(i => s"<a href=\"/$prefix$i\">j</a>").mkString
+    val input = MemoryStream[(Long, String, String)]
+    // settleEvery=1: every batch folds — accumulation must survive
+    // multiple settles, the law the one-round recompute fails
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      settleEvery = 1, discoveredDir = Some(disc),
+      fetchedDir = Some(fetched), cashDir = Some(cash), opicInit = 1200L)
+    try {
+      // batch 0: p1 links ONLY /a → /a receives 1200 (outdeg 1)
+      input.addData((1L, "http://h.com/p1",
+        pageWith("a", "<a href=\"/a\">a</a>")))
+      q.processAllAvailable()
+      // batches 1, 2 (≥2 settles later): p2 and p3 each link /b plus
+      // 5 junk links (outdeg 6 → /b receives 200 from each)
+      input.addData((2L, "http://h.com/p2",
+        pageWith("b", "<a href=\"/b\">b</a>" + junk("j"))))
+      q.processAllAvailable()
+      input.addData((3L, "http://h.com/p3",
+        pageWith("c", "<a href=\"/b\">b</a>" + junk("k"))))
+      q.processAllAvailable()
+      // in-link evidence now ranks /b (2 refs) over /a (1 ref), but
+      // accumulated cash ranks /a (1200) over /b (400)
+      val receipts = IngestCrawl.cashReceipts(spark, cash)
+      val m = receipts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m("http://h.com/a") == 1200L && m("http://h.com/b") == 400L,
+        s"accumulated receipts across settles: $m")
+      val plain = IngestCrawl.nextWave(spark, disc, fetched,
+          perHostPerWave = 1)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(plain("http://h.com/b") < plain("http://h.com/a"),
+        s"refs rank /b first: $plain")
+      val ranked = IngestCrawl.nextWave(spark, disc, fetched,
+          perHostPerWave = 1, priority = Some(receipts))
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(ranked("http://h.com/a") < ranked("http://h.com/b"),
+        s"accumulated cash re-ranks /a first: $ranked")
+      // batch 3: /a itself is fetched, linking only /z — it
+      // distributes its initial 1200 PLUS its accumulated 1200, and
+      // its own balance resets: cash moves, it is never re-spent
+      input.addData((4L, "http://h.com/a",
+        pageWith("z", "<a href=\"/z\">z</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = IngestCrawl.cashReceipts(spark, cash)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("http://h.com/z") == 2400L,
+      s"the fetched page's accumulated cash moved to its outlink: $after")
+    assert(after("http://h.com/a") == 0L,
+      s"the distributing page's balance reset: $after")
+    assert(after("http://h.com/b") == 400L, s"untouched balances keep: $after")
+  }
+
+  test("redirect aliasing: admission keys on the final URL, alias " +
+      "sources land in the ledger and never re-schedule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_rd_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_rd_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_rd_f").toString
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "final_url", "html"),
+      None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched))
+    try {
+      // p1 links to the redirect source, its target, and a novel URL;
+      // TWO requests 301 onto the same final /dest — one admission
+      input.addData(
+        (1L, "http://h.com/p1", "",
+          pageWith("a", "<a href=\"/old/dest\">o</a><a href=\"/dest\">d</a>" +
+            "<a href=\"/new\">n</a>")),
+        (2L, "http://h.com/old/dest", "http://h.com/dest", pageWith("b", "")),
+        (3L, "http://h.com/old/old/dest", "http://h.com/dest",
+          pageWith("c", "")))
+      q.processAllAvailable()
+      // a later re-fetch of the alias source: the final URL is
+      // already admitted, so no new version; the alias row's change
+      // evidence accrues (same target → no observed change)
+      input.addData(
+        (10L, "http://h.com/old/dest", "http://h.com/dest", pageWith("d", "")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = spark.read.parquet(s"$surv/batch_*")
+      .select("canon_url", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // /dest admitted ONCE under the FINAL url (min doc_id 2 wins);
+    // the requested /old/ keys never become corpus keys
+    assert(admitted == Set(("http://h.com/p1", 1L), ("http://h.com/dest", 2L)),
+      s"admitted: $admitted")
+    val ledger = spark.read.parquet(s"$fetched/batch_*")
+      .groupBy("canon_url")
+      .agg(max(struct(col("b"), col("verdict"), col("n_fetches"),
+        col("n_changes"))).as("w"))
+      .select(col("canon_url"), col("w.verdict"), col("w.n_fetches"),
+        col("w.n_changes"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ledger("http://h.com/old/dest") == (("alias", 2L, 0L)),
+      s"alias source refetched once, target unchanged: $ledger")
+    assert(ledger("http://h.com/old/old/dest") == (("alias", 1L, 0L)),
+      s"ledger: $ledger")
+    assert(ledger("http://h.com/dest")._1 == "kept", s"ledger: $ledger")
+    // discovery emitted ONLY the novel link: the fetched target and
+    // the alias source are both excluded
+    val discovered = spark.read.parquet(s"$disc/batch_*")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(discovered == Set("http://h.com/new"), s"discovered: $discovered")
+    // and the next wave schedules only it — an aliased target never
+    // re-schedules
+    val wave = IngestCrawl.nextWave(spark, disc, fetched)
+      .collect().map(_.getString(0)).toSet
+    assert(wave == Set("http://h.com/new"), s"wave: $wave")
+    // alias rows never count against host quality
+    val hq = IngestCrawl.hostQuality(spark, fetched, keepPct = 60)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3))))
+      .toMap
+    assert(hq("h.com") == ((2L, true)), s"hostQuality counts pages only: $hq")
+  }
+
   test("recrawlDue: a fresh sitemap lastmod overrides the ladder rung; " +
       "stale or never-fetched announcements change nothing") {
     import spark.implicits._
