@@ -1374,6 +1374,65 @@ object DataOps {
         col("verdict"))
   }
 
+  /** The alias gate COMPOSED into the frontier (r18, the scheduling
+    * half of [[dsCrawlRedirects]]'s content half): a discovered
+    * candidate whose FINAL canonical URL — after following known
+    * redirects — is already fetched is dropped before scheduling
+    * (fetching it would only re-land on content the corpus already
+    * holds), while a candidate redirecting to UNfetched content stays
+    * schedulable (the fetch lands on the fresh final). The streaming
+    * twin is the ledger's `alias` rows excluding redirect sources in
+    * `IngestCrawl` discovery/nextWave; this row is the batch plan a
+    * scheduler with a redirect map runs.
+    *
+    * Plan shape: the frontier's own anti-join already guarantees
+    * direct (non-redirecting) candidates are uncrawled, so only the
+    * REDIRECTING subset — bounded by the moved fraction of the
+    * frontier, planted here — needs the crawled-membership probe: the
+    * corpus semi-joins the broadcast redirecting finals (output ≤
+    * that subset) and the subset anti-joins the tiny result — the
+    * dsCrawlPoliteSeeded posture; the corpus is never shuffled for
+    * the redirects' sake. The candidate pool is staged once AFTER the
+    * follow-walk so both filter branches read materialized finals. */
+  def dsFrontierRedirects(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val (links, crawledRaw) = crawlLinkFrames(s, d)
+    val crawled = org.apache.spark.sql.GraftBridge.stageLocal(crawledRaw)
+    val frontier = links
+      .join(crawled, Seq("url"), "left_anti")
+      .groupBy("url").agg(count(lit(1)).as("n_refs"))
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), blockedDomains))
+    // planted alias-source candidates (the moved namespace a real
+    // frontier discovers): per host, one aliasing FETCHED content
+    // (must drop) and one aliasing fresh content (must stay)
+    val minTarget = docs(s, d).groupBy(col("source"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(Urls.canonicalize(
+        Urls.syntheticUrl(col("doc_id"), col("source"))).as("target"))
+    val planted = minTarget.select(regexp_replace(col("target"),
+        "^([a-z][a-z0-9+.-]*://[^/?#]+)/", "$1/old/").as("url"))
+      .unionByName(crawlHosts(s, d).select(concat(lit("https://"),
+        col("host"), lit("/old/fresh")).as("url")))
+      .select(Urls.canonicalize(col("url")).as("url"))
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), blockedDomains))
+      .select(col("url"), lit(1L).as("n_refs"))
+    val cand = frontier.unionByName(planted)
+      .groupBy("url").agg(max(col("n_refs")).as("n_refs"))
+    val (fin, _) = Urls.followRedirects(col("url"))
+    val followed = org.apache.spark.sql.GraftBridge.stageLocal(
+      cand.withColumn("final_canon", Urls.canonicalize(fin)))
+    val redirecting = followed.filter(col("final_canon") =!= col("url"))
+    val direct = followed.filter(col("final_canon") === col("url"))
+    val fetchedFinals = crawled
+      .join(broadcast(redirecting.select(col("final_canon").as("url"))),
+        Seq("url"), "left_semi")
+      .select(col("url").as("final_canon")).distinct()
+    direct.unionByName(
+        redirecting.join(broadcast(fetchedFinals),
+          Seq("final_canon"), "left_anti"))
+      .select(col("url"), col("n_refs"), col("final_canon"))
+  }
+
   /** The corpus's (host, source) frame — robots bodies are bounded
     * by hosts, one KB-sized body each, never by the frontier. */
   private def crawlHosts(s: SparkSession, d: String): DataFrame =
@@ -2905,6 +2964,24 @@ object DataOps {
     * not a prefix of it (must never match); `graftbot` (m=2 hosts) is
     * a shorter prefix (must lose to `graftbot-news`). */
   val crawlProductToken = "graftbot-news"
+
+  /** One SQL hop level of the fixture redirect walk
+    * (Urls.redirectHop's twin), carrying `carry` columns through.
+    * MATERIALIZED: each level references the previous level's `cur`
+    * five times (guard + replace + coalesce); inlined, a canon-
+    * cascade-valued `cur` would clone ~5^levels-fold and blow the
+    * DuckDB planner (measured OOM at sf0.001) — the SQL twin of the
+    * engine's filter-pushdown clone trap. */
+  private def redirectHopLevelSql(prev: String, cur: String,
+                                  carry: String): String =
+    s"""$cur AS MATERIALIZED (SELECT $carry,
+             coalesce(hop, cur) AS cur,
+             n + CASE WHEN hop IS NULL THEN 0 ELSE 1 END AS n
+           FROM (SELECT *, CASE WHEN regexp_matches(cur,
+                   '^[a-z][a-z0-9+.-]*://[^/?#]+/old/')
+                   THEN regexp_replace(cur,
+                     '^([a-z][a-z0-9+.-]*://[^/?#]+)/old/', '\\1/') END AS hop
+                 FROM $prev))"""
 
   /** The recrawl ladder CTE chain (`uf` … `iv`) shared by ds_recrawl
     * and ds_recrawl_lastmod: fetched-ledger fixture (synthetic URLs +
@@ -5271,20 +5348,8 @@ object DataOps {
     // final canonical URL; a final already crawled is dup_fetched,
     // an uncrawled final admits exactly once (min requested wins)
     "ds_crawl_redirects" -> {
-      val hopGuard = "^[a-z][a-z0-9+.-]*://[^/?#]+/old/"
-      val hopRe = "^([a-z][a-z0-9+.-]*://[^/?#]+)/old/"
-      // MATERIALIZED: each hop level references the previous level's
-      // `cur` five times (guard + replace + coalesce); inlined, the
-      // base canon cascade would clone ~5^3-fold and blow the planner
-      // (measured: DuckDB OOM at sf0.001) — the SQL twin of the
-      // engine's filter-pushdown clone trap
       def hopLevel(prev: String, cur: String): String =
-        s"""$cur AS MATERIALIZED (SELECT requested_canon,
-                 coalesce(hop, cur) AS cur,
-                 n + CASE WHEN hop IS NULL THEN 0 ELSE 1 END AS n
-               FROM (SELECT *, CASE WHEN regexp_matches(cur, '$hopGuard')
-                       THEN regexp_replace(cur, '$hopRe', '\\1/') END AS hop
-                     FROM $prev))"""
+        redirectHopLevelSql(prev, cur, "requested_canon")
       s"""WITH t0 AS (SELECT source, min(doc_id) AS doc_id FROM documents
                       GROUP BY source),
           t1 AS (SELECT $urlSynthSqlExpr AS url FROM t0),
@@ -5331,6 +5396,51 @@ object DataOps {
                       ELSE 'dup_alias' END AS verdict
           FROM m"""
     },
+    // the alias gate composed into the frontier: candidates whose
+    // followed FINAL canonical URL is already crawled are dropped;
+    // redirects onto fresh content stay schedulable
+    "ds_frontier_redirects" ->
+      s"""WITH fr0 AS ($crawlFrontierSql),
+          t0 AS (SELECT source, min(doc_id) AS doc_id FROM documents
+                 GROUP BY source),
+          t1 AS (SELECT $urlSynthSqlExpr AS url FROM t0),
+          t2 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM t1),
+          tg AS MATERIALIZED (SELECT ${sortParamsSqlExpr("cu")} AS target
+                              FROM t2),
+          hh AS (SELECT DISTINCT lower(source) || '.example.com' AS host
+                 FROM documents),
+          pla AS (SELECT regexp_replace(target,
+                    '^([a-z][a-z0-9+.-]*://[^/?#]+)/', '\\1/old/')
+                    AS url FROM tg
+                  UNION ALL
+                  SELECT 'https://' || host || '/old/fresh' FROM hh),
+          plc8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM pla),
+          plc AS MATERIALIZED (SELECT ${sortParamsSqlExpr("cu")} AS url
+                               FROM plc8),
+          plg AS (SELECT url, CAST(1 AS BIGINT) AS n_refs FROM plc
+                  WHERE ${notBlockedOver(
+                    "regexp_extract(url, " +
+                      "'^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)")}),
+          cand AS MATERIALIZED (SELECT url,
+                   CAST(max(n_refs) AS BIGINT) AS n_refs FROM
+                   (SELECT url, n_refs FROM fr0
+                    UNION ALL SELECT url, n_refs FROM plg)
+                   GROUP BY url),
+          s0 AS (SELECT url, n_refs, url AS cur, 0 AS n FROM cand),
+          ${redirectHopLevelSql("s0", "s1", "url, n_refs")},
+          ${redirectHopLevelSql("s1", "s2", "url, n_refs")},
+          ${redirectHopLevelSql("s2", "s3", "url, n_refs")},
+          fc8 AS (SELECT url, n_refs, ${urlCanonSqlExpr("cur")} AS cu
+                  FROM s3),
+          ff AS MATERIALIZED (SELECT url, n_refs,
+                   ${sortParamsSqlExpr("cu")} AS final_canon FROM fc8),
+          cw0 AS (SELECT $urlSynthSqlExpr AS url FROM documents),
+          cw8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM cw0),
+          cwx AS MATERIALIZED (SELECT DISTINCT
+                   ${sortParamsSqlExpr("cu")} AS url FROM cw8)
+          SELECT url, n_refs, final_canon FROM ff
+          WHERE final_canon = url
+             OR final_canon NOT IN (SELECT url FROM cwx)""",
     // the sitemap <lastmod> signal consumed: a fresh lastmod makes
     // the URL due at the NEXT wave regardless of its ladder rung;
     // absent/stale lastmod falls back to the observed-change ladder
@@ -6366,6 +6476,7 @@ object DataOps {
     "ds_recrawl" -> dsRecrawl _, // change-rate recrawl interval ladder
     "ds_recrawl_lastmod" -> dsRecrawlLastmod _, // sitemap lastmod override
     "ds_crawl_redirects" -> dsCrawlRedirects _, // 301 alias ledger, admit-once
+    "ds_frontier_redirects" -> dsFrontierRedirects _, // alias-aware frontier gate
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan

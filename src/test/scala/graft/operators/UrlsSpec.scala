@@ -527,6 +527,35 @@ class UrlsSpec extends SparkSpec {
     assert(out.filter(_._2 == "c.com").forall(_._3 == 2L))
   }
 
+  test("redirectHop/followRedirects: hop guard, chains, cap, hop count") {
+    import spark.implicits._
+    val (fin, hops) = Urls.followRedirects(col("url"))
+    val out = Seq(
+      "https://h.com/old/x",            // 1 hop → /x
+      "https://h.com/old/old/x",        // 2 hops → /x
+      "https://h.com/old/old/old/old/x",// 4 hops: cap 3 leaves /old/... wait
+      "https://h.com/x",                // no redirect
+      "https://h.com/sold/x",           // '/sold/' is NOT '/old/' — no hop
+      "https://h.com/a/old/x",          // '/old' mid-path is not a prefix
+      "https://h.com/old/x?q=old",      // query untouched by the strip
+      "http://h.com")                   // bare origin: no path, no hop
+      .toDF("url")
+      .select(col("url"), fin.as("fin"), hops.as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out("https://h.com/old/x") == (("https://h.com/x", 1L)))
+    assert(out("https://h.com/old/old/x") == (("https://h.com/x", 2L)))
+    // the cap leaves a still-redirecting chain at its last location
+    assert(out("https://h.com/old/old/old/old/x") ==
+      (("https://h.com/old/x", 3L)))
+    assert(out("https://h.com/x") == (("https://h.com/x", 0L)))
+    assert(out("https://h.com/sold/x") == (("https://h.com/sold/x", 0L)))
+    assert(out("https://h.com/a/old/x") == (("https://h.com/a/old/x", 0L)))
+    assert(out("https://h.com/old/x?q=old") ==
+      (("https://h.com/x?q=old", 1L)))
+    assert(out("http://h.com") == (("http://h.com", 0L)))
+  }
+
   test("frontier composition: discovered links already crawled are excluded") {
     import spark.implicits._
     // two fetched pages on one host: page 1 links to page 2 (already

@@ -273,6 +273,35 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("dsFrontierRedirects: a candidate aliasing fetched content never " +
+      "schedules; fresh-content redirects stay; direct candidates are " +
+      "exactly the frontier") {
+    val rows = DataOps.dsFrontierRedirects(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val (redirecting, direct) = rows.partition(r => r._1 != r._3)
+    // direct candidates pass untouched: exactly the benign frontier
+    val frontier = DataOps.dsCrawlFrontier(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct.map(r => r._1 -> r._2).toMap == frontier,
+      "direct candidates must be exactly the frontier")
+    // every surviving redirect aliases UNfetched content (/old/fresh
+    // → /fresh), and every planted fetched-alias candidate is gone
+    assert(redirecting.nonEmpty, "the fresh-redirect branch must be live")
+    redirecting.foreach { case (url, _, fin) =>
+      assert(url.contains("/old/fresh") && fin.endsWith("/fresh"),
+        s"unexpected surviving redirect: $url -> $fin")
+    }
+    val crawled = DataOps.dsCrawl(spark, sf)
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => !crawled.contains(r._3)),
+      "no scheduled candidate may alias fetched content")
+    // the planted fetched-alias candidates existed and were dropped:
+    // one /old/<minpath> candidate per unblocked host went in
+    assert(!rows.exists(r => r._1.contains("/old/") &&
+      !r._1.contains("/old/fresh")),
+      "fetched-alias candidates must be dropped")
+  }
+
   test("dsRecrawl: ladder recomputes from evidence, due waves stagger " +
       "within the interval, ledger agrees with dd_url_dedup") {
     val rows = DataOps.dsRecrawl(spark, sf)
