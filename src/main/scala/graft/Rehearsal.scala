@@ -1051,6 +1051,114 @@ object Rehearsal {
         sched.agg(count(lit(1)), sum(col("interval_waves")),
           sum(col("n_variants"))).collect()(0).getLong(0)
       }},
+      // the lastmod override at scale (ds_recrawl_lastmod's shape):
+      // the recrawl ladder LEFT-JOINed with a broadcast lastmod frame
+      // (hosts × sitemap entries — structural). Expected ≈ recrawl +
+      // ε at every decade: the protocol signal never touches the
+      // ×MULT ledger volume beyond one broadcast join
+      "recrawl_lastmod" -> { () => {
+        import graft.operators.Urls
+        val fetches = docsR.repartition(32)
+          .select(col("doc_id"), col("text"), col("source"),
+            Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("doc_id"), col("source"),
+            md5(col("text").cast("binary")).as("h"),
+            Urls.canonicalize(col("url")).as("canon_url"))
+        val ladder = fetches.groupBy("canon_url")
+          .agg(count(lit(1)).as("n_fetches"),
+            countDistinct(col("h")).as("n_variants"),
+            min(col("doc_id")).as("keeper_id"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+            graft.queries.DataOps.blockedDomains))
+          .withColumn("interval_waves",
+            when(col("n_variants") >= 3, 1L)
+              .when(col("n_variants") === 2, 4L)
+              .when(col("n_fetches") >= 2, 64L)
+              .otherwise(8L))
+        val hostsF = docsR.select(concat(lower(col("source")),
+            lit(".example.com")).as("host"), col("source")).distinct()
+        val meta = Urls.sitemapMeta(
+            hostsF.select(col("host"),
+              Urls.syntheticSitemap(col("source")).as("xml")),
+            col("host"), col("xml"))
+          .filter(col("kind") === "urlset" && col("lastmod").isNotNull)
+          .select(Urls.canonicalize(col("loc_url")).as("canon_url"),
+            col("lastmod").cast("date").as("lastmod"))
+          .groupBy("canon_url").agg(max(col("lastmod")).as("lastmod"))
+        val due = ladder.join(broadcast(meta), Seq("canon_url"), "left")
+          .withColumn("last_fetch",
+            when(length(Urls.hostOf(col("canon_url"))) % 2 === 0,
+              lit("2024-01-15")).otherwise(lit("2024-02-14")).cast("date"))
+          .withColumn("due_now",
+            col("lastmod").isNotNull && col("lastmod") > col("last_fetch"))
+        due.agg(count(lit(1)), sum(col("interval_waves")),
+          sum(when(col("due_now"), 1L).otherwise(0L)))
+          .collect()(0).getLong(0)
+      }},
+      // the alias-aware frontier gate at scale
+      // (ds_frontier_redirects' shape): the frontier + planted moved-
+      // namespace candidates → 3-hop follow walk → final canon → the
+      // crawled-membership probe for the REDIRECTING subset only
+      // (corpus semi-joins its broadcast finals). Expected ≈
+      // crawl_frontier + ε: the walk and gate touch the structural
+      // candidate set; the one ×MULT term beyond the frontier's own
+      // is the corpus-side semi-join scan
+      "frontier_redirects" -> { () => {
+        import graft.operators.{Html, Urls}
+        val d = docsR.repartition(32)
+        val pagesF = d.select(
+          Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
+          Html.syntheticPage(col("text"), col("source")).as("html"))
+        val crawled = pagesF.select(col("referrer").as("url")).distinct()
+        val frontier = pagesF
+          .select(col("referrer"),
+            explode(Html.linkHrefs(col("html"))).as("href"))
+          .filter(Urls.hrefIsCandidate(col("href")))
+          .select(col("referrer"),
+            Urls.resolveHref(col("referrer"), col("href")).as("raw_url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("raw_url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("referrer"), Urls.canonicalize(col("raw_url")).as("url"))
+          .join(crawled, Seq("url"), "left_anti")
+          .groupBy("url").agg(count(lit(1)).as("n_refs"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("url")),
+            graft.queries.DataOps.blockedDomains))
+        val minTarget = d.groupBy(col("source"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("target"))
+        val hostsF = d.select(concat(lower(col("source")),
+            lit(".example.com")).as("host")).distinct()
+        val planted = minTarget.select(regexp_replace(col("target"),
+            "^([a-z][a-z0-9+.-]*://[^/?#]+)/", "$1/old/").as("url"))
+          .unionByName(hostsF.select(concat(lit("https://"),
+            col("host"), lit("/old/fresh")).as("url")))
+          .select(Urls.canonicalize(col("url")).as("url"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("url")),
+            graft.queries.DataOps.blockedDomains))
+          .select(col("url"), lit(1L).as("n_refs"))
+        val cand = frontier.unionByName(planted)
+          .groupBy("url").agg(max(col("n_refs")).as("n_refs"))
+        val (fin, _) = Urls.followRedirects(col("url"))
+        val followed = org.apache.spark.sql.GraftBridge.stageLocal(
+          cand.withColumn("final_canon", Urls.canonicalize(fin)))
+        val redirecting = followed.filter(col("final_canon") =!= col("url"))
+        val direct = followed.filter(col("final_canon") === col("url"))
+        val corpusUrls = d.select(Urls.canonicalize(
+          Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
+        val fetchedFinals = corpusUrls
+          .join(broadcast(redirecting.select(col("final_canon").as("url"))),
+            Seq("url"), "left_semi")
+          .select(col("url").as("final_canon")).distinct()
+        direct.unionByName(
+            redirecting.join(broadcast(fetchedFinals),
+              Seq("final_canon"), "left_anti"))
+          .agg(count(lit(1)), sum(col("n_refs")))
+          .collect()(0).getLong(0)
+      }},
       // the composed politeness front door at scale (ds_crawl_polite's
       // shape): the frontier of crawl_frontier STAGED once (bounded by
       // host × path variety — structural, not volumetric), robots

@@ -225,4 +225,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("HashAggregate") &&
       countOccurrences(p, "Exchange hashpartitioning") == 1, s"plan:\n$p")
   }
+
+  test("redirect gates broadcast their bounded frames — the corpus is " +
+      "never shuffled for the redirects' sake") {
+    // ds_crawl_redirects: the crawled-membership probe must be a
+    // broadcast semi-join (request set broadcast INTO the corpus
+    // scan), and the verdict's final join reads a broadcast of the
+    // tiny fetched-finals result — zero cartesian products
+    val p1 = plan(DataOps.dsCrawlRedirects(spark, sf))
+    assert(p1.contains("BroadcastHashJoin") &&
+      p1.contains("LeftSemi"), s"crawled probe not broadcast-semi:\n$p1")
+    assert(!p1.contains("CartesianProduct"), s"plan:\n$p1")
+    // ds_frontier_redirects: same posture — only the REDIRECTING
+    // subset's finals are broadcast against the corpus
+    val p2 = plan(DataOps.dsFrontierRedirects(spark, sf))
+    assert(p2.contains("BroadcastHashJoin") &&
+      p2.contains("LeftSemi"), s"finals probe not broadcast-semi:\n$p2")
+    assert(!p2.contains("CartesianProduct"), s"plan:\n$p2")
+  }
 }
