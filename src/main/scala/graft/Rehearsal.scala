@@ -163,6 +163,161 @@ object Rehearsal {
     lazy val ragBatch = Tables(spark, sfDir, "documents")
       .filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
 
+
+    // shared by crawl_wave / crawl_wave_fresh: the production wave,
+    // optionally + the recrawl-due refetch union (r18)
+    def crawlWaveCase(withDue: Boolean): Long = {
+        import graft.operators.{Html, Urls}
+        val D = graft.queries.DataOps
+        val d = docsR.repartition(32)
+        val pagesF = d.select(
+          Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
+          Html.syntheticPage(col("text"), col("source")).as("html"))
+        val crawled = org.apache.spark.sql.GraftBridge.stageLocal(
+          pagesF.select(col("referrer").as("url")).distinct())
+        val frontier = pagesF
+          .select(col("referrer"),
+            explode(Html.linkHrefs(col("html"))).as("href"))
+          .filter(Urls.hrefIsCandidate(col("href")))
+          .select(col("referrer"),
+            Urls.resolveHref(col("referrer"), col("href")).as("raw_url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("raw_url")),
+            D.blockedDomains))
+          .select(col("referrer"), Urls.canonicalize(col("raw_url")).as("url"))
+          .join(crawled, Seq("url"), "left_anti")
+          .groupBy("url").agg(count(lit(1)).as("n_refs"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), D.blockedDomains))
+        val hostsF = d.select(
+            concat(lower(col("source")), lit(".example.com")).as("host"),
+            col("source")).distinct()
+        val seedLocs = hostsF.select(explode(
+            Urls.sitemapLocs(Urls.syntheticSitemap(col("source")))).as("loc"))
+          .select(Urls.canonicalize(col("loc")).as("url")).distinct()
+        val seedPlanted = d.groupBy(col("source"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
+        val seeds = seedLocs.unionByName(seedPlanted)
+        val fetchedSeeds = crawled
+          .join(broadcast(seeds), Seq("url"), "left_semi").distinct()
+        val live = seeds.join(fetchedSeeds, Seq("url"), "left_anti")
+        val calBait = hostsF
+          .select(col("host"),
+            (pmod(length(col("source")), lit(4)) * 20).cast("int").as("tn"))
+          .select(col("host"),
+            explode(when(col("tn") > 0, sequence(lit(0), col("tn") - 1))
+              .otherwise(array())).as("k"))
+          .select(concat(lit("https://"), col("host"), lit("/cal?d="),
+            col("k")).as("url"), lit(1L).as("n_refs"))
+        val cand = org.apache.spark.sql.GraftBridge.stageLocal(
+          frontier
+            .unionByName(live.select(col("url"), lit(0L).as("n_refs")))
+            .unionByName(calBait)
+            .groupBy("url").agg(max(col("n_refs")).as("n_refs"))
+            .withColumn("host", Urls.hostOf(col("url")))
+            .withColumn("template", D.urlTemplate(col("url"))))
+        val traps = cand.groupBy("host", "template")
+          .agg(count(lit(1)).as("n_urls"))
+          .filter(col("n_urls") >= D.trapMinUrls).select("host", "template")
+        val untrapped = cand.join(broadcast(traps),
+          Seq("host", "template"), "left_anti")
+        // fetch-ledger domain gate: winners + extraction + verdicts
+        val winners = d
+          .select(col("doc_id"), col("source"), col("text"),
+            Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+            D.blockedDomains))
+          .select(col("doc_id"), col("source"), col("text"),
+            Urls.canonicalize(col("url")).as("canon_url"))
+          .groupBy("canon_url")
+          .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"))
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+            D.blockedDomains))
+          .select(col("canon_url"), col("w.doc_id").as("doc_id"),
+            col("w.source").as("source"), col("w.text").as("text"))
+        val ext = Html.extractMainText(
+          winners.select(col("doc_id"), col("canon_url"),
+            Html.syntheticPage(col("text"), col("source")).as("html")),
+          col("html"), col("doc_id"), carry = Seq(col("canon_url")),
+          dropNullHtml = false)
+        val nTok = when(col("main_text") === "", 0L)
+          .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
+        val badHosts = ext.select(
+            Urls.hostOf(col("canon_url")).as("host"),
+            when(nTok >= D.crawlMinTokens, 1L).otherwise(0L).as("k"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"))
+          .filter(col("n_kept") * 100 < col("n_pages") * D.domainKeepPct)
+          .select("host")
+        val pool =
+          if (!withDue) untrapped
+          else {
+            // the freshness half (r18): the recrawl ladder + the
+            // broadcast lastmod override (recrawl_lastmod's shape),
+            // filtered to the next wave's due set, at evidence 0 —
+            // trap-gated, never trap-counted
+            val ladder = d
+              .select(col("doc_id"), col("text"),
+                Urls.syntheticUrl(col("doc_id"), col("source")).as("u"))
+              .filter(!Urls.hostBlocked(Urls.rawHostLower(col("u")),
+                D.blockedDomains))
+              .select(col("doc_id"), md5(col("text").cast("binary")).as("h"),
+                Urls.canonicalize(col("u")).as("canon_url"))
+              .groupBy("canon_url")
+              .agg(count(lit(1)).as("n_fetches"),
+                countDistinct(col("h")).as("n_variants"),
+                min(col("doc_id")).as("keeper_id"))
+              .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+                D.blockedDomains))
+              .withColumn("interval_waves",
+                when(col("n_variants") >= 3, 1L)
+                  .when(col("n_variants") === 2, 4L)
+                  .when(col("n_fetches") >= 2, 64L)
+                  .otherwise(8L))
+              .withColumn("due_wave",
+                lit(1L) + pmod(col("keeper_id"), col("interval_waves")))
+            val meta = Urls.sitemapMeta(
+                hostsF.select(col("host"),
+                  Urls.syntheticSitemap(col("source")).as("xml")),
+                col("host"), col("xml"))
+              .filter(col("kind") === "urlset" && col("lastmod").isNotNull)
+              .select(Urls.canonicalize(col("loc_url")).as("canon_url"),
+                col("lastmod").cast("date").as("lastmod"))
+              .groupBy("canon_url").agg(max(col("lastmod")).as("lastmod"))
+            val due = ladder.join(broadcast(meta), Seq("canon_url"), "left")
+              .withColumn("last_fetch",
+                when(length(Urls.hostOf(col("canon_url"))) % 2 === 0,
+                  lit("2024-01-15")).otherwise(lit("2024-02-14"))
+                  .cast("date"))
+              .withColumn("due_now", col("lastmod").isNotNull &&
+                col("lastmod") > col("last_fetch"))
+              .filter(col("due_now") || col("due_wave") === 1)
+              .select(col("canon_url").as("url"), lit(0L).as("n_refs"))
+              .withColumn("host", Urls.hostOf(col("url")))
+              .withColumn("template", D.urlTemplate(col("url")))
+            untrapped.unionByName(
+              due.join(broadcast(traps), Seq("host", "template"),
+                "left_anti"))
+          }
+        val gated = pool
+          .join(broadcast(badHosts), Seq("host"), "left_anti")
+          .select(col("url"), col("n_refs"))
+        val arules = Urls.robotsRules(hostsF, col("host"),
+          Urls.syntheticRobots(col("source")),
+          agent = Some(D.crawlProductToken))
+        val allowed = Urls.robotsFilter(gated, col("url"), arules)
+        val caps = Urls.robotsDelays(hostsF, col("host"),
+            Urls.syntheticRobots(col("source")),
+            agent = Some(D.crawlProductToken))
+          .select(col("host"), greatest(lit(1L),
+            floor(lit(D.crawlWavePeriodSec) / col("delay_s"))).as("cap"))
+        val waves = Urls.politeWavesCapped(allowed, col("url"),
+          col("n_refs"), caps, D.crawlPerHostPerWave)
+        waves.agg(count(lit(1)), sum(col("wave")), sum(length(col("url"))))
+          .collect()(0).getLong(0)
+    }
+
     val cases: Seq[(String, () => Long)] = Seq(
       "dd_incr_build" -> { () => incrIndex.buckets.count() },
       "dd_incr_probe" -> { () =>
@@ -923,107 +1078,8 @@ object Rehearsal {
       // frontier derivation + the ledger pass (the crawl composite's
       // extraction over winners) per decade — every gate frame is
       // hosts/template-bounded
-      "crawl_wave" -> { () => {
-        import graft.operators.{Html, Urls}
-        val D = graft.queries.DataOps
-        val d = docsR.repartition(32)
-        val pagesF = d.select(
-          Urls.canonicalize(
-            Urls.syntheticUrl(col("doc_id"), col("source"))).as("referrer"),
-          Html.syntheticPage(col("text"), col("source")).as("html"))
-        val crawled = org.apache.spark.sql.GraftBridge.stageLocal(
-          pagesF.select(col("referrer").as("url")).distinct())
-        val frontier = pagesF
-          .select(col("referrer"),
-            explode(Html.linkHrefs(col("html"))).as("href"))
-          .filter(Urls.hrefIsCandidate(col("href")))
-          .select(col("referrer"),
-            Urls.resolveHref(col("referrer"), col("href")).as("raw_url"))
-          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("raw_url")),
-            D.blockedDomains))
-          .select(col("referrer"), Urls.canonicalize(col("raw_url")).as("url"))
-          .join(crawled, Seq("url"), "left_anti")
-          .groupBy("url").agg(count(lit(1)).as("n_refs"))
-          .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), D.blockedDomains))
-        val hostsF = d.select(
-            concat(lower(col("source")), lit(".example.com")).as("host"),
-            col("source")).distinct()
-        val seedLocs = hostsF.select(explode(
-            Urls.sitemapLocs(Urls.syntheticSitemap(col("source")))).as("loc"))
-          .select(Urls.canonicalize(col("loc")).as("url")).distinct()
-        val seedPlanted = d.groupBy(col("source"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(Urls.canonicalize(
-            Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
-        val seeds = seedLocs.unionByName(seedPlanted)
-        val fetchedSeeds = crawled
-          .join(broadcast(seeds), Seq("url"), "left_semi").distinct()
-        val live = seeds.join(fetchedSeeds, Seq("url"), "left_anti")
-        val calBait = hostsF
-          .select(col("host"),
-            (pmod(length(col("source")), lit(4)) * 20).cast("int").as("tn"))
-          .select(col("host"),
-            explode(when(col("tn") > 0, sequence(lit(0), col("tn") - 1))
-              .otherwise(array())).as("k"))
-          .select(concat(lit("https://"), col("host"), lit("/cal?d="),
-            col("k")).as("url"), lit(1L).as("n_refs"))
-        val cand = org.apache.spark.sql.GraftBridge.stageLocal(
-          frontier
-            .unionByName(live.select(col("url"), lit(0L).as("n_refs")))
-            .unionByName(calBait)
-            .groupBy("url").agg(max(col("n_refs")).as("n_refs"))
-            .withColumn("host", Urls.hostOf(col("url")))
-            .withColumn("template", D.urlTemplate(col("url"))))
-        val traps = cand.groupBy("host", "template")
-          .agg(count(lit(1)).as("n_urls"))
-          .filter(col("n_urls") >= D.trapMinUrls).select("host", "template")
-        val untrapped = cand.join(broadcast(traps),
-          Seq("host", "template"), "left_anti")
-        // fetch-ledger domain gate: winners + extraction + verdicts
-        val winners = d
-          .select(col("doc_id"), col("source"), col("text"),
-            Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
-          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
-            D.blockedDomains))
-          .select(col("doc_id"), col("source"), col("text"),
-            Urls.canonicalize(col("url")).as("canon_url"))
-          .groupBy("canon_url")
-          .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"))
-          .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
-            D.blockedDomains))
-          .select(col("canon_url"), col("w.doc_id").as("doc_id"),
-            col("w.source").as("source"), col("w.text").as("text"))
-        val ext = Html.extractMainText(
-          winners.select(col("doc_id"), col("canon_url"),
-            Html.syntheticPage(col("text"), col("source")).as("html")),
-          col("html"), col("doc_id"), carry = Seq(col("canon_url")),
-          dropNullHtml = false)
-        val nTok = when(col("main_text") === "", 0L)
-          .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
-        val badHosts = ext.select(
-            Urls.hostOf(col("canon_url")).as("host"),
-            when(nTok >= D.crawlMinTokens, 1L).otherwise(0L).as("k"))
-          .groupBy("host")
-          .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"))
-          .filter(col("n_kept") * 100 < col("n_pages") * D.domainKeepPct)
-          .select("host")
-        val gated = untrapped
-          .join(broadcast(badHosts), Seq("host"), "left_anti")
-          .select(col("url"), col("n_refs"))
-        val arules = Urls.robotsRules(hostsF, col("host"),
-          Urls.syntheticRobots(col("source")),
-          agent = Some(D.crawlProductToken))
-        val allowed = Urls.robotsFilter(gated, col("url"), arules)
-        val caps = Urls.robotsDelays(hostsF, col("host"),
-            Urls.syntheticRobots(col("source")),
-            agent = Some(D.crawlProductToken))
-          .select(col("host"), greatest(lit(1L),
-            floor(lit(D.crawlWavePeriodSec) / col("delay_s"))).as("cap"))
-        val waves = Urls.politeWavesCapped(allowed, col("url"),
-          col("n_refs"), caps, D.crawlPerHostPerWave)
-        waves.agg(count(lit(1)), sum(col("wave")), sum(length(col("url"))))
-          .collect()(0).getLong(0)
-      }},
+      "crawl_wave" -> { () => crawlWaveCase(false) },
+      "crawl_wave_fresh" -> { () => crawlWaveCase(true) },
       // recrawl scheduling at scale (ds_recrawl's shape): the
       // url_dedup exchange with a count-distinct-md5 riding the same
       // map-side partials. Expected: ≈ url_dedup + the per-task

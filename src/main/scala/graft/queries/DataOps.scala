@@ -1734,7 +1734,29 @@ object DataOps {
     * broadcast. Ordering is cheap→expensive on the candidate side:
     * traps and the domain gate shrink the pool before the
     * rules-matching theta-join. */
-  def dsCrawlWave(s: SparkSession, d: String): DataFrame = {
+  def dsCrawlWave(s: SparkSession, d: String): DataFrame =
+    crawlWaveCore(s, d, withDue = false)
+
+  /** [[dsCrawlWave]] plus the FRESHNESS half (r18): recrawl-due
+    * refetches — the lastmod-or-ladder due set at the next wave
+    * ([[dsRecrawlLastmod]], `due_wave_eff = 1`) — join the pool at
+    * evidence 0, past the crawled exclusion (a refetch is of a
+    * FETCHED url by definition) but through every gate a first fetch
+    * faces: flagged trap templates, the domain-quality bar, the agent
+    * robots rules and the Crawl-delay caps. The trap AUDIT still
+    * counts DISCOVERY candidates only — an already-fetched 10k-page
+    * archive is content, not an infinite URL space; due refetches are
+    * GATED against flagged templates without feeding the fan-out
+    * count. This is the batch twin of `nextWave(recrawl = ...)` and
+    * completes the wave a real scheduler runs: discovery ∪ seeds ∪
+    * recrawl-due. Cost over dsCrawlWave: the ladder's one keep-first
+    * exchange + the broadcast lastmod join (both priced at the
+    * decades — BASELINE.md#recrawl_lastmod@100x/@1000x). */
+  def dsCrawlWaveFresh(s: SparkSession, d: String): DataFrame =
+    crawlWaveCore(s, d, withDue = true)
+
+  private def crawlWaveCore(s: SparkSession, d: String,
+                            withDue: Boolean): DataFrame = {
     import graft.operators.Urls
     val (links, crawledRaw) = crawlLinkFrames(s, d)
     val crawled = org.apache.spark.sql.GraftBridge.stageLocal(crawledRaw)
@@ -1764,6 +1786,17 @@ object DataOps {
       .select("host", "template")
     val untrapped = cand
       .join(broadcast(traps), Seq("host", "template"), "left_anti")
+    // freshness half (r18, withDue): due refetches at evidence 0 —
+    // disjoint from the pool by construction (due ⊆ crawled, the pool
+    // excludes crawled) — trap-GATED but never trap-COUNTED
+    val pool =
+      if (!withDue) untrapped
+      else untrapped.unionByName(
+        dsRecrawlLastmod(s, d).filter(col("due_wave_eff") === 1)
+          .select(col("canon_url").as("url"), lit(0L).as("n_refs"))
+          .withColumn("host", Urls.hostOf(col("url")))
+          .withColumn("template", urlTemplate(col("url")))
+          .join(broadcast(traps), Seq("host", "template"), "left_anti"))
     // fetch-ledger domain gate: hosts the verdicts CONDEMN at the
     // curation bar; no-evidence hosts never appear -> stay schedulable
     val badHosts = dsCrawl(s, d)
@@ -1773,7 +1806,7 @@ object DataOps {
       .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"))
       .filter(col("n_kept") * 100 < col("n_pages") * domainKeepPct)
       .select("host")
-    val gated = untrapped
+    val gated = pool
       .join(broadcast(badHosts), Seq("host"), "left_anti")
       .select(col("url"), col("n_refs"))
     val hosts = crawlHosts(s, d)
@@ -2779,6 +2812,136 @@ object DataOps {
                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
                     AS host FROM rc)"""
 
+  /** The production-wave SQL, parameterized on the r18 freshness
+    * half: `withDue` unions the lastmod-or-ladder due set (the
+    * embedded [[recrawlLastmodSql]] at due_wave_eff = 1) into the
+    * pool at evidence 0 — trap-GATED against the discovery audit's
+    * flags but never trap-COUNTED, then through the same domain /
+    * robots / cap gates. */
+  private def crawlWaveSqlText(withDue: Boolean): String = {
+    val dueCtes =
+      if (!withDue)
+        "wall AS (SELECT url, n_refs, host, template FROM wut),"
+      else
+        s"""wdu AS (SELECT canon_url AS url FROM ($recrawlLastmodSql)
+                  WHERE due_wave_eff = 1),
+          wduh AS (SELECT url, CAST(0 AS BIGINT) AS n_refs,
+                     regexp_extract(url,
+                       '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+                     regexp_replace(regexp_replace(url,
+                       '^[a-z][a-z0-9+.-]*://[^/?#]+', ''),
+                       '[0-9]+', 'N', 'g') AS template
+                   FROM wdu),
+          wdug AS (SELECT * FROM wduh
+                   WHERE NOT EXISTS (SELECT 1 FROM wtr
+                                     WHERE wtr.host = wduh.host
+                                       AND wtr.template = wduh.template)),
+          wall AS (SELECT url, n_refs, host, template FROM wut
+                   UNION ALL
+                   SELECT url, n_refs, host, template FROM wdug),"""
+    s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes, $robotsAgentCtes,
+          arpat AS (SELECT host, prefix, allow,
+                      replace(replace(replace(replace(
+                        CASE WHEN substr(prefix, length(prefix), 1) = '$$'
+                             THEN substr(prefix, 1, length(prefix) - 1)
+                             ELSE prefix END,
+                        '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+                      || CASE WHEN substr(prefix, length(prefix), 1) = '$$'
+                              THEN '' ELSE '%' END AS pat
+                    FROM arules),
+          sdb AS (SELECT host, $sitemapBodySqlExpr AS xml FROM rh),
+          sdl AS (SELECT unnest(regexp_extract_all(xml,
+                    '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS raw FROM sdb),
+          sdd AS (SELECT replace(replace(replace(replace(replace(raw,
+                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                    '&apos;', \'\'\'\'), '&amp;', '&') AS loc FROM sdl),
+          sd8 AS (SELECT ${urlCanonSqlExpr("loc")} AS cu FROM sdd),
+          sdc AS (SELECT DISTINCT ${sortParamsSqlExpr("cu")} AS url FROM sd8),
+          sdm AS (SELECT min(doc_id) AS doc_id, source FROM documents
+                  GROUP BY source),
+          sdu AS (SELECT $urlSynthSqlExpr AS url FROM sdm),
+          sdp8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM sdu),
+          sdp AS (SELECT ${sortParamsSqlExpr("cu")} AS url FROM sdp8),
+          sds AS (SELECT url FROM sdc UNION SELECT url FROM sdp),
+          sco8 AS (SELECT ${urlCanonSqlExpr("u2.url")} AS cu FROM
+                   (SELECT $urlSynthSqlExpr AS url FROM documents) u2),
+          sco AS (SELECT DISTINCT ${sortParamsSqlExpr("cu")} AS url FROM sco8),
+          sdlive AS (SELECT url FROM sds
+                     WHERE url NOT IN (SELECT url FROM sco)),
+          wth AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
+                         (length(source) % 4) * 20 AS tn,
+                         (length(source) % 3) * 10 AS an FROM documents),
+          wpl AS (SELECT 'https://' || host || '/cal?d=' ||
+                         CAST(x AS VARCHAR) AS url,
+                         CAST(1 AS BIGINT) AS n_refs
+                  FROM (SELECT host, unnest(range(0, tn)) AS x FROM wth)
+                  UNION ALL
+                  SELECT 'https://' || host || '/archive?page=' ||
+                         CAST(x AS VARCHAR) AS url,
+                         CAST(${trapWhitelistRefs + 1} AS BIGINT) AS n_refs
+                  FROM (SELECT host, unnest(range(0, an)) AS x FROM wth)),
+          wcand AS (SELECT url, CAST(max(n_refs) AS BIGINT) AS n_refs FROM
+                    (SELECT url, n_refs FROM f
+                     UNION ALL SELECT url, 0 AS n_refs FROM sdlive
+                     UNION ALL SELECT url, n_refs FROM wpl)
+                    GROUP BY url),
+          wct AS (SELECT url, n_refs,
+                    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                      AS host,
+                    regexp_replace(regexp_replace(url,
+                      '^[a-z][a-z0-9+.-]*://[^/?#]+', ''),
+                      '[0-9]+', 'N', 'g') AS template
+                  FROM wcand),
+          wtr AS (SELECT host, template FROM wct
+                  GROUP BY host, template
+                  HAVING count(*) >= ${trapMinUrls}
+                     AND sum(n_refs) < count(*) * ${trapWhitelistRefs}),
+          wut AS (SELECT wct.* FROM wct
+                  WHERE NOT EXISTS (SELECT 1 FROM wtr
+                                    WHERE wtr.host = wct.host
+                                      AND wtr.template = wct.template)),
+          $dueCtes
+          wcv AS ($crawlCompositeSql),
+          wbad AS (SELECT host FROM
+                   (SELECT regexp_extract(canon_url,
+                      '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+                      CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END AS k
+                    FROM wcv) v
+                   GROUP BY host
+                   HAVING sum(k) * 100 < count(*) * ${domainKeepPct}),
+          wgt AS (SELECT url, n_refs FROM wall
+                  WHERE host NOT IN (SELECT host FROM wbad)),
+          fp AS (SELECT wgt.*,
+                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                     AS fhost,
+                   regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]+', '')
+                     AS fpath
+                 FROM wgt),
+          blk AS (SELECT fhost, fpath FROM
+                  (SELECT fp.fhost, fp.fpath,
+                     max(length(r.prefix) * 2 +
+                         CASE WHEN r.allow THEN 1 ELSE 0 END) AS best
+                   FROM fp JOIN arpat r ON r.host = fp.fhost
+                     AND fp.fpath LIKE r.pat ESCAPE '\\'
+                   GROUP BY fp.fhost, fp.fpath)
+                  WHERE best % 2 = 0),
+          keep AS (SELECT fp.url, fp.n_refs, fp.fhost FROM fp
+                   WHERE NOT EXISTS (SELECT 1 FROM blk
+                                     WHERE blk.fhost = fp.fhost
+                                       AND blk.fpath = fp.fpath)),
+          caps AS (SELECT host,
+                     greatest(1, $crawlWavePeriodSec // delay_s) AS cap
+                   FROM adelays),
+          j AS (SELECT k.url, k.n_refs AS priority, k.fhost AS host,
+                  greatest(coalesce(caps.cap, $crawlPerHostPerWave), 1) AS cap
+                FROM keep k LEFT JOIN caps ON k.fhost = caps.host)
+          SELECT url, priority, host, cap,
+                 CAST((row_number() OVER (PARTITION BY host
+                        ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
+                   AS wave
+          FROM j"""
+  }
+
   private lazy val crawlFrontierSql: String =
     s"""WITH $crawlLinkSqlCtes,
         fr AS (SELECT referrer, url FROM rcb
@@ -2990,6 +3153,56 @@ object DataOps {
                    THEN regexp_replace(cur,
                      '^([a-z][a-z0-9+.-]*://[^/?#]+)/old/', '\\1/') END AS hop
                  FROM $prev))"""
+
+  /** The full lastmod-override recrawl SQL — shared by the
+    * ds_recrawl_lastmod entry and the wave-fresh composite (which
+    * embeds it as a subquery for its due set). */
+  private lazy val recrawlLastmodSql: String =
+    s"""WITH $recrawlLadderCtes,
+          $sitemapAltBodiesCtes,
+          bx AS (SELECT host,
+                   CASE WHEN regexp_matches(xml, '<sitemapindex[\\s>]')
+                        THEN 'index' ELSE 'urlset' END AS kind,
+                   unnest(regexp_extract_all(xml,
+                     '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)) AS blk
+                 FROM sb),
+          sm AS (SELECT kind,
+                   replace(replace(replace(replace(replace(
+                     regexp_extract(blk, '<loc>\\s*([^<]*?)\\s*</loc>', 1),
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&apos;', ''''), '&amp;', '&') AS loc_url,
+                   nullif(regexp_extract(blk,
+                     '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1), '') AS lastmod
+                 FROM bx),
+          smu AS (SELECT ${urlCanonSqlExpr("loc_url")} AS cu,
+                         CAST(lastmod AS DATE) AS lastmod
+                  FROM sm WHERE kind = 'urlset' AND lastmod IS NOT NULL),
+          smf AS (SELECT ${sortParamsSqlExpr("cu")} AS canon_url, lastmod
+                  FROM smu),
+          pl0 AS (SELECT source, min(doc_id) AS doc_id FROM documents
+                  GROUP BY source),
+          plu AS (SELECT $urlSynthSqlExpr AS url FROM pl0),
+          plc8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM plu),
+          plc AS (SELECT ${sortParamsSqlExpr("cu")} AS canon_url,
+                         DATE '2024-02-01' AS lastmod FROM plc8),
+          lmu AS (SELECT * FROM smf UNION ALL SELECT * FROM plc),
+          lm AS (SELECT canon_url, max(lastmod) AS lastmod FROM lmu
+                 GROUP BY canon_url),
+          ld AS (SELECT iv.*, lm.lastmod,
+                   CASE WHEN length(regexp_extract(iv.canon_url,
+                          '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)) % 2 = 0
+                        THEN DATE '2024-01-15'
+                        ELSE DATE '2024-02-14' END AS last_fetch
+                 FROM iv LEFT JOIN lm ON iv.canon_url = lm.canon_url),
+          lf AS (SELECT *, (lastmod IS NOT NULL AND lastmod > last_fetch)
+                   AS due_now,
+                   CAST(1 + keeper_id % interval_waves AS BIGINT) AS due_wave
+                 FROM ld)
+          SELECT canon_url, n_fetches, n_variants, keeper_id,
+                 interval_waves, due_wave, lastmod, last_fetch, due_now,
+                 CAST(CASE WHEN due_now THEN 1 ELSE due_wave END AS BIGINT)
+                   AS due_wave_eff
+          FROM lf"""
 
   /** The recrawl ladder CTE chain (`uf` … `iv`) shared by ds_recrawl
     * and ds_recrawl_lastmod: fetched-ledger fixture (synthetic URLs +
@@ -5452,52 +5665,7 @@ object DataOps {
     // the sitemap <lastmod> signal consumed: a fresh lastmod makes
     // the URL due at the NEXT wave regardless of its ladder rung;
     // absent/stale lastmod falls back to the observed-change ladder
-    "ds_recrawl_lastmod" ->
-      s"""WITH $recrawlLadderCtes,
-          $sitemapAltBodiesCtes,
-          bx AS (SELECT host,
-                   CASE WHEN regexp_matches(xml, '<sitemapindex[\\s>]')
-                        THEN 'index' ELSE 'urlset' END AS kind,
-                   unnest(regexp_extract_all(xml,
-                     '(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>', 1)) AS blk
-                 FROM sb),
-          sm AS (SELECT kind,
-                   replace(replace(replace(replace(replace(
-                     regexp_extract(blk, '<loc>\\s*([^<]*?)\\s*</loc>', 1),
-                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                     '&apos;', ''''), '&amp;', '&') AS loc_url,
-                   nullif(regexp_extract(blk,
-                     '<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1), '') AS lastmod
-                 FROM bx),
-          smu AS (SELECT ${urlCanonSqlExpr("loc_url")} AS cu,
-                         CAST(lastmod AS DATE) AS lastmod
-                  FROM sm WHERE kind = 'urlset' AND lastmod IS NOT NULL),
-          smf AS (SELECT ${sortParamsSqlExpr("cu")} AS canon_url, lastmod
-                  FROM smu),
-          pl0 AS (SELECT source, min(doc_id) AS doc_id FROM documents
-                  GROUP BY source),
-          plu AS (SELECT $urlSynthSqlExpr AS url FROM pl0),
-          plc8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM plu),
-          plc AS (SELECT ${sortParamsSqlExpr("cu")} AS canon_url,
-                         DATE '2024-02-01' AS lastmod FROM plc8),
-          lmu AS (SELECT * FROM smf UNION ALL SELECT * FROM plc),
-          lm AS (SELECT canon_url, max(lastmod) AS lastmod FROM lmu
-                 GROUP BY canon_url),
-          ld AS (SELECT iv.*, lm.lastmod,
-                   CASE WHEN length(regexp_extract(iv.canon_url,
-                          '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)) % 2 = 0
-                        THEN DATE '2024-01-15'
-                        ELSE DATE '2024-02-14' END AS last_fetch
-                 FROM iv LEFT JOIN lm ON iv.canon_url = lm.canon_url),
-          lf AS (SELECT *, (lastmod IS NOT NULL AND lastmod > last_fetch)
-                   AS due_now,
-                   CAST(1 + keeper_id % interval_waves AS BIGINT) AS due_wave
-                 FROM ld)
-          SELECT canon_url, n_fetches, n_variants, keeper_id,
-                 interval_waves, due_wave, lastmod, last_fetch, due_now,
-                 CAST(CASE WHEN due_now THEN 1 ELSE due_wave END AS BIGINT)
-                   AS due_wave_eff
-          FROM lf""",
+    "ds_recrawl_lastmod" -> recrawlLastmodSql,
     // link discovery: synth page → anchor hrefs (document order) →
     // RFC 3986 reference resolution against the page's canonical base
     "tx_extract_links" ->
@@ -5829,107 +5997,10 @@ object DataOps {
     // -> fetch-ledger domain gate -> agent-scoped robots -> agent
     // Crawl-delay wave caps, one plan (w-prefixed CTEs are
     // collision-free vs the shared robots/frontier names)
-    "ds_crawl_wave" ->
-      s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes, $robotsAgentCtes,
-          arpat AS (SELECT host, prefix, allow,
-                      replace(replace(replace(replace(
-                        CASE WHEN substr(prefix, length(prefix), 1) = '$$'
-                             THEN substr(prefix, 1, length(prefix) - 1)
-                             ELSE prefix END,
-                        '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
-                      || CASE WHEN substr(prefix, length(prefix), 1) = '$$'
-                              THEN '' ELSE '%' END AS pat
-                    FROM arules),
-          sdb AS (SELECT host, $sitemapBodySqlExpr AS xml FROM rh),
-          sdl AS (SELECT unnest(regexp_extract_all(xml,
-                    '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS raw FROM sdb),
-          sdd AS (SELECT replace(replace(replace(replace(replace(raw,
-                    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-                    '&apos;', \'\'\'\'), '&amp;', '&') AS loc FROM sdl),
-          sd8 AS (SELECT ${urlCanonSqlExpr("loc")} AS cu FROM sdd),
-          sdc AS (SELECT DISTINCT ${sortParamsSqlExpr("cu")} AS url FROM sd8),
-          sdm AS (SELECT min(doc_id) AS doc_id, source FROM documents
-                  GROUP BY source),
-          sdu AS (SELECT $urlSynthSqlExpr AS url FROM sdm),
-          sdp8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM sdu),
-          sdp AS (SELECT ${sortParamsSqlExpr("cu")} AS url FROM sdp8),
-          sds AS (SELECT url FROM sdc UNION SELECT url FROM sdp),
-          sco8 AS (SELECT ${urlCanonSqlExpr("u2.url")} AS cu FROM
-                   (SELECT $urlSynthSqlExpr AS url FROM documents) u2),
-          sco AS (SELECT DISTINCT ${sortParamsSqlExpr("cu")} AS url FROM sco8),
-          sdlive AS (SELECT url FROM sds
-                     WHERE url NOT IN (SELECT url FROM sco)),
-          wth AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
-                         (length(source) % 4) * 20 AS tn,
-                         (length(source) % 3) * 10 AS an FROM documents),
-          wpl AS (SELECT 'https://' || host || '/cal?d=' ||
-                         CAST(x AS VARCHAR) AS url,
-                         CAST(1 AS BIGINT) AS n_refs
-                  FROM (SELECT host, unnest(range(0, tn)) AS x FROM wth)
-                  UNION ALL
-                  SELECT 'https://' || host || '/archive?page=' ||
-                         CAST(x AS VARCHAR) AS url,
-                         CAST(${trapWhitelistRefs + 1} AS BIGINT) AS n_refs
-                  FROM (SELECT host, unnest(range(0, an)) AS x FROM wth)),
-          wcand AS (SELECT url, CAST(max(n_refs) AS BIGINT) AS n_refs FROM
-                    (SELECT url, n_refs FROM f
-                     UNION ALL SELECT url, 0 AS n_refs FROM sdlive
-                     UNION ALL SELECT url, n_refs FROM wpl)
-                    GROUP BY url),
-          wct AS (SELECT url, n_refs,
-                    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
-                      AS host,
-                    regexp_replace(regexp_replace(url,
-                      '^[a-z][a-z0-9+.-]*://[^/?#]+', ''),
-                      '[0-9]+', 'N', 'g') AS template
-                  FROM wcand),
-          wtr AS (SELECT host, template FROM wct
-                  GROUP BY host, template
-                  HAVING count(*) >= ${trapMinUrls}
-                     AND sum(n_refs) < count(*) * ${trapWhitelistRefs}),
-          wut AS (SELECT wct.* FROM wct
-                  WHERE NOT EXISTS (SELECT 1 FROM wtr
-                                    WHERE wtr.host = wct.host
-                                      AND wtr.template = wct.template)),
-          wcv AS ($crawlCompositeSql),
-          wbad AS (SELECT host FROM
-                   (SELECT regexp_extract(canon_url,
-                      '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
-                      CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END AS k
-                    FROM wcv) v
-                   GROUP BY host
-                   HAVING sum(k) * 100 < count(*) * ${domainKeepPct}),
-          wgt AS (SELECT url, n_refs FROM wut
-                  WHERE wut.host NOT IN (SELECT host FROM wbad)),
-          fp AS (SELECT wgt.*,
-                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
-                     AS fhost,
-                   regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]+', '')
-                     AS fpath
-                 FROM wgt),
-          blk AS (SELECT fhost, fpath FROM
-                  (SELECT fp.fhost, fp.fpath,
-                     max(length(r.prefix) * 2 +
-                         CASE WHEN r.allow THEN 1 ELSE 0 END) AS best
-                   FROM fp JOIN arpat r ON r.host = fp.fhost
-                     AND fp.fpath LIKE r.pat ESCAPE '\\'
-                   GROUP BY fp.fhost, fp.fpath)
-                  WHERE best % 2 = 0),
-          keep AS (SELECT fp.url, fp.n_refs, fp.fhost FROM fp
-                   WHERE NOT EXISTS (SELECT 1 FROM blk
-                                     WHERE blk.fhost = fp.fhost
-                                       AND blk.fpath = fp.fpath)),
-          caps AS (SELECT host,
-                     greatest(1, $crawlWavePeriodSec // delay_s) AS cap
-                   FROM adelays),
-          j AS (SELECT k.url, k.n_refs AS priority, k.fhost AS host,
-                  greatest(coalesce(caps.cap, $crawlPerHostPerWave), 1) AS cap
-                FROM keep k LEFT JOIN caps ON k.fhost = caps.host)
-          SELECT url, priority, host, cap,
-                 CAST((row_number() OVER (PARTITION BY host
-                        ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
-                   AS wave
-          FROM j""",
+    "ds_crawl_wave" -> crawlWaveSqlText(withDue = false),
+    // the wave plus the freshness half: recrawl-due refetches at
+    // evidence 0 through every gate (batch twin of nextWave(recrawl))
+    "ds_crawl_wave_fresh" -> crawlWaveSqlText(withDue = true),
     // wave-density invariant twin: per (host, cap) histogram of the
     // delay schedule + the dense/capped invariants, derived by each
     // engine from its OWN schedule replay
@@ -6490,6 +6561,7 @@ object DataOps {
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan
     "ds_crawl_polite_seeded" -> dsCrawlPoliteSeeded _, // + sitemap seeds at evidence 0
     "ds_crawl_wave" -> dsCrawlWave _, // THE production wave: every gate, one plan
+    "ds_crawl_wave_fresh" -> dsCrawlWaveFresh _, // + recrawl-due refetches
     "ds_crawl_waves" -> dsCrawlWaves _, // wave-density invariant twin
     "ds_host_quality" -> dsHostQuality _, // domain-level keep-rate gate
     "ds_curate_domain" -> dsCurateDomain _, // gate-first curation composite

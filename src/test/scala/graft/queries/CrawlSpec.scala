@@ -273,6 +273,61 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("dsCrawlWaveFresh: due refetches join the wave at evidence 0 " +
+      "through every gate; the discovery pool is unchanged") {
+    import graft.operators.Urls
+    val wave = DataOps.dsCrawlWave(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val fresh = DataOps.dsCrawlWaveFresh(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val due = DataOps.dsRecrawlLastmod(spark, sf)
+      .filter(col("due_wave_eff") === 1)
+      .collect().map(_.getString(0)).toSet
+    assert(due.nonEmpty, "the due set must be live")
+    // the fresh pool = the plain wave's candidates (same priorities)
+    // + a nonempty subset of the due set at priority 0
+    val freshMap = fresh.map(r => r._1 -> r._2).toMap
+    assert(wave.keySet.subsetOf(freshMap.keySet),
+      "no discovery candidate may be lost")
+    wave.foreach { case (u, p) =>
+      assert(freshMap(u) == p, s"$u: discovery priority drifted") }
+    val refetches = fresh.filter(r => !wave.contains(r._1))
+    assert(refetches.nonEmpty, "due refetches must be scheduled")
+    refetches.foreach { case (u, p, _, _, _) =>
+      assert(due.contains(u), s"non-due refetch scheduled: $u")
+      assert(p == 0L, s"$u: refetch must carry evidence 0")
+    }
+    // every gate still bites: condemned hosts and agent-disallowed
+    // URLs never appear among the refetches
+    val bad = DataOps.dsHostQuality(spark, sf)
+      .filter(col("n_kept") * 100 < col("n_pages") * DataOps.domainKeepPct)
+      .collect().map(_.getString(0)).toSet
+    assert(refetches.forall(r => !bad.contains(r._3)),
+      "condemned host refetched")
+    import spark.implicits._
+    val hosts = graft.Tables(spark, sf, "documents")
+      .select(concat(lower(col("source")), lit(".example.com")).as("host"),
+        col("source")).distinct()
+    val arules = Urls.robotsRules(hosts, col("host"),
+      Urls.syntheticRobots(col("source")),
+      agent = Some(DataOps.crawlProductToken))
+    val rf = refetches.map(_._1).toSeq.toDF("url")
+    assert(Urls.robotsFilter(rf, col("url"), arules).count() ==
+      refetches.length, "a refetch violates the chosen agent group")
+    // waves stay dense and capped per host
+    fresh.groupBy(_._3).foreach { case (host, rows) =>
+      val cap = rows.head._4
+      val byWave = rows.groupBy(_._5).view.mapValues(_.size).toMap
+      val maxW = byWave.keys.max
+      (0L to maxW).foreach { w =>
+        val n = byWave.getOrElse(w, 0)
+        assert(n > 0 && n <= cap, s"$host wave $w density $n vs cap $cap")
+        if (w < maxW) assert(n == cap, s"$host wave $w not full")
+      }
+    }
+  }
+
   test("dsFrontierRedirects: a candidate aliasing fetched content never " +
       "schedules; fresh-content redirects stay; direct candidates are " +
       "exactly the frontier") {
