@@ -452,6 +452,14 @@ object IngestCrawl {
         }
         // OPIC cash ledger (r18 — the Abiteboul iteration riding the
         // crawl itself, not a per-wave one-round recompute): each
+        // (interplay with redirects: shares are keyed on the link's
+        // canonical TARGET as written; cash landing on a URL later
+        // learned to be an alias source stays parked there — inert,
+        // since the ledger excludes alias sources from scheduling —
+        // bounded by the moved fraction; forwarding parked cash to
+        // the final URL would need the ledger to carry final_url,
+        // a deliberate non-goal while h = md5(target) is the
+        // change-tracking contract)
         // admitted page distributes its cash — the initial allotment
         // plus everything it ACCUMULATED as a candidate — in integer
         // floor shares over its outlinks (dsFrontierOpic's share

@@ -859,6 +859,70 @@ class IngestCrawlSpec extends SparkSpec {
       s"wave: $m")
   }
 
+  test("everything on at once: redirects + cash + ledger + discovery " +
+      "compose — each gate keeps its law in the full loop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_all_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_all_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_all_f").toString
+    val cash = java.nio.file.Files.createTempDirectory("ic_all_c").toString
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "final_url", "html"),
+      None, surv, Nil, settleEvery = 1,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched),
+      cashDir = Some(cash), opicInit = 1200L)
+    try {
+      // p1 links the redirect source and a novel URL; the redirect
+      // request r2 lands on /dest whose content links /n2
+      input.addData(
+        (1L, "http://h.com/p1", "",
+          pageWith("a", "<a href=\"/old/dest\">o</a><a href=\"/n1\">n</a>")),
+        (2L, "http://h.com/old/dest", "http://h.com/dest",
+          pageWith("b", "<a href=\"/n2\">m</a>")))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "http://h.com/p2", "", pageWith("c", "<a href=\"/n1\">n</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    // admission keyed on finals; ledger carries the alias row (read
+    // LAYERED: settleEvery=1 folds the per-batch delta dirs away)
+    val ledger = Frontier.readLayered(spark, fetched)
+      .groupBy("canon_url").agg(max(struct(col("b"), col("verdict"))).as("w"))
+      .select(col("canon_url"), col("w.verdict").as("verdict"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ledger("http://h.com/old/dest") == "alias" &&
+      ledger("http://h.com/dest") == "kept", s"ledger: $ledger")
+    // discovery excluded the alias source and the fetched target
+    val discovered = Frontier.readLayered(spark, disc)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(discovered == Set("http://h.com/n1", "http://h.com/n2"),
+      s"discovered: $discovered")
+    // cash accumulated across settles: p1's 1200 split over its 2
+    // links (600 each: the alias source keeps parked cash, inert by
+    // the ledger exclusion); /dest's page gave /n2 1200; p2 gave /n1
+    // another 1200 → 1800
+    val receipts = IngestCrawl.cashReceipts(spark, cash)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(receipts("http://h.com/n1") == 1800L, s"receipts: $receipts")
+    assert(receipts("http://h.com/n2") == 1200L, s"receipts: $receipts")
+    assert(receipts("http://h.com/old/dest") == 600L,
+      s"parked alias cash stays inert: $receipts")
+    // the wave ranks on accumulated cash and never schedules the
+    // alias source or fetched content
+    val wave = IngestCrawl.nextWave(spark, disc, fetched,
+        perHostPerWave = 1, priority = Some(receipts.toSeq
+          .toDF("url", "cash")))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(wave.keySet == Set("http://h.com/n1", "http://h.com/n2"),
+      s"wave: $wave")
+    assert(wave("http://h.com/n1") < wave("http://h.com/n2"), s"wave: $wave")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
