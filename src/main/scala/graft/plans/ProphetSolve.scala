@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, DoubleType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
 
 /** Whole-row ProphetLike normal-equation solve (changepoint + Fourier
   * ridge, reference `src/time_series.py:16-28`'s deterministic
@@ -43,7 +43,19 @@ case class ProphetSolve(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case s: StructType if s.length == ProphetSolveKernel.nInputs =>
-      TypeCheckResult.TypeCheckSuccess
+      // per-FIELD types, not just the count: solve() reads by ordinal
+      // with getLong/getDouble, so a DoubleType where a LongType is
+      // expected would reinterpret raw bits into silently wrong
+      // coefficients instead of failing analysis
+      val expected = ProphetSolveKernel.inputTypes
+      val bad = s.fields.zip(expected).zipWithIndex.collect {
+        case ((f, want), i) if f.dataType != want =>
+          s"${ProphetSolveKernel.inputCols(i)}: got ${f.dataType.simpleString}," +
+            s" want ${want.simpleString}"
+      }
+      if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_prophet_solve field type mismatch — ${bad.mkString("; ")}")
     case other => TypeCheckResult.TypeCheckFailure(
       s"graft_prophet_solve expects struct<${ProphetSolveKernel.nInputs} " +
         s"Gram-sum fields>, got ${other.simpleString}")
@@ -93,6 +105,13 @@ object ProphetSolveKernel {
       Seq("sy2", "n_days")
 
   val nInputs: Int = inputCols.size
+
+  /** Per-ordinal input types: 63 long per-residue sums, the
+    * DECIMAL-ridden Σy² as double, then the long n_days — what
+    * [[solve]]'s getLong/getDouble reads assume and
+    * checkInputDataTypes enforces. */
+  val inputTypes: Seq[DataType] =
+    Seq.fill(families.size * period)(LongType) ++ Seq(DoubleType, LongType)
 
   val outputNames: Seq[String] = "icpt" +: (0 until P).map(i => s"x$i")
 

@@ -147,6 +147,20 @@ object IngestCrawl {
     val parts = front.map { case (m, p) =>
       Frontier.frontierFrame(spark, dir, m, p) }.toSeq ++
       (if (deltas.isEmpty) Nil else Seq(spark.read.parquet(deltas: _*)))
+    // fail FAST on a wrong (or pre-r18) directory handed as cashDir:
+    // without this the union/agg below dies deep in analysis with a
+    // column-resolution error naming the missing attribute, not the
+    // cause (ledgerState's guard, mirrored)
+    val need = Seq("url", "cash", "b")
+    parts.foreach { p =>
+      val missing = need.filterNot(p.columns.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"cash ledger at $dir is not in the cash-ledger row format " +
+          s"(missing columns: ${missing.mkString(", ")}); expected " +
+          "cumulative (url, cash, b) rows as written by crawledIngest's " +
+          "cashDir sink — point cashDir at a fresh dir or the dir a " +
+          "previous run's cashDir wrote")
+    }
     if (parts.isEmpty) None
     else Some(parts.reduce(_ unionByName _)
       .groupBy("url")
@@ -240,7 +254,8 @@ object IngestCrawl {
                     robotsRules: Option[DataFrame] = None,
                     recrawlScope: Option[DataFrame] = None,
                     cashDir: Option[String] = None,
-                    opicInit: Long = graft.queries.DataOps.opicCash)
+                    opicInit: Long = graft.queries.DataOps.opicCash,
+                    recrawlSnapshotDir: Option[String] = None)
       : StreamingQuery = {
     // Pin the recrawl scope EAGERLY at stream construction: the due
     // set is typically a plan over the fetched ledger this very
@@ -248,20 +263,33 @@ object IngestCrawl {
     // lazily inside a batch would read files the batch's own ledger
     // overwrite just deleted (measured as FAILED_READ_FILE on the
     // batch-0 replay). The scope is a DECISION taken when the wave
-    // was planned, not a live view. r18: pinned ON THE DRIVER (collect
-    // + re-create), not as an eager localCheckpoint — checkpoint
-    // blocks live only on executors, so on a long-running stream one
-    // executor loss would make the due set unrecoverable and fail
-    // every subsequent batch. The set is bounded by distinct DUE
-    // fetched URLs — wave-sized, the same order as the politeness
-    // window's output; a deployment recrawling beyond driver memory
-    // should hand a dir-backed snapshot frame instead.
+    // was planned, not a live view.
+    //
+    // r19 — the pin is DIR-BACKED by default when the caller hands a
+    // `recrawlSnapshotDir`: the due set is written ONCE to a parquet
+    // snapshot when the stream is constructed (the wave-plan instant)
+    // and every batch probes the snapshot files — never the live
+    // ledger, never driver memory. The snapshot is immutable for the
+    // stream's life (the one overwrite happens before batch 0), so a
+    // batch replay reads exactly the bytes the first attempt read,
+    // and an executor loss recovers from disk like any other scan.
+    // This removes the engine's one data-dependent hot-loop collect:
+    // the r18 driver pin (collect + re-create, kept below for
+    // in-memory scopes without a snapshot dir) bounds the due set by
+    // driver memory — fine at wave scale, wrong for a hot-ladder wave
+    // whose due set is frontier-sized.
     val recrawlPinned = recrawlScope.map { scope =>
       val spark = scope.sparkSession
-      import spark.implicits._
-      val urls = scope.select("canon_url").distinct()
-        .as[String].collect().toSeq
-      urls.toDF("canon_url")
+      val due = scope.select("canon_url").distinct()
+      recrawlSnapshotDir match {
+        case Some(dir) =>
+          due.write.mode("overwrite").parquet(dir)
+          spark.read.parquet(dir)
+        case None =>
+          import spark.implicits._
+          val urls = due.as[String].collect().toSeq
+          urls.toDF("canon_url")
+      }
     }
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -374,11 +402,28 @@ object IngestCrawl {
           // same way it excludes thin pages.
           val contentNow = staged.select(col("canon_url"), col("verdict"),
             md5(col("main_text").cast("binary")).as("h"))
+          // r19: same-batch duplicates resolve by POLICY, not by the
+          // latest-wins fold's struct ordering — a URL observed both
+          // serving content (a final/non-redirecting fetch) and as an
+          // alias source of another fetch in ONE batch previously
+          // landed two rows with the same batch id, so the surviving
+          // hash was whichever struct compared higher (arbitrary) and
+          // the next refetch could spuriously count or miss an
+          // n_changes transition. Content wins over alias (the page
+          // demonstrably served a payload this batch); among alias
+          // dups of one source (two fetches redirected to different
+          // finals in one batch) the min target-hash wins —
+          // deterministic on replay. The fold's exchange is keyed on
+          // the ALIAS frame only (bounded by the batch's redirected
+          // fetches), never the whole batch.
           val now = aliasPairs match {
             case Some(ap) => contentNow.unionByName(
-              ap.select(col("src").as("canon_url"),
-                lit("alias").as("verdict"),
-                md5(col("dst").cast("binary")).as("h")))
+              ap.groupBy(col("src").as("canon_url"))
+                .agg(min(md5(col("dst").cast("binary"))).as("h"))
+                .withColumn("verdict", lit("alias"))
+                .join(contentNow.select("canon_url"),
+                  Seq("canon_url"), "left_anti")
+                .select(col("canon_url"), col("verdict"), col("h")))
             case None => contentNow
           }
           val row = ledgerState(spark, fd, batchId) match {
@@ -466,8 +511,10 @@ object IngestCrawl {
         // rule); receipts accrue per target as CUMULATIVE rows (the
         // fetch ledger's counter pattern, so the settle's latest-wins
         // fold keeps exactly the newest total), and a distributing
-        // page's own balance resets to zero — cash MOVES, a recrawl
-        // can never redistribute the same receipts twice. Cost: one
+        // page's own balance resets to its floor-division REMAINDER
+        // (r19: what it could not split evenly stays with it — cash
+        // MOVES without leaking, and a recrawl can never redistribute
+        // the same receipts twice). Cost: one
         // more co-partitioned state probe + one link-keyed aggregate
         // per batch; [[cashReceipts]] is the read surface nextWave
         // ranks on. Replay-safe: state reads scope to batches < this
@@ -487,24 +534,32 @@ object IngestCrawl {
               expr(s"(${opicInit}L + coalesce(__acc, 0L)) div __outdeg"))
           val received = shares.groupBy("url")
             .agg(sum(col("__share")).as("__recv"))
-          // reset rows only for distributing pages that actually HAD
-          // a balance — a first-fetch page spent only its initial
-          // allotment, which was never in the ledger
-          val spentUrls = (prev match {
-            case Some(st) => lk.select(col("referrer").as("url")).distinct()
-              .join(st.select("url"), Seq("url"), "left_semi")
-            case None => spark.emptyDataFrame
-              .select(lit("").as("url")).limit(0)
-          }).withColumn("__spent", lit(true))
-          val changed = received.join(spentUrls, Seq("url"), "full_outer")
+          // r19 — cash is CONSERVED: a distributing page keeps its
+          // floor-division remainder ((opicInit + acc) mod outdeg)
+          // instead of resetting to zero. The pre-r19 reset destroyed
+          // the remainder every wave, so total system cash drained
+          // monotonically — Abiteboul's convergence argument assumes
+          // distribution moves cash without losing it (what a page
+          // cannot split evenly stays on the page for its next
+          // distribution). The remainder is constant per referrer
+          // (same acc and outdeg on every link row), so max() reads
+          // it off the shares frame without a second window; the
+          // aggregate is keyed on the batch's referrers — bounded by
+          // the batch, never the ledger. First-fetch distributors
+          // (never in the ledger) keep opicInit mod outdeg the same
+          // way — pre-r19 that remainder leaked silently because no
+          // reset row landed at all.
+          val kept = shares.groupBy(col("referrer").as("url"))
+            .agg(max(expr(
+              s"(${opicInit}L + coalesce(__acc, 0L)) % __outdeg")).as("__rem"))
+          val changed = received.join(kept, Seq("url"), "full_outer")
           val row = (prev match {
             case Some(st) => changed.join(
               st.select(col("url"), col("cash").as("__pc")), Seq("url"), "left")
             case None => changed.withColumn("__pc", lit(null).cast("long"))
           }).select(col("url"),
             (coalesce(col("__recv"), lit(0L)) +
-              when(coalesce(col("__spent"), lit(false)), 0L)
-                .otherwise(coalesce(col("__pc"), lit(0L)))).as("cash"))
+              coalesce(col("__rem"), coalesce(col("__pc"), lit(0L)))).as("cash"))
           row.withColumn("b", lit(batchId))
             .write.mode("overwrite").parquet(s"$cd/batch_$batchId")
         }

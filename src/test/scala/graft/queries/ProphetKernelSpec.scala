@@ -44,6 +44,26 @@ class ProphetKernelSpec extends SparkSpec {
       s"kernel ${kernel.toSeq} != staged ${staged.toSeq}")
   }
 
+  test("a mistyped Gram-sum field fails analysis, never reinterprets bits") {
+    import graft.plans.ProphetSolveKernel
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    // right field COUNT, wrong type in one slot: solve() reads by
+    // ordinal with getLong, so a double here would silently yield
+    // garbage coefficients if analysis let it through
+    val fields = ProphetSolveKernel.inputCols.zipWithIndex.map {
+      case (n, 0) => lit(1.5d).as(n) // cnt_0 must be a long
+      case (n, i) if i == ProphetSolveKernel.nInputs - 2 => lit(1.0d).as(n)
+      case (n, _) => lit(1L).as(n)
+    }
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1)
+        .select(call_function("graft_prophet_solve", struct(fields: _*)))
+        .collect()
+    }
+    assert(err.getMessage.contains("cnt_0"),
+      s"the failure must name the mistyped field: ${err.getMessage}")
+  }
+
   test("solved coefficients are finite and the plan has no barriers") {
     // the kernel path is ONE plan: no LogicalRDD below the final
     // projection beyond the two staged Gram-sum halves — i.e. no

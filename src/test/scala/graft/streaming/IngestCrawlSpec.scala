@@ -923,6 +923,146 @@ class IngestCrawlSpec extends SparkSpec {
     assert(wave("http://h.com/n1") < wave("http://h.com/n2"), s"wave: $wave")
   }
 
+  test("dir-backed recrawl snapshot: the due scope is pinned on disk at " +
+      "wave-plan time and survives ledger rewrites and a mid-stream restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_snap_s").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_snap_f").toString
+    val snap = java.nio.file.Files.createTempDirectory("ic_snap_p").toString
+    val hot = "http://a.com/hot"
+    val cold = "http://a.com/cold"
+    val input = MemoryStream[(Long, String, String)]
+    val q1 = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      fetchedDir = Some(fetched))
+    try {
+      input.addData((1L, hot, page("a", 30)), (2L, cold, page("c", 30)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the due scope is a live PLAN over the fetched ledger — exactly
+    // the frame a deployment hands; the snapshot must decouple it
+    // from the ledger rewrites the stream itself performs
+    val dueHot = IngestCrawl.recrawlDue(spark, fetched, 8L)
+      .filter(col("canon_url") === hot)
+    val q2 = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      settleEvery = 1, fetchedDir = Some(fetched),
+      recrawlScope = Some(dueHot), recrawlSnapshotDir = Some(snap))
+    try {
+      q2.processAllAvailable() // replay of batch 0 against the snapshot
+      input.addData((10L, hot, page("x", 30)), (11L, cold, page("c", 30)))
+      q2.processAllAvailable() // ledger rewritten + settled (every=1)
+      input.addData((20L, hot, page("y", 30)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // restart-surviving by construction: q2's FIRST batch was itself
+    // a replay (q1 already consumed those offsets) probing the
+    // snapshot, and after three ledger folds (settleEvery=1) the
+    // snapshot still reads back the exact pinned set — a restarted
+    // driver re-pins from these bytes, no live ledger plan involved
+    assert(spark.read.parquet(snap).as[String].collect().toSet == Set(hot),
+      "the snapshot holds exactly the pinned due set")
+    val state = IngestCrawl.recrawlDue(spark, fetched, 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // identical outcome to the driver-pinned path: hot re-admitted
+    // per the scope, cold's refetch dropped (not in scope)
+    assert(state(hot) == ((3L, 2L)), s"hot state: ${state(hot)}")
+    assert(state(cold) == ((1L, 0L)), s"cold state: ${state(cold)}")
+    val admitted = Frontier.readLayered(spark, surv)
+      .select("canon_url", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(admitted.contains((hot, 20L)), s"newest hot version: $admitted")
+    assert(admitted.filter(_._1 == cold).map(_._2) == Set(2L),
+      s"cold keeps its single first fetch: $admitted")
+  }
+
+  test("OPIC cash is conserved: a distributing page keeps its " +
+      "floor-division remainder, so total system cash never drains") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_cons_s").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_cons_f").toString
+    val cash = java.nio.file.Files.createTempDirectory("ic_cons_c").toString
+    def pageWith(tag: String, links: String): String =
+      "<html><body><div>" + links + "<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      settleEvery = 1, fetchedDir = Some(fetched), cashDir = Some(cash),
+      opicInit = 1000L)
+    try {
+      // batch 0: p distributes 1000 over 3 links → 333 each, keeps 1
+      input.addData((1L, "http://h.com/p", pageWith("a",
+        "<a href=\"/a\">a</a><a href=\"/b\">b</a><a href=\"/c\">c</a>")))
+      q.processAllAvailable()
+      // batch 1: /a (holding 333) distributes 1000+333 over 2 links
+      // → 666 each, keeps 1333 % 2 = 1
+      input.addData((2L, "http://h.com/a", pageWith("b",
+        "<a href=\"/d\">d</a><a href=\"/e\">e</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = IngestCrawl.cashReceipts(spark, cash)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("http://h.com/p") == 1L,
+      s"the first distributor keeps 1000 % 3: $m")
+    assert(m("http://h.com/a") == 1L,
+      s"the refetched page keeps (1000 + 333) % 2: $m")
+    assert(m("http://h.com/b") == 333L && m("http://h.com/c") == 333L &&
+      m("http://h.com/d") == 666L && m("http://h.com/e") == 666L,
+      s"receipts: $m")
+    // conservation: every fetch injected exactly opicInit, nothing
+    // drained — the pre-r19 reset lost the remainders (1 + 1 here)
+    assert(m.values.sum == 2000L, s"total cash = 2 fetches × 1000: $m")
+  }
+
+  test("same-batch content + alias duplicate resolves by policy: the " +
+      "content row wins, so change evidence never flips on replay order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_dup_s").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_dup_f").toString
+    def pageWith(tag: String): String =
+      "<html><body><div><p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val x = "http://h.com/x"
+    val input = MemoryStream[(Long, String, String, String)]
+    // x in the recrawl scope so the batch-1 refetch re-enters
+    // admission and lands change evidence against batch 0's row
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "final_url", "html"),
+      None, surv, Nil, fetchedDir = Some(fetched),
+      recrawlScope = Some(Seq(x).toDF("canon_url")))
+    try {
+      // ONE batch observes /x twice: serving content (row 1) AND as
+      // the source of a redirect onto /y (row 2). Policy: the content
+      // observation wins the ledger row.
+      input.addData(
+        (1L, x, "", pageWith("a")),
+        (2L, x, "http://h.com/y", pageWith("b")))
+      q.processAllAvailable()
+      // refetch /x with the identical payload: with the content hash
+      // pinned, this is NO observed change; had the alias row's
+      // h = md5(target url) survived, this would spuriously count one
+      input.addData((10L, x, "", pageWith("a")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ledger = spark.read.parquet(s"$fetched/batch_*")
+      .groupBy("canon_url")
+      .agg(max(struct(col("b"), col("verdict"), col("n_fetches"),
+        col("n_changes"))).as("w"))
+      .select(col("canon_url"), col("w.verdict"), col("w.n_fetches"),
+        col("w.n_changes"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(ledger(x) == (("kept", 2L, 0L)),
+      s"content wins the same-batch fold; identical refetch counts no " +
+        s"change: $ledger")
+    assert(ledger("http://h.com/y")._1 == "kept", s"ledger: $ledger")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
