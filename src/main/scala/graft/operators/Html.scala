@@ -170,6 +170,31 @@ object Html {
         .cast("long").as("n_links"))
   }
 
+  /** The page's declared `<link rel="canonical">` href, or NULL — the
+    * in-document half of URL aliasing (the 3xx `Location:` header is
+    * the transport half): CMS-era corpora carry it on most pages, and
+    * a dedup keyed only on the fetch URL admits the same article under
+    * `?page=1` and its canonical URL even when the site says they are
+    * one document. The deterministic subset both engines replay:
+    * double-quoted attribute values on a `<link` tag, `rel` before
+    * `href` or `href` before `rel` (the two orders real templates
+    * emit; when a page carries both spellings the rel-first one wins,
+    * and within one spelling the FIRST match wins), value
+    * XML-entity-decoded ([[Urls.xmlEntityDecode]] — `&amp;` in a
+    * query string is the live case). The value is as-written
+    * (possibly relative): resolve with [[Urls.resolveHref]] against
+    * the page's own canonical URL and re-canonicalize before any
+    * membership test — exactly like a redirect final. */
+  def canonicalHref(html: Column): Column = {
+    val relFirst = regexp_extract(html,
+      "<link[^>]* rel=\"canonical\"[^>]* href=\"([^\"]*)\"", 1)
+    val hrefFirst = regexp_extract(html,
+      "<link[^>]* href=\"([^\"]*)\"[^>]* rel=\"canonical\"", 1)
+    nullif(Urls.xmlEntityDecode(
+      coalesce(nullif(relFirst, lit("")), nullif(hrefFirst, lit("")))),
+      lit(""))
+  }
+
   /** Outbound link hrefs of a page, document order — the discovery
     * half of a crawl loop (extraction keeps pages; THIS feeds the
     * frontier). The contract is the anchor-tag pattern

@@ -405,8 +405,11 @@ object Urls {
 
   /** One-pass XML 1.0 predefined-entity decode — `&amp;` LAST so
     * `&amp;lt;` yields the literal `&lt;` (not a fixpoint), matching
-    * a conforming XML parser. */
-  private def xmlEntityDecode(u: Column): Column =
+    * a conforming XML parser. Shared with [[Html.canonicalHref]]'s
+    * attribute-value decode (HTML attribute values carry the same
+    * predefined entities — `&amp;` in a query string is the live
+    * case). */
+  private[operators] def xmlEntityDecode(u: Column): Column =
     replace(replace(replace(replace(replace(u,
       lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
       lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),

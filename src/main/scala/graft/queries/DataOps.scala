@@ -1441,6 +1441,151 @@ object DataOps {
       .select(col("url"), col("n_refs"), col("final_canon"))
   }
 
+  /** Per-source min-doc article canonical URL — the "already crawled
+    * content" target the redirect AND canonical fixtures both alias
+    * onto (hosts-bounded: one row per source). */
+  private def minDocTargets(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    docs(s, d).groupBy(col("source"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("source"), Urls.canonicalize(
+        Urls.syntheticUrl(col("doc_id"), col("source"))).as("target"))
+  }
+
+  /** [[graft.operators.Html.syntheticPage]] with the in-document
+    * `rel=canonical` signal planted (the redirect fixture's
+    * in-document sibling — both engines build identical bytes, so
+    * extraction, entity decode, reference resolution and the alias
+    * verdicts are oracle-checkable). Residues of doc_id pick the
+    * declaration shape real CMS templates emit:
+    *
+    *  - `doc_id % 10 = 3`: rel-BEFORE-href, absolute, UNcrawled
+    *    per-host target (`/canon/hub?x=1&amp;y=2` — the `&amp;`
+    *    exercises the attribute entity decode; many pages per host
+    *    declare the SAME target, the admit-once structure);
+    *  - `% 10 = 4`: href-BEFORE-rel, absolute, the host's min-doc
+    *    article canonical (`target` — CRAWLED content, written
+    *    `&`-escaped as a conforming template would: dup_fetched);
+    *  - `% 10 = 5`: rel-first, RELATIVE href (`/articles/<id%150>`)
+    *    — exercises [[graft.operators.Urls.resolveHref]] in the
+    *    consumption chain;
+    *  - anything else: no declaration (NULL extraction). */
+  private def canonicalPage(docId: Column, text: Column, source: Column,
+                            target: Column): Column = {
+    val host = concat(lower(source), lit(".example.com"))
+    val r = pmod(docId, lit(10))
+    val link = when(r === 3,
+        concat(lit("<link rel=\"canonical\" href=\"https://"), host,
+          lit("/canon/hub?x=1&amp;y=2\"/>")))
+      .when(r === 4,
+        concat(lit("<link href=\""),
+          replace(target, lit("&"), lit("&amp;")),
+          lit("\" rel=\"canonical\"/>")))
+      .when(r === 5,
+        concat(lit("<link rel=\"canonical\" href=\"/articles/"),
+          pmod(docId, lit(150)).cast("string"), lit("\"/>")))
+      .otherwise(lit(""))
+    replace(graft.operators.Html.syntheticPage(text, source),
+      lit("</head>"), concat(link, lit("</head>")))
+  }
+
+  /** `<link rel="canonical">` extraction over the planted fixture —
+    * (doc_id, canonical_href): the raw DECODED attribute value
+    * (relative hrefs as written; NULL when the page declares none).
+    * A pure projection over the corpus — synthesis + one regex
+    * extract per page, no shuffle beyond the hosts-bounded broadcast
+    * of the per-source targets. */
+  def txExtractCanonical(s: SparkSession, d: String): DataFrame =
+    // TWO projections, deliberately: canonicalHref references `html`
+    // twice (the two attribute orders), and inlined that doubles the
+    // page-synth tree in one generated method — past the 64 KB
+    // compile limit when composed (the measured ds_crawl_canonical
+    // codegen failure). CollapseProject keeps the boundary because a
+    // non-cheap alias referenced more than once never merges.
+    docs(s, d).join(broadcast(minDocTargets(s, d)), Seq("source"))
+      .select(col("doc_id"),
+        canonicalPage(col("doc_id"), col("text"), col("source"),
+          col("target")).as("html"))
+      .select(col("doc_id"),
+        graft.operators.Html.canonicalHref(col("html")).as("canonical_href"))
+
+  /** In-document canonical aliasing composed — [[dsCrawlRedirects]]'
+    * sibling with the `rel=canonical` signal instead of the 3xx
+    * `Location:` record (r19, the r18 verdict's top content gap): a
+    * fetched page DECLARING a canonical URL different from its own is
+    * an alias source; the alias ledger keys on the declared FINAL
+    * canonical — resolve (relative hrefs are legal) → canonicalize —
+    * and the verdicts replay the redirect machinery verbatim: a final
+    * already in the crawled corpus is `dup_fetched` (the declaring
+    * page duplicates known content), an uncrawled final admits
+    * exactly ONCE (`min(requested_canon)` per final — `admitted`) and
+    * every other declarer of the same final is `dup_alias`. C4-style
+    * corpora carry the signal on most CMS pages; without it the
+    * corpus admits the same article under `?page=1` and its canonical
+    * URL even when the site says they are one document.
+    *
+    * Scale shape: extraction is a per-page projection riding the
+    * fetch pass (one regex over bytes already in hand); the alias
+    * frame is bounded by DECLARING pages whose canonical differs
+    * (the moved fraction — staged once, it is the alias ledger a real
+    * loop persists to parquet rather than keeps in memory); the
+    * crawled-membership probe SEMI-joins the corpus against the
+    * broadcast declared finals (output ≤ |declared| — the
+    * dsCrawlRedirects posture, the corpus is never shuffled). The
+    * streaming twin is `IngestCrawl.crawledIngest`, which keys
+    * admission on the declared canonical and lands the same alias
+    * rows — see its honorCanonical contract. */
+  def dsCrawlCanonical(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Html, Urls}
+    import org.apache.spark.sql.expressions.Window
+    // codegen discipline: requested_canon and html land as COLUMNS of
+    // one projection (CollapseProject keeps the boundary — both are
+    // non-cheap and referenced more than once downstream), extraction
+    // runs in a second small stage, and the (requested_canon, href)
+    // frame is STAGED before the blocked/resolve chain — post-stage,
+    // resolveHref's six base references and the host gate read a
+    // materialized attribute instead of each inlining the synth +
+    // canon tree (the 64 KB whole-stage compile failure the first cut
+    // measured: 2 codegen fallbacks, 2.9 s for a 500-doc oracle run)
+    val pages = docs(s, d).join(broadcast(minDocTargets(s, d)), Seq("source"))
+      .select(
+        Urls.canonicalize(
+          Urls.syntheticUrl(col("doc_id"), col("source"))).as("requested_canon"),
+        canonicalPage(col("doc_id"), col("text"), col("source"),
+          col("target")).as("html"))
+    val ext = org.apache.spark.sql.GraftBridge.stageLocal(pages
+      .select(col("requested_canon"), Html.canonicalHref(col("html")).as("href")))
+    val declared = ext
+      .filter(col("href").isNotNull)
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("requested_canon")),
+        blockedDomains))
+      .select(col("requested_canon"),
+        Urls.canonicalize(Urls.resolveHref(col("requested_canon"),
+          col("href"))).as("final_canon"))
+      .filter(col("final_canon").isNotNull &&
+        col("final_canon") =!= col("requested_canon"))
+      // the ledger is KEYED: the corpus's URL twins (doc d and d+300
+      // share a canonical URL) declare identical pairs, and a
+      // duplicated pair would mint two 'admitted' rows for one final
+      .distinct()
+    val t = org.apache.spark.sql.GraftBridge.stageLocal(declared)
+    val corpusUrls = docs(s, d).select(Urls.canonicalize(
+      Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
+    val fetchedFinals = corpusUrls
+      .join(broadcast(t.select(col("final_canon").as("url"))),
+        Seq("url"), "left_semi")
+      .select(col("url").as("final_canon")).distinct()
+    t.join(broadcast(fetchedFinals.withColumn("__f", lit(true))),
+        Seq("final_canon"), "left")
+      .withColumn("__minreq",
+        min(col("requested_canon")).over(Window.partitionBy("final_canon")))
+      .withColumn("verdict",
+        when(coalesce(col("__f"), lit(false)), "dup_fetched")
+          .when(col("requested_canon") === col("__minreq"), "admitted")
+          .otherwise(lit("dup_alias")))
+      .select(col("requested_canon"), col("final_canon"), col("verdict"))
+  }
+
   /** The corpus's (host, source) frame — robots bodies are bounded
     * by hosts, one KB-sized body each, never by the frontier. */
   private def crawlHosts(s: SparkSession, d: String): DataFrame =
@@ -2736,6 +2881,50 @@ object DataOps {
           ELSE (CASE WHEN $dir = '' THEN $origin || '/' ELSE $dir END) || $href
         END)"""
   }
+
+  /** Html.canonicalHref mirrored over the SQL expression `html`
+    * (keep it a bare column — it repeats): rel-first wins over
+    * href-first, value XML-entity-decoded ('&amp;' LAST, matching
+    * Urls.xmlEntityDecode's one pass), '' → NULL. */
+  private def canonicalHrefSqlExpr(html: String): String = {
+    def dec(v: String) =
+      s"""replace(replace(replace(replace(replace($v,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&apos;', ''''), '&amp;', '&')"""
+    val relFirst = s"""nullif(regexp_extract($html,
+      '<link[^>]* rel="canonical"[^>]* href="([^"]*)"', 1), '')"""
+    val hrefFirst = s"""nullif(regexp_extract($html,
+      '<link[^>]* href="([^"]*)"[^>]* rel="canonical"', 1), '')"""
+    s"nullif(${dec(s"coalesce($relFirst, $hrefFirst)")}, '')"
+  }
+
+  /** The (source, target) + planted-canonical-page CTE chain shared
+    * by tx_extract_canonical and ds_crawl_canonical: `tg(source,
+    * target)` the per-source min-doc article canonical, `pc(doc_id,
+    * source, html)` the pages with the rel=canonical fixture planted
+    * (canonicalPage's three residue shapes). */
+  private lazy val canonicalPageCtes: String =
+    s"""t0 AS (SELECT source, min(doc_id) AS doc_id FROM documents
+               GROUP BY source),
+        t1 AS (SELECT source, $urlSynthSqlExpr AS url FROM t0),
+        t2 AS (SELECT source, ${urlCanonSqlExpr("url")} AS cu FROM t1),
+        tg AS MATERIALIZED (SELECT source, ${sortParamsSqlExpr("cu")}
+                AS target FROM t2),
+        db AS (SELECT d.doc_id, d.text, d.source, tg.target
+               FROM documents d JOIN tg ON d.source = tg.source),
+        pc AS MATERIALIZED (SELECT doc_id, source,
+                 replace($pageSynthSqlExpr, '</head>',
+                   CASE doc_id % 10
+                     WHEN 3 THEN '<link rel="canonical" href="https://' ||
+                       lower(source) ||
+                       '.example.com/canon/hub?x=1&amp;y=2"/>'
+                     WHEN 4 THEN '<link href="' ||
+                       replace(target, '&', '&amp;') ||
+                       '" rel="canonical"/>'
+                     WHEN 5 THEN '<link rel="canonical" href="/articles/' ||
+                       CAST(doc_id % 150 AS VARCHAR) || '"/>'
+                     ELSE '' END || '</head>') AS html
+               FROM db)"""
 
   /** The link-extraction CTE chain: synthesized pages → per-page
     * hrefs (document order) with the page's canonical base URL —
@@ -5662,6 +5851,52 @@ object DataOps {
           SELECT url, n_refs, final_canon FROM ff
           WHERE final_canon = url
              OR final_canon NOT IN (SELECT url FROM cwx)""",
+    // rel=canonical extraction: the planted link's decoded href per
+    // page (rel-first wins, entities decode, relative kept as
+    // written; NULL when the page declares none)
+    "tx_extract_canonical" ->
+      s"""WITH $canonicalPageCtes
+          SELECT doc_id, ${canonicalHrefSqlExpr("html")} AS canonical_href
+          FROM pc""",
+    // in-document canonical aliasing: declared finals resolve +
+    // canonicalize; a final already crawled is dup_fetched, an
+    // uncrawled final admits exactly once (min requested wins)
+    "ds_crawl_canonical" ->
+      s"""WITH $canonicalPageCtes,
+          rq0 AS (SELECT doc_id, html, $urlSynthSqlExpr AS url FROM pc),
+          rq8 AS (SELECT html, ${urlCanonSqlExpr("url")} AS cu FROM rq0),
+          rqa AS (SELECT ${sortParamsSqlExpr("cu")} AS requested_canon,
+                    html FROM rq8),
+          rq AS MATERIALIZED (SELECT * FROM rqa
+                 WHERE ${notBlockedOver(
+                   "regexp_extract(requested_canon, " +
+                     "'^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)")}),
+          hx AS MATERIALIZED (SELECT requested_canon,
+                   ${canonicalHrefSqlExpr("html")} AS href FROM rq),
+          dx AS MATERIALIZED (SELECT requested_canon,
+                   ${resolveHrefSqlExpr("requested_canon", "href")} AS rh
+                 FROM hx WHERE href IS NOT NULL),
+          fc8 AS (SELECT requested_canon, ${urlCanonSqlExpr("rh")} AS cu
+                  FROM dx),
+          ff AS MATERIALIZED (SELECT DISTINCT requested_canon, final_canon
+                 FROM
+                   (SELECT requested_canon,
+                      ${sortParamsSqlExpr("cu")} AS final_canon FROM fc8)
+                 WHERE final_canon IS NOT NULL
+                   AND final_canon <> requested_canon),
+          cw0 AS (SELECT $urlSynthSqlExpr AS url FROM documents),
+          cw8 AS (SELECT ${urlCanonSqlExpr("url")} AS cu FROM cw0),
+          cwx AS MATERIALIZED (SELECT DISTINCT
+                   ${sortParamsSqlExpr("cu")} AS url FROM cw8),
+          j AS (SELECT ff.*,
+                  (ff.final_canon IN (SELECT url FROM cwx)) AS f FROM ff),
+          m AS (SELECT *, min(requested_canon)
+                  OVER (PARTITION BY final_canon) AS minreq FROM j)
+          SELECT requested_canon, final_canon,
+                 CASE WHEN f THEN 'dup_fetched'
+                      WHEN requested_canon = minreq THEN 'admitted'
+                      ELSE 'dup_alias' END AS verdict
+          FROM m""",
     // the sitemap <lastmod> signal consumed: a fresh lastmod makes
     // the URL due at the NEXT wave regardless of its ladder rung;
     // absent/stale lastmod falls back to the observed-change ladder
@@ -6556,6 +6791,8 @@ object DataOps {
     "ds_recrawl_lastmod" -> dsRecrawlLastmod _, // sitemap lastmod override
     "ds_crawl_redirects" -> dsCrawlRedirects _, // 301 alias ledger, admit-once
     "ds_frontier_redirects" -> dsFrontierRedirects _, // alias-aware frontier gate
+    "tx_extract_canonical" -> txExtractCanonical _, // rel=canonical href extraction
+    "ds_crawl_canonical" -> dsCrawlCanonical _, // in-document alias ledger
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan

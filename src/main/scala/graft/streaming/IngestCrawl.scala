@@ -255,7 +255,8 @@ object IngestCrawl {
                     recrawlScope: Option[DataFrame] = None,
                     cashDir: Option[String] = None,
                     opicInit: Long = graft.queries.DataOps.opicCash,
-                    recrawlSnapshotDir: Option[String] = None)
+                    recrawlSnapshotDir: Option[String] = None,
+                    honorCanonical: Boolean = true)
       : StreamingQuery = {
     // Pin the recrawl scope EAGERLY at stream construction: the due
     // set is typically a plan over the fetched ledger this very
@@ -301,6 +302,17 @@ object IngestCrawl {
         // URLs admits once), and the (requested → final) pairs land
         // in the fetched ledger as `alias` rows below, so discovery
         // and nextWave never re-schedule a known redirect source.
+        //
+        // rel=canonical (r19): with `honorCanonical`, the in-document
+        // half of the SAME signal — a page declaring
+        // `<link rel="canonical">` (Html.canonicalHref; possibly
+        // relative, resolved against the redirect-final base) keys its
+        // admission on the DECLARED canonical, the most specific
+        // aliasing statement available (it overrides the transport
+        // final: the site says what the fetched content IS). Both the
+        // requested URL and the redirect final become alias sources of
+        // the declared key, so neither ever re-schedules. Cost: one
+        // regex extract over bytes the batch already holds.
         val hasFinal = batch.columns.contains("final_url")
         val eff =
           if (hasFinal) coalesce(nullif(col("final_url"), lit("")), col("url"))
@@ -314,23 +326,44 @@ object IngestCrawl {
         val gatedRaw = batch.toDF()
           .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
             blockedDomains))
-        val firstInBatch = gatedRaw
-          .select(col("doc_id"), col("html"),
-            Urls.canonicalize(eff).as("canon_url"))
+        // one projection computes every key the batch needs: __src
+        // (the requested canon), __base (the redirect-final canon —
+        // the same expression as __src when no final_url column, so
+        // codegen CSE evaluates the cascade once) and __key (the
+        // admission key: declared canonical when present, else base)
+        val keyed0 = gatedRaw.select(col("doc_id"), col("html"),
+          Urls.canonicalize(col("url")).as("__src"),
+          Urls.canonicalize(eff).as("__base"))
+        val keyed =
+          if (!honorCanonical) keyed0.withColumn("__key", col("__base"))
+          else keyed0
+            // __ch as its own column: resolveHref references the href
+            // ~8 times, and inlined each reference re-runs the two
+            // extraction regexes over the page (CollapseProject keeps
+            // the boundary — non-cheap, multi-referenced)
+            .withColumn("__ch", Html.canonicalHref(col("html")))
+            .withColumn("__key", coalesce(
+              Urls.canonicalize(Urls.resolveHref(col("__base"), col("__ch"))),
+              col("__base")))
+        val firstInBatch = keyed
+          .select(col("doc_id"), col("html"), col("__key").as("canon_url"))
           .groupBy("canon_url")
           .agg(min(struct(col("doc_id"), col("html"))).as("w"))
           .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
             blockedDomains))
           .select(col("canon_url"), col("w.doc_id").as("doc_id"),
             col("w.html").as("html"))
-        // the batch's (requested_canon → final_canon) alias pairs —
-        // batch-content-only, so replay-stable like firstInBatch;
-        // bounded by the batch's redirected fetches
+        // the batch's alias pairs — every observed spelling of the
+        // admission key (requested canon AND redirect-final canon)
+        // maps to it; batch-content-only, so replay-stable like
+        // firstInBatch; bounded by the batch's redirected or
+        // canonical-declaring fetches after the src =!= dst filter
         val aliasPairs =
-          if (!hasFinal) None
-          else Some(gatedRaw
-            .select(Urls.canonicalize(col("url")).as("src"),
-              Urls.canonicalize(eff).as("dst"))
+          if (!hasFinal && !honorCanonical) None
+          else Some(keyed
+            .select(col("__src").as("src"), col("__key").as("dst"))
+            .unionByName(keyed
+              .select(col("__base").as("src"), col("__key").as("dst")))
             .filter(col("src") =!= col("dst"))
             .filter(!Urls.hostBlocked(Urls.hostOf(col("src")),
               blockedDomains))

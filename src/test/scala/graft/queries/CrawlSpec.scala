@@ -357,6 +357,42 @@ class CrawlSpec extends SparkSpec {
       "fetched-alias candidates must be dropped")
   }
 
+  test("dsCrawlCanonical: one admission per declared final, crawled " +
+      "finals are dup_fetched, extraction round-trips the fixture") {
+    val rows = DataOps.dsCrawlCanonical(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_._3).toSet == Set("dup_fetched", "admitted", "dup_alias"),
+      "all three verdict branches must be live on the fixture")
+    val crawled = DataOps.dsCrawl(spark, sf)
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    rows.groupBy(_._2).foreach { case (fin, grp) =>
+      val verdicts = grp.map(_._3)
+      if (crawled.contains(fin))
+        assert(verdicts.forall(_ == "dup_fetched"),
+          s"declarers of crawled content $fin must all be dup_fetched")
+      else {
+        assert(verdicts.count(_ == "admitted") == 1,
+          s"exactly one admission per uncrawled final $fin: $verdicts")
+        assert(grp.filter(_._3 == "admitted").map(_._1).head ==
+          grp.map(_._1).min, "min requested_canon wins the admission")
+        assert(verdicts.forall(v => v == "admitted" || v == "dup_alias"))
+      }
+    }
+    // no self-aliases, and every final is genuinely canonical form
+    assert(rows.forall(r => r._1 != r._2), "src == dst must be filtered")
+    // extraction agrees with the standalone operator on a sample:
+    // every declaring page's href resolves+canonicalizes to this
+    // row's final (the entity-decode and relative-resolve chain)
+    val byResidue = rows.groupBy(r =>
+      if (r._2.contains("/canon/hub")) 3
+      else if (crawled.contains(r._2)) 4 else 5)
+    assert(byResidue.keySet == Set(3, 4, 5),
+      s"all three planted declaration shapes must survive: ${byResidue.keySet}")
+    assert(rows.filter(_._2.contains("/canon/hub"))
+        .forall(_._2.endsWith("?x=1&y=2")),
+      "the &amp; attribute escape must decode before canonicalization")
+  }
+
   test("dsRecrawl: ladder recomputes from evidence, due waves stagger " +
       "within the interval, ledger agrees with dd_url_dedup") {
     val rows = DataOps.dsRecrawl(spark, sf)

@@ -1063,6 +1063,58 @@ class IngestCrawlSpec extends SparkSpec {
     assert(ledger("http://h.com/y")._1 == "kept", s"ledger: $ledger")
   }
 
+  test("rel=canonical in the stream: admission keys on the declared " +
+      "canonical, declarers become alias sources and never re-schedule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_cn_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_cn_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_cn_f").toString
+    def pageOf(tag: String, head: String, links: String): String =
+      s"<html><head>$head</head><body><div>$links<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched))
+    try {
+      // the article and its ?page=2 twin that DECLARES it canonical
+      // (relative href — the resolve path); one batch, one admission
+      input.addData(
+        (1L, "http://h.com/article", pageOf("a", "", "")),
+        (2L, "http://h.com/article?page=2", pageOf("b",
+          "<link rel=\"canonical\" href=\"/article\"/>",
+          "<a href=\"/n1\">n</a>")))
+      q.processAllAvailable()
+      // a page declaring an absolute canonical onto UNcrawled content
+      // admits under the DECLARED key, not its fetch URL
+      input.addData(
+        (3L, "http://h.com/other", pageOf("c",
+          "<link href=\"http://h.com/fresh\" rel=\"canonical\"/>", "")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = Frontier.readLayered(spark, surv)
+      .select("canon_url", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(admitted == Set(("http://h.com/article", 1L),
+        ("http://h.com/fresh", 3L)),
+      s"one admission per canonical, keyed on the declaration: $admitted")
+    val ledger = Frontier.readLayered(spark, fetched)
+      .select("canon_url", "verdict").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ledger("http://h.com/article?page=2") == "alias" &&
+      ledger("http://h.com/other") == "alias", s"ledger: $ledger")
+    // discovery: the twin's outlink /n1 flows from the ADMITTED page
+    // (the article won the fold, so its content — linkless — decides;
+    // the alias source's links ride only if its content was admitted)
+    val wave = IngestCrawl.nextWave(spark, disc, fetched)
+      .collect().map(_.getString(0)).toSet
+    assert(!wave.contains("http://h.com/article?page=2") &&
+      !wave.contains("http://h.com/other") &&
+      !wave.contains("http://h.com/article"),
+      s"no alias source or fetched content re-schedules: $wave")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
