@@ -1313,6 +1313,47 @@ object DataOps {
         when(col("due_now"), lit(1L)).otherwise(col("due_wave")))
   }
 
+  /** The validator demotion over the recrawl ladder (r19 — the batch
+    * twin of `IngestCrawl.recrawlDue`'s not-modified semantics): a
+    * conditional fetch that returns 304 / matches an ETag confirms
+    * the payload unchanged WITHOUT paying transfer or extraction, and
+    * a real scheduler lives on these validators — each consecutive
+    * unchanged observation DOUBLES the recrawl interval (Cho &
+    * Garcia-Molina's decay as integers: `interval_eff = min(64,
+    * rung · 2^min(n_unmod, 6))`, exactly the streaming ladder's
+    * [[graft.streaming.IngestCrawl.recrawlDue]] demotion — 2^k for
+    * k ≤ 6 is exact in both engines' pow).
+    *
+    * Evidence sources, both live: the corpus ladder ([[dsRecrawl]] —
+    * batch fixtures carry no fetch ORDER, so their streak is 0 and
+    * `interval_eff = interval_waves`, the no-demotion identity), plus
+    * PLANTED per-host validator streaks (the crawlSeeds pattern):
+    * `/validated/k` for k = 0..3 on the changing rung (4 → 4, 8, 16,
+    * 32) and `/validated/cap` with a streak of 7 — both caps bite
+    * (streak capped at 6, rung capped at 64: 4·64 → 64). One planted
+    * hosts-bounded union over the ladder's single exchange. */
+  def dsRecrawlValidators(s: SparkSession, d: String): DataFrame = {
+    val base = dsRecrawl(s, d)
+      .select(col("canon_url"), col("n_fetches"), col("n_variants"),
+        col("interval_waves"), lit(0L).as("n_unmod"))
+    val planted = crawlHosts(s, d)
+      .select(col("host"), explode(sequence(lit(0), lit(3))).as("k"))
+      .select(concat(lit("https://"), col("host"), lit("/validated/"),
+          col("k")).as("canon_url"),
+        (col("k") + 2).cast("long").as("n_fetches"),
+        lit(2L).as("n_variants"), lit(4L).as("interval_waves"),
+        col("k").cast("long").as("n_unmod"))
+      .unionByName(crawlHosts(s, d)
+        .select(concat(lit("https://"), col("host"),
+            lit("/validated/cap")).as("canon_url"),
+          lit(9L).as("n_fetches"), lit(2L).as("n_variants"),
+          lit(4L).as("interval_waves"), lit(7L).as("n_unmod")))
+    base.unionByName(planted)
+      .withColumn("interval_eff",
+        least(lit(64L), col("interval_waves") *
+          pow(lit(2.0), least(col("n_unmod"), lit(6L))).cast("long")))
+  }
+
   /** Redirect aliasing — the crawl loop's missing 301 notion (r18):
     * a fetch can land on a DIFFERENT final URL, and a loop keyed only
     * on the requested URL re-schedules redirect sources and admits
@@ -5901,6 +5942,32 @@ object DataOps {
     // the URL due at the NEXT wave regardless of its ladder rung;
     // absent/stale lastmod falls back to the observed-change ladder
     "ds_recrawl_lastmod" -> recrawlLastmodSql,
+    // validator demotion: each consecutive unchanged observation
+    // (HTTP 304 / identical payload) doubles the recrawl interval —
+    // min(64, rung * 2^min(streak, 6)); corpus rows at streak 0 keep
+    // their rung, planted streaks exercise the decay and both caps
+    "ds_recrawl_validators" ->
+      s"""WITH $recrawlLadderCtes,
+          vb AS (SELECT canon_url, n_fetches, n_variants, interval_waves,
+                   CAST(0 AS BIGINT) AS n_unmod FROM iv),
+          vh AS (SELECT DISTINCT lower(source) || '.example.com' AS host
+                 FROM documents),
+          vp AS (SELECT 'https://' || host || '/validated/' ||
+                   CAST(k AS VARCHAR) AS canon_url,
+                   CAST(k + 2 AS BIGINT) AS n_fetches,
+                   CAST(2 AS BIGINT) AS n_variants,
+                   CAST(4 AS BIGINT) AS interval_waves,
+                   CAST(k AS BIGINT) AS n_unmod
+                 FROM (SELECT host, unnest(range(0, 4)) AS k FROM vh)
+                 UNION ALL
+                 SELECT 'https://' || host || '/validated/cap',
+                   CAST(9 AS BIGINT), CAST(2 AS BIGINT), CAST(4 AS BIGINT),
+                   CAST(7 AS BIGINT) FROM vh),
+          va AS (SELECT * FROM vb UNION ALL SELECT * FROM vp)
+          SELECT canon_url, n_fetches, n_variants, n_unmod, interval_waves,
+                 least(64, interval_waves *
+                   CAST(pow(2, least(n_unmod, 6)) AS BIGINT)) AS interval_eff
+          FROM va""",
     // link discovery: synth page → anchor hrefs (document order) →
     // RFC 3986 reference resolution against the page's canonical base
     "tx_extract_links" ->
@@ -6789,6 +6856,7 @@ object DataOps {
     "ds_frontier_gated" -> dsFrontierGated _, // trap audit -> gate composed
     "ds_recrawl" -> dsRecrawl _, // change-rate recrawl interval ladder
     "ds_recrawl_lastmod" -> dsRecrawlLastmod _, // sitemap lastmod override
+    "ds_recrawl_validators" -> dsRecrawlValidators _, // 304-streak demotion
     "ds_crawl_redirects" -> dsCrawlRedirects _, // 301 alias ledger, admit-once
     "ds_frontier_redirects" -> dsFrontierRedirects _, // alias-aware frontier gate
     "tx_extract_canonical" -> txExtractCanonical _, // rel=canonical href extraction

@@ -117,24 +117,30 @@ object IngestCrawl {
     // the union/agg below names the missing attribute, not the cause
     // — and silently backfilling defaults would mint fake evidence
     // (n_fetches=1 for a URL fetched many times) that recrawlDue
-    // would then schedule on
-    val need = Seq("canon_url", "h", "n_fetches", "n_changes", "b")
+    // would then schedule on. r19 adds n_unmod (the consecutive
+    // unchanged-observation streak); an r18 ledger lacking it fails
+    // the same way — migrate offline with n_unmod=0 (conservative:
+    // no streak evidence ⇒ no ladder demotion).
+    val need = Seq("canon_url", "h", "n_fetches", "n_changes", "n_unmod", "b")
     parts.foreach { p =>
       val missing = need.filterNot(p.columns.contains)
       if (missing.nonEmpty) throw new IllegalStateException(
-        s"fetched ledger at $dir uses a pre-r17 row format (missing " +
-          s"columns: ${missing.mkString(", ")}); recrawl needs the " +
-          "change-evidence columns — restart the ledger dir, or migrate " +
-          "it offline (h=NULL, n_fetches=1, n_changes=0, b=<dir batch id>)")
+        s"fetched ledger at $dir uses a pre-r17 (or, if only n_unmod is " +
+          s"missing, pre-r19) row format (missing columns: " +
+          s"${missing.mkString(", ")}); recrawl needs the change-evidence " +
+          "columns — restart the ledger dir, or migrate it offline " +
+          "(h=NULL, n_fetches=1, n_changes=0, n_unmod=0, " +
+          "b=<dir batch id>)")
     }
     if (parts.isEmpty) None
     else Some(parts.reduce(_ unionByName _)
       .groupBy("canon_url")
-      .agg(max(struct(col("b"), col("h"),
-        col("n_fetches"), col("n_changes"))).as("w"))
+      .agg(max(struct(col("b"), col("h"), col("n_fetches"),
+        col("n_changes"), col("n_unmod"))).as("w"))
       .select(col("canon_url"), col("w.h").as("h"),
         col("w.n_fetches").as("n_fetches"),
-        col("w.n_changes").as("n_changes"), col("w.b").as("b")))
+        col("w.n_changes").as("n_changes"),
+        col("w.n_unmod").as("n_unmod"), col("w.b").as("b")))
   }
 
   /** Latest accumulated OPIC cash per url from the cash ledger's
@@ -190,6 +196,20 @@ object IngestCrawl {
       .when(nFetches >= 2, 64L)
       .otherwise(8L)
 
+  /** The validator demotion (r19): the base rung backed off
+    * exponentially by the consecutive-unchanged streak — each
+    * validated-or-identical refetch DOUBLES the interval (Cho &
+    * Garcia-Molina's decay, integer-exact: `min(64, rung · 2^min(
+    * n_unmod, 6))`, both caps shared with the batch twin
+    * DataOps.dsRecrawlValidators). A hot page that stops changing
+    * climbs 1→2→4→… instead of being refetched every wave forever;
+    * one real change resets the streak to 0 and the rung takes over
+    * again. 2^k for k ≤ 6 is exact in the double pow both engines
+    * evaluate. */
+  private def demoted(base: Column, nUnmod: Column): Column =
+    least(lit(64L),
+      base * pow(lit(2.0), least(nUnmod, lit(6L))).cast("long"))
+
   /** The recrawl DUE set at `currentBatch` — the freshness half of
     * the loop ([[nextWave]] schedules forward from discovery; this
     * schedules BACK over the fetched ledger): URLs whose change-rate
@@ -224,9 +244,15 @@ object IngestCrawl {
       .getOrElse(spark.emptyDataFrame
         .select(lit("").as("canon_url"), lit("").as("h"),
           lit(0L).as("n_fetches"), lit(0L).as("n_changes"),
-          lit(0L).as("b")).limit(0))
+          lit(0L).as("n_unmod"), lit(0L).as("b")).limit(0))
+      // r19: interval_waves is the EFFECTIVE rung — the change-rate
+      // ladder demoted by the consecutive-unchanged streak (a 304
+      // validation or identical refetch doubles the interval, capped;
+      // [[demoted]]) — so a validator-confirmed-static URL backs off
+      // even from the hot rung without waiting out the full ladder
       .withColumn("interval_waves",
-        intervalWaves(col("n_fetches"), col("n_changes")))
+        demoted(intervalWaves(col("n_fetches"), col("n_changes")),
+          col("n_unmod")))
     val announced = sitemapDue match {
       case Some(sd) => state.join(
         broadcast(sd.groupBy("canon_url")
@@ -241,7 +267,7 @@ object IngestCrawl {
         lit(currentBatch) - col("b") >= col("interval_waves"))
       .select(col("canon_url"), col("canon_url").as("url"),
         col("n_fetches"), col("n_changes"), col("b"),
-        col("interval_waves"), col("sitemap_due"))
+        col("interval_waves"), col("sitemap_due"), col("n_unmod"))
   }
 
   def crawledIngest(fetches: DataFrame, settledUrls: Option[DataFrame],
@@ -317,15 +343,39 @@ object IngestCrawl {
         val eff =
           if (hasFinal) coalesce(nullif(col("final_url"), lit("")), col("url"))
           else col("url")
+        // not-modified verdicts (r19): a fetch frame may carry a
+        // `not_modified` column — the fetcher's validator outcome
+        // (HTTP 304 / ETag match: the server confirmed the payload is
+        // unchanged WITHOUT sending it). Such a fetch counts in the
+        // ledger (n_fetches+1, the unchanged streak +1, the previous
+        // hash carried — "validated unchanged" is evidence, not a
+        // change) but never reaches admission or extraction: there is
+        // no payload to extract, and the corpus already holds the
+        // newest copy. recrawlDue's ladder then demotes the streak.
+        val hasNotMod = batch.columns.contains("not_modified")
         // gate placement per Urls.dedupByUrl's r16 note: conservative
         // raw-host gate before the exchange (references only the raw
         // url column — bulk blocked volume never shuffles), exact
         // canonical gate after the keep-first aggregate (one row per
         // distinct URL; host is a function of canon_url, so the
         // filter commutes with the aggregate)
-        val gatedRaw = batch.toDF()
+        val gatedAll = batch.toDF()
           .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
             blockedDomains))
+        val gatedRaw =
+          if (!hasNotMod) gatedAll
+          else gatedAll.filter(!coalesce(col("not_modified"), lit(false)))
+        // validated-unchanged keys: no document, so the key is the
+        // transport final's canon (a 304 can't declare a canonical);
+        // distinct — one ledger observation per URL per batch
+        val notModKeys =
+          if (!hasNotMod) None
+          else Some(gatedAll
+            .filter(coalesce(col("not_modified"), lit(false)))
+            .select(Urls.canonicalize(eff).as("canon_url"))
+            .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+              blockedDomains))
+            .distinct())
         // one projection computes every key the batch needs: __src
         // (the requested canon), __base (the redirect-final canon —
         // the same expression as __src when no final_url column, so
@@ -459,18 +509,43 @@ object IngestCrawl {
                 .select(col("canon_url"), col("verdict"), col("h")))
             case None => contentNow
           }
+          // not_modified rows (r19): one observation per validated
+          // URL — h CARRIES the previous hash (the server confirmed
+          // that exact payload), the fetch counts, the change count
+          // does not, and the unchanged streak grows. Same-batch
+          // policy as the alias fold: a content/alias observation of
+          // the same URL wins (it carries strictly more information).
+          val nowFull = notModKeys match {
+            case Some(nk) => now.withColumn("__nm", lit(false)).unionByName(
+              nk.join(now.select("canon_url"), Seq("canon_url"), "left_anti")
+                .select(col("canon_url"), lit("not_modified").as("verdict"),
+                  lit(null).cast("string").as("h"), lit(true).as("__nm")))
+            case None => now.withColumn("__nm", lit(false))
+          }
+          // n_unmod: the consecutive-unchanged streak — 0 on a first
+          // observation or an observed change, +1 on a validated
+          // (not_modified) or identical-payload refetch. recrawlDue
+          // demotes the interval ladder on it.
           val row = ledgerState(spark, fd, batchId) match {
-            case Some(prev) => now.join(
+            case Some(prev) => nowFull.join(
                 prev.select(col("canon_url"), col("h").as("__ph"),
-                  col("n_fetches").as("__pf"), col("n_changes").as("__pc")),
+                  col("n_fetches").as("__pf"), col("n_changes").as("__pc"),
+                  col("n_unmod").as("__pu")),
                 Seq("canon_url"), "left")
-              .select(col("canon_url"), col("verdict"), col("h"),
+              .select(col("canon_url"), col("verdict"),
+                when(col("__nm"), col("__ph")).otherwise(col("h")).as("h"),
                 (coalesce(col("__pf"), lit(0L)) + 1L).as("n_fetches"),
                 (coalesce(col("__pc"), lit(0L)) +
-                  when(col("__ph").isNotNull && col("__ph") =!= col("h"), 1L)
-                    .otherwise(0L)).as("n_changes"))
-            case None => now.select(col("canon_url"), col("verdict"),
-              col("h"), lit(1L).as("n_fetches"), lit(0L).as("n_changes"))
+                  when(!col("__nm") && col("__ph").isNotNull &&
+                    col("__ph") =!= col("h"), 1L)
+                    .otherwise(0L)).as("n_changes"),
+                when(col("__ph").isNull && !col("__nm"), 0L)
+                  .when(col("__nm") || col("__ph") === col("h"),
+                    coalesce(col("__pu"), lit(0L)) + 1L)
+                  .otherwise(0L).as("n_unmod"))
+            case None => nowFull.select(col("canon_url"), col("verdict"),
+              col("h"), lit(1L).as("n_fetches"), lit(0L).as("n_changes"),
+              when(col("__nm"), 1L).otherwise(0L).as("n_unmod"))
           }
           row.withColumn("b", lit(batchId))
             .write.mode("overwrite").parquet(s"$fd/batch_$batchId")

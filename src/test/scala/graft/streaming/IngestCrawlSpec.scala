@@ -778,9 +778,9 @@ class IngestCrawlSpec extends SparkSpec {
     val fetched = java.nio.file.Files.createTempDirectory("ic_lm").toString
     // static.com/x: confirmed static (2 fetches, 0 changes → rung 64)
     // other.com/y: same rung, no announcement
-    Seq(("http://static.com/x", "kept", 2L, 0L, 0L),
-      ("http://other.com/y", "kept", 2L, 0L, 0L))
-      .toDF("canon_url", "verdict", "n_fetches", "n_changes", "b")
+    Seq(("http://static.com/x", "kept", 2L, 0L, 0L, 0L),
+      ("http://other.com/y", "kept", 2L, 0L, 0L, 0L))
+      .toDF("canon_url", "verdict", "n_fetches", "n_changes", "n_unmod", "b")
       .withColumn("h", md5(col("canon_url").cast("binary")))
       .write.parquet(s"$fetched/batch_0")
     // ladder alone: nothing due at batch 5 (64-wave rung)
@@ -1113,6 +1113,60 @@ class IngestCrawlSpec extends SparkSpec {
       !wave.contains("http://h.com/other") &&
       !wave.contains("http://h.com/article"),
       s"no alias source or fetched content re-schedules: $wave")
+  }
+
+  test("not_modified: a validated batch writes no survivor rows, bumps " +
+      "n_fetches and the unchanged streak only, and the streak demotes " +
+      "the recrawl ladder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_nm_s").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_nm_f").toString
+    val u = "http://a.com/u"
+    val input = MemoryStream[(Long, String, String, Boolean)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html", "not_modified"),
+      None, surv, Nil, settleEvery = 1, fetchedDir = Some(fetched),
+      recrawlScope = Some(Seq(u).toDF("canon_url")))
+    try {
+      input.addData((1L, u, page("a", 30), false))
+      q.processAllAvailable() // first fetch: (kept, 1, 0, streak 0)
+      input.addData((2L, u, page("b", 30), false))
+      q.processAllAvailable() // observed change: (2, 1, streak 0)
+      input.addData((3L, u, page("b", 30), false))
+      q.processAllAvailable() // identical refetch: (3, 1, streak 1)
+      input.addData((4L, u, "", true))
+      q.processAllAvailable() // validated unchanged: (4, 1, streak 2)
+    } finally q.stop()
+    val led = Frontier.readLayered(spark, fetched)
+      .groupBy("canon_url")
+      .agg(max(struct(col("b"), col("verdict"), col("n_fetches"),
+        col("n_changes"), col("n_unmod"), col("h"))).as("w"))
+      .select("w.verdict", "w.n_fetches", "w.n_changes", "w.n_unmod", "w.h")
+      .collect()
+    assert(led.length == 1)
+    val r = led(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (("not_modified", 4L, 1L, 2L)),
+      s"verdict/n_fetches/n_changes/n_unmod: ${r.mkString(",")}")
+    assert(r.getString(4) != null,
+      "the validated row carries the previous payload hash forward")
+    // no survivor row landed for the validated fetch — the corpus
+    // (folded latest-per-URL by the settles) keeps batch 2's copy as
+    // its newest version, never a doc-4 row
+    val admitted = Frontier.readLayered(spark, surv)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(3L),
+      s"a not_modified fetch must never admit: $admitted")
+    // ladder demotion: rung 4 (one observed change) backed off by the
+    // streak of 2 → effective 16 — not due when the bare rung would
+    // be, due once the demoted interval elapses
+    val at7 = IngestCrawl.recrawlDue(spark, fetched, 7L).count()
+    assert(at7 == 0, "streak-demoted URL must not be due at the bare rung")
+    val at19 = IngestCrawl.recrawlDue(spark, fetched, 19L)
+      .select("interval_waves").collect().map(_.getLong(0))
+    assert(at19.toSeq == Seq(16L),
+      s"effective interval = 4 * 2^2: ${at19.toSeq}")
   }
 
   test("per-batch overwrite keeps reprocessing idempotent") {
