@@ -195,6 +195,32 @@ object Html {
       lit(""))
   }
 
+  /** The page's `<meta name="robots">` directive value, or NULL — the
+    * compliance sibling of robots.txt: RFC 9309 governs FETCHING,
+    * meta robots governs what happens to the fetched document
+    * (`noindex` = do not retain it in the corpus, `nofollow` = do not
+    * follow its links). Same deterministic subset as
+    * [[canonicalHref]]: double-quoted attribute values, name-first or
+    * content-first attribute order (name-first wins when both
+    * spellings appear), value returned as written — token tests are
+    * [[robotsContentHas]]. */
+  def metaRobots(html: Column): Column = {
+    val nameFirst = regexp_extract(html,
+      "<meta[^>]* name=\"robots\"[^>]* content=\"([^\"]*)\"", 1)
+    val contentFirst = regexp_extract(html,
+      "<meta[^>]* content=\"([^\"]*)\"[^>]* name=\"robots\"", 1)
+    nullif(coalesce(nullif(nameFirst, lit("")),
+      nullif(contentFirst, lit(""))), lit(""))
+  }
+
+  /** Does a meta-robots content value carry `token`? Token-exact per
+    * the HTML spec (comma/whitespace-separated, case-insensitive) —
+    * `noindex` never matches inside `nonoindexy`. NULL content (no
+    * directive) ⇒ false: the default is index + follow. */
+  def robotsContentHas(content: Column, token: String): Column =
+    coalesce(array_contains(split(lower(content), "[,\\s]+"), token),
+      lit(false))
+
   /** Outbound link hrefs of a page, document order — the discovery
     * half of a crawl loop (extraction keeps pages; THIS feeds the
     * frontier). The contract is the anchor-tag pattern

@@ -1627,6 +1627,89 @@ object DataOps {
       .select(col("requested_canon"), col("final_canon"), col("verdict"))
   }
 
+  /** [[graft.operators.Html.syntheticPage]] with a `<meta
+    * name="robots">` directive planted (r19 — the noindex fixture,
+    * both engines build identical bytes): `doc_id % 10 = 6` declares
+    * `noindex` name-first; `= 7` declares `noindex, nofollow`
+    * content-first (the attribute-order + token-list case); `= 8`
+    * declares `index, follow` (present but permissive — the flags
+    * must read false); anything else declares nothing. */
+  private def metaRobotsPage(docId: Column, text: Column,
+                             source: Column): Column = {
+    val r = pmod(docId, lit(10))
+    val meta = when(r === 6, lit("<meta name=\"robots\" content=\"noindex\"/>"))
+      .when(r === 7,
+        lit("<meta content=\"noindex, nofollow\" name=\"robots\"/>"))
+      .when(r === 8, lit("<meta name=\"robots\" content=\"index, follow\"/>"))
+      .otherwise(lit(""))
+    replace(graft.operators.Html.syntheticPage(text, source),
+      lit("</head>"), concat(meta, lit("</head>")))
+  }
+
+  /** Meta-robots extraction surface — (doc_id, robots_content,
+    * noindex, nofollow): the raw directive value (NULL when the page
+    * declares none) and the two token flags. Pure projections with
+    * CollapseProject boundaries (the directive is referenced by both
+    * flags; the page tree by both extraction orders). */
+  def txMetaRobots(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Html
+    docs(s, d)
+      .select(col("doc_id"),
+        metaRobotsPage(col("doc_id"), col("text"), col("source")).as("html"))
+      .select(col("doc_id"), Html.metaRobots(col("html")).as("robots_content"))
+      .select(col("doc_id"), col("robots_content"),
+        Html.robotsContentHas(col("robots_content"), "noindex").as("noindex"),
+        Html.robotsContentHas(col("robots_content"), "nofollow").as("nofollow"))
+  }
+
+  /** The crawl front door with meta-robots honored at ADMISSION (r19
+    * — the compliance sibling of the robots.txt gate: RFC 9309
+    * governs fetching, `noindex` governs retention): the same
+    * keep-first → extraction composite as [[dsCrawl]], with a page
+    * declaring `noindex` excluded from survivors as its OWN verdict
+    * (compliance outranks the thin-content cut), while its LINKS keep
+    * feeding discovery — `followed_links` is the page's link
+    * contribution, zeroed only by `nofollow` (the kernel's n_links
+    * over counted blocks; the streaming twin gates the link explode
+    * the same way). Cost over dsCrawl: two regex extracts per winner,
+    * riding the same single exchange. */
+  def dsCrawlNoindex(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Html, Urls}
+    val winners = docs(s, d)
+      .select(col("doc_id"), col("source"), col("text"),
+        Urls.syntheticUrl(col("doc_id"), col("source")).as("url"))
+      .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+        blockedDomains))
+      .select(col("doc_id"), col("source"), col("text"),
+        Urls.canonicalize(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("w"),
+        count(lit(1)).as("n_fetches"))
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+        blockedDomains))
+      .select(col("canon_url"), col("n_fetches"),
+        col("w.doc_id").as("doc_id"), col("w.source").as("source"),
+        col("w.text").as("text"))
+    val pages = winners.select(col("doc_id"), col("canon_url"),
+        col("n_fetches"),
+        metaRobotsPage(col("doc_id"), col("text"), col("source")).as("html"))
+      .withColumn("__mr", Html.metaRobots(col("html")))
+      .withColumn("__noidx", Html.robotsContentHas(col("__mr"), "noindex"))
+      .withColumn("__nofo", Html.robotsContentHas(col("__mr"), "nofollow"))
+    val ext = Html.extractMainText(pages, col("html"), col("doc_id"),
+      carry = Seq(col("canon_url"), col("n_fetches"), col("__noidx"),
+        col("__nofo")),
+      dropNullHtml = false)
+    val nTok = when(col("main_text") === "", 0L)
+      .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
+    ext.select(col("doc_id"), col("canon_url"), col("n_fetches"),
+      nTok.as("n_tokens"),
+      when(col("__noidx"), "noindex")
+        .when(nTok >= crawlMinTokens, "kept").otherwise(lit("thin"))
+        .as("verdict"),
+      when(col("__nofo"), 0L).otherwise(col("n_links")).as("followed_links"))
+  }
+
   /** The corpus's (host, source) frame — robots bodies are bounded
     * by hosts, one KB-sized body each, never by the frontier. */
   private def crawlHosts(s: SparkSession, d: String): DataFrame =
@@ -2939,6 +3022,31 @@ object DataOps {
     s"nullif(${dec(s"coalesce($relFirst, $hrefFirst)")}, '')"
   }
 
+  /** The meta-robots fixture head element per doc_id residue
+    * (metaRobotsPage's SQL twin — needs a bare `doc_id` column). */
+  private val metaRobotsHeadSqlCase: String =
+    """CASE doc_id % 10
+         WHEN 6 THEN '<meta name="robots" content="noindex"/>'
+         WHEN 7 THEN '<meta content="noindex, nofollow" name="robots"/>'
+         WHEN 8 THEN '<meta name="robots" content="index, follow"/>'
+         ELSE '' END"""
+
+  /** Html.metaRobots mirrored over the SQL expression `html` (keep it
+    * a bare column — it repeats): name-first wins, '' → NULL. */
+  private def metaRobotsSqlExpr(html: String): String = {
+    val nameFirst = s"""nullif(regexp_extract($html,
+      '<meta[^>]* name="robots"[^>]* content="([^"]*)"', 1), '')"""
+    val contentFirst = s"""nullif(regexp_extract($html,
+      '<meta[^>]* content="([^"]*)"[^>]* name="robots"', 1), '')"""
+    s"nullif(coalesce($nameFirst, $contentFirst), '')"
+  }
+
+  /** Html.robotsContentHas mirrored: token-exact membership in the
+    * comma/whitespace-separated directive list, NULL ⇒ false. */
+  private def robotsTokenSqlExpr(c: String, token: String): String =
+    s"coalesce(list_contains(string_split_regex(lower($c), '[,\\s]+'), " +
+      s"'$token'), false)"
+
   /** The (source, target) + planted-canonical-page CTE chain shared
     * by tx_extract_canonical and ds_crawl_canonical: `tg(source,
     * target)` the per-source min-doc article canonical, `pc(doc_id,
@@ -3531,11 +3639,18 @@ object DataOps {
                 ' stream ', '${graft.operators.Html.entityGauntlet}') ||
         '</div><footer>contact &amp; imprint<br/><a href="/legal">legal</a></footer></body></html>'"""
 
-  private def htmlExtractSql(docRel: String): String = {
+  private def htmlExtractSql(docRel: String): String =
+    htmlExtractOverHtmlSql(
+      s"(SELECT doc_id, $pageSynthSqlExpr AS html FROM $docRel)")
+
+  /** The extraction cascade over a relation that already carries
+    * (doc_id, html) — the r19 parameterization letting fixture
+    * variants (meta-robots, canonical) reuse the same S1–S6 SQL. */
+  private def htmlExtractOverHtmlSql(rel: String): String = {
     val mt = graft.operators.Html.minKeepTokens
     val inv = graft.operators.Html.linkDensityInv
-    s"""(WITH hx AS (SELECT doc_id, $pageSynthSqlExpr AS html
-          FROM $docRel),
+    s"""(WITH hx AS (SELECT doc_id, html
+          FROM $rel),
         sx1 AS (SELECT doc_id, regexp_replace(html,
                  '<!--.*?-->|<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
                  ' ', 'gs') AS t FROM hx),
@@ -5938,6 +6053,58 @@ object DataOps {
                       WHEN requested_canon = minreq THEN 'admitted'
                       ELSE 'dup_alias' END AS verdict
           FROM m""",
+    // meta-robots extraction: directive value per page (NULL when
+    // undeclared) + the noindex/nofollow token flags
+    "tx_meta_robots" ->
+      s"""WITH mh AS (SELECT doc_id,
+                 replace($pageSynthSqlExpr, '</head>',
+                   $metaRobotsHeadSqlCase || '</head>') AS html
+               FROM documents),
+          mrx AS MATERIALIZED (SELECT doc_id,
+                   ${metaRobotsSqlExpr("html")} AS robots_content FROM mh)
+          SELECT doc_id, robots_content,
+                 ${robotsTokenSqlExpr("robots_content", "noindex")} AS noindex,
+                 ${robotsTokenSqlExpr("robots_content", "nofollow")} AS nofollow
+          FROM mrx""",
+    // the noindex gate composed into the crawl front door: a noindex
+    // page is excluded from survivors as its own verdict, its links
+    // still feed discovery unless nofollow zeroes them
+    "ds_crawl_noindex" -> {
+      val ntok = "CASE WHEN e.main_text = '' THEN 0 " +
+        "ELSE len(string_split_regex(e.main_text, '[ \\n]')) END"
+      s"""WITH $urlSynthCte,
+          cu8 AS (SELECT d.doc_id, d.text, d.source,
+                   ${urlCanonSqlExpr("u.url")} AS cu
+                 FROM u JOIN documents d ON u.doc_id = d.doc_id),
+          cu AS (SELECT doc_id, text, source,
+                   ${sortParamsSqlExpr("cu")} AS canon_url FROM cu8),
+          hh AS (SELECT *, regexp_extract(canon_url,
+                   '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host FROM cu),
+          w AS (SELECT canon_url, min(doc_id) AS doc_id,
+                       CAST(count(*) AS BIGINT) AS n_fetches
+                FROM hh WHERE ${notBlockedOver("host")} GROUP BY canon_url),
+          wd AS (SELECT w.canon_url, w.n_fetches, d.doc_id, d.text, d.source
+                 FROM w JOIN documents d ON w.doc_id = d.doc_id),
+          wh AS MATERIALIZED (SELECT doc_id, canon_url, n_fetches,
+                 replace($pageSynthSqlExpr, '</head>',
+                   $metaRobotsHeadSqlCase || '</head>') AS html
+               FROM wd),
+          mrx AS MATERIALIZED (SELECT doc_id, canon_url, n_fetches,
+                   ${metaRobotsSqlExpr("html")} AS mrc FROM wh),
+          fl AS (SELECT doc_id, canon_url, n_fetches,
+                   ${robotsTokenSqlExpr("mrc", "noindex")} AS noidx,
+                   ${robotsTokenSqlExpr("mrc", "nofollow")} AS nofo
+                 FROM mrx)
+          SELECT e.doc_id, fl.canon_url, fl.n_fetches,
+                 CAST($ntok AS BIGINT) AS n_tokens,
+                 CASE WHEN fl.noidx THEN 'noindex'
+                      WHEN ($ntok) >= ${crawlMinTokens} THEN 'kept'
+                      ELSE 'thin' END AS verdict,
+                 CAST(CASE WHEN fl.nofo THEN 0 ELSE e.n_links END AS BIGINT)
+                   AS followed_links
+          FROM ${htmlExtractOverHtmlSql("wh")} e
+          JOIN fl ON e.doc_id = fl.doc_id"""
+    },
     // the sitemap <lastmod> signal consumed: a fresh lastmod makes
     // the URL due at the NEXT wave regardless of its ladder rung;
     // absent/stale lastmod falls back to the observed-change ladder
@@ -6861,6 +7028,8 @@ object DataOps {
     "ds_frontier_redirects" -> dsFrontierRedirects _, // alias-aware frontier gate
     "tx_extract_canonical" -> txExtractCanonical _, // rel=canonical href extraction
     "ds_crawl_canonical" -> dsCrawlCanonical _, // in-document alias ledger
+    "tx_meta_robots" -> txMetaRobots _, // meta-robots directive + token flags
+    "ds_crawl_noindex" -> dsCrawlNoindex _, // noindex retention gate, nofollow links
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan

@@ -445,14 +445,27 @@ object IngestCrawl {
               .join(fresh.select("canon_url"), Seq("canon_url"), "left_anti"))
           case None => fresh
         }
-        val ext = Html.extractMainText(admitted, col("html"), col("doc_id"),
-          carry = Seq(col("canon_url")))
+        // meta-robots at ADMISSION (r19): `noindex` is the compliance
+        // sibling of robots.txt — RFC 9309 governs fetching, noindex
+        // governs RETENTION. A declaring page is excluded from
+        // survivors under its own verdict (compliance outranks the
+        // thin cut), while its links still feed discovery below —
+        // unless `nofollow` gates them there. __mr as its own column:
+        // both token flags reference it (CollapseProject boundary).
+        val withMeta = admitted
+          .withColumn("__mr", Html.metaRobots(col("html")))
+          .withColumn("__noidx", Html.robotsContentHas(col("__mr"), "noindex"))
+        val ext = Html.extractMainText(withMeta, col("html"), col("doc_id"),
+          carry = Seq(col("canon_url"), col("__noidx")))
         val nTok = when(col("main_text") === "", 0L)
           .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
         val gated = ext.select(col("doc_id"), col("canon_url"), col("main_text"),
-            col("kept_blocks"), nTok.as("n_tokens"))
+            col("kept_blocks"), nTok.as("n_tokens"), col("__noidx"))
           .withColumn("verdict",
-            when(col("n_tokens") >= minTokens, "kept").otherwise(lit("thin")))
+            when(col("__noidx"), "noindex")
+              .when(col("n_tokens") >= minTokens, "kept")
+              .otherwise(lit("thin")))
+          .drop("__noidx")
         // the batch is bounded: stage it so the survivor write and
         // the ledger write don't each re-run extraction + the probe
         // anti-joins (discovery reads `fresh` pre-extraction — links
@@ -562,6 +575,13 @@ object IngestCrawl {
         val linksNeeded = discoveredDir.isDefined || cashDir.isDefined
         val linksCached = if (!linksNeeded) None else {
           val l = admitted
+            // nofollow (r19): a page declaring it contributes NO
+            // frontier candidates (and, downstream, no OPIC cash
+            // shares — the distribution reads this frame). noindex
+            // alone does NOT gate here: links from an unretained page
+            // are still followable per the directive's semantics.
+            .filter(!Html.robotsContentHas(Html.metaRobots(col("html")),
+              "nofollow"))
             .select(col("canon_url").as("referrer"),
               explode(Html.linkHrefs(col("html"))).as("href"))
             .filter(Urls.hrefIsCandidate(col("href")))
@@ -731,9 +751,15 @@ object IngestCrawl {
                   keepPct: Int = graft.queries.DataOps.domainKeepPct)
       : DataFrame =
     Frontier.readLayered(spark, fetchedDir)
-      // alias rows are redirect observations, not pages — a host of
-      // moved URLs is not thereby a low-quality host
-      .filter(col("verdict") =!= "alias")
+      // only CONTENT-QUALITY verdicts vote: alias rows are redirect
+      // observations, not_modified rows are validator confirmations
+      // of content already judged, and noindex is a compliance
+      // verdict — none of them says anything about the host's text
+      // quality, and before the r19 filter a validated-unchanged KEPT
+      // page's newest row (not_modified) silently flipped its vote to
+      // not-kept. The latest-per-URL fold below therefore reads the
+      // newest CONTENT verdict.
+      .filter(col("verdict").isin("kept", "thin"))
       .groupBy("canon_url")
       .agg(max(struct(col("b"), col("verdict"))).as("w"))
       .select(Urls.hostOf(col("canon_url")).as("host"),

@@ -1169,6 +1169,57 @@ class IngestCrawlSpec extends SparkSpec {
       s"effective interval = 4 * 2^2: ${at19.toSeq}")
   }
 
+  test("meta robots in the stream: a noindex page never admits but its " +
+      "links flow, a nofollow page contributes no candidates, and " +
+      "neither compliance verdict votes host quality") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_mr_s").toString
+    val disc = java.nio.file.Files.createTempDirectory("ic_mr_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_mr_f").toString
+    def pageOf(tag: String, head: String, links: String): String =
+      s"<html><head>$head</head><body><div>$links<p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      discoveredDir = Some(disc), fetchedDir = Some(fetched))
+    try {
+      input.addData(
+        (1L, "http://h.com/p1", pageOf("a",
+          "<meta name=\"robots\" content=\"noindex\"/>",
+          "<a href=\"/n1\">n</a>")),
+        (2L, "http://h.com/p2", pageOf("b",
+          "<meta content=\"nofollow\" name=\"robots\"/>",
+          "<a href=\"/n2\">n</a>")),
+        (3L, "http://h.com/p3", pageOf("c", "", "<a href=\"/n3\">n</a>")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val admitted = Frontier.readLayered(spark, surv)
+      .select("canon_url").collect().map(_.getString(0)).toSet
+    assert(admitted == Set("http://h.com/p2", "http://h.com/p3"),
+      s"noindex never admits: $admitted")
+    val ledger = Frontier.readLayered(spark, fetched)
+      .select("canon_url", "verdict").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ledger("http://h.com/p1") == "noindex", s"ledger: $ledger")
+    val discovered = Frontier.readLayered(spark, disc)
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(discovered == Set("http://h.com/n1", "http://h.com/n3"),
+      s"noindex links flow, nofollow links do not: $discovered")
+    // the noindex page is in the fetched scope: never re-scheduled
+    val wave = IngestCrawl.nextWave(spark, disc, fetched)
+      .collect().map(_.getString(0)).toSet
+    assert(!wave.contains("http://h.com/p1"), s"wave: $wave")
+    // compliance verdicts don't vote quality: 2 content pages, both
+    // kept → 100% ≥ 80; counting noindex as not-kept would read 67%
+    val hq = IngestCrawl.hostQuality(spark, fetched, keepPct = 80)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(3))))
+      .toMap
+    assert(hq("h.com") == ((2L, true)),
+      s"noindex must not vote host quality: $hq")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
