@@ -393,6 +393,35 @@ class CrawlSpec extends SparkSpec {
       "the &amp; attribute escape must decode before canonicalization")
   }
 
+  test("crawlWave: a persisted verdict frame reproduces the " +
+      "self-contained wave exactly, for both wave flavors") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    val dir = java.nio.file.Files.createTempDirectory("wave_lv").toString
+    // the verdict frame a deployment persists (the streaming
+    // hostQuality shape), derived here from the same front door the
+    // self-contained path runs — written and read back so the wave
+    // consumes a genuine parquet ledger, not a shared plan
+    DataOps.dsCrawl(spark, sf)
+      .select(graft.operators.Urls.hostOf(col("canon_url")).as("host"),
+        when(col("verdict") === "kept", 1L).otherwise(0L).as("k"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"))
+      .withColumn("quality_ok",
+        col("n_kept") * 100 >= col("n_pages") * DataOps.domainKeepPct)
+      .write.mode("overwrite").parquet(dir)
+    val verdicts = spark.read.parquet(dir)
+    for (fresh <- Seq(false, true)) {
+      val self = (if (fresh) DataOps.dsCrawlWaveFresh(spark, sf)
+                  else DataOps.dsCrawlWave(spark, sf))
+        .collect().map(_.toSeq).toSet
+      val fed = DataOps.crawlWave(spark, sf, fresh = fresh,
+          ledgerVerdicts = Some(verdicts))
+        .collect().map(_.toSeq).toSet
+      assert(fed == self,
+        s"ledger-fed wave (fresh=$fresh) must equal the self-contained wave")
+    }
+  }
+
   test("dsRecrawl: ladder recomputes from evidence, due waves stagger " +
       "within the interval, ledger agrees with dd_url_dedup") {
     val rows = DataOps.dsRecrawl(spark, sf)

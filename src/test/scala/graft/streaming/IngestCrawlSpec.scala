@@ -1220,6 +1220,40 @@ class IngestCrawlSpec extends SparkSpec {
       s"noindex must not vote host quality: $hq")
   }
 
+  test("cash-aware due refetches: a high-cash due URL outranks a " +
+      "zero-evidence discovery within its host; without receipts the " +
+      "due URL falls back to evidence 0") {
+    import spark.implicits._
+    val disc = java.nio.file.Files.createTempDirectory("ic_cd_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_cd_f").toString
+    // one discovered candidate with in-link evidence 1, one DUE
+    // refetch of an already-fetched high-cash page, same host
+    Seq(("http://h.com/new", "http://h.com/ref"))
+      .toDF("url", "referrer").write.parquet(s"$disc/batch_0")
+    Seq(("http://h.com/hot", "kept", 2L, 2L, 1L, 0L))
+      .toDF("canon_url", "verdict", "n_fetches", "n_changes", "n_unmod", "b")
+      .withColumn("h", md5(col("canon_url").cast("binary")))
+      .write.parquet(s"$fetched/batch_0")
+    val due = IngestCrawl.recrawlDue(spark, fetched, 10L)
+    assert(due.count() == 1, "the hot-rung URL must be due")
+    // without receipts: the due refetch joins at evidence 0 and the
+    // discovered link outranks it
+    val plain = IngestCrawl.nextWave(spark, disc, fetched,
+        perHostPerWave = 1, recrawl = Some(due))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(plain("http://h.com/new") < plain("http://h.com/hot"),
+      s"evidence ranks the discovery first: $plain")
+    // with accumulated OPIC receipts: the due page's cash outranks
+    // the zero-cash discovery — freshness work on proven-important
+    // pages schedules ahead of speculative discovery
+    val receipts = Seq(("http://h.com/hot", 5000L)).toDF("url", "cash")
+    val ranked = IngestCrawl.nextWave(spark, disc, fetched,
+        perHostPerWave = 1, recrawl = Some(due), priority = Some(receipts))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(ranked("http://h.com/hot") < ranked("http://h.com/new"),
+      s"cash re-ranks the due refetch first: $ranked")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
