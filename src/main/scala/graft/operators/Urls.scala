@@ -613,6 +613,63 @@ object Urls {
       .select("url", "priority", "host", "cap", "wave")
   }
 
+  /** [[politeWavesCapped]] for MEGA-HOST frontiers (r19): the plain
+    * form ranks each host in ONE window partition, so a host owning
+    * ~90% of a wide frontier serializes into one external-sorted task
+    * — measured 6.2 s vs the 1.3 s balanced control at the 100×
+    * rehearsal decade (BASELINE.md#polite_megahost@100x), growing
+    * with the decade. This form decomposes the per-host rank exactly:
+    *
+    *  1. range-repartition on (host, priority desc, url) — partitions
+    *     are order-contiguous slices of every host's queue, ~n/P rows
+    *     each regardless of host skew (the full key is unique, so no
+    *     tie ever straddles a boundary decision);
+    *  2. rank WITHIN (partition, host) — a window whose partitions
+    *     are slice-sized, never host-sized;
+    *  3. per-(host, partition) counts → per-host prefix offsets (a
+    *     hosts × P frame — tiny) broadcast back: global per-host rank
+    *     = slice offset + local rank, and the wave math is unchanged.
+    *
+    * Output ≡ [[politeWavesCapped]] row-for-row (UrlsSpec property);
+    * cost is one extra (tiny) count aggregate + broadcast join on top
+    * of trading the skewed exchange for a range exchange — pay it
+    * when one host dominates, keep the plain form for structurally
+    * bounded frontiers. Partition ids are read AFTER the range
+    * exchange, so a task retry re-reads the same shuffle partition
+    * and the (id → slice) mapping is replay-stable. */
+  def politeWavesCappedWide(df: DataFrame, url: Column, priority: Column,
+                            hostCaps: DataFrame, defaultCap: Int = 1,
+                            partitions: Int = 0): DataFrame = {
+    require(defaultCap >= 1, s"defaultCap must be >= 1, got $defaultCap")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.select(url.as("url"), priority.as("priority"))
+      .withColumn("host", hostOf(col("url")))
+      .repartitionByRange(p, col("host"), col("priority").desc,
+        col("url").asc)
+      .withColumn("__pid", spark_partition_id())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid", "host")
+      .orderBy(col("priority").desc, col("url").asc)
+    val local = ranged.withColumn("__lr", row_number().over(w))
+    val offW = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offs = ranged.groupBy("host", "__pid")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
+      .select("host", "__pid", "__off")
+    local.join(broadcast(offs), Seq("host", "__pid"))
+      .join(broadcast(hostCaps.select(col("host"), col("cap"))),
+        Seq("host"), "left")
+      .withColumn("cap",
+        greatest(coalesce(col("cap"), lit(defaultCap.toLong)), lit(1L)))
+      .withColumn("wave",
+        floor((col("__off") + col("__lr") - 1) / col("cap")).cast("long"))
+      .select("url", "priority", "host", "cap", "wave")
+  }
+
   /** Blocklist predicate over a host column/expression: exact match
     * or dot-suffix (`example.com` blocks `a.example.com`). ONE regex
     * referencing `host` once — the folded `=== || endsWith` form

@@ -527,6 +527,28 @@ class UrlsSpec extends SparkSpec {
     assert(out.filter(_._2 == "c.com").forall(_._3 == 2L))
   }
 
+  test("politeWavesCappedWide ≡ politeWavesCapped row-for-row on a " +
+      "skewed frontier, across partition-count choices") {
+    import spark.implicits._
+    // one mega-host (90%), a tail of small hosts, duplicate
+    // priorities inside the mega-host so order falls to the url
+    // tiebreak; sized to straddle many range partitions
+    val rows = (1 to 900).map(i =>
+        (s"http://mega.com/p/${1000 + i}", (i % 7).toLong)) ++
+      (1 to 100).map(i => (s"http://t${i % 13}.com/p/$i", (i % 5).toLong))
+    val df = rows.toDF("url", "n_refs")
+    val caps = Seq(("mega.com", 4L), ("t1.com", 1L)).toDF("host", "cap")
+    val plain = Urls.politeWavesCapped(df, col("url"), col("n_refs"),
+        caps, defaultCap = 2)
+      .collect().map(_.toSeq).toSet
+    for (p <- Seq(3, 7, 32)) {
+      val wide = Urls.politeWavesCappedWide(df, col("url"), col("n_refs"),
+          caps, defaultCap = 2, partitions = p)
+        .collect().map(_.toSeq).toSet
+      assert(wide == plain, s"wide(p=$p) must equal the plain schedule")
+    }
+  }
+
   test("redirectHop/followRedirects: hop guard, chains, cap, hop count") {
     import spark.implicits._
     val (fin, hops) = Urls.followRedirects(col("url"))
