@@ -178,20 +178,31 @@ object Html {
     * one document. The deterministic subset both engines replay:
     * double-quoted attribute values on a `<link` tag, `rel` before
     * `href` or `href` before `rel` (the two orders real templates
-    * emit; when a page carries both spellings the rel-first one wins,
-    * and within one spelling the FIRST match wins), value
-    * XML-entity-decoded ([[Urls.xmlEntityDecode]] — `&amp;` in a
-    * query string is the live case). The value is as-written
-    * (possibly relative): resolve with [[Urls.resolveHref]] against
-    * the page's own canonical URL and re-canonicalize before any
-    * membership test — exactly like a redirect final. */
+    * emit — the FIRST tag carrying `rel="canonical"` wins and its
+    * `href` is read from that tag, so attribute order inside the tag
+    * is free), value XML-entity-decoded ([[Urls.xmlEntityDecode]] —
+    * `&amp;` in a query string is the live case). The value is
+    * as-written (possibly relative): resolve with
+    * [[Urls.resolveHref]] against the page's own canonical URL and
+    * re-canonicalize before any membership test — exactly like a
+    * redirect final.
+    *
+    * Cost shape (the r19 lesson, measured at the 100× streaming
+    * decade): the page-sized regex is (a) pre-gated behind a
+    * `contains` byte scan — any page the regex can match carries the
+    * literal token — and (b) SINGLY-REFERENCED inside the CaseWhen
+    * branch: whole-stage codegen hoists multiply-referenced
+    * subexpressions out of conditionals and evaluates them for EVERY
+    * row, so a `nullif` wrapped directly around the regex silently
+    * un-gated the first cut (+1.5 s/batch on pages that declare
+    * nothing). The ''→NULL fold doubles only the CaseWhen itself,
+    * whose branch laziness is internal. */
   def canonicalHref(html: Column): Column = {
-    val relFirst = regexp_extract(html,
-      "<link[^>]* rel=\"canonical\"[^>]* href=\"([^\"]*)\"", 1)
-    val hrefFirst = regexp_extract(html,
-      "<link[^>]* href=\"([^\"]*)\"[^>]* rel=\"canonical\"", 1)
-    nullif(Urls.xmlEntityDecode(
-      coalesce(nullif(relFirst, lit("")), nullif(hrefFirst, lit("")))),
+    val tag = regexp_extract(html, "<link[^>]* rel=\"canonical\"[^>]*>", 0)
+    val href = regexp_extract(tag, " href=\"([^\"]*)\"", 1)
+    nullif(
+      when(html.contains(lit("rel=\"canonical\"")),
+        Urls.xmlEntityDecode(href)).otherwise(lit("")),
       lit(""))
   }
 
@@ -199,18 +210,18 @@ object Html {
     * compliance sibling of robots.txt: RFC 9309 governs FETCHING,
     * meta robots governs what happens to the fetched document
     * (`noindex` = do not retain it in the corpus, `nofollow` = do not
-    * follow its links). Same deterministic subset as
-    * [[canonicalHref]]: double-quoted attribute values, name-first or
-    * content-first attribute order (name-first wins when both
-    * spellings appear), value returned as written — token tests are
-    * [[robotsContentHas]]. */
+    * follow its links). Same deterministic subset and cost shape as
+    * [[canonicalHref]]: double-quoted attribute values, the FIRST
+    * `<meta>` tag carrying `name="robots"` wins with its `content`
+    * read from that tag (attribute order free), page regex pre-gated
+    * behind the `contains` byte scan and singly-referenced inside the
+    * conditional. */
   def metaRobots(html: Column): Column = {
-    val nameFirst = regexp_extract(html,
-      "<meta[^>]* name=\"robots\"[^>]* content=\"([^\"]*)\"", 1)
-    val contentFirst = regexp_extract(html,
-      "<meta[^>]* content=\"([^\"]*)\"[^>]* name=\"robots\"", 1)
-    nullif(coalesce(nullif(nameFirst, lit("")),
-      nullif(contentFirst, lit(""))), lit(""))
+    val tag = regexp_extract(html, "<meta[^>]* name=\"robots\"[^>]*>", 0)
+    val content = regexp_extract(tag, " content=\"([^\"]*)\"", 1)
+    nullif(
+      when(html.contains(lit("name=\"robots\"")), content).otherwise(lit("")),
+      lit(""))
   }
 
   /** Does a meta-robots content value carry `token`? Token-exact per

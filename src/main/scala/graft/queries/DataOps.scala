@@ -3050,19 +3050,20 @@ object DataOps {
   }
 
   /** Html.canonicalHref mirrored over the SQL expression `html`
-    * (keep it a bare column — it repeats): rel-first wins over
-    * href-first, value XML-entity-decoded ('&amp;' LAST, matching
-    * Urls.xmlEntityDecode's one pass), '' → NULL. */
+    * (keep it a bare column — it repeats): the first `<link>` tag
+    * carrying rel="canonical" wins, its href read from that tag
+    * (attribute order free), value XML-entity-decoded ('&amp;' LAST,
+    * matching Urls.xmlEntityDecode's one pass), '' → NULL. The SQL
+    * twin runs UNgated (RE2 has no cheap-contains CaseWhen to win
+    * from) — a non-declaring page extracts '' → NULL identically. */
   private def canonicalHrefSqlExpr(html: String): String = {
     def dec(v: String) =
       s"""replace(replace(replace(replace(replace($v,
             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
             '&apos;', ''''), '&amp;', '&')"""
-    val relFirst = s"""nullif(regexp_extract($html,
-      '<link[^>]* rel="canonical"[^>]* href="([^"]*)"', 1), '')"""
-    val hrefFirst = s"""nullif(regexp_extract($html,
-      '<link[^>]* href="([^"]*)"[^>]* rel="canonical"', 1), '')"""
-    s"nullif(${dec(s"coalesce($relFirst, $hrefFirst)")}, '')"
+    val href = s"""regexp_extract(regexp_extract($html,
+      '<link[^>]* rel="canonical"[^>]*>', 0), ' href="([^"]*)"', 1)"""
+    s"nullif(${dec(href)}, '')"
   }
 
   /** The meta-robots fixture head element per doc_id residue
@@ -3075,14 +3076,11 @@ object DataOps {
          ELSE '' END"""
 
   /** Html.metaRobots mirrored over the SQL expression `html` (keep it
-    * a bare column — it repeats): name-first wins, '' → NULL. */
-  private def metaRobotsSqlExpr(html: String): String = {
-    val nameFirst = s"""nullif(regexp_extract($html,
-      '<meta[^>]* name="robots"[^>]* content="([^"]*)"', 1), '')"""
-    val contentFirst = s"""nullif(regexp_extract($html,
-      '<meta[^>]* content="([^"]*)"[^>]* name="robots"', 1), '')"""
-    s"nullif(coalesce($nameFirst, $contentFirst), '')"
-  }
+    * a bare column — it repeats): the first tag carrying
+    * name="robots" wins, content read from it, '' → NULL. */
+  private def metaRobotsSqlExpr(html: String): String =
+    s"""nullif(regexp_extract(regexp_extract($html,
+      '<meta[^>]* name="robots"[^>]*>', 0), ' content="([^"]*)"', 1), '')"""
 
   /** Html.robotsContentHas mirrored: token-exact membership in the
     * comma/whitespace-separated directive list, NULL ⇒ false. */

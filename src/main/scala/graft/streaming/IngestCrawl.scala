@@ -392,10 +392,25 @@ object IngestCrawl {
             // extraction regexes over the page (CollapseProject keeps
             // the boundary — non-cheap, multi-referenced)
             .withColumn("__ch", Html.canonicalHref(col("html")))
-            .withColumn("__key", coalesce(
-              Urls.canonicalize(Urls.resolveHref(col("__base"), col("__ch"))),
-              col("__base")))
-        val firstInBatch = keyed
+            // declared-href gate: pages without a declaration (the
+            // vast majority) skip the resolve + canonicalize chain
+            // entirely — CaseWhen evaluates branches lazily
+            .withColumn("__key", when(col("__ch").isNotNull, coalesce(
+                Urls.canonicalize(Urls.resolveHref(col("__base"), col("__ch"))),
+                col("__base")))
+              .otherwise(col("__base")))
+        // the keyed frame is read by UP TO four consumers in a full
+        // configuration — admission's keep-first, the alias-pair
+        // union's TWO branches, and discovery's own-batch exclusion —
+        // and each re-execution re-runs the batch scan, the canon
+        // cascade and the canonical extraction. Cache it per batch
+        // when a second consumer exists (batch-bounded; unpersisted
+        // in the batch epilogue). Measured at the 100× streaming
+        // decade with the ledger on: early-mean 3.15 → 2.40 s/batch.
+        val keyedCached = fetchedDir.isDefined || discoveredDir.isDefined ||
+          cashDir.isDefined
+        val keyedC = if (keyedCached) keyed.persist() else keyed
+        val firstInBatch = keyedC
           .select(col("doc_id"), col("html"), col("__key").as("canon_url"))
           .groupBy("canon_url")
           .agg(min(struct(col("doc_id"), col("html"))).as("w"))
@@ -410,9 +425,9 @@ object IngestCrawl {
         // canonical-declaring fetches after the src =!= dst filter
         val aliasPairs =
           if (!hasFinal && !honorCanonical) None
-          else Some(keyed
+          else Some(keyedC
             .select(col("__src").as("src"), col("__key").as("dst"))
-            .unionByName(keyed
+            .unionByName(keyedC
               .select(col("__base").as("src"), col("__key").as("dst")))
             .filter(col("src") =!= col("dst"))
             .filter(!Urls.hostBlocked(Urls.hostOf(col("src")),
@@ -701,6 +716,7 @@ object IngestCrawl {
         cashDir.foreach(cd => Frontier.maybeSettle(spark, cd, batchId,
           Seq("url"), settleEvery, frontierBuckets))
         if (cacheBatch) staged.unpersist()
+        if (keyedCached) keyedC.unpersist()
         linksCached.foreach(l =>
           if (discoveredDir.isDefined && cashDir.isDefined) l.unpersist())
         ()
