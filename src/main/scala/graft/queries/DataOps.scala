@@ -1869,6 +1869,23 @@ object DataOps {
       caps, crawlPerHostPerWave)
   }
 
+  /** [[dsCrawlDelay]] through the r19 MEGA-HOST rank decomposition
+    * ([[graft.operators.Urls.politeWavesCappedWide]] — range slices +
+    * per-slice rank + broadcast prefix offsets): identical rows by
+    * construction, and the oracle replays the SAME SQL text as
+    * ds_crawl_delay, so the driver's hash gate checks the
+    * equivalence claim on every round's corpus — the measured story
+    * is BASELINE.md#polite_megahost@100x/@1000x (2.3× faster than
+    * the single-window plan once one host's queue clears ~3 M). */
+  def dsCrawlDelayWide(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val caps = txRobotsDelays(s, d).select(col("host"),
+      greatest(lit(1L),
+        floor(lit(crawlWavePeriodSec) / col("delay_s"))).as("cap"))
+    Urls.politeWavesCappedWide(dsCrawlFrontier(s, d), col("url"),
+      col("n_refs"), caps, crawlPerHostPerWave)
+  }
+
   /** Wave-density invariant twin over [[dsCrawlDelay]]'s schedule —
     * the scheduled-output CONTRACT as a driver-visible row: per
     * (host, cap), the URL total, wave count, max wave, fullest-wave
@@ -3536,6 +3553,29 @@ object DataOps {
   /** The full lastmod-override recrawl SQL — shared by the
     * ds_recrawl_lastmod entry and the wave-fresh composite (which
     * embeds it as a subquery for its due set). */
+  /** The Crawl-delay politeness schedule's oracle text — shared
+    * verbatim by ds_crawl_delay (the plain single-window plan) and
+    * ds_crawl_delay_wide (the r19 mega-host rank decomposition): the
+    * two plans must produce identical rows, and sharing the text
+    * makes the driver's hash gate check exactly that. */
+  private lazy val crawlDelaySql: String =
+    s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes,
+        caps AS (SELECT host,
+                   greatest(1, $crawlWavePeriodSec // delay_s) AS cap
+                 FROM delays),
+        c AS (SELECT url, n_refs AS priority,
+                regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                  AS host
+              FROM f),
+        j AS (SELECT c.url, c.priority, c.host,
+                greatest(coalesce(caps.cap, $crawlPerHostPerWave), 1) AS cap
+              FROM c LEFT JOIN caps ON c.host = caps.host)
+        SELECT url, priority, host, cap,
+               CAST((row_number() OVER (PARTITION BY host
+                      ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
+                 AS wave
+        FROM j"""
+
   private lazy val recrawlLastmodSql: String =
     s"""WITH $recrawlLadderCtes,
           $sitemapAltBodiesCtes,
@@ -6393,23 +6433,11 @@ object DataOps {
     // Crawl-delay-aware scheduling: per-host wave caps derived from
     // the delay table (cap = max(1, wavePeriod / delay), default
     // crawlPerHostPerWave when a host publishes no delay)
-    "ds_crawl_delay" ->
-      s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes,
-          caps AS (SELECT host,
-                     greatest(1, $crawlWavePeriodSec // delay_s) AS cap
-                   FROM delays),
-          c AS (SELECT url, n_refs AS priority,
-                  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
-                    AS host
-                FROM f),
-          j AS (SELECT c.url, c.priority, c.host,
-                  greatest(coalesce(caps.cap, $crawlPerHostPerWave), 1) AS cap
-                FROM c LEFT JOIN caps ON c.host = caps.host)
-          SELECT url, priority, host, cap,
-                 CAST((row_number() OVER (PARTITION BY host
-                        ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
-                   AS wave
-          FROM j""",
+    "ds_crawl_delay" -> crawlDelaySql,
+    // the r19 wide (mega-host) schedule replays the SAME oracle text:
+    // the rank decomposition is a plan-shape choice, never a result
+    // change — the driver hash-checks that claim every round
+    "ds_crawl_delay_wide" -> crawlDelaySql,
     // the composed politeness front door: frontier → robots access
     // filter (most-specific-match, wildcards) → delay-derived wave
     // caps — ONE replay of the chain the three sibling rows price
@@ -7073,6 +7101,7 @@ object DataOps {
     "ds_crawl_noindex" -> dsCrawlNoindex _, // noindex retention gate, nofollow links
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
+    "ds_crawl_delay_wide" -> dsCrawlDelayWide _, // mega-host rank decomposition
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan
     "ds_crawl_polite_seeded" -> dsCrawlPoliteSeeded _, // + sitemap seeds at evidence 0
     "ds_crawl_wave" -> dsCrawlWave _, // THE production wave: every gate, one plan
