@@ -995,6 +995,61 @@ object Rehearsal {
           early.sum / early.size}%.2f late_mean=${late.sum / late.size}%.2f")
         graft.streaming.Frontier.readLayered(spark, fetchedDir).count()
       }},
+      // the in-document canonical alias ledger at scale
+      // (ds_crawl_canonical's shape, r19): page synth + gated
+      // canonical extraction (a per-page projection), the declared
+      // frame DISTINCT (corpus-fraction-sized — ~30% of pages
+      // declare), the crawled-membership semi-join with NO broadcast
+      // hint (AQE decides), and the admit-once fold as a keyed min +
+      // join-back (the window form makes a partition per shared
+      // target — host-sized for a popular hub). Expected ≈ the crawl
+      // composite's extraction pass + two keyed exchanges over the
+      // declared fraction per decade
+      "crawl_canonical" -> { () => {
+        import graft.operators.{Html, Urls}
+        val blocked = graft.queries.DataOps.blockedDomains
+        val d = docsR.repartition(32)
+        val minDoc = d.groupBy(col("source"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("source"), Urls.canonicalize(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("target"))
+        val pages = d.join(broadcast(minDoc), Seq("source"))
+          .select(
+            Urls.canonicalize(Urls.syntheticUrl(col("doc_id"),
+              col("source"))).as("requested_canon"),
+            graft.queries.DataOps.canonicalPage(col("doc_id"), col("text"),
+              col("source"), col("target")).as("html"))
+        val ext = org.apache.spark.sql.GraftBridge.stageLocal(pages
+          .select(col("requested_canon"),
+            Html.canonicalHref(col("html")).as("href")))
+        val declared = ext
+          .filter(col("href").isNotNull)
+          .filter(!Urls.hostBlocked(Urls.hostOf(col("requested_canon")),
+            blocked))
+          .select(col("requested_canon"),
+            Urls.canonicalize(Urls.resolveHref(col("requested_canon"),
+              col("href"))).as("final_canon"))
+          .filter(col("final_canon").isNotNull &&
+            col("final_canon") =!= col("requested_canon"))
+          .distinct()
+        val t = org.apache.spark.sql.GraftBridge.stageLocal(declared)
+        val corpusUrls = d.select(Urls.canonicalize(
+          Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
+        val fetchedFinals = corpusUrls
+          .join(t.select(col("final_canon").as("url")), Seq("url"),
+            "left_semi")
+          .select(col("url").as("final_canon")).distinct()
+        val minreq = t.groupBy("final_canon")
+          .agg(min(col("requested_canon")).as("__minreq"))
+        t.join(fetchedFinals.withColumn("__f", lit(true)),
+            Seq("final_canon"), "left")
+          .join(minreq, Seq("final_canon"))
+          .select(when(coalesce(col("__f"), lit(false)), "dup_fetched")
+            .when(col("requested_canon") === col("__minreq"), "admitted")
+            .otherwise(lit("dup_alias")).as("verdict"))
+          .groupBy("verdict").agg(count(lit(1)).as("n"))
+          .agg(sum(col("n"))).collect()(0).getLong(0)
+      }},
       // the mega-host politeness question (r19 — the r18 verdict's
       // watch item): politeWavesCapped ranks per host in ONE window
       // partition, so a host owning ~90% of a wide frontier

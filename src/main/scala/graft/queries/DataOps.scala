@@ -1511,8 +1511,8 @@ object DataOps {
     *    — exercises [[graft.operators.Urls.resolveHref]] in the
     *    consumption chain;
     *  - anything else: no declaration (NULL extraction). */
-  private def canonicalPage(docId: Column, text: Column, source: Column,
-                            target: Column): Column = {
+  private[graft] def canonicalPage(docId: Column, text: Column,
+                                   source: Column, target: Column): Column = {
     val host = concat(lower(source), lit(".example.com"))
     val r = pmod(docId, lit(10))
     val link = when(r === 3,
@@ -1610,16 +1610,26 @@ object DataOps {
       // duplicated pair would mint two 'admitted' rows for one final
       .distinct()
     val t = org.apache.spark.sql.GraftBridge.stageLocal(declared)
+    // posture notes (r19, vs the redirect sibling): the redirect
+    // request set is hosts-bounded, so dsCrawlRedirects broadcasts it
+    // and windows the admit-once fold — both WRONG here, where the
+    // declared frame is a corpus FRACTION (most CMS pages declare):
+    // no broadcast hints (AQE picks broadcast at oracle scale and a
+    // shuffle join at the decades), and the admit-once fold is a
+    // keyed min + join-back instead of a window — a popular shared
+    // canonical (every page of a host declaring one hub) makes a
+    // window partition host-sized, while the aggregate's map-side
+    // partials collapse it per task.
     val corpusUrls = docs(s, d).select(Urls.canonicalize(
       Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
     val fetchedFinals = corpusUrls
-      .join(broadcast(t.select(col("final_canon").as("url"))),
-        Seq("url"), "left_semi")
+      .join(t.select(col("final_canon").as("url")), Seq("url"), "left_semi")
       .select(col("url").as("final_canon")).distinct()
-    t.join(broadcast(fetchedFinals.withColumn("__f", lit(true))),
+    val minreq = t.groupBy("final_canon")
+      .agg(min(col("requested_canon")).as("__minreq"))
+    t.join(fetchedFinals.withColumn("__f", lit(true)),
         Seq("final_canon"), "left")
-      .withColumn("__minreq",
-        min(col("requested_canon")).over(Window.partitionBy("final_canon")))
+      .join(minreq, Seq("final_canon"))
       .withColumn("verdict",
         when(coalesce(col("__f"), lit(false)), "dup_fetched")
           .when(col("requested_canon") === col("__minreq"), "admitted")
