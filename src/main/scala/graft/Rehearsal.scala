@@ -1048,7 +1048,9 @@ object Rehearsal {
             .when(col("requested_canon") === col("__minreq"), "admitted")
             .otherwise(lit("dup_alias")).as("verdict"))
           .groupBy("verdict").agg(count(lit(1)).as("n"))
-          .agg(sum(col("n"))).collect()(0).getLong(0)
+          // coalesce: sum over zero rows is NULL — an empty verdict
+          // frame must return 0, not NPE the harness (r20, ADVICE)
+          .agg(coalesce(sum(col("n")), lit(0L))).collect()(0).getLong(0)
       }},
       // the mega-host politeness question (r19 — the r18 verdict's
       // watch item): politeWavesCapped ranks per host in ONE window

@@ -644,11 +644,21 @@ object Urls {
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.select(url.as("url"), priority.as("priority"))
-      .withColumn("host", hostOf(col("url")))
-      .repartitionByRange(p, col("host"), col("priority").desc,
-        col("url").asc)
-      .withColumn("__pid", spark_partition_id())
+    // staged, not merely shared (r20, ADVICE): `ranged` feeds BOTH the
+    // local-rank window and the offset counts below. Left as a plan,
+    // global rank = offset + local rank is consistent only if Spark's
+    // exchange reuse deduplicates the range shuffle — defeated reuse
+    // would let RangePartitioner's per-execution sampling pick
+    // different boundaries for the two executions and silently
+    // mis-wave. Staging materializes the sliced frontier ONCE (with
+    // __pid already stamped), so both consumers read identical rows
+    // by construction, not by optimizer rule.
+    val ranged = org.apache.spark.sql.GraftBridge.stageLocal(
+      df.select(url.as("url"), priority.as("priority"))
+        .withColumn("host", hostOf(col("url")))
+        .repartitionByRange(p, col("host"), col("priority").desc,
+          col("url").asc)
+        .withColumn("__pid", spark_partition_id()))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("__pid", "host")
       .orderBy(col("priority").desc, col("url").asc)

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions.{col, lit, row_number}
+import org.apache.spark.sql.functions.{coalesce, col, lit, row_number}
 
 /** Settled-frontier layout for the per-batch-overwrite streams: the
   * base+delta posture the persisted dedup index already uses, applied
@@ -174,7 +174,24 @@ object Frontier {
     val l = scan(spark, dir)
     val paths = l.frontier.map(_._2.toString).toSeq ++ l.deltas.map(_._2.toString)
     require(paths.nonEmpty, s"no settled frontier or batch deltas under $dir")
-    spark.read.option("ignoreMissingFiles", "true").parquet(paths: _*)
+    // mergeSchema: layers may differ by an appended optional column
+    // (a mid-run producer upgrade — the r20 `tombstone` marker); the
+    // default first-file schema would silently drop it and resurrect
+    // erased rows. Footer merging is bounded by the settle cadence
+    // (frontier + ≤ settleEvery deltas).
+    val raw = spark.read
+      .option("ignoreMissingFiles", "true")
+      .option("mergeSchema", "true")
+      .parquet(paths: _*)
+    // tombstone rows (r20 — the erase markers [[maybeSettle]]
+    // compacts away) are markers, not content: hide them. Erasure of
+    // the key's OLDER layers takes effect at the next settle (the
+    // fold has the generation order this flat union deliberately does
+    // not reconstruct — consumers of a pre-settle layered read see
+    // every live version, per this function's contract).
+    if (!raw.columns.contains("tombstone")) raw
+    else raw.filter(!coalesce(col("tombstone"), lit(false)))
+      .drop("tombstone")
   }
 
   /** Settle check, called at the end of each foreachBatch body: GC
@@ -208,15 +225,30 @@ object Frontier {
     // generation id, keep the max-generation row per key. One
     // exchange (reused by the window) + one sort — the same shuffle
     // the old dropDuplicates paid, now with a pinned winner.
+    // allowMissingColumns: a producer may upgrade its delta schema
+    // mid-run (r20: the crawl survivor sink added `tombstone`); dirs
+    // written before the upgrade union in with NULL for the new
+    // column, which every consumer of an optional column already
+    // coalesces over.
     val tagged = in.map { case (gen, p) =>
       spark.read.parquet(p.toString).withColumn("__gen", lit(gen))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     val w = Window.partitionBy(key.map(col): _*).orderBy(col("__gen").desc)
-    val folded = tagged
+    val folded0 = tagged
       .repartition(nFiles, key.map(col): _*)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
       .drop("__gen", "__rk")
+    // deletion markers (r20): a delta row with `tombstone = true` is
+    // a log-compaction ERASE of its key — when it wins latest-wins,
+    // the key leaves the settled frontier entirely (the crawl stream
+    // writes one when a refetched page gains `noindex`: compliance
+    // says drop the retained copy, not just stop updating it). The
+    // column survives in the settled schema (all false) so layered
+    // reads stay union-compatible with the live deltas.
+    val folded =
+      if (!folded0.columns.contains("tombstone")) folded0
+      else folded0.filter(!coalesce(col("tombstone"), lit(false)))
     if (buckets > 0)
       // repartition(buckets, key) aligns task ↔ bucket (same
       // murmur3-pmod), so each bucket is ONE file and the scan

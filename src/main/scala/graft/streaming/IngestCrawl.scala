@@ -143,6 +143,70 @@ object IngestCrawl {
         col("w.n_unmod").as("n_unmod"), col("w.b").as("b")))
   }
 
+  /** Offline migration for fetched-ledger dirs written by earlier
+    * row formats (r20, ADVICE): rewrites every `frontier_<m>` /
+    * `batch_<id>` dir under `dir` in place, adding the missing
+    * change-evidence columns with exactly the conservative defaults
+    * the [[ledgerState]] fail-fast prescribes — h = NULL (no payload
+    * evidence: the next refetch counts as a first observation, never
+    * a spurious change), n_fetches = 1 (it was observed at least
+    * once), n_changes = 0, n_unmod = 0 (no streak evidence ⇒ no
+    * ladder demotion), b = the dir's own id. Idempotent: dirs already
+    * carrying a column keep it untouched; a fully-current ledger is a
+    * no-op. Crash-safe: each dir migrates via temp write + rename,
+    * and a crash between delete and rename is healed on the next run
+    * (the temp dir is detected and renamed into place — its prefix is
+    * invisible to the stream's layout scan either way). Run this once
+    * BEFORE restarting a stream on an upgraded engine; the next
+    * settle re-registers the bucketed frontier table as usual. */
+  def migrateLedger(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val defaults: Seq[(String, Column)] = Seq(
+      "h" -> lit(null).cast("string"),
+      "n_fetches" -> lit(1L),
+      "n_changes" -> lit(0L),
+      "n_unmod" -> lit(0L))
+    val kids = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+    // heal a previous run's crash window first: a temp dir whose
+    // target vanished is a finished migration that missed its rename
+    kids.filter(_.getName.startsWith(tmpPrefix)).foreach { t =>
+      val target = new org.apache.hadoop.fs.Path(
+        root, t.getName.stripPrefix(tmpPrefix))
+      if (fs.exists(target)) fs.delete(t, true) // stale partial write
+      else fs.rename(t, target)
+    }
+    fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => !p.getName.startsWith(tmpPrefix)).foreach { p =>
+        val id = Seq("frontier_", "batch_").collectFirst {
+          case pre if p.getName.startsWith(pre) =>
+            scala.util.Try(p.getName.stripPrefix(pre).toLong).toOption
+        }.flatten
+        id.foreach { b =>
+          val cur = spark.read.parquet(p.toString)
+          val missing =
+            defaults.filterNot { case (n, _) => cur.columns.contains(n) } ++
+              (if (cur.columns.contains("b")) Nil else Seq("b" -> lit(b)))
+          if (missing.nonEmpty) {
+            val migrated = missing.foldLeft(cur) {
+              case (d, (n, c)) => d.withColumn(n, c) }
+            val tmp = new org.apache.hadoop.fs.Path(
+              root, s"$tmpPrefix${p.getName}")
+            if (fs.exists(tmp)) fs.delete(tmp, true)
+            migrated.write.mode("overwrite").parquet(tmp.toString)
+            fs.delete(p, true)
+            fs.rename(tmp, p)
+          }
+        }
+      }
+  }
+
+  /** Temp-dir prefix for [[migrateLedger]]'s in-place rewrites —
+    * starts with a dot so the stream's layout scan and parquet
+    * readers never see it as data. */
+  private val tmpPrefix = ".__migrate_"
+
   /** Latest accumulated OPIC cash per url from the cash ledger's
     * replay-safe scope — same latest-wins read as [[ledgerState]]
     * (each batch lands CUMULATIVE rows, so the newest row per url is
@@ -321,404 +385,436 @@ object IngestCrawl {
     fetches.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        // redirect awareness (r18): a fetch frame may carry a
-        // `final_url` column — the fetcher's observed post-redirect
-        // location (empty/null = no redirect). Admission then keys on
-        // the FINAL canonical URL (the same page behind two requested
-        // URLs admits once), and the (requested → final) pairs land
-        // in the fetched ledger as `alias` rows below, so discovery
-        // and nextWave never re-schedule a known redirect source.
-        //
-        // rel=canonical (r19): with `honorCanonical`, the in-document
-        // half of the SAME signal — a page declaring
-        // `<link rel="canonical">` (Html.canonicalHref; possibly
-        // relative, resolved against the redirect-final base) keys its
-        // admission on the DECLARED canonical, the most specific
-        // aliasing statement available (it overrides the transport
-        // final: the site says what the fetched content IS). Both the
-        // requested URL and the redirect final become alias sources of
-        // the declared key, so neither ever re-schedules. Cost: one
-        // regex extract over bytes the batch already holds.
-        val hasFinal = batch.columns.contains("final_url")
-        val eff =
-          if (hasFinal) coalesce(nullif(col("final_url"), lit("")), col("url"))
-          else col("url")
-        // not-modified verdicts (r19): a fetch frame may carry a
-        // `not_modified` column — the fetcher's validator outcome
-        // (HTTP 304 / ETag match: the server confirmed the payload is
-        // unchanged WITHOUT sending it). Such a fetch counts in the
-        // ledger (n_fetches+1, the unchanged streak +1, the previous
-        // hash carried — "validated unchanged" is evidence, not a
-        // change) but never reaches admission or extraction: there is
-        // no payload to extract, and the corpus already holds the
-        // newest copy. recrawlDue's ladder then demotes the streak.
-        val hasNotMod = batch.columns.contains("not_modified")
-        // gate placement per Urls.dedupByUrl's r16 note: conservative
-        // raw-host gate before the exchange (references only the raw
-        // url column — bulk blocked volume never shuffles), exact
-        // canonical gate after the keep-first aggregate (one row per
-        // distinct URL; host is a function of canon_url, so the
-        // filter commutes with the aggregate)
-        val gatedAll = batch.toDF()
-          .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
-            blockedDomains))
-        val gatedRaw =
-          if (!hasNotMod) gatedAll
-          else gatedAll.filter(!coalesce(col("not_modified"), lit(false)))
-        // validated-unchanged keys: no document, so the key is the
-        // transport final's canon (a 304 can't declare a canonical);
-        // distinct — one ledger observation per URL per batch
-        val notModKeys =
-          if (!hasNotMod) None
-          else Some(gatedAll
-            .filter(coalesce(col("not_modified"), lit(false)))
-            .select(Urls.canonicalize(eff).as("canon_url"))
+        // batch-bounded caches (keyed/staged/links below) register
+        // here and unpersist in the `finally`: a mid-batch exception
+        // (the ledger-format fail-fast, a sink write error) must not
+        // leak cached partitions — on a long-running stream with
+        // retries those leaks accumulate in executor storage memory
+        // (r20, ADVICE).
+        val batchCaches =
+          scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+        def tracked[T](ds: Dataset[T]): Dataset[T] = {
+          ds.persist(); batchCaches += ds; ds
+        }
+        try {
+          // redirect awareness (r18): a fetch frame may carry a
+          // `final_url` column — the fetcher's observed post-redirect
+          // location (empty/null = no redirect). Admission then keys on
+          // the FINAL canonical URL (the same page behind two requested
+          // URLs admits once), and the (requested → final) pairs land
+          // in the fetched ledger as `alias` rows below, so discovery
+          // and nextWave never re-schedule a known redirect source.
+          //
+          // rel=canonical (r19): with `honorCanonical`, the in-document
+          // half of the SAME signal — a page declaring
+          // `<link rel="canonical">` (Html.canonicalHref; possibly
+          // relative, resolved against the redirect-final base) keys its
+          // admission on the DECLARED canonical, the most specific
+          // aliasing statement available (it overrides the transport
+          // final: the site says what the fetched content IS). Both the
+          // requested URL and the redirect final become alias sources of
+          // the declared key, so neither ever re-schedules. Cost: one
+          // regex extract over bytes the batch already holds.
+          val hasFinal = batch.columns.contains("final_url")
+          val eff =
+            if (hasFinal) coalesce(nullif(col("final_url"), lit("")), col("url"))
+            else col("url")
+          // not-modified verdicts (r19): a fetch frame may carry a
+          // `not_modified` column — the fetcher's validator outcome
+          // (HTTP 304 / ETag match: the server confirmed the payload is
+          // unchanged WITHOUT sending it). Such a fetch counts in the
+          // ledger (n_fetches+1, the unchanged streak +1, the previous
+          // hash carried — "validated unchanged" is evidence, not a
+          // change) but never reaches admission or extraction: there is
+          // no payload to extract, and the corpus already holds the
+          // newest copy. recrawlDue's ladder then demotes the streak.
+          val hasNotMod = batch.columns.contains("not_modified")
+          // gate placement per Urls.dedupByUrl's r16 note: conservative
+          // raw-host gate before the exchange (references only the raw
+          // url column — bulk blocked volume never shuffles), exact
+          // canonical gate after the keep-first aggregate (one row per
+          // distinct URL; host is a function of canon_url, so the
+          // filter commutes with the aggregate)
+          val gatedAll = batch.toDF()
+            .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+              blockedDomains))
+          val gatedRaw =
+            if (!hasNotMod) gatedAll
+            else gatedAll.filter(!coalesce(col("not_modified"), lit(false)))
+          // validated-unchanged keys: no document, so the key is the
+          // transport final's canon (a 304 can't declare a canonical);
+          // distinct — one ledger observation per URL per batch
+          val notModKeys =
+            if (!hasNotMod) None
+            else Some(gatedAll
+              .filter(coalesce(col("not_modified"), lit(false)))
+              .select(Urls.canonicalize(eff).as("canon_url"))
+              .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+                blockedDomains))
+              .distinct())
+          // one projection computes every key the batch needs: __src
+          // (the requested canon), __base (the redirect-final canon —
+          // the same expression as __src when no final_url column, so
+          // codegen CSE evaluates the cascade once) and __key (the
+          // admission key: declared canonical when present, else base)
+          val keyed0 = gatedRaw.select(col("doc_id"), col("html"),
+            Urls.canonicalize(col("url")).as("__src"),
+            Urls.canonicalize(eff).as("__base"))
+          val keyed =
+            if (!honorCanonical) keyed0.withColumn("__key", col("__base"))
+            else keyed0
+              // __ch as its own column: resolveHref references the href
+              // ~8 times, and inlined each reference re-runs the two
+              // extraction regexes over the page (CollapseProject keeps
+              // the boundary — non-cheap, multi-referenced)
+              .withColumn("__ch", Html.canonicalHref(col("html")))
+              // declared-href gate: pages without a declaration (the
+              // vast majority) skip the resolve + canonicalize chain
+              // entirely — CaseWhen evaluates branches lazily
+              .withColumn("__key", when(col("__ch").isNotNull, coalesce(
+                  Urls.canonicalize(Urls.resolveHref(col("__base"), col("__ch"))),
+                  col("__base")))
+                .otherwise(col("__base")))
+          // the keyed frame is read by UP TO four consumers in a full
+          // configuration — admission's keep-first, the alias-pair
+          // union's TWO branches, and discovery's own-batch exclusion —
+          // and each re-execution re-runs the batch scan, the canon
+          // cascade and the canonical extraction. Cache it per batch
+          // when a second consumer exists (batch-bounded; unpersisted
+          // in the batch epilogue). Measured at the 100× streaming
+          // decade with the ledger on: early-mean 3.15 → 2.40 s/batch.
+          val keyedCached = fetchedDir.isDefined || discoveredDir.isDefined ||
+            cashDir.isDefined
+          val keyedC = if (keyedCached) tracked(keyed) else keyed
+          val firstInBatch = keyedC
+            .select(col("doc_id"), col("html"), col("__key").as("canon_url"))
+            .groupBy("canon_url")
+            .agg(min(struct(col("doc_id"), col("html"))).as("w"))
             .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
               blockedDomains))
-            .distinct())
-        // one projection computes every key the batch needs: __src
-        // (the requested canon), __base (the redirect-final canon —
-        // the same expression as __src when no final_url column, so
-        // codegen CSE evaluates the cascade once) and __key (the
-        // admission key: declared canonical when present, else base)
-        val keyed0 = gatedRaw.select(col("doc_id"), col("html"),
-          Urls.canonicalize(col("url")).as("__src"),
-          Urls.canonicalize(eff).as("__base"))
-        val keyed =
-          if (!honorCanonical) keyed0.withColumn("__key", col("__base"))
-          else keyed0
-            // __ch as its own column: resolveHref references the href
-            // ~8 times, and inlined each reference re-runs the two
-            // extraction regexes over the page (CollapseProject keeps
-            // the boundary — non-cheap, multi-referenced)
-            .withColumn("__ch", Html.canonicalHref(col("html")))
-            // declared-href gate: pages without a declaration (the
-            // vast majority) skip the resolve + canonicalize chain
-            // entirely — CaseWhen evaluates branches lazily
-            .withColumn("__key", when(col("__ch").isNotNull, coalesce(
-                Urls.canonicalize(Urls.resolveHref(col("__base"), col("__ch"))),
-                col("__base")))
-              .otherwise(col("__base")))
-        // the keyed frame is read by UP TO four consumers in a full
-        // configuration — admission's keep-first, the alias-pair
-        // union's TWO branches, and discovery's own-batch exclusion —
-        // and each re-execution re-runs the batch scan, the canon
-        // cascade and the canonical extraction. Cache it per batch
-        // when a second consumer exists (batch-bounded; unpersisted
-        // in the batch epilogue). Measured at the 100× streaming
-        // decade with the ledger on: early-mean 3.15 → 2.40 s/batch.
-        val keyedCached = fetchedDir.isDefined || discoveredDir.isDefined ||
-          cashDir.isDefined
-        val keyedC = if (keyedCached) keyed.persist() else keyed
-        val firstInBatch = keyedC
-          .select(col("doc_id"), col("html"), col("__key").as("canon_url"))
-          .groupBy("canon_url")
-          .agg(min(struct(col("doc_id"), col("html"))).as("w"))
-          .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
-            blockedDomains))
-          .select(col("canon_url"), col("w.doc_id").as("doc_id"),
-            col("w.html").as("html"))
-        // the batch's alias pairs — every observed spelling of the
-        // admission key (requested canon AND redirect-final canon)
-        // maps to it; batch-content-only, so replay-stable like
-        // firstInBatch; bounded by the batch's redirected or
-        // canonical-declaring fetches after the src =!= dst filter
-        val aliasPairs =
-          if (!hasFinal && !honorCanonical) None
-          else Some(keyedC
-            .select(col("__src").as("src"), col("__key").as("dst"))
-            .unionByName(keyedC
-              .select(col("__base").as("src"), col("__key").as("dst")))
-            .filter(col("src") =!= col("dst"))
-            .filter(!Urls.hostBlocked(Urls.hostOf(col("src")),
-              blockedDomains))
-            .distinct())
-        // admitted frontier: settled run artifact + this run's EARLIER
-        // batches (the current id excluded — a retry must not
-        // anti-join its own partial output, see BatchLayout / Frontier)
-        val afterOwn = antiAdmitted(spark, firstInBatch, "canon_url",
-          survivorDir, batchId)
-        val fresh = settledUrls match {
-          case Some(sn) =>
-            afterOwn.join(sn.select("canon_url"), Seq("canon_url"), "left_anti")
-          case None => afterOwn
+            .select(col("canon_url"), col("w.doc_id").as("doc_id"),
+              col("w.html").as("html"))
+          // the batch's alias pairs — every observed spelling of the
+          // admission key (requested canon AND redirect-final canon)
+          // maps to it; batch-content-only, so replay-stable like
+          // firstInBatch; bounded by the batch's redirected or
+          // canonical-declaring fetches after the src =!= dst filter
+          val aliasPairs =
+            if (!hasFinal && !honorCanonical) None
+            else Some(keyedC
+              .select(col("__src").as("src"), col("__key").as("dst"))
+              .unionByName(keyedC
+                .select(col("__base").as("src"), col("__key").as("dst")))
+              .filter(col("src") =!= col("dst"))
+              .filter(!Urls.hostBlocked(Urls.hostOf(col("src")),
+                blockedDomains))
+              .distinct())
+          // admitted frontier: settled run artifact + this run's EARLIER
+          // batches (the current id excluded — a retry must not
+          // anti-join its own partial output, see BatchLayout / Frontier)
+          val afterOwn = antiAdmitted(spark, firstInBatch, "canon_url",
+            survivorDir, batchId)
+          val fresh = settledUrls match {
+            case Some(sn) =>
+              afterOwn.join(sn.select("canon_url"), Seq("canon_url"), "left_anti")
+            case None => afterOwn
+          }
+          // recrawl scope (r17): URLs whose freshness interval has
+          // elapsed ([[recrawlDue]]) RE-ENTER admission past every
+          // fetched-scope exclusion — the refetch lands as a new
+          // survivor version (the survivor settle's latest-wins fold
+          // keeps the corpus at the newest copy) and increments the
+          // ledger's change evidence below. The scope contract: due
+          // URLs derive from the fetched ledger, so they are disjoint
+          // from `fresh` by construction; the anti-join enforces it
+          // against a caller handing never-fetched URLs (which must
+          // admit as fresh ONCE, not twice).
+          val admitted = recrawlPinned match {
+            case Some(due) => fresh.unionByName(
+              firstInBatch
+                .join(due, Seq("canon_url"), "left_semi")
+                .join(fresh.select("canon_url"), Seq("canon_url"), "left_anti"))
+            case None => fresh
+          }
+          // meta-robots at ADMISSION (r19): `noindex` is the compliance
+          // sibling of robots.txt — RFC 9309 governs fetching, noindex
+          // governs RETENTION. A declaring page is excluded from
+          // survivors under its own verdict (compliance outranks the
+          // thin cut), while its links still feed discovery below —
+          // unless `nofollow` gates them there. __mr as its own column:
+          // both token flags reference it (CollapseProject boundary).
+          val withMeta = admitted
+            .withColumn("__mr", Html.metaRobots(col("html")))
+            .withColumn("__noidx", Html.robotsContentHas(col("__mr"), "noindex"))
+          val ext = Html.extractMainText(withMeta, col("html"), col("doc_id"),
+            carry = Seq(col("canon_url"), col("__noidx")))
+          val nTok = when(col("main_text") === "", 0L)
+            .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
+          val gated = ext.select(col("doc_id"), col("canon_url"), col("main_text"),
+              col("kept_blocks"), nTok.as("n_tokens"), col("__noidx"))
+            .withColumn("verdict",
+              when(col("__noidx"), "noindex")
+                .when(col("n_tokens") >= minTokens, "kept")
+                .otherwise(lit("thin")))
+            .drop("__noidx")
+          // the batch is bounded: stage it so the survivor write and
+          // the ledger write don't each re-run extraction + the probe
+          // anti-joins (discovery reads `fresh` pre-extraction — links
+          // come from ALL gated fetches, thin included)
+          val staged = if (fetchedDir.isDefined) tracked(gated) else gated
+          // noindex gained on REFETCH (r20): the first fetch's copy is
+          // already retained, and the site now says don't retain it —
+          // compliance demands the old copy LEAVE the corpus, not just
+          // stop updating. The survivor delta lands a TOMBSTONE row
+          // (content nulled — retaining the text on the erase marker
+          // would defeat the directive) that the settle's latest-wins
+          // fold compacts into a deletion (Frontier.maybeSettle) and
+          // layered reads hide. Scoped to the due set: a FIRST-fetch
+          // noindex page never wrote a survivor row, so it needs no
+          // erase marker — and ledger-less admission scope semantics
+          // stay unchanged for it. Kept rows carry tombstone=false so
+          // each delta's schema is uniform.
+          val keptRows = staged.filter(col("verdict") === "kept")
+            .drop("verdict").withColumn("tombstone", lit(false))
+          val survivorRows = recrawlPinned match {
+            case Some(due) => keptRows.unionByName(
+              staged.filter(col("verdict") === "noindex")
+                .join(due, Seq("canon_url"), "left_semi")
+                .select(col("doc_id"), col("canon_url"),
+                  lit(null).cast("string").as("main_text"),
+                  lit(0L).as("kept_blocks"), lit(0L).as("n_tokens"),
+                  lit(true).as("tombstone")))
+            case None => keptRows
+          }
+          survivorRows
+            .write.mode("overwrite").parquet(s"$survivorDir/batch_$batchId")
+          // fetched-URL ledger: EVERY gated fetch, thin included — the
+          // discovery scope's truth (same per-batch-overwrite replay
+          // contract: `staged` derives from the replay-stable scope).
+          // r17: rows carry cumulative change evidence — payload md5,
+          // fetch count, observed-transition count, batch id — the
+          // [[recrawlDue]] inputs. The settle's latest-wins fold keeps
+          // exactly the newest cumulative row per URL, so history
+          // survives compaction as counters, not as rows. The prev-state
+          // probe is one more co-partitioned join against the bucketed
+          // frontier per batch (batch side shuffles, ledger side
+          // doesn't); n_fetches/n_changes derive from the scope BEFORE
+          // this batch, so a batch retry recomputes identical rows.
+          fetchedDir.foreach { fd =>
+            // alias rows (r18): one ledger row per redirect SOURCE,
+            // verdict 'alias', h = md5 of the final canonical URL — so
+            // the change-evidence counters track the TARGET: a source
+            // whose redirect later points elsewhere counts an observed
+            // change, and recrawlDue re-checks it like any other URL.
+            // Discovery's ledger scope then excludes alias sources the
+            // same way it excludes thin pages.
+            val contentNow = staged.select(col("canon_url"), col("verdict"),
+              md5(col("main_text").cast("binary")).as("h"))
+            // r19: same-batch duplicates resolve by POLICY, not by the
+            // latest-wins fold's struct ordering — a URL observed both
+            // serving content (a final/non-redirecting fetch) and as an
+            // alias source of another fetch in ONE batch previously
+            // landed two rows with the same batch id, so the surviving
+            // hash was whichever struct compared higher (arbitrary) and
+            // the next refetch could spuriously count or miss an
+            // n_changes transition. Content wins over alias (the page
+            // demonstrably served a payload this batch); among alias
+            // dups of one source (two fetches redirected to different
+            // finals in one batch) the min target-hash wins —
+            // deterministic on replay. The fold's exchange is keyed on
+            // the ALIAS frame only (bounded by the batch's redirected
+            // fetches), never the whole batch.
+            val now = aliasPairs match {
+              case Some(ap) => contentNow.unionByName(
+                ap.groupBy(col("src").as("canon_url"))
+                  .agg(min(md5(col("dst").cast("binary"))).as("h"))
+                  .withColumn("verdict", lit("alias"))
+                  .join(contentNow.select("canon_url"),
+                    Seq("canon_url"), "left_anti")
+                  .select(col("canon_url"), col("verdict"), col("h")))
+              case None => contentNow
+            }
+            // not_modified rows (r19): one observation per validated
+            // URL — h CARRIES the previous hash (the server confirmed
+            // that exact payload), the fetch counts, the change count
+            // does not, and the unchanged streak grows. Same-batch
+            // policy as the alias fold: a content/alias observation of
+            // the same URL wins (it carries strictly more information).
+            val nowFull = notModKeys match {
+              case Some(nk) => now.withColumn("__nm", lit(false)).unionByName(
+                nk.join(now.select("canon_url"), Seq("canon_url"), "left_anti")
+                  .select(col("canon_url"), lit("not_modified").as("verdict"),
+                    lit(null).cast("string").as("h"), lit(true).as("__nm")))
+              case None => now.withColumn("__nm", lit(false))
+            }
+            // n_unmod: the consecutive-unchanged streak — 0 on a first
+            // observation or an observed change, +1 on a validated
+            // (not_modified) or identical-payload refetch. recrawlDue
+            // demotes the interval ladder on it.
+            val row = ledgerState(spark, fd, batchId) match {
+              case Some(prev) => nowFull.join(
+                  prev.select(col("canon_url"), col("h").as("__ph"),
+                    col("n_fetches").as("__pf"), col("n_changes").as("__pc"),
+                    col("n_unmod").as("__pu")),
+                  Seq("canon_url"), "left")
+                .select(col("canon_url"), col("verdict"),
+                  when(col("__nm"), col("__ph")).otherwise(col("h")).as("h"),
+                  (coalesce(col("__pf"), lit(0L)) + 1L).as("n_fetches"),
+                  (coalesce(col("__pc"), lit(0L)) +
+                    when(!col("__nm") && col("__ph").isNotNull &&
+                      col("__ph") =!= col("h"), 1L)
+                      .otherwise(0L)).as("n_changes"),
+                  when(col("__ph").isNull && !col("__nm"), 0L)
+                    .when(col("__nm") || col("__ph") === col("h"),
+                      coalesce(col("__pu"), lit(0L)) + 1L)
+                    .otherwise(0L).as("n_unmod"))
+              case None => nowFull.select(col("canon_url"), col("verdict"),
+                col("h"), lit(1L).as("n_fetches"), lit(0L).as("n_changes"),
+                when(col("__nm"), 1L).otherwise(0L).as("n_unmod"))
+            }
+            row.withColumn("b", lit(batchId))
+              .write.mode("overwrite").parquet(s"$fd/batch_$batchId")
+          }
+          // discovery half (optional): this batch's outbound links as
+          // next-wave candidates — raw-href gate BEFORE the resolve
+          // chain (the filter-pushdown clone trap), blocklist before
+          // the write, already-FETCHED (ledger-less: already-admitted)
+          // URLs excluded via the same replay-safe scope as admission
+          // the batch's canon-gated outbound-link frame, shared by the
+          // discovery sink and the OPIC cash distribution; persisted
+          // when BOTH consume it so the admission anti-joins + link
+          // explode run once per batch, not twice
+          val linksNeeded = discoveredDir.isDefined || cashDir.isDefined
+          val linksCached = if (!linksNeeded) None else {
+            val l = admitted
+              // nofollow (r19): a page declaring it contributes NO
+              // frontier candidates (and, downstream, no OPIC cash
+              // shares — the distribution reads this frame). noindex
+              // alone does NOT gate here: links from an unretained page
+              // are still followable per the directive's semantics.
+              .filter(!Html.robotsContentHas(Html.metaRobots(col("html")),
+                "nofollow"))
+              .select(col("canon_url").as("referrer"),
+                explode(Html.linkHrefs(col("html"))).as("href"))
+              .filter(Urls.hrefIsCandidate(col("href")))
+              .select(col("referrer"), Urls.canonicalize(
+                Urls.resolveHref(col("referrer"), col("href"))).as("url"))
+              .withColumn("h", Urls.hostOf(col("url")))
+              .filter(!Urls.hostBlocked(col("h"), blockedDomains))
+              .select("url", "referrer")
+            Some(if (discoveredDir.isDefined && cashDir.isDefined) tracked(l)
+                 else l)
+          }
+          discoveredDir.foreach { dd =>
+            val links = linksCached.get
+            val scopeDir = fetchedDir.getOrElse(survivorDir)
+            val notSeen = antiAdmitted(spark, links, "url", scopeDir, batchId)
+            val notExternal = settledUrls match {
+              case Some(sn) => notSeen.join(
+                sn.select(col("canon_url").as("url")), Seq("url"), "left_anti")
+              case None => notSeen
+            }
+            val notOwn0 = notExternal
+              .join(firstInBatch.select(col("canon_url").as("url")),
+                Seq("url"), "left_anti")
+            // this batch's own alias SOURCES are fetched too (their
+            // ledger rows land below this batch) — a page linking to a
+            // just-redirected URL must not re-emit it as a candidate
+            val notOwn = aliasPairs match {
+              case Some(ap) => notOwn0.join(
+                ap.select(col("src").as("url")), Seq("url"), "left_anti")
+              case None => notOwn0
+            }
+            // robots gate LAST (fewest candidates left): a disallowed
+            // URL is never EMITTED as a candidate, so no later stage —
+            // nextWave, an external scheduler draining the dir — can
+            // fetch it. The batch path's dsCrawlRobots posture, live.
+            val polite = robotsRules match {
+              case Some(r) => Urls.robotsFilter(notOwn, col("url"), r)
+              case None => notOwn
+            }
+            polite.write.mode("overwrite").parquet(s"$dd/batch_$batchId")
+          }
+          // OPIC cash ledger (r18 — the Abiteboul iteration riding the
+          // crawl itself, not a per-wave one-round recompute): each
+          // (interplay with redirects: shares are keyed on the link's
+          // canonical TARGET as written; cash landing on a URL later
+          // learned to be an alias source stays parked there — inert,
+          // since the ledger excludes alias sources from scheduling —
+          // bounded by the moved fraction; forwarding parked cash to
+          // the final URL would need the ledger to carry final_url,
+          // a deliberate non-goal while h = md5(target) is the
+          // change-tracking contract)
+          // admitted page distributes its cash — the initial allotment
+          // plus everything it ACCUMULATED as a candidate — in integer
+          // floor shares over its outlinks (dsFrontierOpic's share
+          // rule); receipts accrue per target as CUMULATIVE rows (the
+          // fetch ledger's counter pattern, so the settle's latest-wins
+          // fold keeps exactly the newest total), and a distributing
+          // page's own balance resets to its floor-division REMAINDER
+          // (r19: what it could not split evenly stays with it — cash
+          // MOVES without leaking, and a recrawl can never redistribute
+          // the same receipts twice). Cost: one
+          // more co-partitioned state probe + one link-keyed aggregate
+          // per batch; [[cashReceipts]] is the read surface nextWave
+          // ranks on. Replay-safe: state reads scope to batches < this
+          // one, so a retry recomputes identical rows.
+          cashDir.foreach { cd =>
+            val lk = linksCached.get
+            val prev = cashState(spark, cd, batchId)
+            val withAcc = prev match {
+              case Some(st) => lk.join(st.select(col("url").as("referrer"),
+                  col("cash").as("__acc")), Seq("referrer"), "left")
+              case None => lk.withColumn("__acc", lit(null).cast("long"))
+            }
+            val shares = withAcc
+              .withColumn("__outdeg", count(lit(1)).over(
+                org.apache.spark.sql.expressions.Window.partitionBy("referrer")))
+              .withColumn("__share",
+                expr(s"(${opicInit}L + coalesce(__acc, 0L)) div __outdeg"))
+            val received = shares.groupBy("url")
+              .agg(sum(col("__share")).as("__recv"))
+            // r19 — cash is CONSERVED: a distributing page keeps its
+            // floor-division remainder ((opicInit + acc) mod outdeg)
+            // instead of resetting to zero. The pre-r19 reset destroyed
+            // the remainder every wave, so total system cash drained
+            // monotonically — Abiteboul's convergence argument assumes
+            // distribution moves cash without losing it (what a page
+            // cannot split evenly stays on the page for its next
+            // distribution). The remainder is constant per referrer
+            // (same acc and outdeg on every link row), so max() reads
+            // it off the shares frame without a second window; the
+            // aggregate is keyed on the batch's referrers — bounded by
+            // the batch, never the ledger. First-fetch distributors
+            // (never in the ledger) keep opicInit mod outdeg the same
+            // way — pre-r19 that remainder leaked silently because no
+            // reset row landed at all.
+            val kept = shares.groupBy(col("referrer").as("url"))
+              .agg(max(expr(
+                s"(${opicInit}L + coalesce(__acc, 0L)) % __outdeg")).as("__rem"))
+            val changed = received.join(kept, Seq("url"), "full_outer")
+            val row = (prev match {
+              case Some(st) => changed.join(
+                st.select(col("url"), col("cash").as("__pc")), Seq("url"), "left")
+              case None => changed.withColumn("__pc", lit(null).cast("long"))
+            }).select(col("url"),
+              (coalesce(col("__recv"), lit(0L)) +
+                coalesce(col("__rem"), coalesce(col("__pc"), lit(0L)))).as("cash"))
+            row.withColumn("b", lit(batchId))
+              .write.mode("overwrite").parquet(s"$cd/batch_$batchId")
+          }
+          // fold accumulated deltas into the settled frontiers (never
+          // the in-flight batch — replay safety, see Frontier); the
+          // survivor + ledger frontiers land bucketed on the probe key
+          Frontier.maybeSettle(spark, survivorDir, batchId,
+            Seq("canon_url"), settleEvery, frontierBuckets)
+          fetchedDir.foreach(fd => Frontier.maybeSettle(spark, fd, batchId,
+            Seq("canon_url"), settleEvery, frontierBuckets))
+          cashDir.foreach(cd => Frontier.maybeSettle(spark, cd, batchId,
+            Seq("url"), settleEvery, frontierBuckets))
+        } finally {
+          batchCaches.foreach(_.unpersist())
         }
-        // recrawl scope (r17): URLs whose freshness interval has
-        // elapsed ([[recrawlDue]]) RE-ENTER admission past every
-        // fetched-scope exclusion — the refetch lands as a new
-        // survivor version (the survivor settle's latest-wins fold
-        // keeps the corpus at the newest copy) and increments the
-        // ledger's change evidence below. The scope contract: due
-        // URLs derive from the fetched ledger, so they are disjoint
-        // from `fresh` by construction; the anti-join enforces it
-        // against a caller handing never-fetched URLs (which must
-        // admit as fresh ONCE, not twice).
-        val admitted = recrawlPinned match {
-          case Some(due) => fresh.unionByName(
-            firstInBatch
-              .join(due, Seq("canon_url"), "left_semi")
-              .join(fresh.select("canon_url"), Seq("canon_url"), "left_anti"))
-          case None => fresh
-        }
-        // meta-robots at ADMISSION (r19): `noindex` is the compliance
-        // sibling of robots.txt — RFC 9309 governs fetching, noindex
-        // governs RETENTION. A declaring page is excluded from
-        // survivors under its own verdict (compliance outranks the
-        // thin cut), while its links still feed discovery below —
-        // unless `nofollow` gates them there. __mr as its own column:
-        // both token flags reference it (CollapseProject boundary).
-        val withMeta = admitted
-          .withColumn("__mr", Html.metaRobots(col("html")))
-          .withColumn("__noidx", Html.robotsContentHas(col("__mr"), "noindex"))
-        val ext = Html.extractMainText(withMeta, col("html"), col("doc_id"),
-          carry = Seq(col("canon_url"), col("__noidx")))
-        val nTok = when(col("main_text") === "", 0L)
-          .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
-        val gated = ext.select(col("doc_id"), col("canon_url"), col("main_text"),
-            col("kept_blocks"), nTok.as("n_tokens"), col("__noidx"))
-          .withColumn("verdict",
-            when(col("__noidx"), "noindex")
-              .when(col("n_tokens") >= minTokens, "kept")
-              .otherwise(lit("thin")))
-          .drop("__noidx")
-        // the batch is bounded: stage it so the survivor write and
-        // the ledger write don't each re-run extraction + the probe
-        // anti-joins (discovery reads `fresh` pre-extraction — links
-        // come from ALL gated fetches, thin included). persist()
-        // returns `this`, so track the cache with a flag — an
-        // identity check never fires and the cache outlives the batch
-        val cacheBatch = fetchedDir.isDefined
-        val staged = if (cacheBatch) gated.persist() else gated
-        staged.filter(col("verdict") === "kept").drop("verdict")
-          .write.mode("overwrite").parquet(s"$survivorDir/batch_$batchId")
-        // fetched-URL ledger: EVERY gated fetch, thin included — the
-        // discovery scope's truth (same per-batch-overwrite replay
-        // contract: `staged` derives from the replay-stable scope).
-        // r17: rows carry cumulative change evidence — payload md5,
-        // fetch count, observed-transition count, batch id — the
-        // [[recrawlDue]] inputs. The settle's latest-wins fold keeps
-        // exactly the newest cumulative row per URL, so history
-        // survives compaction as counters, not as rows. The prev-state
-        // probe is one more co-partitioned join against the bucketed
-        // frontier per batch (batch side shuffles, ledger side
-        // doesn't); n_fetches/n_changes derive from the scope BEFORE
-        // this batch, so a batch retry recomputes identical rows.
-        fetchedDir.foreach { fd =>
-          // alias rows (r18): one ledger row per redirect SOURCE,
-          // verdict 'alias', h = md5 of the final canonical URL — so
-          // the change-evidence counters track the TARGET: a source
-          // whose redirect later points elsewhere counts an observed
-          // change, and recrawlDue re-checks it like any other URL.
-          // Discovery's ledger scope then excludes alias sources the
-          // same way it excludes thin pages.
-          val contentNow = staged.select(col("canon_url"), col("verdict"),
-            md5(col("main_text").cast("binary")).as("h"))
-          // r19: same-batch duplicates resolve by POLICY, not by the
-          // latest-wins fold's struct ordering — a URL observed both
-          // serving content (a final/non-redirecting fetch) and as an
-          // alias source of another fetch in ONE batch previously
-          // landed two rows with the same batch id, so the surviving
-          // hash was whichever struct compared higher (arbitrary) and
-          // the next refetch could spuriously count or miss an
-          // n_changes transition. Content wins over alias (the page
-          // demonstrably served a payload this batch); among alias
-          // dups of one source (two fetches redirected to different
-          // finals in one batch) the min target-hash wins —
-          // deterministic on replay. The fold's exchange is keyed on
-          // the ALIAS frame only (bounded by the batch's redirected
-          // fetches), never the whole batch.
-          val now = aliasPairs match {
-            case Some(ap) => contentNow.unionByName(
-              ap.groupBy(col("src").as("canon_url"))
-                .agg(min(md5(col("dst").cast("binary"))).as("h"))
-                .withColumn("verdict", lit("alias"))
-                .join(contentNow.select("canon_url"),
-                  Seq("canon_url"), "left_anti")
-                .select(col("canon_url"), col("verdict"), col("h")))
-            case None => contentNow
-          }
-          // not_modified rows (r19): one observation per validated
-          // URL — h CARRIES the previous hash (the server confirmed
-          // that exact payload), the fetch counts, the change count
-          // does not, and the unchanged streak grows. Same-batch
-          // policy as the alias fold: a content/alias observation of
-          // the same URL wins (it carries strictly more information).
-          val nowFull = notModKeys match {
-            case Some(nk) => now.withColumn("__nm", lit(false)).unionByName(
-              nk.join(now.select("canon_url"), Seq("canon_url"), "left_anti")
-                .select(col("canon_url"), lit("not_modified").as("verdict"),
-                  lit(null).cast("string").as("h"), lit(true).as("__nm")))
-            case None => now.withColumn("__nm", lit(false))
-          }
-          // n_unmod: the consecutive-unchanged streak — 0 on a first
-          // observation or an observed change, +1 on a validated
-          // (not_modified) or identical-payload refetch. recrawlDue
-          // demotes the interval ladder on it.
-          val row = ledgerState(spark, fd, batchId) match {
-            case Some(prev) => nowFull.join(
-                prev.select(col("canon_url"), col("h").as("__ph"),
-                  col("n_fetches").as("__pf"), col("n_changes").as("__pc"),
-                  col("n_unmod").as("__pu")),
-                Seq("canon_url"), "left")
-              .select(col("canon_url"), col("verdict"),
-                when(col("__nm"), col("__ph")).otherwise(col("h")).as("h"),
-                (coalesce(col("__pf"), lit(0L)) + 1L).as("n_fetches"),
-                (coalesce(col("__pc"), lit(0L)) +
-                  when(!col("__nm") && col("__ph").isNotNull &&
-                    col("__ph") =!= col("h"), 1L)
-                    .otherwise(0L)).as("n_changes"),
-                when(col("__ph").isNull && !col("__nm"), 0L)
-                  .when(col("__nm") || col("__ph") === col("h"),
-                    coalesce(col("__pu"), lit(0L)) + 1L)
-                  .otherwise(0L).as("n_unmod"))
-            case None => nowFull.select(col("canon_url"), col("verdict"),
-              col("h"), lit(1L).as("n_fetches"), lit(0L).as("n_changes"),
-              when(col("__nm"), 1L).otherwise(0L).as("n_unmod"))
-          }
-          row.withColumn("b", lit(batchId))
-            .write.mode("overwrite").parquet(s"$fd/batch_$batchId")
-        }
-        // discovery half (optional): this batch's outbound links as
-        // next-wave candidates — raw-href gate BEFORE the resolve
-        // chain (the filter-pushdown clone trap), blocklist before
-        // the write, already-FETCHED (ledger-less: already-admitted)
-        // URLs excluded via the same replay-safe scope as admission
-        // the batch's canon-gated outbound-link frame, shared by the
-        // discovery sink and the OPIC cash distribution; persisted
-        // when BOTH consume it so the admission anti-joins + link
-        // explode run once per batch, not twice
-        val linksNeeded = discoveredDir.isDefined || cashDir.isDefined
-        val linksCached = if (!linksNeeded) None else {
-          val l = admitted
-            // nofollow (r19): a page declaring it contributes NO
-            // frontier candidates (and, downstream, no OPIC cash
-            // shares — the distribution reads this frame). noindex
-            // alone does NOT gate here: links from an unretained page
-            // are still followable per the directive's semantics.
-            .filter(!Html.robotsContentHas(Html.metaRobots(col("html")),
-              "nofollow"))
-            .select(col("canon_url").as("referrer"),
-              explode(Html.linkHrefs(col("html"))).as("href"))
-            .filter(Urls.hrefIsCandidate(col("href")))
-            .select(col("referrer"), Urls.canonicalize(
-              Urls.resolveHref(col("referrer"), col("href"))).as("url"))
-            .withColumn("h", Urls.hostOf(col("url")))
-            .filter(!Urls.hostBlocked(col("h"), blockedDomains))
-            .select("url", "referrer")
-          Some(if (discoveredDir.isDefined && cashDir.isDefined) l.persist()
-               else l)
-        }
-        discoveredDir.foreach { dd =>
-          val links = linksCached.get
-          val scopeDir = fetchedDir.getOrElse(survivorDir)
-          val notSeen = antiAdmitted(spark, links, "url", scopeDir, batchId)
-          val notExternal = settledUrls match {
-            case Some(sn) => notSeen.join(
-              sn.select(col("canon_url").as("url")), Seq("url"), "left_anti")
-            case None => notSeen
-          }
-          val notOwn0 = notExternal
-            .join(firstInBatch.select(col("canon_url").as("url")),
-              Seq("url"), "left_anti")
-          // this batch's own alias SOURCES are fetched too (their
-          // ledger rows land below this batch) — a page linking to a
-          // just-redirected URL must not re-emit it as a candidate
-          val notOwn = aliasPairs match {
-            case Some(ap) => notOwn0.join(
-              ap.select(col("src").as("url")), Seq("url"), "left_anti")
-            case None => notOwn0
-          }
-          // robots gate LAST (fewest candidates left): a disallowed
-          // URL is never EMITTED as a candidate, so no later stage —
-          // nextWave, an external scheduler draining the dir — can
-          // fetch it. The batch path's dsCrawlRobots posture, live.
-          val polite = robotsRules match {
-            case Some(r) => Urls.robotsFilter(notOwn, col("url"), r)
-            case None => notOwn
-          }
-          polite.write.mode("overwrite").parquet(s"$dd/batch_$batchId")
-        }
-        // OPIC cash ledger (r18 — the Abiteboul iteration riding the
-        // crawl itself, not a per-wave one-round recompute): each
-        // (interplay with redirects: shares are keyed on the link's
-        // canonical TARGET as written; cash landing on a URL later
-        // learned to be an alias source stays parked there — inert,
-        // since the ledger excludes alias sources from scheduling —
-        // bounded by the moved fraction; forwarding parked cash to
-        // the final URL would need the ledger to carry final_url,
-        // a deliberate non-goal while h = md5(target) is the
-        // change-tracking contract)
-        // admitted page distributes its cash — the initial allotment
-        // plus everything it ACCUMULATED as a candidate — in integer
-        // floor shares over its outlinks (dsFrontierOpic's share
-        // rule); receipts accrue per target as CUMULATIVE rows (the
-        // fetch ledger's counter pattern, so the settle's latest-wins
-        // fold keeps exactly the newest total), and a distributing
-        // page's own balance resets to its floor-division REMAINDER
-        // (r19: what it could not split evenly stays with it — cash
-        // MOVES without leaking, and a recrawl can never redistribute
-        // the same receipts twice). Cost: one
-        // more co-partitioned state probe + one link-keyed aggregate
-        // per batch; [[cashReceipts]] is the read surface nextWave
-        // ranks on. Replay-safe: state reads scope to batches < this
-        // one, so a retry recomputes identical rows.
-        cashDir.foreach { cd =>
-          val lk = linksCached.get
-          val prev = cashState(spark, cd, batchId)
-          val withAcc = prev match {
-            case Some(st) => lk.join(st.select(col("url").as("referrer"),
-                col("cash").as("__acc")), Seq("referrer"), "left")
-            case None => lk.withColumn("__acc", lit(null).cast("long"))
-          }
-          val shares = withAcc
-            .withColumn("__outdeg", count(lit(1)).over(
-              org.apache.spark.sql.expressions.Window.partitionBy("referrer")))
-            .withColumn("__share",
-              expr(s"(${opicInit}L + coalesce(__acc, 0L)) div __outdeg"))
-          val received = shares.groupBy("url")
-            .agg(sum(col("__share")).as("__recv"))
-          // r19 — cash is CONSERVED: a distributing page keeps its
-          // floor-division remainder ((opicInit + acc) mod outdeg)
-          // instead of resetting to zero. The pre-r19 reset destroyed
-          // the remainder every wave, so total system cash drained
-          // monotonically — Abiteboul's convergence argument assumes
-          // distribution moves cash without losing it (what a page
-          // cannot split evenly stays on the page for its next
-          // distribution). The remainder is constant per referrer
-          // (same acc and outdeg on every link row), so max() reads
-          // it off the shares frame without a second window; the
-          // aggregate is keyed on the batch's referrers — bounded by
-          // the batch, never the ledger. First-fetch distributors
-          // (never in the ledger) keep opicInit mod outdeg the same
-          // way — pre-r19 that remainder leaked silently because no
-          // reset row landed at all.
-          val kept = shares.groupBy(col("referrer").as("url"))
-            .agg(max(expr(
-              s"(${opicInit}L + coalesce(__acc, 0L)) % __outdeg")).as("__rem"))
-          val changed = received.join(kept, Seq("url"), "full_outer")
-          val row = (prev match {
-            case Some(st) => changed.join(
-              st.select(col("url"), col("cash").as("__pc")), Seq("url"), "left")
-            case None => changed.withColumn("__pc", lit(null).cast("long"))
-          }).select(col("url"),
-            (coalesce(col("__recv"), lit(0L)) +
-              coalesce(col("__rem"), coalesce(col("__pc"), lit(0L)))).as("cash"))
-          row.withColumn("b", lit(batchId))
-            .write.mode("overwrite").parquet(s"$cd/batch_$batchId")
-        }
-        // fold accumulated deltas into the settled frontiers (never
-        // the in-flight batch — replay safety, see Frontier); the
-        // survivor + ledger frontiers land bucketed on the probe key
-        Frontier.maybeSettle(spark, survivorDir, batchId,
-          Seq("canon_url"), settleEvery, frontierBuckets)
-        fetchedDir.foreach(fd => Frontier.maybeSettle(spark, fd, batchId,
-          Seq("canon_url"), settleEvery, frontierBuckets))
-        cashDir.foreach(cd => Frontier.maybeSettle(spark, cd, batchId,
-          Seq("url"), settleEvery, frontierBuckets))
-        if (cacheBatch) staged.unpersist()
-        if (keyedCached) keyedC.unpersist()
-        linksCached.foreach(l =>
-          if (discoveredDir.isDefined && cashDir.isDefined) l.unpersist())
         ()
       }
       .outputMode(OutputMode.Append())

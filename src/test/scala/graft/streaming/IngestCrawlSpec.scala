@@ -1254,6 +1254,111 @@ class IngestCrawlSpec extends SparkSpec {
       s"cash re-ranks the due refetch first: $ranked")
   }
 
+  test("noindex gained on refetch: the ledger verdict flips and the old " +
+      "survivor copy drops at the next settle (tombstone compaction)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_nif_s").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_nif_f").toString
+    val flip = "http://a.com/flip"
+    val keep = "http://a.com/keep"
+    def pageOf(tag: String, head: String): String =
+      s"<html><head>$head</head><body><div><p>" +
+        (1 to 30).map(i => s"$tag$i").mkString(" ") + "</p></div></body></html>"
+    val input = MemoryStream[(Long, String, String)]
+    // run 1: both pages admit as kept
+    val q1 = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      fetchedDir = Some(fetched))
+    try {
+      input.addData((1L, flip, pageOf("a", "")), (2L, keep, pageOf("b", "")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(Frontier.readLayered(spark, surv)
+      .select("canon_url").collect().map(_.getString(0)).toSet ==
+      Set(flip, keep))
+    // run 2, both due: flip's refetch now declares noindex — the
+    // ledger verdict flips and a tombstone supersedes the retained
+    // copy; keep's refetch stays kept. settleEvery=1 so the batch
+    // after the refetch folds the tombstone into the frontier.
+    val due = IngestCrawl.recrawlDue(spark, fetched, 8L)
+    assert(due.collect().map(_.getString(0)).toSet == Set(flip, keep))
+    val q2 = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html"), None, surv, Nil,
+      settleEvery = 1, fetchedDir = Some(fetched), recrawlScope = Some(due))
+    try {
+      q2.processAllAvailable() // replay of batch 0
+      input.addData(
+        (10L, flip, pageOf("a",
+          "<meta name=\"robots\" content=\"noindex\"/>")),
+        (11L, keep, pageOf("b2", "")))
+      q2.processAllAvailable() // batch 1: tombstone + new keep version
+      input.addData((20L, "http://a.com/other", pageOf("c", "")))
+      q2.processAllAvailable() // batch 2: settles batch 1's tombstone
+    } finally q2.stop()
+    // ledger: flip's NEWEST verdict is noindex (it flipped), and the
+    // refetch still counted as change evidence
+    val ledger = spark.read.parquet(s"$fetched/frontier_*", s"$fetched/batch_*")
+      .groupBy("canon_url")
+      .agg(max(struct(col("b"), col("verdict"))).as("w"))
+      .select(col("canon_url"), col("w.verdict"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ledger(flip) == "noindex", s"ledger must flip: $ledger")
+    assert(ledger(keep) == "kept", s"ledger: $ledger")
+    // survivors: the settled frontier no longer carries flip at all —
+    // not the old copy (erased by the tombstone), not the marker
+    val settled = spark.read.parquet(s"$surv/frontier_*")
+      .select("canon_url").collect().map(_.getString(0))
+    assert(!settled.contains(flip),
+      s"flip's retained copy must drop at the settle: ${settled.toSet}")
+    // the layered consumer view agrees, and keep is at its newest copy
+    val live = Frontier.readLayered(spark, surv)
+      .select("canon_url", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(!live.exists(_._1 == flip), s"live view: $live")
+    assert(live.contains((keep, 11L)), s"keep's newest version: $live")
+  }
+
+  test("migrateLedger: a pre-r19 ledger dir gains the missing " +
+      "change-evidence columns with conservative defaults, idempotently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ic_mig").toString
+    // an r16-shaped delta (verdict only) and an r18-shaped frontier
+    // (everything but n_unmod), exactly the formats the fail-fast names
+    Seq(("http://a.com/x", "kept"), ("http://a.com/y", "thin"))
+      .toDF("canon_url", "verdict")
+      .write.parquet(s"$dir/batch_3")
+    Seq(("http://a.com/z", "kept", "h0", 4L, 2L, 2L))
+      .toDF("canon_url", "verdict", "h", "n_fetches", "n_changes", "b")
+      .write.parquet(s"$dir/frontier_2")
+    // pre-migration: the stream refuses the old format loudly
+    val err = intercept[IllegalStateException] {
+      IngestCrawl.recrawlDue(spark, dir, 10L).collect()
+    }
+    assert(err.getMessage.contains("row format"), err.getMessage)
+    IngestCrawl.migrateLedger(spark, dir)
+    val rows = IngestCrawl.recrawlDue(spark, dir, 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // migrated defaults: n_fetches=1, n_changes=0, b=<dir id>; the
+    // r18 frontier keeps its real evidence and gains only n_unmod=0
+    assert(rows("http://a.com/x") == ((1L, 0L, 3L)), s"rows: $rows")
+    assert(rows("http://a.com/z") == ((4L, 2L, 2L)), s"rows: $rows")
+    val cols = spark.read.parquet(s"$dir/batch_3").columns.toSet
+    assert(Set("canon_url", "verdict", "h", "n_fetches", "n_changes",
+      "n_unmod", "b").subsetOf(cols), s"cols: $cols")
+    // idempotent: a second run rewrites nothing (same file listing)
+    def listing() = {
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/batch_3"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toSeq.sortBy(_._1)
+    }
+    val before = listing()
+    IngestCrawl.migrateLedger(spark, dir)
+    assert(listing() == before, "second migration must be a no-op")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
