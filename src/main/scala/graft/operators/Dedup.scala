@@ -1034,9 +1034,16 @@ object Dedup {
         (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
   }
 
-  /** CROSS-document paragraph dedup with reassembly (the line/
-    * paragraph-level pass of MassiveText §A.1.1 and RefinedWeb —
-    * contrast `trimRepeatedSpans`, which is WITHIN-document): segment
+  /** CROSS-document paragraph dedup with reassembly over FIXED-WIDTH
+    * token windows — the fixed-budget VARIANT of the boundary-aware
+    * [[paragraphDedupLines]] (which is the form matching MassiveText
+    * §A.1.1 / RefinedWeb as published: real delimiter boundaries).
+    * This form's segmentation is a token grid, so its recall is
+    * alignment-dependent — two documents sharing a verbatim paragraph
+    * at DIFFERENT token offsets chunk differently and never collide
+    * (ParagraphDedupSpec plants exactly that miss). Its virtue is the
+    * fixed per-row work budget on delimiter-free corpora (OCR dumps,
+    * minified text) where no boundary exists to split on: segment
     * every document into fixed-width `paraTokens`-word paragraphs,
     * keep exactly one global copy of each distinct paragraph (the
     * earliest by (doc_id, paragraph index) — deterministic, not
@@ -1081,5 +1088,77 @@ object Dedup {
       .select(col("doc_id"), col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Boundary-aware cross-document paragraph dedup — the MassiveText
+    * §A.1.1 / RefinedWeb line-dedup semantics AS PUBLISHED (r20,
+    * clearing the r19 weak item): paragraphs are the text's OWN
+    * blank-line-delimited segments (`\n{2,}`), so a verbatim
+    * paragraph shared by two documents collides regardless of its
+    * token offset in either — the alignment dependence of the
+    * fixed-grid [[paragraphDedup]] does not exist here. Keep exactly
+    * one global copy per distinct paragraph (earliest by (doc_id,
+    * paragraph index) — deterministic), reassemble survivors in
+    * original order joined by a blank line, and account every input
+    * row: `(doc_id, n_paras, n_kept, clean_text)` with n_paras
+    * counting the document's non-empty paragraphs and a fully-
+    * duplicated document surviving as `""`.
+    *
+    * Scale shape, same as the grid form: segmentation is ONE
+    * zero-shuffle generator (`posexplode(split(...))` — paragraph
+    * indices are assigned BEFORE the empty-segment filter, so a
+    * dropped empty never renumbers its neighbours); the keep-first
+    * choice is one min-struct groupBy on md5(paragraph) (map-side
+    * combined); the winner join is keyed on the (md5, doc, idx)
+    * triple; reassembly is one per-document aggregate. Nothing is
+    * quadratic in corpus size. */
+  def paragraphDedupLines(df: DataFrame, text: Column,
+                          id: Column): DataFrame = {
+    val src = df.select(id.as("doc_id"), text.as("__t"))
+    val paras = src
+      .select(col("doc_id"),
+        posexplode(split(col("__t"), "\n{2,}")).as(Seq("chunk_id", "chunk_text")))
+      .filter(col("chunk_text") =!= "")
+      .withColumn("p_md5", md5(col("chunk_text").cast("binary")))
+    val winners = paras
+      .groupBy("p_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("w"))
+      .select(col("p_md5"), col("w.doc_id").as("doc_id"),
+        col("w.chunk_id").as("chunk_id"))
+    val kept = paras.join(winners, Seq("p_md5", "doc_id", "chunk_id"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            x => x("chunk_text")), "\n\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    src
+      .select(col("doc_id"),
+        size(filter(split(col("__t"), "\n{2,}"), p => p =!= ""))
+          .cast("long").as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Deterministic paragraph-structured furniture over the flat
+    * synthetic corpus (the documents table carries no newlines):
+    * plants a GLOBAL boilerplate header paragraph, the document's own
+    * first `doc_id % 7 + 1` tokens as a second paragraph, a common
+    * licence paragraph, and the rest of the document — so the two
+    * planted duplicates sit at doc_id-VARYING token offsets. Any
+    * fixed token grid therefore slices the licence paragraph
+    * differently per document (misses the duplicate); the
+    * boundary-aware form recovers it. Closed-form column arithmetic —
+    * the oracle replays it verbatim in SQL. */
+  def syntheticParagraphedDoc(text: Column, docId: Column): Column = {
+    val toks = split(text, " ")
+    val k = (docId % 7 + 1).cast("int")
+    concat_ws("\n\n",
+      lit("newsletter footer unsubscribe daily digest"),
+      array_join(slice(toks, lit(1), k), " "),
+      lit("licensed under creative commons attribution share alike"),
+      array_join(slice(toks, k + 1, size(toks)), " "))
   }
 }

@@ -343,6 +343,19 @@ object DataOps {
   def ddParagraph(s: SparkSession, d: String): DataFrame =
     Dedup.paragraphDedup(docs(s, d), col("text"), col("doc_id"), paraTokens)
 
+  /** Boundary-aware paragraph dedup (r20) over the deterministic
+    * paragraph-structured furniture ([[graft.operators.Dedup
+    * .syntheticParagraphedDoc]] — the flat corpus carries no
+    * newlines): the planted licence paragraph sits at a doc_id-
+    * varying token offset, so THIS form recovers the cross-document
+    * duplicate that the fixed-grid form provably misses
+    * (ParagraphDedupSpec). */
+  def ddParagraphLines(s: SparkSession, d: String): DataFrame = {
+    val structured = docs(s, d).select(col("doc_id"),
+      Dedup.syntheticParagraphedDoc(col("text"), col("doc_id")).as("text"))
+    Dedup.paragraphDedupLines(structured, col("text"), col("doc_id"))
+  }
+
   def dqDatacard(s: SparkSession, d: String): DataFrame =
     graft.operators.Profile.datacard(docs(s, d), col("text"), col("doc_id"),
       lmRef(s, d))
@@ -6958,6 +6971,37 @@ object DataOps {
                  coalesce(k.clean_text, '') AS clean_text
           FROM n LEFT JOIN kept k ON n.doc_id = k.doc_id"""
     },
+    "dd_paragraph_lines" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                            CAST(doc_id % 7 + 1 AS INT) AS k
+                     FROM documents),
+          s AS (SELECT doc_id,
+                  concat_ws(chr(10) || chr(10),
+                    'newsletter footer unsubscribe daily digest',
+                    array_to_string(toks[1:k], ' '),
+                    'licensed under creative commons attribution share alike',
+                    array_to_string(toks[k+1:len(toks)], ' ')) AS t
+                FROM d),
+          sp AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM s),
+          paras AS (SELECT doc_id, i AS chunk_id, ps[i+1] AS chunk_text
+                    FROM sp, unnest(range(0, len(ps))) t(i)
+                    WHERE ps[i+1] <> ''),
+          win AS (SELECT chunk_text, min(struct_pack(doc_id := doc_id,
+                         chunk_id := chunk_id)) AS w
+                  FROM paras GROUP BY chunk_text),
+          kept AS (SELECT p.doc_id,
+                     string_agg(p.chunk_text, chr(10) || chr(10)
+                       ORDER BY p.chunk_id) AS clean_text,
+                     count(*) AS n_kept
+                   FROM paras p JOIN win w
+                     ON p.chunk_text = w.chunk_text
+                    AND p.doc_id = w.w.doc_id AND p.chunk_id = w.w.chunk_id
+                   GROUP BY p.doc_id),
+          np AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id)
+          SELECT np.doc_id, np.n_paras,
+                 coalesce(k.n_kept, 0) AS n_kept,
+                 coalesce(k.clean_text, '') AS clean_text
+          FROM np LEFT JOIN kept k ON np.doc_id = k.doc_id""",
     "ds_curate" -> curateVerdictSql,
     "ds_pipeline" ->
       s"""WITH cur AS ($curateVerdictSql),
@@ -7166,6 +7210,7 @@ object DataOps {
     "ds_pipeline" -> dsPipeline _,
     "ds_chunk" -> dsChunk _,
     "dd_paragraph" -> ddParagraph _,
+    "dd_paragraph_lines" -> ddParagraphLines _,
     "dd_snapshot_diff" -> ddSnapshotDiff _,
     "dq_datacard" -> dqDatacard _,
     "tx_bpe_merges" -> txBpeMerges _,
