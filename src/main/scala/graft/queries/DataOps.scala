@@ -879,6 +879,82 @@ object DataOps {
       when(nTok >= crawlMinTokens, "kept").otherwise(lit("thin")).as("verdict"))
   }
 
+  /** Charset decode at the fetch boundary (r20): the byte→text
+    * decision over the deterministic mixed-encoding fixture
+    * ([[graft.operators.Charset.documentsAsFetches]] — UTF-8 plain,
+    * UTF-16LE+BOM, declared Latin-1, declared cp1252, UNdeclared
+    * Latin-1 for the content-sniff path). The output carries the
+    * decoded TEXT itself, so a mis-decision anywhere in the cascade
+    * (wrong BOM strip, missed declaration, wrong fallback) flips the
+    * hash — the planted `café`/curly-quote markers decode differently
+    * under every wrong charset. */
+  def txCharset(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Charset
+    Charset.decode(Charset.documentsAsFetches(docs(s, d))).toDF()
+      .select(col("doc_id"), col("charset"), col("had_bom"),
+        col("was_transcoded"),
+        length(col("text")).cast("long").as("n_chars"), col("text"))
+  }
+
+  /** WARC record inventory (r20): the documents grouped into
+    * multi-record WARC files ([[graft.operators.Warc
+    * .documentsAsWarc]] — warcinfo + request/response pairs, the
+    * CommonCrawl layout in miniature) and walked BACK by the byte
+    * parser; the oracle replays the layout arithmetic (record order,
+    * ids, target URIs, Content-Lengths). Response bodies here are the
+    * raw document text — the full html chain is [[dsCrawlFromWarc]]. */
+  def txWarcRecords(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Urls, Warc}
+    val blobs = Warc.documentsAsWarc(docs(s, d),
+      Urls.syntheticUrl(col("doc_id"), col("source")),
+      col("text"), col("doc_id"))
+    Warc.records(blobs).toDF()
+      .select(col("warc_id"), col("rec_idx"), col("warc_type"),
+        col("record_id"), col("target_uri"), col("content_length"))
+  }
+
+  /** The crawl front door fed from RAW WEB BYTES (r20): WARC records
+    * → HTTP envelope split → charset decode → canonicalize →
+    * keep-first → extraction → thin verdict. Its oracle is
+    * [[dsCrawl]]'s SQL text VERBATIM (the ds_crawl_delay_wide
+    * pattern), so the equivalence "the byte chain computes exactly
+    * what the fixture-frame front door computes" is hash-gated every
+    * round. Scale shape: the WARC walk and HTTP/charset splits are
+    * batched partition-local byte work; the chain then pays exactly
+    * dsCrawl's one keep-first exchange. */
+  def dsCrawlFromWarc(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Charset, Html, Urls, Warc}
+    val blobs = Warc.documentsAsWarc(docs(s, d),
+      Urls.syntheticUrl(col("doc_id"), col("source")),
+      Html.syntheticPage(col("text"), col("source")),
+      col("doc_id"))
+    val resp = Warc.httpResponses(Warc.records(blobs))
+    val pages = Charset.decodedTagged(resp, col("body"),
+        element_at(split(col("record_id"), ":"), -1).cast("long"),
+        col("url"))
+      .select(col("doc_id"), col("text").as("html"), col("tag").as("url"))
+    val winners = pages
+      .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
+        blockedDomains))
+      .select(col("doc_id"), col("html"),
+        Urls.canonicalize(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(struct(col("doc_id"), col("html"))).as("w"),
+        count(lit(1)).as("n_fetches"))
+      .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+        blockedDomains))
+      .select(col("canon_url"), col("n_fetches"),
+        col("w.doc_id").as("doc_id"), col("w.html").as("html"))
+    val ext = Html.extractMainText(winners, col("html"), col("doc_id"),
+      carry = Seq(col("canon_url"), col("n_fetches")),
+      dropNullHtml = false)
+    val nTok = when(col("main_text") === "", 0L)
+      .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
+    ext.select(col("doc_id"), col("canon_url"), col("n_fetches"),
+      col("kept_blocks"), nTok.as("n_tokens"),
+      when(nTok >= crawlMinTokens, "kept").otherwise(lit("thin")).as("verdict"))
+  }
+
   /** Domain-level quality gate — the C4/RefinedWeb "domain filtering"
     * step: per-host stats of the crawl front door's verdicts (pages,
     * kept, fetches, token volume) and the keep-rate gate as an
@@ -6615,6 +6691,72 @@ object DataOps {
     // the winners → thin-content verdict (shared with the host-stats
     // twin below)
     "ds_crawl" -> crawlCompositeSql,
+    // the byte-fed front door (r20): WARC → HTTP → charset → the same
+    // cascade — the oracle is ds_crawl's SQL text VERBATIM, so the
+    // byte chain must compute exactly the fixture-frame answer
+    "ds_crawl_warc" -> crawlCompositeSql,
+    // charset decision replay (r20): the mixed-encoding fixture's
+    // arithmetic — variant from doc_id % 5, declaration + marker per
+    // variant, the decoded text reconstructed as the SAME Unicode
+    // string (chr(233) = é, chr(8220/8221) = the cp1252 curly quotes)
+    "tx_charset" ->
+      """WITH v AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS v, text
+                    FROM documents),
+          pg AS (SELECT doc_id, v,
+                   '<html><head>' ||
+                   (CASE v WHEN 2 THEN '<meta charset="ISO-8859-1"/>'
+                         WHEN 3 THEN '<meta http-equiv="Content-Type" content="text/html; charset=windows-1252"/>'
+                         ELSE '' END) ||
+                   '</head><body><p>caf' || chr(233) ||
+                   (CASE WHEN v = 3 THEN ' ' || chr(8220) || 'q' || chr(8221)
+                         ELSE '' END) ||
+                   ' ' || text || '</p></body></html>' AS page
+                 FROM v)
+          SELECT doc_id,
+                 (CASE v WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                       WHEN 3 THEN 'windows-1252'
+                       ELSE 'iso-8859-1' END) AS charset,
+                 v = 1 AS had_bom,
+                 v <> 0 AS was_transcoded,
+                 CAST(length(page) AS BIGINT) AS n_chars,
+                 page AS text
+          FROM pg""",
+    // WARC layout replay (r20): record order (warcinfo, then
+    // request/response pairs in doc_id order), ids, target URIs and
+    // Content-Lengths from the same envelope literals the builder uses
+    "tx_warc_records" ->
+      s"""WITH d AS (SELECT doc_id, doc_id // 10 AS warc_id,
+                       CAST(row_number() OVER (PARTITION BY doc_id // 10
+                         ORDER BY doc_id) - 1 AS INT) AS j,
+                       octet_length(encode(text)) AS len,
+                       $urlSynthSqlExpr AS url
+                     FROM documents),
+          info AS (SELECT DISTINCT warc_id, 0 AS rec_idx,
+                     'warcinfo' AS warc_type,
+                     'urn:graft:warc:' || CAST(warc_id AS VARCHAR) AS record_id,
+                     CAST(NULL AS VARCHAR) AS target_uri,
+                     CAST(octet_length(encode('software: graft-crawler/1.0'
+                       || chr(13) || chr(10))) AS BIGINT) AS content_length
+                   FROM d),
+          reqs AS (SELECT warc_id, 1 + 2*j AS rec_idx,
+                     'request' AS warc_type,
+                     'urn:graft:req:' || CAST(doc_id AS VARCHAR) AS record_id,
+                     url AS target_uri,
+                     CAST(octet_length(encode('GET / HTTP/1.1' || chr(13) || chr(10)
+                       || 'Host: example' || chr(13) || chr(10)
+                       || chr(13) || chr(10))) AS BIGINT) AS content_length
+                   FROM d),
+          resps AS (SELECT warc_id, 2 + 2*j AS rec_idx,
+                      'response' AS warc_type,
+                      'urn:graft:resp:' || CAST(doc_id AS VARCHAR) AS record_id,
+                      url AS target_uri,
+                      CAST(octet_length(encode('HTTP/1.1 200 OK' || chr(13) || chr(10)
+                        || 'Content-Type: text/html' || chr(13) || chr(10)
+                        || chr(13) || chr(10))) + len AS BIGINT) AS content_length
+                    FROM d)
+          SELECT * FROM info UNION ALL
+          SELECT * FROM reqs UNION ALL
+          SELECT * FROM resps""",
     // domain-level quality gate (the C4/RefinedWeb "domain filtering"
     // step): per-host crawl verdict stats + an INTEGER-exact keep-rate
     // gate (2·kept >= pages ⇔ rate >= 50% — no float boundary to flip)
@@ -7166,6 +7308,9 @@ object DataOps {
     "tx_url_canon" -> txUrlCanon _,
     "dd_url_dedup" -> ddUrlDedup _,
     "ds_crawl" -> dsCrawl _,
+    "ds_crawl_warc" -> dsCrawlFromWarc _, // byte-fed front door ≡ ds_crawl
+    "tx_charset" -> txCharset _,
+    "tx_warc_records" -> txWarcRecords _,
     "ds_split" -> dsSplit _,
     "ds_split_safe" -> dsSplitSafe _,
     "dd_cluster_sizes" -> ddClusterSizes _,
