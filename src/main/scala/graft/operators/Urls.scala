@@ -598,19 +598,49 @@ object Urls {
     * host multiplicity is the cap by construction. */
   def politeWavesCapped(df: DataFrame, url: Column, priority: Column,
                         hostCaps: DataFrame,
-                        defaultCap: Int = 1): DataFrame = {
+                        defaultCap: Int = 1,
+                        ipGroups: Option[DataFrame] = None): DataFrame = {
     require(defaultCap >= 1, s"defaultCap must be >= 1, got $defaultCap")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("host").orderBy(col("priority").desc, col("url").asc)
-    df.select(url.as("url"), priority.as("priority"))
+    // IP/server-level grouping (r20): a thousand vanity hostnames on
+    // one server defeat a per-HOST cap — with `ipGroups` (host,
+    // ip_group; hosts-bounded, broadcast), every member of a group
+    // shares ONE wave budget: the window keys on the group and the
+    // STRICTEST member cap governs (politeness composes by min —
+    // a server is as slow as its most protective host demands).
+    // Ungrouped hosts keep their own key, so a partial groups frame
+    // changes nothing for the rest of the frontier.
+    val based = df.select(url.as("url"), priority.as("priority"))
       .withColumn("host", hostOf(col("url")))
+    val keyed = ipGroups match {
+      case Some(g) => based
+        .join(broadcast(g.select(col("host"), col("ip_group"))),
+          Seq("host"), "left")
+        .withColumn("polite_key", coalesce(col("ip_group"), col("host")))
+        .drop("ip_group")
+      case None => based.withColumn("polite_key", col("host"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("polite_key").orderBy(col("priority").desc, col("url").asc)
+    val withCap = keyed
       .join(broadcast(hostCaps.select(col("host"), col("cap"))),
         Seq("host"), "left")
       .withColumn("cap",
         greatest(coalesce(col("cap"), lit(defaultCap.toLong)), lit(1L)))
-      .withColumn("wave",
-        floor((row_number().over(w) - 1) / col("cap")).cast("long"))
-      .select("url", "priority", "host", "cap", "wave")
+    val capped = ipGroups match {
+      // group-wide min rides the SAME key exchange the rank window
+      // already pays (identical partitioning) — no extra shuffle
+      case Some(_) => withCap.withColumn("cap",
+        min(col("cap")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("polite_key")))
+      case None => withCap
+    }
+    val waved = capped.withColumn("wave",
+      floor((row_number().over(w) - 1) / col("cap")).cast("long"))
+    ipGroups match {
+      case Some(_) =>
+        waved.select("url", "priority", "host", "polite_key", "cap", "wave")
+      case None => waved.select("url", "priority", "host", "cap", "wave")
+    }
   }
 
   /** [[politeWavesCapped]] for MEGA-HOST frontiers (r19): the plain
@@ -639,11 +669,26 @@ object Urls {
     * and the (id → slice) mapping is replay-stable. */
   def politeWavesCappedWide(df: DataFrame, url: Column, priority: Column,
                             hostCaps: DataFrame, defaultCap: Int = 1,
-                            partitions: Int = 0): DataFrame = {
+                            partitions: Int = 0,
+                            ipGroups: Option[DataFrame] = None): DataFrame = {
     require(defaultCap >= 1, s"defaultCap must be >= 1, got $defaultCap")
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // IP-group semantics as in [[politeWavesCapped]] (r20): the rank
+    // decomposition keys on the group when one exists — a mega-SERVER
+    // behind many vanity hosts is exactly the straggler this form
+    // exists for. polite_key = the group, else the host.
+    val based = df.select(url.as("url"), priority.as("priority"))
+      .withColumn("host", hostOf(col("url")))
+    val keyed = ipGroups match {
+      case Some(g) => based
+        .join(broadcast(g.select(col("host"), col("ip_group"))),
+          Seq("host"), "left")
+        .withColumn("polite_key", coalesce(col("ip_group"), col("host")))
+        .drop("ip_group")
+      case None => based.withColumn("polite_key", col("host"))
+    }
     // staged, not merely shared (r20, ADVICE): `ranged` feeds BOTH the
     // local-rank window and the offset counts below. Left as a plan,
     // global rank = offset + local rank is consistent only if Spark's
@@ -654,30 +699,48 @@ object Urls {
     // __pid already stamped), so both consumers read identical rows
     // by construction, not by optimizer rule.
     val ranged = org.apache.spark.sql.GraftBridge.stageLocal(
-      df.select(url.as("url"), priority.as("priority"))
-        .withColumn("host", hostOf(col("url")))
-        .repartitionByRange(p, col("host"), col("priority").desc,
+      keyed
+        .repartitionByRange(p, col("polite_key"), col("priority").desc,
           col("url").asc)
         .withColumn("__pid", spark_partition_id()))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid", "host")
+      .partitionBy("__pid", "polite_key")
       .orderBy(col("priority").desc, col("url").asc)
     val local = ranged.withColumn("__lr", row_number().over(w))
     val offW = org.apache.spark.sql.expressions.Window
-      .partitionBy("host").orderBy("__pid")
+      .partitionBy("polite_key").orderBy("__pid")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offs = ranged.groupBy("host", "__pid")
+    val offs = ranged.groupBy("polite_key", "__pid")
       .agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(sum(col("__n")).over(offW), lit(0L)))
-      .select("host", "__pid", "__off")
-    local.join(broadcast(offs), Seq("host", "__pid"))
-      .join(broadcast(hostCaps.select(col("host"), col("cap"))),
-        Seq("host"), "left")
-      .withColumn("cap",
-        greatest(coalesce(col("cap"), lit(defaultCap.toLong)), lit(1L)))
-      .withColumn("wave",
-        floor((col("__off") + col("__lr") - 1) / col("cap")).cast("long"))
-      .select("url", "priority", "host", "cap", "wave")
+      .select("polite_key", "__pid", "__off")
+    val joined = local.join(broadcast(offs), Seq("polite_key", "__pid"))
+    val waved = ipGroups match {
+      case None => joined
+        .join(broadcast(hostCaps.select(col("host"), col("cap"))),
+          Seq("host"), "left")
+        .withColumn("cap",
+          greatest(coalesce(col("cap"), lit(defaultCap.toLong)), lit(1L)))
+      case Some(_) =>
+        // effective group cap = min over member hosts (strictest
+        // governs) — derived once on a hosts-bounded projection
+        // (map-side partial keeps the distinct's exchange tiny) and
+        // broadcast back, never a corpus-wide window
+        val capsEff = ranged.select("polite_key", "host").distinct()
+          .join(broadcast(hostCaps.select(col("host"), col("cap"))),
+            Seq("host"), "left")
+          .withColumn("cap",
+            greatest(coalesce(col("cap"), lit(defaultCap.toLong)), lit(1L)))
+          .groupBy("polite_key").agg(min(col("cap")).as("cap"))
+        joined.join(broadcast(capsEff), Seq("polite_key"))
+    }
+    val out = waved.withColumn("wave",
+      floor((col("__off") + col("__lr") - 1) / col("cap")).cast("long"))
+    ipGroups match {
+      case Some(_) =>
+        out.select("url", "priority", "host", "polite_key", "cap", "wave")
+      case None => out.select("url", "priority", "host", "cap", "wave")
+    }
   }
 
   /** Blocklist predicate over a host column/expression: exact match

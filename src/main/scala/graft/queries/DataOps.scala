@@ -1985,6 +1985,33 @@ object DataOps {
       col("n_refs"), caps, crawlPerHostPerWave)
   }
 
+  /** Deterministic (host → ip_group) fixture: even-numbered source
+    * hosts share a server per suffix mod 4 (`src0/src4/… → ip-0`,
+    * `src2/src6/… → ip-2`); odd hosts stay ungrouped — the partial-
+    * frame posture a real reverse-DNS/IP table has. */
+  def ipGroupsFixture(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("source")).distinct()
+      .select(concat(col("source"), lit(".example.com")).as("host"),
+        regexp_extract(col("source"), "(\\d+)", 1).cast("long").as("n"))
+      .filter(col("n") % 2 === 0)
+      .select(col("host"),
+        concat(lit("ip-"), (col("n") % 4).cast("string")).as("ip_group"))
+
+  /** [[dsCrawlDelay]] under IP/server-level grouping (r20): hosts
+    * sharing a server share ONE wave budget keyed on the group, the
+    * strictest member's delay cap governing — a thousand vanity
+    * hostnames on one box can no longer multiply the per-host cap.
+    * Ungrouped hosts schedule exactly as before (the oracle asserts
+    * both facts on every row). */
+  def dsCrawlDelayIp(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val caps = txRobotsDelays(s, d).select(col("host"),
+      greatest(lit(1L),
+        floor(lit(crawlWavePeriodSec) / col("delay_s"))).as("cap"))
+    Urls.politeWavesCapped(dsCrawlFrontier(s, d), col("url"), col("n_refs"),
+      caps, crawlPerHostPerWave, ipGroups = Some(ipGroupsFixture(s, d)))
+  }
+
   /** Wave-density invariant twin over [[dsCrawlDelay]]'s schedule —
     * the scheduled-output CONTRACT as a driver-visible row: per
     * (host, cap), the URL total, wave count, max wave, fullest-wave
@@ -3674,6 +3701,38 @@ object DataOps {
                       ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
                  AS wave
         FROM j"""
+
+  /** [[crawlDelaySql]] under the IP-group fixture (r20): the window
+    * keys on coalesce(ip_group, host) and the group's MIN member cap
+    * governs — the politeness-composes-by-min rule replayed. */
+  private lazy val crawlDelayIpSql: String =
+    s"""WITH f AS ($crawlFrontierSql), $robotsRulesCtes,
+        caps AS (SELECT host,
+                   greatest(1, $crawlWavePeriodSec // delay_s) AS cap
+                 FROM delays),
+        g AS (SELECT source || '.example.com' AS host,
+                     'ip-' || CAST(CAST(regexp_extract(source, '(\\d+)', 1)
+                       AS BIGINT) % 4 AS VARCHAR) AS ip_group
+              FROM (SELECT DISTINCT source FROM documents)
+              WHERE CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)
+                    % 2 = 0),
+        c AS (SELECT url, n_refs AS priority,
+                regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)
+                  AS host
+              FROM f),
+        j AS (SELECT c.url, c.priority, c.host,
+                coalesce(g.ip_group, c.host) AS polite_key,
+                greatest(coalesce(caps.cap, $crawlPerHostPerWave), 1) AS cap0
+              FROM c LEFT JOIN caps ON c.host = caps.host
+                     LEFT JOIN g ON c.host = g.host),
+        m AS (SELECT url, priority, host, polite_key,
+                min(cap0) OVER (PARTITION BY polite_key) AS cap
+              FROM j)
+        SELECT url, priority, host, polite_key, cap,
+               CAST((row_number() OVER (PARTITION BY polite_key
+                      ORDER BY priority DESC, url) - 1) // cap AS BIGINT)
+                 AS wave
+        FROM m"""
 
   private lazy val recrawlLastmodSql: String =
     s"""WITH $recrawlLadderCtes,
@@ -6537,6 +6596,10 @@ object DataOps {
     // the rank decomposition is a plan-shape choice, never a result
     // change — the driver hash-checks that claim every round
     "ds_crawl_delay_wide" -> crawlDelaySql,
+    // IP/server-level politeness (r20): grouped hosts share one wave
+    // budget under the strictest member cap; ungrouped hosts replay
+    // ds_crawl_delay exactly
+    "ds_crawl_delay_ip" -> crawlDelayIpSql,
     // the composed politeness front door: frontier → robots access
     // filter (most-specific-match, wildcards) → delay-derived wave
     // caps — ONE replay of the chain the three sibling rows price
@@ -7298,6 +7361,7 @@ object DataOps {
     "ds_crawl_robots" -> dsCrawlRobots _,
     "ds_crawl_delay" -> dsCrawlDelay _,
     "ds_crawl_delay_wide" -> dsCrawlDelayWide _, // mega-host rank decomposition
+    "ds_crawl_delay_ip" -> dsCrawlDelayIp _,     // server-level shared budgets
     "ds_crawl_polite" -> dsCrawlPolite _, // frontier→robots→caps, ONE plan
     "ds_crawl_polite_seeded" -> dsCrawlPoliteSeeded _, // + sitemap seeds at evidence 0
     "ds_crawl_wave" -> dsCrawlWave _, // THE production wave: every gate, one plan

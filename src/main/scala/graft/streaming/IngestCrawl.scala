@@ -919,7 +919,8 @@ object IngestCrawl {
                hostQuality: Option[DataFrame] = None,
                recrawl: Option[DataFrame] = None,
                traps: Option[DataFrame] = None,
-               priority: Option[DataFrame] = None): DataFrame = {
+               priority: Option[DataFrame] = None,
+               ipGroups: Option[DataFrame] = None): DataFrame = {
     // seeds: already-canonical URLs from OUTSIDE link discovery —
     // typically sitemap locs (Urls.robotsSitemaps → fetch →
     // [[sitemapSeeds]], whose page half lands here after index
@@ -1008,10 +1009,20 @@ object IngestCrawl {
         coalesce(col("cash"), col("n_refs")))
       case None => (trapGated, col("n_refs"))
     }
-    hostCaps match {
-      case Some(caps) => Urls.politeWavesCapped(pool, col("url"),
-        prio, caps, perHostPerWave)
-      case None =>
+    // IP/server-level grouping (r20): with `ipGroups` (host →
+    // ip_group), grouped hosts share one wave budget under the
+    // strictest member cap (Urls.politeWavesCapped's grouped form) —
+    // the capless path synthesizes a uniform cap frame so grouping
+    // still binds.
+    (hostCaps, ipGroups) match {
+      case (Some(caps), g) => Urls.politeWavesCapped(pool, col("url"),
+        prio, caps, perHostPerWave, ipGroups = g)
+      case (None, Some(_)) => Urls.politeWavesCapped(pool, col("url"),
+        prio, spark.emptyDataFrame
+          .withColumn("host", lit(null).cast("string"))
+          .withColumn("cap", lit(null).cast("long")),
+        perHostPerWave, ipGroups = ipGroups)
+      case (None, None) =>
         Urls.politeWaves(pool, col("url"), prio, perHostPerWave)
     }
   }

@@ -549,6 +549,66 @@ class UrlsSpec extends SparkSpec {
     }
   }
 
+  test("ipGroups: grouped hosts share ONE wave budget under the " +
+      "strictest member cap; ungrouped hosts schedule unchanged") {
+    import spark.implicits._
+    val urls = (1 to 4).map(i => (s"http://a.com/$i", 9L)) ++
+      (1 to 4).map(i => (s"http://b.com/$i", 1L)) ++ // same server as a
+      (1 to 4).map(i => (s"http://c.com/$i", 5L))    // own server
+    val df = urls.toDF("url", "n_refs")
+    val caps = Seq(("a.com", 4L), ("b.com", 2L)).toDF("host", "cap")
+    val groups = Seq(("a.com", "srv1"), ("b.com", "srv1"))
+      .toDF("host", "ip_group")
+    val out = Urls.politeWavesCapped(df, col("url"), col("n_refs"), caps,
+        defaultCap = 3, ipGroups = Some(groups))
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    // srv1's budget = min(4, 2) = 2 per wave ACROSS a.com+b.com: the
+    // 8 urls rank a.com first (priority 9 > 1) → waves 0..3, two per
+    // wave, never two hosts' own caps side by side
+    val srv = out.filter(_._3 == "srv1")
+    assert(srv.forall(_._4 == 2L), s"strictest member cap governs: $srv")
+    assert(srv.groupBy(_._5).forall(_._2.size == 2), s"$srv")
+    val aWaves = srv.filter(_._2 == "a.com").map(_._5).toSet
+    val bWaves = srv.filter(_._2 == "b.com").map(_._5).toSet
+    assert(aWaves == Set(0L, 1L) && bWaves == Set(2L, 3L),
+      s"one shared queue, priority-ordered: a=$aWaves b=$bWaves")
+    // ungrouped host: own key, default cap — exactly the plain form
+    val c = out.filter(_._2 == "c.com")
+    assert(c.forall(t => t._3 == "c.com" && t._4 == 3L), s"$c")
+    assert(c.map(_._5).toSet == Set(0L, 1L), s"$c")
+    // and row-for-row: the plain schedule restricted to ungrouped
+    // hosts is unchanged by passing a groups frame
+    val plainC = Urls.politeWavesCapped(df, col("url"), col("n_refs"),
+        caps, defaultCap = 3)
+      .collect().map(r => (r.getString(0), r.getLong(4)))
+      .filter(_._1.startsWith("http://c.com")).toSet
+    assert(c.map(t => (t._1, t._5)).toSet == plainC)
+  }
+
+  test("ipGroups: politeWavesCappedWide ≡ politeWavesCapped under " +
+      "grouping, across partition-count choices") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i =>
+        (s"http://v${i % 9}.mega.com/p/${1000 + i}", (i % 7).toLong)) ++
+      (1 to 60).map(i => (s"http://t${i % 13}.com/p/$i", (i % 5).toLong))
+    val df = rows.toDF("url", "n_refs")
+    val caps = Seq(("v1.mega.com", 4L), ("v2.mega.com", 1L), ("t1.com", 1L))
+      .toDF("host", "cap")
+    // all vanity hosts of one mega server share a group
+    val groups = (0 until 9).map(i => (s"v$i.mega.com", "megasrv"))
+      .toDF("host", "ip_group")
+    val plain = Urls.politeWavesCapped(df, col("url"), col("n_refs"),
+        caps, defaultCap = 2, ipGroups = Some(groups))
+      .collect().map(_.toSeq).toSet
+    for (p <- Seq(3, 32)) {
+      val wide = Urls.politeWavesCappedWide(df, col("url"), col("n_refs"),
+          caps, defaultCap = 2, partitions = p, ipGroups = Some(groups))
+        .collect().map(_.toSeq).toSet
+      assert(wide == plain, s"wide(p=$p) must equal the grouped schedule")
+    }
+  }
+
   test("redirectHop/followRedirects: hop guard, chains, cap, hop count") {
     import spark.implicits._
     val (fin, hops) = Urls.followRedirects(col("url"))
