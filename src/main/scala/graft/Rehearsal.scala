@@ -169,6 +169,7 @@ object Rehearsal {
     def crawlWaveCase(withDue: Boolean): Long = {
         import graft.operators.{Html, Urls}
         val D = graft.queries.DataOps
+        val C = graft.queries.Crawl
         val d = docsR.repartition(32)
         val pagesF = d.select(
           Urls.canonicalize(
@@ -216,10 +217,10 @@ object Rehearsal {
             .unionByName(calBait)
             .groupBy("url").agg(max(col("n_refs")).as("n_refs"))
             .withColumn("host", Urls.hostOf(col("url")))
-            .withColumn("template", D.urlTemplate(col("url"))))
+            .withColumn("template", C.urlTemplate(col("url"))))
         val traps = cand.groupBy("host", "template")
           .agg(count(lit(1)).as("n_urls"))
-          .filter(col("n_urls") >= D.trapMinUrls).select("host", "template")
+          .filter(col("n_urls") >= C.trapMinUrls).select("host", "template")
         val untrapped = cand.join(broadcast(traps),
           Seq("host", "template"), "left_anti")
         // fetch-ledger domain gate: winners + extraction + verdicts
@@ -245,10 +246,10 @@ object Rehearsal {
           .otherwise(size(split(col("main_text"), "[ \\n]")).cast("long"))
         val badHosts = ext.select(
             Urls.hostOf(col("canon_url")).as("host"),
-            when(nTok >= D.crawlMinTokens, 1L).otherwise(0L).as("k"))
+            when(nTok >= C.crawlMinTokens, 1L).otherwise(0L).as("k"))
           .groupBy("host")
           .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"))
-          .filter(col("n_kept") * 100 < col("n_pages") * D.domainKeepPct)
+          .filter(col("n_kept") * 100 < col("n_pages") * C.domainKeepPct)
           .select("host")
         val pool =
           if (!withDue) untrapped
@@ -295,7 +296,7 @@ object Rehearsal {
               .filter(col("due_now") || col("due_wave") === 1)
               .select(col("canon_url").as("url"), lit(0L).as("n_refs"))
               .withColumn("host", Urls.hostOf(col("url")))
-              .withColumn("template", D.urlTemplate(col("url")))
+              .withColumn("template", C.urlTemplate(col("url")))
             untrapped.unionByName(
               due.join(broadcast(traps), Seq("host", "template"),
                 "left_anti"))
@@ -305,15 +306,15 @@ object Rehearsal {
           .select(col("url"), col("n_refs"))
         val arules = Urls.robotsRules(hostsF, col("host"),
           Urls.syntheticRobots(col("source")),
-          agent = Some(D.crawlProductToken))
+          agent = Some(C.crawlProductToken))
         val allowed = Urls.robotsFilter(gated, col("url"), arules)
         val caps = Urls.robotsDelays(hostsF, col("host"),
             Urls.syntheticRobots(col("source")),
-            agent = Some(D.crawlProductToken))
+            agent = Some(C.crawlProductToken))
           .select(col("host"), greatest(lit(1L),
-            floor(lit(D.crawlWavePeriodSec) / col("delay_s"))).as("cap"))
+            floor(lit(C.crawlWavePeriodSec) / col("delay_s"))).as("cap"))
         val waves = Urls.politeWavesCapped(allowed, col("url"),
-          col("n_refs"), caps, D.crawlPerHostPerWave)
+          col("n_refs"), caps, C.crawlPerHostPerWave)
         waves.agg(count(lit(1)), sum(col("wave")), sum(length(col("url"))))
           .collect()(0).getLong(0)
     }
@@ -494,6 +495,45 @@ object Rehearsal {
           .agg(sum(length(col("clean_text"))).cast("long"))
           .collect()(0).getLong(0)
       },
+      // boundary-aware paragraph dedup (r20): same keyed keep-first as
+      // the grid form but segmentation follows real blank-line
+      // boundaries of the paragraphed furniture — cost must track
+      // paragraph_dedup (the segments are what changes, not the plan)
+      "paragraph_lines" -> { () =>
+        Dedup.paragraphDedupLines(docsR.select(col("doc_id"),
+            Dedup.syntheticParagraphedDoc(col("text"), col("doc_id"))
+              .as("text")),
+            col("text"), col("doc_id"))
+          .agg(sum(length(col("clean_text"))).cast("long"))
+          .collect()(0).getLong(0)
+      },
+      // charset front door (r20): the batched byte walk over the
+      // five-variant mixed-encoding fixture — pure partition-local
+      // decode, must grow ≈linearly with zero reduce terms
+      "charset_decode" -> { () =>
+        graft.operators.Charset.decode(
+            graft.operators.Charset.documentsAsFetches(docsR))
+          .toDF()
+          .agg(sum(length(col("text"))).cast("long"))
+          .collect()(0).getLong(0)
+      },
+      // WARC chain (r20): assembly (one keyed shuffle — fixture
+      // construction, charged here because a real ingest pays a read
+      // instead) + the record walk + HTTP split + charset decode —
+      // the byte-fed front door's pre-canonicalize cost
+      "warc_chain" -> { () => {
+        val w = graft.operators.Warc
+        val blobs = w.documentsAsWarc(docsR,
+          concat(lit("http://"), col("source"), lit(".example.com/d/"),
+            col("doc_id").cast("string")),
+          col("text"), col("doc_id"))
+        val resp = w.httpResponses(w.records(blobs))
+        graft.operators.Charset.decodedTagged(resp, col("body"),
+            element_at(split(col("record_id"), ":"), -1).cast("long"),
+            col("url"))
+          .agg(sum(length(col("text"))).cast("long"))
+          .collect()(0).getLong(0)
+      }},
       // fixed-length packing: one global prefix sum + a span explode —
       // must track pack_shards (groupBy-like), span volume ≈
       // tokens/seqLen + docs
@@ -1017,7 +1057,7 @@ object Rehearsal {
           .select(
             Urls.canonicalize(Urls.syntheticUrl(col("doc_id"),
               col("source"))).as("requested_canon"),
-            graft.queries.DataOps.canonicalPage(col("doc_id"), col("text"),
+            graft.queries.Crawl.canonicalPage(col("doc_id"), col("text"),
               col("source"), col("target")).as("html"))
         val ext = org.apache.spark.sql.GraftBridge.stageLocal(pages
           .select(col("requested_canon"),
@@ -1073,7 +1113,7 @@ object Rehearsal {
         val caps = spark.range(1)
           .select(lit("megahost.example.com").as("host"), lit(4L).as("cap"))
         val sched = Urls.politeWavesCapped(cand, col("url"), col("n_refs"),
-          caps, graft.queries.DataOps.crawlPerHostPerWave)
+          caps, graft.queries.Crawl.crawlPerHostPerWave)
         sched.agg(count(lit(1)), max(col("wave")), sum(col("wave")))
           .collect()(0).getLong(0)
       }},
@@ -1093,7 +1133,7 @@ object Rehearsal {
         val caps = spark.range(1)
           .select(lit("megahost.example.com").as("host"), lit(4L).as("cap"))
         val sched = Urls.politeWavesCappedWide(cand, col("url"),
-          col("n_refs"), caps, graft.queries.DataOps.crawlPerHostPerWave)
+          col("n_refs"), caps, graft.queries.Crawl.crawlPerHostPerWave)
         sched.agg(count(lit(1)), max(col("wave")), sum(col("wave")))
           .collect()(0).getLong(0)
       }},
@@ -1110,7 +1150,7 @@ object Rehearsal {
         val caps = spark.range(1)
           .select(lit("tail0.example.com").as("host"), lit(4L).as("cap"))
         val sched = Urls.politeWavesCapped(cand, col("url"), col("n_refs"),
-          caps, graft.queries.DataOps.crawlPerHostPerWave)
+          caps, graft.queries.Crawl.crawlPerHostPerWave)
         sched.agg(count(lit(1)), max(col("wave")), sum(col("wave")))
           .collect()(0).getLong(0)
       }},
@@ -1188,7 +1228,7 @@ object Rehearsal {
           .withColumn("outdeg",
             count(lit(1)).over(Window.partitionBy("referrer")))
           .withColumn("cash",
-            expr(s"${graft.queries.DataOps.opicCash}L div outdeg"))
+            expr(s"${graft.queries.Crawl.opicCash}L div outdeg"))
           .join(crawled, Seq("url"), "left_anti")
           .groupBy("url")
           .agg(count(lit(1)).as("n_refs"), sum(col("cash")).as("cash"))
@@ -1239,10 +1279,10 @@ object Rehearsal {
           frontier.unionByName(planted)
             .withColumn("host", Urls.hostOf(col("url")))
             .withColumn("template",
-              graft.queries.DataOps.urlTemplate(col("url"))))
+              graft.queries.Crawl.urlTemplate(col("url"))))
         val traps = cand.groupBy("host", "template")
           .agg(count(lit(1)).as("n_urls"))
-          .filter(col("n_urls") >= graft.queries.DataOps.trapMinUrls)
+          .filter(col("n_urls") >= graft.queries.Crawl.trapMinUrls)
           .select("host", "template")
         val gated = cand.join(broadcast(traps),
           Seq("host", "template"), "left_anti")
@@ -1428,12 +1468,12 @@ object Rehearsal {
         val caps = Urls.robotsDelays(hosts, col("host"),
             Urls.syntheticRobots(col("source")))
           .select(col("host"), greatest(lit(1L),
-            floor(lit(graft.queries.DataOps.crawlWavePeriodSec) /
+            floor(lit(graft.queries.Crawl.crawlWavePeriodSec) /
               col("delay_s"))).as("cap"))
         val polite = Urls.politeWavesCapped(
           Urls.robotsFilter(staged, col("url"), rules),
           col("url"), col("n_refs"), caps,
-          graft.queries.DataOps.crawlPerHostPerWave)
+          graft.queries.Crawl.crawlPerHostPerWave)
         polite.agg(count(lit(1)), sum(col("wave")), max(col("cap")))
           .collect()(0).getLong(0)
       }},
@@ -1487,12 +1527,12 @@ object Rehearsal {
         val caps = Urls.robotsDelays(hosts, col("host"),
             Urls.syntheticRobots(col("source")))
           .select(col("host"), greatest(lit(1L),
-            floor(lit(graft.queries.DataOps.crawlWavePeriodSec) /
+            floor(lit(graft.queries.Crawl.crawlWavePeriodSec) /
               col("delay_s"))).as("cap"))
         val polite = Urls.politeWavesCapped(
           Urls.robotsFilter(cand, col("url"), rules),
           col("url"), col("n_refs"), caps,
-          graft.queries.DataOps.crawlPerHostPerWave)
+          graft.queries.Crawl.crawlPerHostPerWave)
         polite.agg(count(lit(1)), sum(col("wave")), max(col("cap")))
           .collect()(0).getLong(0)
       }},
@@ -1530,7 +1570,7 @@ object Rehearsal {
         val hq = ext.select(
             Urls.hostOf(col("canon_url")).as("host"), col("n_fetches"),
             nTok.as("n_tokens"),
-            when(nTok >= graft.queries.DataOps.crawlMinTokens, 1L)
+            when(nTok >= graft.queries.Crawl.crawlMinTokens, 1L)
               .otherwise(0L).as("k"))
           .groupBy("host")
           .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"),
@@ -1571,11 +1611,11 @@ object Rehearsal {
         val hw = Window.partitionBy("host")
         val g = ext.select(col("doc_id"),
             Urls.hostOf(col("canon_url")).as("host"),
-            when(nTok >= graft.queries.DataOps.crawlMinTokens, 1L)
+            when(nTok >= graft.queries.Crawl.crawlMinTokens, 1L)
               .otherwise(0L).as("k"))
           .withColumn("domain_ok",
             sum(col("k")).over(hw) * 100 >=
-              count(lit(1)).over(hw) * graft.queries.DataOps.domainKeepPct)
+              count(lit(1)).over(hw) * graft.queries.Crawl.domainKeepPct)
         val survivors = d
           .join(g.filter(col("domain_ok") && col("k") === 1L)
             .select("doc_id"), Seq("doc_id"))

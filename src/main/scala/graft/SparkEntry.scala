@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.DataOps.queries ++
+      graft.queries.Crawl.queries ++
       graft.queries.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
       graft.queries.DataOps.oracleSql ++
+      graft.queries.Crawl.oracleSql ++
       graft.queries.Events.oracleSql
 }

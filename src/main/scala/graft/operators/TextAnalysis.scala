@@ -68,6 +68,52 @@ object TextAnalysis {
       .drop("__ch", "__tk")
   }
 
+  /** Compression-ratio quality signal (r20) — the classic gibberish
+    * gate beside [[entropySignals]]: DEFLATE (zlib level 6, raw) the
+    * UTF-8 bytes and report `ratio_pct = 100 · compressed / raw`
+    * (integer, floor; empty text → 100). Natural prose lands mid-band
+    * (~40–70%); template/boilerplate spam compresses far below it;
+    * high-entropy gibberish (random bytes, base64 blobs, minified
+    * junk) barely compresses at all — a band cut composes downstream
+    * exactly like the entropy gate. Batched partition-local kernel
+    * ([[Multimodal]]'s shape): one Deflater per batch, reset per
+    * document, `end()`ed per batch so native zlib memory never rides
+    * on GC; zero shuffle, cost one scan at corpus scale.
+    *
+    * NO ORACLE ROW — the first (and only) registered operator without
+    * one, by documented exception: the value is the length of a zlib
+    * bitstream, and DuckDB exposes no SQL-computable DEFLATE to
+    * replay it. The driver records the weaker rows-only check;
+    * correctness is spec-pinned instead (CompressionSpec: planted
+    * repetitive / prose / incompressible fixtures with the banded
+    * ordering, determinism across runs, and exact ratio arithmetic on
+    * a hand-deflatable input). */
+  def compressionSignals(df: DataFrame, text: Column,
+                         id: Column): DataFrame = {
+    import df.sparkSession.implicits._
+    val batch = 64
+    df.select(id.cast("long").as("doc_id"), text.as("__t"))
+      .as[(Long, String)]
+      .mapPartitions(_.grouped(batch).flatMap { group =>
+        val defl = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](64 * 1024)
+        val out = group.map { case (docId, t) =>
+          val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(bytes)
+          defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          val ratio =
+            if (bytes.isEmpty) 100L else n * 100L / bytes.length
+          (docId, bytes.length.toLong, n, ratio)
+        }
+        defl.end()
+        out
+      })
+      .toDF("doc_id", "n_bytes", "n_deflate", "ratio_pct")
+  }
+
   /** Tiny per-language stopword profiles (n-gram-free heuristic: a
     * language "wins" on stopword hits; `und` = undetermined). The
     * profiles are deliberately minimal — the operator shape (N

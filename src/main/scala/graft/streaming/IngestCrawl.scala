@@ -250,7 +250,7 @@ object IngestCrawl {
         .select(lit("").as("url"), lit(0L).as("cash")).limit(0))
 
   /** Interval rungs shared by [[recrawlDue]] and its scaladoc'd
-    * contract — the streaming twin of DataOps.dsRecrawl's ladder,
+    * contract — the streaming twin of Crawl.dsRecrawl's ladder,
     * on OBSERVED transitions (`n_changes`: refetches whose payload
     * differed from the previous copy — what a real crawler can see)
     * instead of the batch path's distinct-payload count. */
@@ -265,7 +265,7 @@ object IngestCrawl {
     * validated-or-identical refetch DOUBLES the interval (Cho &
     * Garcia-Molina's decay, integer-exact: `min(64, rung · 2^min(
     * n_unmod, 6))`, both caps shared with the batch twin
-    * DataOps.dsRecrawlValidators). A hot page that stops changing
+    * Crawl.dsRecrawlValidators). A hot page that stops changing
     * climbs 1→2→4→… instead of being refetched every wave forever;
     * one real change resets the streak to 0 and the rung takes over
     * again. 2^k for k ≤ 6 is exact in the double pow both engines
@@ -279,7 +279,7 @@ object IngestCrawl {
     * schedules BACK over the fetched ledger): URLs whose change-rate
     * interval has elapsed since their last fetch. Cho &
     * Garcia-Molina's estimator collapsed to the integer rung ladder
-    * of DataOps.dsRecrawl, over observed transitions: 2+ observed
+    * of Crawl.dsRecrawl, over observed transitions: 2+ observed
     * changes → every wave, 1 → every 4, static across 2+ fetches →
     * every 64, single observation → every 8 (explore). Yields
     * (canon_url, url, n_fetches, n_changes, b, interval_waves,
@@ -295,7 +295,7 @@ object IngestCrawl {
     * raw values). A URL whose announced change postdates its last
     * fetch (`lastmod_batch > b`) is due NOW regardless of its ladder
     * rung — the protocol signal OVERRIDES the estimator (the batch
-    * twin is DataOps.dsRecrawlLastmod); absent or stale announcements
+    * twin is Crawl.dsRecrawlLastmod); absent or stale announcements
     * fall back to the ladder unchanged. The frame is folded to
     * max(lastmod_batch) per URL first, so duplicate announcements
     * (one per sitemap listing the URL) never duplicate due rows.
@@ -336,7 +336,7 @@ object IngestCrawl {
 
   def crawledIngest(fetches: DataFrame, settledUrls: Option[DataFrame],
                     survivorDir: String, blockedDomains: Seq[String],
-                    minTokens: Int = graft.queries.DataOps.crawlMinTokens,
+                    minTokens: Int = graft.queries.Crawl.crawlMinTokens,
                     settleEvery: Int = 16,
                     discoveredDir: Option[String] = None,
                     fetchedDir: Option[String] = None,
@@ -344,7 +344,7 @@ object IngestCrawl {
                     robotsRules: Option[DataFrame] = None,
                     recrawlScope: Option[DataFrame] = None,
                     cashDir: Option[String] = None,
-                    opicInit: Long = graft.queries.DataOps.opicCash,
+                    opicInit: Long = graft.queries.Crawl.opicCash,
                     recrawlSnapshotDir: Option[String] = None,
                     honorCanonical: Boolean = true)
       : StreamingQuery = {
@@ -841,7 +841,7 @@ object IngestCrawl {
     * carries the applied `cap` column; capless runs keep the global
     * [[graft.operators.Urls.politeWaves]] shape. */
   /** Per-host quality over the fetched LEDGER — the streaming twin of
-    * the batch domain gate (DataOps.dsCurateDomain), same integer
+    * the batch domain gate (Crawl.dsCurateDomain), same integer
     * keep-rate verdict: (host, n_pages, n_kept, quality_ok). Reads
     * the ledger LAYERED (settled frontier + live batch deltas), so
     * each evaluation sees every verdict landed so far — the stats
@@ -857,10 +857,10 @@ object IngestCrawl {
     * settle's compaction — a host's verdict could flip across a
     * settle boundary with no new evidence, and refetched URLs were
     * weighted more than once-fetched ones. This matches the batch
-    * per-page semantics (DataOps.dsCurateDomain) regardless of settle
+    * per-page semantics (Crawl.dsCurateDomain) regardless of settle
     * timing. */
   def hostQuality(spark: SparkSession, fetchedDir: String,
-                  keepPct: Int = graft.queries.DataOps.domainKeepPct)
+                  keepPct: Int = graft.queries.Crawl.domainKeepPct)
       : DataFrame =
     Frontier.readLayered(spark, fetchedDir)
       // only CONTENT-QUALITY verdicts vote: alias rows are redirect
@@ -976,21 +976,21 @@ object IngestCrawl {
       case None => allowed
     }
     // trap gate (r17): candidates whose (host, template) the trap
-    // audit flagged (DataOps.dsCrawlTraps' shape — digit runs in the
+    // audit flagged (Crawl.dsCrawlTraps' shape — digit runs in the
     // path+query collapsed to N) never reach the politeness window —
     // an infinite URL space can otherwise monopolize its host's wave
     // slots forever. Broadcast anti-join, bounded by hosts×templates.
     val trapGated = traps match {
       case Some(tr) => gated
         .withColumn("__h", Urls.hostOf(col("url")))
-        .withColumn("__t", graft.queries.DataOps.urlTemplate(col("url")))
+        .withColumn("__t", graft.queries.Crawl.urlTemplate(col("url")))
         .join(broadcast(tr.select(col("host").as("__h"),
           col("template").as("__t"))), Seq("__h", "__t"), "left_anti")
         .drop("__h", "__t")
       case None => gated
     }
     // OPIC ranking (r17): when the caller provides cash receipts
-    // (DataOps.dsFrontierOpic's shape — (url, cash)), candidates rank
+    // (Crawl.dsFrontierOpic's shape — (url, cash)), candidates rank
     // by received cash instead of raw in-link count, so a link farm's
     // thousand outlinks no longer outvote a focused page's three.
     // Candidates without receipts (seeds, recrawls) fall back to

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.queries.{DataOps, Relational}
+import graft.queries.{Crawl, DataOps, Relational}
 
 /** Physical-plan shape assertions: the optimizations the engine
   * depends on at 100 TB must be visible in the executed plan, not
@@ -232,13 +232,13 @@ class PlanShapeSpec extends SparkSpec {
     // broadcast semi-join (request set broadcast INTO the corpus
     // scan), and the verdict's final join reads a broadcast of the
     // tiny fetched-finals result — zero cartesian products
-    val p1 = plan(DataOps.dsCrawlRedirects(spark, sf))
+    val p1 = plan(Crawl.dsCrawlRedirects(spark, sf))
     assert(p1.contains("BroadcastHashJoin") &&
       p1.contains("LeftSemi"), s"crawled probe not broadcast-semi:\n$p1")
     assert(!p1.contains("CartesianProduct"), s"plan:\n$p1")
     // ds_frontier_redirects: same posture — only the REDIRECTING
     // subset's finals are broadcast against the corpus
-    val p2 = plan(DataOps.dsFrontierRedirects(spark, sf))
+    val p2 = plan(Crawl.dsFrontierRedirects(spark, sf))
     assert(p2.contains("BroadcastHashJoin") &&
       p2.contains("LeftSemi"), s"finals probe not broadcast-semi:\n$p2")
     assert(!p2.contains("CartesianProduct"), s"plan:\n$p2")

@@ -76,9 +76,9 @@ class WarcSpec extends SparkSpec {
   test("LAW: the byte-fed crawl front door equals the fixture-frame " +
       "front door row-for-row (sf0.001)") {
     val d = "/root/testdata/sf0.001"
-    val byteFed = graft.queries.DataOps.dsCrawlFromWarc(spark, d)
+    val byteFed = graft.queries.Crawl.dsCrawlFromWarc(spark, d)
       .collect().map(_.toSeq).toSet
-    val frame = graft.queries.DataOps.dsCrawl(spark, d)
+    val frame = graft.queries.Crawl.dsCrawl(spark, d)
       .collect().map(_.toSeq).toSet
     assert(byteFed == frame,
       s"symmetric diff: ${(byteFed diff frame) ++ (frame diff byteFed)}")

@@ -11,7 +11,7 @@ class CrawlSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("composite winners and fetch counts equal the standalone URL dedup") {
-    val crawl = DataOps.dsCrawl(spark, sf)
+    val crawl = Crawl.dsCrawl(spark, sf)
       .select("canon_url", "doc_id", "n_fetches").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val standalone = DataOps.ddUrlDedup(spark, sf).collect()
@@ -27,12 +27,12 @@ class CrawlSpec extends SparkSpec {
           graft.operators.Html.syntheticPage(col("text"), col("source")).as("html")),
         col("html"), col("doc_id"))
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap // kept_blocks
-    val crawl = DataOps.dsCrawl(spark, sf).collect()
+    val crawl = Crawl.dsCrawl(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getString(5)))
     assert(crawl.nonEmpty)
     crawl.foreach { case (id, keptBlocks, nTok, verdict) =>
       assert(keptBlocks == ext(id), s"doc $id kept_blocks drifted")
-      assert((verdict == "kept") == (nTok >= DataOps.crawlMinTokens))
+      assert((verdict == "kept") == (nTok >= Crawl.crawlMinTokens))
     }
     // both branches of the thin-content gate occur on the corpus
     val verdicts = crawl.map(_._4).toSet
@@ -41,7 +41,7 @@ class CrawlSpec extends SparkSpec {
   }
 
   test("the composite pays exactly one exchange (keep-first carries the payload)") {
-    val plan = DataOps.dsCrawl(spark, sf).queryExecution.executedPlan.toString
+    val plan = Crawl.dsCrawl(spark, sf).queryExecution.executedPlan.toString
     assert(plan.split("Exchange").length - 1 == 1,
       s"crawl composite should shuffle exactly once:\n$plan")
     assert(plan.contains("graft_html_extract"),
@@ -51,10 +51,10 @@ class CrawlSpec extends SparkSpec {
   }
 
   test("dsCrawlPolite composes its stages: robots-kept URLs, capped dense waves") {
-    val polite = DataOps.dsCrawlPolite(spark, sf)
+    val polite = Crawl.dsCrawlPolite(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(2), r.getLong(3),
         r.getLong(4)))
-    val robotsKept = DataOps.dsCrawlRobots(spark, sf)
+    val robotsKept = Crawl.dsCrawlRobots(spark, sf)
       .collect().map(_.getString(0)).toSet
     assert(polite.map(_._1).toSet == robotsKept,
       "the composite must schedule exactly the robots-kept frontier")
@@ -74,7 +74,7 @@ class CrawlSpec extends SparkSpec {
 
   test("dsCrawlPolite stages the frontier ONCE: the scheduled plan reads a " +
       "materialized frame, never the canon cascade") {
-    val qe = DataOps.dsCrawlPolite(spark, sf).queryExecution
+    val qe = Crawl.dsCrawlPolite(spark, sf).queryExecution
     val plan = qe.executedPlan.toString
     // the frontier (link explode + resolve + canonicalize) lives
     // behind GraftBridge.stageLocal — were it inlined, the robots
@@ -87,13 +87,13 @@ class CrawlSpec extends SparkSpec {
   }
 
   test("dsHostQuality: gate identity per host, stats reconcile with verdicts") {
-    val crawl = DataOps.dsCrawl(spark, sf)
+    val crawl = Crawl.dsCrawl(spark, sf)
       .select("canon_url", "n_tokens", "verdict").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     val byHost = crawl.groupBy(t =>
       t._1.replaceAll("^[a-z][a-z0-9+.-]*://", "").takeWhile(c =>
         c != '/' && c != '?' && c != '#' && c != ':'))
-    val hq = DataOps.dsHostQuality(spark, sf)
+    val hq = Crawl.dsHostQuality(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
         r.getLong(4), r.getBoolean(5))).toMap
     assert(hq.keySet == byHost.keySet, s"${hq.keySet} vs ${byHost.keySet}")
@@ -108,7 +108,7 @@ class CrawlSpec extends SparkSpec {
   }
 
   test("dsCrawlWaves invariants hold and reconcile with the schedule") {
-    val waves = DataOps.dsCrawlWaves(spark, sf)
+    val waves = Crawl.dsCrawlWaves(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
         r.getBoolean(7)))
@@ -121,14 +121,14 @@ class CrawlSpec extends SparkSpec {
       assert(nUrls > (nWaves - 1) * cap && nUrls <= nWaves * cap,
         s"host $host: $nUrls urls cannot fill $nWaves waves at cap $cap")
     }
-    assert(waves.map(_._3).sum == DataOps.dsCrawlDelay(spark, sf).count())
+    assert(waves.map(_._3).sum == Crawl.dsCrawlDelay(spark, sf).count())
   }
 
   test("dsFrontierOpic: covers the frontier with >= its evidence, floor " +
       "shares shrink with hub outdegree, blocked hosts never receive cash") {
-    val opic = DataOps.dsFrontierOpic(spark, sf)
+    val opic = Crawl.dsFrontierOpic(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val frontier = DataOps.dsCrawlFrontier(spark, sf)
+    val frontier = Crawl.dsCrawlFrontier(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // every frontier candidate receives cash, with in-link evidence at
     // least the frontier's (hub links can only add)
@@ -147,13 +147,13 @@ class CrawlSpec extends SparkSpec {
     junk.foreach { url =>
       val ls = url.stripPrefix("https://").takeWhile(_ != '.')
       val outdeg = 3 + hosts(ls) % 4
-      assert(opic(url) == (1L, DataOps.opicCash / outdeg),
-        s"$url: expected hub-only share ${DataOps.opicCash / outdeg}")
+      assert(opic(url) == (1L, Crawl.opicCash / outdeg),
+        s"$url: expected hub-only share ${Crawl.opicCash / outdeg}")
     }
     // the observed share populations are exactly the fixture's
     // residue classes (plural at scales with >1 junk-bearing residue)
     val expectedShares = hosts.values.map(n => 3 + n % 4)
-      .filter(_ > 3).map(DataOps.opicCash / _).toSet
+      .filter(_ > 3).map(Crawl.opicCash / _).toSet
     assert(junk.map(u => opic(u)._2).toSet == expectedShares,
       "hub shares should be exactly the fixture's outdegree classes")
     DataOps.blockedDomains.foreach(d =>
@@ -163,14 +163,14 @@ class CrawlSpec extends SparkSpec {
   test("dsCrawlTraps: the verdict recomputes from fan-out, planted calendar " +
       "traps flag, the heavily-linked archive whitelists, frontier " +
       "templates stay benign, evidence mass reconciles") {
-    val rows = DataOps.dsCrawlTraps(spark, sf)
+    val rows = Crawl.dsCrawlTraps(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
     assert(rows.nonEmpty)
     rows.foreach { case (host, tpl, nUrls, sumRefs, trap, wl) =>
-      assert(trap == (nUrls >= DataOps.trapMinUrls), s"$host $tpl: verdict")
+      assert(trap == (nUrls >= Crawl.trapMinUrls), s"$host $tpl: verdict")
       assert(wl == (trap &&
-        sumRefs >= nUrls * DataOps.trapWhitelistRefs),
+        sumRefs >= nUrls * Crawl.trapWhitelistRefs),
         s"$host $tpl: whitelist verdict")
       assert(sumRefs >= nUrls, s"$host $tpl: every candidate has evidence")
     }
@@ -195,7 +195,7 @@ class CrawlSpec extends SparkSpec {
     assert(benign.exists(b => b._2 == "/archive?page=N" && b._3 == 10),
       "an under-the-bar archive must exist, benign")
     // the frontier's own candidates all appear, benign
-    val frontierHosts = DataOps.dsCrawlFrontier(spark, sf)
+    val frontierHosts = Crawl.dsCrawlFrontier(spark, sf)
       .collect().map(_.getString(0)).toSet
     assert(benign.exists(b => frontierHosts.exists(_.contains(b._1))),
       "frontier templates must be represented")
@@ -203,9 +203,9 @@ class CrawlSpec extends SparkSpec {
 
   test("dsFrontierGated: flagged templates' candidates never pass, " +
       "whitelisted archives survive, benign candidates keep their evidence") {
-    val gated = DataOps.dsFrontierGated(spark, sf)
+    val gated = Crawl.dsFrontierGated(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val flagged = DataOps.dsCrawlTraps(spark, sf)
+    val flagged = Crawl.dsCrawlTraps(spark, sf)
       .filter(col("trap") && !col("whitelisted"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(flagged.nonEmpty, "the planted calendar traps must flag")
@@ -223,7 +223,7 @@ class CrawlSpec extends SparkSpec {
     assert(archive.nonEmpty && archive.values.forall(_ == 3L),
       s"whitelisted archive candidates must survive: ${archive.take(3)}")
     // at this fixture: gated == benign frontier + every archive plant
-    val frontier = DataOps.dsCrawlFrontier(spark, sf)
+    val frontier = Crawl.dsCrawlFrontier(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(gated == frontier ++ archive,
       "gate must pass exactly the benign frontier plus the archives")
@@ -232,7 +232,7 @@ class CrawlSpec extends SparkSpec {
   test("dsCrawlWave: every gate bites — no trapped template, no condemned " +
       "host, agent-rules-allowed only, seeds at zero evidence, dense waves") {
     import graft.operators.Urls
-    val wave = DataOps.dsCrawlWave(spark, sf)
+    val wave = Crawl.dsCrawlWave(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
         r.getLong(3), r.getLong(4)))
     assert(wave.nonEmpty)
@@ -242,8 +242,8 @@ class CrawlSpec extends SparkSpec {
     assert(wave.exists(_._1.contains("/archive?page=")),
       "whitelisted archive candidates must reach the wave")
     // domain gate: hosts condemned at the curation bar never appear
-    val bad = DataOps.dsHostQuality(spark, sf)
-      .filter(col("n_kept") * 100 < col("n_pages") * DataOps.domainKeepPct)
+    val bad = Crawl.dsHostQuality(spark, sf)
+      .filter(col("n_kept") * 100 < col("n_pages") * Crawl.domainKeepPct)
       .collect().map(_.getString(0)).toSet
     assert(bad.nonEmpty, "the curation bar must condemn at least one host")
     assert(!wave.exists(w => bad.contains(w._3)), "condemned host scheduled")
@@ -254,7 +254,7 @@ class CrawlSpec extends SparkSpec {
         col("source")).distinct()
     val arules = Urls.robotsRules(hosts, col("host"),
       Urls.syntheticRobots(col("source")),
-      agent = Some(DataOps.crawlProductToken))
+      agent = Some(Crawl.crawlProductToken))
     import spark.implicits._
     val scheduled = wave.map(_._1).toSeq.toDF("url")
     assert(Urls.robotsFilter(scheduled, col("url"), arules).count() ==
@@ -276,12 +276,12 @@ class CrawlSpec extends SparkSpec {
   test("dsCrawlWaveFresh: due refetches join the wave at evidence 0 " +
       "through every gate; the discovery pool is unchanged") {
     import graft.operators.Urls
-    val wave = DataOps.dsCrawlWave(spark, sf)
+    val wave = Crawl.dsCrawlWave(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val fresh = DataOps.dsCrawlWaveFresh(spark, sf)
+    val fresh = Crawl.dsCrawlWaveFresh(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
         r.getLong(3), r.getLong(4)))
-    val due = DataOps.dsRecrawlLastmod(spark, sf)
+    val due = Crawl.dsRecrawlLastmod(spark, sf)
       .filter(col("due_wave_eff") === 1)
       .collect().map(_.getString(0)).toSet
     assert(due.nonEmpty, "the due set must be live")
@@ -300,8 +300,8 @@ class CrawlSpec extends SparkSpec {
     }
     // every gate still bites: condemned hosts and agent-disallowed
     // URLs never appear among the refetches
-    val bad = DataOps.dsHostQuality(spark, sf)
-      .filter(col("n_kept") * 100 < col("n_pages") * DataOps.domainKeepPct)
+    val bad = Crawl.dsHostQuality(spark, sf)
+      .filter(col("n_kept") * 100 < col("n_pages") * Crawl.domainKeepPct)
       .collect().map(_.getString(0)).toSet
     assert(refetches.forall(r => !bad.contains(r._3)),
       "condemned host refetched")
@@ -311,7 +311,7 @@ class CrawlSpec extends SparkSpec {
         col("source")).distinct()
     val arules = Urls.robotsRules(hosts, col("host"),
       Urls.syntheticRobots(col("source")),
-      agent = Some(DataOps.crawlProductToken))
+      agent = Some(Crawl.crawlProductToken))
     val rf = refetches.map(_._1).toSeq.toDF("url")
     assert(Urls.robotsFilter(rf, col("url"), arules).count() ==
       refetches.length, "a refetch violates the chosen agent group")
@@ -331,11 +331,11 @@ class CrawlSpec extends SparkSpec {
   test("dsFrontierRedirects: a candidate aliasing fetched content never " +
       "schedules; fresh-content redirects stay; direct candidates are " +
       "exactly the frontier") {
-    val rows = DataOps.dsFrontierRedirects(spark, sf)
+    val rows = Crawl.dsFrontierRedirects(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     val (redirecting, direct) = rows.partition(r => r._1 != r._3)
     // direct candidates pass untouched: exactly the benign frontier
-    val frontier = DataOps.dsCrawlFrontier(spark, sf)
+    val frontier = Crawl.dsCrawlFrontier(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(direct.map(r => r._1 -> r._2).toMap == frontier,
       "direct candidates must be exactly the frontier")
@@ -346,7 +346,7 @@ class CrawlSpec extends SparkSpec {
       assert(url.contains("/old/fresh") && fin.endsWith("/fresh"),
         s"unexpected surviving redirect: $url -> $fin")
     }
-    val crawled = DataOps.dsCrawl(spark, sf)
+    val crawled = Crawl.dsCrawl(spark, sf)
       .select("canon_url").collect().map(_.getString(0)).toSet
     assert(rows.forall(r => !crawled.contains(r._3)),
       "no scheduled candidate may alias fetched content")
@@ -359,11 +359,11 @@ class CrawlSpec extends SparkSpec {
 
   test("dsCrawlCanonical: one admission per declared final, crawled " +
       "finals are dup_fetched, extraction round-trips the fixture") {
-    val rows = DataOps.dsCrawlCanonical(spark, sf)
+    val rows = Crawl.dsCrawlCanonical(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(rows.map(_._3).toSet == Set("dup_fetched", "admitted", "dup_alias"),
       "all three verdict branches must be live on the fixture")
-    val crawled = DataOps.dsCrawl(spark, sf)
+    val crawled = Crawl.dsCrawl(spark, sf)
       .select("canon_url").collect().map(_.getString(0)).toSet
     rows.groupBy(_._2).foreach { case (fin, grp) =>
       val verdicts = grp.map(_._3)
@@ -401,20 +401,20 @@ class CrawlSpec extends SparkSpec {
     // hostQuality shape), derived here from the same front door the
     // self-contained path runs — written and read back so the wave
     // consumes a genuine parquet ledger, not a shared plan
-    DataOps.dsCrawl(spark, sf)
+    Crawl.dsCrawl(spark, sf)
       .select(graft.operators.Urls.hostOf(col("canon_url")).as("host"),
         when(col("verdict") === "kept", 1L).otherwise(0L).as("k"))
       .groupBy("host")
       .agg(count(lit(1)).as("n_pages"), sum(col("k")).as("n_kept"))
       .withColumn("quality_ok",
-        col("n_kept") * 100 >= col("n_pages") * DataOps.domainKeepPct)
+        col("n_kept") * 100 >= col("n_pages") * Crawl.domainKeepPct)
       .write.mode("overwrite").parquet(dir)
     val verdicts = spark.read.parquet(dir)
     for (fresh <- Seq(false, true)) {
-      val self = (if (fresh) DataOps.dsCrawlWaveFresh(spark, sf)
-                  else DataOps.dsCrawlWave(spark, sf))
+      val self = (if (fresh) Crawl.dsCrawlWaveFresh(spark, sf)
+                  else Crawl.dsCrawlWave(spark, sf))
         .collect().map(_.toSeq).toSet
-      val fed = DataOps.crawlWave(spark, sf, fresh = fresh,
+      val fed = Crawl.crawlWave(spark, sf, fresh = fresh,
           ledgerVerdicts = Some(verdicts))
         .collect().map(_.toSeq).toSet
       assert(fed == self,
@@ -424,7 +424,7 @@ class CrawlSpec extends SparkSpec {
 
   test("dsRecrawl: ladder recomputes from evidence, due waves stagger " +
       "within the interval, ledger agrees with dd_url_dedup") {
-    val rows = DataOps.dsRecrawl(spark, sf)
+    val rows = Crawl.dsRecrawl(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(rows.nonEmpty)
@@ -454,10 +454,10 @@ class CrawlSpec extends SparkSpec {
 
   test("dsRecrawlLastmod: a fresh lastmod forces due NOW, stale/absent " +
       "falls back to the ladder, every branch live") {
-    val base = DataOps.dsRecrawl(spark, sf).collect()
+    val base = Crawl.dsRecrawl(spark, sf).collect()
       .map(r => r.getString(0) ->
         (r.getLong(4), r.getLong(5))).toMap // interval, due_wave
-    val rows = DataOps.dsRecrawlLastmod(spark, sf).collect().map { r =>
+    val rows = Crawl.dsRecrawlLastmod(spark, sf).collect().map { r =>
       (r.getString(0), r.getLong(4), r.getLong(5),
         Option(r.getDate(6)), r.getDate(7), r.getBoolean(8), r.getLong(9))
     }
