@@ -114,7 +114,14 @@ object Crawl {
       Urls.syntheticUrl(col("doc_id"), col("source")),
       Html.syntheticPage(col("text"), col("source")),
       col("doc_id"))
+    // status gate: only 200 bodies carry content worth decoding —
+    // 4xx/5xx payloads are error pages a real crawler must never
+    // admit (a 304 carries no body at all and belongs to the
+    // validator path, IngestCrawl's not_modified). The fixture is
+    // all-200, so the gate is provably a no-op against the oracle;
+    // WarcSpec plants the non-200 records this line exists for.
     val resp = Warc.httpResponses(Warc.records(blobs))
+      .filter(col("http_status") === 200)
     val pages = Charset.decodedTagged(resp, col("body"),
         element_at(split(col("record_id"), ":"), -1).cast("long"),
         col("url"))

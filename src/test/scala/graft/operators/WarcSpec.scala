@@ -73,6 +73,23 @@ class WarcSpec extends SparkSpec {
     assert(new String(r.getAs[Array[Byte]]("body")) == "<html>gone</html>")
   }
 
+  test("non-200 responses never feed the front door: the status gate " +
+      "drops error pages before decode") {
+    val b = blob(4L,
+      Warc.record("response", "urn:x:ok", Some("http://h.com/ok"),
+        "HTTP/1.1 200 OK\r\n\r\n<html>good</html>".getBytes),
+      Warc.record("response", "urn:x:gone", Some("http://h.com/gone"),
+        "HTTP/1.1 404 Not Found\r\n\r\n<html>error page</html>".getBytes),
+      Warc.record("response", "urn:x:boom", Some("http://h.com/boom"),
+        "HTTP/1.1 503 Unavailable\r\n\r\n<html>retry later</html>".getBytes))
+    // the composite's gate expression, applied to the same frame shape
+    val kept = Warc.httpResponses(Warc.records(Seq(b).toDS()))
+      .filter(col("http_status") === 200)
+      .collect().map(_.getAs[String]("url"))
+    assert(kept.toSeq == Seq("http://h.com/ok"),
+      s"only the 200 body may reach decode: ${kept.toSeq}")
+  }
+
   test("LAW: the byte-fed crawl front door equals the fixture-frame " +
       "front door row-for-row (sf0.001)") {
     val d = "/root/testdata/sf0.001"

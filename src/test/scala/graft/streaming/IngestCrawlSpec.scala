@@ -1359,6 +1359,58 @@ class IngestCrawlSpec extends SparkSpec {
     assert(listing() == before, "second migration must be a no-op")
   }
 
+  test("bytes at the stream boundary: a mixed-encoding byte stream " +
+      "decoded through the charset door admits identically to the " +
+      "pre-decoded string stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Charset
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    // one page per encoding posture; urls distinct so all admit
+    val pages = (0 to 4).map { v =>
+      val page = Charset.syntheticEncodedPage(v, text)
+      val bytes = v match {
+        case 0 => page.getBytes("UTF-8")
+        case 1 => Array(0xff.toByte, 0xfe.toByte) ++ page.getBytes("UTF-16LE")
+        case 2 => page.getBytes("ISO-8859-1")
+        case 3 => page.getBytes("windows-1252")
+        case _ => page.getBytes("ISO-8859-1")
+      }
+      (v.toLong, page, bytes, s"http://enc.com/p$v")
+    }
+    def admitted(dir: String): Map[String, String] =
+      spark.read.parquet(s"$dir/batch_*")
+        .select("canon_url", "main_text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    // string stream: the pages as already-decoded html
+    val sDir = java.nio.file.Files.createTempDirectory("ic_enc_s").toString
+    val sIn = MemoryStream[(Long, String, String)]
+    val q1 = IngestCrawl.crawledIngest(
+      sIn.toDF().toDF("doc_id", "url", "html"), None, sDir, Nil)
+    try {
+      sIn.addData(pages.map(p => (p._1, p._4, p._2)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // byte stream: raw payloads, the charset door spliced in front —
+    // the composition a byte-fed deployment runs
+    val bDir = java.nio.file.Files.createTempDirectory("ic_enc_b").toString
+    val bIn = MemoryStream[(Long, Array[Byte], String)]
+    val decoded = Charset.decodedTagged(
+        bIn.toDF().toDF("doc_id", "payload", "url"),
+        col("payload"), col("doc_id"), col("url"))
+      .select(col("doc_id"), col("tag").as("url"), col("text").as("html"))
+    val q2 = IngestCrawl.crawledIngest(decoded, None, bDir, Nil)
+    try {
+      bIn.addData(pages.map(p => (p._1, p._3, p._4)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val a = admitted(sDir)
+    val b = admitted(bDir)
+    assert(a == b, s"byte path must equal string path:\n$a\nvs\n$b")
+    assert(a.size == 5 && a.values.forall(_.contains("café")),
+      s"all five encodings must admit with the marker intact: $a")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
