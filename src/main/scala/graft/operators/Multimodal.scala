@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media travel as opaque `binary`
@@ -339,6 +339,70 @@ object Multimodal {
           if (r.media_id % 2 == 0) pngContainer(w, h, r.payload)
           else jpegContainer(w, h, r.payload)
         MediaRecord(r.media_id, wrapped)
+      }
+  }
+
+  /** MIME sniffing at the fetch boundary (r20) — the router that
+    * dispatches a raw payload to the right pipeline (html extraction,
+    * charset decode, image/audio metadata, archive unpack) BEFORE any
+    * of them runs: magic-byte checks as ONE codegen'd CaseWhen over
+    * binary slices — no mapPartitions, no UDF, whole-stage-compiled
+    * next to whatever projection consumes the verdict. Order matters:
+    * every container check is a fixed-offset byte compare; the HTML
+    * heuristic (optionally-whitespace-led '<') and the printable-
+    * ASCII text check run only after every magic fails; anything else
+    * is opaque bytes. Conservative by construction — a sniffer that
+    * guesses wrong routes a payload into a decoder that rejects it
+    * loudly; `application/octet-stream` never does. */
+  def sniffMime(payload: Column): Column = {
+    def magic(bs: Int*): Column =
+      substring(payload, 1, bs.length) === lit(bs.map(_.toByte).toArray)
+    // qualified: this object's own decode(media) shadows functions.decode
+    val asLatin1 =
+      org.apache.spark.sql.functions.decode(payload, "ISO-8859-1")
+    when(magic(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), "image/png")
+      .when(magic(0xff, 0xd8, 0xff), "image/jpeg")
+      .when(substring(payload, 1, 4) === lit("RIFF".getBytes("US-ASCII")) &&
+        substring(payload, 9, 4) === lit("WAVE".getBytes("US-ASCII")),
+        "audio/wav")
+      .when(magic(0x1f, 0x8b), "application/gzip")
+      .when(substring(payload, 1, 5) === lit("%PDF-".getBytes("US-ASCII")),
+        "application/pdf")
+      .when(asLatin1.rlike("^\\s*<"), "text/html")
+      .when(asLatin1.rlike("^[\\x09\\x0a\\x0d\\x20-\\x7e]*$"), "text/plain")
+      .otherwise(lit("application/octet-stream"))
+  }
+
+  /** The seven payload postures a fetch boundary routes (doc_id % 7):
+    * PNG / JPEG / WAV containers (the real builders above), an HTML
+    * page, plain text, a gzip member, a PDF header — deterministic,
+    * so the oracle replays the variant arithmetic while [[sniffMime]]
+    * reads the actual bytes. */
+  def documentsAsMixedPayloads(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+      .map { r =>
+        val data = r.payload
+        val w = data.length % 640 + 1
+        val h = (data.length.toLong * 7 % 480).toInt + 1
+        val p = (r.media_id % 7).toInt match {
+          case 0 => pngContainer(w, h, data)
+          case 1 => jpegContainer(w, h, data)
+          case 2 => wavContainer(1, 8000, 16, data)
+          case 3 => ("<!doctype html><html><body><p>" +
+            new String(data, "UTF-8") + "</p></body></html>").getBytes("UTF-8")
+          case 4 => data
+          case 5 =>
+            val bo = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bo)
+            gz.write(data); gz.close()
+            bo.toByteArray
+          case _ => ("%PDF-1.4\n" +
+            new String(data, "UTF-8")).getBytes("UTF-8")
+        }
+        MediaRecord(r.media_id, p)
       }
   }
 

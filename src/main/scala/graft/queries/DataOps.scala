@@ -1069,6 +1069,18 @@ object DataOps {
     Multimodal.decode(Multimodal.documentsAsImages(docs(s, d))).toDF()
   }
 
+  /** MIME routing at the fetch boundary (r20): the seven payload
+    * postures ([[graft.operators.Multimodal.documentsAsMixedPayloads]]
+    * — real PNG/JPEG/WAV containers, an HTML page, plain text, a gzip
+    * member, a PDF header) sniffed back by the magic-byte CaseWhen
+    * over the actual bytes; the oracle replays the variant arithmetic
+    * and the planted 4-byte head. */
+  def mmSniff(s: SparkSession, d: String): DataFrame =
+    Multimodal.documentsAsMixedPayloads(docs(s, d)).toDF()
+      .select(col("media_id").as("doc_id"),
+        Multimodal.sniffMime(col("payload")).as("mime"),
+        lower(hex(substring(col("payload"), 1, 4))).as("head_hex"))
+
   /** Audio metadata extraction: documents wrapped as REAL RIFF/WAVE
     * containers (LIST + fmt + data chunks), parsed back by walking
     * the actual bytes; the oracle replays the parameter arithmetic. */
@@ -4074,6 +4086,24 @@ object DataOps {
     // the header parse together: dims from payload length, n_bytes =
     // payload + fixed container overhead (PNG 57 B, JPEG 23 B), 8-bit
     // RGB in both formats.
+    // MIME routing replay (r20): variant arithmetic + the planted
+    // 4-byte head per posture (jpeg's SOI+SOF0, java gzip's fixed
+    // 1f8b0800 header, the html doctype, the text's own first bytes)
+    "mm_sniff" ->
+      """WITH d AS (SELECT doc_id, text, CAST(doc_id % 7 AS INT) AS v
+                    FROM documents)
+         SELECT doc_id,
+                CASE v WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                     WHEN 2 THEN 'audio/wav' WHEN 3 THEN 'text/html'
+                     WHEN 4 THEN 'text/plain'
+                     WHEN 5 THEN 'application/gzip'
+                     ELSE 'application/pdf' END AS mime,
+                CASE v WHEN 0 THEN '89504e47' WHEN 1 THEN 'ffd8ffc0'
+                     WHEN 2 THEN '52494646' WHEN 3 THEN '3c21646f'
+                     WHEN 4 THEN lower(hex(encode(substr(text, 1, 4))))
+                     WHEN 5 THEN '1f8b0800'
+                     ELSE '25504446' END AS head_hex
+         FROM d""",
     "mm_decode" ->
       """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents)
          SELECT doc_id AS media_id,
@@ -4534,6 +4564,7 @@ object DataOps {
     "sim_quantize" -> simQuantize _,
     "sim_rp" -> simRandomProject _,
     "mm_decode" -> mmDecode _,
+    "mm_sniff" -> mmSniff _, // fetch-boundary MIME routing (r20)
     "mm_audio" -> mmAudio _, // RIFF/WAVE chunk-walk metadata extraction
     "mm_audio_features" -> mmAudioFeatures _, // PCM RMS/peak/mean-crossing
     "tx_winnow" -> txWinnow _, // MOSS winnowing fingerprints (local coverage)
