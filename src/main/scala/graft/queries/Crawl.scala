@@ -614,6 +614,29 @@ object Crawl {
     * 32) and `/validated/cap` with a streak of 7 — both caps bite
     * (streak capped at 6, rung capped at 64: 4·64 → 64). One planted
     * hosts-bounded union over the ladder's single exchange. */
+  /** The transient-failure retry ladder (r20) — the batch twin of
+    * [[graft.streaming.IngestCrawl.retryDue]]'s scheduling arithmetic,
+    * evaluated over planted failure evidence (n_fail = doc_id % 6 ∈
+    * 1..5, last attempt b = doc_id % 9, judged at wave 16 with
+    * maxAttempts 4): backoff = min(64, 2^min(n_fail−1, 6)) via the
+    * SAME [[graft.streaming.IngestCrawl.backoffWaves]] column function
+    * the stream schedules with — the oracle hash gates that shared
+    * arithmetic every round. All ladder branches are live at the
+    * oracle scale: due retries at every rung, not-yet-due young
+    * failures, and n_fail=5 rows DROPPED past the attempt cap. */
+  def dsRetryLadder(s: SparkSession, d: String): DataFrame = {
+    val wave = 16L
+    val maxAttempts = 4L
+    docs(s, d).select(col("doc_id"),
+        (col("doc_id") % 6).as("n_fail"), (col("doc_id") % 9).as("b"))
+      .filter(col("n_fail") =!= 0)
+      .withColumn("backoff_waves",
+        graft.streaming.IngestCrawl.backoffWaves(col("n_fail")))
+      .withColumn("dropped", col("n_fail") > maxAttempts)
+      .withColumn("due", !col("dropped") &&
+        lit(wave) - col("b") >= col("backoff_waves"))
+  }
+
   def dsRecrawlValidators(s: SparkSession, d: String): DataFrame = {
     val base = dsRecrawl(s, d)
       .select(col("canon_url"), col("n_fetches"), col("n_variants"),
@@ -2354,6 +2377,20 @@ object Crawl {
     // (HTTP 304 / identical payload) doubles the recrawl interval —
     // min(64, rung * 2^min(streak, 6)); corpus rows at streak 0 keep
     // their rung, planted streaks exercise the decay and both caps
+    // transient-failure retry ladder (r20): planted n_fail/b evidence,
+    // the shared exponential-backoff arithmetic, attempt-cap drops
+    "ds_retry_ladder" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 AS n_fail, doc_id % 9 AS b
+                    FROM documents WHERE doc_id % 6 <> 0),
+          w AS (SELECT doc_id, n_fail, b,
+                  CAST(least(64, CAST(pow(2, least(greatest(n_fail - 1, 0),
+                    6)) AS BIGINT)) AS BIGINT) AS backoff_waves
+                FROM d)
+          SELECT doc_id, CAST(n_fail AS BIGINT) AS n_fail,
+                 CAST(b AS BIGINT) AS b, backoff_waves,
+                 n_fail > 4 AS dropped,
+                 n_fail <= 4 AND 16 - b >= backoff_waves AS due
+          FROM w""",
     "ds_recrawl_validators" ->
       s"""WITH $recrawlLadderCtes,
           vb AS (SELECT canon_url, n_fetches, n_variants, interval_waves,
@@ -2881,6 +2918,7 @@ object Crawl {
     "ds_recrawl" -> dsRecrawl _, // change-rate recrawl interval ladder
     "ds_recrawl_lastmod" -> dsRecrawlLastmod _, // sitemap lastmod override
     "ds_recrawl_validators" -> dsRecrawlValidators _, // 304-streak demotion
+    "ds_retry_ladder" -> dsRetryLadder _, // transient-failure backoff (r20)
     "ds_crawl_redirects" -> dsCrawlRedirects _, // 301 alias ledger, admit-once
     "ds_frontier_redirects" -> dsFrontierRedirects _, // alias-aware frontier gate
     "tx_extract_canonical" -> txExtractCanonical _, // rel=canonical href extraction

@@ -121,26 +121,31 @@ object IngestCrawl {
     // unchanged-observation streak); an r18 ledger lacking it fails
     // the same way — migrate offline with n_unmod=0 (conservative:
     // no streak evidence ⇒ no ladder demotion).
-    val need = Seq("canon_url", "h", "n_fetches", "n_changes", "n_unmod", "b")
+    val need = Seq("canon_url", "verdict", "h", "n_fetches", "n_changes",
+      "n_unmod", "n_fail", "b")
     parts.foreach { p =>
       val missing = need.filterNot(p.columns.contains)
       if (missing.nonEmpty) throw new IllegalStateException(
-        s"fetched ledger at $dir uses a pre-r17 (or, if only n_unmod is " +
-          s"missing, pre-r19) row format (missing columns: " +
-          s"${missing.mkString(", ")}); recrawl needs the change-evidence " +
-          "columns — restart the ledger dir, or migrate it offline " +
-          "(h=NULL, n_fetches=1, n_changes=0, n_unmod=0, " +
-          "b=<dir batch id>)")
+        s"fetched ledger at $dir uses a pre-r17 (if change-evidence " +
+          "columns are missing), pre-r19 (only n_unmod missing) or " +
+          "pre-r20 (only n_fail missing) row format (missing columns: " +
+          s"${missing.mkString(", ")}); scheduling needs the evidence " +
+          "columns — run IngestCrawl.migrateLedger(spark, dir) offline " +
+          "(conservative defaults: h=NULL, n_fetches=1, n_changes=0, " +
+          "n_unmod=0, n_fail=0, b=<dir batch id>), or restart the " +
+          "ledger dir")
     }
     if (parts.isEmpty) None
     else Some(parts.reduce(_ unionByName _)
       .groupBy("canon_url")
-      .agg(max(struct(col("b"), col("h"), col("n_fetches"),
-        col("n_changes"), col("n_unmod"))).as("w"))
-      .select(col("canon_url"), col("w.h").as("h"),
+      .agg(max(struct(col("b"), col("verdict"), col("h"), col("n_fetches"),
+        col("n_changes"), col("n_unmod"), col("n_fail"))).as("w"))
+      .select(col("canon_url"), col("w.verdict").as("verdict"),
+        col("w.h").as("h"),
         col("w.n_fetches").as("n_fetches"),
         col("w.n_changes").as("n_changes"),
-        col("w.n_unmod").as("n_unmod"), col("w.b").as("b")))
+        col("w.n_unmod").as("n_unmod"),
+        col("w.n_fail").as("n_fail"), col("w.b").as("b")))
   }
 
   /** Offline migration for fetched-ledger dirs written by earlier
@@ -167,7 +172,8 @@ object IngestCrawl {
       "h" -> lit(null).cast("string"),
       "n_fetches" -> lit(1L),
       "n_changes" -> lit(0L),
-      "n_unmod" -> lit(0L))
+      "n_unmod" -> lit(0L),
+      "n_fail" -> lit(0L))
     val kids = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
     // heal a previous run's crash window first: a temp dir whose
     // target vanished is a finished migration that missed its rename
@@ -305,10 +311,15 @@ object IngestCrawl {
                  currentBatch: Long,
                  sitemapDue: Option[DataFrame] = None): DataFrame = {
     val state = ledgerState(spark, fetchedDir, currentBatch)
-      .getOrElse(spark.emptyDataFrame
-        .select(lit("").as("canon_url"), lit("").as("h"),
-          lit(0L).as("n_fetches"), lit(0L).as("n_changes"),
-          lit(0L).as("n_unmod"), lit(0L).as("b")).limit(0))
+      .getOrElse(emptyLedgerState(spark))
+      // r20: the freshness ladder owns only URLs whose NEWEST
+      // observation is content-shaped — a `gone` URL is permanent
+      // (404/410: rescheduling it refetches a hole forever) and an
+      // `error` URL belongs to [[retryDue]]'s bounded backoff until a
+      // success resets it back into this ladder. Alias sources stay
+      // schedulable by design (a redirect that later points elsewhere
+      // is an observable change).
+      .filter(!col("verdict").isin("gone", "error"))
       // r19: interval_waves is the EFFECTIVE rung — the change-rate
       // ladder demoted by the consecutive-unchanged streak (a 304
       // validation or identical refetch doubles the interval, capped;
@@ -333,6 +344,46 @@ object IngestCrawl {
         col("n_fetches"), col("n_changes"), col("b"),
         col("interval_waves"), col("sitemap_due"), col("n_unmod"))
   }
+
+  private def emptyLedgerState(spark: SparkSession): DataFrame =
+    spark.emptyDataFrame
+      .select(lit("").as("canon_url"), lit("").as("verdict"),
+        lit("").as("h"), lit(0L).as("n_fetches"), lit(0L).as("n_changes"),
+        lit(0L).as("n_unmod"), lit(0L).as("n_fail"), lit(0L).as("b"))
+      .limit(0)
+
+  /** Exponential retry backoff in waves for a transient-failure
+    * streak: `min(64, 2^min(n_fail−1, 6))` — first failure retries
+    * next wave, each further failure doubles the wait, both caps
+    * shared with the recrawl ladder. PUBLIC column arithmetic: the
+    * batch twin (Crawl.dsRetryLadder) evaluates the same function so
+    * the driver's oracle hash gates it every round. */
+  def backoffWaves(nFail: Column): Column =
+    least(lit(64L),
+      pow(lit(2.0), least(greatest(nFail - 1L, lit(0L)), lit(6L)))
+        .cast("long"))
+
+  /** The retry DUE set at `currentBatch` (r20) — the failure half of
+    * the scheduling loop, owning exactly the URLs [[recrawlDue]]
+    * disowns: ledger rows whose newest observation is a transient
+    * `error`, due once their [[backoffWaves]] interval has elapsed,
+    * and DROPPED for good past `maxAttempts` consecutive failures
+    * (a host that 503s five times across doubling waits is down or
+    * blocking us — rescheduling it forever is the politeness bug).
+    * Feed the result to [[nextWave]]'s `recrawl` union: a retry is a
+    * refetch like any other, and its success writes a content verdict
+    * that resets `n_fail` and returns the URL to the freshness
+    * ladder. Same hosts-free single ledger aggregate as recrawlDue. */
+  def retryDue(spark: SparkSession, fetchedDir: String,
+               currentBatch: Long, maxAttempts: Int = 4): DataFrame =
+    ledgerState(spark, fetchedDir, currentBatch)
+      .getOrElse(emptyLedgerState(spark))
+      .filter(col("verdict") === "error")
+      .withColumn("backoff_waves", backoffWaves(col("n_fail")))
+      .filter(col("n_fail") <= maxAttempts &&
+        lit(currentBatch) - col("b") >= col("backoff_waves"))
+      .select(col("canon_url"), col("canon_url").as("url"),
+        col("n_fail"), col("b"), col("backoff_waves"))
 
   def crawledIngest(fetches: DataFrame, settledUrls: Option[DataFrame],
                     survivorDir: String, blockedDomains: Seq[String],
@@ -429,6 +480,31 @@ object IngestCrawl {
           // no payload to extract, and the corpus already holds the
           // newest copy. recrawlDue's ladder then demotes the streak.
           val hasNotMod = batch.columns.contains("not_modified")
+          // fetch-failure verdicts (r20): a fetch frame may carry an
+          // `http_status` column (null/absent = 200). Non-content
+          // outcomes classify into three channels — 304 joins the
+          // validator path (same semantics as `not_modified`), 404/410
+          // are PERMANENT (`gone`: observed once, never rescheduled,
+          // and a due refetch that 410s erases the retained copy —
+          // the tombstone discipline noindex established), everything
+          // else is TRANSIENT (`error`: the n_fail streak grows and
+          // [[retryDue]]'s bounded exponential backoff owns the
+          // rescheduling until a success resets the streak). Failed
+          // fetches never reach admission or extraction — there is no
+          // payload worth decoding (the batch ds_crawl_warc twin
+          // status-gates identically).
+          val hasStatus = batch.columns.contains("http_status")
+          val st =
+            if (hasStatus) coalesce(col("http_status"), lit(200))
+            else lit(200)
+          val stGone: Column =
+            if (hasStatus) st === 404 || st === 410 else lit(false)
+          val stErr: Column =
+            if (hasStatus) st =!= 200 && st =!= 304 && st =!= 404 && st =!= 410
+            else lit(false)
+          val nmCond =
+            (if (hasNotMod) coalesce(col("not_modified"), lit(false))
+             else lit(false)) || (if (hasStatus) st === 304 else lit(false))
           // gate placement per Urls.dedupByUrl's r16 note: conservative
           // raw-host gate before the exchange (references only the raw
           // url column — bulk blocked volume never shuffles), exact
@@ -439,19 +515,24 @@ object IngestCrawl {
             .filter(!Urls.hostBlocked(Urls.rawHostLower(col("url")),
               blockedDomains))
           val gatedRaw =
-            if (!hasNotMod) gatedAll
-            else gatedAll.filter(!coalesce(col("not_modified"), lit(false)))
-          // validated-unchanged keys: no document, so the key is the
-          // transport final's canon (a 304 can't declare a canonical);
-          // distinct — one ledger observation per URL per batch
+            if (!hasNotMod && !hasStatus) gatedAll
+            else gatedAll.filter(!nmCond && st === 200)
+          // non-content keys share one shape: no document, so the key
+          // is the transport final's canon (no payload can declare a
+          // canonical); distinct — one ledger observation per URL per
+          // batch. min doc_id rides along for the gone tombstones.
+          def statusKeys(cond: Column): DataFrame = gatedAll
+            .filter(cond)
+            .select(Urls.canonicalize(eff).as("canon_url"), col("doc_id"))
+            .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
+              blockedDomains))
+            .groupBy("canon_url").agg(min(col("doc_id")).as("doc_id"))
           val notModKeys =
-            if (!hasNotMod) None
-            else Some(gatedAll
-              .filter(coalesce(col("not_modified"), lit(false)))
-              .select(Urls.canonicalize(eff).as("canon_url"))
-              .filter(!Urls.hostBlocked(Urls.hostOf(col("canon_url")),
-                blockedDomains))
-              .distinct())
+            if (!hasNotMod && !hasStatus) None
+            else Some(statusKeys(nmCond).select("canon_url"))
+          val goneKeys = if (!hasStatus) None else Some(statusKeys(stGone))
+          val errKeys =
+            if (!hasStatus) None else Some(statusKeys(stErr).select("canon_url"))
           // one projection computes every key the batch needs: __src
           // (the requested canon), __base (the redirect-final canon —
           // the same expression as __src when no final_url column, so
@@ -577,9 +658,21 @@ object IngestCrawl {
           val keptRows = staged.filter(col("verdict") === "kept")
             .drop("verdict").withColumn("tombstone", lit(false))
           val survivorRows = recrawlPinned match {
-            case Some(due) => keptRows.unionByName(
-              staged.filter(col("verdict") === "noindex")
+            case Some(due) =>
+              // erase markers for due refetches whose page must LEAVE
+              // the corpus: a gained noindex (compliance says don't
+              // retain) and a 404/410 (the content is gone — r20,
+              // same tombstone discipline)
+              val noidxTomb = staged.filter(col("verdict") === "noindex")
                 .join(due, Seq("canon_url"), "left_semi")
+                .select(col("doc_id"), col("canon_url"))
+              val tombs = goneKeys match {
+                case Some(gk) => noidxTomb.unionByName(
+                  gk.join(due, Seq("canon_url"), "left_semi")
+                    .select(col("doc_id"), col("canon_url")))
+                case None => noidxTomb
+              }
+              keptRows.unionByName(tombs
                 .select(col("doc_id"), col("canon_url"),
                   lit(null).cast("string").as("main_text"),
                   lit(0L).as("kept_blocks"), lit(0L).as("n_tokens"),
@@ -640,37 +733,74 @@ object IngestCrawl {
             // does not, and the unchanged streak grows. Same-batch
             // policy as the alias fold: a content/alias observation of
             // the same URL wins (it carries strictly more information).
-            val nowFull = notModKeys match {
-              case Some(nk) => now.withColumn("__nm", lit(false)).unionByName(
-                nk.join(now.select("canon_url"), Seq("canon_url"), "left_anti")
-                  .select(col("canon_url"), lit("not_modified").as("verdict"),
-                    lit(null).cast("string").as("h"), lit(true).as("__nm")))
-              case None => now.withColumn("__nm", lit(false))
-            }
-            // n_unmod: the consecutive-unchanged streak — 0 on a first
-            // observation or an observed change, +1 on a validated
-            // (not_modified) or identical-payload refetch. recrawlDue
-            // demotes the interval ladder on it.
+            // the non-content channels stack under the same same-batch
+            // precedence rule (a stronger observation of the URL wins:
+            // content/alias > validated-unchanged > gone > error),
+            // each tagged with its channel for the evidence arithmetic
+            // below. All three key frames are batch-bounded.
+            val now0 = now.withColumn("__kind", lit("content"))
+            def layer(base: DataFrame, keys: Option[DataFrame],
+                      verdict: String, kind: String): DataFrame =
+              keys match {
+                case Some(k) => base.unionByName(
+                  k.select("canon_url")
+                    .join(base.select("canon_url"), Seq("canon_url"),
+                      "left_anti")
+                    .select(col("canon_url"), lit(verdict).as("verdict"),
+                      lit(null).cast("string").as("h"),
+                      lit(kind).as("__kind")))
+                case None => base
+              }
+            val nowFull = layer(layer(layer(now0,
+              notModKeys.map(_.select("canon_url")), "not_modified", "nm"),
+              goneKeys.map(_.select("canon_url")), "gone", "gone"),
+              errKeys, "error", "err")
+            // evidence arithmetic per channel — n_unmod: the
+            // consecutive-unchanged streak (0 on a first observation
+            // or an observed change, +1 on a validated or
+            // identical-payload refetch; recrawlDue demotes the ladder
+            // on it); n_fail: the consecutive-failure streak (r20 —
+            // +1 per transient error, reset by ANY successful
+            // observation; retryDue backs off on it); `error` rows
+            // CARRY the last known hash so the eventual recovery
+            // fetch counts its change against the last real copy,
+            // `gone` rows carry nothing — the content is gone.
             val row = ledgerState(spark, fd, batchId) match {
               case Some(prev) => nowFull.join(
                   prev.select(col("canon_url"), col("h").as("__ph"),
                     col("n_fetches").as("__pf"), col("n_changes").as("__pc"),
-                    col("n_unmod").as("__pu")),
+                    col("n_unmod").as("__pu"), col("n_fail").as("__pn")),
                   Seq("canon_url"), "left")
                 .select(col("canon_url"), col("verdict"),
-                  when(col("__nm"), col("__ph")).otherwise(col("h")).as("h"),
-                  (coalesce(col("__pf"), lit(0L)) + 1L).as("n_fetches"),
+                  when(col("__kind") === "nm" || col("__kind") === "err",
+                      col("__ph"))
+                    .when(col("__kind") === "gone",
+                      lit(null).cast("string"))
+                    .otherwise(col("h")).as("h"),
+                  (coalesce(col("__pf"), lit(0L)) +
+                    when(col("__kind") === "err", 0L).otherwise(1L))
+                    .as("n_fetches"),
                   (coalesce(col("__pc"), lit(0L)) +
-                    when(!col("__nm") && col("__ph").isNotNull &&
-                      col("__ph") =!= col("h"), 1L)
+                    when(col("__kind") === "content" &&
+                      col("__ph").isNotNull && col("__ph") =!= col("h"), 1L)
                       .otherwise(0L)).as("n_changes"),
-                  when(col("__ph").isNull && !col("__nm"), 0L)
-                    .when(col("__nm") || col("__ph") === col("h"),
-                      coalesce(col("__pu"), lit(0L)) + 1L)
-                    .otherwise(0L).as("n_unmod"))
+                  when(col("__kind") === "err",
+                      coalesce(col("__pu"), lit(0L)))
+                    .when(col("__kind") === "gone", 0L)
+                    .when(col("__kind") === "content" &&
+                      (col("__ph").isNull || col("__ph") =!= col("h")), 0L)
+                    .otherwise(coalesce(col("__pu"), lit(0L)) + 1L)
+                    .as("n_unmod"),
+                  when(col("__kind") === "err",
+                      coalesce(col("__pn"), lit(0L)) + 1L)
+                    .otherwise(0L).as("n_fail"))
               case None => nowFull.select(col("canon_url"), col("verdict"),
-                col("h"), lit(1L).as("n_fetches"), lit(0L).as("n_changes"),
-                when(col("__nm"), 1L).otherwise(0L).as("n_unmod"))
+                col("h"),
+                when(col("__kind") === "err", 0L).otherwise(1L)
+                  .as("n_fetches"),
+                lit(0L).as("n_changes"),
+                when(col("__kind") === "nm", 1L).otherwise(0L).as("n_unmod"),
+                when(col("__kind") === "err", 1L).otherwise(0L).as("n_fail"))
             }
             row.withColumn("b", lit(batchId))
               .write.mode("overwrite").parquet(s"$fd/batch_$batchId")

@@ -781,6 +781,7 @@ class IngestCrawlSpec extends SparkSpec {
     Seq(("http://static.com/x", "kept", 2L, 0L, 0L, 0L),
       ("http://other.com/y", "kept", 2L, 0L, 0L, 0L))
       .toDF("canon_url", "verdict", "n_fetches", "n_changes", "n_unmod", "b")
+      .withColumn("n_fail", lit(0L))
       .withColumn("h", md5(col("canon_url").cast("binary")))
       .write.parquet(s"$fetched/batch_0")
     // ladder alone: nothing due at batch 5 (64-wave rung)
@@ -1232,6 +1233,7 @@ class IngestCrawlSpec extends SparkSpec {
       .toDF("url", "referrer").write.parquet(s"$disc/batch_0")
     Seq(("http://h.com/hot", "kept", 2L, 2L, 1L, 0L))
       .toDF("canon_url", "verdict", "n_fetches", "n_changes", "n_unmod", "b")
+      .withColumn("n_fail", lit(0L))
       .withColumn("h", md5(col("canon_url").cast("binary")))
       .write.parquet(s"$fetched/batch_0")
     val due = IngestCrawl.recrawlDue(spark, fetched, 10L)
@@ -1409,6 +1411,141 @@ class IngestCrawlSpec extends SparkSpec {
     assert(a == b, s"byte path must equal string path:\n$a\nvs\n$b")
     assert(a.size == 5 && a.values.forall(_.contains("café")),
       s"all five encodings must admit with the marker intact: $a")
+  }
+
+  test("transient failures: error verdicts never admit, the n_fail " +
+      "streak backs retryDue off exponentially, and a success resets " +
+      "the URL into the freshness ladder") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_err_s").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_err_f").toString
+    val ok = "http://a.com/ok"
+    val err = "http://a.com/flaky"
+    val gone = "http://a.com/nope"
+    def ledger(): Map[String, (String, Long, Long, Long)] =
+      Frontier.readLayered(spark, fetched)
+        .groupBy("canon_url")
+        .agg(max(struct(col("b"), col("verdict"), col("n_fetches"),
+          col("n_fail"))).as("w"))
+        .collect().map(r => r.getString(0) -> ((r.getStruct(1).getString(1),
+          r.getStruct(1).getLong(2), r.getStruct(1).getLong(3),
+          r.getStruct(1).getLong(0)))).toMap
+    val input = MemoryStream[(Long, String, String, Int)]
+    val q = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html", "http_status"),
+      None, surv, Nil, fetchedDir = Some(fetched))
+    try {
+      input.addData((1L, ok, page("a", 30), 200),
+        (2L, err, "", 500), (3L, gone, "", 404))
+      q.processAllAvailable() // batch 0
+      // only the 200 admits; the failures land evidence, not content
+      val admitted0 = spark.read.parquet(s"$surv/batch_*")
+        .filter(!col("tombstone"))
+        .select("canon_url").collect().map(_.getString(0)).toSet
+      assert(admitted0 == Set(ok), s"$admitted0")
+      val l0 = ledger()
+      assert(l0(ok) == (("kept", 1L, 0L, 0L)), s"$l0")
+      assert(l0(err) == (("error", 0L, 1L, 0L)),
+        s"a failed attempt is not a content fetch: $l0")
+      assert(l0(gone) == (("gone", 1L, 0L, 0L)), s"$l0")
+      // scheduling split: the freshness ladder owns ok only; retryDue
+      // owns the error once its first backoff (1 wave) elapses; gone
+      // belongs to neither — permanently
+      val recrawl = IngestCrawl.recrawlDue(spark, fetched, 100L)
+        .collect().map(_.getString(0)).toSet
+      assert(recrawl == Set(ok), s"recrawl owns content only: $recrawl")
+      assert(IngestCrawl.retryDue(spark, fetched, 0L).count() == 0)
+      val retry1 = IngestCrawl.retryDue(spark, fetched, 1L)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
+      assert(retry1.toSeq == Seq((err, 1L, 1L)), s"$retry1")
+      // second failure doubles the wait: due at b+2, not b+1
+      input.addData((10L, err, "", 503))
+      q.processAllAvailable() // batch 1
+      val l1 = ledger()
+      assert(l1(err) == (("error", 0L, 2L, 1L)), s"streak grows: $l1")
+      assert(IngestCrawl.retryDue(spark, fetched, 2L).count() == 0,
+        "backoff 2: not due one wave after the second failure")
+      assert(IngestCrawl.retryDue(spark, fetched, 3L).count() == 1)
+      // past the attempt cap the URL is dropped for good
+      assert(IngestCrawl.retryDue(spark, fetched, 3L, maxAttempts = 1)
+        .count() == 0, "maxAttempts caps the ladder")
+      // recovery: a 200 resets the streak and returns the URL to the
+      // freshness ladder (explore rung — its first CONTENT fetch)
+      input.addData((20L, err, page("z", 30), 200))
+      q.processAllAvailable() // batch 2
+      val l2 = ledger()
+      assert(l2(err) == (("kept", 1L, 0L, 2L)), s"success resets: $l2")
+      assert(IngestCrawl.retryDue(spark, fetched, 100L).count() == 0)
+      assert(IngestCrawl.recrawlDue(spark, fetched, 100L)
+        .collect().map(_.getString(0)).toSet == Set(ok, err))
+    } finally q.stop()
+  }
+
+  test("gone on refetch: the ledger flips, the retained copy drops at " +
+      "the settle, and the recovery change-count reads the last REAL " +
+      "copy through an error interlude") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val surv = java.nio.file.Files.createTempDirectory("ic_gn_s").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_gn_f").toString
+    val dead = "http://a.com/dead"
+    val flaky = "http://a.com/wobble"
+    val input = MemoryStream[(Long, String, String, Int)]
+    // run 1: both pages admit as kept
+    val q1 = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html", "http_status"),
+      None, surv, Nil, fetchedDir = Some(fetched))
+    try {
+      input.addData((1L, dead, page("a", 30), 200),
+        (2L, flaky, page("b", 30), 200))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val h0 = Frontier.readLayered(spark, fetched)
+      .filter(col("canon_url") === flaky)
+      .select("h").collect().head.getString(0)
+    // run 2, both due: dead 410s (erase), flaky 500s (hash CARRIED)
+    val due = IngestCrawl.recrawlDue(spark, fetched, 8L)
+    val q2 = IngestCrawl.crawledIngest(
+      input.toDF().toDF("doc_id", "url", "html", "http_status"),
+      None, surv, Nil, settleEvery = 1, fetchedDir = Some(fetched),
+      recrawlScope = Some(due))
+    try {
+      q2.processAllAvailable() // replay of batch 0
+      input.addData((10L, dead, "", 410), (11L, flaky, "", 500))
+      q2.processAllAvailable() // batch 1: tombstone + carried-hash error
+      input.addData((20L, "http://a.com/other", page("c", 30), 200))
+      q2.processAllAvailable() // batch 2: settles batch 1's tombstone
+      val st = Frontier.readLayered(spark, fetched)
+        .groupBy("canon_url")
+        .agg(max(struct(col("b"), col("verdict"), col("h"),
+          col("n_changes"))).as("w"))
+        .collect().map(r => r.getString(0) -> ((r.getStruct(1).getString(1),
+          Option(r.getStruct(1).getString(2)), r.getStruct(1).getLong(3))))
+        .toMap
+      assert(st(dead)._1 == "gone" && st(dead)._2.isEmpty, s"$st")
+      assert(st(flaky) == (("error", Some(h0), 0L)),
+        s"the error row must carry the last real hash: $st")
+      // dead's retained copy is gone from the settled corpus
+      val live = Frontier.readLayered(spark, surv)
+        .select("canon_url").collect().map(_.getString(0)).toSet
+      assert(!live.contains(dead), s"410 must erase the copy: $live")
+      assert(live.contains(flaky),
+        "a transient error must NOT erase the retained copy")
+      // recovery with CHANGED content counts exactly one transition —
+      // against the pre-error copy, not against the error interlude
+      input.addData((30L, flaky, page("b2", 30), 200))
+      q2.processAllAvailable() // batch 3
+    } finally q2.stop()
+    val rec = Frontier.readLayered(spark, fetched)
+      .filter(col("canon_url") === flaky)
+      .groupBy("canon_url")
+      .agg(max(struct(col("b"), col("verdict"), col("n_changes"),
+        col("n_fail"))).as("w"))
+      .collect().map(r => (r.getStruct(1).getString(1),
+        r.getStruct(1).getLong(2), r.getStruct(1).getLong(3))).head
+    assert(rec == (("kept", 1L, 0L)),
+      s"one real transition through the interlude: $rec")
   }
 
   test("per-batch overwrite keeps reprocessing idempotent") {
