@@ -342,6 +342,40 @@ object Multimodal {
       }
   }
 
+  final case class InflateResult(media_id: Long, payload: Array[Byte],
+      was_gzip: Boolean, ok: Boolean)
+
+  /** Gzip decompression at the fetch boundary (r20) — the unpack step
+    * [[sniffMime]]'s `application/gzip` verdict routes to: sitemaps
+    * ship as `.xml.gz`, WARC payloads and API exports arrive gzipped,
+    * and every downstream text operator needs the plain bytes. Same
+    * batched partition-local shape as the other byte walks; non-gzip
+    * payloads pass through untouched (`was_gzip=false`), a corrupt
+    * member degrades to a flagged null row instead of killing the job
+    * (`ok=false` — at corpus scale a decode failure is a data point,
+    * the [[decodeWavOne]] discipline). */
+  def gunzip(media: Dataset[MediaRecord]): Dataset[InflateResult] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { r =>
+      val p = r.payload
+      if (p.length < 2 || (p(0) & 0xff) != 0x1f || (p(1) & 0xff) != 0x8b)
+        InflateResult(r.media_id, p, was_gzip = false, ok = true)
+      else try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(p))
+        val out = new java.io.ByteArrayOutputStream(p.length * 4)
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        InflateResult(r.media_id, out.toByteArray, was_gzip = true, ok = true)
+      } catch {
+        case _: java.io.IOException =>
+          InflateResult(r.media_id, null, was_gzip = true, ok = false)
+      }
+    }))
+  }
+
   /** MIME sniffing at the fetch boundary (r20) — the router that
     * dispatches a raw payload to the right pipeline (html extraction,
     * charset decode, image/audio metadata, archive unpack) BEFORE any

@@ -1081,6 +1081,31 @@ object DataOps {
         Multimodal.sniffMime(col("payload")).as("mime"),
         lower(hex(substring(col("payload"), 1, 4))).as("head_hex"))
 
+  /** Gzip unpack at the fetch boundary (r20): even docs gzipped, odd
+    * docs plain — the real inflate must invert the real deflate
+    * byte-for-byte (the decoded text IS the hash surface), plain
+    * payloads pass through, and the flags replay trivially. */
+  def mmGunzip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mixed = docs(s, d)
+      .select(col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[Multimodal.MediaRecord]
+      .map { r =>
+        if (r.media_id % 2 != 0) r
+        else {
+          val bo = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bo)
+          gz.write(r.payload); gz.close()
+          Multimodal.MediaRecord(r.media_id, bo.toByteArray)
+        }
+      }
+    Multimodal.gunzip(mixed).toDF()
+      .select(col("media_id").as("doc_id"), col("was_gzip"), col("ok"),
+        org.apache.spark.sql.functions.decode(col("payload"), "UTF-8")
+          .as("text"))
+  }
+
   /** Audio metadata extraction: documents wrapped as REAL RIFF/WAVE
     * containers (LIST + fmt + data chunks), parsed back by walking
     * the actual bytes; the oracle replays the parameter arithmetic. */
@@ -4086,6 +4111,12 @@ object DataOps {
     // the header parse together: dims from payload length, n_bytes =
     // payload + fixed container overhead (PNG 57 B, JPEG 23 B), 8-bit
     // RGB in both formats.
+    // gzip unpack replay (r20): inflate(deflate(text)) must be the
+    // identity — the oracle emits the text directly, the engine earns
+    // it through real gzip bytes; flags from the variant arithmetic
+    "mm_gunzip" ->
+      """SELECT doc_id, doc_id % 2 = 0 AS was_gzip, TRUE AS ok, text
+         FROM documents""",
     // MIME routing replay (r20): variant arithmetic + the planted
     // 4-byte head per posture (jpeg's SOI+SOF0, java gzip's fixed
     // 1f8b0800 header, the html doctype, the text's own first bytes)
@@ -4565,6 +4596,7 @@ object DataOps {
     "sim_rp" -> simRandomProject _,
     "mm_decode" -> mmDecode _,
     "mm_sniff" -> mmSniff _, // fetch-boundary MIME routing (r20)
+    "mm_gunzip" -> mmGunzip _, // gzip unpack inverts the real deflate (r20)
     "mm_audio" -> mmAudio _, // RIFF/WAVE chunk-walk metadata extraction
     "mm_audio_features" -> mmAudioFeatures _, // PCM RMS/peak/mean-crossing
     "tx_winnow" -> txWinnow _, // MOSS winnowing fingerprints (local coverage)
