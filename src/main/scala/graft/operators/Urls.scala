@@ -349,6 +349,34 @@ object Urls {
       .select("host", "prefix", "allow").distinct()
   }
 
+  /** [[robotsRules]] with the FETCH STATUS of each robots.txt applied
+    * per RFC 9309 §2.3.1 (r20) — the robots file is itself a fetch
+    * that can fail, and the RFC assigns semantics to the failure:
+    * 2xx parses the body; 4xx ("unavailable") means NO restrictions —
+    * an absent robots.txt allows everything, so the host contributes
+    * no rules; anything else (5xx "unreachable", or an unresolved
+    * redirect handed through) assumes COMPLETE DISALLOW — the
+    * conservative reading for a server that cannot answer — as one
+    * `(host, "/", allow=false)` rule the most-specific-match gate
+    * applies to every path. Same output frame as [[robotsRules]], so
+    * robotsFilter and every discovery/scheduling refilter compose
+    * unchanged; a later successful fetch simply replaces the rules
+    * frame (it is a plan). `status` null = 200. */
+  def robotsRulesWithStatus(df: DataFrame, host: Column, body: Column,
+                            status: Column,
+                            agent: Option[String] = None): DataFrame = {
+    val staged = df.select(host.as("host"), body.as("body"),
+      coalesce(status, lit(200)).as("__st"))
+    val ok = robotsRules(staged.filter(col("__st") >= 200 &&
+      col("__st") < 300), col("host"), col("body"), agent)
+    val unreachable = staged
+      .filter(!(col("__st") >= 200 && col("__st") < 300) &&
+        !(col("__st") >= 400 && col("__st") < 500))
+      .select(col("host"), lit("/").as("prefix"), lit(false).as("allow"))
+      .distinct()
+    ok.unionByName(unreachable)
+  }
+
   /** Wildcard-agent `Crawl-delay` per host, in whole seconds — the
     * de-facto rate directive (not in RFC 9309 but emitted by ~10% of
     * sites and honored by every major crawler). Non-numeric values

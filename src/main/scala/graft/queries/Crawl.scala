@@ -1043,6 +1043,24 @@ object Crawl {
   def txRobotsRules(s: SparkSession, d: String): DataFrame =
     crawlRobotsRules(s, d)
 
+  /** RFC 9309 §2.3.1 fetch-status semantics for robots.txt itself
+    * (r20): hosts planted with a status by suffix (n%4: 0/3 → 200,
+    * 1 → 404, 2 → 503) — 200 hosts parse their bodies, 404 hosts
+    * contribute NOTHING (unavailable = no restrictions), 503 hosts
+    * collapse to the complete-disallow rule (unreachable). */
+  def txRobotsStatus(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Urls
+    val hosts = crawlHosts(s, d)
+      .withColumn("__n",
+        regexp_extract(col("source"), "(\\d+)", 1).cast("long"))
+      .withColumn("http_status",
+        when(col("__n") % 4 === 1, 404)
+          .when(col("__n") % 4 === 2, 503)
+          .otherwise(200))
+    Urls.robotsRulesWithStatus(hosts, col("host"),
+      Urls.syntheticRobots(col("source")), col("http_status"))
+  }
+
   /** RFC 9309 §2.2.1 group choice for [[crawlProductToken]]: m=1/m=2
     * hosts' specific groups REPLACE their `*` rules (m=2 additionally
     * proves longest-token-wins over the shorter `graftbot` group);
@@ -2499,6 +2517,20 @@ object Crawl {
     "tx_robots_rules" ->
       s"""WITH $robotsRulesCtes
           SELECT host, prefix, allow FROM rules""",
+    // RFC 9309 robots fetch-status semantics (r20): 200 hosts replay
+    // the parse, 404 hosts vanish (no restrictions), 503 hosts
+    // collapse to the complete-disallow rule
+    "tx_robots_status" ->
+      s"""WITH $robotsRulesCtes,
+          hs AS (SELECT DISTINCT lower(source) || '.example.com' AS host,
+                   CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4
+                     AS m
+                 FROM documents)
+          SELECT r.host, r.prefix, r.allow
+          FROM rules r JOIN hs ON r.host = hs.host
+          WHERE hs.m = 0 OR hs.m = 3
+          UNION ALL
+          SELECT host, '/' AS prefix, FALSE AS allow FROM hs WHERE m = 2""",
     // wildcard-agent Crawl-delay per host (numeric values only, max
     // across groups; other agents' delays must not leak in)
     "tx_robots_delays" ->
@@ -2904,6 +2936,7 @@ object Crawl {
     "ds_crawl_frontier" -> dsCrawlFrontier _,
     "ds_crawl_schedule" -> dsCrawlSchedule _,
     "tx_robots_rules" -> txRobotsRules _,
+    "tx_robots_status" -> txRobotsStatus _, // RFC 9309 §2.3.1 (r20)
     "tx_robots_delays" -> txRobotsDelays _,
     "tx_robots_sitemaps" -> txRobotsSitemaps _, // group-UNscoped refs
     "tx_robots_agent_rules" -> txRobotsAgentRules _, // §2.2.1 group choice

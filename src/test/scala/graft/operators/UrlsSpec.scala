@@ -609,6 +609,42 @@ class UrlsSpec extends SparkSpec {
     }
   }
 
+  test("robotsRulesWithStatus: RFC 9309 fetch-status semantics — 2xx " +
+      "parses, 4xx allows all (even over a disallowing body), 5xx " +
+      "blocks everything until a successful fetch") {
+    import spark.implicits._
+    val body = "User-agent: *\nDisallow: /a\n"
+    val hosts = Seq(
+      ("ok.com", body, 200),
+      ("nullst.com", body, 0),     // encodes a null status below
+      ("gone.com", "User-agent: *\nDisallow: /\n", 404),
+      ("down.com", "", 503),
+      ("moved.com", "", 301))      // unresolved redirect = unreachable
+      .toDF("host", "body", "st")
+      .withColumn("http_status",
+        when(col("st") === 0, lit(null).cast("int")).otherwise(col("st")))
+    val rules = Urls.robotsRulesWithStatus(hosts, col("host"), col("body"),
+      col("http_status"))
+    val byHost = rules.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byHost("ok.com") == Set(("/a", false)), s"$byHost")
+    assert(byHost("nullst.com") == Set(("/a", false)),
+      "null status means 200")
+    assert(!byHost.contains("gone.com"),
+      "4xx = unavailable = NO restrictions, the body is not trusted")
+    assert(byHost("down.com") == Set(("/", false)), s"$byHost")
+    assert(byHost("moved.com") == Set(("/", false)), s"$byHost")
+    // and the gate composes: the 503 host loses every URL, the 404
+    // host keeps even the path its stale body disallowed
+    val cand = Seq("http://ok.com/a/x", "http://ok.com/b",
+      "http://gone.com/a", "http://down.com/anything")
+      .toDF("url")
+    val kept = Urls.robotsFilter(cand, col("url"), rules)
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("http://ok.com/b", "http://gone.com/a"), s"$kept")
+  }
+
   test("redirectHop/followRedirects: hop guard, chains, cap, hop count") {
     import spark.implicits._
     val (fin, hops) = Urls.followRedirects(col("url"))
