@@ -1548,6 +1548,37 @@ class IngestCrawlSpec extends SparkSpec {
       s"one real transition through the interlude: $rec")
   }
 
+  test("nextWave honors ipGroups: vanity hosts on one server share a " +
+      "wave budget, with and without a caps frame") {
+    import spark.implicits._
+    val disc = java.nio.file.Files.createTempDirectory("ic_ipg_d").toString
+    val fetched = java.nio.file.Files.createTempDirectory("ic_ipg_f").toString
+    // four candidates across two vanity hosts of one server
+    (1 to 2).flatMap(i => Seq(
+        (s"http://v1.srv.com/p$i", "http://x.com/r"),
+        (s"http://v2.srv.com/p$i", "http://x.com/r")))
+      .toDF("url", "referrer").write.parquet(s"$disc/batch_0")
+    spark.createDataFrame(Seq.empty[(String, String)])
+      .toDF("canon_url", "verdict").write.parquet(s"$fetched/batch_0")
+    val groups = Seq(("v1.srv.com", "srv"), ("v2.srv.com", "srv"))
+      .toDF("host", "ip_group")
+    // capless path: perHostPerWave=2 becomes the GROUP budget — four
+    // urls over one shared queue → waves {0,0,1,1}, never {0,0,0,0}
+    val capless = IngestCrawl.nextWave(spark, disc, fetched,
+        perHostPerWave = 2, ipGroups = Some(groups))
+      .collect().map(r => r.getLong(r.length - 1))
+    assert(capless.sorted.toSeq == Seq(0L, 0L, 1L, 1L),
+      s"shared budget: ${capless.toSeq}")
+    // capped path: the strictest member cap (1) governs the group
+    val caps = Seq(("v1.srv.com", 4L), ("v2.srv.com", 1L))
+      .toDF("host", "cap")
+    val capped = IngestCrawl.nextWave(spark, disc, fetched,
+        hostCaps = Some(caps), ipGroups = Some(groups))
+      .collect().map(r => r.getLong(r.length - 1))
+    assert(capped.sorted.toSeq == Seq(0L, 1L, 2L, 3L),
+      s"min member cap drains one per wave: ${capped.toSeq}")
+  }
+
   test("per-batch overwrite keeps reprocessing idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
