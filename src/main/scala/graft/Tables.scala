@@ -16,8 +16,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation cache, keyed per session+path (r21, guide §1/§6):
+    * `spark.read.parquet` builds a fresh FileIndex and re-infers the
+    * schema on EVERY call, and the composite queries reference the
+    * same base table dozens of times — measured via
+    * QueryPlanningTracker: `ResolveDataSource` alone cost 0.9 s of a
+    * single ds_curate plan. A catalog-backed table resolves once per
+    * session; this cache gives the path-based loader the same
+    * behavior. METADATA only — the returned frame is a lazy scan, so
+    * every action still reads the parquet bytes; nothing of the data
+    * is memoized. Keyed by session identity so a child session (isolated
+    * SQL conf — boundedAggSession) resolves its own copy and executes
+    * under its own conf, exactly as before. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (_, path) => spark.read.parquet(path) })
 
   /** The events table with `ts` normalized to a NANOSECOND epoch Long
     * regardless of how the parquet spells it — harness data has

@@ -94,7 +94,16 @@ object Dedup {
 
   private def shingleOverlap(df: DataFrame, text: Column, id: Column, n: Int,
                              maxPostingLen: Int): DataFrame = {
-    val sh = hashedShingles(df, text, id, n).withColumnRenamed("h", "shingle")
+    // Staged ONCE (r21, guide §2.4/§5): the distinct (doc_id, shingle)
+    // frame feeds the postings aggregate AND both size joins — unstaged,
+    // the plan re-ran the corpus explode+distinct THREE times (measured:
+    // three full Scan parquet → Generate → Exchange chains in the
+    // dd_jaccard physical plan). One materialized pass of 16-byte rows;
+    // the two size re-aggregations read the staged longs, not the text.
+    // stageLocal (not localCheckpoint): doc_id is a raw source id — the
+    // constraint-leak rule in GraftBridge's scaladoc.
+    val sh = org.apache.spark.sql.GraftBridge.stageLocal(
+      hashedShingles(df, text, id, n).withColumnRenamed("h", "shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val postings = sh.groupBy("shingle")
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))

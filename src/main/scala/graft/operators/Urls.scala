@@ -338,7 +338,14 @@ object Urls {
     * reading. */
   def robotsRules(df: DataFrame, host: Column, body: Column,
                   agent: Option[String] = None): DataFrame = {
-    val lines = robotsLines(df, host, body)
+    // Staged ONCE (r21): the directive scan + chosenGroups reference
+    // this frame up to 4× (agent-token scan, star groups, the best-
+    // length join) — unstaged, each reference re-ran the per-host
+    // body explode and everything upstream of it (for the crawl
+    // composites: a documents scan each). Hosts × lines bounded —
+    // the stage-only-bounded-frames rule.
+    val lines = org.apache.spark.sql.GraftBridge.stageLocal(
+      robotsLines(df, host, body))
     lines
       .filter(lower(col("line")).rlike("^(disallow|allow):"))
       .select(col("host"), col("grp"),
@@ -388,7 +395,9 @@ object Urls {
     * obeys that group's delay too, never the wildcard's. */
   def robotsDelays(df: DataFrame, host: Column, body: Column,
                    agent: Option[String] = None): DataFrame = {
-    val lines = robotsLines(df, host, body)
+    // Staged once — same multi-reference economics as [[robotsRules]].
+    val lines = org.apache.spark.sql.GraftBridge.stageLocal(
+      robotsLines(df, host, body))
     lines
       .filter(lower(col("line")).startsWith("crawl-delay:"))
       .select(col("host"), col("grp"),
@@ -540,10 +549,15 @@ object Urls {
           lit("\\"), lit("\\\\")), lit("%"), lit("\\%")), lit("_"), lit("\\_"))
         .cast("string"),
       when(anchored, lit("")).otherwise(lit("%")))
-    val wildPat = rules.filter(hasWild)
+    // rules staged ONCE (r21): the plain/wild split reads it twice,
+    // and a caller's rules frame is itself a multi-pass parse chain
+    // (robotsRules re-derives the corpus hosts) — hosts × rules
+    // bounded, so staging is the bounded-frames discipline.
+    val rulesOnce = org.apache.spark.sql.GraftBridge.stageLocal(rules)
+    val wildPat = rulesOnce.filter(hasWild)
       .withColumn("__pat", regexp_replace(likePat, "\\*", "%"))
     val plainMatches = withHost
-      .join(broadcast(rules.filter(!hasWild).as("r")),
+      .join(broadcast(rulesOnce.filter(!hasWild).as("r")),
         col("__h") === col("r.host") &&
           col("__p").startsWith(col("r.prefix")), "inner")
       .select(col("__h"), col("__p"), spec.as("__spec"))

@@ -101,7 +101,14 @@ object Winnow {
     * family's posting cap. */
   def sharedPairs(fps: DataFrame, minShared: Int,
                   maxPostingLen: Int): DataFrame = {
-    val sets = fps.select("doc_id", "fp").distinct()
+    // Staged ONCE (r21, guide §2.4): `kept` is both sides of the pair
+    // self-join, and `hot` re-derives the same fingerprint subtree —
+    // unstaged, the fingerprint selection (per-gram hashing + the
+    // winnow kernel over every document) ran FOUR times per query
+    // (measured: 4 scan→Generate chains in the dd_winnow_pairs plan).
+    // stageLocal, not localCheckpoint: doc_id is a raw source id.
+    val sets = org.apache.spark.sql.GraftBridge.stageLocal(
+      fps.select("doc_id", "fp").distinct())
     val hot = sets.groupBy("fp").agg(count(lit(1)).as("n"))
       .filter(col("n") > maxPostingLen)
     val kept = sets.join(hot, Seq("fp"), "left_anti")
@@ -123,7 +130,9 @@ object Winnow {
     * verdict costs nothing beyond the pair join already paid. */
   def alignedSpans(fps: DataFrame, minAligned: Int,
                    maxPostingLen: Int): DataFrame = {
-    val sets = fps.select("doc_id", "pos", "fp")
+    // Staged once — same 4×→1× selection economics as sharedPairs.
+    val sets = org.apache.spark.sql.GraftBridge.stageLocal(
+      fps.select("doc_id", "pos", "fp"))
     val hot = sets.groupBy("fp")
       .agg(countDistinct(col("doc_id")).as("n"))
       .filter(col("n") > maxPostingLen)

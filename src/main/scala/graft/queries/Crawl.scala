@@ -1344,7 +1344,9 @@ object Crawl {
         .join(crawled, Seq("url"), "left_anti")
         .groupBy("url").agg(count(lit(1)).as("n_refs"))
         .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), blockedDomains)))
-    val seeds = crawlSeeds(s, d)
+    // seeds staged once (r21): the fetched-seeds probe and the live
+    // anti-join both read it — hosts-bounded (see crawlWaveCore).
+    val seeds = org.apache.spark.sql.GraftBridge.stageLocal(crawlSeeds(s, d))
     val fetchedSeeds = crawled
       .join(broadcast(seeds), Seq("url"), "left_semi").distinct()
     val live = seeds.join(fetchedSeeds, Seq("url"), "left_anti")
@@ -1446,7 +1448,11 @@ object Crawl {
       .join(crawled, Seq("url"), "left_anti")
       .groupBy("url").agg(count(lit(1)).as("n_refs"))
       .filter(!Urls.hostBlocked(Urls.hostOf(col("url")), blockedDomains))
-    val seeds = crawlSeeds(s, d)
+    // seeds staged ONCE (r21): referenced by the fetched-seeds probe
+    // AND the live anti-join — unstaged, each reference re-ran the
+    // sitemap parse + the planted min-doc aggregation (two documents
+    // scans each). Hosts-bounded — the bounded-frames staging rule.
+    val seeds = org.apache.spark.sql.GraftBridge.stageLocal(crawlSeeds(s, d))
     val fetchedSeeds = crawled
       .join(broadcast(seeds), Seq("url"), "left_semi").distinct()
     val live = seeds.join(fetchedSeeds, Seq("url"), "left_anti")
@@ -1460,12 +1466,16 @@ object Crawl {
         .withColumn("template", urlTemplate(col("url"))))
     // trap gate with the r18 whitelist term: high fan-out is dropped
     // only when evidence-per-URL stays under the bar — the planted
-    // heavily-linked archive pagination must survive into the wave
-    val traps = cand.groupBy("host", "template")
-      .agg(count(lit(1)).as("n_urls"), sum(col("n_refs")).as("sum_refs"))
-      .filter(col("n_urls") >= trapMinUrls &&
-        col("sum_refs") < col("n_urls") * trapWhitelistRefs)
-      .select("host", "template")
+    // heavily-linked archive pagination must survive into the wave.
+    // Staged (r21): template-bounded; the discovery gate AND (withDue)
+    // the due-refetch gate both broadcast it — staging spares the
+    // second aggregation pass over the staged pool.
+    val traps = org.apache.spark.sql.GraftBridge.stageLocal(
+      cand.groupBy("host", "template")
+        .agg(count(lit(1)).as("n_urls"), sum(col("n_refs")).as("sum_refs"))
+        .filter(col("n_urls") >= trapMinUrls &&
+          col("sum_refs") < col("n_urls") * trapWhitelistRefs)
+        .select("host", "template"))
     val untrapped = cand
       .join(broadcast(traps), Seq("host", "template"), "left_anti")
     // freshness half (r18, withDue): due refetches at evidence 0 —
@@ -1495,9 +1505,15 @@ object Crawl {
         .filter(col("n_kept") * 100 < col("n_pages") * domainKeepPct)
         .select("host")
     }
-    val gated = pool
-      .join(broadcast(badHosts), Seq("host"), "left_anti")
-      .select(col("url"), col("n_refs"))
+    // gated staged (r21): robotsFilter reads its candidate frame
+    // THREE times (plain-rule theta-join, wildcard-rule theta-join,
+    // the keep anti-join) — unstaged, the whole gate chain above
+    // (trap anti-join, due union, domain anti-join) re-ran for each.
+    // Candidates-bounded, the same rule dsCrawlPolite stages under.
+    val gated = org.apache.spark.sql.GraftBridge.stageLocal(
+      pool
+        .join(broadcast(badHosts), Seq("host"), "left_anti")
+        .select(col("url"), col("n_refs")))
     val hosts = crawlHosts(s, d)
     val arules = Urls.robotsRules(hosts, col("host"),
       Urls.syntheticRobots(col("source")), agent = Some(crawlProductToken))
