@@ -170,7 +170,11 @@ object Dedup {
     * shuffles keyed on doc id, sized by candidates not by corpus². */
   def lshVerifiedPairs(df: DataFrame, text: Column, id: Column, n: Int,
                        threshold: Double): DataFrame = {
-    val sets = shingleSets(df, text, id, n)
+    // Staged ONCE (r21): the id_a and id_b verification joins each
+    // read the shingle-set frame — unstaged, the corpus explode +
+    // collect ran twice. stageLocal: doc_id is a raw source id.
+    val sets = org.apache.spark.sql.GraftBridge.stageLocal(
+      shingleSets(df, text, id, n))
     minhashCandidatePairs(df, text, id, n)
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), Seq("id_b"))

@@ -60,8 +60,15 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
     val sym = traced("sym") {
-      edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-        .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+      // Edge list staged ONCE (r21): symmetrization references the
+      // caller's edge frame twice — for the dedup family that frame is
+      // the whole LSH candidate-pair subtree, so the unstaged union
+      // ran pair generation twice (measured: 'sym' was 0.7 s of
+      // dd_cc's 1.1 s warm loop). stageLocal: ids are raw source ids.
+      val e0 = org.apache.spark.sql.GraftBridge.stageLocal(
+        edges.select(col(srcCol).cast("long").as("u"),
+          col(dstCol).cast("long").as("v")))
+      e0.union(e0.select(col("v").as("u"), col("u").as("v")))
         .distinct()
         .localCheckpoint()
     }

@@ -122,12 +122,19 @@ object Rag {
   def bm25TopK(corpus: DataFrame, text: Column, id: Column,
                queries: DataFrame, qText: Column, qId: Column,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = corpus.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // tf staged ONCE (r21): the df aggregation AND the scoring join
+    // both read it — unstaged, the corpus tokenize-explode + (doc,
+    // term) aggregation ran twice. Same for dl (read by the global
+    // stats and the scoring join; one row per doc). stageLocal:
+    // doc_id is a raw source id.
+    val tf = org.apache.spark.sql.GraftBridge.stageLocal(
+      corpus.select(id.as("doc_id"), explode(split(text, " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     // doc length = token count — a pure projection (Σ tf would re-run
     // the tokenize explode and a second corpus-keyed aggregation)
-    val dl = corpus.select(id.as("doc_id"),
-      size(split(text, " ")).cast("long").as("dl"))
+    val dl = org.apache.spark.sql.GraftBridge.stageLocal(
+      corpus.select(id.as("doc_id"),
+        size(split(text, " ")).cast("long").as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

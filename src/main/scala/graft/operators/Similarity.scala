@@ -946,6 +946,11 @@ object Similarity {
   def ivfPqTrain(emb: DataFrame, kc: Int, coarseIters: Int, m: Int, k: Int,
                  iters: Int): (Seq[(Long, Seq[Double])], Seq[(Int, Seq[(Long, Seq[Double])])]) = {
     val coarse = lloydTrain(emb, kc, coarseIters)
+    // NOT staged (r21 A/B): the residual frame is a broadcast-argmin
+    // projection — recomputing it per sub-codebook is cheaper than a
+    // localCheckpoint round-trip (measured: staging regressed
+    // sim_ivfpq_recall 1.9 s → 3.2 s). The guide §5 caching rule:
+    // materialize only when recompute beats the memory traffic.
     val res = ivfResiduals(emb, coarse)
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
@@ -973,6 +978,8 @@ object Similarity {
                               books: Seq[(Int, Seq[(Long, Seq[Double])])]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // NOT staged — same A/B as ivfPqTrain: the projection is cheaper
+    // recomputed than checkpointed.
     val res = ivfResiduals(emb, coarse)
     val dims = emb.select(size(col("embedding"))).first().getInt(0)
     val sub = dims / books.length

@@ -189,13 +189,17 @@ object Crawl {
     import graft.operators.Urls
     import org.apache.spark.sql.expressions.Window
     val hw = Window.partitionBy("host")
-    val g = dsCrawl(s, d)
+    // Staged ONCE (r21): `g` feeds the survivors' semi-join AND the
+    // final audit join — unstaged, the whole dsCrawl front door
+    // (canonicalize → keep-first exchange → HTML extraction) ran
+    // TWICE per query. One row per winner, bounded by distinct URLs.
+    val g = org.apache.spark.sql.GraftBridge.stageLocal(dsCrawl(s, d)
       .withColumn("host", Urls.hostOf(col("canon_url")))
       .withColumn("domain_ok",
         sum(when(col("verdict") === "kept", 1L).otherwise(0L)).over(hw) * 100 >=
           count(lit(1)).over(hw) * domainKeepPct)
       .select(col("doc_id"), col("host"),
-        col("verdict").as("page_verdict"), col("domain_ok"))
+        col("verdict").as("page_verdict"), col("domain_ok")))
     val survivors = docs(s, d)
       .join(g.filter(col("domain_ok") && col("page_verdict") === "kept")
         .select("doc_id"), Seq("doc_id"))

@@ -186,15 +186,20 @@ object DataOps {
   def dsHybridRrf(s0: SparkSession, d: String): DataFrame = {
     val s = graft.GraftSession.boundedAggSession(s0)
     val dd = docs(s, d)
-    val lex = graft.operators.Rag.bm25TopK(dd, col("text"), col("doc_id"),
+    // Both retrieval lists staged ONCE (r21): each feeds the candidate
+    // union AND its outer join — unstaged, the whole BM25 chain and
+    // the brute-force scan each ran twice (14 documents scans in the
+    // ds_hybrid_rrf plan). ≤ k rows per query — trivially bounded.
+    val lex = org.apache.spark.sql.GraftBridge.stageLocal(
+      graft.operators.Rag.bm25TopK(dd, col("text"), col("doc_id"),
         dd.filter(col("doc_id") < ragQueries), col("text"), col("doc_id"),
         annK, bm25K1, bm25B)
-      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank")))
     val de = graft.operators.Rag.hashEmbed(dd, col("text"), col("doc_id"))
-    val vec = Similarity
+    val vec = org.apache.spark.sql.GraftBridge.stageLocal(Similarity
       .bruteForceTopK(de, de.filter(col("vec_id") < ragQueries), annK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rk").cast("long").as("vec_rank"))
+        col("rk").cast("long").as("vec_rank")))
     val cand = lex.select("query_id", "doc_id")
       .union(vec.select("query_id", "doc_id")).distinct()
     val fused = cand
