@@ -36,18 +36,34 @@ object Curation {
   def audit(docs: DataFrame, text: Column, id: Column, lmRef: DataFrame,
             n: Int, jaccardThreshold: Double,
             maxTop2: Double, maxDup5: Double, maxAvgNll: Double): DataFrame = {
-    val rep = TextAnalysis.repetitionSignals(docs, text, id, Seq(2), Seq(5))
-      .select(col("doc_id"),
-        (col("top_2gram_frac") > maxTop2 || col("dup_5gram_frac") > maxDup5)
-          .as("rep_fail"))
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // repetition gate INLINE (r22): the signals are within-document
+    // statistics, computed by the same compiled pass repetitionSignals
+    // rides (graft.plans.RepetitionStats) — so the gate is a projection
+    // on the corpus scan, not a join against a separately aggregated
+    // frame (the r21 shape paid two corpus-wide explode+agg chains plus
+    // a doc_id join to reattach them; guide §2.4). The frac expressions
+    // are repetitionSignals' own (same rounding), so the gate decision
+    // is bit-identical.
+    val frac = (field: String) =>
+      round(element_at(col(s"__st.$field"), 1).cast("double")
+        / col("__st.total_chars"), 6)
+    val gated = docs
+      .select(id.as("doc_id"), text.as("__text"),
+        TextAnalysis.repetitionStats(text, Seq(2), Seq(5)).as("__st"))
+      .select(col("doc_id"), col("__text"),
+        (frac("top") > maxTop2 || frac("dup") > maxDup5).as("rep_fail"))
     // unscorable docs (< 2 words) fail the gate: a filter that can't
-    // vouch for a document does not pass it
-    val lm = LanguageModel.scoreDocs(docs, text, id,
+    // vouch for a document does not pass it. scoreCore omits them (no
+    // bigrams → no row), so the LEFT join's null avg_nll covers both
+    // the unscorable and the above-threshold case — one doc_id join
+    // for the whole LM gate instead of scoreDocs' join-back plus the
+    // audit reattach join.
+    val lmScores = LanguageModel.scoreCore(docs, text, id,
         LanguageModel.bigramLm(lmRef, text))
-      .select(col("doc_id"),
-        (col("avg_nll").isNull || col("avg_nll") > maxAvgNll).as("lm_fail"))
-    // truncate here: the gate subtree (two explode pipelines + the
-    // LM probe joins) feeds SIX downstream scans — quality's exact
+      .select(col("doc_id"), col("avg_nll"))
+    // truncate here: the gate subtree (the gate projection + the LM
+    // probe joins) feeds SIX downstream scans — quality's exact
     // keepers, the signature/shingle-set/band frames inside dedup,
     // the semi/anti assembly, and the audit join. Without a stage
     // boundary every one re-scans the corpus and re-runs the gates
@@ -56,9 +72,10 @@ object Curation {
     // in-session analogue of the staged-parquet boundary a production
     // run would write between filter and dedup. (Handed to the
     // caller's lineage, so it cannot be unpersisted here.)
-    val flagged = docs.select(id.as("doc_id"), text.as("__text"))
-      .join(rep, Seq("doc_id"))
-      .join(lm, Seq("doc_id"))
+    val flagged = gated
+      .join(lmScores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("__text"), col("rep_fail"),
+        (col("avg_nll").isNull || col("avg_nll") > maxAvgNll).as("lm_fail"))
       .localCheckpoint(false)
     val quality = flagged.filter(!col("rep_fail") && !col("lm_fail"))
       .select(col("doc_id"), col("__text").as("text"))

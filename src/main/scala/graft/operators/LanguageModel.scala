@@ -103,10 +103,25 @@ object LanguageModel {
         col("avg_nll_target"), col("avg_nll_ref"), col("log_importance"))
   }
 
-  def scoreDocs(docs: DataFrame, text: Column, id: Column, lm: DataFrame): DataFrame = {
+  def scoreDocs(docs: DataFrame, text: Column, id: Column, lm: DataFrame): DataFrame =
+    docs.select(id.as("doc_id"))
+      .join(scoreCore(docs, text, id, lm), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"))
+
+  /** The scored frame BEFORE the join back to the full document set:
+    * `(doc_id, n_bigrams, avg_nll)` with one row per document that
+    * carries >= 1 bigram (< 2-word documents are absent — `scoreDocs`
+    * restores them as n_bigrams = 0 / null score). Callers that left
+    * join the score onto a frame they already hold (Curation.audit)
+    * use this directly, skipping scoreDocs' own docs-side join — one
+    * doc_id exchange instead of two for the same rows. */
+  private[operators] def scoreCore(docs: DataFrame, text: Column, id: Column,
+                                   lm: DataFrame): DataFrame = {
     val ctxTotals = lm.groupBy("ctx").agg(sum(col("c2")).as("c1"))
     val vocab = lm.agg(countDistinct(col("nxt")).as("vsz"))
-    val scored = bigramsOf(docs, text, Some(id))
+    bigramsOf(docs, text, Some(id))
       .join(lm, Seq("ctx", "nxt"), "left")
       .join(ctxTotals, Seq("ctx"), "left")
       .crossJoin(broadcast(vocab))
@@ -115,10 +130,5 @@ object LanguageModel {
           / (coalesce(col("c1"), lit(0L)) + col("vsz"))).as("ll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(-avg(col("ll")), 6).as("avg_nll"))
-    docs.select(id.as("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("avg_nll"))
   }
 }

@@ -244,67 +244,36 @@ object TextAnalysis {
                         topNs: Seq[Int] = Seq(2, 3, 4),
                         dupNs: Seq[Int] = Seq(5, 10)): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
-    val toksF = df.select(id.as("doc_id"), tokens(text).as("__toks"))
-    val base = toksF.select(col("doc_id"),
-      aggregate(transform(col("__toks"), t => length(t)), lit(0L), (a, x) => a + x)
-        .as("total_chars"))
-
-    // numerator of the top-n signal: most frequent n-gram's cnt ×
-    // adjusted chars (Σ window token lengths = gram length minus its
-    // n−1 separators). The corpus-wide shuffle carries (doc_id, 8-byte
-    // rolling hash, window char sum) — never gram STRINGS: the string
-    // explode held the distinct (doc, gram) text in every partial-agg
-    // hash map and shuffle buffer, which is what blew the 1000×/
-    // 32-thread rehearsal (SparkOutOfMemoryError in the shuffle
-    // write). Ties break (cnt, adj) — a residual tie has the same
-    // numerator either way, so the signal itself is tie-independent.
-    // Hash-collision contract is the same as the ExactSubstr core
-    // (per-doc windows vs 64-bit keys).
-    def topNum(n: Int): DataFrame = {
-      val toks = col("__toks")
-      val cnt = size(toks) - (n - 1)
-      val lens = transform(toks, t => length(t).cast("long"))
-      val adjs = transform(sequence(lit(1), cnt),
-        i => aggregate(slice(lens, i, lit(n)), lit(0L), (a, x) => a + x))
-      toksF.select(col("doc_id"),
-          explode(when(cnt >= 1,
-            zip_with(call_function("graft_grams", toks, lit(n)), adjs,
-              (h, a) => struct(h.as("h"), a.as("adj"))))
-            .otherwise(array())).as("g"))
-        .select(col("doc_id"), col("g.h").as("h"), col("g.adj").as("adj"))
-        .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"), max(col("adj")).as("adj"))
-        .groupBy("doc_id").agg(max(struct(col("cnt"), col("adj"))).as("top"))
-        .select(col("doc_id"), (col("top.cnt") * col("top.adj")).as(s"__num$n"))
-    }
-
-    // numerator of the dup-n signal: chars at positions covered by
-    // any within-doc duplicated n-gram (covered once, overlaps merged)
-    def dupNum(n: Int): DataFrame = {
-      val grams = toksF.select(col("doc_id"),
-        posexplode(call_function("graft_grams", col("__toks"), lit(n)))
-          .as(Seq("off", "h")))
-      val covered = grams.groupBy("doc_id", "h")
-        .agg(collect_list(col("off")).as("offs"))
-        .filter(size(col("offs")) >= 2)
-        .select(col("doc_id"), explode(col("offs")).as("off"))
-        .select(col("doc_id"), explode(sequence(col("off") + 1, col("off") + n)).as("pos"))
-        .distinct()
-      val lens = toksF.select(col("doc_id"),
-          posexplode(transform(col("__toks"), t => length(t))).as(Seq("off", "len")))
-        .select(col("doc_id"), (col("off") + 1).as("pos"), col("len"))
-      covered.join(lens, Seq("doc_id", "pos"))
-        .groupBy("doc_id").agg(sum(col("len")).as(s"__dup$n"))
-    }
-
-    val joined = (topNs.map(topNum) ++ dupNs.map(dupNum))
-      .foldLeft(base)((acc, f) => acc.join(f, Seq("doc_id"), "left"))
-    val out = col("doc_id") +: (
-      topNs.map(n => round(coalesce(col(s"__num$n"), lit(0L)).cast("double")
-        / col("total_chars"), 6).as(s"top_${n}gram_frac")) ++
-      dupNs.map(n => round(coalesce(col(s"__dup$n"), lit(0L)).cast("double")
-        / col("total_chars"), 6).as(s"dup_${n}gram_frac")))
-    joined.select(out: _*)
+    df.select(id.as("doc_id"), repetitionStats(text, topNs, dupNs).as("__st"))
+      .select(repetitionFracs(topNs, dupNs): _*)
   }
+
+  /** The shared per-document stats struct `(total_chars, top, dup)` —
+    * every signal is a within-document statistic, so it is computed in
+    * ONE compiled projection pass ([[graft.plans.RepetitionStats]]:
+    * token hash + char prefix sums shared across all widths; same
+    * rolling gram fingerprints, counts and tie-breaks as the previous
+    * exploded form, asserted equal in TextAnalysisSpec). The r21-shape
+    * alternative — per width, a corpus-wide
+    * explode → Exchange(doc_id, h) → Exchange(doc_id) chain, plus a
+    * positions-distinct Exchange and a positions join for the dup
+    * widths — shuffled every n-gram of the corpus per width (guide
+    * §2.4: those shuffles are removable outright, so remove them). */
+  private[graft] def repetitionStats(text: Column, topNs: Seq[Int],
+                                     dupNs: Seq[Int]): Column =
+    call_function("graft_rep_stats", tokens(text),
+      lit(topNs.toArray), lit(dupNs.toArray))
+
+  /** Output columns over the `__st` stats struct — `doc_id` plus the
+    * rounded fractions, in the operator's documented column order. */
+  private[graft] def repetitionFracs(topNs: Seq[Int], dupNs: Seq[Int]): Seq[Column] =
+    col("doc_id") +: (
+      topNs.zipWithIndex.map { case (n, i) =>
+        round(element_at(col("__st.top"), i + 1).cast("double")
+          / col("__st.total_chars"), 6).as(s"top_${n}gram_frac") } ++
+      dupNs.zipWithIndex.map { case (n, i) =>
+        round(element_at(col("__st.dup"), i + 1).cast("double")
+          / col("__st.total_chars"), 6).as(s"dup_${n}gram_frac") })
 
   val fpPrime = 2147483647L // 2^31 − 1
 

@@ -235,6 +235,27 @@ object GraftFunctions {
     new ExpressionInfo(classOf[TextEntropy].getName, "graft_entropy"),
     mkEntropy _)
 
+  val repStatsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_rep_stats"),
+    new ExpressionInfo(classOf[RepetitionStats].getName, "graft_rep_stats"),
+    mkRepStats _)
+
+  // the gram widths size the per-document passes, so they must be
+  // array<int> literals, not runtime columns
+  private def mkRepStats(children: Seq[Expression]): Expression =
+    (children(1), children(2)) match {
+      case (org.apache.spark.sql.catalyst.expressions.Literal(
+              a: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, _)),
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              b: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, _))) =>
+        RepetitionStats(children(0), a.toIntArray().toSeq, b.toIntArray().toSeq)
+      case other => throw new IllegalArgumentException(
+        s"graft_rep_stats(tokens, top_ns, dup_ns): widths must be " +
+          s"array<int> literals, got $other")
+    }
+
   // the alphabet delimiter parameterizes the scan, so it must be a
   // string literal, not a runtime column
   private def mkEntropy(children: Seq[Expression]): Expression = children(1) match {
@@ -251,6 +272,8 @@ object GraftFunctions {
       "graft_grams", mkGrams, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_entropy", mkEntropy, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rep_stats", mkRepStats, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow", mkWinnow, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
